@@ -1,0 +1,187 @@
+"""AutoML search driver (SURVEY.md §2.9 M1-M4, M7-M9).
+
+Reference semantics (citations into /root/reference):
+
+- AUTOML driver               auto_machine_learning.py:11-57 — per
+  candidate family: 5-fold CV over a param grid, keep the family's best
+  (estimator, CV score); argmax across families; refit winner on the
+  full train set; report train-side metric.
+- XGBoost grid                auto_machine_learning.py:77-84 —
+  n_estimators {10,50,100} → maxIter, max_depth {3,5,10} → maxDepth,
+  learning_rate {0.1,0.01} → stepSize (GBT is the MLlib stand-in; the
+  xgboost.spark estimator drops in when the package is present).
+- Commented-out zoo           auto_machine_learning.py:63-76 —
+  RandomForest{Regressor,Classifier} (numTrees {10,50,100},
+  maxDepth {10,20,30}); SVC → LinearSVC (no MLlib SVR/rbf — documented
+  substitution, SURVEY §7 hard parts #4).
+- Model cache                 auto_machine_learning.py:12,22-24 — the
+  reference caches ONE global model across tasks (a bug); here models
+  persist under a per-task path.
+
+Scale notes: each fold×grid-point fit is a distributed MLlib job;
+`parallelism=N` runs grid points concurrently. The scaler + assembler
+live INSIDE the CV pipeline so fold statistics never leak across folds.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import (
+    GBTClassifier,
+    LinearSVC,
+    RandomForestClassifier,
+)
+from pyspark.ml.evaluation import (
+    BinaryClassificationEvaluator,
+    MulticlassClassificationEvaluator,
+    RegressionEvaluator,
+)
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.ml.regression import (
+    GBTRegressor,
+    LinearRegression,
+    RandomForestRegressor,
+)
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEED = 42
+
+
+@dataclass
+class FamilyResult:
+    family: str
+    best_params: dict
+    cv_metric: float
+    model: PipelineModel
+
+
+@dataclass
+class AutoMLResult:
+    best: FamilyResult
+    all_results: list[FamilyResult] = field(default_factory=list)
+
+    def metrics_df(self, spark) -> DataFrame:
+        rows = [
+            (r.family, str(r.best_params), float(r.cv_metric))
+            for r in self.all_results
+        ]
+        return spark.createDataFrame(rows, "family string, params string, cv_metric double")
+
+
+def _pipeline(est, features: list[str]) -> Pipeline:
+    assembler = VectorAssembler(inputCols=features, outputCol="__features_raw")
+    scaler = StandardScaler(inputCol="__features_raw", outputCol="features",
+                            withMean=True, withStd=True)
+    return Pipeline(stages=[assembler, scaler, est])
+
+
+def default_families(mode: str, fast: bool = False) -> dict:
+    """(estimator, param grid) per family, mirroring the reference grids.
+    `fast=True` shrinks grids for smoke/CI runs."""
+    if mode == "regression":
+        gbt = GBTRegressor(featuresCol="features", labelCol="__label", seed=SEED)
+        rf = RandomForestRegressor(featuresCol="features", labelCol="__label", seed=SEED)
+        lr = LinearRegression(featuresCol="features", labelCol="__label")
+        if fast:
+            return {
+                "gbt": (gbt, ParamGridBuilder()
+                        .addGrid(gbt.maxIter, [10])
+                        .addGrid(gbt.maxDepth, [3, 5]).build()),
+                "linear": (lr, ParamGridBuilder()
+                           .addGrid(lr.regParam, [0.0, 0.1]).build()),
+            }
+        return {
+            "gbt": (gbt, ParamGridBuilder()
+                    .addGrid(gbt.maxIter, [10, 50, 100])
+                    .addGrid(gbt.maxDepth, [3, 5, 10])
+                    .addGrid(gbt.stepSize, [0.1, 0.01]).build()),
+            "random_forest": (rf, ParamGridBuilder()
+                              .addGrid(rf.numTrees, [10, 50, 100])
+                              .addGrid(rf.maxDepth, [10, 20, 30]).build()),
+            "linear": (lr, ParamGridBuilder()
+                       .addGrid(lr.regParam, [0.0, 0.01, 0.1]).build()),
+        }
+    gbt_c = GBTClassifier(featuresCol="features", labelCol="__label", seed=SEED)
+    rf_c = RandomForestClassifier(featuresCol="features", labelCol="__label", seed=SEED)
+    svc = LinearSVC(featuresCol="features", labelCol="__label")
+    if fast:
+        return {
+            "gbt": (gbt_c, ParamGridBuilder()
+                    .addGrid(gbt_c.maxIter, [10])
+                    .addGrid(gbt_c.maxDepth, [3, 5]).build()),
+        }
+    return {
+        "gbt": (gbt_c, ParamGridBuilder()
+                .addGrid(gbt_c.maxIter, [10, 50, 100])
+                .addGrid(gbt_c.maxDepth, [3, 5, 10])
+                .addGrid(gbt_c.stepSize, [0.1, 0.01]).build()),
+        "random_forest": (rf_c, ParamGridBuilder()
+                          .addGrid(rf_c.numTrees, [10, 50, 100])
+                          .addGrid(rf_c.maxDepth, [10, 20, 30]).build()),
+        "linear_svc": (svc, ParamGridBuilder()
+                       .addGrid(svc.regParam, [0.1, 1.0, 10.0]).build()),
+    }
+
+
+def automl(train: DataFrame, features: list[str], label: str,
+           mode: str = "regression", families: dict | None = None,
+           num_folds: int = 5, parallelism: int = 4,
+           fast: bool = False) -> AutoMLResult:
+    """Cross-validated model search. Returns the refit best model per the
+    reference's argmax-then-refit contract (CrossValidator's bestModel
+    IS the full-train refit of the winning grid point)."""
+    families = families or default_families(mode, fast=fast)
+    train = train.select(*features, F.col(label).cast("double").alias("__label"))
+    if mode == "regression":
+        evaluator = RegressionEvaluator(labelCol="__label", metricName="rmse")
+        better = min
+    else:
+        evaluator = MulticlassClassificationEvaluator(
+            labelCol="__label", metricName="f1"
+        )
+        better = max
+
+    results: list[FamilyResult] = []
+    for name, (est, grid) in families.items():
+        cv = CrossValidator(
+            estimator=_pipeline(est, features),
+            estimatorParamMaps=grid,
+            evaluator=evaluator,
+            numFolds=num_folds,
+            parallelism=parallelism,
+            seed=SEED,
+        )
+        fitted = cv.fit(train)
+        idx = fitted.avgMetrics.index(better(fitted.avgMetrics))
+        params = {p.name: v for p, v in grid[idx].items()}
+        results.append(FamilyResult(name, params, float(better(fitted.avgMetrics)),
+                                    fitted.bestModel))
+    best = better(results, key=lambda r: r.cv_metric)
+    return AutoMLResult(best=best, all_results=results)
+
+
+def feature_importances(model: PipelineModel, features: list[str]) -> list[tuple[str, float]]:
+    """(feature, importance) desc — data_analysis.py:183-187. Tree models
+    expose featureImportances; linear models use |coefficient|."""
+    est = model.stages[-1]
+    if hasattr(est, "featureImportances"):
+        imp = est.featureImportances.toArray()
+    elif hasattr(est, "coefficients"):
+        imp = [abs(c) for c in est.coefficients]
+    else:
+        raise ValueError(f"no importances on {type(est).__name__}")
+    ranked = sorted(zip(features, map(float, imp)), key=lambda t: (-t[1], t[0]))
+    return ranked
+
+
+def save_model(model: PipelineModel, task_dir: str) -> None:
+    """Per-task persistence (fixes the reference's global model.pkl)."""
+    model.write().overwrite().save(f"{task_dir}/model")
+
+
+def load_model(task_dir: str) -> PipelineModel:
+    return PipelineModel.load(f"{task_dir}/model")

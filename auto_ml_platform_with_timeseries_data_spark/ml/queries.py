@@ -1,0 +1,46 @@
+"""Registered ML queries (rows-only checks — CV model selection is not
+ANSI-SQL-expressible; the driver records the weaker rows-only result,
+and tests/test_ml.py pins determinism instead; SURVEY.md §2.13 Q15)."""
+
+from __future__ import annotations
+
+from pyspark.ml.regression import DecisionTreeRegressor, LinearRegression
+from pyspark.ml.tuning import ParamGridBuilder
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.ml.automl import SEED, automl
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+_FEATURES = ["l_quantity", "l_discount", "l_tax"]
+_LABEL = "l_extendedprice"
+
+
+@query("q15_cv_select")  # rows-only: CV search isn't SQL-expressible
+def q15_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best (family, params) by k-fold CV RMSE on a capped sample of
+    lineitem (deterministic seed; capped so the driver-side check stays
+    fast — the full-grid path is exercised in tests/bench)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(*_FEATURES, _LABEL)
+        .limit(20000)
+    )
+    lr = LinearRegression(featuresCol="features", labelCol="__label")
+    dt = DecisionTreeRegressor(featuresCol="features", labelCol="__label",
+                               seed=SEED)
+    families = {
+        "linear": (lr, ParamGridBuilder().addGrid(lr.regParam, [0.0, 0.1]).build()),
+        "decision_tree": (dt, ParamGridBuilder().addGrid(dt.maxDepth, [3, 5]).build()),
+    }
+    result = automl(li, _FEATURES, _LABEL, mode="regression",
+                    families=families, num_folds=3, parallelism=4)
+    rows = [
+        (r.family, str(sorted(r.best_params.items())), round(r.cv_metric, 4),
+         1 if r.family == result.best.family else 0)
+        for r in result.all_results
+    ]
+    return spark.createDataFrame(
+        rows, "family string, best_params string, cv_rmse double, is_best int"
+    )

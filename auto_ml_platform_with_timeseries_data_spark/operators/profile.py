@@ -1,0 +1,244 @@
+"""Data-profiling operators (SURVEY.md §2.2, §2.4 — Q1-Q5, Q13, Q14).
+
+Reference semantics reproduced here (citations into /root/reference):
+
+- head/LIMIT preview            data_analysis.py:58 via app.py:54-60
+- drop all-NaN columns          data_analysis.py:23-28
+- drop named columns            data_analysis.py:30-40
+- fixed-width histogram         data_analysis.py:49 (numpy hist)
+- Pearson corr vs label         data_analysis.py:125-129 (corrwith)
+- distinct group keys           data_analysis.py:57,98
+- min/max of a column           data_analysis.py:175
+- importance ranking            data_analysis.py:186-187 (sort desc)
+
+Scale notes: every profile query is a single Catalyst plan — one scan,
+map-side partial aggregation, no driver-side loops. The per-column
+null-count and per-feature correlation are each ONE ``agg`` over the
+table (k aggregate expressions), then an ``unpivot`` of the single
+result row — at 100 TB this is one pass with partial combine, not k
+passes. The histogram needs a min/max pre-pass; the tiny (1-row) stats
+result is broadcast-joined, never collected into the plan as a literal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import (
+    LINEITEM_FEATURES,
+    LINEITEM_LABEL,
+    load_table,
+)
+
+# ---------------------------------------------------------------------------
+# Reusable operators (work on any DataFrame)
+# ---------------------------------------------------------------------------
+
+
+def head(df: DataFrame, n: int = 5, order_by: list[str] | None = None) -> DataFrame:
+    """First-n preview (data_analysis.py:58). pandas head() relies on file
+    order; distributed semantics require an explicit sort key."""
+    if order_by:
+        df = df.orderBy(*order_by)
+    return df.limit(n)
+
+
+def null_profile(df: DataFrame) -> DataFrame:
+    """Per-column (n_nulls, n_non_null, is_all_null) in ONE aggregation pass.
+
+    Generalizes the reference's dropna(axis=1, how='all') detection
+    (data_analysis.py:23-28): a column is all-NaN iff n_non_null == 0.
+    """
+    total = F.count(F.lit(1))
+    agg = df.agg(
+        total.alias("__total"),
+        *[F.count(F.col(c)).alias(c) for c in df.columns],
+    )
+    pairs = ", ".join(f"'{c}', `{c}`" for c in df.columns)
+    n = len(df.columns)
+    return agg.selectExpr("__total", f"stack({n}, {pairs}) as (column_name, n_non_null)").select(
+        F.col("column_name"),
+        (F.col("__total") - F.col("n_non_null")).alias("n_nulls"),
+        F.col("n_non_null"),
+        F.when(F.col("n_non_null") == 0, F.lit(1)).otherwise(F.lit(0)).alias("is_all_null"),
+    )
+
+
+def all_nan_columns(df: DataFrame) -> list[str]:
+    """Names of all-null columns (the reference's `nan_columns` report)."""
+    row = df.agg(*[F.count(F.col(c)).alias(c) for c in df.columns]).collect()[0]
+    return [c for c in df.columns if row[c] == 0]
+
+
+def drop_all_nan_columns(df: DataFrame) -> tuple[DataFrame, list[str]]:
+    """dropna(axis=1, how='all') → (new df, removed column names)
+    (data_analysis.py:23-28). Returns a rebound DataFrame — no mutation."""
+    removed = all_nan_columns(df)
+    return df.drop(*removed), removed
+
+
+def remove_features(df: DataFrame, features: list[str]) -> DataFrame:
+    """Drop named columns, silently ignoring missing names
+    (data_analysis.py:30-40; Spark's drop is already tolerant)."""
+    return df.drop(*features)
+
+
+def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
+    """Fixed-width histogram: (bin, bin_lo, bin_hi, cnt).
+
+    The reference uses numpy bins='auto' (data_analysis.py:49); the engine
+    standardizes on explicit fixed-width bins (parity on bin *contents*
+    given the same edges). min/max come from a 1-row aggregate that is
+    broadcast back — the table is scanned exactly twice, both passes
+    map-side-combined; no collect.
+    """
+    stats = df.agg(F.min(col).alias("__mn"), F.max(col).alias("__mx"))
+    x, mn, mx = F.col(col), F.col("__mn"), F.col("__mx")
+    bucket = F.least(
+        F.floor((x - mn) * nbins / (mx - mn)).cast("int"), F.lit(nbins - 1)
+    )
+    return (
+        df.select(col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("__mn").alias("__mn"),
+            F.first("__mx").alias("__mx"),
+        )
+        .select(
+            "bin",
+            F.round(F.col("__mn") + F.col("bin") * (F.col("__mx") - F.col("__mn")) / nbins, 6).alias("bin_lo"),
+            F.round(F.col("__mn") + (F.col("bin") + 1) * (F.col("__mx") - F.col("__mn")) / nbins, 6).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
+def corr_with_label(df: DataFrame, features: list[str], label: str,
+                    round_to: int = 6) -> DataFrame:
+    """Pearson r of each feature vs the label — ONE aggregation
+    (data_analysis.py:125-129 `corrwith`). Output: (feature, corr)."""
+    agg = df.agg(*[F.round(F.corr(c, label), round_to).alias(c) for c in features])
+    pairs = ", ".join(f"'{c}', `{c}`" for c in features)
+    return agg.selectExpr(f"stack({len(features)}, {pairs}) as (feature, corr)")
+
+
+def importance_rank(df: DataFrame, features: list[str], label: str) -> DataFrame:
+    """Features ranked by |corr vs label| desc (deterministic stand-in for
+    the model-dependent ranking of data_analysis.py:186-187; the ML-based
+    ranking lives in ml/automl.py). Output: (rank, feature, abs_corr)."""
+    corr = corr_with_label(df, features, label).select(
+        "feature", F.round(F.abs(F.col("corr")), 6).alias("abs_corr")
+    )
+    w = Window.orderBy(F.desc("abs_corr"), F.asc("feature"))
+    return corr.select(F.row_number().over(w).alias("rank"), "feature", "abs_corr")
+
+
+def distinct_groups(df: DataFrame, group_col: str) -> DataFrame:
+    """Distinct group keys (data_analysis.py:57) — map-side partial distinct."""
+    return df.select(group_col).distinct()
+
+
+def min_max(df: DataFrame, col: str) -> DataFrame:
+    """(min, max) of one column (data_analysis.py:175)."""
+    return df.agg(F.min(col).alias("min_value"), F.max(col).alias("max_value"))
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + DuckDB oracles (driver tables, FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+
+_LI_COLS = (
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate",
+)
+
+
+@query(
+    "q01_head",
+    oracle="SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+)
+def q01_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return head(load_table(spark, sf_dir, "lineitem"), 5,
+                order_by=["l_orderkey", "l_linenumber"])
+
+
+@query(
+    "q02_null_profile",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, count(*) - count({c}) AS n_nulls, "
+        f"count({c}) AS n_non_null, "
+        f"CASE WHEN count({c}) = 0 THEN 1 ELSE 0 END AS is_all_null FROM lineitem"
+        for c in _LI_COLS
+    ),
+)
+def q02_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return null_profile(load_table(spark, sf_dir, "lineitem"))
+
+
+@query(
+    "q03_histogram",
+    oracle="""
+    WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+    SELECT CAST(LEAST(CAST(FLOOR((l_extendedprice - mn) * 10 / (mx - mn)) AS INT), 9) AS INT) AS bin,
+           ROUND(mn + LEAST(CAST(FLOOR((l_extendedprice - mn) * 10 / (mx - mn)) AS INT), 9) * (mx - mn) / 10, 6) AS bin_lo,
+           ROUND(mn + (LEAST(CAST(FLOOR((l_extendedprice - mn) * 10 / (mx - mn)) AS INT), 9) + 1) * (mx - mn) / 10, 6) AS bin_hi,
+           count(*) AS cnt
+    FROM lineitem, s
+    GROUP BY 1, 2, 3
+    """,
+)
+def q03_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return histogram(load_table(spark, sf_dir, "lineitem"), LINEITEM_LABEL, 10)
+
+
+@query(
+    "q04_corr_with_label",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS feature, ROUND(corr({c}, {LINEITEM_LABEL}), 6) AS corr "
+        f"FROM lineitem"
+        for c in LINEITEM_FEATURES
+    ),
+)
+def q04_corr_with_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corr_with_label(
+        load_table(spark, sf_dir, "lineitem"), list(LINEITEM_FEATURES), LINEITEM_LABEL
+    )
+
+
+@query("q05_groups", oracle="SELECT DISTINCT user_id FROM events")
+def q05_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_groups(load_table(spark, sf_dir, "events"), "user_id")
+
+
+@query(
+    "q13_importance_rank",
+    oracle="""
+    WITH c AS ({corr_union})
+    SELECT CAST(row_number() OVER (ORDER BY abs_corr DESC, feature ASC) AS INT) AS rank,
+           feature, abs_corr
+    FROM (SELECT feature, ROUND(ABS(corr), 6) AS abs_corr FROM c)
+    """.format(
+        corr_union=" UNION ALL ".join(
+            f"SELECT '{c}' AS feature, ROUND(corr({c}, {LINEITEM_LABEL}), 6) AS corr FROM lineitem"
+            for c in LINEITEM_FEATURES
+        )
+    ),
+)
+def q13_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return importance_rank(
+        load_table(spark, sf_dir, "lineitem"), list(LINEITEM_FEATURES), LINEITEM_LABEL
+    )
+
+
+@query(
+    "q14_min_max",
+    oracle=f"SELECT min({LINEITEM_LABEL}) AS min_value, max({LINEITEM_LABEL}) AS max_value FROM lineitem",
+)
+def q14_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return min_max(load_table(spark, sf_dir, "lineitem"), LINEITEM_LABEL)

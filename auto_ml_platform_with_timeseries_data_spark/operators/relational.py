@@ -1,0 +1,185 @@
+"""Relational operators — joins, grouped aggregation, top-k (SURVEY.md §2.3,
+§2.6, §7 extension surface).
+
+The reference implements no joins (SURVEY §2.3) — its only cross-table
+contract is schema alignment. These queries exercise the join/agg/topk
+surface that Catalyst gives the engine for free, shaped like the TPC-H
+workloads the driver fixtures mirror, and serve as the bench headliners.
+
+Scale notes (these ARE the plans we want at 100 TB):
+
+- q26 pricing summary: scan + map-side partial agg into 6 groups —
+  whole-stage codegen end to end, shuffle carries 6 rows per task.
+- q27 revenue-by-nation: lineitem⋈orders is the only big-big join
+  (shuffle on orderkey); customer/nation/region are broadcast — no
+  shuffle for any dimension. Filters applied BEFORE the big join so
+  pushdown prunes the parquet scan.
+- q28 top customers: big-big join then partial agg; final top-10 is a
+  TakeOrdered — no global sort of the aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+
+@query(
+    "q26_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_charge,
+           ROUND(avg(l_quantity), 6) AS avg_qty,
+           ROUND(avg(l_extendedprice), 6) AS avg_price,
+           ROUND(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q26_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one scan, 8 partial aggregates.
+
+    Price sums go through exact DECIMAL accumulation (then cast back to
+    double) so the result is independent of partition/accumulation order
+    — required for bit-identical distributed runs AND oracle parity.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    # narrow decimals so the triple product stays exact ((12,4)×(8,4)×(8,4)
+    # → scale 12, precision ≤30 — inside DECIMAL(38) in both engines; wider
+    # inputs would trigger Spark's precision-loss rounding and diverge)
+    price_d = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    tax_d = (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,4)")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price_d * disc_d), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price_d * disc_d * tax_d), 2).cast("double").alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q27_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def q27_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: one big-big shuffle join (lineitem⋈orders), all dims
+    broadcast; the status filter lands before the join (pushdown)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+            ), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q28_top_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           ROUND(sum(o_totalprice), 4) AS total_spend,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY total_spend DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q28_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k after aggregation — TakeOrderedAndProject, no full sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q31_set_ops",
+    oracle="""
+    SELECT c_custkey FROM customer
+    INTERSECT
+    SELECT o_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+)
+def q31_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level set ops (SURVEY §2.7 extension): customers with orders."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.intersect(orders).orderBy("c_custkey")
+
+
+@query(
+    "q32_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, '__ALL__') AS l_returnflag,
+           COALESCE(l_linestatus, '__ALL__') AS l_linestatus,
+           ROUND(sum(l_quantity), 4) AS sum_qty,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q32_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (SURVEY §2.4 note — free in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("l_linestatus"),
+            "sum_qty", "n",
+        )
+    )

@@ -1,0 +1,113 @@
+"""Event-time windowing & sessionization on the `events` table
+(SURVEY.md §2.10 / §7 — the batch twins of the streaming operators in
+streaming/; identical window semantics, oracle-checkable in SQL).
+
+Scale notes: tumbling-window agg is a plain groupBy on a derived bucket
+column — map-side combine, one shuffle of (buckets × types) rows.
+Sessionization is the classic lag-gap + running-sum pattern: ONE window
+pass per user partition, no self-join, no driver loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+def tumbling_window_agg(df: DataFrame, ts: str, width: str,
+                        group_cols: list[str]) -> DataFrame:
+    """count/sum/avg per (tumbling event-time window × groups)."""
+    return (
+        df.groupBy(F.window(ts, width).alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            *group_cols, "n", "sum_value", "avg_value",
+        )
+    )
+
+
+def sessionize(df: DataFrame, key: str, ts: str, gap_minutes: int,
+               tie_break: str | None = None) -> DataFrame:
+    """Assign session ids: a new session starts when the gap from the
+    previous event of the same key exceeds `gap_minutes`. Adds
+    `session_id` (1-based per key)."""
+    order_cols = [ts] + ([tie_break] if tie_break else [])
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    gap_s = gap_minutes * 60
+    prev = F.lag(ts).over(w)
+    # epoch seconds WITH fractional part (cast ts→double), matching
+    # DuckDB's epoch(); unix_timestamp() would truncate to seconds.
+    new_sess = F.when(
+        prev.isNull()
+        | ((F.col(ts).cast("double") - prev.cast("double")) > gap_s),
+        1,
+    ).otherwise(0)
+    running = Window.partitionBy(key).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("__new", new_sess).withColumn(
+        "session_id", F.sum("__new").over(running)
+    ).drop("__new")
+
+
+@query(
+    "q24_window_agg",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*) AS n,
+           ROUND(sum(value), 4) AS sum_value,
+           ROUND(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q24_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(ev, "ts", "1 hour", ["event_type"])
+
+
+@query(
+    "q25_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+             ts
+      FROM g
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts), '{_TS_FMT_DUCK}') AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q25_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", 30, tie_break="event_id")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end"),
+    )

@@ -1,0 +1,168 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+north star): token statistics, quality scoring, language identification,
+document fingerprinting (the md5 fingerprint lives in dedup.py).
+
+All operators are pure pyspark.sql.functions expressions — one
+projection / one narrow pass per document, no UDFs, no shuffle — so
+they stream through 100 TB at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_ml_platform_with_timeseries_data_spark.functions.text_exprs import (
+    normalize_text,
+    tokens,
+)
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+# Synthetic language profiles over the fixtures' generator vocabulary.
+# Real language-ID swaps in per-language stopword/character-ngram
+# profiles; the operator (profile-score + argmax) is unchanged.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow"),
+    "es": ("data", "table", "row", "column"),
+    "de": ("join", "merge", "sort", "hash"),
+    "fr": ("query", "filter", "scan", "agg"),
+    "zh": ("spark", "stream", "batch", "vector"),
+}
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_distinct_tokens, avg_token_len) per document.
+
+    Token counting baseline: whitespace tokenization over normalized
+    text (a BPE-ish subword estimate = n_chars/4 is also exposed)."""
+    toks = tokens(normalize_text(text_col))
+    tok_lens = F.transform(toks, lambda t: F.length(t))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(tok_lens, F.lit(0).cast("bigint"), lambda a, x: a + x)
+            .cast("double") / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+        (F.length(normalize_text(text_col)) / F.lit(4.0)).alias("approx_bpe_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str,
+                  stopwords: tuple[str, ...] = ("the", "a")) -> DataFrame:
+    """Heuristic document quality: stopword ratio (fluency proxy),
+    length saturation, alpha-character ratio. score ∈ [0,1]."""
+    norm = normalize_text(text_col)
+    toks = tokens(norm)
+    n_tok = F.size(toks)
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("double") / n_tok
+    )
+    len_score = F.least(n_tok.cast("double"), F.lit(200.0)) / F.lit(200.0)
+    alpha_ratio = (
+        F.length(F.regexp_replace(norm, r"[^a-z]", "")).cast("double")
+        / F.length(norm)
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(len_score, 6).alias("length_score"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round((stop_ratio + len_score + alpha_ratio) / 3.0, 6).alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str,
+                profiles: dict[str, tuple[str, ...]] | None = None) -> DataFrame:
+    """Profile-scoring language ID: score(lang) = fraction of tokens in
+    that language's marker set; argmax with alphabetical tie-break.
+    Implemented as a stack → window argmax so the plan is one narrow
+    projection + one tiny per-doc reduction."""
+    profiles = profiles or LANG_PROFILES
+    toks = tokens(normalize_text(text_col))
+    score_cols = []
+    for lang, markers in sorted(profiles.items()):
+        score = (
+            F.size(F.filter(toks, lambda t: t.isin(*markers))).cast("double")
+            / F.size(toks)
+        )
+        score_cols.append(F.round(score, 6).alias(f"__s_{lang}"))
+    scored = df.select(F.col(id_col), *score_cols)
+    pairs = ", ".join(f"'{lang}', __s_{lang}" for lang in sorted(profiles))
+    long = scored.selectExpr(
+        id_col, f"stack({len(profiles)}, {pairs}) as (predicted_lang, score)"
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("predicted_lang"))
+    return (
+        long.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "predicted_lang", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + oracles
+# ---------------------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@query(
+    "q20_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS INT) AS n_distinct_tokens,
+           ROUND(CAST(list_sum(list_transform({_TOKS}, t -> len(t))) AS DOUBLE)
+                 / len({_TOKS}), 6) AS avg_token_len,
+           len({_NORM}) / 4.0 AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "q21_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter({_TOKS}, t -> t IN ('the', 'a'))) AS DOUBLE)
+                 / len({_TOKS}), 6) AS stopword_ratio,
+           ROUND(LEAST(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0, 6) AS length_score,
+           ROUND(CAST(len(regexp_replace({_NORM}, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / len({_NORM}), 6) AS alpha_ratio,
+           ROUND((CAST(len(list_filter({_TOKS}, t -> t IN ('the', 'a'))) AS DOUBLE) / len({_TOKS})
+                  + LEAST(CAST(len({_TOKS}) AS DOUBLE), 200.0) / 200.0
+                  + CAST(len(regexp_replace({_NORM}, '[^a-z]', '', 'g')) AS DOUBLE) / len({_NORM})
+                 ) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def q21_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _langid_oracle() -> str:
+    unions = " UNION ALL ".join(
+        f"""SELECT doc_id, '{lang}' AS predicted_lang,
+            ROUND(CAST(len(list_filter({_TOKS}, t -> t IN ({marker_list}))) AS DOUBLE)
+                  / len({_TOKS}), 6) AS score
+            FROM documents"""
+        for lang, markers in sorted(LANG_PROFILES.items())
+        for marker_list in [", ".join(f"'{m}'" for m in markers)]
+    )
+    return f"""
+    SELECT doc_id, predicted_lang, score FROM ({unions})
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, predicted_lang ASC) = 1
+    """
+
+
+@query("q22_langid", oracle=_langid_oracle())
+def q22_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")

@@ -1,0 +1,80 @@
+"""Structured Streaming operators over the `events` stream (SURVEY.md
+§2.10 / §7 M6 — additive scope; the reference has no streaming at all).
+
+Batch twins of these live in operators/sessionize.py with DuckDB
+oracles; here the same window semantics run incrementally with
+watermarks, state, and late-data handling. Local tests drive them with
+a file source over the fixture parquet + a memory sink
+(processAllAvailable makes the run synchronous and deterministic).
+
+Scale notes: all operators keep state keyed by (window×group) or
+(dedup key) with a watermark bound, so state size is O(active windows),
+not O(stream length) — the requirement for an unbounded 100 TB/day
+stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour",
+                    slide: str | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling (or sliding, if `slide` given) event-time window agg with
+    a watermark for late-data cutoff."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "event_type", "n", "sum_value")
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, keys: list[str],
+                           watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup with bounded state — dropDuplicatesWithinWatermark
+    keeps each key only as long as the watermark can still admit a dup."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Event-time session windows (the streaming twin of the batch
+    lag-gap sessionize operator)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "sum_value")
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query to completion against currently-available
+    files; returns the query (stopped). Read results from table `name`."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory").queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,48 @@
+"""Canonical access to the driver-generated parquet tables (TESTDATA.md).
+
+All fixtures are columnar parquet; reading through here guarantees the
+session is tuned (UTC timezone, AQE, Arrow) before any plan is built, so
+oracle comparisons are deterministic regardless of who built the session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.session import tune
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Numeric lineitem columns used as the "feature matrix" stand-in
+# (FIXTURES.md §3: label=l_extendedprice, features=quantity/discount/tax/...).
+LINEITEM_LABEL = "l_extendedprice"
+LINEITEM_FEATURES = ("l_quantity", "l_discount", "l_tax",
+                     "l_partkey", "l_suppkey", "l_linenumber")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    tune(spark)
+    # events.parquet stores TIMESTAMP(NANOS), which the vectorized parquet
+    # reader rejects; read nanos as long and truncate to microseconds —
+    # exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast does, so both
+    # engines see identical values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer `div`, NOT `/` — nanos (~1.7e18) overflow a double's
+            # 53-bit mantissa, so float division would corrupt low digits
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
