@@ -1,0 +1,85 @@
+"""Benchmark harness: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line with per-query wall seconds.
+
+Execution is forced with a count()/collect of the result DataFrame — results
+stay distributed; only tiny aggregates reach the driver. The reported metric
+is the total wall-clock of the headline suite (sec, lower is better).
+
+Usage: python bench.py [--all] [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: covers scan+agg, star joins, window/TS, dedup, similarity,
+# text, sessionization — the operators whose plans matter at 100 TB.
+HEADLINE = [
+    "q03_histogram",
+    "q04_corr_with_label",
+    "q06_acf",
+    "q08_ts_windows",
+    "q16_dedup_exact",
+    "q17_minhash_dedup",
+    "q19_cosine_topk",
+    "q20_token_stats",
+    "q24_window_agg",
+    "q25_sessionize",
+    "q26_pricing_summary",
+    "q27_revenue_by_nation",
+    "q28_top_customers",
+    "q30_asof_join",
+    "q32_rollup",
+]
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    run_all = "--all" in argv
+    only = [a for a in argv if not a.startswith("--")]
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from auto_ml_platform_with_timeseries_data_spark import registry
+    from auto_ml_platform_with_timeseries_data_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    qs = registry.queries()
+
+    names = only or (sorted(qs) if run_all else [n for n in HEADLINE if n in qs])
+
+    # Warm the JVM + parquet footer cache once so per-query numbers measure
+    # the plan, not session startup.
+    qs["q27_revenue_by_nation"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_suite, 3)
+
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

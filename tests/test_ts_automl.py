@@ -1,0 +1,57 @@
+"""TS AutoML — the reference's dead-end path, made real (SURVEY §2.5)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from auto_ml_platform_with_timeseries_data_spark.ml import ts_automl
+
+
+def _ar1_df(spark, groups=3, n=120, phi=0.8, seed=1):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for g in range(groups):
+        x = 0.0
+        for t in range(n):
+            x = phi * x + rng.normal(scale=0.1)
+            rows.append((g, t, float(x)))
+    return spark.createDataFrame(rows, "g long, t int, v double")
+
+
+def test_lag_features_shape(spark):
+    df = _ar1_df(spark, groups=1, n=20)
+    out = ts_automl.lag_features(df, "g", "t", "v", 3)
+    rows = out.collect()
+    assert len(rows) == 17  # n − look_back (label needs a next row)
+    r = sorted(rows, key=lambda r: r["__rn"])[0]
+    assert r["lag_0"] == r["v"]  # lag_0 is the current value
+
+
+def test_ts_automl_global_learns_ar1(spark):
+    df = _ar1_df(spark)
+    res = ts_automl.ts_automl_global(df, "g", "t", "v", look_backs=(2, 3))
+    # AR(1) with sigma=0.1: a fitted linear model should beat sigma*2
+    assert res.test_rmse < 0.2
+    assert res.look_back in (2, 3)
+
+
+def test_ts_automl_per_group_coefficients(spark):
+    df = _ar1_df(spark, groups=4, n=150, phi=0.7)
+    out = ts_automl.ts_automl_per_group(df, "g", "t", "v", look_back=2,
+                                        alpha=0.01)
+    rows = out.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_train"] > 0 and r["n_test"] > 0
+        # last coefficient ≈ phi (current value predicts next)
+        assert math.isclose(r["coef"][-1], 0.7, abs_tol=0.25)
+        assert r["test_rmse"] < 0.3
+
+
+def test_lstm_stub_raises_cleanly():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        ts_automl.lstm_kernel_stub()
