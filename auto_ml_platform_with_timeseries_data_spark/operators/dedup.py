@@ -36,6 +36,43 @@ from auto_ml_platform_with_timeseries_data_spark.functions.text_exprs import (
     tokens,
     word_ngrams,
 )
+
+
+def _grams_df(df: DataFrame, id_col: str, text_col: str, shingle_n: int,
+              extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, __grams) with distinct word n-gram shingles.
+
+    Tokenization is bound to a real column in its own projection BEFORE
+    the n-gram transform. This matters enormously: ``word_ngrams`` refers
+    to its token array once per element inside a higher-order lambda,
+    where codegen cannot common-subexpression-eliminate — an inline
+    ``split(regexp_replace(...))`` would re-run the regex O(n_tokens)
+    times per row (measured 16× slower at sf0.1). CollapseProject keeps
+    the two projections separate because the alias is non-cheap and
+    multiply-referenced."""
+    tok = df.select(
+        *extra_cols, F.col(id_col).alias("__id"),
+        tokens(normalize_text(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") >= shingle_n)
+    # ^ the emptiness filter lives HERE, on the token array, not on the
+    # gram array downstream: predicate pushdown inlines a filter's full
+    # expression below the projections, so a later size(__grams)>0 would
+    # re-evaluate the whole tokenize→ngram chain per row (measured 40×
+    # slower). size(__toks) pushes down as one split+regexp — cheap.
+    return tok.select(
+        *extra_cols, "__id",
+        F.array_distinct(word_ngrams(F.col("__toks"), shingle_n)).alias("__grams"),
+    )
+
+
+def _hash_grams(grams: DataFrame) -> DataFrame:
+    """Replace __grams string arrays with xxhash64 long arrays. Jaccard
+    over the hashes equals Jaccard over the grams barring a 64-bit
+    collision (~2^-64 per pair) — and the pair-join rows shrink ~6×
+    while array_intersect compares 8-byte longs instead of strings."""
+    return grams.withColumn(
+        "__grams", F.transform("__grams", lambda g: F.xxhash64(g))
+    )
 from auto_ml_platform_with_timeseries_data_spark.registry import query
 from auto_ml_platform_with_timeseries_data_spark.tables import load_table
 
@@ -75,19 +112,34 @@ def deduplicate_exact(df: DataFrame, text_col: str) -> DataFrame:
 
 def minhash_signatures(df: DataFrame, id_col: str, shingles: Column,
                        num_hashes: int = 32) -> DataFrame:
-    """(id, sig array<long>): for seed i, min over distinct shingles of
-    xxhash64(shingle, i). One explode + ONE groupBy with num_hashes `min`
-    aggregates (map-side combined) — far cheaper to codegen than
-    num_hashes nested array-transforms, and explode parallelizes long
-    documents across the partition."""
-    exploded = df.select(
+    """(id, sig array<long>): for hash-family member i, min over distinct
+    shingles of xxhash64(xxhash64(shingle), i).
+
+    Fully NARROW plan — no explode, no shuffle: each string shingle is
+    hashed exactly once (projection 1 binds the long array), then the
+    num_hashes family members are derived by re-hashing the 8-byte long,
+    which is ~10× cheaper than re-hashing the string per member. At
+    cluster scale signature construction runs at scan speed; the only
+    shuffle in the LSH pipeline is the band-bucket join.
+
+    Precondition: rows have ≥1 shingle (callers filter on token count —
+    a filter on the shingle column here would be pushdown-inlined into a
+    per-row re-evaluation of the whole chain). Empty arrays yield null
+    signature entries, which the banding stage would bucket together.
+    """
+    hashed = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles)).alias("__sh"),
+        F.transform(F.array_distinct(shingles),
+                    lambda g: F.xxhash64(g)).alias("__gh"),
     )
-    return exploded.groupBy("__id").agg(
+    return hashed.select(
+        "__id",
         F.array(*[
-            F.min(F.xxhash64(F.col("__sh"), F.lit(i))) for i in range(num_hashes)
-        ]).alias("__sig")
+            F.array_min(
+                F.transform(F.col("__gh"), lambda h: F.xxhash64(h, F.lit(i)))
+            )
+            for i in range(num_hashes)
+        ]).alias("__sig"),
     )
 
 
@@ -99,10 +151,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     id_a < id_b that share at least one band. Rows per band-bucket are
     capped at `max_bucket_size` to bound worst-case skew."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        df, id_col, word_ngrams(tokens(normalize_text(text_col)), shingle_n),
-        num_hashes,
-    )
+    grams = _grams_df(df, id_col, text_col, shingle_n)
+    sig = minhash_signatures(grams, "__id", F.col("__grams"), num_hashes)
     banded = sig.select(
         "__id",
         F.explode(
@@ -121,19 +171,27 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
             ])
         ).alias("bb"),
     ).select("__id", "bb.band", "bb.bucket")
-    capped = banded.withColumn(
-        "__rn", F.row_number().over(
-            Window.partitionBy("band", "bucket").orderBy("__id")
-        )
-    ).filter(F.col("__rn") <= max_bucket_size).drop("__rn")
-    a = capped.select(F.col("__id").alias("id_a"), "band", "bucket")
-    b = capped.select(F.col("__id").alias("id_b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # ONE shuffle on (band, bucket), then in-bucket pair expansion with a
+    # higher-order function — no self-join, so the whole scan→grams→
+    # signature chain executes exactly once (a self-join would run it
+    # per side: measured 4 parquet scans and 0 ReusedExchange). Buckets
+    # are sorted+capped inside the aggregate to bound worst-case skew.
+    members = banded.groupBy("band", "bucket").agg(
+        F.slice(F.array_sort(F.collect_list("__id")), 1, max_bucket_size)
+        .alias("__ids")
     )
+    pairs = members.select(
+        F.explode(
+            F.flatten(F.transform(
+                "__ids",
+                lambda a: F.transform(
+                    F.filter(F.col("__ids"), lambda b: b > a),
+                    lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                ),
+            ))
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -143,14 +201,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     Output: (id_a, id_b, jaccard)."""
     cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
                                    shingle_n)
-    grams = df.select(
-        F.col(id_col).alias("__gid"),
-        F.array_distinct(
-            word_ngrams(tokens(normalize_text(text_col)), shingle_n)
-        ).alias("__grams"),
-    )
-    ga = grams.select(F.col("__gid").alias("id_a"), F.col("__grams").alias("__ga"))
-    gb = grams.select(F.col("__gid").alias("id_b"), F.col("__grams").alias("__gb"))
+    # The verify step reads the gram sets from both join sides; persist so
+    # the tokenize→shingle→hash chain runs once, not once per side. The
+    # hashed-gram table is ~two orders of magnitude smaller than the text.
+    grams = _hash_grams(_grams_df(df, id_col, text_col, shingle_n)).persist()
+    ga = grams.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"))
+    gb = grams.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
     return (
         cands.join(ga, "id_a").join(gb, "id_b")
         .select(
@@ -208,15 +264,31 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
             for c in range(4)
         ])).alias("cc"),
     ).select(id_col, "simhash", "cc.chunk_id", "cc.chunk")
-    a = chunks.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("sig_a"), "chunk_id", "chunk")
-    b = chunks.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("sig_b"), "chunk_id", "chunk")
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # Same single-pass pattern as the LSH candidates: group each 16-bit
+    # chunk bucket, expand in-bucket pairs with a HOF — the simhash chain
+    # (explode + 64 bit-vote aggregates) executes once, not per join side.
+    members = chunks.groupBy("chunk_id", "chunk").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+        ).alias("__m")
+    )
+    pairs = members.select(
+        F.explode(
+            F.flatten(F.transform(
+                "__m",
+                lambda a: F.transform(
+                    F.filter(F.col("__m"), lambda b: b["id"] > a["id"]),
+                    lambda b: F.struct(
+                        a["id"].alias("id_a"), b["id"].alias("id_b"),
+                        F.bit_count(a["simhash"].bitwiseXOR(b["simhash"]))
+                        .alias("hamming"),
+                    ),
+                ),
+            ))
+        ).alias("p")
+    )
     return (
-        a.join(b, ["chunk_id", "chunk"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", ham.alias("hamming"))
+        pairs.select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -230,23 +302,60 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
 def jaccard_pairs_blocked(df: DataFrame, id_col: str, text_col: str,
                           block_col: str, shingle_n: int = 2,
                           threshold: float = 0.2) -> DataFrame:
-    """All-pairs n-gram Jaccard within blocks (e.g. same language):
-    (id_a, id_b, jaccard ≥ threshold). Quadratic per block by design —
-    the exact-verification baseline the LSH path approximates."""
-    grams = df.select(
-        F.col(block_col).alias("__blk"),
-        F.col(id_col).alias("__id"),
-        F.array_distinct(
-            word_ngrams(tokens(normalize_text(text_col)), shingle_n)
-        ).alias("__grams"),
+    """Exact all-pairs n-gram Jaccard ≥ threshold within blocks (e.g.
+    same language): (block, id_a, id_b, jaccard).
+
+    Scale path: AllPairs/ppjoin-style PREFIX FILTERING, which is lossless
+    for a Jaccard threshold — under a canonical global gram order, two
+    sets with J(A,B) ≥ t must share a gram within each one's first
+    |A| − ⌈t·|A|⌉ + 1 grams. Ordering grams by ascending document
+    frequency makes those prefixes the RAREST grams, so the candidate
+    join on (block, gram) fans out near-linearly instead of the naive
+    per-block cross join (quadratic in block size — the classic 100 TB
+    killer). Candidates are then verified with the exact Jaccard.
+    """
+    grams = _hash_grams(_grams_df(
+        df.withColumnRenamed(block_col, "__blk"), id_col, text_col, shingle_n,
+        extra_cols=("__blk",),
+    )).persist()
+
+    # Canonical order = (global doc-frequency asc, gram asc); prefix =
+    # the first |g| − ⌈t·|g|⌉ + 1 grams of each doc in that order.
+    exploded = grams.select("__blk", "__id", F.explode("__grams").alias("__g"))
+    freq = exploded.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    prefixes = (
+        exploded.join(freq, "__g")
+        .groupBy("__blk", "__id")
+        .agg(F.array_sort(
+            F.collect_list(F.struct("__df", "__g"))
+        ).alias("__ordered"))
+        .join(grams.select("__id", F.size("__grams").alias("__n")), "__id")
+        .select(
+            "__blk", "__id",
+            F.explode(F.slice(
+                F.transform("__ordered", lambda s: s["__g"]),
+                1,
+                (F.col("__n")
+                 - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
+                 ).cast("int"),
+            )).alias("__g"),
+        )
     )
-    a = grams.select(F.col("__blk"), F.col("__id").alias("id_a"),
-                     F.col("__grams").alias("__ga"))
-    b = grams.select(F.col("__blk"), F.col("__id").alias("id_b"),
-                     F.col("__grams").alias("__gb"))
+    cands = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), ["__blk", "__g"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            "__blk",
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+        )
+        .distinct()
+    )
+    ga = grams.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"))
+    gb = grams.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
     return (
-        a.join(b, "__blk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cands.join(ga, "id_a").join(gb, "id_b")
         .select(
             F.col("__blk").alias("block"), "id_a", "id_b",
             F.round(jaccard(F.col("__ga"), F.col("__gb")), 6).alias("jaccard"),
