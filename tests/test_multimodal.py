@@ -34,9 +34,9 @@ def test_decode_features_schema_and_determinism(spark):
     a = {r["media_id"]: r["features"] for r in out.collect()}
     b = {r["media_id"]: r["features"] for r in mm.decode_features(_media_df(spark)).collect()}
     assert a == b                      # deterministic across runs
-    assert len(a[1]) == 16
+    assert len(a[1]) == 8
     assert a[1] != a[2]                # distinct blobs → distinct features
-    assert a[4] == [0.0] * 16          # null blob → zero vector
+    assert a[4] == [0.0] * 8           # null blob → zero vector
 
 
 def test_real_decoders_raise_cleanly(spark):

@@ -48,3 +48,34 @@ def test_cosine_self_similarity_excluded_and_bounded(spark):
     rows = out.collect()
     assert all(r["neighbor_id"] != r["query_id"] for r in rows)
     assert all(-1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9 for r in rows)
+
+
+def test_embedding_neardup_matches_numpy(spark):
+    df, vecs = _emb_df(spark, n=40)
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in sim.embedding_neardup_pairs(df, "vec_id", "embedding",
+                                                threshold=0.5).collect()}
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = np.round((vecs @ vecs.T) / np.outer(norms, norms), 6)
+    want = {(a, b): cos[a, b] for a in range(40) for b in range(a + 1, 40)
+            if cos[a, b] >= 0.5}
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_ivf_ann_recall_reasonable(spark):
+    df, vecs = _emb_df(spark, n=120)
+    queries = df.filter(df.vec_id < 5)
+    exact = sim.cosine_topk_bruteforce(df, queries, "vec_id", "embedding", k=5)
+    approx = sim.cosine_topk_ivf(df, queries, "vec_id", "embedding", k=5,
+                                 ncells=8, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # probing half the cells on random data: expect decent overlap
+    assert len(a & e) / len(e) >= 0.4
+    # every returned neighbor must carry its EXACT cosine (rescore step)
+    for r in approx.collect():
+        c = np.dot(vecs[r["query_id"]], vecs[r["neighbor_id"]]) / (
+            np.linalg.norm(vecs[r["query_id"]]) * np.linalg.norm(vecs[r["neighbor_id"]]))
+        assert abs(r["cosine"] - round(float(c), 6)) < 1e-9
