@@ -331,7 +331,7 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, text_col: str,
         ).alias("__ordered"))
         .join(grams.select("__id", F.size("__grams").alias("__n")), "__id")
         .select(
-            "__blk", "__id",
+            "__blk", "__id", "__n",
             F.explode(F.slice(
                 F.transform("__ordered", lambda s: s["__g"]),
                 1,
@@ -341,10 +341,18 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, text_col: str,
             )).alias("__g"),
         )
     )
+    # Length filter (always lossless): J(A,B) ≥ t forces
+    # t·|A| ≤ |B| ≤ |A|/t — prunes size-mismatched candidates before the
+    # expensive exact verification.
+    t = float(threshold)
     cands = (
         prefixes.alias("a")
         .join(prefixes.alias("b"), ["__blk", "__g"])
-        .filter(F.col("a.__id") < F.col("b.__id"))
+        .filter(
+            (F.col("a.__id") < F.col("b.__id"))
+            & (F.col("b.__n") >= F.ceil(F.lit(t) * F.col("a.__n")))
+            & (F.col("b.__n") * F.lit(t) <= F.col("a.__n"))
+        )
         .select(
             "__blk",
             F.col("a.__id").alias("id_a"),

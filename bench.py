@@ -27,8 +27,10 @@ HEADLINE = [
     "q08_ts_windows",
     "q16_dedup_exact",
     "q17_minhash_dedup",
+    "q18_jaccard_pairs",
     "q19_cosine_topk",
     "q20_token_stats",
+    "q22_langid",
     "q24_window_agg",
     "q25_sessionize",
     "q26_pricing_summary",
@@ -36,6 +38,8 @@ HEADLINE = [
     "q28_top_customers",
     "q30_asof_join",
     "q32_rollup",
+    "q35_embedding_neardup",
+    "q38_media_features",
 ]
 
 
