@@ -183,3 +183,161 @@ def q32_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty", "n",
         )
     )
+
+
+@query(
+    "q40_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n,
+           CAST(ROUND(sum(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q40_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets in one
+    pass — Catalyst expands the sets map-side, so the shuffle still
+    carries only (groups × sets) rows. Decimal accumulation keeps the
+    sums order-independent (same contract as q26)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,4)")), 2)
+            .cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "q41_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders
+    ) WHERE rk <= 3 AND o_custkey <= 200
+    """,
+)
+def q41_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — the canonical window top-k.
+    The rank filter prunes INSIDE the window stage (WindowGroupLimit
+    pushes k into the sort), so no full per-group materialization."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.filter(F.col("o_custkey") <= 200)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
+    "q42_semi_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                THEN 'active' ELSE 'inactive' END AS status
+    FROM customer c
+    WHERE c.c_custkey <= 500
+    """,
+)
+def q42_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join in one result: customers tagged by order
+    existence. Both halves are hash joins on the (deduplicated,
+    broadcast-able) key set — no row multiplication from the orders
+    side, which is the point of semi/anti over inner joins."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 500
+    ).select("c_custkey", "c_name")
+    okeys = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    active = cust.join(okeys, "c_custkey", "left_semi").withColumn(
+        "status", F.lit("active")
+    )
+    inactive = cust.join(okeys, "c_custkey", "left_anti").withColumn(
+        "status", F.lit("inactive")
+    )
+    return active.unionByName(inactive)
+
+
+@query(
+    "q43_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q43_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped percentiles (linear interpolation — same definition
+    in Spark's percentile and DuckDB's quantile_cont). Exact quantiles
+    shuffle the full column per group; the approximate scale path is
+    percentile_approx (t-digest, mergeable sketches) — exposed here
+    exactly because the oracle can't check a sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("p99"),
+    )
+
+
+@query(
+    "q44_profit_by_nation_brand",
+    oracle="""
+    SELECT n.n_name, p.p_brand,
+           CAST(ROUND(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                          * CAST(1 - l.l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY n.n_name, p.p_brand
+    """,
+)
+def q44_profit_by_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped multi-dimension star join: the fact table joins
+    part, supplier, and nation — ALL broadcast (each is tiny relative to
+    lineitem at any scale factor that matters), so the only wide
+    operation is the final grouped aggregation. The p_type filter is
+    applied to part BEFORE the broadcast, shrinking the build side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    price_d = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(F.sum(price_d * disc_d), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
