@@ -20,6 +20,11 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Streaming state-store stages take their partition count from this
+    # (AQE never coalesces them), so a default-200 driver session runs
+    # 200-task micro-batches over fixture-sized state. Runtime-settable,
+    # perf-only — results are identical either way.
+    "spark.sql.shuffle.partitions": str(os.environ.get("SPARK_GRAFT_CPUS", 32)),
 }
 
 
@@ -52,7 +57,6 @@ def get_spark(app_name: str = "auto_ml_platform_with_timeseries_data_spark",
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -60,6 +64,10 @@ def get_spark(app_name: str = "auto_ml_platform_with_timeseries_data_spark",
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # explicit argument wins over the _RUNTIME_CONFS default
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    return tune(spark)
+    tuned = tune(spark)
+    tuned.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return tuned
