@@ -56,3 +56,46 @@ def test_corr_is_single_aggregate_pass(spark, sf_dir):
     plan = explain.formatted_plan(df)
     # one scan of lineitem only (each scan node has one Location: detail)
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_profit_star_join_broadcasts_all_dims(spark, sf_dir):
+    plan = explain.formatted_plan(
+        queries()["q44_profit_by_nation_brand"](spark, sf_dir)
+    )
+    # part, supplier, nation all broadcast; no sort-merge join anywhere
+    # (formatted plans mention each node in the tree AND the details)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    # the p_type filter reaches the part scan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_topk_per_group_limits_inside_window(spark, sf_dir):
+    plan = explain.formatted_plan(queries()["q41_topk_per_group"](spark, sf_dir))
+    # rank<=k is pushed into the window sort (no full-group materialization)
+    assert "WindowGroupLimit" in plan
+
+
+def test_semi_anti_no_row_multiplication(spark, sf_dir):
+    plan = explain.formatted_plan(queries()["q42_semi_anti_join"](spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_minhash_pipeline_single_scan(spark, sf_dir):
+    """The LSH candidate pipeline must read documents exactly once —
+    a self-join shape would scan (and re-shingle) per side."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        minhash_lsh_candidates,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    plan = explain.formatted_plan(
+        minhash_lsh_candidates(docs, "doc_id", "text")
+    )
+    assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_asof_join_is_union_window_not_range_join(spark, sf_dir):
+    plan = explain.formatted_plan(queries()["q30_asof_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
