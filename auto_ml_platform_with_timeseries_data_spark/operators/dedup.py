@@ -305,14 +305,21 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, text_col: str,
     """Exact all-pairs n-gram Jaccard ≥ threshold within blocks (e.g.
     same language): (block, id_a, id_b, jaccard).
 
-    Scale path: AllPairs/ppjoin-style PREFIX FILTERING, which is lossless
-    for a Jaccard threshold — under a canonical global gram order, two
-    sets with J(A,B) ≥ t must share a gram within each one's first
-    |A| − ⌈t·|A|⌉ + 1 grams. Ordering grams by ascending document
-    frequency makes those prefixes the RAREST grams, so the candidate
-    join on (block, gram) fans out near-linearly instead of the naive
-    per-block cross join (quadratic in block size — the classic 100 TB
-    killer). Candidates are then verified with the exact Jaccard.
+    Scale path — three lossless filters before exact verification:
+
+    1. PREFIX filter (AllPairs): under a canonical global gram order,
+       J(A,B) ≥ t forces a shared gram within each one's first
+       |A| − ⌈t·|A|⌉ + 1 grams. Rarity-ascending order makes those
+       prefixes the RAREST grams, so the candidate join on (block, gram)
+       fans out near-linearly instead of the per-block cross join.
+    2. LENGTH filter: t·|A| ≤ |B| ≤ |A|/t.
+    3. POSITIONAL filter (PPJoin): let g* be the minimal matched prefix
+       gram, at positions (i*, j*) in the full sorted gram lists. Any
+       common gram before g* would lie in BOTH prefixes (same global
+       order + g* in both prefixes bounds its position on each side) and
+       so would itself be matched — contradiction; hence g* is the first
+       common gram and |A∩B| ≤ 1 + min(|A|−i*, |B|−j*). Prune pairs
+       whose bound is below the required overlap α = ⌈t/(1+t)·(|A|+|B|)⌉.
     """
     grams = _hash_grams(_grams_df(
         df.withColumnRenamed(block_col, "__blk"), id_col, text_col, shingle_n,
@@ -332,33 +339,51 @@ def jaccard_pairs_blocked(df: DataFrame, id_col: str, text_col: str,
         .join(grams.select("__id", F.size("__grams").alias("__n")), "__id")
         .select(
             "__blk", "__id", "__n",
-            F.explode(F.slice(
+            F.posexplode(F.slice(
                 F.transform("__ordered", lambda s: s["__g"]),
                 1,
                 (F.col("__n")
                  - F.ceil(F.lit(float(threshold)) * F.col("__n")) + 1
                  ).cast("int"),
-            )).alias("__g"),
+            )).alias("__pos", "__g"),  # __pos is 0-based within the list
         )
     )
-    # Length filter (always lossless): J(A,B) ≥ t forces
-    # t·|A| ≤ |B| ≤ |A|/t — prunes size-mismatched candidates before the
-    # expensive exact verification.
     t = float(threshold)
-    cands = (
+    matches = (
         prefixes.alias("a")
         .join(prefixes.alias("b"), ["__blk", "__g"])
         .filter(
             (F.col("a.__id") < F.col("b.__id"))
+            # length filter
             & (F.col("b.__n") >= F.ceil(F.lit(t) * F.col("a.__n")))
             & (F.col("b.__n") * F.lit(t) <= F.col("a.__n"))
         )
         .select(
             "__blk",
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            F.col("a.__n").alias("__na"), F.col("b.__n").alias("__nb"),
+            F.col("a.__pos").alias("__ia"), F.col("b.__pos").alias("__jb"),
         )
-        .distinct()
+    )
+    # Positional filter: the minimal matched gram g* gives positions
+    # (i*, j*); both mins come from the SAME gram because the lists share
+    # one global order. Bound |A∩B| ≤ 1 + min(na−1−i*, nb−1−j*) + 0-based
+    # adjustment = min(na−i*, nb−j*) counting g* and everything after it.
+    cands = (
+        matches.groupBy("__blk", "id_a", "id_b")
+        .agg(
+            F.first("__na").alias("__na"), F.first("__nb").alias("__nb"),
+            F.min("__ia").alias("__ia"), F.min("__jb").alias("__jb"),
+        )
+        .filter(
+            # ceil(α − ε): the ε guards against the float ratio landing a
+            # hair ABOVE an exact-integer α and over-pruning a true pair
+            F.least(F.col("__na") - F.col("__ia"),
+                    F.col("__nb") - F.col("__jb"))
+            >= F.ceil(F.lit(t / (1.0 + t)) * (F.col("__na") + F.col("__nb"))
+                      - F.lit(1e-9))
+        )
+        .select("__blk", "id_a", "id_b")
     )
     ga = grams.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"))
     gb = grams.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
