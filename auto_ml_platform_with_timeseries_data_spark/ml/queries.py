@@ -44,3 +44,25 @@ def q15_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "family string, best_params string, cv_rmse double, is_best int"
     )
+
+
+@query("q47_ts_automl_per_group")  # rows-only: closed-form ridge per group
+def q47_ts_automl_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed per-group TS model training — the operator the
+    reference's dead TS branch intended (auto_machine_learning.py:100-107
+    builds windows then trains nothing): lag-window features → per-group
+    ordered split → one ridge fit per group inside Arrow applyInPandas.
+    Coefficients are rounded so the rows-only hash is stable."""
+    from auto_ml_platform_with_timeseries_data_spark.ml.ts_automl import (
+        ts_automl_per_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ts_automl_per_group(ev, "user_id", "ts", "value", look_back=3,
+                              alpha=1.0, tie_break="event_id")
+    return out.select(
+        "group_key", "n_train", "n_test",
+        F.round("test_rmse", 6).alias("test_rmse"),
+        F.round("intercept", 6).alias("intercept"),
+        *[F.round(F.col("coef")[i], 6).alias(f"coef_{i}") for i in range(3)],
+    )

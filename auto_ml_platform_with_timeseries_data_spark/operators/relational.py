@@ -341,3 +341,27 @@ def q44_profit_by_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q46_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q46_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column exact distinct aggregation (Catalyst expands to
+    grouping-set partials — still two shuffles, no row explosion). The
+    100 TB path is approx_count_distinct (HyperLogLog++, one pass,
+    mergeable) — kept out of the oracle query because a sketch can't
+    hash-match exact SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -111,3 +111,33 @@ def q25_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("session_start"),
         F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("session_end"),
     )
+
+
+@query(
+    "q45_rolling_stats",
+    oracle=f"""
+    SELECT user_id, event_id,
+           ROUND(avg(value) OVER w, 6) AS rolling_avg,
+           ROUND(sum(value) OVER w, 4) AS rolling_sum,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_window
+    FROM events
+    WHERE user_id <= 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q45_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key rolling statistics (10-row trailing window) — ONE window
+    pass computes all three aggregates; the shuffle is keyed by user and
+    AQE handles key skew. The user_id filter is pushed to the scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    w = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.avg("value").over(w), 6).alias("rolling_avg"),
+        F.round(F.sum("value").over(w), 4).alias("rolling_sum"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )
