@@ -118,6 +118,54 @@ def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
     )
 
 
+def histogram_auto(df: DataFrame, col: str) -> DataFrame:
+    """numpy bins='auto' parity (SURVEY A3, data_analysis.py:49): bin
+    count = max(Sturges, Freedman-Diaconis), derived from ONE stats
+    aggregate (n, min, max, IQR) — no collect; the 1-row stats frame is
+    broadcast and the bin arithmetic happens per row against it.
+
+    numpy: sturges_bins = ceil(log2(n)) + 1; fd width h = 2·IQR/∛n,
+    fd_bins = ceil((max−min)/h); auto = max of the two (FD falls back to
+    Sturges when IQR = 0). Output shape matches `histogram`.
+    """
+    stats = df.agg(
+        F.count(col).alias("__n"),
+        F.min(col).alias("__mn"),
+        F.max(col).alias("__mx"),
+        (F.expr(f"percentile({col}, 0.75)")
+         - F.expr(f"percentile({col}, 0.25)")).alias("__iqr"),
+    )
+    n, mn, mx, iqr = (F.col("__n"), F.col("__mn"), F.col("__mx"),
+                      F.col("__iqr"))
+    sturges = F.ceil(F.log2(n)) + 1
+    fd_width = F.lit(2.0) * iqr / F.pow(n, 1.0 / 3.0)
+    fd = F.when(iqr > 0, F.ceil((mx - mn) / fd_width)).otherwise(F.lit(0))
+    nbins = F.greatest(sturges, fd).cast("int")
+    x = F.col(col)
+    bucket = F.least(
+        F.floor((x - mn) * nbins / (mx - mn)).cast("int"), nbins - 1
+    )
+    return (
+        df.select(col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(
+            bucket.alias("bin"),
+            nbins.alias("nbins"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("__mn").alias("__mn"),
+            F.first("__mx").alias("__mx"),
+        )
+        .select(
+            "bin", "nbins",
+            F.round(F.col("__mn") + F.col("bin") * (F.col("__mx") - F.col("__mn")) / F.col("nbins"), 6).alias("bin_lo"),
+            F.round(F.col("__mn") + (F.col("bin") + 1) * (F.col("__mx") - F.col("__mn")) / F.col("nbins"), 6).alias("bin_hi"),
+            "cnt",
+        )
+    )
+
+
 def corr_with_label(df: DataFrame, features: list[str], label: str,
                     round_to: int = 6) -> DataFrame:
     """Pearson r of each feature vs the label — ONE aggregation
@@ -242,3 +290,37 @@ def q13_importance_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return min_max(load_table(spark, sf_dir, "lineitem"), LINEITEM_LABEL)
+
+
+@query(
+    "q48_histogram_auto",
+    oracle=f"""
+    WITH s AS (
+      SELECT count({LINEITEM_LABEL}) AS n,
+             min({LINEITEM_LABEL}) AS mn,
+             max({LINEITEM_LABEL}) AS mx,
+             quantile_cont({LINEITEM_LABEL}, 0.75)
+               - quantile_cont({LINEITEM_LABEL}, 0.25) AS iqr
+      FROM lineitem
+    ),
+    p AS (
+      SELECT n, mn, mx,
+             CAST(GREATEST(
+               CEIL(log2(n)) + 1,
+               CASE WHEN iqr > 0
+                    THEN CEIL((mx - mn) / (2.0 * iqr / pow(n, 1.0/3.0)))
+                    ELSE 0 END
+             ) AS INT) AS nbins
+      FROM s
+    )
+    SELECT CAST(LEAST(CAST(FLOOR(({LINEITEM_LABEL} - mn) * nbins / (mx - mn)) AS INT), nbins - 1) AS INT) AS bin,
+           nbins,
+           ROUND(mn + LEAST(CAST(FLOOR(({LINEITEM_LABEL} - mn) * nbins / (mx - mn)) AS INT), nbins - 1) * (mx - mn) / nbins, 6) AS bin_lo,
+           ROUND(mn + (LEAST(CAST(FLOOR(({LINEITEM_LABEL} - mn) * nbins / (mx - mn)) AS INT), nbins - 1) + 1) * (mx - mn) / nbins, 6) AS bin_hi,
+           count(*) AS cnt
+    FROM lineitem, p
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q48_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return histogram_auto(load_table(spark, sf_dir, "lineitem"), LINEITEM_LABEL)
