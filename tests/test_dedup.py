@@ -71,3 +71,22 @@ def test_jaccard_pairs_blocked(spark):
     assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0
     assert 0.5 <= got[(1, 3)] < 1.0
     assert (1, 4) not in got
+
+
+def test_jaccard_strategies_agree(spark):
+    """index (inverted-index count) and prefix (AllPairs/PPJoin) are two
+    physical plans for one logical contract — identical output, at every
+    threshold, including low thresholds where prefixes are short."""
+    from pyspark.sql import functions as F
+
+    df = _docs(spark).withColumn("lang", F.lit("en"))
+    for t in (0.2, 0.5, 0.8):
+        out = {
+            s: sorted(
+                map(tuple, dedup.jaccard_pairs_blocked(
+                    df, "doc_id", "text", "lang", shingle_n=2, threshold=t,
+                    strategy=s).collect())
+            )
+            for s in ("index", "prefix", "auto")
+        }
+        assert out["index"] == out["prefix"] == out["auto"], t
