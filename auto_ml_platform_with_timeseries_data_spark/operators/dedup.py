@@ -201,8 +201,13 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
     # Pair explosion is a fan-out pipelined onto the agg's (AQE-coalesced)
     # output partitions — re-spread first so it runs on every core.
     members = _spread(members.filter(F.size("__ids") > 1), "band", "bucket")
+    # explode_OUTER: plain explode makes InferFiltersFromGenerate add
+    # `size(<pair-expansion HOF>) > 0`, re-running the whole expansion a
+    # second time per bucket (see winnow_fingerprints for the measured
+    # pathology). size(__ids) > 1 already guarantees ≥ 1 pair, so the
+    # outer variant emits no null rows.
     pairs = members.select(
-        F.explode(
+        F.explode_outer(
             F.flatten(F.transform(
                 "__ids",
                 lambda a: F.transform(
@@ -293,10 +298,11 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
             F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
         ).alias("__m")
     )
-    # Same fan-out-after-agg trap as the LSH buckets — re-spread.
+    # Same fan-out-after-agg trap as the LSH buckets — re-spread; same
+    # explode_outer rationale (≥1 pair guaranteed by size(__m) > 1).
     members = _spread(members.filter(F.size("__m") > 1), "chunk_id", "chunk")
     pairs = members.select(
-        F.explode(
+        F.explode_outer(
             F.flatten(F.transform(
                 "__m",
                 lambda a: F.transform(

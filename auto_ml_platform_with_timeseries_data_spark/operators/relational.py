@@ -365,3 +365,98 @@ def q46_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "q49_range_join",
+    oracle="""
+    SELECT p.event_id, p.user_id,
+           count(c.event_id) AS n_clicks_1h,
+           CAST(ROUND(COALESCE(sum(c.value), 0), 6) AS DOUBLE) AS click_value_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def q49_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval range join: every purchase joined to the same user's
+    clicks in the preceding hour (time-bounded attribution — the
+    canonical "events within a window of events" shape Spark has no
+    native operator for).
+
+    Physical strategy: equi-join on user_id with the time bound as a
+    join-level residual predicate, then partial agg. The equi key does
+    the heavy lifting (hash/SMJ, shuffle once on user_id); the range
+    predicate filters inside the join, so no cross product ever
+    materializes. Degenerate key distributions (one user = whole
+    stream) are the documented limit — then the scale path is binning
+    ts to 1-hour buckets, joining on (user_id, bucket±1), and
+    re-filtering, which bounds any single join group."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("__pts"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("__cuid"), F.col("ts").alias("__cts"),
+        F.col("event_id").alias("__cid"), F.col("value").alias("__cval"))
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("__cuid"))
+        & (F.col("__cts") >= F.col("__pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("__cts") < F.col("__pts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("__cid").alias("n_clicks_1h"),
+        F.round(F.coalesce(F.sum("__cval"), F.lit(0.0)), 6)
+        .alias("click_value_1h"),
+    )
+
+
+@query(
+    "q50_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q50_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): both date filters sit directly
+    on base tables (parquet pushdown), customer is broadcast, the only
+    shuffle is lineitem⋈orders on orderkey + the final partial agg;
+    top-10 runs as TakeOrderedAndProject (no global sort). Exact DECIMAL
+    accumulation for order-independent revenue (see q26)."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff)
+    price_d = F.col("l_extendedprice").cast("decimal(12,4)")
+    disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(price_d * disc_d), 2).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )

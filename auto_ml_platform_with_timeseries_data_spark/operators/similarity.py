@@ -273,9 +273,12 @@ def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"),
     ).withColumn("__qnorm", l2_norm(F.col("__qv")))
+    # explode_outer: avoids InferFiltersFromGenerate re-running the
+    # centroid-distance scan in an inferred size()>0 filter; best_cells
+    # always returns exactly nprobe cells, so no null rows appear.
     q = q.select(
         "query_id", "__qv", "__qnorm",
-        F.explode(best_cells(F.col("__qv"), nprobe)).alias("cell"),
+        F.explode_outer(best_cells(F.col("__qv"), nprobe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")

@@ -166,3 +166,80 @@ def _langid_oracle() -> str:
 @query("q22_langid", oracle=_langid_oracle())
 def q22_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash
+    every k-token shingle with a rolling window of w hashes, select each
+    window's minimum — guarantees a shared fingerprint for any match of
+    length ≥ w+k−1 tokens while storing ~2/(w+1) of all hashes. Output:
+    (id, fingerprint) distinct pairs.
+
+    The hash is int(md5(gram)[:8], 16) — portable across engines (DuckDB
+    casts '0x…' strings; Spark `conv`), unlike xxhash64/murmur which
+    exist in only one of the two.
+
+    Fully NARROW plan: token array → gram-hash array (bound in its own
+    projection — HOF lambdas can't CSE an inline chain, see dedup.py) →
+    per-window minima via slice/array_min → array_distinct → explode.
+    Zero shuffles: fingerprinting runs at scan speed on any cluster."""
+    tok = df.select(
+        F.col(id_col), tokens(normalize_text(text_col)).alias("__t")
+    ).filter(F.size("__t") >= k + w - 1)
+    hashes = tok.select(
+        id_col,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - k),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("__t", i + 1, k), " ")), 1, 8
+                ),
+                16, 10,
+            ).cast("long"),
+        ).alias("__h"),
+    )
+    mins = hashes.select(
+        id_col,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__h") - w),
+                lambda j: F.array_min(F.slice("__h", j + 1, w)),
+            )
+        ).alias("__fps"),
+    )
+    # explode_OUTER, deliberately: plain explode triggers
+    # InferFiltersFromGenerate, which infers `size(__fps) > 0` and pushes
+    # it below every projection with the whole tokenize→md5→window-min
+    # chain INLINED — measured 29s vs 0.6s at sf0.001 (~50× slowdown).
+    # The outer variant infers no filter, and emits no null rows here
+    # because the token-count filter guarantees ≥ 1 window per doc.
+    return mins.select(
+        F.col(id_col), F.explode_outer("__fps").alias("fingerprint")
+    )
+
+
+@query(
+    "q51_winnow_fingerprints",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS tk
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(range(1, len(tk) - 3 + 2),
+               i -> CAST('0x' || substr(md5(array_to_string(tk[i:i+2], ' ')), 1, 8) AS BIGINT)
+             ) AS hs
+      FROM t WHERE len(tk) >= 3 + 4 - 1
+    )
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                  j -> list_min(hs[j:j+3])))) AS fingerprint
+    FROM h
+    """,
+)
+def q51_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)

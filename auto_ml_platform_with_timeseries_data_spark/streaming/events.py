@@ -126,3 +126,132 @@ def q39_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+@query(
+    "q52_stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q52_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: the fixture is
+    staged DOUBLED (every event twice), written as 4 time-range-ordered
+    files and consumed one file per trigger; dropDuplicatesWithinWatermark
+    on event_id must recover exactly the original stream.
+
+    Two correctness-critical staging choices that mirror production:
+    - both copies of an event land in the SAME file (time-slice split),
+      so the dedup state for a key is live when its dup arrives —
+      state evicted past the watermark can't resurrect old dups;
+    - files are WRITTEN sequentially in time order: the file source
+      orders ties in modification time arbitrarily, and a later slice
+      processed first would advance the watermark past earlier slices,
+      silently dropping them as late (observed: 49% of events lost
+      with a single range-partitioned write).
+    State stays bounded by the 2h watermark horizon — O(keys in window),
+    the requirement for an unbounded stream."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    stage_dir = tempfile.mkdtemp(prefix="sparkgraft_dupstream_")
+    doubled = ev.unionAll(ev).withColumn(
+        "__slice", F.ntile(4).over(Window.orderBy("ts"))
+    )
+    for i in range(1, 5):
+        (doubled.filter(F.col("__slice") == i).drop("__slice")
+         .coalesce(1).write.mode("append").parquet(stage_dir))
+        _time.sleep(0.05)  # distinct mtimes → deterministic source order
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="2 hours")
+    name = f"q52mem{uuid.uuid4().hex[:8]}"
+    run_to_memory(deduped, name, output_mode="append")
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def user_running_stats(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value sum), state carried across micro-batches
+    with Arrow-batched pandas kernels — the extension point for stateful
+    logic Spark has no built-in for (CUSUM drift detectors, session
+    models, online feature stats)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def kernel(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        (uid,) = key
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [uid], "n_events": [n], "sum_value": [s]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            kernel,
+            outputStructType="user_id long, n_events long, sum_value double",
+            stateStructType="n long, s double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@query(
+    "q53_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           ROUND(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q53_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats through a custom pandas-with-state kernel,
+    fed incrementally (4 files, one per trigger). Update mode emits one
+    row per (user, batch); the final answer per user is the emission
+    with the highest running count (monotone), reconciled with
+    max/max_by — then hash-checked against the one-shot batch SQL."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    stage_dir = tempfile.mkdtemp(prefix="sparkgraft_statestream_")
+    ev.repartition(4).write.mode("overwrite").parquet(stage_dir)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    stats = user_running_stats(stream)
+    name = f"q53mem{uuid.uuid4().hex[:8]}"
+    run_to_memory(stats, name, output_mode="update")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
+        )
+    )

@@ -40,6 +40,9 @@ HEADLINE = [
     "q32_rollup",
     "q35_embedding_neardup",
     "q38_media_features",
+    "q49_range_join",
+    "q50_shipping_priority",
+    "q51_winnow_fingerprints",
 ]
 
 

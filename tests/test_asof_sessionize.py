@@ -51,3 +51,39 @@ def test_sessionize_exact_gap_boundary(spark):
         .withColumn("ts", F.to_timestamp("ts"))
     out = sessionize(df, "user_id", "ts", gap_minutes=30)
     assert {r["session_id"] for r in out.collect()} == {1}
+
+
+def test_range_join_semantics(spark):
+    """q49 shape: purchases pick up only same-user clicks in (p.ts-1h, p.ts]."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid, typ, val):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, typ, val, "{}")
+
+    rows = [
+        ev(1, 0, 7, "purchase", 100.0),
+        ev(2, -30, 7, "click", 1.0),    # in window
+        ev(3, -61, 7, "click", 2.0),    # too old (>1h before)
+        ev(4, 0, 7, "click", 4.0),      # simultaneous → excluded (c.ts < p.ts)
+        ev(5, -10, 8, "click", 8.0),    # other user
+        ev(6, 5, 7, "click", 16.0),     # after purchase
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    p = df.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("__pts"))
+    c = df.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("__cuid"), F.col("ts").alias("__cts"),
+        F.col("event_id").alias("__cid"), F.col("value").alias("__cval"))
+    got = (p.join(c, (F.col("user_id") == F.col("__cuid"))
+                  & (F.col("__cts") >= F.col("__pts") - F.expr("INTERVAL 1 HOUR"))
+                  & (F.col("__cts") < F.col("__pts")), "left")
+           .groupBy("event_id").agg(F.count("__cid").alias("n"),
+                                    F.sum("__cval").alias("s"))).collect()
+    assert len(got) == 1
+    assert got[0]["n"] == 1 and got[0]["s"] == 1.0

@@ -45,3 +45,37 @@ def test_language_id_tie_breaks_alphabetically(spark):
     got = tx.language_id(df, "doc_id", "text").collect()[0]
     assert got["score"] == 0.0
     assert got["predicted_lang"] == "de"  # first alphabetically on all-zero
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing guarantee: two documents sharing a token run of length
+    ≥ w+k−1 (here 6) share at least one fingerprint; disjoint-vocabulary
+    docs share none."""
+    shared = "alpha beta gamma delta epsilon zeta"          # 6 tokens
+    rows = [
+        (1, f"intro words here {shared} trailing bits"),
+        (2, f"{shared} completely other suffix tokens now"),
+        (3, "unrelated vocabulary nothing matches at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    fps = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnow_density(spark):
+    """Selected fingerprints ≤ number of windows and ≥ 1 per document."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40)))], "doc_id long, text string")
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    n = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).count()
+    assert 1 <= n <= 40 - 3 + 1 - 4 + 1
