@@ -554,9 +554,7 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q18_jaccard_pairs",
-    oracle=f"""
+_JACCARD_PAIRS_DUCK = f"""
     WITH g AS (
       SELECT lang, doc_id,
              list_distinct(list_transform(
@@ -573,8 +571,10 @@ def q33_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
           (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
           >= {_JACCARD_THRESHOLD}
-    """,
-)
+"""
+
+
+@query("q18_jaccard_pairs", oracle=_JACCARD_PAIRS_DUCK)
 def q18_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_blocked(docs, "doc_id", "text", "lang",
@@ -591,3 +591,99 @@ def q17_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q23_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over a pair graph
+# ---------------------------------------------------------------------------
+
+
+def connected_components(vertices: DataFrame, edges: DataFrame,
+                         id_col: str = "id", src: str = "id_a",
+                         dst: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """(id, component) where component = min vertex id reachable through
+    `edges` — the canonical-document assignment for near-dup clusters
+    (every doc keeps the smallest id of its duplicate family).
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; fixpoint after
+    O(graph diameter) rounds. Near-dup graphs are shallow (clusters are
+    cliques-ish, diameter 2-3), so 3-4 rounds close real corpora. Each
+    round is one broadcast-ready join + groupBy-min; labels persist per
+    round and the loop stops as soon as a round changes nothing (a
+    count on a changed-filter — the driver holds only the scalar).
+    At extreme scale swap the propagation step for the large-star/
+    small-star rewriting (Kiveris et al., "Connected Components in
+    MapReduce"), which converges in O(log²) rounds on adversarial
+    chains; the operator contract is unchanged."""
+    labels = vertices.select(F.col(id_col).alias("id"),
+                             F.col(id_col).alias("comp")).persist()
+    # Persist the DIRECTED edges before mirroring: the union references
+    # the edge plan twice, and an expensive upstream (e.g. a similarity
+    # join) would otherwise execute once per direction.
+    directed = edges.select(F.col(src).alias("u"),
+                            F.col(dst).alias("v")).persist()
+    e = directed.unionAll(
+        directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels.select(F.col("id").alias("v"),
+                                 F.col("comp").alias("vcomp")), "v")
+            .groupBy("u").agg(F.min("vcomp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
+            .select(
+                "id",
+                F.least(F.col("comp"),
+                        F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    e.unpersist()
+    directed.unpersist()
+    return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+@query(
+    "q55_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_DUCK}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    )
+    SELECT src AS doc_id, min(dst) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def q55_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end to end: exact jaccard pairs (q18) as the
+    edge set, connected components as the canonical-id assignment. The
+    oracle computes the same components by transitive closure (recursive
+    CTE) — tractable at oracle scale, while the Spark path converges in
+    O(diameter) distributed rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_blocked(docs, "doc_id", "text", "lang",
+                                  shingle_n=2, threshold=_JACCARD_THRESHOLD)
+    comp = connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"),
+        id_col="doc_id")
+    return comp.select(F.col("id").alias("doc_id"), "component")

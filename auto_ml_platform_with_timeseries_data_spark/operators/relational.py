@@ -460,3 +460,36 @@ def q50_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@query(
+    "q54_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           ROUND(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q54_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON `props` column with a
+    typed from_json schema (JVM-side Jackson, codegen-friendly — not a
+    UDF) and aggregate. At scale, from_json with an explicit schema beats
+    schema_of_json/get_json_object per-field: one parse per row, pruned
+    to the referenced fields by Catalyst's JsonExpressionOptimization."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type",
+                  F.from_json("props", "k bigint").alias("__p"))
+        .select("event_type", F.col("__p.k").alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__k"), 6).alias("avg_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+        )
+    )

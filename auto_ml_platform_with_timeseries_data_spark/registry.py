@@ -38,6 +38,7 @@ _QUERY_MODULES = (
     "auto_ml_platform_with_timeseries_data_spark.operators.multimodal",
     "auto_ml_platform_with_timeseries_data_spark.ml.queries",
     "auto_ml_platform_with_timeseries_data_spark.streaming.events",
+    "auto_ml_platform_with_timeseries_data_spark.sources.readers",
 )
 
 _loaded = False

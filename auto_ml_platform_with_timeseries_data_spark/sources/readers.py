@@ -13,6 +13,10 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
 
 
 def read_any(spark: SparkSession, path: str) -> DataFrame:
@@ -60,3 +64,30 @@ def ingest_to_parquet(spark: SparkSession, src_path: str, dest_dir: str,
         return dest
     read_any(spark, src_path).write.mode("overwrite").parquet(dest)
     return dest
+
+
+@query(
+    "q56_jsonl_roundtrip",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q56_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink + source round-trip — the lingua franca format of LLM
+    data pipelines. documents → newline-delimited JSON (one shard per
+    partition, JSON-escaped text survives embedded newlines/quotes) →
+    read back with an EXPLICIT schema (no inference pass over 100 TB)
+    → aggregate; the result must equal aggregating the original table."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="sparkgraft_jsonl_")
+    docs.write.mode("overwrite").json(stage)
+    back = spark.read.schema(docs.schema).json(stage)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )

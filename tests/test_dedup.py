@@ -90,3 +90,14 @@ def test_jaccard_strategies_agree(spark):
             for s in ("index", "prefix", "auto")
         }
         assert out["index"] == out["prefix"] == out["auto"], t
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 4-node chain collapses to min-id 1 in O(diameter) rounds;
+    isolated nodes keep their own id as component."""
+    vertices = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 7)], "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in
+           dedup.connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
