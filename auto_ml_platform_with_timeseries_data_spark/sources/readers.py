@@ -91,3 +91,22 @@ def q56_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+def ingest_bucketed(df: DataFrame, table: str, key: str,
+                    num_buckets: int = 32, path: str | None = None,
+                    sort: bool = True) -> None:
+    """Persist a table bucketed (and per-bucket sorted) by its join key.
+
+    Bucketing is THE big-big join lever at cluster scale: two tables
+    bucketed by the same key into the same bucket count join with ZERO
+    exchange — each task reads bucket i of both sides; with sortBy the
+    per-bucket sort disappears too. Pre-paying one shuffle at ingest
+    amortizes across every subsequent join/agg on that key (fact tables
+    are written once, joined thousands of times)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

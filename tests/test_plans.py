@@ -99,3 +99,72 @@ def test_asof_join_is_union_window_not_range_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_range_join_is_not_cartesian(spark, sf_dir):
+    """q49: equi key carries the join; the time bound is a residual
+    predicate, never a nested-loop/cartesian plan."""
+    df = queries()["q49_range_join"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_shipping_priority_plan(spark, sf_dir):
+    """q50: date filters reach both parquet scans, customer broadcasts,
+    top-10 is TakeOrdered (no global sort)."""
+    df = queries()["q50_shipping_priority"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "LessThan(o_orderdate" in plan
+    assert "GreaterThan(l_shipdate" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_winnow_is_narrow_zero_shuffle(spark, sf_dir):
+    """q51: fingerprinting is scan→project→generate — no exchange at any
+    scale (the whole point of array-HOF windows over row windows)."""
+    df = queries()["q51_winnow_fingerprints"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "Exchange" not in plan
+
+
+def test_json_props_prunes_scan(spark, sf_dir):
+    """q54: only event_type and props are read; aggregation is partial."""
+    df = queries()["q54_json_props"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "props" in read and "event_type" in read and "value" not in read
+    assert "partial" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located bucketed join: both sides pre-bucketed+sorted by the
+    key → SortMergeJoin with zero Exchange and zero Sort in the plan."""
+    from pyspark.sql import functions as F
+
+    from auto_ml_platform_with_timeseries_data_spark.sources.readers import (
+        ingest_bucketed,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ingest_bucketed(li, "li_bucketed", "l_orderkey", 8,
+                    path=str(tmp_path / "li_b"))
+    ingest_bucketed(orders, "ord_bucketed", "o_orderkey", 8,
+                    path=str(tmp_path / "ord_b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("li_bucketed").join(
+            spark.table("ord_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = explain.formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        n = j.count()
+        assert n > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS ord_bucketed")
