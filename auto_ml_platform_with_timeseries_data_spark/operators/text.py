@@ -243,3 +243,39 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
 def q51_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+
+
+# GPT-2-ish pre-tokenizer: contractions | words | 1-3 digit number
+# chunks | punctuation runs. Deliberately restricted to a regex subset
+# with identical semantics in Java regex (Spark) and RE2 (DuckDB).
+BPE_PRETOKEN_PATTERN = r"'[a-z]+|[a-z]+|[0-9]{1,3}|[^a-z0-9\s]+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_bpe_tokens, n_distinct_bpe_tokens): BPE-style pre-token
+    counts — the unit LLM data budgets are written in (≈ tokens before
+    merges; the whitespace count in token_stats underestimates by ~1.3×
+    on punctuated text). One narrow projection, JVM regex, no UDF."""
+    toks = F.regexp_extract_all(
+        normalize_text(text_col), F.lit(BPE_PRETOKEN_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe_tokens"),
+    )
+
+
+@query(
+    "q57_bpe_tokens",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               '''[a-z]+|[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]+')) AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+               '''[a-z]+|[a-z]+|[0-9]{1,3}|[^a-z0-9\\s]+'))) AS n_distinct_bpe_tokens
+    FROM documents
+    """,
+)
+def q57_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_token_stats(docs, "doc_id", "text")

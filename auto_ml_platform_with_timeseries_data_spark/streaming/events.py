@@ -255,3 +255,50 @@ def q53_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max_by("sum_value", "n_events"), 4).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q58_stream_static_join",
+    oracle="""
+    WITH top_users AS (
+      SELECT user_id FROM events
+      GROUP BY user_id ORDER BY sum(value) DESC, user_id ASC LIMIT 5
+    )
+    SELECT e.user_id, e.event_type, count(*) AS n,
+           ROUND(sum(e.value), 4) AS sum_value
+    FROM events e JOIN top_users t ON e.user_id = t.user_id
+    GROUP BY e.user_id, e.event_type
+    """,
+)
+def q58_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: an incremental stream enriched against a
+    static dimension (here: the top-5 users by lifetime value, computed
+    batch-side). The static side is broadcast into every micro-batch —
+    the standard pattern for joining a stream against reference data
+    without shuffling the stream. Aggregation runs per (user, type) in
+    complete mode; the final state must equal the one-shot batch SQL."""
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("user_id").agg(F.sum("value").alias("__tv"))
+        .orderBy(F.desc("__tv"), F.asc("user_id")).limit(5)
+        .select("user_id")
+    )
+    stage_dir = tempfile.mkdtemp(prefix="sparkgraft_ssjoin_")
+    ev.repartition(4).write.mode("overwrite").parquet(stage_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    agg = (
+        stream.join(F.broadcast(top), "user_id")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    name = f"q58mem{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name)
