@@ -493,3 +493,26 @@ def q54_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("__k").alias("max_k"),
         )
     )
+
+
+def salted_join(left: DataFrame, right: DataFrame, on: list[str],
+                how: str = "inner", salt: int = 8,
+                seed: int = 42) -> DataFrame:
+    """Skew-mitigated equi-join: left rows get a deterministic-per-run
+    pseudo-random salt in [0, salt); the (smaller, but not
+    broadcast-able) right side is replicated salt× with every salt
+    value; joining on (keys…, salt) spreads a hot key over `salt`
+    shuffle partitions instead of one straggler task.
+
+    Result is row-identical to the plain join (verified by test): each
+    left row meets exactly one replica of each matching right row.
+    This is the manual fallback when AQE's skew-join can't apply —
+    broadcast-ineligible right side + a key so hot one partition
+    exceeds the executor, or a non-sort-merge plan. Cost: right side
+    ×salt (choose salt ≈ hot-key partition excess, not 100)."""
+    sl = left.withColumn(
+        "__salt", F.floor(F.rand(seed) * salt).cast("int"))
+    sr = right.withColumn(
+        "__salt",
+        F.explode_outer(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return sl.join(sr, on + ["__salt"], how).drop("__salt")

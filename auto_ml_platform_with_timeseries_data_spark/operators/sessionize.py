@@ -141,3 +141,119 @@ def q45_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 4).alias("rolling_sum"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+def resample_ffill(df: DataFrame, group_col: str, ts_col: str,
+                   value_col: str, interval_seconds: int = 3600) -> DataFrame:
+    """Regularize an irregular series onto a fixed grid with forward
+    fill — the canonical prep step for the reference's time-series
+    branch (lag features and LSTM windows assume evenly spaced rows).
+
+    Per group: bucket → agg, dense grid via sequence(min, max, step),
+    left join observed buckets, then ONE ordered window pass carries the
+    last observed value forward (F.last ignorenulls). Grid explosion is
+    a narrow generate per group; the only shuffles are the bucket agg
+    and the per-group window."""
+    step = F.expr(f"INTERVAL {interval_seconds} SECONDS")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / interval_seconds).cast("bigint")
+        * interval_seconds
+    )
+    observed = (
+        df.select(F.col(group_col).alias("g"), bucket.alias("bucket"),
+                  F.col(value_col).alias("v"))
+        .groupBy("g", "bucket")
+        .agg(F.round(F.avg("v"), 6).alias("v"), F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        observed.groupBy("g")
+        .agg(F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx"))
+        .select("g", F.explode_outer(
+            F.sequence(F.col("__mn"), F.col("__mx"), step)).alias("bucket"))
+    )
+    w = (
+        Window.partitionBy("g").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(observed, ["g", "bucket"], "left")
+        .select(
+            F.col("g").alias(group_col),
+            F.date_format("bucket", _TS_FMT_SPARK).alias("bucket"),
+            F.coalesce("n", F.lit(0)).alias("n_obs"),
+            F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
+
+
+@query(
+    "q59_resample_ffill",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id AS g, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             ROUND(avg(value), 6) AS v, count(*) AS n
+      FROM events WHERE user_id <= 20 GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g, unnest(generate_series(min(bucket), max(bucket),
+                                       INTERVAL '1 hour')) AS bucket
+      FROM b GROUP BY g
+    )
+    SELECT grid.g AS user_id,
+           strftime(grid.bucket, '{_TS_FMT_DUCK}') AS bucket,
+           COALESCE(b.n, 0) AS n_obs,
+           last_value(b.v IGNORE NULLS) OVER (
+             PARTITION BY grid.g ORDER BY grid.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM grid LEFT JOIN b ON grid.g = b.g AND grid.bucket = b.bucket
+    """,
+)
+def q59_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    return resample_ffill(ev, "user_id", "ts", "value", 3600)
+
+
+def zscore_outliers(df: DataFrame, group_col: str, ts_col: str,
+                    order_tiebreak: str, value_col: str,
+                    window_rows: int = 20, z_threshold: float = 2.5
+                    ) -> DataFrame:
+    """Trailing-window anomaly detection: flag points whose value is
+    > z_threshold sample-stddevs from the trailing window mean (window
+    EXCLUDES the current row, so the point under test doesn't dilute
+    its own baseline — the standard online-monitoring convention).
+    One window pass per group; sensors (C-MAPSS), metrics, and data
+    quality monitors all reduce to this shape."""
+    w = (
+        Window.partitionBy(group_col).orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-window_rows, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = (F.col(value_col) - mean) / sd
+    return (
+        df.select(
+            F.col(group_col), F.col(order_tiebreak), F.col(value_col),
+            F.round(mean, 6).alias("trailing_mean"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > z_threshold)
+    )
+
+
+@query(
+    "q60_zscore_outliers",
+    oracle="""
+    SELECT user_id, event_id, value, trailing_mean, zscore FROM (
+      SELECT user_id, event_id, value,
+             ROUND(avg(value) OVER w, 6) AS trailing_mean,
+             ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS zscore
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ) WHERE abs(zscore) > 2.5
+    """,
+)
+def q60_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_outliers(ev, "user_id", "ts", "event_id", "value",
+                           window_rows=20, z_threshold=2.5)

@@ -87,3 +87,46 @@ def test_range_join_semantics(spark):
                                     F.sum("__cval").alias("s"))).collect()
     assert len(got) == 1
     assert got[0]["n"] == 1 and got[0]["s"] == 1.0
+
+
+def test_resample_ffill_gaps(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.sessionize import (
+        resample_ffill,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [  # observations at hours 0, 1, 4 → gaps at 2, 3
+        (1, t0, 10.0),
+        (1, t0 + dt.timedelta(hours=1), 20.0),
+        (1, t0 + dt.timedelta(hours=4), 50.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {r["bucket"]: r for r in
+           resample_ffill(df, "user_id", "ts", "value", 3600).collect()}
+    assert len(got) == 5  # dense hourly grid 00:00..04:00
+    assert got["2024-01-01 01:00:00"]["value_ffill"] == 20.0
+    assert got["2024-01-01 02:00:00"]["n_obs"] == 0
+    assert got["2024-01-01 02:00:00"]["value_ffill"] == 20.0  # carried
+    assert got["2024-01-01 03:00:00"]["value_ffill"] == 20.0
+    assert got["2024-01-01 04:00:00"]["value_ffill"] == 50.0
+
+
+def test_zscore_flags_planted_spike(spark):
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.sessionize import (
+        zscore_outliers,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(minutes=i),
+             100.0 + (i % 3) + (500.0 if i == 30 else 0.0))
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    got = zscore_outliers(df, "user_id", "ts", "event_id", "value").collect()
+    assert [r["event_id"] for r in got] == [30]

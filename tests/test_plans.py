@@ -168,3 +168,44 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Skewed fixture: 90% of left rows share one key. The salted join
+    must return exactly the plain join's rows, and its shuffle must be
+    keyed on (key, salt)."""
+    from pyspark.sql import functions as F
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.relational import (
+        salted_join,
+    )
+
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, 1).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"))
+    right = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("rv"))
+    plain = set(map(tuple, left.join(right, ["k"]).collect()))
+    salted = salted_join(left, right, ["k"], salt=8)
+    got = set(map(tuple, salted.collect()))
+    assert got == plain
+    plan = explain.formatted_plan(salted)
+    assert "__salt" in plan  # join key carries the salt
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must prune at the FILE level (PartitionFilters), not post-scan."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    dest = str(tmp_path / "events_by_day")
+    (ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+     .write.partitionBy("day").mode("overwrite").parquet(dest))
+    back = spark.read.parquet(dest).filter(F.col("day") == "2024-01-05")
+    plan = explain.formatted_plan(back)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "day" in pf
+    n_all = spark.read.parquet(dest).count()
+    n_day = back.count()
+    assert 0 < n_day < n_all
