@@ -43,6 +43,10 @@ HEADLINE = [
     "q49_range_join",
     "q50_shipping_priority",
     "q51_winnow_fingerprints",
+    "q54_json_props",
+    "q57_bpe_tokens",
+    "q59_resample_ffill",
+    "q60_zscore_outliers",
 ]
 
 
