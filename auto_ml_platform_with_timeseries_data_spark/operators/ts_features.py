@@ -1,0 +1,270 @@
+"""Time-series feature operators on the `events` table: EWMA smoothing,
+OHLC downsampling, lag/delta feature matrices, and linear gap
+interpolation.
+
+These complete the reference's *intended* time-series surface
+(SURVEY.md §2.5: the reference builds sliding windows and per-group
+ordered splits but its TS pipeline dead-ends at
+auto_machine_learning.py:100-107) with the per-group feature
+construction a real grouped-TS AutoML run feeds on — all as single
+window passes per (user) partition, no per-group driver loops
+(contrast data_analysis.py:56-79, which loops groups in Python).
+
+Scale notes: every operator here is one `Window.partitionBy(user_id)
+.orderBy(ts)` pass — ONE shuffle keyed by user, then per-partition
+sorted streaming. User-keyed partitions are small and numerous
+(millions of users × thousands of events), the ideal Spark window
+shape; no skew handling needed unless one key dominates, in which
+case the rolling ops degrade gracefully (bounded frames keep state
+O(frame), not O(partition)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+
+
+# ---------------------------------------------------------------------------
+# EWMA (truncated exponential smoothing)
+# ---------------------------------------------------------------------------
+
+
+def ewma(df: DataFrame, key: str, order: list[str], value: str,
+         alpha: float = 0.3, lookback: int = 20) -> Column:
+    """Exponentially-weighted moving average, truncated to `lookback`
+    terms: ŷ_t = Σ_{k<L} (1−α)^k·x_{t−k} / Σ_{k<L} (1−α)^k (adjusted
+    weights, pandas `ewm(adjust=True)` convention, window capped).
+
+    Recursive EWMA has no order-independent distributed form; the
+    truncated sum is the scale-out formulation — the dropped tail is
+    ≤ (1−α)^L (≈8e-4 at α=0.3, L=20) of the weight mass. Expressed as
+    L explicit lag() terms sharing ONE window spec, so Catalyst
+    collapses them into a single window pass (one shuffle + sort per
+    key, then streaming evaluation); the same closed form runs on any
+    SQL engine, which keeps it oracle-checkable."""
+    w = Window.partitionBy(key).orderBy(*order)
+    decay = 1.0 - alpha
+    num = None
+    den = None
+    for k in range(lookback):
+        lagged = F.lag(value, k).over(w) if k else F.col(value)
+        term = F.coalesce(lagged * F.lit(decay ** k), F.lit(0.0))
+        wgt = F.when(lagged.isNotNull(), F.lit(decay ** k)).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = wgt if den is None else den + wgt
+    return num / den
+
+
+def _ewma_oracle(alpha: float, lookback: int) -> str:
+    decay = 1.0 - alpha
+    terms = []
+    wgts = []
+    for k in range(lookback):
+        lagged = f"lag(value, {k}) OVER w" if k else "value"
+        terms.append(f"coalesce({lagged} * {decay ** k!r}, 0.0)")
+        wgts.append(f"CASE WHEN {lagged} IS NOT NULL THEN {decay ** k!r} ELSE 0.0 END")
+    return f"""
+    SELECT event_id, user_id,
+           ROUND(({' + '.join(terms)}) / ({' + '.join(wgts)}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """
+
+
+@query("q69_ewma", oracle=_ewma_oracle(0.3, 20))
+def q69_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(ewma(ev, "user_id", ["ts", "event_id"], "value"), 6)
+        .alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC downsampling (open/high/low/close per key × time bucket)
+# ---------------------------------------------------------------------------
+
+
+def ohlc(df: DataFrame, key: str, ts: str, value: str,
+         bucket: str = "1 day") -> DataFrame:
+    """Classic TS downsample: per (key, tumbling bucket) the first
+    (open), max (high), min (low), and last (close) value plus count.
+    min_by/max_by on the timestamp resolve open/close in the SAME
+    single aggregate pass as high/low — no window, no self-join, one
+    shuffle of (key × bucket) groups. Contract: (key, ts) unique
+    (holds for the fixtures); with ties open/close would need a
+    composite order key."""
+    ordk = F.col(ts)
+    return (
+        df.groupBy(F.col(key), F.window(ts, bucket).alias("__w"))
+        .agg(
+            F.min_by(value, ordk).alias("open"),
+            F.max(value).alias("high"),
+            F.min(value).alias("low"),
+            F.max_by(value, ordk).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            key,
+            F.date_format("__w.start", _TS_FMT_SPARK).alias("bucket_start"),
+            "open", "high", "low", "close", "n",
+        )
+    )
+
+
+@query(
+    "q70_ohlc",
+    oracle="""
+    SELECT user_id,
+           strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S')
+             AS bucket_start,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           count(*) AS n
+    FROM events
+    GROUP BY user_id, time_bucket(INTERVAL '1 day', ts)
+    """,
+)
+def q70_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ohlc(ev, "user_id", "ts", "value", "1 day")
+
+
+# ---------------------------------------------------------------------------
+# Lag / delta feature matrix
+# ---------------------------------------------------------------------------
+
+
+def lag_features(df: DataFrame, key: str, order: list[str], value: str,
+                 lags: int = 3) -> DataFrame:
+    """Supervised-learning feature matrix for grouped TS (the scale-out
+    version of the reference's window builder, auto_machine_learning.py:
+    121-131, for models that take flat lag features instead of
+    sequences): value, lag_1..lag_L, delta = value−lag_1, pct_change.
+    All L+2 derived columns share one window spec → one pass."""
+    w = Window.partitionBy(key).orderBy(*order)
+    lag_cols = [
+        F.lag(value, k).over(w).alias(f"lag_{k}") for k in range(1, lags + 1)
+    ]
+    prev = F.lag(value, 1).over(w)
+    return df.select(
+        "event_id", key, F.col(value),
+        *lag_cols,
+        F.round(F.col(value) - prev, 6).alias("delta"),
+        F.round(
+            F.when(prev != 0.0, (F.col(value) - prev) / prev), 6
+        ).alias("pct_change"),
+    )
+
+
+@query(
+    "q71_lag_features",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value, 1) OVER w AS lag_1,
+           lag(value, 2) OVER w AS lag_2,
+           lag(value, 3) OVER w AS lag_3,
+           ROUND(value - lag(value, 1) OVER w, 6) AS delta,
+           ROUND(CASE WHEN lag(value, 1) OVER w <> 0.0
+                 THEN (value - lag(value, 1) OVER w) / lag(value, 1) OVER w
+                 END, 6) AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q71_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return lag_features(ev, "user_id", ["ts", "event_id"], "value", lags=3)
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of gaps
+# ---------------------------------------------------------------------------
+
+
+def interpolate_linear(df: DataFrame, key: str, order: list[str],
+                       value: str) -> DataFrame:
+    """Fill null runs by linear interpolation between the nearest
+    non-null neighbors (row-index-weighted); leading/trailing runs
+    fall back to nearest-value fill. Two ignore-nulls window scans
+    (backward + forward) over one partitioning — both directions
+    reuse the same shuffle+sort, the reverse frame is evaluated on
+    the sorted partition without a second exchange."""
+    fwd = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0)
+    bwd = Window.partitionBy(key).orderBy(*order).rowsBetween(
+        0, Window.unboundedFollowing)
+    rn = F.row_number().over(Window.partitionBy(key).orderBy(*order))
+    v = F.col(value)
+    df = df.withColumn("__rn", rn)
+    marked = F.when(v.isNotNull(), F.col("__rn"))
+    prev_v = F.last(value, ignorenulls=True).over(fwd)
+    next_v = F.first(value, ignorenulls=True).over(bwd)
+    prev_i = F.last(marked, ignorenulls=True).over(fwd)
+    next_i = F.first(marked, ignorenulls=True).over(bwd)
+    interp = F.when(v.isNotNull(), v).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v + (next_v - prev_v)
+            * (F.col("__rn") - prev_i) / (next_i - prev_i)
+        )
+    )
+    return df.withColumn("__interp", F.round(interp, 6))
+
+
+@query(
+    "q72_interpolate",
+    oracle="""
+    WITH masked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ), idx AS (
+      SELECT *,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             first_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             last_value(CASE WHEN v IS NOT NULL THEN rn0 END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_i,
+             first_value(CASE WHEN v IS NOT NULL THEN rn0 END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_i
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) AS rn0 FROM masked)
+    )
+    SELECT event_id, user_id,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN prev_v IS NULL THEN next_v
+                      WHEN next_v IS NULL THEN prev_v
+                      ELSE prev_v + (next_v - prev_v) * (rn0 - prev_i)
+                           / (next_i - prev_i) END, 6) AS value_filled
+    FROM idx
+    """,
+)
+def q72_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill demo: deterministically mask ~1/7 of values to null
+    (event_id % 7 — same mask in the oracle), then interpolate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("v"),
+    )
+    out = interpolate_linear(ev, "user_id", ["ts", "event_id"], "v")
+    return out.select(
+        "event_id", "user_id", F.col("__interp").alias("value_filled")
+    )
