@@ -34,10 +34,21 @@ from auto_ml_platform_with_timeseries_data_spark.tables import load_table
 
 # Exact-decimal forms of the price expressions (see q26_pricing_summary:
 # accumulation must be order-independent for distributed determinism AND
-# oracle parity).
-_PRICE_D = F.col("l_extendedprice").cast("decimal(12,4)")
-_DISC_D = F.col("l_discount").cast("decimal(8,4)")
-_DISC_PRICE_D = _PRICE_D * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+# oracle parity). Lazy (functions, not module constants): building Column
+# objects needs an active SparkContext, and this module must be importable
+# before the driver has created one.
+
+
+def _price_d():
+    return F.col("l_extendedprice").cast("decimal(12,4)")
+
+
+def _disc_d():
+    return F.col("l_discount").cast("decimal(8,4)")
+
+
+def _disc_price_d():
+    return _price_d() * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
 
 
 # ---------------------------------------------------------------------------
@@ -73,7 +84,7 @@ def q61_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(_PRICE_D * _DISC_D), 2).cast("double").alias("revenue"),
+            F.round(F.sum(_price_d() * _disc_d()), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -121,7 +132,7 @@ def q62_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_DISC_PRICE_D), 2).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_disc_price_d()), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
@@ -160,10 +171,10 @@ def q63_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
     promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", _DISC_PRICE_D)
+        F.when(F.col("p_type") == "PROMO", _disc_price_d())
         .otherwise(F.lit(0).cast("decimal(20,8)"))
     ).cast("double")
-    total = F.sum(_DISC_PRICE_D).cast("double")
+    total = F.sum(_disc_price_d()).cast("double")
     return joined.agg(
         F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct")
     )
@@ -251,7 +262,7 @@ def q65_brand_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
            & F.col("l_quantity").between(20, 50))
     )
     return j.filter(band).agg(
-        F.round(F.sum(_DISC_PRICE_D), 2).cast("double").alias("revenue"),
+        F.round(F.sum(_disc_price_d()), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
