@@ -1,0 +1,347 @@
+"""Training-data curation operators: deterministic sampling, hash
+splits, class balancing, sequence packing, and benchmark
+decontamination over the `documents` table.
+
+The reference stops at single-table AutoML prep (SURVEY.md §2.9); these
+are the operations a large-scale pretraining-data pipeline needs
+between "raw crawl" and "training shards". Every operator is built on
+a DETERMINISTIC integer hash (Knuth multiplicative, pure BIGINT
+arithmetic) instead of `rand()`: reruns are reproducible, the same row
+always lands in the same split/sample on any engine, and every query
+stays oracle-checkable in ANSI SQL.
+
+Scale notes (100 TB):
+- Sampling (q73) and split assignment (q74) are MAP-ONLY — a row-local
+  hash filter/projection with zero shuffles; they stream through the
+  scan at full parquet read bandwidth no matter the cluster size.
+- Class balancing (q75) is one shuffle keyed by the (lang, source)
+  group; the per-group cap bounds output skew. A hot group degrades to
+  one fat sorted partition — rank-by-hash is still a streaming window,
+  state O(1).
+- Sequence packing (q76) is the concat-then-chunk scheme production
+  pretraining pipelines use: one shuffle to co-locate a shard, one
+  running-sum window pass, pack id = prefix_tokens // budget. Packs are
+  deterministic given the (shard, doc order) contract.
+- Decontamination (q77) broadcast-joins the benchmark's (small) gram
+  set against the corpus grams — the 100 TB side never shuffles until
+  the per-doc match count, which partial aggregation shrinks first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_ml_platform_with_timeseries_data_spark.functions.text_exprs import (
+    normalize_text,
+    tokens,
+    word_ngrams,
+)
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+# Knuth multiplicative hash over a bounded residue: the pre-mod by
+# 1000003 (prime) keeps the product ≤ ~2.6e15, far inside BIGINT, so
+# the arithmetic never overflows (DuckDB raises on BIGINT overflow;
+# Spark non-ANSI would silently wrap — neither is acceptable).
+_KNUTH = 2654435761
+_PREMOD = 1000003
+_M32 = 4294967296
+
+
+def hash_u32(id_col: Column | str) -> Column:
+    """Deterministic uniform-ish 32-bit hash of a non-negative id."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c % _PREMOD) * _KNUTH % _M32
+
+
+def _hash_u32_sql(col: str) -> str:
+    return f"(({col} % {_PREMOD}) * {_KNUTH}) % {_M32}"
+
+
+# ---------------------------------------------------------------------------
+# q73 — stratified deterministic sampling (per-language rates)
+# ---------------------------------------------------------------------------
+
+_RATES = {"en": 0.5}          # per-stratum keep rates
+_DEFAULT_RATE = 0.25
+
+
+def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
+                      rates: dict[str, float], default: float) -> DataFrame:
+    """Keep a row iff hash(id)/2^32 < rate(stratum). Unlike
+    `df.sampleBy` (Bernoulli on a per-task RNG stream, order- and
+    partitioning-dependent), this is a pure row-local predicate:
+    reproducible across runs, engines, and repartitionings — the
+    property a curation pipeline needs so that downstream shards are
+    stable. Map-only; no shuffle."""
+    rate = F.lit(float(default))
+    for k, v in rates.items():
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(hash_u32(id_col) < rate * F.lit(_M32))
+
+
+@query(
+    "q73_stratified_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept, count(DISTINCT source) AS n_sources,
+           sum(n_chars) AS chars_kept
+    FROM documents
+    WHERE {_hash_u32_sql('doc_id')} <
+          (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END) * {_M32}
+    GROUP BY lang
+    """,
+)
+def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", _RATES, _DEFAULT_RATE)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("chars_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q74 — deterministic train/val/test split assignment
+# ---------------------------------------------------------------------------
+
+
+def hash_split(df: DataFrame, id_col: str,
+               train: int = 80, val: int = 10) -> DataFrame:
+    """Adds a `split` column from hash(id) % 100: [0,train) → 'train',
+    [train,train+val) → 'val', rest → 'test'. Row-local and stable: a
+    document keeps its split across reruns and dataset versions (ids
+    are sticky; positions are not). Map-only."""
+    b = hash_u32(id_col) % 100
+    return df.withColumn(
+        "split",
+        F.when(b < train, "train")
+        .when(b < train + val, "val")
+        .otherwise("test"),
+    )
+
+
+@query(
+    "q74_hash_split",
+    oracle=f"""
+    SELECT lang,
+           CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80 THEN 'train'
+                WHEN {_hash_u32_sql('doc_id')} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, sum(n_chars) AS n_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q74_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("n_chars"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q75 — class balancing (cap per group, deterministic selection)
+# ---------------------------------------------------------------------------
+
+
+def balance_groups(df: DataFrame, group_cols: list[str], id_col: str,
+                   cap: int) -> DataFrame:
+    """Downsample every group to ≤ cap rows. Selection is rank-by-hash
+    (a deterministic uniform draw), NOT head-of-file — so the kept
+    subset is unbiased w.r.t. ingest order. One shuffle on the group
+    key; the rank window streams sorted partitions with O(1) state."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        hash_u32(id_col).asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
+    )
+
+
+@query(
+    "q75_class_balance",
+    oracle=f"""
+    SELECT lang, source, count(*) AS n_docs,
+           sum(n_chars) AS n_chars
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY {_hash_u32_sql('doc_id')}, doc_id) AS rk
+      FROM documents
+    )
+    WHERE rk <= 150
+    GROUP BY lang, source
+    """,
+)
+def q75_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    kept = balance_groups(docs, ["lang", "source"], "doc_id", cap=150)
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q76 — sequence packing (concat-then-chunk, fixed token budget)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+def pack_sequences(df: DataFrame, shard_col: str, order_col: str,
+                   tokens_col: Column, budget: int) -> DataFrame:
+    """Concat-then-chunk packing: within a shard, documents in a fixed
+    order are laid end-to-end in token space and cut every `budget`
+    tokens; a document belongs to the pack where its FIRST token lands
+    (pack_id = exclusive-prefix-sum // budget). This is the standard
+    pretraining packing scheme — O(1) window state, one shuffle per
+    shard, and pack membership is a pure function of (shard, order),
+    so shards can be re-materialized independently and reproducibly."""
+    w = (
+        Window.partitionBy(shard_col).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return df.withColumn("__tokens", tokens_col).withColumn(
+        "pack_id", F.floor(prefix / budget)
+    )
+
+
+@query(
+    "q76_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                              ' ')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {_PACK_BUDGET} AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+    FROM packed GROUP BY lang, pack_id
+    """,
+)
+def q76_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Bind the token count to a real column in its own projection (HOF /
+    # pushdown CSE pitfall — see dedup._grams_df).
+    with_tokens = docs.select(
+        "doc_id", "lang", F.size(tokens(normalize_text("text"))).alias("__nt")
+    )
+    packed = pack_sequences(
+        with_tokens, "lang", "doc_id", F.col("__nt"), _PACK_BUDGET)
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("pack_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77 — benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 4
+
+
+def decontaminate(df: DataFrame, id_col: str, text_col: str,
+                  bench_pred: Column, n: int = _DECON_N) -> DataFrame:
+    """Flag corpus documents sharing ≥1 word n-gram with any benchmark
+    document (the standard eval-contamination check): returns
+    (id, n_shared_grams) for contaminated docs.
+
+    The benchmark gram vocabulary is tiny next to the corpus, so it
+    broadcasts; the corpus side explodes grams map-side, hash-joins
+    against the broadcast set, and partial-aggregates the per-doc match
+    count before the only shuffle. Gram arrays are distinct per doc, so
+    COUNT(*) of gram matches IS the distinct-overlap size."""
+    norm = df.select(
+        F.col(id_col).alias("__id"), bench_pred.alias("__is_bench"),
+        tokens(normalize_text(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") >= n)
+    grams = norm.select(
+        "__id", "__is_bench",
+        F.explode(F.array_distinct(word_ngrams(F.col("__toks"), n)))
+        .alias("__g"),
+    )
+    bench = grams.filter("__is_bench").select("__g").distinct()
+    return (
+        grams.filter(~F.col("__is_bench"))
+        .join(F.broadcast(bench), "__g")
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+@query(
+    "q77_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3]))) AS gram
+      FROM toks WHERE len(t) >= 4
+    ), bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    )
+    SELECT o.doc_id, count(*) AS n_shared_grams
+    FROM g o JOIN bench b USING (gram)
+    WHERE o.doc_id % 97 <> 0
+    GROUP BY o.doc_id
+    """,
+)
+def q77_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark set = doc_id % 97 == 0 (a deterministic stand-in for a
+    held-out eval set living in the same table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(docs, "doc_id", "text",
+                         F.col("doc_id") % 97 == 0, n=_DECON_N)
+
+
+# ---------------------------------------------------------------------------
+# q78 — uniform k-sample via hash order (deterministic "reservoir")
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 500
+
+
+@query(
+    "q78_uniform_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    ORDER BY {_hash_u32_sql('doc_id')}, doc_id
+    LIMIT {_SAMPLE_K}
+    """,
+)
+def q78_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact uniform k-sample without an RNG: the k smallest hash
+    values. Spark plans orderBy+limit as TakeOrderedAndProject — each
+    partition keeps a local top-k heap and the driver merges k·p rows,
+    never a full sort. The same query at 100 TB moves k rows per
+    partition, not the table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.orderBy(hash_u32("doc_id").asc(), F.col("doc_id").asc())
+        .limit(_SAMPLE_K)
+        .select("doc_id", "lang", "source")
+    )

@@ -1,0 +1,131 @@
+"""Semantics + plan contracts for the curation operators
+(operators/curation.py): deterministic sampling, hash splits, class
+balancing, sequence packing, decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+    _M32,
+    balance_groups,
+    decontaminate,
+    hash_split,
+    hash_u32,
+    pack_sequences,
+    stratified_sample,
+)
+from auto_ml_platform_with_timeseries_data_spark.plans import explain
+from auto_ml_platform_with_timeseries_data_spark.registry import queries
+
+
+# ---------------------------------------------------------------------------
+# Plan contracts (the scale claims in the docstrings, checked)
+# ---------------------------------------------------------------------------
+
+
+def test_sampling_and_split_are_map_only(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    for out in (
+        stratified_sample(df, "doc_id", "lang", {"en": 0.5}, 0.2),
+        hash_split(df, "doc_id"),
+    ):
+        plan = explain.formatted_plan(out)
+        assert "Exchange" not in plan  # zero shuffles: row-local only
+
+
+def test_uniform_sample_is_topk_not_full_sort(spark, sf_dir):
+    plan = explain.formatted_plan(queries()["q78_uniform_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert ") Sort" not in plan  # no global sort node
+
+
+def test_decontaminate_broadcasts_bench_side(spark, sf_dir):
+    plan = explain.formatted_plan(queries()["q77_decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # corpus side never shuffles to join
+
+
+def test_pack_sequences_single_window_pass(spark, sf_dir):
+    plan = explain.formatted_plan(queries()["q76_pack_sequences"](spark, sf_dir))
+    assert plan.count(") Window") == 1
+
+
+# ---------------------------------------------------------------------------
+# Operator semantics on tiny frames
+# ---------------------------------------------------------------------------
+
+
+def test_hash_u32_range_and_determinism(spark):
+    df = spark.range(5000).select(hash_u32("id").alias("h"))
+    lo, hi = df.agg(F.min("h"), F.max("h")).first()
+    assert 0 <= lo and hi < _M32
+    a = [r["h"] for r in df.collect()]
+    b = [r["h"] for r in spark.range(5000).select(
+        hash_u32("id").alias("h")).collect()]
+    assert a == b
+
+
+def test_stratified_sample_rates(spark):
+    rows = [Row(doc_id=i, lang="en" if i % 2 else "de") for i in range(20000)]
+    df = spark.createDataFrame(rows)
+    kept = stratified_sample(df, "doc_id", "lang", {"en": 0.5}, 0.1)
+    got = {r["lang"]: r["n"] for r in
+           kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["en"] / 10000 - 0.5) < 0.05
+    assert abs(got["de"] / 10000 - 0.1) < 0.03
+
+
+def test_hash_split_partitions_and_covers(spark):
+    df = spark.range(10000).select(F.col("id").alias("doc_id"))
+    out = hash_split(df, "doc_id")
+    got = {r["split"]: r["n"] for r in
+           out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(got.values()) == 10000
+    assert abs(got["train"] / 10000 - 0.8) < 0.05
+    assert abs(got["val"] / 10000 - 0.1) < 0.03
+
+
+def test_balance_groups_caps_and_keeps_small_groups(spark):
+    rows = [Row(g="big", doc_id=i) for i in range(100)] + \
+           [Row(g="small", doc_id=1000 + i) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = balance_groups(df, ["g"], "doc_id", cap=10)
+    got = {r["g"]: r["n"] for r in
+           out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert got == {"big": 10, "small": 3}
+    # deterministic: same 10 ids every run
+    a = sorted(r["doc_id"] for r in out.filter("g = 'big'").collect())
+    b = sorted(r["doc_id"] for r in
+               balance_groups(df, ["g"], "doc_id", 10)
+               .filter("g = 'big'").collect())
+    assert a == b
+
+
+def test_pack_sequences_concat_then_chunk(spark):
+    # budget 10; token lengths 4,4,4,4 → exclusive prefixes 0,4,8,12
+    # → packs 0,0,0,1 (a doc belongs where its FIRST token lands)
+    rows = [Row(shard="s", doc_id=i, nt=4) for i in range(4)]
+    df = spark.createDataFrame(rows)
+    out = pack_sequences(df, "shard", "doc_id", F.col("nt"), budget=10)
+    got = [r["pack_id"] for r in out.orderBy("doc_id").collect()]
+    assert got == [0, 0, 0, 1]
+
+
+def test_decontaminate_finds_planted_overlap(spark):
+    bench_text = "alpha beta gamma delta epsilon"
+    rows = [
+        Row(doc_id=0, text=bench_text),                        # benchmark
+        Row(doc_id=1, text="x alpha beta gamma delta y"),      # contaminated
+        Row(doc_id=2, text="unrelated words only here now"),   # clean
+        Row(doc_id=3, text="ALPHA  beta GAMMA delta"),         # case/ws-normalized hit
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r["n_shared_grams"] for r in
+           decontaminate(df, "doc_id", "text",
+                         F.col("doc_id") == 0, n=4).collect()}
+    # bench grams: {'alpha beta gamma delta', 'beta gamma delta epsilon'};
+    # doc1 and doc3 each share exactly 'alpha beta gamma delta'
+    assert out == {1: 1, 3: 1}
