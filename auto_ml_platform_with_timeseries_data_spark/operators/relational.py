@@ -516,3 +516,56 @@ def salted_join(left: DataFrame, right: DataFrame, on: list[str],
         "__salt",
         F.explode_outer(F.sequence(F.lit(0), F.lit(salt - 1))))
     return sl.join(sr, on + ["__salt"], how).drop("__salt")
+
+
+@query("q81_approx_aggs")  # rows-only: HLL/KLL sketch values are
+# engine-specific (Spark HLL++ vs DuckDB HLL disagree by design);
+# tests/test_relational_more.py pins the relative error vs exact.
+def q81_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates next to their exact twins: HyperLogLog++
+    distinct counts and quantile summaries. At 100 TB the exact forms
+    are the bottleneck (countDistinct = shuffle of every distinct key;
+    exact percentile = sort), while the sketches are one-pass,
+    mergeable, fixed-size state — the only viable form; rsd/accuracy
+    knobs trade state for error."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custkeys"),
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+    ).orderBy("o_orderpriority")
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query(
+    "q82_pivot_unpivot",
+    oracle="""
+    SELECT source, lang, count(*) AS n_docs
+    FROM documents GROUP BY source, lang
+    """,
+)
+def q82_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide: one column per language, explicit value list so
+    the schema is known without a discovery pass — mandatory at scale)
+    then unpivot back (wide→long via the ids/values melt). The
+    round-trip must reproduce the plain long-form aggregate, which is
+    the oracle. Spark plans pivot as the long-form aggregate followed
+    by a pivotfirst re-aggregate — one extra shuffle, but its input is
+    the already-reduced long form (|sources|×|langs| rows), so the
+    extra exchange is negligible at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = (
+        docs.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .agg(F.count(F.lit(1)))
+    )
+    long = wide.unpivot(
+        ids=["source"], values=_PIVOT_LANGS,
+        variableColumnName="lang", valueColumnName="n_docs",
+    )
+    # pivot fills absent (source, lang) cells with null; the long-form
+    # oracle has no such rows
+    return long.filter(F.col("n_docs").isNotNull())

@@ -110,3 +110,32 @@ def ingest_bucketed(df: DataFrame, table: str, key: str,
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+@query(
+    "q80_partitioned_sink",
+    oracle="""
+    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM documents WHERE lang = 'en' GROUP BY source
+    """,
+)
+def q80_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-PRUNED re-read —
+    the layout decision that matters most at 100 TB: a `lang` filter on
+    a lang-partitioned table becomes a directory listing (PartitionFilters
+    in the scan, zero data files of other langs opened), not a scan of
+    everything. Write side: partitionBy controls layout; one output file
+    per (task, lang) here — at scale you'd repartition("lang") first so
+    each partition is written by one task (avoids the small-files
+    explosion of tasks × partitions)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="sparkgraft_part_")
+    (docs.repartition("lang").write.mode("overwrite")
+     .partitionBy("lang").parquet(stage))
+    back = spark.read.parquet(stage).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -302,3 +302,74 @@ def q58_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q58mem{uuid.uuid4().hex[:8]}"
     run_to_memory(agg, name, output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "q79_stream_sessions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes',
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           count(*) AS n_events, ROUND(sum(value), 4) AS sum_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q79_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (the incremental twin of the batch
+    lag-gap sessionize, q25): events consumed one file per trigger;
+    `session_window` state merges windows that overlap within the gap
+    across micro-batches. Oracle = the closed-form batch
+    sessionization — a new session starts when the gap to the previous
+    event is ≥ 30 min, and session_end = last_ts + gap (Spark's
+    window-end convention, end-exclusive). Complete mode emits the
+    final merged state regardless of watermark position; state size in
+    a real deployment is bounded by the watermark (O(open sessions)),
+    not stream length.
+
+    Staging must be TIME-SLICED files written in time order (q52's
+    lesson): unlike the plain windowed aggregate (q39), the
+    session-merge path drops watermark-late INPUT even in complete
+    mode, so a hash-partitioned staging (every file spans the full
+    time range) silently loses ~half the sessions once file 1 has
+    advanced the watermark to end-of-stream − 2 h."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    stage_dir = tempfile.mkdtemp(prefix="sparkgraft_sessstream_")
+    sliced = ev.withColumn("__slice", F.ntile(4).over(Window.orderBy("ts")))
+    for i in range(1, 5):
+        (sliced.filter(F.col("__slice") == i).drop("__slice")
+         .coalesce(1).write.mode("append").parquet(stage_dir))
+        _time.sleep(0.05)  # distinct mtimes → deterministic source order
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    agg = session_windows(stream, gap="30 minutes", watermark="2 hours")
+    name = f"q79mem{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
