@@ -47,6 +47,14 @@ HEADLINE = [
     "q57_bpe_tokens",
     "q59_resample_ffill",
     "q60_zscore_outliers",
+    "q62_returned_items",
+    "q64_large_orders",
+    "q69_ewma",
+    "q70_ohlc",
+    "q74_hash_split",
+    "q76_pack_sequences",
+    "q77_decontaminate",
+    "q82_pivot_unpivot",
 ]
 
 
@@ -86,6 +94,11 @@ def main() -> int:
             df.count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Drop caches a query persisted (grams, signatures, ...): leaked
+        # cached partitions from earlier queries otherwise build memory
+        # pressure that inflates later queries' numbers by GC, not plan
+        # cost (observed 6x on late-suite queries in a 34-query run).
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_suite, 3)
 
