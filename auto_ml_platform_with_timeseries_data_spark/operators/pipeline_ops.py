@@ -1,0 +1,275 @@
+"""Pipeline-completion operators: snapshot merge/upsert, walk-forward
+CV splits, near-dup cluster retention, and importance-weighted
+sampling.
+
+These close the loop between the curation layer (operators/curation.py)
+and the AutoML layer (SURVEY.md §2.9): ingest a delta batch into the
+canonical snapshot, build leakage-free time-series CV folds (the
+walk-forward generalization of the reference's single 80/20 ordered
+split, auto_machine_learning.py:117-119), choose which near-duplicate
+to keep, and bias a sample toward high-value rows — all declarative,
+all oracle-checked.
+
+Scale notes (100 TB):
+- Merge (q83) is the anti-join ∪ delta form, NOT a full-outer-join
+  coalesce: the snapshot side streams through the anti-join probe
+  (broadcast when the delta is small — the common case for incremental
+  ingest), and no wide coalesce row is materialized.
+- Walk-forward folds (q84) are one window pass (rn, n per key) plus
+  arithmetic — fold membership is a CASE on rn, so K folds cost ONE
+  shuffle total, not K passes.
+- Retention (q85) rides on the component labels (q55); the arg-max per
+  cluster is a single partial-aggregatable max of a (key, orderable
+  struct) — no window, no second shuffle of the documents table.
+- Weighted sampling (q86) is map-only like q73/q74.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+    _M32,
+    hash_u32,
+    _hash_u32_sql,
+)
+from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+    _JACCARD_PAIRS_DUCK,
+    _JACCARD_THRESHOLD,
+    connected_components,
+    jaccard_pairs_blocked,
+)
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# q83 — merge/upsert a delta batch into a snapshot
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(snapshot: DataFrame, delta: DataFrame,
+                 key: str) -> DataFrame:
+    """SCD-1 merge: delta rows win on key collision, snapshot rows
+    survive otherwise, inserts append. Anti-join ∪ delta — the
+    MERGE INTO physical shape without a table format: the (big)
+    snapshot probes the (small, broadcastable) delta's keys; nothing
+    is rewritten except what changed."""
+    return snapshot.join(
+        F.broadcast(delta.select(key)), key, "left_anti"
+    ).unionByName(delta)
+
+
+@query(
+    "q83_merge_upsert",
+    oracle="""
+    WITH delta AS (
+      SELECT doc_id, text, lang, 'delta-update' AS source,
+             n_chars + 1000 AS n_chars
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, text, lang,
+             'delta-insert' AS source, n_chars
+      FROM documents WHERE doc_id % 13 = 0
+    ), merged AS (
+      SELECT * FROM delta
+      UNION ALL
+      SELECT s.* FROM documents s
+      WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.doc_id = s.doc_id)
+    )
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    FROM merged GROUP BY lang, source
+    """,
+)
+def q83_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic delta batch derived from the fixture itself:
+    every 10th doc arrives updated (+1000 chars, relabeled source),
+    every 13th doc arrives as a brand-new insert under a shifted id."""
+    docs = load_table(spark, sf_dir, "documents")
+    updates = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", "text", "lang",
+        F.lit("delta-update").alias("source"),
+        (F.col("n_chars") + 1000).alias("n_chars"),
+    )
+    inserts = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text", "lang",
+        F.lit("delta-insert").alias("source"),
+        "n_chars",
+    )
+    merged = merge_upsert(
+        docs.select("doc_id", "text", "lang", "source", "n_chars"),
+        updates.unionByName(inserts), "doc_id")
+    return merged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — walk-forward (expanding-window) CV folds per group
+# ---------------------------------------------------------------------------
+
+_N_FOLDS = 3
+
+
+def walkforward_folds(df: DataFrame, key: str, order: list[str],
+                      k: int = _N_FOLDS) -> DataFrame:
+    """Per-key expanding-window folds over k+1 equal time chunks: fold
+    i (1..k) trains on chunks [0, i) and validates on chunk i — the
+    leakage-free CV scheme for ordered data (validation is always
+    strictly later than training), generalizing the reference's single
+    ordered 80/20 split (auto_machine_learning.py:117-119, W1).
+
+    One window pass assigns (rn, n) per key; a row's chunk is
+    arithmetic on rn, so every fold's membership comes out of the SAME
+    shuffle — k folds, one exchange."""
+    w = Window.partitionBy(key).orderBy(*order)
+    wall = Window.partitionBy(key)
+    chunks = k + 1
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        # chunk c ∈ [0, k]: rn ∈ (floor(c·n/(k+1)), floor((c+1)·n/(k+1))]
+        .withColumn(
+            "__chunk",
+            F.ceil(F.col("__rn") * chunks / F.col("__n")) - 1,
+        )
+    )
+
+
+@query(
+    "q84_walkforward_splits",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT user_id,
+           CAST(ceil(rn * {_N_FOLDS + 1} / CAST(n AS DOUBLE)) - 1 AS BIGINT)
+             AS fold,
+           count(*) AS val_n,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS val_start,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS val_end
+    FROM r
+    WHERE ceil(rn * {_N_FOLDS + 1} / CAST(n AS DOUBLE)) - 1 >= 1
+    GROUP BY 1, 2
+    """,
+)
+def q84_walkforward_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-window summary per (user, fold): fold i validates on
+    chunk i (chunk 0 is never validation — it's the minimum training
+    prefix). Start/end timestamps prove temporal ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    folds = walkforward_folds(ev, "user_id", ["ts", "event_id"], _N_FOLDS)
+    return (
+        folds.filter(F.col("__chunk") >= 1)
+        .groupBy("user_id", F.col("__chunk").alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("val_n"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("val_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("val_end"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85 — near-dup cluster retention (keep the best document per cluster)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q85_cluster_retention",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_DUCK}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component
+      FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT c.component, d.doc_id, d.n_chars,
+             count(*) OVER (PARTITION BY c.component) AS cluster_size,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id ASC) AS rk
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT component, doc_id AS kept_doc_id, n_chars, cluster_size
+    FROM ranked WHERE rk = 1 AND cluster_size > 1
+    """,
+)
+def q85_cluster_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End of the dedup funnel: given near-dup components (q55), keep
+    ONE canonical document per multi-doc cluster — the longest (ties →
+    smallest id), the usual "keep the most complete copy" policy.
+    The arg-max is a plain aggregate of an orderable struct
+    (max (n_chars, −doc_id) ⇒ longest-then-smallest-id), which partial-
+    aggregates map-side — no window over the full table, no second
+    shuffle; only the component labels shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_blocked(docs, "doc_id", "text", "lang",
+                                  shingle_n=2, threshold=_JACCARD_THRESHOLD)
+    comp = connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id")
+    labeled = comp.select(F.col("id").alias("doc_id"), "component").join(
+        docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("__neg")))
+            .alias("__best"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            "component",
+            (-F.col("__best.__neg")).alias("kept_doc_id"),
+            F.col("__best.n_chars").alias("n_chars"),
+            "cluster_size",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q86 — importance-weighted sampling (longer docs kept preferentially)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q86_weighted_sample",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept,
+           ROUND(avg(n_chars), 4) AS avg_chars_kept
+    FROM documents
+    WHERE {_hash_u32_sql('doc_id')} <
+          LEAST(n_chars / 500.0, 1.0) * {_M32}
+    GROUP BY lang
+    """,
+)
+def q86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with a per-row weight (keep probability
+    min(n_chars/500, 1)): the deterministic-hash acceptance test makes
+    it reproducible — same row, same verdict, any engine, any
+    partitioning. Map-only; the weight can be any row-local expression
+    (quality score, source prior, toxicity penalty)."""
+    docs = load_table(spark, sf_dir, "documents")
+    weight = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    kept = docs.filter(hash_u32("doc_id") < weight * F.lit(_M32))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
+    )
