@@ -345,3 +345,80 @@ def q78_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_SAMPLE_K)
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — distribution drift between splits (PSI)
+# ---------------------------------------------------------------------------
+
+
+def psi_drift(df: DataFrame, stratum_col: str, feature_bucket: Column,
+              in_a: Column, smooth: float = 0.5) -> DataFrame:
+    """Population stability index between two row populations (A = e.g.
+    the train split, B = the rest) over a bucketed feature:
+    PSI = Σ_b (pA_b − pB_b) · ln(pA_b / pB_b), Laplace-smoothed so
+    empty buckets stay finite. PSI < 0.1 ≈ stable, > 0.25 ≈ shifted —
+    the standard pre-training drift gate between dataset versions or
+    splits.
+
+    One shuffle: conditional counts per (stratum, bucket) partial-
+    aggregate map-side; the PSI reduction over buckets is a second agg
+    over |strata|×|buckets| rows — nothing at data scale."""
+    counts = (
+        df.groupBy(F.col(stratum_col).alias("stratum"),
+                   feature_bucket.alias("bucket"))
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).alias("__na"),
+            F.sum(F.when(in_a, 0).otherwise(1)).alias("__nb"),
+        )
+    )
+    tot = Window.partitionBy("stratum")
+    k = Window.partitionBy("stratum")  # bucket count per stratum
+    pa = ((F.col("__na") + smooth)
+          / (F.sum("__na").over(tot) + smooth * F.count(F.lit(1)).over(k)))
+    pb = ((F.col("__nb") + smooth)
+          / (F.sum("__nb").over(tot) + smooth * F.count(F.lit(1)).over(k)))
+    return (
+        counts
+        .withColumn("__term", (pa - pb) * F.log(pa / pb))
+        .groupBy("stratum")
+        .agg(F.round(F.sum("__term"), 6).alias("psi"),
+             F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
+@query(
+    "q90_drift_psi",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang AS stratum, LEAST(n_chars // 100, 9) AS bucket,
+             sum(CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80
+                 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80
+                 THEN 0 ELSE 1 END) AS nb
+      FROM documents GROUP BY 1, 2
+    ), p AS (
+      SELECT stratum,
+             (na + 0.5) / (sum(na) OVER w + 0.5 * count(*) OVER w) AS pa,
+             (nb + 0.5) / (sum(nb) OVER w + 0.5 * count(*) OVER w) AS pb
+      FROM counts WINDOW w AS (PARTITION BY stratum)
+    )
+    SELECT stratum, ROUND(sum((pa - pb) * ln(pa / pb)), 6) AS psi,
+           count(*) AS n_buckets
+    FROM p GROUP BY stratum
+    """,
+)
+def q90_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift between the hash-split train population (q74's 80%) and
+    the rest, per language, over decile-ish n_chars buckets (fixed
+    width 100, capped at bucket 9 — constants, no data-dependent
+    pre-pass). The hash split is unbiased by construction, so PSI here
+    reflects pure sampling variance (O(buckets/n) — non-trivial at small
+    SF, vanishing at scale); a biased split would push it past 0.25
+    regardless of n."""
+    docs = load_table(spark, sf_dir, "documents")
+    return psi_drift(
+        docs, "lang",
+        F.least(F.floor(F.col("n_chars") / 100), F.lit(9)),
+        hash_u32("doc_id") % 100 < 80,
+    )

@@ -362,3 +362,122 @@ def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_ivf(emb, queries_df, "vec_id", "embedding", _TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Label centroids + nearest-centroid assignment (1 k-means step)
+# ---------------------------------------------------------------------------
+
+
+def label_centroids_long(emb: DataFrame, label_col: str,
+                         vec_col: str) -> DataFrame:
+    """Per-label mean vector in LONG form (label, dim, centroid_val).
+    posexplode fans rows×dims, but the per-(label, dim) mean partial-
+    aggregates map-side — the shuffle carries |labels|×|dims| rows, not
+    the data. The long form is the mergeable representation; collect to
+    arrays only at the consumer."""
+    return (
+        emb.select(F.col(label_col).alias("label"),
+                   F.posexplode(vec_col).alias("dim", "__v"))
+        .groupBy("label", "dim")
+        .agg(F.avg("__v").alias("centroid_val"))
+    )
+
+
+def centroids_as_arrays(cent_long: DataFrame) -> DataFrame:
+    """(label, centroid array<double>) from the long form — array_sort
+    on (dim, val) structs guarantees dimension order regardless of the
+    aggregate's row order."""
+    return (
+        cent_long.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid_val")))
+             .alias("__s"))
+        .select("label",
+                F.transform("__s", lambda s: s["centroid_val"]).alias("centroid"))
+    )
+
+
+@query(
+    "q87_label_centroids",
+    oracle="""
+    SELECT label, dim, ROUND(avg(v), 6) AS centroid_val
+    FROM (
+      SELECT label, u.dim AS dim, u.v AS v
+      FROM (
+        SELECT label,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}))
+                 AS u
+        FROM embeddings
+      )
+    )
+    GROUP BY label, dim
+    """,
+)
+def q87_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding, long form."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids_long(emb, "label", "embedding").select(
+        "label", "dim", F.round("centroid_val", 6).alias("centroid_val"))
+
+
+@query(
+    "q88_centroid_assign",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {'dim': i - 1, 'v': CAST(embedding[i] AS DOUBLE)}))
+               AS u
+      FROM embeddings
+    ), cent AS (
+      SELECT label AS clabel, list(avg_v ORDER BY dim) AS centroid
+      FROM (SELECT label, u.dim AS dim, avg(u.v) AS avg_v
+            FROM ex GROUP BY label, u.dim)
+      GROUP BY label
+    ), scored AS (
+      SELECT e.vec_id, e.label AS true_label, c.clabel,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.centroid) AS dist,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(
+                                  CAST(e.embedding AS DOUBLE[]), c.centroid),
+                                c.clabel) AS rk
+      FROM embeddings e, cent c
+    )
+    SELECT true_label, clabel AS assigned_label, count(*) AS n
+    FROM scored WHERE rk = 1
+    GROUP BY true_label, clabel
+    """,
+)
+def q88_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step seeded by the label centroids:
+    every vector goes to its nearest (L2) centroid; output is the
+    (true label × assigned label) contingency. The centroid table is
+    |labels| rows → broadcast; the argmin is a min over an orderable
+    (dist, label) struct, so the fan-out (rows × labels) reduces
+    map-side and the big side never shuffles — the canonical Spark
+    k-means-step shape at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = centroids_as_arrays(
+        label_centroids_long(emb, "label", "embedding"))
+    scored = emb.select(
+        "vec_id", F.col("label").alias("true_label"),
+        _as_double(F.col("embedding")).alias("__e"),
+    ).crossJoin(
+        F.broadcast(cents.select(F.col("label").alias("__clabel"),
+                                 F.col("centroid").alias("__c")))
+    ).select(
+        "vec_id", "true_label", "__clabel",
+        F.sqrt(F.aggregate(
+            F.zip_with("__e", "__c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )).alias("__dist"),
+    )
+    best = (
+        scored.groupBy("vec_id", "true_label")
+        .agg(F.min(F.struct(F.col("__dist"), F.col("__clabel"))).alias("__b"))
+    )
+    return (
+        best.groupBy("true_label", F.col("__b.__clabel").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

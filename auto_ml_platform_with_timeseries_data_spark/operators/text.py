@@ -279,3 +279,76 @@ def bpe_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def q57_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bpe_token_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
+                    k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by raw-count TF × smooth
+    IDF (ln((N+1)/(df+1)) + 1, the sklearn convention); ties break
+    lexicographically so the ranking is total and engine-portable.
+
+    Two shuffles at any scale: term counts per (doc, term) — one
+    exchange keyed by doc spread over terms, partial-aggregated
+    map-side — and the per-doc top-k window. The document-frequency
+    table joins in as a broadcast (|vocab| rows, small next to the
+    corpus); N arrives as a 1-row broadcast cross join, never a
+    driver collect."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(normalize_text(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    terms = toks.select("__id", F.explode("__toks").alias("term"))
+    tf = terms.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("term").agg(
+        F.countDistinct("__id").alias("__df"))
+    n_docs = toks.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "__tfidf",
+            F.col("tf") * (F.log((F.col("__n") + 1) / (F.col("__df") + 1)) + 1),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(F.desc("__tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("__id").alias(id_col), "term", "rank",
+                F.round("__tfidf", 6).alias("tfidf"))
+    )
+
+
+@query(
+    "q89_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) > 0
+    ), terms AS (
+      SELECT doc_id, unnest(t) AS term FROM toks
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ), n AS (SELECT count(*) AS n_docs FROM toks),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln((n.n_docs + 1) / CAST(dfreq.df + 1 AS DOUBLE)) + 1)
+               AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, rank, ROUND(tfidf, 6) AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def q89_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
