@@ -569,3 +569,40 @@ def q82_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot fills absent (source, lang) cells with null; the long-form
     # oracle has no such rows
     return long.filter(F.col("n_docs").isNotNull())
+
+
+@query(
+    "q91_equidepth_hist",
+    oracle="""
+    SELECT lang, decile, count(*) AS n,
+           min(n_chars) AS lo, max(n_chars) AS hi
+    FROM (SELECT lang, n_chars,
+                 ntile(10) OVER (PARTITION BY lang
+                                 ORDER BY n_chars, doc_id) AS decile
+          FROM documents)
+    GROUP BY lang, decile
+    """,
+)
+def q91_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-count) histogram per language via ntile — the
+    complement of the equal-width histogram (q03): bucket BOUNDARIES
+    adapt to the distribution, bucket counts stay flat. Deterministic
+    under the (n_chars, doc_id) total order.
+
+    Scale note: ntile partitioned by lang is one shuffle + sorted
+    streaming per partition. A GLOBAL (unpartitioned) ntile would
+    serialize into one task — at scale use approxQuantile cutpoints
+    (mergeable sketch, q81) and a map-side width_bucket assignment
+    instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window as _W
+
+    dec = F.ntile(10).over(
+        _W.partitionBy("lang").orderBy("n_chars", "doc_id"))
+    return (
+        docs.select("lang", "n_chars", dec.alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("n_chars").alias("lo"),
+             F.max("n_chars").alias("hi"))
+    )

@@ -373,3 +373,61 @@ def q79_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+@query(
+    "q92_stream_stream_join",
+    oracle="""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+    """,
+)
+def q92_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition:
+    purchases attributed to a same-user view within the previous hour
+    (the incremental twin of the batch range join, q49). Both sides
+    carry watermarks, so the join STATE is bounded — a buffered view
+    is evicted once the purchase watermark passes view_ts + 1 h; the
+    inner join emits each matched pair eagerly, so completeness needs
+    only that state survive until the partner arrives (guaranteed:
+    join range 1 h ≤ watermark 2 h, with time-ordered file slices so
+    arrival order tracks event time). Oracle = the one-shot batch
+    range join."""
+    import tempfile
+    import time as _time
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    stage_dir = tempfile.mkdtemp(prefix="sparkgraft_ssjstream_")
+    sliced = ev.withColumn("__slice", F.ntile(4).over(Window.orderBy("ts")))
+    for i in range(1, 5):
+        (sliced.filter(F.col("__slice") == i).drop("__slice")
+         .coalesce(1).write.mode("append").parquet(stage_dir))
+        _time.sleep(0.05)
+
+    def _side(event_type: str, idc: str, tsc: str) -> DataFrame:
+        return (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(stage_dir)
+            .filter(F.col("event_type") == event_type)
+            .select("user_id", F.col("event_id").alias(idc),
+                    F.col("ts").alias(tsc))
+            .withWatermark(tsc, "2 hours")
+        )
+
+    views = _side("view", "view_id", "__vts")
+    purchases = _side("purchase", "purchase_id", "__pts")
+    joined = views.join(
+        purchases,
+        (views["user_id"] == purchases["user_id"])
+        & (F.col("__pts") > F.col("__vts"))
+        & (F.col("__pts") <= F.col("__vts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(views["user_id"], "view_id", "purchase_id")
+    name = f"q92mem{uuid.uuid4().hex[:8]}"
+    run_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
