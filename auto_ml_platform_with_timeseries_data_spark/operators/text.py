@@ -352,3 +352,112 @@ def tfidf_top_terms(df: DataFrame, id_col: str, text_col: str,
 def q89_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed token windows with stride/overlap)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    size: int = _CHUNK, stride: int = _STRIDE) -> DataFrame:
+    """Split documents into fixed-size token chunks every `stride`
+    tokens (overlap = size − stride) — the context-window chunking step
+    before embedding or training. One row per (doc, chunk) with the
+    chunk's token span; starts come from `sequence`, so the fan-out is
+    a generator expression inside the scan stage (no shuffle at all —
+    chunking is map-only, then downstream repartitions as it likes)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(normalize_text(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") > 0)
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ex = toks.select(
+        "__id", "__toks", F.size("__toks").alias("__n"),
+        F.posexplode(starts).alias("chunk_idx", "__s"),
+    )
+    return ex.select(
+        F.col("__id").alias(id_col), "chunk_idx",
+        F.least(F.lit(size), F.col("__n") - F.col("__s")).alias("chunk_len"),
+        F.element_at("__toks", F.col("__s") + 1).alias("first_token"),
+        F.element_at(
+            "__toks", F.least(F.col("__s") + size, F.col("__n"))
+        ).alias("last_token"),
+    )
+
+
+@query(
+    "q93_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n
+      FROM documents WHERE len({_TOKS}) > 0
+    )
+    SELECT doc_id, u.i AS chunk_idx,
+           LEAST({_CHUNK}, n - u.s) AS chunk_len,
+           t[u.s + 1] AS first_token,
+           t[LEAST(u.s + {_CHUNK}, n)] AS last_token
+    FROM (
+      SELECT doc_id, t, n,
+             unnest(list_transform(range(0, n, {_STRIDE}),
+                    (s, i) -> {{'s': s, 'i': i - 1}})) AS u
+      FROM toks
+    )
+    """,
+)
+def q93_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Redaction / scrubbing (pattern count + replace + length delta)
+# ---------------------------------------------------------------------------
+
+_REDACT_RE = r"\b(the|a)\b"
+
+
+@query(
+    "q94_redact_tokens",
+    oracle=f"""
+    WITH r AS (
+      SELECT lang,
+             len(regexp_extract_all({_NORM}, '\\b(the|a)\\b')) AS n_hits,
+             len({_NORM}) -
+             len(regexp_replace({_NORM}, '\\b(the|a)\\b', '<TOK>', 'g'))
+               AS len_delta
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS docs_with_hits,
+           sum(n_hits) AS total_hits,
+           sum(len_delta) AS total_len_delta
+    FROM r GROUP BY lang
+    """,
+)
+def q94_redact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrubbing stage shape (PII masking stand-in): count pattern hits,
+    rewrite with a placeholder, and audit the size delta — all three as
+    row-local regexp expressions over the normalized text (map-only +
+    one small aggregate). The pattern here is a stopword class because
+    the synthetic corpus has no PII-like spans; swap the regex for
+    emails/phones/SSNs in a real pipeline — the plan is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    base = docs.select(
+        "lang",
+        F.regexp_count(norm, F.lit(_REDACT_RE)).alias("__hits"),
+        (F.length(norm)
+         - F.length(F.regexp_replace(norm, _REDACT_RE, "<TOK>"))
+         ).alias("__delta"),
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("__hits") > 0, 1).otherwise(0)).alias("docs_with_hits"),
+        F.sum("__hits").alias("total_hits"),
+        F.sum("__delta").alias("total_len_delta"),
+    )
