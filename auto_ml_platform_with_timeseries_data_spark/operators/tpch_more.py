@@ -402,3 +402,159 @@ def q68_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders", "total_price",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — priority check: correlated-EXISTS with a NON-EQUI condition
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_late_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q95_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (lateness adapted to the fixture's columns:
+    shipped ≥ 60 days after order date). The correlated EXISTS
+    decorrelates to a LEFT SEMI join whose condition mixes the equi key
+    (orderkey — drives the shuffle/hash) with a non-equi residual
+    (shipdate vs orderdate — evaluated as the join filter); each order
+    is emitted at most once no matter how many late lines it has."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] >= o["o_orderdate"] + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier: aggregate joined against its own maximum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q96_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+                 CAST(1 - l_discount AS DECIMAL(8,4))) AS total_rev
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(ROUND(r.total_rev, 2) AS DOUBLE) AS total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q96_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregate compared against the MAX of the
+    same aggregate (revenue view + scalar subquery). The revenue table
+    aggregates once and is joined against its own 1-row max via a
+    broadcast cross join — no recomputation, no driver collect; the
+    equality compare happens on the exact DECIMAL (order-independent),
+    so ties are bit-stable on any engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_disc_price_d()).alias("__rev"))
+    )
+    mx = rev.agg(F.max("__rev").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name",
+                F.round("__rev", 2).cast("double").alias("total_rev"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers solely responsible for late multi-supplier orders
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q97_sole_late_supplier",
+    oracle="""
+    WITH L AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM L l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM L l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM L l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s.s_name
+    """,
+)
+def q97_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins over the fact
+    table — "the only late supplier in a multi-supplier order". The
+    lateness flag is computed ONCE into a slim (orderkey, suppkey,
+    late) relation that is persisted and reused by all three roles
+    (candidate / other-supplier EXISTS / other-late NOT EXISTS): three
+    shuffles on the same orderkey, no re-read of lineitem, and the
+    semi/anti joins carry the suppkey inequality as their residual."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F")
+    lat = (
+        li.join(o.select("o_orderkey", "o_orderdate"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .select(
+            "l_orderkey", "l_suppkey",
+            (F.col("l_shipdate")
+             >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+            .cast("int").alias("late"),
+        )
+        .persist()
+    )
+    cand = lat.filter(F.col("late") == 1)
+    other = lat.select(F.col("l_orderkey").alias("__ok"),
+                       F.col("l_suppkey").alias("__sk"))
+    other_late = lat.filter(F.col("late") == 1).select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk"))
+    s = load_table(spark, sf_dir, "supplier")
+    filtered = (
+        cand.join(
+            other,
+            (cand["l_orderkey"] == other["__ok"])
+            & (cand["l_suppkey"] != other["__sk"]),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == other_late["__ok"])
+            & (F.col("l_suppkey") != other_late["__sk"]),
+            "left_anti",
+        )
+    )
+    return (
+        filtered.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
