@@ -171,3 +171,29 @@ def test_q68_has_all_three_granularities(spark, sf_dir):
     out = queries()["q68_grouping_sets"](spark, sf_dir).collect()
     kinds = {(r["nation"] == "ALL", r["priority"] == "ALL") for r in out}
     assert kinds == {(False, False), (False, True), (True, False)}
+
+
+def test_q95_semi_join_keeps_equi_key(spark, sf_dir):
+    plan = explain.formatted_plan(
+        queries()["q95_late_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the non-equi shipdate predicate rides as the join condition,
+    # not as the join key
+    cond_lines = [l for l in plan.splitlines() if "Join condition" in l]
+    assert any("l_shipdate" in l for l in cond_lines)
+
+
+def test_q96_compares_exact_decimal(spark, sf_dir):
+    out = queries()["q96_top_supplier"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) >= 1  # ties allowed, exact-decimal equality
+    assert rows[0]["total_rev"] > 0
+
+
+def test_q97_no_cartesian_and_single_fact_read(spark, sf_dir):
+    plan = explain.formatted_plan(
+        queries()["q97_sole_late_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
