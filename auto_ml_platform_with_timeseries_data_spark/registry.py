@@ -31,6 +31,7 @@ _QUERY_MODULES = (
     "auto_ml_platform_with_timeseries_data_spark.operators.scaling",
     "auto_ml_platform_with_timeseries_data_spark.operators.relational",
     "auto_ml_platform_with_timeseries_data_spark.operators.tpch_more",
+    "auto_ml_platform_with_timeseries_data_spark.operators.tpch3",
     "auto_ml_platform_with_timeseries_data_spark.operators.curation",
     "auto_ml_platform_with_timeseries_data_spark.operators.pipeline_ops",
     "auto_ml_platform_with_timeseries_data_spark.operators.ts_features",
