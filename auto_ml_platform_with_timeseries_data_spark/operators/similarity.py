@@ -481,3 +481,56 @@ def q88_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         best.groupBy("true_label", F.col("__b.__clabel").alias("assigned_label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q108_embedding_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT dim,
+           ROUND(avg(v), 6) AS mean_v,
+           ROUND(stddev_samp(v), 6) AS std_v,
+           CAST(min(v) AS DOUBLE) AS min_v,
+           CAST(max(v) AS DOUBLE) AS max_v,
+           count(*) AS n
+    FROM x GROUP BY dim ORDER BY dim
+    """,
+)
+def q108_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column (mean/σ/min/max) —
+    the feature-space health check a vector pipeline runs before
+    normalization or PCA (collapsed dims show σ≈0, unnormalized dims
+    show drifting means).
+
+    Scale: posexplode fans each vector into d rows but the aggregate
+    is map-side partial — every executor reduces its slice to d cells
+    (64 here) before one d-row shuffle. No driver collect; works
+    unchanged on 10^9 vectors. Float32 inputs widen to double exactly;
+    1-based dim matches the SQL subscript convention."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode("embedding").alias("pos", "vf")
+    ).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("vf").cast("double").alias("v"),
+    )
+    return (
+        x.groupBy("dim")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_v"),
+            F.round(F.stddev_samp("v"), 6).alias("std_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("dim")
+    )

@@ -461,3 +461,90 @@ def q94_redact_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__hits").alias("total_hits"),
         F.sum("__delta").alias("total_len_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram collocations (PMI)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q109_bigram_pmi",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    uni AS (SELECT word, count(*) AS c FROM tok GROUP BY word),
+    n_uni AS (SELECT count(*) AS n FROM tok),
+    bi AS (
+      SELECT a.word AS w1, b.word AS w2, count(*) AS c_xy
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.word, b.word
+    ),
+    n_bi AS (SELECT sum(c_xy) AS n FROM bi)
+    SELECT bi.w1, bi.w2, bi.c_xy,
+           ROUND(ln((CAST(bi.c_xy AS DOUBLE) / CAST(n_bi.n AS DOUBLE)) /
+                    ((CAST(u1.c AS DOUBLE) / CAST(n_uni.n AS DOUBLE)) *
+                     (CAST(u2.c AS DOUBLE) / CAST(n_uni.n AS DOUBLE)))),
+                 4) AS pmi
+    FROM bi, n_bi, n_uni
+    JOIN uni u1 ON bi.w1 = u1.word
+    JOIN uni u2 ON bi.w2 = u2.word
+    ORDER BY bi.c_xy DESC, bi.w1, bi.w2
+    LIMIT 20
+    """,
+)
+def q109_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top bigrams with pointwise mutual
+    information pmi = ln(p(xy) / (p(x)·p(y))) — the standard signal for
+    multi-word expressions in corpus curation.
+
+    Scale: bigrams are built with arrays_zip over two array slices —
+    pure JVM expression work inside the scan stage, no self-join of the
+    token table (the oracle's positional join is the semantic spec, not
+    the plan). One shuffle aggregates bigram counts, one aggregates
+    unigram counts; both totals reduce from the count tables, never
+    rescanning text. Unigram counts broadcast back onto the bigram
+    table (vocabulary ≪ corpus). Top-k is TakeOrdered on (count, pair),
+    deterministic under ties."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(words, 1, F.greatest(F.size(words) - 1, F.lit(0))),
+                F.expr("slice(split(text, ' '), 2, "
+                       "greatest(size(split(text, ' ')) - 1, 0))"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+
+    tok = docs.select(F.explode(words).alias("word"))
+    uni = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    bi = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    n_uni = uni.agg(F.sum("c").cast("double").alias("nu"))
+    n_bi = bi.agg(F.sum("c_xy").cast("double").alias("nb"))
+
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1", "w2", "c_xy",
+            F.round(
+                F.log(
+                    (F.col("c_xy") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("c_xy"), "w1", "w2")
+        .limit(20)
+    )

@@ -268,3 +268,199 @@ def q72_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", F.col("__interp").alias("value_filled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (irregular sampling)
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(df: DataFrame, key: str, ts: str, value: str) -> DataFrame:
+    """Interval-weighted mean for irregularly-sampled series: each
+    observation is held until the next one, so its weight is the gap
+    to the successor (the last observation of a key carries no weight).
+    TWA = Σ vᵢ·Δtᵢ / Σ Δtᵢ.
+
+    One window pass per key computes the forward gaps (lead), then one
+    grouped aggregate reduces — the window shuffle on the key is reused
+    by the aggregate (same partitioning), so the series shuffles once.
+    Each v·Δt term is cast to exact DECIMAL before summing: the
+    accumulation is order-independent, so the result is identical on
+    any partitioning / any engine.
+    """
+    w = Window.partitionBy(key).orderBy(ts, "event_id")
+    epoch = F.col(ts).cast("double")
+    # dt at DECIMAL(24,6): wide enough that the v·dt product stays in
+    # 128-bit storage on both engines (64-bit decimal mul overflows).
+    dt = (F.lead(epoch).over(w) - epoch).cast("decimal(24,6)")
+    term = F.col(value).cast("decimal(18,6)") * dt
+    return (
+        df.select(F.col(key), term.alias("term"), dt.alias("dt"))
+        .filter(F.col("dt").isNotNull())
+        .groupBy(key)
+        .agg(
+            F.round(
+                F.sum("term").cast("double") / F.sum("dt").cast("double"), 6
+            ).alias("twa"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+    )
+
+
+@query(
+    "q106_time_weighted_avg",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             CAST(lead(epoch(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  - epoch(ts) AS DECIMAL(24,6)) AS dt
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6)
+             AS twa,
+           count(*) AS n_intervals
+    FROM gaps WHERE dt IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q106_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(ev, "user_id", "ts", "value").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint flags
+# ---------------------------------------------------------------------------
+
+
+def cusum_changepoints(df: DataFrame, key: str, order: list[str],
+                       value: str, k_sigma: float = 3.0) -> DataFrame:
+    """Per-key CUSUM drift detector: running sum of deviations from the
+    key's mean, flagging rows where |cusum| exceeds k·σ. A sustained
+    level shift accumulates linearly in the cusum and trips the flag
+    even when each individual point is within bounds (unlike the
+    pointwise z-score detector, q60).
+
+    Two passes over one shuffle: the per-key total/σ aggregate and the
+    prefix-sum window share the same key partitioning. The mean is never
+    materialized as a float: cusum_t = Σ_{i≤t}(vᵢ − μ) is computed as
+    (n·S_t − t·total)/n with S_t/total exact DECIMAL prefix/total sums
+    and n/t integers — all-exact arithmetic until one final double
+    division, so any engine (including segment-tree window evaluators)
+    produces bit-identical results. Only the σ threshold is FP, and the
+    comparison uses the already-rounded cusum, keeping the boundary
+    stable.
+    """
+    vdec = F.col(value).cast("decimal(18,6)")
+    stats = df.groupBy(key).agg(
+        F.sum(vdec).alias("__total"),
+        F.count(F.lit(1)).cast("decimal(12,0)").alias("__n"),
+        F.round(F.stddev_samp(value), 6).alias("__sigma"),
+    )
+    wseq = Window.partitionBy(key).orderBy(*order)
+    w = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = df.join(F.broadcast(stats), key)
+    prefix = F.sum(vdec).over(w)
+    t = F.row_number().over(wseq).cast("decimal(12,0)")
+    diff = F.col("__n") * prefix - t * F.col("__total")
+    # explicit floor-based half-up rounding: engines disagree on
+    # round(double, 4) at exact .5 boundaries; floor/mul/add are IEEE-
+    # exact and identical everywhere.
+    raw = diff.cast("double") / F.col("__n").cast("double")
+    cusum = F.floor(raw * 10000.0 + 0.5).cast("double") / 10000.0
+    return (
+        joined.select(
+            F.col(key), F.col("event_id"),
+            cusum.alias("cusum"),
+            F.col("__sigma"),
+        )
+        .filter(F.abs(F.col("cusum")) > F.lit(k_sigma) * F.col("__sigma"))
+        .select(key, "event_id", "cusum")
+    )
+
+
+@query(
+    "q107_cusum_changepoints",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id,
+             sum(CAST(value AS DECIMAL(18,6))) AS total,
+             CAST(count(*) AS DECIMAL(12,0)) AS n,
+             ROUND(stddev_samp(value), 6) AS sigma
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, e.event_id, s.sigma,
+             floor(CAST(s.n * sum(CAST(e.value AS DECIMAL(18,6))) OVER
+                     (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - CAST(row_number() OVER
+                       (PARTITION BY e.user_id ORDER BY e.ts, e.event_id)
+                       AS DECIMAL(12,0)) * s.total
+                   AS DOUBLE) / CAST(s.n AS DOUBLE) * 10000.0 + 0.5)
+               / 10000.0 AS cusum
+      FROM events e JOIN stats s ON e.user_id = s.user_id
+    )
+    SELECT user_id, event_id, cusum
+    FROM c WHERE abs(cusum) > 3.0 * sigma
+    ORDER BY user_id, event_id
+    """,
+)
+def q107_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return cusum_changepoints(
+        ev, "user_id", ["ts", "event_id"], "value"
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal profile residuals (hour-of-day anomalies)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q110_seasonal_residuals",
+    oracle="""
+    WITH profile AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             ROUND(avg(value), 6) AS expected
+      FROM events GROUP BY event_type, hod
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(hour(e.ts) AS INT) AS hod,
+           ROUND(e.value - p.expected, 6) AS residual
+    FROM events e
+    JOIN profile p
+      ON e.event_type = p.event_type AND CAST(hour(e.ts) AS INT) = p.hod
+    ORDER BY abs(ROUND(e.value - p.expected, 6)) DESC, e.event_id
+    LIMIT 50
+    """,
+)
+def q110_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly scoring: build the (event_type × hour-of-day)
+    expected-value profile, join it back, rank by |residual|. The
+    profile is tiny (types × 24 rows) and broadcasts; the fact table is
+    scanned once for the profile (partial agg over 24×types cells —
+    map-side combine collapses it) and once for the residual join; the
+    top-k is TakeOrdered, never a global sort. Hour extraction is UTC
+    (session.tune pins the zone) matching DuckDB's naive timestamps."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.hour("ts").cast("int")
+    profile = (
+        ev.groupBy("event_type", hod.alias("hod"))
+        .agg(F.round(F.avg("value"), 6).alias("expected"))
+    )
+    resid = F.round(F.col("value") - F.col("expected"), 6)
+    return (
+        ev.select("event_id", "event_type", hod.alias("hod"), "value")
+        .join(F.broadcast(profile), ["event_type", "hod"])
+        .select(
+            "event_id", "event_type", "hod", resid.alias("residual")
+        )
+        .orderBy(F.abs(F.col("residual")).desc(), "event_id")
+        .limit(50)
+    )

@@ -1,0 +1,131 @@
+"""Semantics + plan contracts for the analysis batch: time-weighted
+average (q106), CUSUM changepoints (q107), embedding dimension stats
+(q108), bigram PMI (q109), seasonal residuals (q110)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+    cusum_changepoints,
+    time_weighted_avg,
+)
+from auto_ml_platform_with_timeseries_data_spark.plans import explain
+from auto_ml_platform_with_timeseries_data_spark.registry import queries
+
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg semantics
+# ---------------------------------------------------------------------------
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        [(i, k, f"2024-01-01 00:00:{s:02d}", v) for i, (k, s, v) in enumerate(rows)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_twa_constant_series_is_constant(spark):
+    df = _mk_events(spark, [(1, 0, 5.0), (1, 10, 5.0), (1, 45, 5.0)])
+    out = time_weighted_avg(df, "user_id", "ts", "value").collect()
+    assert len(out) == 1
+    assert out[0]["twa"] == 5.0
+    assert out[0]["n_intervals"] == 2
+
+
+def test_twa_weights_by_interval_not_count(spark):
+    # value 10 held for 9s, value 0 held for 1s → TWA = 9, arithmetic mean
+    # would be 5: the gap weighting must dominate.
+    df = _mk_events(spark, [(1, 0, 10.0), (1, 9, 0.0), (1, 10, 99.0)])
+    out = time_weighted_avg(df, "user_id", "ts", "value").collect()[0]
+    assert out["twa"] == 9.0
+
+
+def test_twa_single_event_user_dropped(spark):
+    df = _mk_events(spark, [(1, 0, 3.0), (2, 0, 7.0), (2, 5, 7.0)])
+    out = {r["user_id"]: r["twa"]
+           for r in time_weighted_avg(df, "user_id", "ts", "value").collect()}
+    assert 1 not in out and out[2] == 7.0
+
+
+# ---------------------------------------------------------------------------
+# cusum semantics
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_flags_level_shift_not_noise(spark):
+    # 40 points at 0, then 40 points at 3: the drift accumulates and must
+    # trip; a pure zero series must not.
+    shift = [(1, s, 0.0) for s in range(40)] + [(1, s + 40, 3.0) for s in range(19)]
+    flat = [(2, s, 1.0) for s in range(59)]
+    df = spark.createDataFrame(
+        [(i, k, f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}", v)
+         for i, (k, s, v) in enumerate(shift + flat)],
+        "event_id long, user_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = cusum_changepoints(df, "user_id", ["ts", "event_id"], "value").collect()
+    users = {r["user_id"] for r in out}
+    assert 1 in users  # shift detected
+    assert 2 not in users  # constant series has sigma 0 → no flags
+
+
+# ---------------------------------------------------------------------------
+# Plan contracts
+# ---------------------------------------------------------------------------
+
+
+def test_q106_single_shuffle_window_plus_agg(spark, sf_dir):
+    plan = explain.formatted_plan(
+        queries()["q106_time_weighted_avg"](spark, sf_dir)
+    )
+    assert "Window" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q108_explode_then_partial_agg(spark, sf_dir):
+    plan = explain.formatted_plan(
+        queries()["q108_embedding_dim_stats"](spark, sf_dir)
+    )
+    assert "Generate" in plan  # posexplode stays in the scan stage
+    assert "partial_" in plan  # map-side combine before the d-row shuffle
+
+
+def test_q109_no_positional_self_join(spark, sf_dir):
+    plan = explain.formatted_plan(queries()["q109_bigram_pmi"](spark, sf_dir))
+    # bigrams come from arrays_zip/slice, not a token self-join; the only
+    # joins are broadcast unigram lookups.
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q110_profile_broadcast_topk(spark, sf_dir):
+    plan = explain.formatted_plan(
+        queries()["q110_seasonal_residuals"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# Cross-checks
+# ---------------------------------------------------------------------------
+
+
+def test_q109_pmi_math(spark, sf_dir):
+    rows = queries()["q109_bigram_pmi"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    # pmi is a log-ratio: |pmi| bounded by ln(N); counts positive
+    for r in rows:
+        assert r["c_xy"] >= 1
+        assert math.isfinite(r["pmi"])
+
+
+def test_q108_dims_cover_vector_width(spark, sf_dir):
+    rows = queries()["q108_embedding_dim_stats"](spark, sf_dir).collect()
+    dims = [r["dim"] for r in rows]
+    assert dims == list(range(1, len(dims) + 1))
+    for r in rows:
+        assert r["min_v"] <= r["mean_v"] <= r["max_v"]
