@@ -548,3 +548,125 @@ def q109_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c_xy"), "w1", "w2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (duplicate n-gram mass) — boilerplate/spam signal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q111_repetition_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT a.doc_id, a.word || ' ' || b.word || ' ' || c.word AS g
+      FROM tok a
+      JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_grams,
+             count(DISTINCT g) AS n_distinct
+      FROM grams GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_ratio
+    FROM per_doc
+    ORDER BY rep_ratio DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q111_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-trigram mass per document: 1 − distinct/total 3-grams.
+    High values flag boilerplate, keyword stuffing, and generation
+    loops — a standard pretraining quality filter.
+
+    Scale: trigrams are built by zipping three slices of the token
+    array (JVM expression inside the scan stage, no self-join); the
+    per-doc distinct count is a two-level aggregate keyed by doc_id —
+    doc-sized state, perfectly parallel, no global distinct. Top-k via
+    TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = "split(text, ' ')"
+    grams = docs.selectExpr(
+        "doc_id",
+        f"""explode(transform(
+              sequence(1, greatest(size({w}) - 2, 0)),
+              i -> concat_ws(' ', element_at({w}, i),
+                             element_at({w}, i + 1),
+                             element_at({w}, i + 2)))) AS g""",
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_distinct"),
+    )
+    return (
+        per_doc.select(
+            "doc_id", "n_grams",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_grams"),
+                6,
+            ).alias("rep_ratio"),
+        )
+        .orderBy(F.desc("rep_ratio"), "doc_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Word-distribution entropy — vocabulary-diversity signal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_word_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word
+    ),
+    tot AS (
+      SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id
+    )
+    SELECT wc.doc_id,
+           tot.n AS n_tokens,
+           ROUND(-sum((CAST(c AS DOUBLE) / tot.n) * ln(CAST(c AS DOUBLE) / tot.n)),
+                 6) AS entropy
+    FROM wc JOIN tot ON wc.doc_id = tot.doc_id
+    GROUP BY wc.doc_id, tot.n
+    ORDER BY entropy, wc.doc_id
+    LIMIT 50
+    """,
+)
+def q112_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's unigram distribution —
+    low-entropy docs are repetitive/templated, a complementary signal
+    to q111 (which only sees exact trigram repeats).
+
+    Scale: both aggregation levels are keyed by doc_id, so after the
+    first shuffle the (doc, word) counts, the per-doc totals, and the
+    entropy reduction are all partition-local — Catalyst plans the
+    groupBys without re-shuffling. Entropy terms sum as doubles within
+    one doc (bounded count), rounded to 6; ties broken by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    wc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("c"))
+    tot = wc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        wc.join(tot, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            "doc_id", F.col("n").alias("n_tokens"), "entropy"
+        )
+        .orderBy("entropy", "doc_id")
+        .limit(50)
+    )

@@ -55,6 +55,11 @@ HEADLINE = [
     "q76_pack_sequences",
     "q77_decontaminate",
     "q82_pivot_unpivot",
+    "q99_local_supplier_volume",
+    "q103_order_count_distribution",
+    "q106_time_weighted_avg",
+    "q108_embedding_dim_stats",
+    "q109_bigram_pmi",
 ]
 
 

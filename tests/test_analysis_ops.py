@@ -129,3 +129,50 @@ def test_q108_dims_cover_vector_width(spark, sf_dir):
     assert dims == list(range(1, len(dims) + 1))
     for r in rows:
         assert r["min_v"] <= r["mean_v"] <= r["max_v"]
+
+
+# ---------------------------------------------------------------------------
+# q111 / q112 — repetition + entropy quality signals
+# ---------------------------------------------------------------------------
+
+
+def test_q111_repetition_bounds_and_order(spark, sf_dir):
+    rows = queries()["q111_repetition_ratio"](spark, sf_dir).collect()
+    assert rows
+    ratios = [r["rep_ratio"] for r in rows]
+    assert all(0.0 <= x < 1.0 for x in ratios)
+    assert ratios == sorted(ratios, reverse=True)
+
+
+def test_q112_entropy_bounds(spark, sf_dir):
+    rows = queries()["q112_word_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 ≤ H ≤ ln(n_tokens)
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_tokens"]) + 1e-9
+
+
+def test_repetition_ratio_detects_loops(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c " * 20), (2, " ".join(f"w{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table  # noqa: F401
+    from auto_ml_platform_with_timeseries_data_spark.operators import text as T
+    import auto_ml_platform_with_timeseries_data_spark.operators.text  # noqa: F401
+    from pyspark.sql import functions as FF
+    w = "split(trim(text), ' ')"
+    grams = docs.selectExpr(
+        "doc_id",
+        f"""explode(transform(
+              sequence(1, greatest(size({w}) - 2, 0)),
+              i -> concat_ws(' ', element_at({w}, i),
+                             element_at({w}, i + 1),
+                             element_at({w}, i + 2)))) AS g""",
+    )
+    per = grams.groupBy("doc_id").agg(
+        (FF.lit(1.0) - FF.countDistinct("g") / FF.count(FF.lit(1))).alias("r")
+    ).collect()
+    r = {x["doc_id"]: x["r"] for x in per}
+    assert r[1] > 0.9   # looped text: almost all trigrams repeat
+    assert r[2] == 0.0  # all-unique text: no repetition
