@@ -273,3 +273,177 @@ def q86_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding (mean encoding with additive smoothing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_target_encoding",
+    oracle="""
+    WITH per_cat AS (
+      SELECT l_returnflag AS category,
+             sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS s,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    overall AS (
+      SELECT CAST(sum(s) AS DOUBLE) / sum(n) AS gmean FROM per_cat
+    )
+    SELECT category, n,
+           ROUND((CAST(s AS DOUBLE) + 10.0 * gmean) / (n + 10.0), 6)
+             AS encoded
+    FROM per_cat, overall
+    ORDER BY category
+    """,
+)
+def q113_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean (target) encoding of a categorical column against
+    a numeric label: enc(c) = (Σ_c y + m·ȳ) / (n_c + m), m=10 — the
+    standard leakage-resistant categorical encoder for GBT-style models
+    (extends the reference's feature surface, SURVEY.md §2.9/M2, which
+    feeds raw columns only).
+
+    Scale: one partial-aggregated pass builds the per-category sums;
+    the global mean re-reduces those category rows (ReusedExchange, no
+    second scan); the encoder table is |categories| rows — broadcast
+    back to training data for free. Sums are exact DECIMAL, the
+    smoothing is one double expression — engine-deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_cat = li.groupBy(F.col("l_returnflag").alias("category")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(12,4)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    glob = per_cat.agg(
+        (F.sum("s").cast("double") / F.sum("n")).alias("gmean")
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(glob))
+        .select(
+            "category", "n",
+            F.round(
+                (F.col("s").cast("double") + 10.0 * F.col("gmean"))
+                / (F.col("n") + 10.0),
+                6,
+            ).alias("encoded"),
+        )
+        .orderBy("category")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis (subsequence match per user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q114_funnel",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(event_type, ' ' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      sum(CASE WHEN regexp_matches(s, 'view') THEN 1 ELSE 0 END)
+        AS step1_view,
+      sum(CASE WHEN regexp_matches(s, 'view.*click') THEN 1 ELSE 0 END)
+        AS step2_click,
+      sum(CASE WHEN regexp_matches(s, 'view.*click.*purchase') THEN 1 ELSE 0 END)
+        AS step3_purchase
+    FROM seq
+    """,
+)
+def q114_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how many users have view → click → purchase as
+    a time-ordered subsequence of their event stream. The per-user
+    sequence is materialized as a sorted struct array collapsed to a
+    string, then matched with one regex per funnel step — all JVM-side.
+
+    Scale: ONE shuffle (groupBy user) with array_sort on the collected
+    (ts, event_id, type) structs — per-user state is bounded by the
+    user's own event count; the funnel flags reduce to a 4-number
+    global aggregate. No window, no join, no driver loop. The same
+    shape extends to any step list."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("s")
+        )
+    )
+    flag = lambda pat: F.sum(  # noqa: E731
+        F.when(F.col("s").rlike(pat), 1).otherwise(0)
+    )
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        flag("view").alias("step1_view"),
+        flag("view.*click").alias("step2_click"),
+        flag("view.*click.*purchase").alias("step3_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q115_cohort_retention",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) // 7
+               AS week_idx
+      FROM events
+    ),
+    first_wk AS (
+      SELECT user_id, min(week_idx) AS cohort FROM wk GROUP BY user_id
+    )
+    SELECT f.cohort,
+           CAST(w.week_idx - f.cohort AS BIGINT) AS week_offset,
+           count(DISTINCT w.user_id) AS n_users
+    FROM wk w JOIN first_wk f ON w.user_id = f.user_id
+    GROUP BY f.cohort, week_offset
+    ORDER BY f.cohort, week_offset
+    """,
+)
+def q115_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen week,
+    counted distinct in each subsequent week offset. Week indexing is a
+    flat integer day-diff // 7 from a fixed origin — no engine-specific
+    week-truncation conventions.
+
+    Scale: the first-seen aggregate and the (cohort, offset) distinct
+    count both shuffle on user_id — same key, one exchange reused; the
+    distinct-count re-aggregates to the small cohort×offset grid. The
+    join of events to their user's cohort is key-aligned (no extra
+    shuffle); output is the retention matrix, driver-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    week_idx = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")) / 7
+    )
+    wk = ev.select("user_id", week_idx.alias("week_idx"))
+    first_wk = wk.groupBy("user_id").agg(F.min("week_idx").alias("cohort"))
+    return (
+        wk.join(first_wk, "user_id")
+        .groupBy(
+            "cohort",
+            (F.col("week_idx") - F.col("cohort")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort", "week_offset")
+    )

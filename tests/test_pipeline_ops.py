@@ -78,3 +78,84 @@ def test_weighted_sample_monotone_in_weight(spark, sf_dir):
            .groupBy("lang").agg(F.avg("n_chars").alias("avg")).collect()}
     for lang, r in out.items():
         assert r["avg_chars_kept"] > pop[lang]
+
+
+# ---------------------------------------------------------------------------
+# q113-q115 — target encoding, funnel, cohort retention
+# ---------------------------------------------------------------------------
+
+
+def test_q113_encoding_shrinks_toward_global_mean(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.registry import queries
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = queries()["q113_target_encoding"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.agg(F.avg("l_extendedprice")).collect()[0][0]
+    for r in rows:
+        raw = (
+            li.filter(F.col("l_returnflag") == r["category"])
+            .agg(F.avg("l_extendedprice")).collect()[0][0]
+        )
+        # smoothed encoding lies strictly between raw category mean and
+        # the global mean (or equals both when they coincide)
+        lo, hi = sorted([raw, g])
+        assert lo - 1e-6 <= r["encoded"] <= hi + 1e-6
+
+
+def test_q114_funnel_is_monotone(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.registry import queries
+
+    r = queries()["q114_funnel"](spark, sf_dir).collect()[0]
+    assert r["n_users"] >= r["step1_view"] >= r["step2_click"] >= r["step3_purchase"]
+    assert r["step3_purchase"] >= 0
+
+
+def test_q114_funnel_respects_order(spark):
+    # user 1: purchase BEFORE click → must not count as step3
+    from auto_ml_platform_with_timeseries_data_spark.operators import pipeline_ops  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:01", "view"),
+            (2, 1, "2024-01-01 00:00:02", "purchase"),
+            (3, 1, "2024-01-01 00:00:03", "click"),
+            (4, 2, "2024-01-01 00:00:01", "view"),
+            (5, 2, "2024-01-01 00:00:02", "click"),
+            (6, 2, "2024-01-01 00:00:03", "purchase"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    seq = df.groupBy("user_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+        ).alias("s")
+    )
+    flags = {
+        r["user_id"]: r["ok"]
+        for r in seq.select(
+            "user_id", F.col("s").rlike("view.*click.*purchase").alias("ok")
+        ).collect()
+    }
+    assert flags[1] is False and flags[2] is True
+
+
+def test_q115_cohort_triangle_properties(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.registry import queries
+
+    rows = queries()["q115_cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        by_cohort.setdefault(r["cohort"], {})[r["week_offset"]] = r["n_users"]
+    for cohort, offsets in by_cohort.items():
+        # offset 0 is the cohort's own first week: every member is active
+        assert 0 in offsets
+        assert offsets[0] == max(offsets.values())
