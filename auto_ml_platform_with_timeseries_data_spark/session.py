@@ -16,6 +16,11 @@ from pyspark.sql import SparkSession
 # Confs that are safe to (re)apply to an existing session at runtime.
 _RUNTIME_CONFS = {
     "spark.sql.session.timeZone": "UTC",
+    # Fixture parquet stores naive timestamp[us]; read it as TIMESTAMP_LTZ
+    # (not NTZ) so epoch arithmetic (cast to double, unix_timestamp) works
+    # and matches DuckDB's epoch() of naive timestamps under the UTC
+    # session timezone above. load_table() also normalizes defensively.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

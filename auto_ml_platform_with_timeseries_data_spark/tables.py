@@ -41,6 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div`, NOT `/` — nanos (~1.7e18) overflow a double's
             # 53-bit mantissa, so float division would corrupt low digits
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.dataType.simpleString() == "timestamp_ntz":
+            # Session built before tune() could apply inferTimestampNTZ=false
+            # (static conf): normalize NTZ → LTZ. Under the UTC session tz
+            # this is value-preserving and matches the oracle's naive epoch.
+            df = df.withColumn(field.name,
+                               F.col(field.name).cast("timestamp"))
     return df
 
 
