@@ -45,7 +45,40 @@ def tune(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # static conf on this build — leave as-is
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside Python workers.
+
+    Module-level pandas-UDF kernels (mapInPandas/applyInPandas) are
+    cloudpickled BY REFERENCE (module + qualname), so the worker process
+    must be able to `import` the package. When the driver process was
+    started from a different cwd (the correctness driver's session, a
+    notebook), the repo dir is only on the driver's sys.path — workers
+    fail with ModuleNotFoundError. Shipping a zip via addPyFile puts the
+    package on every executor's python path, exactly how the engine
+    would be deployed to a real cluster (--py-files).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_sparkgraft_pkg_shipped", False):
+        return
+    try:
+        import shutil
+        import tempfile
+
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        base = tempfile.mkdtemp(prefix="sparkgraft_pyfiles_")
+        zip_path = shutil.make_archive(
+            os.path.join(base, os.path.basename(pkg_dir)), "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+        sc.addPyFile(zip_path)
+    except Exception:
+        pass  # driver-side import still works; only remote workers affected
+    sc._sparkgraft_pkg_shipped = True
 
 
 def get_spark(app_name: str = "auto_ml_platform_with_timeseries_data_spark",

@@ -67,16 +67,31 @@ def session_windows(stream: DataFrame, gap: str = "30 minutes",
     )
 
 
-def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append",
+                  state_partitions: int = 4):
     """Drive a streaming query to completion against currently-available
-    files; returns the query (stopped). Read results from table `name`."""
-    q = (
-        df.writeStream.outputMode(output_mode)
-        .format("memory").queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    files; returns the query (stopped). Read results from table `name`.
+
+    Stateful streaming stages take their partition count from
+    spark.sql.shuffle.partitions at query START and AQE never coalesces
+    them — every micro-batch then pays (partitions × state-store ops)
+    regardless of data volume. Size state partitions to the stream's key
+    cardinality, not the batch default: the fixture streams have a few
+    hundred keys, so 4 partitions cuts per-batch overhead ~8× vs 32.
+    The conf is restored after the run so batch plans are unaffected."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            df.writeStream.outputMode(output_mode)
+            .format("memory").queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return q
 
 
