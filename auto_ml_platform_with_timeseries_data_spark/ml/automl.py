@@ -145,8 +145,8 @@ def automl(train: DataFrame, features: list[str], label: str,
         )
         better = max
 
-    results: list[FamilyResult] = []
-    for name, (est, grid) in families.items():
+    def _run_family(item) -> FamilyResult:
+        name, (est, grid) = item
         cv = CrossValidator(
             estimator=_pipeline(est, features),
             estimatorParamMaps=grid,
@@ -158,8 +158,17 @@ def automl(train: DataFrame, features: list[str], label: str,
         fitted = cv.fit(train)
         idx = fitted.avgMetrics.index(better(fitted.avgMetrics))
         params = {p.name: v for p, v in grid[idx].items()}
-        results.append(FamilyResult(name, params, float(better(fitted.avgMetrics)),
-                                    fitted.bestModel))
+        return FamilyResult(name, params, float(better(fitted.avgMetrics)),
+                            fitted.bestModel)
+
+    # Families run concurrently from driver threads — each fold/grid fit
+    # is a cluster job either way, and the scheduler interleaves them;
+    # sequential families would leave the cluster idle between jobs.
+    # Results keep dict order, so selection stays deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, len(families))) as pool:
+        results = list(pool.map(_run_family, families.items()))
     best = better(results, key=lambda r: r.cv_metric)
     return AutoMLResult(best=best, all_results=results)
 

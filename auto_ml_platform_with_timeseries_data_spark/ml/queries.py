@@ -22,11 +22,18 @@ def q15_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best (family, params) by k-fold CV RMSE on a capped sample of
     lineitem (deterministic seed; capped so the driver-side check stays
     fast — the full-grid path is exercised in tests/bench)."""
+    # Deterministic 1-in-3 hash sample, NOT limit(): a global limit
+    # collapses to one partition, serializing every fold×grid fit; the
+    # filter keeps scan parallelism. cache() because CrossValidator
+    # re-reads the train set for every fold split + refit — without it
+    # each of the ~14 fits re-scans parquet.
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select(*_FEATURES, _LABEL)
-        .limit(20000)
+        .filter(F.abs(F.xxhash64(*_FEATURES, _LABEL)) % 10 == 0)
+        .cache()
     )
+    li.count()
     lr = LinearRegression(featuresCol="features", labelCol="__label")
     dt = DecisionTreeRegressor(featuresCol="features", labelCol="__label",
                                seed=SEED)
@@ -34,8 +41,11 @@ def q15_cv_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "linear": (lr, ParamGridBuilder().addGrid(lr.regParam, [0.0, 0.1]).build()),
         "decision_tree": (dt, ParamGridBuilder().addGrid(dt.maxDepth, [3, 5]).build()),
     }
-    result = automl(li, _FEATURES, _LABEL, mode="regression",
-                    families=families, num_folds=3, parallelism=4)
+    try:
+        result = automl(li, _FEATURES, _LABEL, mode="regression",
+                        families=families, num_folds=3, parallelism=8)
+    finally:
+        li.unpersist()
     rows = [
         (r.family, str(sorted(r.best_params.items())), round(r.cv_metric, 4),
          1 if r.family == result.best.family else 0)

@@ -618,6 +618,7 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     chains; the operator contract is unchanged."""
     labels = vertices.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("comp")).persist()
+    cached = labels  # the DF actually holding the persisted round state
     # Persist the DIRECTED edges before mirroring: the union references
     # the edge plan twice, and an expensive upstream (e.g. a similarity
     # join) would otherwise execute once per direction.
@@ -632,23 +633,23 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
                                  F.col("comp").alias("vcomp")), "v")
             .groupBy("u").agg(F.min("vcomp").alias("nbr_comp"))
         )
-        new_labels = (
+        # Carry a per-row changed flag through the same select instead of
+        # re-joining new vs old labels: one job per round, not two.
+        stepped = (
             labels.join(nbr_min, labels["id"] == nbr_min["u"], "left")
             .select(
                 "id",
                 F.least(F.col("comp"),
                         F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp"))
+                .alias("__chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1).count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter("__chg").limit(1).count()
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("id", "comp")
         if changed == 0:
             break
     e.unpersist()

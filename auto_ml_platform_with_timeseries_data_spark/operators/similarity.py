@@ -100,63 +100,79 @@ def _hyperplanes(dim: int, nbits: int, ntables: int, seed: int) -> list[list[lis
     ]
 
 
-def srp_sketch(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-random-projection sketch: bit i = 1 iff vec·plane_i > 0,
-    packed into a long. Plane coefficients are literals folded into the
-    plan (they're tiny); the data-side math is JVM expressions."""
-    bits = []
-    for i, plane in enumerate(planes):
-        prod = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(p) for p in plane]), lambda x, y: x * y),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-        bits.append(F.when(prod > 0, F.shiftleft(F.lit(1).cast("long"), i))
-                    .otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def cosine_topk_srp(corpus: DataFrame, queries_df: DataFrame, id_col: str,
                     vec_col: str, k: int = 5, nbits: int = 12,
                     ntables: int = 4, seed: int = 42,
                     round_to: int = 6) -> DataFrame:
     """Approximate top-k via SRP-LSH bucketing + exact rescore of
-    candidates. Output shape matches cosine_topk_bruteforce."""
+    candidates. Output shape matches cosine_topk_bruteforce.
+
+    The sketch step is one Arrow mapInPandas pass per side: each batch
+    multiplies against the broadcast (ntables×nbits×dim) hyperplane
+    tensor with BLAS and packs sign bits into a long. The expression
+    alternative (nbits×ntables zip_with/aggregate dot products per row)
+    costs seconds of plan/codegen constant and interprets per element —
+    the matmul kernel is the same pattern as embedding_neardup_pairs
+    and scales identically (hyperplanes are tiny and broadcast)."""
+    import numpy as np
+
     sample = corpus.select(vec_col).first()
     dim = len(sample[0])
-    tables = _hyperplanes(dim, nbits, ntables, seed)
+    planes = np.array(_hyperplanes(dim, nbits, ntables, seed),
+                      dtype=np.float64)          # (ntables, nbits, dim)
+    sc = corpus.sparkSession.sparkContext
+    b_planes = sc.broadcast(planes)
+    pows = np.power(2.0, np.arange(nbits)).astype(np.int64)
 
     def sketched(df: DataFrame, prefix: str) -> DataFrame:
-        v = _as_double(F.col(vec_col))
-        out = df.select(
-            F.col(id_col).alias(f"{prefix}_id"), v.alias(f"__{prefix}v")
-        ).withColumn(f"__{prefix}norm", l2_norm(F.col(f"__{prefix}v")))
-        buckets = F.array(*[
-            F.struct(F.lit(t).alias("tbl"),
-                     srp_sketch(F.col(f"__{prefix}v"), tables[t]).alias("bucket"))
-            for t in range(ntables)
-        ])
-        return out.select(
-            f"{prefix}_id", f"__{prefix}v", f"__{prefix}norm",
-            F.explode(buckets).alias("bb"),
-        ).select(f"{prefix}_id", f"__{prefix}v", f"__{prefix}norm",
-                 "bb.tbl", "bb.bucket")
+        idc, vc, nc = f"{prefix}_id", f"__{prefix}v", f"__{prefix}norm"
+
+        def kernel(batches):
+            import pandas as pd
+
+            P = b_planes.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.array(list(pdf[vc]), dtype=np.float64)  # (n, dim)
+                norms = np.linalg.norm(m, axis=1)
+                out = []
+                for t in range(P.shape[0]):
+                    bits = (m @ P[t].T) > 0                     # (n, nbits)
+                    buckets = bits.astype(np.int64) @ pows
+                    out.append(pd.DataFrame({
+                        idc: pdf[idc].to_numpy(),
+                        vc: pdf[vc],
+                        nc: norms,
+                        "tbl": t,
+                        "bucket": buckets,
+                    }))
+                yield pd.concat(out, ignore_index=True)
+
+        return df.select(
+            F.col(id_col).alias(idc), _as_double(F.col(vec_col)).alias(vc)
+        ).mapInPandas(
+            kernel,
+            f"{idc} long, {vc} array<double>, {nc} double, "
+            "tbl int, bucket long",
+        )
 
     c = sketched(corpus, "neighbor")
     q = sketched(queries_df, "query")
-    cands = (
+    # Rescore BEFORE deduping multi-table hits: the broadcast-hash join +
+    # cosine are map-side, so the only shuffle carries (query, neighbor,
+    # cos) triples — deduping first would shuffle both full vectors per
+    # candidate pair. Duplicate hits score identically; max() dedups.
+    scored = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__neighborv", "__querynorm",
-                "__neighbornorm", "__queryv")
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
-    scored = cands.select(
-        "query_id", "neighbor_id",
-        (dot(F.col("__neighborv"), F.col("__queryv"))
-         / (F.col("__neighbornorm") * F.col("__querynorm"))).alias("__cos"),
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("__neighborv"), F.col("__queryv"))
+             / (F.col("__neighbornorm") * F.col("__querynorm"))).alias("__cos"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("__cos").alias("__cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
     return (
@@ -237,49 +253,47 @@ def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
     )
     cent_mat = np.array([r["v"] for r in cents], dtype=np.float64)
     cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    b_cents = sc.broadcast(cent_mat)
 
-    def cell_scores(vec: Column) -> list[Column]:
-        """cosine(vec, centroid_c) for each cell, centroids as literals."""
-        n = l2_norm(vec)
-        return [
-            (dot(vec, F.array(*[F.lit(float(x)) for x in cent_mat[c]])) / n)
-            .alias(f"__c{c}")
-            for c in range(len(cent_mat))
-        ]
+    def assigned(df: DataFrame, idc: str, vc: str, nc: str,
+                 take: int) -> DataFrame:
+        """(id, vec, norm, cell) with the `take` nearest cells per row,
+        one Arrow pass against the broadcast centroid matrix (BLAS) —
+        exactly how the fitted-KMeans assignment step runs distributed;
+        a literal-array expression alternative costs seconds of plan/
+        codegen constant at any scale."""
 
-    def best_cells(vec: Column, take: int) -> Column:
-        """Indices of the `take` highest-scoring cells, via sort of
-        (−score, idx) structs — JVM-side, no UDF."""
-        scored = F.array(*[
-            F.struct(
-                (-(dot(vec, F.array(*[F.lit(float(x)) for x in cent_mat[c]]))
-                   / l2_norm(vec))).alias("ns"),
-                F.lit(c).alias("cell"),
-            )
-            for c in range(len(cent_mat))
-        ])
-        return F.slice(
-            F.transform(F.array_sort(scored), lambda s: s["cell"]), 1, take
+        def kernel(batches):
+            import pandas as pd
+
+            C = b_cents.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.array(list(pdf[vc]), dtype=np.float64)
+                norms = np.linalg.norm(m, axis=1)
+                scores = (m / norms[:, None]) @ C.T          # (n, ncells)
+                # argsort desc on (-score, cell) — cell idx breaks ties
+                order = np.lexsort(
+                    (np.broadcast_to(np.arange(C.shape[0]), scores.shape),
+                     -scores), axis=1)[:, :take]
+                n = len(pdf)
+                yield pd.DataFrame({
+                    idc: np.repeat(pdf[idc].to_numpy(), take),
+                    vc: pdf[vc].iloc[np.repeat(np.arange(n), take)].to_numpy(),
+                    nc: np.repeat(norms, take),
+                    "cell": order.reshape(-1).astype(np.int32),
+                })
+
+        return df.select(
+            F.col(id_col).alias(idc), _as_double(F.col(vec_col)).alias(vc)
+        ).mapInPandas(
+            kernel, f"{idc} long, {vc} array<double>, {nc} double, cell int"
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__cv"),
-    ).withColumn("__cnorm", l2_norm(F.col("__cv")))
-    c = c.withColumn(
-        "cell", F.element_at(best_cells(F.col("__cv"), 1), 1)
-    )
-    q = queries_df.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("__qv"),
-    ).withColumn("__qnorm", l2_norm(F.col("__qv")))
-    # explode_outer: avoids InferFiltersFromGenerate re-running the
-    # centroid-distance scan in an inferred size()>0 filter; best_cells
-    # always returns exactly nprobe cells, so no null rows appear.
-    q = q.select(
-        "query_id", "__qv", "__qnorm",
-        F.explode_outer(best_cells(F.col("__qv"), nprobe)).alias("cell"),
-    )
+    c = assigned(corpus, "neighbor_id", "__cv", "__cnorm", 1)
+    q = assigned(queries_df, "query_id", "__qv", "__qnorm", nprobe)
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
