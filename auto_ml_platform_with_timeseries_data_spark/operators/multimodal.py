@@ -90,23 +90,79 @@ def decode_features(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 def decode_image(df: DataFrame, content_col: str = "content",
                  size: tuple[int, int] = (224, 224)) -> DataFrame:
-    """Real image decode+resize — requires PIL, absent from this image."""
+    """Real image decode+resize — requires PIL, absent from this image.
+    The stubbed-but-real-plumbing twin is resize_media below."""
     try:
         import PIL  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "image decode requires Pillow; use decode_features (stub) for "
-            "pipeline plumbing, or install Pillow"
+            "image decode requires Pillow; use resize_media (stub decode) "
+            "for pipeline plumbing, or install Pillow"
         ) from e
     raise NotImplementedError("PIL present but decoder not implemented yet")
 
 
+def resize_media(df: DataFrame, content_col: str = "content",
+                 id_col: str = "media_id",
+                 out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """Image resize kernel with a stubbed decoder: the byte stream is
+    treated as row-major 1-byte pixels and top-left-cropped to
+    out_w×out_h (deterministic; short blobs keep their length). A real
+    deployment swaps the kernel body for PIL/torchvision decode+resize —
+    the Arrow batch iteration, binary-in/binary-out schema, and metadata
+    update are exactly what the real operator uses. Blobs never shuffle;
+    the kernel is map-only."""
+    n_out = out_w * out_h
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[content_col].map(
+                lambda b: bytes(b)[:n_out] if b is not None else None
+            )
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "width": out_w,
+                "height": out_h,
+                "n_bytes": blobs.map(lambda b: len(b) if b is not None else 0),
+                "content": blobs,
+            })
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        f"{id_col} long, width int, height int, n_bytes long, content binary",
+    )
+
+
 def sample_frames(df: DataFrame, content_col: str = "content",
-                  every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling — requires ffmpeg bindings, absent here."""
-    raise NotImplementedError(
-        "video frame sampling requires ffmpeg bindings not in this image; "
-        "the mapInPandas harness is decode_features"
+                  id_col: str = "media_id",
+                  frame_bytes: int = 64, every: int = 2) -> DataFrame:
+    """Video frame-sampling kernel with a stubbed demuxer: the byte
+    stream is a sequence of fixed-size frames; every `every`-th frame is
+    emitted as its own row — the 1→many generator fan-out shape of real
+    frame extraction (ffmpeg swap-in), map-only, with memory bounded by
+    one Arrow batch of blobs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                b = bytes(blob)
+                for fi in range(0, max(1, -(-len(b) // frame_bytes)), every):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    frames.append(b[fi * frame_bytes:(fi + 1) * frame_bytes])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "n_bytes": pd.Series([len(f) for f in frames], dtype="int64"),
+                "frame": frames,
+            })
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        f"{id_col} long, frame_idx long, n_bytes long, frame binary",
     )
 
 
@@ -179,4 +235,53 @@ def q38_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         *[F.round(F.col("features")[i].cast("double"), 6).alias(f"f{i}")
           for i in range(_FEAT_DIM)],
+    )
+
+
+@query(
+    "q116_media_resize",
+    oracle="""
+    SELECT doc_id AS media_id, 16 AS width, 16 AS height,
+           CAST(least(256, octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           substring(hex(encode(text)), 1, 512) AS content_hex
+    FROM documents
+    """,
+)
+def q116_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize kernel end-to-end: binary in → binary out with updated
+    (width, height) metadata; the resized blob is hex-encoded JVM-side so
+    the oracle hash covers every output byte (DuckDB slices the same
+    bytes in the hex domain — it has no blob substring)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    out = resize_media(media, out_w=16, out_h=16)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        F.hex("content").alias("content_hex"),
+    )
+
+
+@query(
+    "q117_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT media_id, fi AS frame_idx,
+           CAST(least(64, nb - fi*64) AS BIGINT) AS n_bytes,
+           substring(hx, fi*128 + 1, 128) AS frame_hex
+    FROM f, LATERAL unnest(range(0, CAST(ceil(nb/64.0) AS BIGINT))) AS t(fi)
+    WHERE fi % 2 = 0
+    """,
+)
+def q117_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampling kernel end-to-end: every 2nd 64-byte frame of
+    each blob as its own row (generator fan-out), frame bytes verified
+    via hex against the oracle's hex-domain slicing."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_bytes=64, every=2)
+    return frames.select(
+        "media_id", "frame_idx", "n_bytes",
+        F.hex("frame").alias("frame_hex"),
     )
