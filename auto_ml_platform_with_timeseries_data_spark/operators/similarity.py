@@ -118,10 +118,12 @@ def cosine_topk_srp(corpus: DataFrame, queries_df: DataFrame, id_col: str,
 
     sample = corpus.select(vec_col).first()
     dim = len(sample[0])
+    # Closure-captured, not sc.broadcast: the plane tensor is ~24 KB
+    # (ntables×nbits×dim floats) — it rides the task closure for free,
+    # and skips a broadcast block the ContextCleaner would have to reap
+    # (leaked broadcasts from repeated calls build JVM memory pressure).
     planes = np.array(_hyperplanes(dim, nbits, ntables, seed),
                       dtype=np.float64)          # (ntables, nbits, dim)
-    sc = corpus.sparkSession.sparkContext
-    b_planes = sc.broadcast(planes)
     pows = np.power(2.0, np.arange(nbits)).astype(np.int64)
 
     def sketched(df: DataFrame, prefix: str) -> DataFrame:
@@ -130,7 +132,7 @@ def cosine_topk_srp(corpus: DataFrame, queries_df: DataFrame, id_col: str,
         def kernel(batches):
             import pandas as pd
 
-            P = b_planes.value
+            P = planes
             for pdf in batches:
                 if pdf.empty:
                     continue
@@ -253,8 +255,7 @@ def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
     )
     cent_mat = np.array([r["v"] for r in cents], dtype=np.float64)
     cent_mat /= np.linalg.norm(cent_mat, axis=1, keepdims=True)
-    sc = corpus.sparkSession.sparkContext
-    b_cents = sc.broadcast(cent_mat)
+    # closure-captured (≈ ncells×dim×8 B ≈ 8 KB) — see cosine_topk_srp
 
     def assigned(df: DataFrame, idc: str, vc: str, nc: str,
                  take: int) -> DataFrame:
@@ -267,7 +268,7 @@ def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
         def kernel(batches):
             import pandas as pd
 
-            C = b_cents.value
+            C = cent_mat
             for pdf in batches:
                 if pdf.empty:
                     continue

@@ -64,6 +64,9 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_sparkgraft_pkg_shipped", False):
         return
+    if os.environ.get("SPARK_GRAFT_NO_SHIP"):
+        sc._sparkgraft_pkg_shipped = True
+        return
     try:
         import shutil
         import tempfile

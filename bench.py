@@ -38,7 +38,9 @@ HEADLINE = [
     "q28_top_customers",
     "q30_asof_join",
     "q32_rollup",
+    "q34_ann_srp",
     "q35_embedding_neardup",
+    "q36_ann_ivf",
     "q38_media_features",
     "q49_range_join",
     "q50_shipping_priority",
@@ -60,6 +62,8 @@ HEADLINE = [
     "q106_time_weighted_avg",
     "q108_embedding_dim_stats",
     "q109_bigram_pmi",
+    "q116_media_resize",
+    "q117_frame_sample",
 ]
 
 
@@ -104,6 +108,12 @@ def main() -> int:
         # pressure that inflates later queries' numbers by GC, not plan
         # cost (observed 6x on late-suite queries in a 34-query run).
         spark.catalog.clearCache()
+        # Release Python-side references to per-query broadcasts so the
+        # JVM ContextCleaner can reap their blocks — accumulated
+        # broadcast blocks across a 40+-query suite otherwise inflate
+        # late queries the same way leaked caches did.
+        import gc
+        gc.collect()
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_suite, 3)
 
