@@ -209,3 +209,36 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     n_all = spark.read.parquet(dest).count()
     n_day = back.count()
     assert 0 < n_day < n_all
+
+
+def test_media_kernels_prune_scan_columns(spark, sf_dir):
+    """mapInPandas kernels must not widen the scan: the resize/frame
+    queries touch only (doc_id, text), so ReadSchema carries exactly
+    those — media blobs at 100 TB make over-read fatal."""
+    for q in ("q116_media_resize", "q117_frame_sample"):
+        plan = explain.formatted_plan(queries()[q](spark, sf_dir))
+        read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "doc_id" in read and "text" in read
+        assert "lang" not in read and "source" not in read, q
+
+
+def test_ann_srp_joins_on_buckets_not_vectors(spark, sf_dir):
+    """SRP candidate generation must be a broadcast join on (tbl,
+    bucket) — the corpus side streams, no shuffle of corpus vectors
+    before the rescore aggregation."""
+    plan = explain.formatted_plan(queries()["q34_ann_srp"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    keys = [l for l in plan.splitlines() if l.startswith("Left keys")][0]
+    assert "tbl" in keys and "bucket" in keys
+    # the only wide op on the corpus side is the pair-dedup aggregate,
+    # which carries (query_id, neighbor_id, cos) triples, not vectors
+    exch = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert not any("__neighborv" in l for l in exch)
+
+
+def test_ann_ivf_broadcasts_probe_side(spark, sf_dir):
+    """IVF probe: queries (small) broadcast to the corpus cells."""
+    plan = explain.formatted_plan(queries()["q36_ann_ivf"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    keys = [l for l in plan.splitlines() if l.startswith("Left keys")][0]
+    assert "cell" in keys
