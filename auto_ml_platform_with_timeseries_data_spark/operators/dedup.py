@@ -129,7 +129,8 @@ def deduplicate_exact(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, shingles: Column,
-                       num_hashes: int = 32) -> DataFrame:
+                       num_hashes: int = 32,
+                       pre_hashed: bool = False) -> DataFrame:
     """(id, sig array<long>): for hash-family member i, min over distinct
     shingles of xxhash64(xxhash64(shingle), i).
 
@@ -144,12 +145,21 @@ def minhash_signatures(df: DataFrame, id_col: str, shingles: Column,
     a filter on the shingle column here would be pushdown-inlined into a
     per-row re-evaluation of the whole chain). Empty arrays yield null
     signature entries, which the banding stage would bucket together.
+
+    `pre_hashed=True` means `shingles` is already an array<long> of
+    xxhash64'd distinct grams (_hash_grams output) — the signature
+    family is identical either way, so callers that also need the
+    hashed gram sets (the LSH verify step) can compute them once.
     """
-    hashed = df.select(
-        F.col(id_col).alias("__id"),
-        F.transform(F.array_distinct(shingles),
-                    lambda g: F.xxhash64(g)).alias("__gh"),
-    )
+    if pre_hashed:
+        hashed = df.select(F.col(id_col).alias("__id"),
+                           shingles.alias("__gh"))
+    else:
+        hashed = df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.array_distinct(shingles),
+                        lambda g: F.xxhash64(g)).alias("__gh"),
+        )
     return hashed.select(
         "__id",
         F.array(*[
@@ -164,13 +174,20 @@ def minhash_signatures(df: DataFrame, id_col: str, shingles: Column,
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_n: int = 3,
-                           max_bucket_size: int = 1000) -> DataFrame:
+                           max_bucket_size: int = 1000,
+                           grams_hashed: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: (id_a, id_b) with
     id_a < id_b that share at least one band. Rows per band-bucket are
-    capped at `max_bucket_size` to bound worst-case skew."""
+    capped at `max_bucket_size` to bound worst-case skew. Pass
+    `grams_hashed` (_hash_grams output, ideally persisted) to reuse an
+    existing gram computation instead of re-running the text chain."""
     rows_per_band = num_hashes // bands
-    grams = _grams_df(df, id_col, text_col, shingle_n)
-    sig = minhash_signatures(grams, "__id", F.col("__grams"), num_hashes)
+    if grams_hashed is not None:
+        sig = minhash_signatures(grams_hashed, "__id", F.col("__grams"),
+                                 num_hashes, pre_hashed=True)
+    else:
+        grams = _grams_df(df, id_col, text_col, shingle_n)
+        sig = minhash_signatures(grams, "__id", F.col("__grams"), num_hashes)
     banded = sig.select(
         "__id",
         F.explode(
@@ -225,12 +242,14 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
                         bands: int = 8, shingle_n: int = 3) -> DataFrame:
     """LSH candidates verified with exact n-gram Jaccard ≥ threshold.
     Output: (id_a, id_b, jaccard)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
-                                   shingle_n)
-    # The verify step reads the gram sets from both join sides; persist so
-    # the tokenize→shingle→hash chain runs once, not once per side. The
-    # hashed-gram table is ~two orders of magnitude smaller than the text.
+    # ONE text→grams→hash chain for the whole pipeline: the persisted
+    # hashed-gram table feeds signature construction AND both verify-join
+    # sides (it's ~two orders of magnitude smaller than the text; the
+    # signature family is xxhash64(gram_hash, i), so it derives from the
+    # hashed grams without touching strings again).
     grams = _hash_grams(_grams_df(df, id_col, text_col, shingle_n)).persist()
+    cands = minhash_lsh_candidates(df, id_col, text_col, num_hashes, bands,
+                                   shingle_n, grams_hashed=grams)
     ga = grams.select(F.col("__id").alias("id_a"), F.col("__grams").alias("__ga"))
     gb = grams.select(F.col("__id").alias("id_b"), F.col("__grams").alias("__gb"))
     return (
