@@ -422,3 +422,86 @@ def q90_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.floor(F.col("n_chars") / 100), F.lit(9)),
         hash_u32("doc_id") % 100 < 80,
     )
+
+
+def fuzzy_decontaminate(corpus: DataFrame, bench: DataFrame, id_col: str,
+                        text_col: str, shingle_n: int = 2,
+                        threshold: float = 0.3) -> DataFrame:
+    """Document-level fuzzy decontamination: flag corpus documents whose
+    n-gram Jaccard similarity to ANY benchmark document ≥ threshold —
+    catches paraphrased/near-copy eval leakage that the verbatim gram
+    overlap (q77 decontaminate) misses.
+
+    Physical shape: inverted-index count join. Both sides reduce to
+    hashed distinct gram sets once; the BENCHMARK side explodes and
+    broadcasts (eval sets are tiny next to a pretraining corpus), the
+    corpus side explodes map-side, and |A∩B| per (corpus, bench) pair
+    falls out of a COUNT — no arrays cross the shuffle, no pairwise
+    verify pass. Jaccard then needs only the set sizes carried as
+    grouping columns. Returns (doc_id, n_matches, max_jaccard).
+    """
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        _grams_df,
+        _hash_grams,
+    )
+
+    cg = _hash_grams(_grams_df(corpus, id_col, text_col, shingle_n))
+    bg = _hash_grams(_grams_df(bench, id_col, text_col, shingle_n))
+    ce = cg.select("__id", F.size("__grams").alias("__na"),
+                   F.explode("__grams").alias("__g"))
+    be = bg.select(F.col("__id").alias("__bid"),
+                   F.size("__grams").alias("__nb"),
+                   F.explode("__grams").alias("__g"))
+    inter = (
+        ce.join(F.broadcast(be), "__g")
+        .groupBy("__id", "__na", "__bid", "__nb")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i"))
+    return (
+        inter.select("__id", jac.alias("__jac"))
+        .filter(F.col("__jac") >= threshold)
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_matches"),
+             F.round(F.max("__jac"), 6).alias("max_jaccard"))
+    )
+
+
+@query(
+    "q119_fuzzy_decontaminate",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(trim(regexp_replace(lower(text),
+                     '\\s+', ' ', 'g')), ' '))),
+               i -> string_split(trim(regexp_replace(lower(text),
+                     '\\s+', ' ', 'g')), ' ')[i] || ' ' ||
+                    string_split(trim(regexp_replace(lower(text),
+                     '\\s+', ' ', 'g')), ' ')[i + 1]
+             )) AS grams
+      FROM documents
+    ),
+    c AS (SELECT * FROM g WHERE doc_id % 50 != 0 AND len(grams) > 0),
+    b AS (SELECT * FROM g WHERE doc_id % 50 = 0 AND len(grams) > 0),
+    j AS (
+      SELECT c.doc_id,
+             CAST(len(list_intersect(c.grams, b.grams)) AS DOUBLE) /
+             (len(c.grams) + len(b.grams)
+              - len(list_intersect(c.grams, b.grams))) AS jac
+      FROM c, b
+    )
+    SELECT doc_id, count(*) AS n_matches, ROUND(max(jac), 6) AS max_jaccard
+    FROM j WHERE jac >= 0.2 GROUP BY doc_id
+    """,
+)
+def q119_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination of the corpus (doc_id % 50 != 0) against a
+    held-out 'benchmark' slice (doc_id % 50 = 0); the oracle is the
+    direct quadratic cross-product Jaccard — tractable at oracle scale,
+    while the Spark path is the broadcast inverted-index count join."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return fuzzy_decontaminate(corpus, bench, "doc_id", "text",
+                               shingle_n=2, threshold=0.2)

@@ -549,3 +549,92 @@ def q108_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding quantization (int8)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings_int8(emb: DataFrame, id_col: str,
+                             vec_col: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: q_i = round_half_up(x_i ·
+    127/max|x|). The memory/IO lever for vector search at scale — 4×
+    smaller than float32 and SIMD int8 dot products; per-vector scales
+    keep reconstruction error bounded regardless of vector magnitude.
+
+    All JVM expression math, map-only (scan-speed at any scale).
+    Rounding is pinned to floor(x + 0.5) so the arithmetic is
+    reproducible across engines (banker's rounding differs between
+    numpy/JVM/SQL; floor(+0.5) doesn't). Returns (id, scale, q
+    array<int>, mse) where mse is the per-vector reconstruction error.
+    """
+    v = _as_double(F.col(vec_col))
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    out = emb.select(
+        F.col(id_col), v.alias("__v"), scale.alias("scale")
+    )
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.floor(x * F.col("scale") + F.lit(0.5)).cast("int"),
+    )
+    out = out.withColumn("q", q)
+    sq_err = F.zip_with(
+        "__v", "q",
+        lambda x, qi: (x - qi.cast("double") / F.col("scale"))
+        * (x - qi.cast("double") / F.col("scale")),
+    )
+    mse = (F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b)
+           / F.size("__v"))
+    return out.select(id_col, "scale", "q", mse.alias("mse"))
+
+
+@query(
+    "q118_embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, v,
+             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id, scale, v,
+             list_transform(v, x -> floor(x * scale + 0.5)) AS qv
+      FROM s
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           CAST(list_sum(list_transform(range(1, len(qv) + 1),
+                                        i -> qv[i] * i)) AS BIGINT)
+             AS q_checksum,
+           ROUND(list_sum(list_transform(range(1, len(qv) + 1),
+                          i -> pow(v[i] - qv[i] / scale, 2))) / len(qv), 9)
+             AS mse
+    FROM q
+    """,
+)
+def q118_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 quantization end-to-end; the quantized codes are folded into
+    an order-weighted integer checksum (exact — no float comparison) so
+    the oracle hash covers every code, plus the per-vector scale and
+    reconstruction MSE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_embeddings_int8(emb, "vec_id", "embedding")
+    checksum = F.aggregate(
+        F.zip_with(
+            "q", F.sequence(F.lit(1), F.size("q")),
+            lambda qi, i: qi.cast("long") * i.cast("long"),
+        ),
+        F.lit(0).cast("long"), lambda a, b: a + b,
+    )
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        checksum.alias("q_checksum"),
+        F.round("mse", 9).alias("mse"),
+    )

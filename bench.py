@@ -64,6 +64,7 @@ HEADLINE = [
     "q109_bigram_pmi",
     "q116_media_resize",
     "q117_frame_sample",
+    "q118_embedding_quantize",
 ]
 
 

@@ -129,3 +129,23 @@ def test_decontaminate_finds_planted_overlap(spark):
     # bench grams: {'alpha beta gamma delta', 'beta gamma delta epsilon'};
     # doc1 and doc3 each share exactly 'alpha beta gamma delta'
     assert out == {1: 1, 3: 1}
+
+
+def test_fuzzy_decontaminate_planted(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        fuzzy_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated text about spark engines"),
+         (3, "the quick brown fox jumps over a lazy dog today")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in fuzzy_decontaminate(
+        corpus, bench, "doc_id", "text", shingle_n=2, threshold=0.3).collect()}
+    assert 1 in got and got[1]["max_jaccard"] == 1.0   # exact copy
+    assert 3 in got and 0.3 <= got[3]["max_jaccard"] < 1.0  # near copy
+    assert 2 not in got                                 # unrelated

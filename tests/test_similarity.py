@@ -79,3 +79,20 @@ def test_ivf_ann_recall_reasonable(spark):
         c = np.dot(vecs[r["query_id"]], vecs[r["neighbor_id"]]) / (
             np.linalg.norm(vecs[r["query_id"]]) * np.linalg.norm(vecs[r["neighbor_id"]]))
         assert abs(r["cosine"] - round(float(c), 6)) < 1e-9
+
+
+def test_quantize_int8_zero_vector_and_range(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        quantize_embeddings_int8,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in
+           quantize_embeddings_int8(emb, "vec_id", "embedding").collect()}
+    assert got[1]["q"] == [127, -63, 32, 0]      # floor(x*127+0.5)
+    assert got[1]["scale"] == 127.0
+    assert all(-127 <= v <= 127 for v in got[1]["q"])
+    assert got[2]["q"] == [0, 0, 0, 0]           # zero vector: scale guard
+    assert got[2]["mse"] == 0.0
