@@ -41,9 +41,12 @@ _QUERY_MODULES = (
     "auto_ml_platform_with_timeseries_data_spark.operators.similarity",
     "auto_ml_platform_with_timeseries_data_spark.operators.text",
     "auto_ml_platform_with_timeseries_data_spark.operators.multimodal",
+    # Cheap oracle-checked queries register (and therefore run) before
+    # the expensive CV/streaming ones: a budget-capped correctness
+    # sweep then verifies the most queries per second spent.
+    "auto_ml_platform_with_timeseries_data_spark.sources.readers",
     "auto_ml_platform_with_timeseries_data_spark.ml.queries",
     "auto_ml_platform_with_timeseries_data_spark.streaming.events",
-    "auto_ml_platform_with_timeseries_data_spark.sources.readers",
 )
 
 _loaded = False
