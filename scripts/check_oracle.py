@@ -64,13 +64,31 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--hostile"]
+    hostile = "--hostile" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from auto_ml_platform_with_timeseries_data_spark import registry
-    from auto_ml_platform_with_timeseries_data_spark.session import get_spark
 
-    spark = get_spark()
+    if hostile:
+        # Simulate the correctness driver's session: vanilla confs,
+        # non-UTC timezone, default 200 shuffle partitions — the engine's
+        # tune() must repair everything it depends on at load_table time.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[16]")
+            .appName("check-oracle-hostile")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        from auto_ml_platform_with_timeseries_data_spark.session import get_spark
+
+        spark = get_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
