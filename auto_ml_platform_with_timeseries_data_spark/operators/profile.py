@@ -209,11 +209,17 @@ _LI_COLS = (
 
 @query(
     "q01_head",
-    oracle="SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 5",
+    oracle="SELECT * FROM lineitem ORDER BY ALL LIMIT 5",
 )
 def q01_head(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return head(load_table(spark, sf_dir, "lineitem"), 5,
-                order_by=["l_orderkey", "l_linenumber"])
+    """head() needs a TOTAL order to be deterministic on a multi-file
+    table — (l_orderkey, l_linenumber) is not unique in this synthetic
+    lineitem, and Spark vs DuckDB break sort ties by scan order, which
+    diverges as soon as the table has >1 file (sf0.1 exposed this;
+    sf0.01 is a single file). Ordering by every column in schema order
+    matches DuckDB's ORDER BY ALL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return head(li, 5, order_by=list(li.columns))
 
 
 @query(

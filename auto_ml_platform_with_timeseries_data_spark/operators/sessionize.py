@@ -23,13 +23,23 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
 def tumbling_window_agg(df: DataFrame, ts: str, width: str,
                         group_cols: list[str]) -> DataFrame:
-    """count/sum/avg per (tumbling event-time window × groups)."""
+    """count/sum/avg per (tumbling event-time window × groups).
+
+    The 2-dp `value` doubles sum through DECIMAL so the aggregate is
+    exact regardless of accumulation order (float sums diverge from the
+    oracle in the 6th decimal once partitions grow — observed at sf0.1);
+    the avg is then a bit-identical double quotient on both engines, and
+    floor(x·1e6 + 0.5) pins away the round()-at-ulp-boundary divergence
+    (Spark rounds the shortest decimal repr, DuckDB the binary value)."""
+    sum_dec = F.sum(F.col("value").cast("decimal(18,4)"))
+    n = F.count(F.lit(1))
+    avg6 = F.floor((sum_dec.cast("double") / n) * 1e6 + F.lit(0.5)) / 1e6
     return (
         df.groupBy(F.window(ts, width).alias("w"), *group_cols)
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            n.alias("n"),
+            F.round(sum_dec, 4).cast("double").alias("sum_value"),
+            avg6.alias("avg_value"),
         )
         .select(
             F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
@@ -68,8 +78,9 @@ def sessionize(df: DataFrame, key: str, ts: str, gap_minutes: int,
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}') AS window_start,
            event_type,
            count(*) AS n,
-           ROUND(sum(value), 4) AS sum_value,
-           ROUND(avg(value), 6) AS avg_value
+           CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_value,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*))
+                 * 1e6 + 0.5) / 1e6 AS avg_value
     FROM events
     GROUP BY 1, 2
     """,

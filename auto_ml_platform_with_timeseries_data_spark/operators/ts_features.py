@@ -157,13 +157,18 @@ def lag_features(df: DataFrame, key: str, order: list[str], value: str,
         F.lag(value, k).over(w).alias(f"lag_{k}") for k in range(1, lags + 1)
     ]
     prev = F.lag(value, 1).over(w)
+    # pct_change rounds via floor(x·1e6 + 0.5): the quotient is a
+    # bit-identical double on any engine, but round() implementations
+    # disagree exactly at the .5 ulp boundary (Spark rounds the shortest
+    # decimal repr via BigDecimal, DuckDB the binary value — observed at
+    # sf0.1 on 1 of 100k rows). floor of the identical product can't.
+    pct = F.when(prev != 0.0, F.floor(
+        ((F.col(value) - prev) / prev) * 1e6 + F.lit(0.5)) / 1e6)
     return df.select(
         "event_id", key, F.col(value),
         *lag_cols,
         F.round(F.col(value) - prev, 6).alias("delta"),
-        F.round(
-            F.when(prev != 0.0, (F.col(value) - prev) / prev), 6
-        ).alias("pct_change"),
+        pct.alias("pct_change"),
     )
 
 
@@ -175,9 +180,10 @@ def lag_features(df: DataFrame, key: str, order: list[str], value: str,
            lag(value, 2) OVER w AS lag_2,
            lag(value, 3) OVER w AS lag_3,
            ROUND(value - lag(value, 1) OVER w, 6) AS delta,
-           ROUND(CASE WHEN lag(value, 1) OVER w <> 0.0
-                 THEN (value - lag(value, 1) OVER w) / lag(value, 1) OVER w
-                 END, 6) AS pct_change
+           CASE WHEN lag(value, 1) OVER w <> 0.0
+                THEN floor(((value - lag(value, 1) OVER w)
+                            / lag(value, 1) OVER w) * 1e6 + 0.5) / 1e6
+                END AS pct_change
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
