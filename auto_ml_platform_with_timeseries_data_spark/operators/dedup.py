@@ -635,9 +635,6 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     small-star rewriting (Kiveris et al., "Connected Components in
     MapReduce"), which converges in O(log²) rounds on adversarial
     chains; the operator contract is unchanged."""
-    labels = vertices.select(F.col(id_col).alias("id"),
-                             F.col(id_col).alias("comp")).persist()
-    cached = labels  # the DF actually holding the persisted round state
     # Persist the DIRECTED edges before mirroring: the union references
     # the edge plan twice, and an expensive upstream (e.g. a similarity
     # join) would otherwise execute once per direction.
@@ -646,6 +643,20 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
     e = directed.unionAll(
         directed.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
+    # Iterate ONLY over vertices that touch an edge: isolated vertices
+    # are their own component by definition and never change, and the
+    # near-dup graph is always sparse next to the corpus (hundreds of
+    # nodes vs 50k docs at sf0.1 — at 100 TB, millions vs billions), so
+    # every propagation round shrinks from corpus-sized to graph-sized.
+    # Isolated vertices rejoin map-only at the end.
+    edge_vertices = (
+        directed.select(F.col("u").alias("id"))
+        .unionAll(directed.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    all_labels = vertices.select(F.col(id_col).alias("id"))
+    labels = edge_vertices.select("id", F.col("id").alias("comp")).persist()
+    cached = labels  # the DF actually holding the persisted round state
     for _ in range(max_iter):
         nbr_min = (
             e.join(labels.select(F.col("id").alias("v"),
@@ -673,7 +684,11 @@ def connected_components(vertices: DataFrame, edges: DataFrame,
             break
     e.unpersist()
     directed.unpersist()
-    return labels.select(F.col("id"), F.col("comp").alias("component"))
+    # isolated vertices: component = own id (left join keeps every vertex)
+    return (
+        all_labels.join(labels, "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("component"))
+    )
 
 
 @query(
