@@ -268,3 +268,43 @@ def q60_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return zscore_outliers(ev, "user_id", "ts", "event_id", "value",
                            window_rows=20, z_threshold=2.5)
+
+
+@query(
+    "q120_sliding_window",
+    oracle=f"""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - k.k * INTERVAL '30 minutes' AS window_start,
+             event_type, value
+      FROM events, (SELECT unnest(range(2)) AS k) k
+    )
+    SELECT strftime(window_start, '{_TS_FMT_DUCK}') AS window_start,
+           event_type, count(*) AS n,
+           CAST(ROUND(sum(CAST(value AS DECIMAL(18,4))), 4) AS DOUBLE)
+             AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q120_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (overlapping) event-time windows — width 1 h, slide
+    30 min, so every event lands in exactly width/slide = 2 windows.
+    Spark's F.window generates the window set per row (a narrow
+    generator, no self-join); the oracle enumerates the same 2 window
+    starts per event arithmetically. The decimal sum keeps the
+    aggregate independent of accumulation order (see
+    tumbling_window_agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                   "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 4)
+            .cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )

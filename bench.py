@@ -65,6 +65,7 @@ HEADLINE = [
     "q116_media_resize",
     "q117_frame_sample",
     "q118_embedding_quantize",
+    "q120_sliding_window",
 ]
 
 
