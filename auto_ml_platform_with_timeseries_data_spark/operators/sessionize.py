@@ -308,3 +308,46 @@ def q120_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "sum_value",
         )
     )
+
+
+@query(
+    "q122_window_heavy_hitters",
+    oracle=f"""
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(w, '{_TS_FMT_DUCK}') AS window_start, event_type, n,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT w, event_type, n,
+             row_number() OVER (PARTITION BY w ORDER BY n DESC, event_type)
+               AS rank
+      FROM c
+    ) WHERE rank <= 3
+    """,
+)
+def q122_window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per hourly window — the windowed heavy-hitters
+    shape every metrics/abuse pipeline needs. Count agg partial-combines
+    map-side; the rank is a window over the (windows × types) aggregate,
+    which is orders of magnitude smaller than the input, so the second
+    shuffle is negligible at any scale (at extreme cardinality swap in
+    approx counting per window — q81's sketch twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        counts.withColumn("rank", rank)
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type", "n", "rank",
+        )
+    )

@@ -670,3 +670,96 @@ def q112_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("entropy", "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores(df: DataFrame, id_col: str, text_col: str,
+                query_terms: list[str], k1: float = 1.2, b: float = 0.75,
+                round_to: int = 4) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms —
+    the classic retrieval scorer (Robertson/Spärck Jones), and the
+    standard lexical half of a hybrid (BM25 + embedding) corpus search.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (Lucene's non-negative
+    variant).
+
+    Shape: one explode over matching terms only (the filter folds into
+    the generate), per-(doc, term) counts partial-aggregate before the
+    shuffle; df/N/avgdl are a tiny aggregate broadcast back as a 1-row
+    cross join — the corpus is scanned twice (stats + scoring), never
+    joined against itself. Output: (id, score) for docs matching ≥1
+    term."""
+    toks = tokens(normalize_text(text_col))
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks")) \
+             .withColumn("__len", F.size("__toks"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__len").alias("__avgdl"),
+    )
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        base.select("__id", "__len",
+                    F.explode(F.array_intersect(terms, F.col("__toks")))
+                    .alias("__t"), "__toks")
+        .select("__id", "__len", "__t",
+                F.size(F.filter("__toks", lambda x: x == F.col("__t")))
+                .alias("__tf"))
+    )
+    docfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "__idf",
+            F.log(F.lit(1.0) + (F.col("__n") - F.col("__df") + 0.5)
+                  / (F.col("__df") + 0.5)),
+        )
+        .withColumn(
+            "__s",
+            F.col("__idf") * F.col("__tf") * (k1 + 1)
+            / (F.col("__tf") + k1 * (1 - b + b * F.col("__len") / F.col("__avgdl"))),
+        )
+    )
+    return (
+        scored.groupBy(F.col("__id").alias(id_col))
+        .agg(F.round(F.sum("__s"), round_to).alias("score"))
+    )
+
+
+_BM25_TERMS = ("data", "model", "system")
+
+
+@query(
+    "q121_bm25",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
+    ),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM base),
+    tf AS (
+      SELECT doc_id, dl, t,
+             len(list_filter(toks, x -> x = t)) AS tf
+      FROM (
+        SELECT doc_id, dl, toks,
+               unnest(list_intersect(['data','model','system'], toks)) AS t
+        FROM base
+      )
+    ),
+    df AS (SELECT t, count(*) AS df FROM tf GROUP BY t)
+    SELECT tf.doc_id,
+           ROUND(sum(ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))),
+                 4) AS score
+    FROM tf JOIN df ON tf.t = df.t CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def q121_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", list(_BM25_TERMS))

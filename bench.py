@@ -66,6 +66,8 @@ HEADLINE = [
     "q117_frame_sample",
     "q118_embedding_quantize",
     "q120_sliding_window",
+    "q121_bm25",
+    "q122_window_heavy_hitters",
 ]
 
 
