@@ -79,3 +79,26 @@ def test_winnow_density(spark):
     )
     n = winnow_fingerprints(df, "doc_id", "text", k=3, w=4).count()
     assert 1 <= n <= 40 - 3 + 1 - 4 + 1
+
+
+def test_bm25_semantics(spark):
+    import math
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        bm25_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "data data model"), (2, "other words here"),
+         (3, "data only")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_scores(docs, "doc_id", "text", ["data", "model"]).collect()}
+    assert 2 not in got                       # no query term → no row
+    # doc 1: tf(data)=2, tf(model)=1, dl=3; doc 3: tf(data)=1, dl=2
+    n, avgdl, k1, b = 3, 8 / 3, 1.2, 0.75
+    def s(tf, df, dl):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert got[1] == round(s(2, 2, 3) + s(1, 1, 3), 4)
+    assert got[3] == round(s(1, 2, 2), 4)
