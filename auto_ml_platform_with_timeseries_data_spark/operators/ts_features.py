@@ -470,3 +470,134 @@ def q110_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("residual")).desc(), "event_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (holistic window aggregate)
+# ---------------------------------------------------------------------------
+
+
+def rolling_median(df: DataFrame, key: str, order: list[str], value: str,
+                   window_rows: int = 10, round_to: int = 6) -> DataFrame:
+    """Trailing rolling median — the robust-baseline twin of the rolling
+    mean (q45): outlier-resistant smoothing for sensor/metric streams.
+
+    Median is HOLISTIC (not decomposable into partial aggregates), so
+    Spark has no native window median; the frame's values are collected
+    and sorted per row — O(w log w) per row with w bounded by the frame,
+    JVM-side, no UDF. Even-count frames interpolate (avg of the two
+    middles), matching DuckDB/Postgres median semantics on doubles."""
+    w = (
+        Window.partitionBy(key).orderBy(*order)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    arr = F.array_sort(F.collect_list(F.col(value)).over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return df.select(
+        key, *order, F.col(value),
+        F.round(med, round_to).alias("rolling_median"),
+    )
+
+
+@query(
+    "q123_rolling_median",
+    oracle="""
+    SELECT user_id, event_id, value,
+           ROUND(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS rolling_median
+    FROM events WHERE user_id <= 50
+    """,
+)
+def q123_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    return rolling_median(ev, "user_id", ["ts", "event_id"], "value",
+                          window_rows=10).select(
+        "user_id", "event_id", "value", "rolling_median")
+
+
+# ---------------------------------------------------------------------------
+# Closed-form per-group OLS (exact decimal moments)
+# ---------------------------------------------------------------------------
+
+
+def group_ols(df: DataFrame, key: str, ts_col: str, value_col: str,
+              round_to: int = 6) -> DataFrame:
+    """Per-group least-squares trend (value ~ seconds since group
+    start): slope, intercept, n — closed form from the moment sums,
+    β = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), α = (Σy − β·Σx)/n.
+
+    This is the zero-UDF distributed regression: one window pass for
+    the per-group epoch origin, one groupBy computing FOUR moment sums.
+    All moments accumulate in DECIMAL — x is integer seconds from group
+    start, y is a 2-dp reading, so every sum is EXACT and the result is
+    independent of accumulation order (float moments diverge from any
+    oracle once partition counts differ). β/α then divide as doubles
+    from bit-identical sums, with floor(x·1e6+0.5) rounding (see
+    lag_features for the ulp-boundary rationale)."""
+    origin = Window.partitionBy(key)
+    x = (F.col(ts_col).cast("double")
+         - F.min(F.col(ts_col).cast("double")).over(origin)).cast("decimal(14,0)")
+    y = F.col(value_col).cast("decimal(18,4)")
+    base = df.select(F.col(key), x.alias("__x"), y.alias("__y"))
+    agg = base.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").cast("decimal(38,0)").alias("sx"),
+        F.sum("__y").cast("decimal(38,4)").alias("sy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("decimal(38,4)").alias("sxy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    alpha = (sy - beta * sx) / n
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        key, "n",
+        r6(beta * 86400.0).alias("slope_per_day"),
+        r6(alpha).alias("intercept"),
+    )
+
+
+@query(
+    "q124_group_ols",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             CAST(CAST(epoch(ts) AS DOUBLE)
+                  - min(CAST(epoch(ts) AS DOUBLE)) OVER (PARTITION BY user_id)
+                  AS DECIMAL(14,0)) AS x,
+             CAST(value AS DECIMAL(18,4)) AS y
+      FROM events
+    ),
+    a AS (
+      SELECT user_id, count(*) AS n,
+             CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(y) AS DECIMAL(38,4)) AS sy,
+             CAST(sum(x * y) AS DECIMAL(38,4)) AS sxy,
+             CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx
+      FROM b GROUP BY user_id
+    )
+    SELECT user_id, n,
+           floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                 * 86400.0 * 1e6 + 0.5) / 1e6 AS slope_per_day,
+           floor(((CAST(sy AS DOUBLE)
+                   - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                     * CAST(sx AS DOUBLE)) / n) * 1e6 + 0.5) / 1e6 AS intercept
+    FROM a
+    """,
+)
+def q124_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return group_ols(ev, "user_id", "ts", "value")

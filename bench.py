@@ -68,6 +68,8 @@ HEADLINE = [
     "q120_sliding_window",
     "q121_bm25",
     "q122_window_heavy_hitters",
+    "q123_rolling_median",
+    "q124_group_ols",
 ]
 
 
