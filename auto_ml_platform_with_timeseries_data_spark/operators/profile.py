@@ -330,3 +330,60 @@ def q14_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q48_histogram_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_auto(load_table(spark, sf_dir, "lineitem"), LINEITEM_LABEL)
+
+
+def key_skew_stats(df: DataFrame, key_col: str, label: str) -> DataFrame:
+    """Join/agg-key skew diagnosis: per-key cardinality reduced to the
+    numbers that decide a physical plan at scale — key count, max and
+    mean per-key rows, the hottest key's share, and skew factor
+    (max/mean). skew_factor >> 1 on a join key means salting or AQE
+    skew-join handling; ~1 means plain hash partitioning is balanced.
+    Two aggregates total (per-key count, then the summary) — the
+    second input is |keys| rows, negligible at any scale."""
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("n"))
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return counts.agg(
+        F.lit(label).alias("key"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_per_key"),
+        r6(F.sum("n").cast("double") / F.count(F.lit(1))).alias("avg_per_key"),
+        r6(F.max("n").cast("double") * F.count(F.lit(1)) / F.sum("n"))
+        .alias("skew_factor"),
+        r6(F.max("n").cast("double") / F.sum("n")).alias("top_key_share"),
+    )
+
+
+@query(
+    "q125_key_skew",
+    oracle="""
+    WITH s AS (
+      SELECT 'events.user_id' AS key, count(*) AS n
+      FROM events GROUP BY user_id
+      UNION ALL
+      SELECT 'documents.lang', count(*) FROM documents GROUP BY lang
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT key, count(*) AS n_keys, sum(n) AS n_rows,
+           max(n) AS max_per_key,
+           floor((CAST(sum(n) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
+             AS avg_per_key,
+           floor((CAST(max(n) AS DOUBLE) * count(*) / sum(n)) * 1e6 + 0.5) / 1e6
+             AS skew_factor,
+           floor((CAST(max(n) AS DOUBLE) / sum(n)) * 1e6 + 0.5) / 1e6
+             AS top_key_share
+    FROM s GROUP BY key
+    """,
+)
+def q125_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics across the three canonical join/agg keys."""
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        key_skew_stats(ev, "user_id", "events.user_id")
+        .unionAll(key_skew_stats(docs, "lang", "documents.lang"))
+        .unionAll(key_skew_stats(li, "l_suppkey", "lineitem.l_suppkey"))
+    )
