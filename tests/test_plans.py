@@ -242,3 +242,59 @@ def test_ann_ivf_broadcasts_probe_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     keys = [l for l in plan.splitlines() if l.startswith("Left keys")][0]
     assert "cell" in keys
+
+
+def test_acf_lag_family_fuses_into_one_window(spark, sf_dir):
+    """SURVEY §7 floated a custom Catalyst rule to fuse q06's 11 lag
+    columns into one window pass — unnecessary: all lags share one
+    window spec, so Catalyst plans a SINGLE Window node (one shuffle +
+    sort per group, 11 frames evaluated streaming)."""
+    plan = explain.formatted_plan(queries()["q06_acf"](spark, sf_dir))
+    nodes = [l for l in plan.splitlines()
+             if l.strip().startswith("(") and l.strip().endswith("Window")]
+    assert len(nodes) == 1, nodes
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join handling actually engages on a pathological key:
+    join a table where one key holds ~half the rows against a uniform
+    side, with the skew thresholds lowered to fixture scale, and verify
+    the executed plan marked the sort-merge join as skew-handled. This
+    is the runtime defense for hot keys the salted_join operator
+    handles statically."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        # finer shuffle granularity: with very few partitions the
+        # skew-split rule keeps the hot partition whole (observed at 8),
+        # another reason the engine defaults shuffle partitions to the
+        # core count or higher
+        "spark.sql.shuffle.partitions": "32",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        skewed = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise(F.col("id")).alias("k"),
+            F.lpad(F.col("id").cast("string"), 64, "x").alias("pad"),
+        )
+        uniform = spark.range(0, 50_000).select(
+            F.col("id").alias("k"), F.lit(1).alias("v"))
+        # inspect the SAME QueryExecution that ran: count() builds its
+        # own plan, so aggregate first and execute that DataFrame
+        agg = skewed.join(uniform, "k").groupBy().count()
+        assert agg.collect()[0][0] > 0
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:800]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
