@@ -606,3 +606,49 @@ def q91_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("n_chars").alias("lo"),
              F.max("n_chars").alias("hi"))
     )
+
+
+@query(
+    "q126_copurchase_pairs",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def q126_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top part pairs appearing in the same
+    order. The oracle states it as the relational self-join; the engine
+    expands pairs INSIDE each order group with a higher-order function
+    over the collected distinct part set — the scan runs once and the
+    shuffle carries (order, parts) groups then (pair, partial count)
+    rows, never the self-join's quadratic row blowup outside the group.
+    Baskets are small (TPC-H ≤ 7 lines), so per-group expansion is
+    bounded; a hot basket would cap exactly like the LSH buckets."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__parts"))
+        .filter(F.size("__parts") > 1)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(F.transform(
+                "__parts",
+                lambda a: F.transform(
+                    F.filter(F.col("__parts"), lambda b: b > a),
+                    lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+                ),
+            ))
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy("p.part_a", "p.part_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "part_a", "part_b")
+        .limit(20)
+    )

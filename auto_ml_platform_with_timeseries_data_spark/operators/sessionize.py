@@ -351,3 +351,43 @@ def q122_window_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "rank",
         )
     )
+
+
+@query(
+    "q127_event_transitions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           floor((CAST(n AS DOUBLE)
+                  / sum(n) OVER (PARTITION BY prev_type)) * 1e6 + 0.5) / 1e6
+             AS p
+    FROM c
+    """,
+)
+def q127_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream: one lag window pass for (prev, next) pairs, one count
+    aggregate, then the row-normalized probability from a window over
+    the tiny (types × types) count table. The probability quotient is
+    exact-integer-derived, floor-rounded (ulp-boundary rationale in
+    lag_features)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = t.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("prev_type")
+    p = F.floor((F.col("n").cast("double") / F.sum("n").over(tot))
+                * 1e6 + F.lit(0.5)) / 1e6
+    return c.select("prev_type", "next_type", "n", p.alias("p"))
