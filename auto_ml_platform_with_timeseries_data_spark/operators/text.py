@@ -710,9 +710,13 @@ def bm25_scores(df: DataFrame, id_col: str, text_col: str,
                 F.size(F.filter("__toks", lambda x: x == F.col("__t")))
                 .alias("__tf"))
     )
-    docfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    # df(t) as a count-over-window keyed by term instead of a separate
+    # aggregate + join: the aggregate would re-run the whole tokenize →
+    # explode lineage (a third corpus scan); the window reuses the tf
+    # rows with one term-keyed shuffle (hot terms are AQE-skew fodder).
+    docfreq = F.count(F.lit(1)).over(Window.partitionBy("__t"))
     scored = (
-        tf.join(F.broadcast(docfreq), "__t")
+        tf.withColumn("__df", docfreq)
         .crossJoin(F.broadcast(stats))
         .withColumn(
             "__idf",
