@@ -111,3 +111,37 @@ def test_api_errors(spark):
         assert ei.value.code == 404
     finally:
         server.stop()
+
+
+def test_api_time_series_branch(spark, tmp_path):
+    """The TS visualization endpoints (app.py:98/:115 branches): grouped
+    series data and ACF come back instead of histogram/scatter when
+    is_time_series is set."""
+    from pyspark.sql import functions as F
+
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("user_id") <= 5)
+        .select("user_id", F.col("ts").cast("string").alias("date"), "value")
+    )
+    csv = str(tmp_path / "ts.csv")
+    ev.toPandas().to_csv(csv, index=False)
+
+    server = ApiServer(spark)
+    port = server.start()
+    try:
+        _call(port, "/upload", {"taskname": "ts1", "train_data_path": csv})
+        _call(port, "/set-supervised-options",
+              {"taskname": "ts1", "label": "value", "is_time_series": True,
+               "group_by": "user_id", "order_by": "date"})
+        lines = _call(port, "/generate_histogram?taskname=ts1&features=value")
+        assert {r["user_id"] for r in lines["ts_lines"]} <= set(range(6))
+        acf = _call(port, "/generate_scatter?taskname=ts1&feature=value&max_lag=5")
+        rows = acf["acf"]
+        assert len(rows) > 0
+        lag0 = [r for r in rows if r["lag"] == 0]
+        assert all(abs(r["acf"] - 1.0) < 1e-6 for r in lag0)  # acf(0) = 1
+    finally:
+        server.stop()
