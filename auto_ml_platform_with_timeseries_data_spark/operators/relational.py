@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from auto_ml_platform_with_timeseries_data_spark.registry import query
 from auto_ml_platform_with_timeseries_data_spark.tables import load_table
@@ -651,4 +652,59 @@ def q126_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "part_a", "part_b")
         .limit(20)
+    )
+
+
+@query(
+    "q128_pareto_abc",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey AS custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+               AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    c AS (
+      SELECT custkey, CAST(revenue AS DOUBLE) AS revenue,
+             CAST(sum(revenue) OVER (ORDER BY revenue DESC, custkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum,
+             CAST(sum(revenue) OVER () AS DOUBLE) AS total
+      FROM r
+    )
+    SELECT custkey, ROUND(revenue, 2) AS revenue,
+           floor((cum / total) * 1e6 + 0.5) / 1e6 AS cum_share,
+           CASE WHEN cum / total <= 0.8 THEN 'A'
+                WHEN cum / total <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+    FROM c
+    """,
+)
+def q128_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC revenue analysis: customers ranked by lifetime revenue
+    with cumulative share and A/B/C class (80/95 cutoffs). Revenue sums
+    through DECIMAL (exact, order-independent); cum/total divide as
+    bit-identical doubles on both engines.
+
+    Scale note: the cumulative window is GLOBAL (no partition key), so
+    it runs on one task — correct here because it runs over the
+    per-customer AGGREGATE, orders of magnitude smaller than the fact
+    table (millions of narrow rows ≈ tens of MB at any realistic
+    customer count). Past that, the standard two-pass prefix-sum
+    (range-partition by revenue, per-partition partials, broadcast
+    prefix offsets) swaps in without changing this contract."""
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(38,4)").alias("__rev"))
+    wcum = Window.orderBy(F.desc("__rev"), F.asc("custkey")) \
+                 .rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = F.sum("__rev").over(wcum).cast("double")
+    total = F.sum("__rev").over(wall).cast("double")
+    share = cum / total
+    return r.select(
+        "custkey",
+        F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
+        (F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B")
+        .otherwise("C").alias("abc_class"),
     )
