@@ -350,9 +350,18 @@ def q19_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q34_ann_srp")  # rows-only: hyperplane hashing not SQL-portable
 def q34_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH ANN at the recall≈0.5 operating point for UNSTRUCTURED
+    (uniform random) embeddings: 6 bits × 16 tables ≈ a quarter of the
+    corpus rescored per query, recall@5 ≈ 0.53 (measured at sf0.01 —
+    q129 tracks it). Random vectors are LSH's worst case (no cluster
+    structure to exploit); real text/image embeddings concentrate on a
+    low-dim manifold where the same dial gives far higher recall at far
+    lower candidate fractions. More bits/fewer tables walks the dial
+    toward cheap-but-low-recall (12×4 ≈ 0.1% candidates, recall ≈ 0)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
-    return cosine_topk_srp(emb, queries_df, "vec_id", "embedding", _TOP_K)
+    return cosine_topk_srp(emb, queries_df, "vec_id", "embedding", _TOP_K,
+                           nbits=6, ntables=16)
 
 
 @query(
@@ -638,3 +647,30 @@ def q118_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum.alias("q_checksum"),
         F.round("mse", 9).alias("mse"),
     )
+
+
+@query("q129_ann_recall")  # rows-only: derived from hash-family ANN paths
+def q129_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the approximate ANN paths against the exact
+    brute-force top-k — the metric that governs the accuracy/cost dial
+    at scale (more tables/probes → higher recall, more candidates to
+    rescore). Emits one row per method with recall and mean candidate
+    overlap; deterministic given the seeded hash families."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding",
+                                   _TOP_K).select("query_id", "neighbor_id")
+    out = []
+    for method, df in (
+        ("srp", cosine_topk_srp(emb, queries_df, "vec_id", "embedding",
+                                _TOP_K, nbits=6, ntables=16)),  # q34's dial
+        ("ivf", cosine_topk_ivf(emb, queries_df, "vec_id", "embedding",
+                                _TOP_K)),
+    ):
+        approx = df.select("query_id", "neighbor_id")
+        hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
+        total = exact.count()
+        out.append((method, total,
+                    int(hits), round(hits / total, 4)))
+    return spark.createDataFrame(
+        out, "method string, n_exact long, n_hit long, recall_at_k double")
