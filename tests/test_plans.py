@@ -298,3 +298,42 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_global_sorted_export_via_range_partitioning(spark, sf_dir, tmp_path):
+    """Globally-ordered shard export the scale-correct way: a plain
+    orderBy().write would sort fine but a naive reader loses order
+    across files; repartitionByRange + sortWithinPartitions gives N
+    independently-sorted shards whose RANGES are disjoint and ordered —
+    each file is a curriculum slice, no single-task global sort.
+    Verified by re-reading each shard file and checking (a) within-file
+    order, (b) cross-file range disjointness."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").alias("score"))
+    dest = str(tmp_path / "sorted_shards")
+    (docs.repartitionByRange(4, "score", "doc_id")
+     .sortWithinPartitions("score", "doc_id")
+     .write.mode("overwrite").parquet(dest))
+
+    files = sorted(glob.glob(f"{dest}/part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        total += len(pdf)
+        if pdf.empty:
+            continue
+        keys = list(zip(pdf["score"], pdf["doc_id"]))
+        assert keys == sorted(keys), f          # within-file order
+        ranges.append((keys[0], keys[-1]))
+    assert total == docs.count()
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2                        # disjoint ordered ranges
