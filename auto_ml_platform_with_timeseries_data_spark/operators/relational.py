@@ -708,3 +708,4 @@ def q128_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(share <= 0.8, "A").when(share <= 0.95, "B")
         .otherwise("C").alias("abc_class"),
     )
+

@@ -45,6 +45,7 @@ _QUERY_MODULES = (
     # the expensive CV/streaming ones: a budget-capped correctness
     # sweep then verifies the most queries per second spent.
     "auto_ml_platform_with_timeseries_data_spark.sources.readers",
+    "auto_ml_platform_with_timeseries_data_spark.operators.graph",
     "auto_ml_platform_with_timeseries_data_spark.ml.queries",
     "auto_ml_platform_with_timeseries_data_spark.streaming.events",
 )
