@@ -98,3 +98,36 @@ def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     undirected = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     return pagerank(undirected, iterations=5, damping=0.85)
+
+
+@query("q131_sketch_merge")  # rows-only: HLL binary sketches not SQL-portable
+def q131_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes approximate
+    distinct-counting work at 100 TB: per-day HLL sketches of active
+    users union into weekly estimates WITHOUT re-touching the raw
+    events (pre-aggregate once, reaggregate to any coarser rollup).
+    Emits per week: the merged-sketch estimate, the exact distinct
+    count computed from raw data, and whether the relative error is
+    inside HLL's expected bound (lgK=12 → ~1.6% σ; gate at 5%).
+    Deterministic: the sketch is a pure function of the value set."""
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.select(
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+        "user_id",
+    )
+    daily = day.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"))
+    weekly = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"))
+    exact = day.groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact"))
+    return (
+        weekly.join(exact, "week")
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "exact", "approx",
+            (F.abs(F.col("approx") - F.col("exact"))
+             / F.col("exact") <= 0.05).alias("within_bound"),
+        )
+    )
