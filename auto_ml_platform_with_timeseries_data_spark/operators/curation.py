@@ -86,7 +86,7 @@ def stratified_sample(df: DataFrame, id_col: str, stratum_col: str,
     "q73_stratified_sample",
     oracle=f"""
     SELECT lang, count(*) AS n_kept, count(DISTINCT source) AS n_sources,
-           sum(n_chars) AS chars_kept
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept  -- HUGEINT→BIGINT
     FROM documents
     WHERE {_hash_u32_sql('doc_id')} <
           (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.25 END) * {_M32}
@@ -130,7 +130,8 @@ def hash_split(df: DataFrame, id_col: str,
            CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80 THEN 'train'
                 WHEN {_hash_u32_sql('doc_id')} % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split,
-           count(*) AS n_docs, sum(n_chars) AS n_chars
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars  -- HUGEINT→BIGINT
     FROM documents
     GROUP BY 1, 2
     """,
@@ -169,7 +170,7 @@ def balance_groups(df: DataFrame, group_cols: list[str], id_col: str,
     "q75_class_balance",
     oracle=f"""
     SELECT lang, source, count(*) AS n_docs,
-           sum(n_chars) AS n_chars
+           CAST(sum(n_chars) AS BIGINT) AS n_chars  -- HUGEINT→BIGINT
     FROM (
       SELECT *, row_number() OVER (
                PARTITION BY lang, source
@@ -225,13 +226,14 @@ def pack_sequences(df: DataFrame, shard_col: str, order_col: str,
       FROM documents
     ), packed AS (
       SELECT lang, n_tokens,
-             coalesce(sum(n_tokens) OVER (
+             CAST(coalesce(sum(n_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             // {_PACK_BUDGET} AS pack_id
+             // {_PACK_BUDGET} AS BIGINT) AS pack_id
       FROM toks
     )
-    SELECT lang, pack_id, count(*) AS n_docs, sum(n_tokens) AS pack_tokens
+    SELECT lang, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens  -- HUGEINT→BIGINT
     FROM packed GROUP BY lang, pack_id
     """,
 )

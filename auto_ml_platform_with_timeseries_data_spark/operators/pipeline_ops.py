@@ -79,7 +79,8 @@ def merge_upsert(snapshot: DataFrame, delta: DataFrame,
       SELECT s.* FROM documents s
       WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.doc_id = s.doc_id)
     )
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars  -- HUGEINT→BIGINT
     FROM merged GROUP BY lang, source
     """,
 )
@@ -348,12 +349,13 @@ def q113_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       count(*) AS n_users,
-      sum(CASE WHEN regexp_matches(s, 'view') THEN 1 ELSE 0 END)
-        AS step1_view,
-      sum(CASE WHEN regexp_matches(s, 'view.*click') THEN 1 ELSE 0 END)
-        AS step2_click,
-      sum(CASE WHEN regexp_matches(s, 'view.*click.*purchase') THEN 1 ELSE 0 END)
-        AS step3_purchase
+      CAST(sum(CASE WHEN regexp_matches(s, 'view') THEN 1 ELSE 0 END)
+        AS BIGINT) AS step1_view,
+      CAST(sum(CASE WHEN regexp_matches(s, 'view.*click') THEN 1 ELSE 0 END)
+        AS BIGINT) AS step2_click,
+      CAST(sum(CASE WHEN regexp_matches(s, 'view.*click.*purchase')
+                    THEN 1 ELSE 0 END)
+        AS BIGINT) AS step3_purchase
     FROM seq
     """,
 )

@@ -366,7 +366,11 @@ def key_skew_stats(df: DataFrame, key_col: str, label: str) -> DataFrame:
       UNION ALL
       SELECT 'lineitem.l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
     )
-    SELECT key, count(*) AS n_keys, sum(n) AS n_rows,
+    SELECT key, count(*) AS n_keys,
+           -- DuckDB widens sum(BIGINT) to HUGEINT, which lands in pandas
+           -- as float64 and breaks the driver's int-vs-float value hash
+           -- (the round-2 red row); pin it back to BIGINT like Spark.
+           CAST(sum(n) AS BIGINT) AS n_rows,
            max(n) AS max_per_key,
            floor((CAST(sum(n) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6
              AS avg_per_key,

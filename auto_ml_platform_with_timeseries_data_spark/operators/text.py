@@ -433,9 +433,12 @@ _REDACT_RE = r"\b(the|a)\b"
       FROM documents
     )
     SELECT lang, count(*) AS n_docs,
-           sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS docs_with_hits,
-           sum(n_hits) AS total_hits,
-           sum(len_delta) AS total_len_delta
+           -- DuckDB sum(int) widens to HUGEINT → pandas float64, which
+           -- breaks the driver's int-vs-float value hash; pin to BIGINT
+           CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_hits,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST(sum(len_delta) AS BIGINT) AS total_len_delta
     FROM r GROUP BY lang
     """,
 )
@@ -636,7 +639,7 @@ def q111_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, sum(c) AS n FROM wc GROUP BY doc_id
     )
     SELECT wc.doc_id,
-           tot.n AS n_tokens,
+           CAST(tot.n AS BIGINT) AS n_tokens,  -- HUGEINT→BIGINT (hash parity)
            ROUND(-sum((CAST(c AS DOUBLE) / tot.n) * ln(CAST(c AS DOUBLE) / tot.n)),
                  6) AS entropy
     FROM wc JOIN tot ON wc.doc_id = tot.doc_id

@@ -69,7 +69,8 @@ def ingest_to_parquet(spark: SparkSession, src_path: str, dest_dir: str,
 @query(
     "q56_jsonl_roundtrip",
     oracle="""
-    SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,  -- HUGEINT→BIGINT
            count(DISTINCT source) AS n_sources
     FROM documents GROUP BY lang
     """,
@@ -115,7 +116,8 @@ def ingest_bucketed(df: DataFrame, table: str, key: str,
 @query(
     "q80_partitioned_sink",
     oracle="""
-    SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars  -- HUGEINT→BIGINT
     FROM documents WHERE lang = 'en' GROUP BY source
     """,
 )

@@ -21,34 +21,67 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
-def canonicalize(pdf: pd.DataFrame) -> pd.DataFrame:
+def _kind(s: pd.Series) -> str:
+    """Value-family of a column for the driver-style exact compare.
+
+    The driver hashes canonicalized VALUES, so an integer 10000 and a
+    float 10000.0 hash differently (the round-2 q125 red row: DuckDB
+    widened sum(BIGINT) to HUGEINT → pandas float64).  Width within a
+    family (int32 vs int64, float32 vs float64) does not change the
+    canonical value; crossing families does.
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
+
+
+def canonicalize(pdf: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, str]]:
     out = pdf.copy()
     out.columns = [str(c) for c in out.columns]
     out = out[sorted(out.columns)]
+    kinds: dict[str, str] = {}
     for c in out.columns:
         s = out[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
+        k = _kind(s)
+        kinds[c] = k
+        if k == "datetime":
             out[c] = s.astype("datetime64[us]").astype("int64")
-        elif pd.api.types.is_float_dtype(s):
-            out[c] = s.round(9)
-        elif s.dtype == object:
+        elif k == "int":
+            out[c] = s.astype("Int64")  # nullable: ints with NULLs survive
+        elif k == "float":
+            out[c] = s.astype("float64")
+        elif k == "object":
             out[c] = s.map(lambda v: str(v) if v is not None else None)
     out = out.sort_values(by=list(out.columns), na_position="last").reset_index(drop=True)
-    return out
+    return out, kinds
 
 
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]:
+    """Mirror the driver's gate EXACTLY: row count, sorted column names,
+    then an exact (not tolerance-based) compare of canonicalized values.
+    Queries are responsible for pinning floats (round/floor on BOTH the
+    Spark and oracle side) — a 1e-9 tolerance here would pass results the
+    driver's value hash rejects (the round-2 q125 lesson)."""
     if len(spark_pdf) != len(duck_pdf):
         return False, f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}"
-    a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
+    a, akinds = canonicalize(spark_pdf)
+    b, bkinds = canonicalize(duck_pdf)
     if list(a.columns) != list(b.columns):
         return False, f"columns spark={list(a.columns)} duck={list(b.columns)}"
     for c in a.columns:
+        if akinds[c] != bkinds[c]:
+            return False, (f"dtype family differs in column {c}: "
+                           f"spark={akinds[c]} duck={bkinds[c]} "
+                           f"(would break the driver's value hash)")
         av, bv = a[c], b[c]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            ok = np.allclose(av.astype(float).fillna(np.nan),
-                             bv.astype(float).fillna(np.nan),
-                             rtol=0, atol=1e-9, equal_nan=True)
+        if akinds[c] == "float":
+            ok = np.array_equal(av.to_numpy(), bv.to_numpy(), equal_nan=True)
         else:
             ok = av.fillna("<NULL>").astype(str).equals(bv.fillna("<NULL>").astype(str))
         if not ok:
