@@ -19,9 +19,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     join + aggregate (the canonical iterative-algorithm shape on Spark:
     edges persist once, ranks are a small per-node frame that re-joins
     per round, exactly like connected components). Ranks are pinned to
-    9 decimals with floor(x·1e9)/1e9 after every step so the result is
-    independent of float accumulation order — bit-stable across
-    partitionings AND re-expressible in portable SQL for the oracle."""
+    9 decimals with floor(x·1e9)/1e9 after every step, which bounds
+    divergence between runs to the last digit and keeps the arithmetic
+    re-expressible in portable SQL. (The pin does NOT make the sum
+    order-independent: F.sum over doubles can still differ by an ulp
+    across partitionings, and a sum landing exactly on a 1e-9 boundary
+    can flip that digit — full order-independence would need DECIMAL
+    accumulation as in group_ols/tumbling_window_agg.)"""
     # Right-size the iteration frames: persisted DataFrames keep their
     # partitioning across rounds (AQE only re-plans shuffles), and every
     # round touches each partition of each frame — 32 near-empty
@@ -46,36 +50,40 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     sess = edges.sparkSession
     old_sp = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", str(n_part))
-    for _ in range(iterations):
-        contrib = (
-            e.join(deg, "u")
-            .join(ranks.withColumnRenamed("node", "u"), "u")
-            .groupBy(F.col("v").alias("node"))
-            .agg(F.sum(pin(F.col("rank") / F.col("outdeg"))).alias("__in"))
-        )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select("node", pin(base + damping * F.coalesce("__in", F.lit(0.0)))
-                    .alias("rank"))
-            .persist()
-        )
-        # materialize this round and release the previous one so the
-        # plan stays one round deep (an unpersisted loop builds an
-        # iterations-deep join lineage that re-plans and re-runs
-        # earlier rounds)
-        ranks.count()
-        cached.unpersist()
-        cached = ranks
-    sess.conf.set("spark.sql.shuffle.partitions", old_sp)
-    out = ranks.select("node", F.round("rank", 9).alias("rank"))
-    return out
+    try:
+        for _ in range(iterations):
+            contrib = (
+                e.join(deg, "u")
+                .join(ranks.withColumnRenamed("node", "u"), "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.sum(pin(F.col("rank") / F.col("outdeg"))).alias("__in"))
+            )
+            ranks = (
+                nodes.join(contrib, "node", "left")
+                .select("node",
+                        pin(base + damping * F.coalesce("__in", F.lit(0.0)))
+                        .alias("rank"))
+                .persist()
+            )
+            # materialize this round and release the previous one so the
+            # plan stays one round deep (an unpersisted loop builds an
+            # iterations-deep join lineage that re-plans and re-runs
+            # earlier rounds)
+            ranks.count()
+            cached.unpersist()
+            cached = ranks
+    finally:
+        # an exception mid-loop (OOM, cancellation) must not leave the
+        # shared session pinned to n_part for every later query
+        sess.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
 @query("q130_pagerank")  # rows-only: 10-round iterative plan; SQL oracle
 def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph (parts as nodes, undirected
     same-order co-occurrence as edges, both directions materialized).
-    10 iterations, damping 0.85, floor-pinned per-step arithmetic."""
+    5 iterations, damping 0.85, floor-pinned per-step arithmetic."""
     li = load_table(spark, sf_dir, "lineitem")
     # deterministic subgraph (partkey < 500): PageRank cost is edge-count
     # × iterations; the demonstration needs the plan shape, not the full

@@ -149,7 +149,10 @@ def sample_frames(df: DataFrame, content_col: str = "content",
                 if blob is None:
                     continue
                 b = bytes(blob)
-                for fi in range(0, max(1, -(-len(b) // frame_bytes)), every):
+                # a zero-length (non-null) blob has no frames — same as
+                # null; ceil(len/frame_bytes) is 0 there, matching the
+                # q117 oracle's range(0, ceil(nb/64.0))
+                for fi in range(0, -(-len(b) // frame_bytes), every):
                     ids.append(mid)
                     idxs.append(fi)
                     frames.append(b[fi * frame_bytes:(fi + 1) * frame_bytes])

@@ -55,10 +55,12 @@ def merge_upsert(snapshot: DataFrame, delta: DataFrame,
     """SCD-1 merge: delta rows win on key collision, snapshot rows
     survive otherwise, inserts append. Anti-join ∪ delta — the
     MERGE INTO physical shape without a table format: the (big)
-    snapshot probes the (small, broadcastable) delta's keys; nothing
-    is rewritten except what changed."""
+    snapshot probes the delta's keys; nothing is rewritten except what
+    changed. No forced broadcast: a typical delta is small and AQE
+    broadcasts its key set at runtime, but a backfill-sized delta must
+    be allowed to fall back to a shuffle join."""
     return snapshot.join(
-        F.broadcast(delta.select(key)), key, "left_anti"
+        delta.select(key), key, "left_anti"
     ).unionByName(delta)
 
 

@@ -91,8 +91,14 @@ def q26_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q27_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: one big-big shuffle join (lineitem⋈orders), all dims
-    broadcast; the status filter lands before the join (pushdown)."""
+    """Star join: one big-big shuffle join (lineitem⋈orders), bounded
+    dims broadcast; the status filter lands before the join (pushdown).
+
+    Broadcast-hint rule (VERDICT.md round 2, item 9): hint only sides
+    bounded by construction (nation=25, region=5 rows at ANY scale).
+    customer grows with SF (~15M rows at sf100) — no hint; size-based
+    planning broadcasts it at fixture scale and AQE flips it to a
+    shuffle join when it outgrows the threshold at 100×."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     customer = load_table(spark, sf_dir, "customer")
@@ -100,7 +106,7 @@ def q27_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
@@ -131,7 +137,8 @@ def q28_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is SF-linear — no broadcast hint (see q27)
+        orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
@@ -333,8 +340,10 @@ def q44_profit_by_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     return (
         li.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part/supplier are SF-linear — no broadcast hint (see q27);
+        # nation is bounded (25 rows) at any scale
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name", "p_brand")
         .agg(
@@ -450,7 +459,8 @@ def q50_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        # segment-filtered customer is still SF-linear — no hint (see q27)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(price_d * disc_d), 2).cast("double").alias("revenue"))
         .select(
@@ -535,6 +545,29 @@ def q81_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_custkeys"),
         F.percentile_approx("o_totalprice", 0.5, 10000).alias("approx_median"),
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+    ).orderBy("o_orderpriority")
+
+
+@query(
+    "q132_exact_agg_twin",
+    oracle="""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS exact_custkeys,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_median
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q132_exact_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact half of q81, split out so it carries a DuckDB oracle
+    (VERDICT.md round 2, item 8): exact distinct counts and exact
+    interpolated medians per priority. q81 keeps the sketch half
+    rows-only — Spark HLL++ and DuckDB HLL disagree by design, but the
+    exact twins are engine-portable and hash-checkable."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2)
+        .alias("exact_median"),
     ).orderBy("o_orderpriority")
 
 

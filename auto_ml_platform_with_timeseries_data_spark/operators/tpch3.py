@@ -120,7 +120,8 @@ def q98_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pair_cost = (
-        li.join(F.broadcast(euro.select("s_suppkey")),
+        # euro supplier subset is SF-linear — no hint (see relational.q27)
+        li.join(euro.select("s_suppkey"),
                 li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
@@ -137,9 +138,10 @@ def q98_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("unit_cost") == F.col("min_cost"))
 
     return (
-        best.join(F.broadcast(euro), best.l_suppkey == euro.s_suppkey)
+        # euro / filtered part are SF-linear — no hint (see relational.q27)
+        best.join(euro, best.l_suppkey == euro.s_suppkey)
         .join(
-            F.broadcast(part.filter(F.col("p_size") <= 10)),
+            part.filter(F.col("p_size") <= 10),
             best.l_partkey == part.p_partkey,
         )
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "unit_cost")
@@ -201,9 +203,10 @@ def q99_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o_filt, li.l_orderkey == o_filt.o_orderkey)
-        .join(F.broadcast(cust), o_filt.o_custkey == cust.c_custkey)
+        # customer / region-filtered supplier are SF-linear — no hint
+        .join(cust, o_filt.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(asia_supp),
+            asia_supp,
             (li.l_suppkey == asia_supp.s_suppkey)
             & (cust.c_nationkey == asia_supp.s_nationkey),
         )
@@ -265,9 +268,10 @@ def q100_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1995-01-01"))
             & (F.col("l_shipdate") < _ts("1997-01-01"))
         )
-        .join(F.broadcast(s_n), li.l_suppkey == s_n.s_suppkey)
+        # nation-filtered supplier/customer are SF-linear — no hint
+        .join(s_n, li.l_suppkey == s_n.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(c_n), orders.o_custkey == c_n.c_custkey)
+        .join(c_n, orders.o_custkey == c_n.c_custkey)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -348,13 +352,14 @@ def q101_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = _disc_price_d()
     zero = F.lit(0).cast("decimal(12,4)")
     return (
+        # filtered part / amer_cust / supplier are SF-linear — no hint
         li.join(
-            F.broadcast(part.filter(F.col("p_type") == "PROMO").select("p_partkey")),
+            part.filter(F.col("p_type") == "PROMO").select("p_partkey"),
             li.l_partkey == F.col("p_partkey"),
         )
         .join(o_filt, li.l_orderkey == o_filt.o_orderkey)
-        .join(F.broadcast(amer_cust), o_filt.o_custkey == F.col("c_custkey"))
-        .join(F.broadcast(s_nat), li.l_suppkey == s_nat.s_suppkey)
+        .join(amer_cust, o_filt.o_custkey == F.col("c_custkey"))
+        .join(s_nat, li.l_suppkey == s_nat.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
@@ -498,11 +503,12 @@ def q104_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_qty")
     )
     return (
+        # filtered part and the per-part averages are SF-linear — no hint
         li.join(
-            F.broadcast(part.filter(F.col("p_type") == "SMALL").select("p_partkey")),
+            part.filter(F.col("p_type") == "SMALL").select("p_partkey"),
             li.l_partkey == F.col("p_partkey"),
         )
-        .join(F.broadcast(part_avg), li.l_partkey == F.col("pa_partkey"))
+        .join(part_avg, li.l_partkey == F.col("pa_partkey"))
         .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
         .agg(
             F.round(F.sum(_dec("l_extendedprice")) / F.lit(7.0), 2)
@@ -568,7 +574,8 @@ def q105_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= _ts("1996-01-01"))
             & (F.col("l_shipdate") < _ts("1997-01-01"))
         )
-        .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        # name-filtered part is SF-linear — no hint
+        .join(red, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
     )
@@ -582,7 +589,8 @@ def q105_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        supp.join(F.broadcast(dominant), supp.s_suppkey == F.col("l_suppkey"), "semi")
+        # dominant-supplier set is SF-linear — no hint
+        supp.join(dominant, supp.s_suppkey == F.col("l_suppkey"), "semi")
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .select("s_name", "n_name")
         .orderBy("s_name")

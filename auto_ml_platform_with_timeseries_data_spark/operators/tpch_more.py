@@ -169,7 +169,8 @@ def q63_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-06-01 00:00:00").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # part is SF-linear — no broadcast hint (see relational.q27)
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     promo = F.sum(
         F.when(F.col("p_type") == "PROMO", _disc_price_d())
         .otherwise(F.lit(0).cast("decimal(20,8)"))
@@ -252,7 +253,8 @@ def q65_brand_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters; the full OR evaluates post-join. part broadcasts."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # part is SF-linear — no broadcast hint (see relational.q27)
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     band = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 21))
@@ -298,7 +300,8 @@ def q66_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        # filtered part is SF-linear — no broadcast hint
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -477,7 +480,8 @@ def q96_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("__rev") == F.col("__mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        # supplier is SF-linear (and the argmax side is tiny) — no hint
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .select("s_suppkey", "s_name",
                 F.round("__rev", 2).cast("double").alias("total_rev"))
     )
@@ -554,7 +558,8 @@ def q97_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        filtered.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        # supplier is SF-linear — no broadcast hint
+        filtered.join(s, F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
     )

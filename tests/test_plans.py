@@ -34,6 +34,21 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_star_join_customer_broadcast_is_size_based_not_hinted(spark, sf_dir):
+    """VERDICT.md round 2, item 9: q27 must not FORCE-broadcast the
+    SF-linear customer table (~15M rows at sf100). Only the bounded
+    dims (nation=25, region=5 rows) carry hints; customer's broadcast
+    must come from size-based planning/AQE, which backs off to a
+    shuffle join when customer outgrows the threshold at scale."""
+    df = queries()["q27_revenue_by_nation"](spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly the two bounded dims are hinted
+    assert analyzed.count("ResolvedHint") == 2
+    # ...and the planner still broadcasts all three joins at fixture scale
+    plan = explain.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_pricing_summary_has_partial_agg(spark, sf_dir):
     df = queries()["q26_pricing_summary"](spark, sf_dir)
     plan = explain.formatted_plan(df)

@@ -27,9 +27,12 @@ def test_q98_dims_broadcast_and_window_min(spark, sf_dir):
 
 
 def test_q99_single_fact_shuffle(spark, sf_dir):
-    plan = explain.formatted_plan(
-        queries()["q99_local_supplier_volume"](spark, sf_dir)
-    )
+    df = queries()["q99_local_supplier_volume"](spark, sf_dir)
+    # The SF-linear sides (customer, region-filtered supplier) carry no
+    # broadcast hint; their sizes are only known to AQE at runtime, so
+    # finalize the adaptive plan before asserting.
+    df.collect()
+    plan = explain.final_plan(df)
     # customer/supplier/nation/region all broadcast: the only non-broadcast
     # join permitted is lineitem ⋈ orders.
     assert plan.count("SortMergeJoin") <= 1
@@ -42,11 +45,13 @@ def test_q100_date_filter_pushed(spark, sf_dir):
 
 
 def test_q101_share_is_single_pass(spark, sf_dir):
-    plan = explain.formatted_plan(queries()["q101_market_share"](spark, sf_dir))
+    df = queries()["q101_market_share"](spark, sf_dir)
+    df.collect()  # unhinted SF-linear joins finalize under AQE
     # numerator and denominator in ONE aggregate — no self-join of the
-    # joined fact table.
-    assert plan.count("SortMergeJoin") <= 1
-    assert "partial_sum" in plan
+    # joined fact table. Join strategy from the AQE-final tree; the
+    # aggregate-function detail lines live outside that section.
+    assert explain.final_plan(df).count("SortMergeJoin") <= 1
+    assert "partial_sum" in explain.formatted_plan(df)
 
 
 def test_q102_reuses_per_part_exchange(spark, sf_dir):
