@@ -33,11 +33,8 @@ from pyspark.ml.classification import (
     LinearSVC,
     RandomForestClassifier,
 )
-from pyspark.ml.evaluation import (
-    BinaryClassificationEvaluator,
-    MulticlassClassificationEvaluator,
-    RegressionEvaluator,
-)
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.evaluation import Evaluator
 from pyspark.ml.feature import StandardScaler, VectorAssembler
 from pyspark.ml.regression import (
     GBTRegressor,
@@ -70,6 +67,40 @@ class AutoMLResult:
             for r in self.all_results
         ]
         return spark.createDataFrame(rows, "family string, params string, cv_metric double")
+
+
+class BinaryF1Evaluator(Evaluator):
+    """Binary F1 (positive class = 1), the metric GridSearchCV(scoring=
+    'f1') uses in the reference (auto_machine_learning.py:30-33).
+
+    MulticlassClassificationEvaluator(metricName='f1') is WEIGHTED F1 —
+    on imbalanced data it rewards all-negative predictors and can flip
+    which family/grid point wins the CV search (SURVEY.md A10 flags the
+    same trap for evaluation; operators/evaluation.py:51 already derives
+    binary F1 from confusion counts — this is that formula as a
+    CrossValidator-pluggable evaluator). One distributed pass:
+    F1 = 2·TP / (2·TP + FP + FN), defined as 0.0 when the denominator
+    is 0 (sklearn's zero_division=0 behavior)."""
+
+    def __init__(self, labelCol: str = "__label",
+                 predictionCol: str = "prediction") -> None:
+        super().__init__()
+        self.labelCol = labelCol
+        self.predictionCol = predictionCol
+
+    def _evaluate(self, dataset: DataFrame) -> float:
+        y = F.col(self.labelCol).cast("int")
+        p = F.col(self.predictionCol).cast("int")
+        row = dataset.agg(
+            F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
+            F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
+            F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+        ).first()
+        denom = 2 * row.tp + row.fp + row.fn
+        return 2.0 * row.tp / denom if denom else 0.0
+
+    def isLargerBetter(self) -> bool:
+        return True
 
 
 def _pipeline(est, features: list[str]) -> Pipeline:
@@ -140,9 +171,8 @@ def automl(train: DataFrame, features: list[str], label: str,
         evaluator = RegressionEvaluator(labelCol="__label", metricName="rmse")
         better = min
     else:
-        evaluator = MulticlassClassificationEvaluator(
-            labelCol="__label", metricName="f1"
-        )
+        # binary F1, not weighted — reference parity (see BinaryF1Evaluator)
+        evaluator = BinaryF1Evaluator(labelCol="__label")
         better = max
 
     def _run_family(item) -> FamilyResult:

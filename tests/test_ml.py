@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 from pyspark.ml.regression import DecisionTreeRegressor, LinearRegression
 from pyspark.ml.tuning import ParamGridBuilder
+from pyspark.sql import functions as F
 
 from auto_ml_platform_with_timeseries_data_spark.ml import automl as ml
 
@@ -66,3 +67,54 @@ def test_model_persistence_per_task(spark, tmp_path):
     a = res.best.model.transform(df).select("prediction").collect()
     b = loaded.transform(df).select("prediction").collect()
     assert [r[0] for r in a] == pytest.approx([r[0] for r in b])
+
+
+def test_binary_f1_cv_selection_beats_weighted_trap(spark):
+    """Reference parity (auto_machine_learning.py:30-33): CV selection
+    scores BINARY F1, not weighted. On an imbalanced set (90 neg /
+    10 pos), an all-negative predictor WINS under weighted F1 (~0.853
+    vs 0.76) but LOSES under binary F1 (0.0 vs 0.4) — the two metrics
+    rank the candidates oppositely, and the engine must rank by binary."""
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    rows = []
+    # model A: predicts all-negative. model B: catches all 10 positives
+    # but flips 30 negatives to positive.
+    for i in range(90):
+        rows.append((0.0, 0.0, 1.0 if i < 30 else 0.0))
+    for _ in range(10):
+        rows.append((1.0, 0.0, 1.0))
+    df = spark.createDataFrame(rows, "__label double, pred_a double, pred_b double")
+
+    binary = ml.BinaryF1Evaluator(labelCol="__label")
+    weighted = MulticlassClassificationEvaluator(labelCol="__label",
+                                                 metricName="f1")
+    a = df.select("__label", F.col("pred_a").alias("prediction"))
+    b = df.select("__label", F.col("pred_b").alias("prediction"))
+
+    # the weighted metric falls into the imbalance trap...
+    assert weighted.evaluate(a) > weighted.evaluate(b)
+    # ...the engine's CV evaluator does not
+    f1_a, f1_b = binary.evaluate(a), binary.evaluate(b)
+    assert f1_a == pytest.approx(0.0)
+    assert f1_b == pytest.approx(0.4)
+    assert f1_b > f1_a
+    assert binary.isLargerBetter()
+
+
+def test_automl_classification_selects_by_binary_f1():
+    """The classification CV path must wire in BinaryF1Evaluator (not
+    the weighted multiclass evaluator)."""
+    import inspect
+
+    src = inspect.getsource(ml.automl)
+    assert "BinaryF1Evaluator" in src
+
+
+def test_binary_f1_evaluator_survives_crossvalidator_copy(spark):
+    """CrossValidator clones its evaluator via Params.copy(); the
+    custom column attributes must survive the clone."""
+    ev = ml.BinaryF1Evaluator(labelCol="__label")
+    clone = ev.copy()
+    assert clone.labelCol == "__label"
+    assert clone.predictionCol == "prediction"
