@@ -76,3 +76,28 @@ def q47_ts_automl_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 6).alias("intercept"),
         *[F.round(F.col("coef")[i], 6).alias(f"coef_{i}") for i in range(3)],
     )
+
+
+@query("q133_ts_lstm_per_group")  # rows-only: iterative Adam training
+def q133_ts_lstm_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual TS model — LSTM(1→30)→Linear, MSE/Adam
+    (model/models.py:4-31) — trained per group in pure numpy inside the
+    same Arrow applyInPandas harness as q47 (no torch in this image;
+    ml/ts_automl._lstm_kernel implements BPTT directly). Run on a
+    deterministic subset of users (hash % 20) so the driver-side check
+    stays fast: LSTM cost is epochs × groups, and the subset exercises
+    the identical plan shape. Seeded per group key → reproducible
+    across partitionings; rmse rounded for a stable rows-only hash."""
+    from auto_ml_platform_with_timeseries_data_spark.ml.ts_automl import (
+        ts_automl_per_group,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 20 == 0)
+    out = ts_automl_per_group(ev, "user_id", "ts", "value", look_back=3,
+                              tie_break="event_id", kernel="lstm",
+                              lstm_epochs=50)
+    return out.select(
+        "group_key", "n_train", "n_test",
+        F.round("test_rmse", 6).alias("test_rmse"),
+    )

@@ -14,12 +14,12 @@ INTENDED semantics end-to-end, two ways:
    distributed MLlib.
 
 2. `ts_automl_per_group` — one small model per group via applyInPandas
-   (Arrow-batched): closed-form ridge regression on the lag matrix with
-   numpy inside each group. This is the shape the reference's per-group
-   LSTM (model/models.py:4-31) would run in; the LSTM kernel itself is
-   stubbed behind an import-try since torch isn't in this image — the
-   Spark-side plumbing (grouping, schema, batch shape) is real and
-   tested, per the multimodal/stub policy.
+   (Arrow-batched), with two kernels behind the same harness:
+   kernel='ridge' (closed-form linear baseline on the lag matrix) and
+   kernel='lstm' — the reference's LSTM(1→30)→Linear/MSE/Adam
+   (model/models.py:4-31) implemented in pure numpy with hand-rolled
+   BPTT (_lstm_kernel; torch is not in this image). Tested against a
+   planted nonlinear series where the LSTM must beat the ridge.
 """
 
 from __future__ import annotations
@@ -119,13 +119,133 @@ def _ridge_kernel(pdf: pd.DataFrame, feats: list[str], alpha: float) -> pd.DataF
     })
 
 
+def _lstm_kernel(pdf: pd.DataFrame, feats: list[str], hidden: int = 30,
+                 lr: float = 0.01, epochs: int = 50,
+                 seed: int = SEED) -> pd.DataFrame:
+    """Per-group LSTM regressor in pure numpy — the reference's TS model
+    (model/models.py:4-31: 1-layer LSTM(input=1, hidden=30) → last
+    hidden state → Linear→1; MSE loss, Adam, 50 epochs) without the
+    torch dependency (not in this image). Full-batch BPTT over the
+    look_back-step sequences: T is tiny (2-4) and the gate matrices are
+    (hidden+1)×4·hidden, so one epoch is a handful of BLAS matmuls per
+    group. Full-batch (vs the reference's minibatches) keeps training
+    deterministic under any Arrow batching/partitioning; weights are
+    seeded per group key so results are reproducible cluster-wide.
+    Inputs/targets are min-max scaled on the TRAIN slice (the
+    reference applies MinMaxScaler before windowing,
+    auto_machine_learning.py:101-102); predictions unscale before the
+    RMSE. `coef` carries the output-layer weights, `intercept` its
+    bias (scaled space) — same schema as the ridge kernel."""
+    gkey = int(pdf["__g"].iloc[0])
+    x = pdf[feats].to_numpy(dtype=np.float64)          # (n, T)
+    y = pdf["__label"].to_numpy(dtype=np.float64)
+    tr = pdf["is_train"].to_numpy() == 1
+    te = (pdf["is_test"].to_numpy() == 1) & ~tr
+    lo = float(min(x[tr].min(), y[tr].min()))
+    hi = float(max(x[tr].max(), y[tr].max()))
+    span = (hi - lo) or 1.0
+    xs = (x - lo) / span
+    ys = (y - lo) / span
+
+    rng = np.random.default_rng([seed, gkey & 0x7FFFFFFF])
+    k = 1.0 / np.sqrt(hidden)
+    H4 = 4 * hidden
+    wx = rng.uniform(-k, k, (1, H4))
+    wh = rng.uniform(-k, k, (hidden, H4))
+    b = rng.uniform(-k, k, H4)
+    wy = rng.uniform(-k, k, (hidden, 1))
+    by = rng.uniform(-k, k, 1)
+    params = [wx, wh, b, wy, by]
+    adam_m = [np.zeros_like(p) for p in params]
+    adam_v = [np.zeros_like(p) for p in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def sigmoid(z):
+        return 1.0 / (1.0 + np.exp(-z))
+
+    def forward(seq):
+        """seq (n, T) of scalars → per-step caches + final hidden."""
+        n, T = seq.shape
+        h = np.zeros((n, hidden))
+        c = np.zeros((n, hidden))
+        caches = []
+        for t in range(T):
+            xt = seq[:, t:t + 1]                       # (n, 1)
+            z = xt @ wx + h @ wh + b                   # (n, 4H)
+            i = sigmoid(z[:, :hidden])
+            f = sigmoid(z[:, hidden:2 * hidden])
+            g = np.tanh(z[:, 2 * hidden:3 * hidden])
+            o = sigmoid(z[:, 3 * hidden:])
+            c_new = f * c + i * g
+            tc = np.tanh(c_new)
+            caches.append((xt, h, c, i, f, g, o, tc))
+            h, c = o * tc, c_new
+        return h, caches
+
+    x_tr, y_tr = xs[tr], ys[tr]
+    n = len(x_tr)
+    step = 0
+    for _ in range(epochs):
+        h_last, caches = forward(x_tr)
+        pred = h_last @ wy + by                        # (n, 1)
+        dy = 2.0 * (pred - y_tr[:, None]) / n
+        grads = [np.zeros_like(p) for p in params]
+        grads[3] = h_last.T @ dy
+        grads[4] = dy.sum(axis=0)
+        dh = dy @ wy.T
+        dc = np.zeros((n, hidden))
+        for t in range(len(caches) - 1, -1, -1):
+            xt, h_prev, c_prev, i, f, g, o, tc = caches[t]
+            do = dh * tc
+            dc = dc + dh * o * (1.0 - tc * tc)
+            di, df, dg = dc * g, dc * c_prev, dc * i
+            dz = np.concatenate([
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ], axis=1)
+            grads[0] += xt.T @ dz
+            grads[1] += h_prev.T @ dz
+            grads[2] += dz.sum(axis=0)
+            dh = dz @ wh.T
+            dc = dc * f
+        step += 1
+        for p, gr, m, v in zip(params, grads, adam_m, adam_v):
+            m[...] = b1 * m + (1 - b1) * gr
+            v[...] = b2 * v + (1 - b2) * gr * gr
+            p -= lr * (m / (1 - b1 ** step)) / (
+                np.sqrt(v / (1 - b2 ** step)) + eps)
+
+    h_te, _ = forward(xs[te])
+    pred_te = (h_te @ wy + by)[:, 0] * span + lo
+    rmse = (float(np.sqrt(np.mean((pred_te - y[te]) ** 2)))
+            if te.sum() else float("nan"))
+    return pd.DataFrame({
+        "group_key": [gkey],
+        "n_train": [int(tr.sum())],
+        "n_test": [int(te.sum())],
+        "test_rmse": [rmse],
+        "coef": [wy[:, 0].tolist()],
+        "intercept": [float(by[0])],
+    })
+
+
 def ts_automl_per_group(df: DataFrame, group: str, order: str, value: str,
                         look_back: int = 3, alpha: float = 1.0,
                         tie_break: str | None = None,
-                        train_frac: float = 0.8) -> DataFrame:
-    """One ridge model per group (Arrow applyInPandas). Output: one row
+                        train_frac: float = 0.8,
+                        kernel: str = "ridge",
+                        lstm_epochs: int = 50,
+                        lstm_hidden: int = 30,
+                        lstm_lr: float = 0.01) -> DataFrame:
+    """One small model per group (Arrow applyInPandas). Output: one row
     per group with test RMSE + coefficients. Groups too small to window
-    are dropped (the reference's zero-window edge case)."""
+    are dropped (the reference's zero-window edge case).
+
+    kernel='ridge' — closed-form linear baseline (fast, exact);
+    kernel='lstm'  — the reference's LSTM(1→hidden)→Linear trained with
+    Adam/MSE in pure numpy (_lstm_kernel), same distributed harness."""
     feats = [f"lag_{k}" for k in range(look_back - 1, -1, -1)]
     windowed = lag_features(df, group, order, value, look_back, tie_break)
     split = train_test_split_ordered(windowed, group, "__rn", train_frac,
@@ -135,22 +255,9 @@ def ts_automl_per_group(df: DataFrame, group: str, order: str, value: str,
     )
     schema = ("group_key long, n_train long, n_test long, test_rmse double, "
               "coef array<double>, intercept double")
-    return (
-        prepped.groupBy("__g")
-        .applyInPandas(lambda pdf: _ridge_kernel(pdf, feats, alpha), schema)
-    )
-
-
-def lstm_kernel_stub(*args, **kwargs):
-    """Per-group LSTM training kernel (model/models.py:4-31: 1-layer
-    LSTM(hidden=30) → Linear, MSE/Adam/50 epochs). torch is not in this
-    image; the distributed harness (ts_automl_per_group) is the real,
-    tested part — swap _ridge_kernel for a torch kernel when available."""
-    try:
-        import torch  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "LSTM kernel requires torch; use ts_automl_per_group's ridge "
-            "kernel or install torch"
-        ) from e
-    raise NotImplementedError("torch present but LSTM kernel not implemented yet")
+    if kernel == "lstm":
+        fn = lambda pdf: _lstm_kernel(  # noqa: E731
+            pdf, feats, hidden=lstm_hidden, lr=lstm_lr, epochs=lstm_epochs)
+    else:
+        fn = lambda pdf: _ridge_kernel(pdf, feats, alpha)  # noqa: E731
+    return prepped.groupBy("__g").applyInPandas(fn, schema)

@@ -50,8 +50,47 @@ def test_ts_automl_per_group_coefficients(spark):
         assert r["test_rmse"] < 0.3
 
 
-def test_lstm_stub_raises_cleanly():
-    import pytest
+def _quad_map_df(spark, groups=2, n=300, seed=5):
+    """Planted NONLINEAR autoregressive series (noisy logistic map
+    x_{t+1} = 1 − 1.6·x_t² + ε): a linear lag model is structurally
+    wrong here, so the LSTM kernel must beat the ridge baseline."""
+    rows = []
+    for g in range(groups):
+        rng = np.random.default_rng(seed + g)
+        x = 0.1
+        for t in range(n):
+            x = 1.0 - 1.6 * x * x + rng.normal(scale=0.02)
+            rows.append((g, t, float(x)))
+    return spark.createDataFrame(rows, "g long, t int, v double")
 
-    with pytest.raises(NotImplementedError):
-        ts_automl.lstm_kernel_stub()
+
+def test_lstm_kernel_beats_ridge_on_nonlinear_series(spark):
+    """M5/M6 (model/models.py:4-31): the numpy LSTM kernel, trained in
+    the same applyInPandas harness, must beat the closed-form ridge on
+    a planted nonlinear series. 200 full-batch Adam steps ≈ the update
+    count of the reference's 50 minibatch epochs."""
+    df = _quad_map_df(spark)
+    ridge = {r["group_key"]: r["test_rmse"] for r in
+             ts_automl.ts_automl_per_group(
+                 df, "g", "t", "v", look_back=3, alpha=0.01).collect()}
+    lstm = {r["group_key"]: r["test_rmse"] for r in
+            ts_automl.ts_automl_per_group(
+                df, "g", "t", "v", look_back=3, kernel="lstm",
+                lstm_epochs=200).collect()}
+    assert set(lstm) == set(ridge)
+    for g in ridge:
+        assert lstm[g] < ridge[g] / 2, (g, lstm[g], ridge[g])
+
+
+def test_lstm_kernel_deterministic_across_runs(spark):
+    """Seeded per group key + full-batch training: identical results on
+    repeated runs regardless of partitioning."""
+    df = _quad_map_df(spark, groups=2, n=120)
+    a = ts_automl.ts_automl_per_group(
+        df, "g", "t", "v", look_back=2, kernel="lstm", lstm_epochs=30)
+    b = ts_automl.ts_automl_per_group(
+        df.repartition(7), "g", "t", "v", look_back=2, kernel="lstm",
+        lstm_epochs=30)
+    ra = {r["group_key"]: (r["test_rmse"], tuple(r["coef"])) for r in a.collect()}
+    rb = {r["group_key"]: (r["test_rmse"], tuple(r["coef"])) for r in b.collect()}
+    assert ra == rb
