@@ -83,7 +83,9 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool, str]
         if akinds[c] == "float":
             ok = np.array_equal(av.to_numpy(), bv.to_numpy(), equal_nan=True)
         else:
-            ok = av.fillna("<NULL>").astype(str).equals(bv.fillna("<NULL>").astype(str))
+            # astype("string") first: nullable Int64 rejects fillna(str)
+            ok = (av.astype("string").fillna("<NULL>")
+                  .equals(bv.astype("string").fillna("<NULL>")))
         if not ok:
             diff = None
             try:
