@@ -3,9 +3,11 @@
 Reference: extension-dispatched pd.read_csv / pd.read_excel with full
 schema inference (data_analysis.py:17-21). Engine policy: inference is
 allowed at INGEST only; everything downstream sees an explicit schema
-(the ingested parquet's). Excel has no distributed reader in this
-image — it funnels through pandas→Arrow on the driver (Excel files are
-small by construction), gated behind an import-try.
+(the ingested parquet's). Excel funnels through the driver (xlsx caps
+at ~1M rows by format, so driver-side parse → Arrow is the right
+plan): pandas when an Excel engine is installed, else a stdlib
+zipfile+ElementTree xlsx parser (_read_xlsx_stdlib) — no openpyxl
+needed. Legacy binary .xls remains gated on xlrd.
 """
 
 from __future__ import annotations
@@ -38,18 +40,103 @@ def read_csv(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.csv(path, header=True, inferSchema=True)
 
 
+def _xlsx_col_index(ref: str) -> int:
+    """'A1' → 0, 'AB7' → 27 (0-based column from a cell reference)."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - ord("A") + 1)
+    return idx - 1
+
+
+def _read_xlsx_stdlib(path: str):
+    """Dependency-free .xlsx reader (stdlib zipfile + ElementTree).
+
+    xlsx is a zip of XML parts; this reads the first worksheet with the
+    same defaults as pd.read_excel (first row = header, numbers inferred,
+    shared/inline strings resolved, gaps = null). Closes the reference's
+    Excel-ingest capability (data_analysis.py:18) without openpyxl —
+    which this image lacks. Excel files are driver-small by construction
+    (xlsx hard row cap is 1,048,576), so a driver-side parse feeding
+    spark.createDataFrame via Arrow is the right physical plan; bulk
+    columnar data enters through CSV/parquet/JSONL instead."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    import pandas as pd
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        # shared strings (optional part)
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in names:
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root:
+                # plain <t> or rich-text runs <r><t>…</t></r>
+                shared.append("".join(
+                    t.text or "" for t in si.iter() if local(t.tag) == "t"))
+        sheet_name = next(
+            (n for n in sorted(names)
+             if n.startswith("xl/worksheets/") and n.endswith(".xml")),
+            None)
+        if sheet_name is None:
+            raise ValueError(f"no worksheet found in {path}")
+        root = ET.fromstring(z.read(sheet_name))
+        rows: dict[int, dict[int, object]] = {}
+        for c in root.iter():
+            if local(c.tag) != "c":
+                continue
+            ref = c.get("r", "")
+            ctype = c.get("t", "n")
+            value = None
+            for child in c:
+                name = local(child.tag)
+                if name == "v":
+                    value = child.text
+                elif name == "is":
+                    value = "".join(t.text or "" for t in child.iter()
+                                    if local(t.tag) == "t")
+            if value is None:
+                continue
+            if ctype == "s":
+                value = shared[int(value)]
+            elif ctype == "b":
+                value = bool(int(value))
+            elif ctype in ("n", ""):  # numeric — int when exact
+                f = float(value)
+                value = int(f) if f.is_integer() else f
+            rownum = int("".join(ch for ch in ref if ch.isdigit()) or 0)
+            rows.setdefault(rownum, {})[_xlsx_col_index(ref)] = value
+    if not rows:
+        return pd.DataFrame()
+    ordered = [rows[k] for k in sorted(rows)]
+    header_cells = ordered[0]
+    ncols = max(max(r.keys(), default=-1) for r in ordered) + 1
+    header = [str(header_cells.get(i, f"col_{i}")) for i in range(ncols)]
+    data = [[r.get(i) for i in range(ncols)] for r in ordered[1:]]
+    return pd.DataFrame(data, columns=header)
+
+
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
-    """Excel scan via pandas on the driver (S2). Requires openpyxl/xlrd;
-    raises a clear error when the engine image lacks them."""
+    """Excel scan (S2, data_analysis.py:18): pandas when an engine is
+    present, else the stdlib xlsx parser. Legacy binary .xls needs xlrd
+    and stays a documented limitation."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path)
     except ImportError as e:
-        raise NotImplementedError(
-            "Excel ingest needs openpyxl/xlrd, not present in this image; "
-            "convert to CSV/parquet upstream"
-        ) from e
+        if path.lower().endswith(".xlsx"):
+            pdf = _read_xlsx_stdlib(path)
+        else:
+            raise NotImplementedError(
+                "legacy .xls ingest needs xlrd, not present in this "
+                "image; convert to .xlsx/CSV/parquet upstream"
+            ) from e
     return spark.createDataFrame(pdf)
 
 

@@ -1,0 +1,147 @@
+"""S2 Excel scan (data_analysis.py:18) without openpyxl: the stdlib
+xlsx parser must read a spec-conformant workbook — shared strings,
+inline strings, numerics, booleans, sparse cells — with pandas-like
+defaults (first row = header)."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from auto_ml_platform_with_timeseries_data_spark.sources import readers
+
+_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+ <Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+ <Default Extension="xml" ContentType="application/xml"/>
+ <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+ <Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+ <Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+</Types>"""
+
+_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_WORKBOOK = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>
+</workbook>"""
+
+_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+
+_SHARED = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+ <si><t>engine_no</t></si>
+ <si><t>sensor_1</t></si>
+ <si><r><t>rich </t></r><r><t>text</t></r></si>
+</sst>"""
+
+# row 1: header (shared strings + inline). row 2: ints + float.
+# row 3: sparse (B3 missing), bool, rich-text shared string.
+_SHEET = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1">
+   <c r="A1" t="s"><v>0</v></c>
+   <c r="B1" t="s"><v>1</v></c>
+   <c r="C1" t="inlineStr"><is><t>label</t></is></c>
+  </row>
+  <row r="2">
+   <c r="A2"><v>1</v></c>
+   <c r="B2"><v>641.82</v></c>
+   <c r="C2"><v>112</v></c>
+  </row>
+  <row r="3">
+   <c r="A3"><v>2</v></c>
+   <c r="C3" t="s"><v>2</v></c>
+  </row>
+  <row r="4">
+   <c r="A4" t="b"><v>1</v></c>
+   <c r="B4"><v>1e3</v></c>
+  </row>
+ </sheetData>
+</worksheet>"""
+
+
+@pytest.fixture()
+def xlsx_path(tmp_path):
+    p = tmp_path / "train_data.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        z.writestr("xl/sharedStrings.xml", _SHARED)
+        z.writestr("xl/worksheets/sheet1.xml", _SHEET)
+    return str(p)
+
+
+@pytest.fixture()
+def xlsx_clean_path(tmp_path):
+    """Homogeneous columns (the C-MAPSS shape) for the Spark round-trip —
+    Spark's createDataFrame needs a mergeable type per column."""
+    sheet = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1">
+   <c r="A1" t="s"><v>0</v></c>
+   <c r="B1" t="s"><v>1</v></c>
+   <c r="C1" t="inlineStr"><is><t>label</t></is></c>
+  </row>
+  <row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>641.82</v></c><c r="C2"><v>112</v></c></row>
+  <row r="3"><c r="A3"><v>2</v></c><c r="B3"><v>642.15</v></c><c r="C3"><v>98</v></c></row>
+  <row r="4"><c r="A4"><v>3</v></c><c r="B4"><v>1e3</v></c><c r="C4"><v>75</v></c></row>
+ </sheetData>
+</worksheet>"""
+    p = tmp_path / "clean.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        z.writestr("xl/sharedStrings.xml", _SHARED)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return str(p)
+
+
+def test_stdlib_xlsx_parser_values(xlsx_path):
+    import pandas as pd
+
+    pdf = readers._read_xlsx_stdlib(xlsx_path)
+    assert list(pdf.columns) == ["engine_no", "sensor_1", "label"]
+    assert pdf.shape == (3, 3)
+    assert pdf.iloc[0].tolist() == [1, 641.82, 112]
+    row2 = pdf.iloc[1].tolist()
+    # missing numeric cell → NaN (pd.read_excel behavior)
+    assert row2[0] == 2 and pd.isna(row2[1]) and row2[2] == "rich text"
+    assert pdf.iloc[2, 0] is True
+    assert pdf.iloc[2, 1] == 1000.0
+
+
+def test_read_excel_to_spark(spark, xlsx_clean_path):
+    # no openpyxl in this image → read_excel exercises the stdlib path
+    df = readers.read_excel(spark, xlsx_clean_path)
+    assert df.count() == 3
+    assert df.columns == ["engine_no", "sensor_1", "label"]
+    rows = sorted(df.collect(), key=lambda r: r["engine_no"])
+    assert rows[0]["sensor_1"] == pytest.approx(641.82)
+    assert rows[2]["sensor_1"] == pytest.approx(1000.0)
+
+
+def test_read_any_dispatches_xlsx(spark, xlsx_clean_path):
+    df = readers.read_any(spark, xlsx_clean_path)
+    assert df.count() == 3
+
+
+def test_col_index_letters():
+    assert readers._xlsx_col_index("A1") == 0
+    assert readers._xlsx_col_index("Z9") == 25
+    assert readers._xlsx_col_index("AA10") == 26
+    assert readers._xlsx_col_index("AB7") == 27
