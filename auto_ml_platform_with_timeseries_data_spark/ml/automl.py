@@ -92,9 +92,14 @@ class BinaryF1Evaluator(Evaluator):
         y = F.col(self.labelCol).cast("int")
         p = F.col(self.predictionCol).cast("int")
         row = dataset.agg(
-            F.sum(((y == 1) & (p == 1)).cast("long")).alias("tp"),
-            F.sum(((y == 0) & (p == 1)).cast("long")).alias("fp"),
-            F.sum(((y == 1) & (p == 0)).cast("long")).alias("fn"),
+            # coalesce: F.sum over ZERO rows is NULL, not 0 (an empty CV
+            # validation split must score 0.0, not raise)
+            F.coalesce(F.sum(((y == 1) & (p == 1)).cast("long")), F.lit(0))
+            .alias("tp"),
+            F.coalesce(F.sum(((y == 0) & (p == 1)).cast("long")), F.lit(0))
+            .alias("fp"),
+            F.coalesce(F.sum(((y == 1) & (p == 0)).cast("long")), F.lit(0))
+            .alias("fn"),
         ).first()
         denom = 2 * row.tp + row.fp + row.fn
         return 2.0 * row.tp / denom if denom else 0.0

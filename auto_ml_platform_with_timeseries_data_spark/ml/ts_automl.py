@@ -96,11 +96,28 @@ def ts_automl_global(df: DataFrame, group: str, order: str, value: str,
     return best
 
 
+def _empty_group_row(gkey: int, n_test: int, width: int) -> pd.DataFrame:
+    """A group whose ordered split yields ZERO train rows (e.g. exactly
+    look_back+1 raw rows → one window, floor(0.8·1)=0 train) cannot fit
+    a model: emit a NaN-metric row instead of crashing the executor."""
+    return pd.DataFrame({
+        "group_key": [gkey],
+        "n_train": [0],
+        "n_test": [int(n_test)],
+        "test_rmse": [float("nan")],
+        "coef": [[float("nan")] * width],
+        "intercept": [float("nan")],
+    })
+
+
 def _ridge_kernel(pdf: pd.DataFrame, feats: list[str], alpha: float) -> pd.DataFrame:
     """Closed-form ridge on one group's lag matrix (numpy, no sklearn)."""
     x = pdf[feats].to_numpy(dtype=np.float64)
     y = pdf["__label"].to_numpy(dtype=np.float64)
     tr = pdf["is_train"].to_numpy() == 1
+    if not tr.any():
+        te0 = (pdf["is_test"].to_numpy() == 1) & ~tr
+        return _empty_group_row(int(pdf["__g"].iloc[0]), te0.sum(), len(feats))
     xtr = np.hstack([x[tr], np.ones((tr.sum(), 1))])
     ident = np.eye(xtr.shape[1])
     ident[-1, -1] = 0.0  # don't penalize the intercept
@@ -141,6 +158,8 @@ def _lstm_kernel(pdf: pd.DataFrame, feats: list[str], hidden: int = 30,
     y = pdf["__label"].to_numpy(dtype=np.float64)
     tr = pdf["is_train"].to_numpy() == 1
     te = (pdf["is_test"].to_numpy() == 1) & ~tr
+    if not tr.any():
+        return _empty_group_row(gkey, te.sum(), len(feats))
     lo = float(min(x[tr].min(), y[tr].min()))
     hi = float(max(x[tr].max(), y[tr].max()))
     span = (hi - lo) or 1.0

@@ -1,8 +1,9 @@
 """Graph algorithms over derived edge lists (the iterative-plan
 family: rank propagation here, min-label propagation in dedup.py's
-connected_components). Registered late: iterative rows-only queries are
-the most expensive per correctness-second, so oracle-checked queries
-verify first in a budget-capped sweep."""
+connected_components). Both queries are rows-only (iterative plans have
+no portable SQL twin); registry._PRIORITY keeps them outside the
+driver's budget-capped sweep slots, which go to oracle-checked
+queries first."""
 
 from __future__ import annotations
 
@@ -79,7 +80,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
-@query("q130_pagerank")  # rows-only: 10-round iterative plan; SQL oracle
+@query("q130_pagerank")  # rows-only: 5-round iterative plan, no SQL twin
 def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph (parts as nodes, undirected
     same-order co-occurrence as edges, both directions materialized).

@@ -553,7 +553,8 @@ def q81_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(DISTINCT o_custkey) AS exact_custkeys,
-           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_median
+           floor(quantile_cont(o_totalprice, 0.5) * 1e2 + 0.5) / 1e2
+             AS exact_median
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
@@ -562,11 +563,16 @@ def q132_exact_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT.md round 2, item 8): exact distinct counts and exact
     interpolated medians per priority. q81 keeps the sketch half
     rows-only — Spark HLL++ and DuckDB HLL disagree by design, but the
-    exact twins are engine-portable and hash-checkable."""
+    exact twins are engine-portable and hash-checkable. Median pinned
+    with floor(x·1e2+0.5) on both sides, NOT round(): the engines'
+    round() disagree at the .xx5 half-boundary (Spark HALF_UP on the
+    shortest decimal repr vs DuckDB on the binary double — the
+    ts_features.py:160 lesson), while the interpolated median itself is
+    the same IEEE double on both."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("exact_custkeys"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2)
+        (F.floor(F.expr("percentile(o_totalprice, 0.5)") * 1e2 + 0.5) / 1e2)
         .alias("exact_median"),
     ).orderBy("o_orderpriority")
 

@@ -50,6 +50,37 @@ def _xlsx_col_index(ref: str) -> int:
     return idx - 1
 
 
+def _first_sheet_part(z, names: set, local) -> str | None:
+    """Resolve the FIRST sheet in workbook tab order (what
+    pd.read_excel's sheet_name=0 reads): workbook.xml's first <sheet>
+    r:id → its target in the workbook rels. Zip-entry names are NOT
+    tab order — deleting/reordering tabs in Excel leaves sheetN.xml
+    numbers shuffled. Falls back to the lexicographic heuristic for
+    workbooks missing either part."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        first = next(el for el in wb.iter() if local(el.tag) == "sheet")
+        rid = next(v for k, v in first.attrib.items() if k.endswith("}id"))
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            rel.get("Target") for rel in rels
+            if rel.get("Id") == rid
+        )
+        part = target.lstrip("/")
+        if not part.startswith("xl/"):
+            part = "xl/" + part
+        if part in names:
+            return part
+    except (KeyError, StopIteration, ET.ParseError):
+        pass
+    return next(
+        (n for n in sorted(names)
+         if n.startswith("xl/worksheets/") and n.endswith(".xml")),
+        None)
+
+
 def _read_xlsx_stdlib(path: str):
     """Dependency-free .xlsx reader (stdlib zipfile + ElementTree).
 
@@ -79,38 +110,42 @@ def _read_xlsx_stdlib(path: str):
                 # plain <t> or rich-text runs <r><t>…</t></r>
                 shared.append("".join(
                     t.text or "" for t in si.iter() if local(t.tag) == "t"))
-        sheet_name = next(
-            (n for n in sorted(names)
-             if n.startswith("xl/worksheets/") and n.endswith(".xml")),
-            None)
+        sheet_name = _first_sheet_part(z, names, local)
         if sheet_name is None:
             raise ValueError(f"no worksheet found in {path}")
         root = ET.fromstring(z.read(sheet_name))
         rows: dict[int, dict[int, object]] = {}
-        for c in root.iter():
-            if local(c.tag) != "c":
-                continue
-            ref = c.get("r", "")
-            ctype = c.get("t", "n")
-            value = None
-            for child in c:
-                name = local(child.tag)
-                if name == "v":
-                    value = child.text
-                elif name == "is":
-                    value = "".join(t.text or "" for t in child.iter()
-                                    if local(t.tag) == "t")
-            if value is None:
-                continue
-            if ctype == "s":
-                value = shared[int(value)]
-            elif ctype == "b":
-                value = bool(int(value))
-            elif ctype in ("n", ""):  # numeric — int when exact
-                f = float(value)
-                value = int(f) if f.is_integer() else f
-            rownum = int("".join(ch for ch in ref if ch.isdigit()) or 0)
-            rows.setdefault(rownum, {})[_xlsx_col_index(ref)] = value
+        # Walk <row>/<c> structurally, not c-elements globally: the r=
+        # reference attributes are OPTIONAL in the spec (streaming
+        # writers omit them; position is implied by document order), so
+        # keep implied row/column counters as the fallback.
+        implied_row = 0
+        for rowel in (el for el in root.iter() if local(el.tag) == "row"):
+            implied_row = int(rowel.get("r", implied_row + 1))
+            implied_col = -1
+            for c in (el for el in rowel if local(el.tag) == "c"):
+                ref = c.get("r", "")
+                col = _xlsx_col_index(ref) if ref else implied_col + 1
+                implied_col = col
+                ctype = c.get("t", "n")
+                value = None
+                for child in c:
+                    name = local(child.tag)
+                    if name == "v":
+                        value = child.text
+                    elif name == "is":
+                        value = "".join(t.text or "" for t in child.iter()
+                                        if local(t.tag) == "t")
+                if value is None:
+                    continue
+                if ctype == "s":
+                    value = shared[int(value)]
+                elif ctype == "b":
+                    value = bool(int(value))
+                elif ctype in ("n", ""):  # numeric — int when exact
+                    f = float(value)
+                    value = int(f) if f.is_integer() else f
+                rows.setdefault(implied_row, {})[col] = value
     if not rows:
         return pd.DataFrame()
     ordered = [rows[k] for k in sorted(rows)]

@@ -145,3 +145,64 @@ def test_col_index_letters():
     assert readers._xlsx_col_index("Z9") == 25
     assert readers._xlsx_col_index("AA10") == 26
     assert readers._xlsx_col_index("AB7") == 27
+
+
+def test_cells_without_ref_attribute_use_implied_position(tmp_path, spark):
+    """r= is optional in the spec (streaming writers omit it; position
+    is implied by document order)."""
+    sheet = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row><c t="inlineStr"><is><t>a</t></is></c><c t="inlineStr"><is><t>b</t></is></c></row>
+  <row><c><v>1</v></c><c><v>2.5</v></c></row>
+  <row><c><v>3</v></c><c><v>4.5</v></c></row>
+ </sheetData>
+</worksheet>"""
+    p = tmp_path / "noref.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("xl/workbook.xml", _WORKBOOK)
+        z.writestr("xl/_rels/workbook.xml.rels", _WB_RELS)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    pdf = readers._read_xlsx_stdlib(str(p))
+    assert list(pdf.columns) == ["a", "b"]
+    assert pdf.shape == (2, 2)
+    assert pdf.iloc[0].tolist() == [1, 2.5]
+    assert pdf.iloc[1].tolist() == [3, 4.5]
+
+
+def test_first_sheet_resolved_by_workbook_order_not_zip_name(tmp_path):
+    """Tab order comes from workbook.xml+rels; zip-entry names lie after
+    tabs are deleted/reordered in Excel."""
+    wb = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets>
+  <sheet name="Data" sheetId="3" r:id="rId2"/>
+  <sheet name="Old" sheetId="1" r:id="rId1"/>
+ </sheets>
+</workbook>"""
+    wb_rels = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet3.xml"/>
+</Relationships>"""
+    first = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1"><c r="A1" t="inlineStr"><is><t>right</t></is></c></row>
+  <row r="2"><c r="A2"><v>1</v></c></row>
+ </sheetData>
+</worksheet>"""
+    wrong = first.replace("right", "wrong")
+    p = tmp_path / "reordered.xlsx"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", wrong)   # lexicographically first
+        z.writestr("xl/worksheets/sheet3.xml", first)   # actual first tab
+    pdf = readers._read_xlsx_stdlib(str(p))
+    assert list(pdf.columns) == ["right"]

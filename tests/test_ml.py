@@ -118,3 +118,10 @@ def test_binary_f1_evaluator_survives_crossvalidator_copy(spark):
     clone = ev.copy()
     assert clone.labelCol == "__label"
     assert clone.predictionCol == "prediction"
+
+
+def test_binary_f1_evaluator_empty_dataset_scores_zero(spark):
+    """F.sum over zero rows is NULL; an empty CV validation split must
+    score 0.0 (sklearn zero_division=0), not raise."""
+    df = spark.createDataFrame([], "__label double, prediction double")
+    assert ml.BinaryF1Evaluator(labelCol="__label").evaluate(df) == 0.0

@@ -94,3 +94,21 @@ def test_lstm_kernel_deterministic_across_runs(spark):
     ra = {r["group_key"]: (r["test_rmse"], tuple(r["coef"])) for r in a.collect()}
     rb = {r["group_key"]: (r["test_rmse"], tuple(r["coef"])) for r in b.collect()}
     assert ra == rb
+
+
+def test_zero_train_group_yields_nan_row_not_crash(spark):
+    """A group with exactly look_back+1 rows windows to ONE row, which
+    the 80/20 split assigns entirely to test (floor(0.8·1)=0 train):
+    both kernels must emit a NaN-metric row instead of crashing."""
+    rows = [(0, t, float(t)) for t in range(40)]          # healthy group
+    rows += [(1, t, float(t)) for t in range(4)]          # look_back+1 rows
+    df = spark.createDataFrame(rows, "g long, t int, v double")
+    for kernel in ("ridge", "lstm"):
+        out = {r["group_key"]: r for r in ts_automl.ts_automl_per_group(
+            df, "g", "t", "v", look_back=3, kernel=kernel,
+            lstm_epochs=5).collect()}
+        assert out[0]["n_train"] > 0
+        assert out[1]["n_train"] == 0
+        # pandas NaN crosses Arrow as SQL NULL
+        rmse = out[1]["test_rmse"]
+        assert rmse is None or math.isnan(rmse)
