@@ -188,7 +188,7 @@ def cosine_topk_srp(corpus: DataFrame, queries_df: DataFrame, id_col: str,
 def embedding_neardup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
                             threshold: float = 0.9,
                             round_to: int = 6,
-                            nblocks: int = 8) -> DataFrame:
+                            nblocks: int | None = None) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: (id_a, id_b, cosine)
     with id_a < id_b and round(cosine, round_to) ≥ threshold.
 
@@ -198,15 +198,27 @@ def embedding_neardup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
     pairs over the threshold.  Nothing is collected to the driver and
     nothing corpus-sized is broadcast — the shuffle carries each slab
     B times (O(N·B) bytes) and the O(N²) dot products (inherent to the
-    EXACT contract) spread over B² tasks.  Sizing rule at scale: pick
-    nblocks ≈ N·d·8 / slab_bytes with slab_bytes ~128 MB so two slabs
-    fit an executor, giving tasks of ~(slab_rows)² work; for the
-    approximate-but-sublinear path use the SRP/IVF bucketed candidates
-    (cosine_topk_srp / cosine_topk_ivf) instead, which trade recall for
-    skipping the off-bucket blocks entirely.  Python is justified here —
-    a zip_with/aggregate dot product is interpreted per element, while
-    numpy hits vectorized BLAS, ~100× faster at fixture scale."""
+    EXACT contract) spread over B² tasks.  nblocks=None sizes itself:
+    nblocks ≈ N·d·8 / slab_bytes with slab_bytes ~64 MB, so two slabs
+    fit an executor and tasks do ~(slab_rows)² work — one metadata
+    count + one first() against the corpus, both trivial next to the
+    pair pass (at fixture scale this resolves to 1-2 blocks, where task
+    overhead would otherwise dominate; at 10⁹×768-d it resolves to
+    ~10⁵ blocks).  For the approximate-but-sublinear path use the
+    SRP/IVF bucketed candidates (cosine_topk_srp / cosine_topk_ivf)
+    instead, which trade recall for skipping the off-bucket blocks
+    entirely.  Python is justified here — a zip_with/aggregate dot
+    product is interpreted per element, while numpy hits vectorized
+    BLAS, ~100× faster at fixture scale."""
+    import math
+
     import numpy as np
+
+    if nblocks is None:
+        n = corpus.count()
+        dim = len(corpus.select(vec_col).first()[0])
+        slab_rows = max(1024, int(64 * 2**20 / (dim * 8)))
+        nblocks = max(1, min(4096, math.ceil(n / slab_rows)))
 
     slabs = (
         corpus.select(
