@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from auto_ml_platform_with_timeseries_data_spark.operators import similarity as sim
 
@@ -96,3 +97,60 @@ def test_quantize_int8_zero_vector_and_range(spark):
     assert all(-127 <= v <= 127 for v in got[1]["q"])
     assert got[2]["q"] == [0, 0, 0, 0]           # zero vector: scale guard
     assert got[2]["mse"] == 0.0
+
+
+def test_multiprobe_srp_lifts_recall(spark, sf_dir):
+    """Query-directed multiprobe (flip lowest-|margin| bits) must beat
+    single-probe recall at the same nbits×ntables dial."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_srp,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_bruteforce(emb, qdf, "vec_id", "embedding", 5).select(
+        "query_id", "neighbor_id").cache()
+    total = exact.count()
+
+    def recall(nprobes):
+        approx = cosine_topk_srp(emb, qdf, "vec_id", "embedding", 5,
+                                 nbits=6, ntables=16, nprobes=nprobes)
+        return exact.join(approx.select("query_id", "neighbor_id"),
+                          ["query_id", "neighbor_id"]).count() / total
+
+    r1, r4 = recall(1), recall(4)
+    exact.unpersist()
+    assert r4 > r1
+    assert r4 >= 0.9  # measured 0.98 at sf0.01 on uniform-random vectors
+
+
+def test_multiprobe_is_superset_of_single_probe(spark, sf_dir):
+    """Extra probes only ADD candidate buckets: the single-probe result
+    pairs must all appear among the multiprobe candidates."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        cosine_topk_srp,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") < 5)
+    one = cosine_topk_srp(emb, qdf, "vec_id", "embedding", 3,
+                          nbits=8, ntables=4, nprobes=1)
+    # compare candidate SETS via the scored pairs at a generous k
+    many = cosine_topk_srp(emb, qdf, "vec_id", "embedding", 3,
+                           nbits=8, ntables=4, nprobes=6)
+    # every single-probe hit is rediscovered (scores identical, ranks may
+    # shift as new candidates enter)
+    missing = (one.select("query_id", "neighbor_id", "cosine")
+               .exceptAll(many.select("query_id", "neighbor_id", "cosine"))
+               .join(many.select("query_id",
+                                 F.col("neighbor_id").alias("n2")),
+                     "query_id", "left_anti"))
+    # a pair can drop out of top-k only if displaced by a BETTER pair
+    for r in missing.collect():
+        better = many.filter(
+            (F.col("query_id") == r["query_id"])
+            & (F.col("cosine") >= r["cosine"])).count()
+        assert better >= 3
