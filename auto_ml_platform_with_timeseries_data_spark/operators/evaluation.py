@@ -61,10 +61,13 @@ def confusion_and_f1(df: DataFrame, truth_bin: str, pred_bin: str,
     fp = F.sum(((t == 0) & (p == 1)).cast("long")).alias("fp")
     fn = F.sum(((t == 1) & (p == 0)).cast("long")).alias("fn")
     tn = F.sum(((t == 0) & (p == 0)).cast("long")).alias("tn")
+    denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
     return df.agg(tp, fp, fn, tn).select(
         "tp", "fp", "fn", "tn",
         F.round(
-            2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+            # all-negative truth AND prediction → denom 0; sklearn's
+            # zero_division=0 scores 0.0 (ANSI mode would raise)
+            F.when(denom != 0, 2 * F.col("tp") / denom).otherwise(F.lit(0.0)),
             round_to,
         ).alias("f1"),
     )

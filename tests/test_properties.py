@@ -1,0 +1,91 @@
+"""Property-based tests (SURVEY.md §5 item 3) — the two declared
+families beyond the window-count property in test_timeseries.py:
+scaler round-trips and confusion-matrix marginals."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from auto_ml_platform_with_timeseries_data_spark.operators import (  # noqa: E402
+    evaluation,
+    scaling,
+)
+from auto_ml_platform_with_timeseries_data_spark.session import get_spark  # noqa: E402
+
+_vals = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    min_size=3, max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(xs=_vals)
+def test_standard_scale_round_trip(xs):
+    """x == scaled·σ + μ for every row, and the scaled train column has
+    mean ≈ 0 (σ from the train fit) — unless the column is constant."""
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame([(float(v),) for v in xs], "x double")
+    n = len(xs)
+    mu = sum(xs) / n
+    sigma = math.sqrt(sum((v - mu) ** 2 for v in xs) / n)
+    if sigma == 0:
+        return  # constant column: (x−μ)/σ undefined, contract is NaN/null
+    out = scaling.standard_scale(df, df, ["x"]).collect()
+    for r in out:
+        assert math.isclose(r["x_scaled"] * sigma + mu, r["x"],
+                            rel_tol=1e-9, abs_tol=1e-6)
+    mean_scaled = sum(r["x_scaled"] for r in out) / n
+    assert abs(mean_scaled) < 1e-6
+
+
+@settings(max_examples=10, deadline=None)
+@given(xs=_vals)
+def test_min_max_scale_bounds_and_round_trip(xs):
+    """Scaled train values live in [0, 1]; x == scaled·(max−min) + min."""
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame([(float(v),) for v in xs], "x double")
+    lo, hi = min(xs), max(xs)
+    if hi == lo:
+        return  # degenerate range: division by zero, contract is NaN/null
+    out = scaling.min_max_scale(df, df, ["x"]).collect()
+    for r in out:
+        assert -1e-12 <= r["x_scaled"] <= 1 + 1e-12
+        assert math.isclose(r["x_scaled"] * (hi - lo) + lo, r["x"],
+                            rel_tol=1e-9, abs_tol=1e-6)
+
+
+@settings(max_examples=10, deadline=None)
+@given(labels=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 1)),
+                       min_size=1, max_size=60))
+def test_confusion_marginals_equal_class_counts(labels):
+    """tp+fn = positives, fp+tn = negatives, tp+fp = predicted
+    positives, and the 2×2 total = row count; F1 matches the formula."""
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame([(int(t), int(p)) for t, p in labels],
+                               "t int, p int")
+    r = evaluation.confusion_and_f1(df, "t", "p").first()
+    n_pos = sum(1 for t, _ in labels if t == 1)
+    n_neg = len(labels) - n_pos
+    n_pred_pos = sum(1 for _, p in labels if p == 1)
+    assert r["tp"] + r["fn"] == n_pos
+    assert r["fp"] + r["tn"] == n_neg
+    assert r["tp"] + r["fp"] == n_pred_pos
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == len(labels)
+    denom = 2 * r["tp"] + r["fp"] + r["fn"]
+    if denom:
+        assert math.isclose(r["f1"], 2 * r["tp"] / denom, abs_tol=1e-6)
+    # pivot form agrees with the flat counts
+    piv = {row["truth"]: row for row in
+           evaluation.confusion_matrix_pivot(df, "t", "p").collect()}
+    if 1 in piv:
+        assert piv[1]["pred_1"] == r["tp"] and piv[1]["pred_0"] == r["fn"]
+    if 0 in piv:
+        assert piv[0]["pred_1"] == r["fp"] and piv[0]["pred_0"] == r["tn"]
