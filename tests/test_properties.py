@@ -89,3 +89,24 @@ def test_confusion_marginals_equal_class_counts(labels):
         assert piv[1]["pred_1"] == r["tp"] and piv[1]["pred_0"] == r["fn"]
     if 0 in piv:
         assert piv[0]["pred_1"] == r["fp"] and piv[0]["pred_0"] == r["tn"]
+
+
+@settings(max_examples=10, deadline=None)
+@given(mask=st.lists(st.tuples(st.booleans(), st.booleans(), st.booleans()),
+                     min_size=1, max_size=30))
+def test_all_nan_column_detection_property(mask):
+    """P2 (data_analysis.py:23-28): for ANY null pattern, exactly the
+    all-null columns are reported and dropped; partially-null columns
+    survive."""
+    from auto_ml_platform_with_timeseries_data_spark.operators import profile
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    rows = [tuple(float(i) if keep else None for keep in row)
+            for i, row in enumerate(mask)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    expect = [c for c, j in zip("abc", range(3))
+              if all(not row[j] for row in mask)]
+    assert profile.all_nan_columns(df) == expect
+    kept, removed = profile.drop_all_nan_columns(df)
+    assert removed == expect
+    assert kept.columns == [c for c in "abc" if c not in expect]
