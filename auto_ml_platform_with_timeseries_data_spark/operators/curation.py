@@ -205,7 +205,13 @@ def pack_sequences(df: DataFrame, shard_col: str, order_col: str,
     (pack_id = exclusive-prefix-sum // budget). This is the standard
     pretraining packing scheme — O(1) window state, one shuffle per
     shard, and pack membership is a pure function of (shard, order),
-    so shards can be re-materialized independently and reproducibly."""
+    so shards can be re-materialized independently and reproducibly.
+
+    Scale note: the prefix sum streams ONE partition per shard value --
+    a whole language as one shard serializes at 100 TB. Pass a
+    composite shard (e.g. concat(lang, pmod(xxhash64(doc_id),
+    n_buckets))) so each shard is a bounded slice; packing quality is
+    unaffected because packs never cross shards by construction."""
     w = (
         Window.partitionBy(shard_col).orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
