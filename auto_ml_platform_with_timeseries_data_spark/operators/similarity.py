@@ -362,6 +362,85 @@ def _ivf_train(corpus: DataFrame, vec_col: str, ncells: int,
     return cent_mat
 
 
+def embedding_neardup_pairs_lsh(corpus: DataFrame, id_col: str,
+                                vec_col: str, threshold: float = 0.9,
+                                nbits: int = 6, ntables: int = 16,
+                                nprobes: int = 2, seed: int = 42,
+                                round_to: int = 6) -> DataFrame:
+    """APPROXIMATE embedding near-dup pairs — the sublinear 100 TB path
+    next to the exact block-matrix `embedding_neardup_pairs`.
+
+    Candidates = pairs sharing an SRP bucket in ≥1 table (each vector
+    also probes its (nprobes−1) lowest-margin flip buckets, which for
+    all-pairs raises per-table collision odds quadratically in
+    nprobes); exact BLAS cosine rescores candidates, so precision is 1
+    by construction and only recall is approximate. The corpus is
+    sketched once; the shuffle is (tbl, bucket)-keyed and bucket size
+    bounds the per-task rescore — no block ever sees the whole corpus,
+    which is what the exact path must do. Trade the recall/cost dial
+    with nbits (bucket size) × ntables × nprobes; q134 self-measures
+    recall against the exact pairs at fixture scale."""
+    import numpy as np
+
+    sample = corpus.select(vec_col).first()
+    dim = len(sample[0])
+    planes = np.array(_hyperplanes(dim, nbits, ntables, seed),
+                      dtype=np.float64)
+    pows = np.power(2.0, np.arange(nbits)).astype(np.int64)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["__v"]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            out = []
+            for t in range(planes.shape[0]):
+                proj = m @ planes[t].T
+                bits = proj > 0
+                buckets = bits.astype(np.int64) @ pows
+                out.append(pd.DataFrame({
+                    "__id": pdf["__id"].to_numpy(), "__v": pdf["__v"],
+                    "__n": norms, "tbl": t, "bucket": buckets}))
+                if nprobes > 1:
+                    order = np.argsort(np.abs(proj), axis=1)
+                    for j in range(min(nprobes - 1, proj.shape[1])):
+                        flip = pows[order[:, j]]
+                        out.append(pd.DataFrame({
+                            "__id": pdf["__id"].to_numpy(),
+                            "__v": pdf["__v"], "__n": norms, "tbl": t,
+                            "bucket": buckets + flip
+                            - 2 * (buckets & flip)}))
+            yield pd.concat(out, ignore_index=True)
+
+    sk = corpus.select(
+        F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")
+    ).mapInPandas(
+        kernel, "__id long, __v array<double>, __n double, tbl int, bucket long"
+    )
+    a = sk.select("tbl", "bucket", F.col("__id").alias("id_a"),
+                  F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+    b = sk.select("tbl", "bucket", F.col("__id").alias("id_b"),
+                  F.col("__v").alias("__vb"), F.col("__n").alias("__nb"))
+    scored = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")), round_to)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        # a pair can collide in several (tbl, bucket) cells — dedupe;
+        # duplicate hits score identically so max() is a no-op merge
+        .groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+    )
+    return scored
+
+
 def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
                     vec_col: str, k: int = 5, ncells: int = 16,
                     nprobe: int = 4, round_to: int = 6,
@@ -781,6 +860,29 @@ def q118_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum.alias("q_checksum"),
         F.round("mse", 9).alias("mse"),
     )
+
+
+@query("q134_neardup_lsh")  # rows-only: SRP bucketing not SQL-portable
+def q134_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate near-dup pairs (SRP buckets + exact rescore) with
+    self-measured recall against the exact block-matrix pairs (q35) —
+    one row: exact count, found count, candidate recall, plus the
+    scan-fraction the LSH path rescored. This is the dial a 100 TB
+    dedup run tunes: more tables/probes → recall ↑, rescore work ↑;
+    all seeded, so the row is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = q35_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    approx = embedding_neardup_pairs_lsh(
+        emb, "vec_id", "embedding", _NEARDUP_T, nbits=6, ntables=16,
+        nprobes=2)
+    n_exact = exact.count()
+    n_found = approx.count()
+    n_hit = exact.join(approx.select("id_a", "id_b"),
+                       ["id_a", "id_b"]).count()
+    return spark.createDataFrame(
+        [(n_exact, n_found, int(n_hit),
+          round(n_hit / n_exact, 4) if n_exact else 1.0)],
+        "n_exact long, n_found long, n_hit long, recall double")
 
 
 @query("q129_ann_recall")  # rows-only: derived from hash-family ANN paths

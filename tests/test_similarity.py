@@ -154,3 +154,26 @@ def test_multiprobe_is_superset_of_single_probe(spark, sf_dir):
             (F.col("query_id") == r["query_id"])
             & (F.col("cosine") >= r["cosine"])).count()
         assert better >= 3
+
+
+def test_lsh_neardup_subset_of_exact_with_high_recall(spark, sf_dir):
+    """The LSH path rescores exactly, so found ⊆ exact (precision 1);
+    at the q134 dial recall is 1.0 on the fixture."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_neardup_pairs(
+                 emb, "vec_id", "embedding", 0.4).collect()}
+    approx = {(r["id_a"], r["id_b"]): r["cosine"]
+              for r in embedding_neardup_pairs_lsh(
+                  emb, "vec_id", "embedding", 0.4,
+                  nbits=6, ntables=16, nprobes=2).collect()}
+    assert set(approx) <= set(exact)                    # precision 1
+    assert len(approx) >= 0.9 * len(exact)              # recall floor
+    for k, v in approx.items():
+        assert v == exact[k]                            # identical scores
