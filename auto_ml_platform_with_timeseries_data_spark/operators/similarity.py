@@ -352,10 +352,8 @@ def _ivf_train(corpus: DataFrame, vec_col: str, ncells: int,
             .collect()
         )
         new = cent_mat.copy()
-        seen = set()
         for r in rows:
             new[r["cell"], r["dim"]] = r["m"]
-            seen.add(r["cell"])
         norms = np.linalg.norm(new, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         cent_mat = new / norms
