@@ -98,17 +98,25 @@ def main() -> int:
 
     # Two passes per query, report the min: steady-state throughput is
     # the scale-relevant number — first-run codegen/JIT compilation is a
-    # per-plan constant that vanishes at any real data size.
+    # per-plan constant that vanishes at any real data size. When the
+    # two passes disagree by >30% the box is absorbing external load
+    # (this VM shares a host — see BASELINE.md's shared-host caveat), so
+    # take one adaptive third pass to push the min toward the idle
+    # number instead of recording a noise spike.
     timings: dict[str, float] = {}
     t_suite = time.time()
     for name in names:
-        best = float("inf")
+        passes = []
         for _ in range(2):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            passes.append(time.time() - t0)
+        if max(passes) > 1.3 * min(passes):
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            passes.append(time.time() - t0)
+        timings[name] = round(min(passes), 3)
         # Drop caches a query persisted (grams, signatures, ...): leaked
         # cached partitions from earlier queries otherwise build memory
         # pressure that inflates later queries' numbers by GC, not plan
