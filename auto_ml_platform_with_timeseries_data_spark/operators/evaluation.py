@@ -57,10 +57,13 @@ def confusion_and_f1(df: DataFrame, truth_bin: str, pred_bin: str,
     f1_score(average='binary'), not the weighted variant.
     """
     t, p = F.col(truth_bin), F.col(pred_bin)
-    tp = F.sum(((t == 1) & (p == 1)).cast("long")).alias("tp")
-    fp = F.sum(((t == 0) & (p == 1)).cast("long")).alias("fp")
-    fn = F.sum(((t == 1) & (p == 0)).cast("long")).alias("fn")
-    tn = F.sum(((t == 0) & (p == 0)).cast("long")).alias("tn")
+    # coalesce: F.sum over ZERO rows is NULL — an empty frame must
+    # yield a (0,0,0,0, 0.0) row, not None counts
+    zero = F.lit(0).cast("long")
+    tp = F.coalesce(F.sum(((t == 1) & (p == 1)).cast("long")), zero).alias("tp")
+    fp = F.coalesce(F.sum(((t == 0) & (p == 1)).cast("long")), zero).alias("fp")
+    fn = F.coalesce(F.sum(((t == 1) & (p == 0)).cast("long")), zero).alias("fn")
+    tn = F.coalesce(F.sum(((t == 0) & (p == 0)).cast("long")), zero).alias("tn")
     denom = 2 * F.col("tp") + F.col("fp") + F.col("fn")
     return df.agg(tp, fp, fn, tn).select(
         "tp", "fp", "fn", "tn",

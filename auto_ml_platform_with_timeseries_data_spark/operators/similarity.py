@@ -228,22 +228,31 @@ def embedding_neardup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
     fit an executor and tasks do ~(slab_rows)² work — one metadata
     count + one first() against the corpus, both trivial next to the
     pair pass (at fixture scale this resolves to 1-2 blocks, where task
-    overhead would otherwise dominate; at 10⁹×768-d it resolves to
-    ~10⁵ blocks).  For the approximate-but-sublinear path use the
-    SRP/IVF bucketed candidates (cosine_topk_srp / cosine_topk_ivf)
-    instead, which trade recall for skipping the off-bucket blocks
-    entirely.  Python is justified here — a zip_with/aggregate dot
-    product is interpreted per element, while numpy hits vectorized
-    BLAS, ~100× faster at fixture scale."""
+    overhead would otherwise dominate).  Feasibility honesty: O(N²·d)
+    FLOPs bounds the EXACT contract to corpora around 10⁷ vectors
+    (~10² blocks, ~10⁴ slab-pair tasks) regardless of partitioning —
+    past that, use the sublinear LSH path
+    (embedding_neardup_pairs_lsh) or the SRP/IVF top-k candidates,
+    which trade recall for skipping the off-bucket blocks entirely.
+    The 1024-block cap exists to keep the B² task count sane
+    (≤ ~524k); hitting it means the corpus is beyond exact-all-pairs
+    scale and the LSH path is the right tool.  Python is justified
+    here — a zip_with/aggregate dot product is interpreted per
+    element, while numpy hits vectorized BLAS, ~100× faster at
+    fixture scale."""
     import math
 
     import numpy as np
 
     if nblocks is None:
         n = corpus.count()
-        dim = len(corpus.select(vec_col).first()[0])
+        head = corpus.select(vec_col).first()
+        if head is None:  # empty corpus → no pairs (schema-stable)
+            return corpus.sparkSession.createDataFrame(
+                [], "id_a long, id_b long, cosine double")
+        dim = len(head[0])
         slab_rows = max(1024, int(64 * 2**20 / (dim * 8)))
-        nblocks = max(1, min(4096, math.ceil(n / slab_rows)))
+        nblocks = max(1, min(1024, math.ceil(n / slab_rows)))
 
     slabs = (
         corpus.select(
@@ -266,8 +275,11 @@ def embedding_neardup_pairs(corpus: DataFrame, id_col: str, vec_col: str,
                            F.col("__ids").alias("__ids_b"),
                            F.col("__vecs").alias("__vecs_b")),
               F.col("__ba") <= F.col("__bb"))
-        # B²/2 fat rows — spread them so every slab-pair is its own task
-        .repartition(nblocks * (nblocks + 1) // 2)
+        # B²/2 fat rows — spread them so every slab-pair is its own
+        # task; the partition-count cap keeps scheduler overhead sane
+        # when B is large (several pairs per task is fine — each is
+        # one independent BLAS call)
+        .repartition(min(nblocks * (nblocks + 1) // 2, 1 << 14))
         .select("__ba", "__bb", "__ids_a", "__vecs_a", "__ids_b", "__vecs_b")
     )
 
@@ -341,9 +353,15 @@ def _ivf_train(corpus: DataFrame, vec_col: str, ncells: int,
                     continue
                 m = np.array(list(pdf["__v"]), dtype=np.float64)
                 norms = np.linalg.norm(m, axis=1, keepdims=True)
-                cell = np.argmax((m / norms) @ C.T, axis=1)
+                norms[norms == 0] = 1.0
+                unit = m / norms
+                cell = np.argmax(unit @ C.T, axis=1)
+                # emit the NORMALIZED vector: spherical k-means means
+                # unit members — raw means would let high-norm vectors
+                # (e.g. length-proportional text embeddings) drag the
+                # centroids and re-unbalance the cells
                 yield pd.DataFrame({"cell": cell.astype(np.int32),
-                                    "__v": pdf["__v"]})
+                                    "__v": list(unit)})
 
         rows = (
             vecs.mapInPandas(assign_kernel, "cell int, __v array<double>")
@@ -864,19 +882,26 @@ def q118_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q134_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate near-dup pairs (SRP buckets + exact rescore) with
     self-measured recall against the exact block-matrix pairs (q35) —
-    one row: exact count, found count, candidate recall, plus the
-    scan-fraction the LSH path rescored. This is the dial a 100 TB
-    dedup run tunes: more tables/probes → recall ↑, rescore work ↑;
-    all seeded, so the row is deterministic."""
+    one row: exact count, found count, hit count, recall. This is the
+    accuracy half of the dial a 100 TB dedup run tunes (more tables/
+    probes → recall ↑ at more rescore work; the cost half is the
+    bucket-join input size, visible in the bench/Spark UI); all
+    seeded, so the row is deterministic. Both pair sets are tiny
+    (near-dups are rare by definition) — cache them so the counts and
+    the hit-join don't re-run the two most expensive kernels in this
+    module."""
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = q35_embedding_neardup(spark, sf_dir).select("id_a", "id_b")
+    exact = q35_embedding_neardup(spark, sf_dir).select("id_a", "id_b").cache()
     approx = embedding_neardup_pairs_lsh(
         emb, "vec_id", "embedding", _NEARDUP_T, nbits=6, ntables=16,
-        nprobes=2)
-    n_exact = exact.count()
-    n_found = approx.count()
-    n_hit = exact.join(approx.select("id_a", "id_b"),
-                       ["id_a", "id_b"]).count()
+        nprobes=2).select("id_a", "id_b").cache()
+    try:
+        n_exact = exact.count()
+        n_found = approx.count()
+        n_hit = exact.join(approx, ["id_a", "id_b"]).count()
+    finally:
+        exact.unpersist()
+        approx.unpersist()
     return spark.createDataFrame(
         [(n_exact, n_found, int(n_hit),
           round(n_hit / n_exact, 4) if n_exact else 1.0)],

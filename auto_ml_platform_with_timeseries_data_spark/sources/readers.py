@@ -91,7 +91,13 @@ def _read_xlsx_stdlib(path: str):
     which this image lacks. Excel files are driver-small by construction
     (xlsx hard row cap is 1,048,576), so a driver-side parse feeding
     spark.createDataFrame via Arrow is the right physical plan; bulk
-    columnar data enters through CSV/parquet/JSONL instead."""
+    columnar data enters through CSV/parquet/JSONL instead.
+
+    Known divergence from the openpyxl path: DATE cells come back as
+    raw Excel serial numbers (e.g. 45123.0) — date-ness lives in the
+    cell's numFmt style record, which this parser does not resolve.
+    Convert downstream (date_add('1899-12-30', serial)) or install
+    openpyxl for native datetimes."""
     import xml.etree.ElementTree as ET
     import zipfile
 
@@ -107,9 +113,19 @@ def _read_xlsx_stdlib(path: str):
         if "xl/sharedStrings.xml" in names:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root:
-                # plain <t> or rich-text runs <r><t>…</t></r>
-                shared.append("".join(
-                    t.text or "" for t in si.iter() if local(t.tag) == "t"))
+                # plain <t> directly under <si>, or rich-text runs
+                # <r><t>…</t></r>; SKIP <rPh> phonetic-guide runs
+                # (furigana) — Excel/pandas exclude them, and joining
+                # them would corrupt East-Asian key columns
+                parts = []
+                for child in si:
+                    name = local(child.tag)
+                    if name == "t":
+                        parts.append(child.text or "")
+                    elif name == "r":
+                        parts.extend(t.text or "" for t in child.iter()
+                                     if local(t.tag) == "t")
+                shared.append("".join(parts))
         sheet_name = _first_sheet_part(z, names, local)
         if sheet_name is None:
             raise ValueError(f"no worksheet found in {path}")

@@ -104,6 +104,7 @@ def main() -> int:
     # take one adaptive third pass to push the min toward the idle
     # number instead of recording a noise spike.
     timings: dict[str, float] = {}
+    pass_counts: dict[str, int] = {}
     t_suite = time.time()
     for name in names:
         passes = []
@@ -117,6 +118,7 @@ def main() -> int:
             qs[name](spark, sf_dir).count()
             passes.append(time.time() - t0)
         timings[name] = round(min(passes), 3)
+        pass_counts[name] = len(passes)
         # Drop caches a query persisted (grams, signatures, ...): leaked
         # cached partitions from earlier queries otherwise build memory
         # pressure that inflates later queries' numbers by GC, not plan
@@ -137,7 +139,10 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "passes": 2,
+        # 2 per query + 1 adaptive pass where the two disagreed >30%
+        "passes": max(pass_counts.values(), default=2),
+        "extra_pass_queries": sorted(
+            n for n, c in pass_counts.items() if c > 2),
         "wall_incl_warmup": wall,
     }))
     return 0

@@ -127,8 +127,9 @@ def test_multiprobe_srp_lifts_recall(spark, sf_dir):
 
 
 def test_multiprobe_is_superset_of_single_probe(spark, sf_dir):
-    """Extra probes only ADD candidate buckets: the single-probe result
-    pairs must all appear among the multiprobe candidates."""
+    """Extra probes only ADD candidate buckets: with k larger than the
+    corpus (so top-k never truncates), the multiprobe candidate set
+    must contain every single-probe candidate, with identical scores."""
     from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
         cosine_topk_srp,
     )
@@ -136,24 +137,19 @@ def test_multiprobe_is_superset_of_single_probe(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") < 5)
-    one = cosine_topk_srp(emb, qdf, "vec_id", "embedding", 3,
-                          nbits=8, ntables=4, nprobes=1)
-    # compare candidate SETS via the scored pairs at a generous k
-    many = cosine_topk_srp(emb, qdf, "vec_id", "embedding", 3,
-                           nbits=8, ntables=4, nprobes=6)
-    # every single-probe hit is rediscovered (scores identical, ranks may
-    # shift as new candidates enter)
-    missing = (one.select("query_id", "neighbor_id", "cosine")
-               .exceptAll(many.select("query_id", "neighbor_id", "cosine"))
-               .join(many.select("query_id",
-                                 F.col("neighbor_id").alias("n2")),
-                     "query_id", "left_anti"))
-    # a pair can drop out of top-k only if displaced by a BETTER pair
-    for r in missing.collect():
-        better = many.filter(
-            (F.col("query_id") == r["query_id"])
-            & (F.col("cosine") >= r["cosine"])).count()
-        assert better >= 3
+    big_k = emb.count() + 1  # top-k can never truncate a candidate
+    one = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+           for r in cosine_topk_srp(emb, qdf, "vec_id", "embedding", big_k,
+                                    nbits=8, ntables=4,
+                                    nprobes=1).collect()}
+    many = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+            for r in cosine_topk_srp(emb, qdf, "vec_id", "embedding", big_k,
+                                     nbits=8, ntables=4,
+                                     nprobes=6).collect()}
+    assert one, "single-probe produced no candidates — dial too sparse"
+    assert set(one) < set(many)  # strict superset: probes added buckets
+    for pair, cos in one.items():
+        assert many[pair] == cos
 
 
 def test_lsh_neardup_subset_of_exact_with_high_recall(spark, sf_dir):
