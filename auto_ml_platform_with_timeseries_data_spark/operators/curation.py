@@ -513,3 +513,75 @@ def q119_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     return fuzzy_decontaminate(corpus, bench, "doc_id", "text",
                                shingle_n=2, threshold=0.2)
+
+
+# ---------------------------------------------------------------------------
+# q135 — chi-square independence between stratum variables
+# ---------------------------------------------------------------------------
+
+
+def chi_square_independence(df: DataFrame, a_col: str,
+                            b_col: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one row (chi2, dof, n). The association diagnostic a
+    curation pipeline runs BEFORE stratified sampling — if lang and
+    source are strongly associated, sampling on one silently skews the
+    other's distribution.
+
+    Scale: one groupBy over the (a, b) cells (map-side partial, the
+    shuffle carries |A|x|B| rows, not the data); marginals come from
+    window sums over the tiny cell table, so the corpus is scanned
+    once. The statistic is pinned with floor(x*1e6+0.5) AFTER the
+    cell-sum so the oracle hash is stable; dof = (|A|-1)(|B|-1)."""
+    cells = df.groupBy(F.col(a_col).alias("__a"),
+                       F.col(b_col).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__n"))
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wt = Window.partitionBy()
+    m = cells.select(
+        "__a", "__b", "__n",
+        F.sum("__n").over(wa).alias("__ra"),
+        F.sum("__n").over(wb).alias("__cb"),
+        F.sum("__n").over(wt).alias("__tot"),
+    )
+    e = (F.col("__ra").cast("double") * F.col("__cb")) / F.col("__tot")
+    term = (F.col("__n") - e) * (F.col("__n") - e) / e
+    return m.agg(
+        (F.floor(F.sum(term) * 1e6 + F.lit(0.5)) / 1e6).alias("chi2"),
+        ((F.countDistinct("__a") - 1)
+         * (F.countDistinct("__b") - 1)).alias("dof"),
+        F.max("__tot").alias("n"),
+    )
+
+
+@query(
+    "q135_chisq_independence",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT n,
+             sum(n) OVER (PARTITION BY lang) AS ra,
+             sum(n) OVER (PARTITION BY source) AS cb,
+             sum(n) OVER () AS tot,
+             lang, source
+      FROM c
+    )
+    SELECT floor(sum((n - CAST(ra AS DOUBLE) * cb / tot)
+                     * (n - CAST(ra AS DOUBLE) * cb / tot)
+                     / (CAST(ra AS DOUBLE) * cb / tot)) * 1e6 + 0.5) / 1e6
+             AS chi2,
+           CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+                AS BIGINT) AS dof,
+           CAST(max(tot) AS BIGINT) AS n
+    FROM m
+    """,
+)
+def q135_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is `lang` independent of `source` in the corpus? chi2 >> dof
+    says the strata are entangled and per-lang sampling will reshape
+    the source mix (and vice versa)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chi_square_independence(docs, "lang", "source")

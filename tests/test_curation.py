@@ -149,3 +149,31 @@ def test_fuzzy_decontaminate_planted(spark):
     assert 1 in got and got[1]["max_jaccard"] == 1.0   # exact copy
     assert 3 in got and 0.3 <= got[3]["max_jaccard"] < 1.0  # near copy
     assert 2 not in got                                 # unrelated
+
+
+def test_chi_square_independence_matches_scipy_formula(spark):
+    """Planted 2×2 table with known chi2: [[30,10],[10,30]] →
+    chi2 = 80·(30·30−10·10)²/(40·40·40·40) = 20.0, dof 1."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        chi_square_independence,
+    )
+
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 30)
+    df = spark.createDataFrame(rows, "l string, s string")
+    r = chi_square_independence(df, "l", "s").first()
+    assert r["dof"] == 1 and r["n"] == 80
+    assert abs(r["chi2"] - 20.0) < 1e-6
+
+
+def test_chi_square_independent_table_is_near_zero(spark):
+    """Perfectly proportional table → chi2 exactly 0."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        chi_square_independence,
+    )
+
+    rows = ([("a", "x")] * 20 + [("a", "y")] * 10
+            + [("b", "x")] * 40 + [("b", "y")] * 20)
+    df = spark.createDataFrame(rows, "l string, s string")
+    r = chi_square_independence(df, "l", "s").first()
+    assert r["chi2"] == 0.0
