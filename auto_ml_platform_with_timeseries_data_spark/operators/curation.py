@@ -585,3 +585,88 @@ def q135_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source mix (and vice versa)."""
     docs = load_table(spark, sf_dir, "documents")
     return chi_square_independence(docs, "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# q136 — two-sample Kolmogorov-Smirnov drift between splits
+# ---------------------------------------------------------------------------
+
+
+def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
+                  a: str, b: str) -> DataFrame:
+    """Two-sample KS statistic between groups `a` and `b` of
+    `value_col`: one row (ks, n_a, n_b). The distribution-shape
+    complement to the binned PSI gate (q90): PSI sees density shifts in
+    fixed bins, KS sees the worst-case CDF gap anywhere — the standard
+    pair of split-drift checks before training.
+
+    Scale: the corpus reduces to per-distinct-value counts in ONE
+    map-side-partial groupBy; the running CDFs then run on that small
+    value table (|distinct values| rows, not |rows|) under a single
+    global-order window — bounded by the value domain, which for the
+    quantities worth KS-testing (lengths, scores) is tiny next to the
+    data. Exact integer counts; the statistic is pinned once at the
+    end."""
+    cells = (
+        df.filter(F.col(group_col).isin(a, b))
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(
+            F.sum((F.col(group_col) == a).cast("long")).alias("__ca"),
+            F.sum((F.col(group_col) == b).cast("long")).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    m = cells.select(
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wt).alias("__na"),
+        F.sum("__cb").over(wt).alias("__nb"),
+    )
+    gap = F.abs(F.col("__cuma").cast("double") / F.col("__na")
+                - F.col("__cumb").cast("double") / F.col("__nb"))
+    return m.agg(
+        (F.floor(F.max(gap) * 1e6 + F.lit(0.5)) / 1e6).alias("ks"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+
+
+@query(
+    "q136_ks_drift",
+    oracle=f"""
+    WITH s AS (
+      SELECT n_chars,
+             CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80 THEN 'train'
+                  WHEN {_hash_u32_sql('doc_id')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    c AS (
+      SELECT n_chars AS v,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cb
+      FROM s WHERE split IN ('train', 'test') GROUP BY n_chars
+    ),
+    m AS (
+      SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb,
+             sum(ca) OVER () AS na,
+             sum(cb) OVER () AS nb
+      FROM c
+    )
+    SELECT floor(max(abs(CAST(cuma AS DOUBLE) / na
+                         - CAST(cumb AS DOUBLE) / nb)) * 1e6 + 0.5) / 1e6
+             AS ks,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b
+    FROM m
+    """,
+)
+def q136_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the deterministic hash split (q74) preserve the document-
+    length distribution? KS between the train and test splits' n_chars
+    — near 0 for a healthy uniform hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id")
+    return ks_two_sample(split, "n_chars", "split", "train", "test")

@@ -177,3 +177,29 @@ def test_chi_square_independent_table_is_near_zero(spark):
     df = spark.createDataFrame(rows, "l string, s string")
     r = chi_square_independence(df, "l", "s").first()
     assert r["chi2"] == 0.0
+
+
+def test_ks_two_sample_planted_shift(spark):
+    """Identical samples → ks 0; disjoint ranges → ks 1; a planted
+    half-shift → ks 0.5."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        ks_two_sample,
+    )
+
+    same = [("a", float(v)) for v in range(50)] + \
+           [("b", float(v)) for v in range(50)]
+    df = spark.createDataFrame(same, "g string, v double")
+    assert ks_two_sample(df, "v", "g", "a", "b").first()["ks"] == 0.0
+
+    disjoint = [("a", float(v)) for v in range(50)] + \
+               [("b", float(v + 100)) for v in range(50)]
+    df = spark.createDataFrame(disjoint, "g string, v double")
+    assert ks_two_sample(df, "v", "g", "a", "b").first()["ks"] == 1.0
+
+    # b = a shifted so half of b's mass sits past a's max
+    half = [("a", float(v)) for v in range(40)] + \
+           [("b", float(v + 20)) for v in range(40)]
+    df = spark.createDataFrame(half, "g string, v double")
+    r = ks_two_sample(df, "v", "g", "a", "b").first()
+    assert abs(r["ks"] - 0.5) < 1e-6
+    assert r["n_a"] == 40 and r["n_b"] == 40
