@@ -1,0 +1,63 @@
+"""Shuffle-count plan contracts for the LLM-pipeline operators.
+
+The scale argument for each operator is a claim about its PHYSICAL
+plan — "map-only", "one shuffle keyed by X", "reduces to a cell table
+before windowing". These tests pin the Exchange count of the
+AQE-finalized plan so a refactor that silently adds a shuffle (the
+failure mode that costs the most at 100 TB) turns a test red instead
+of a cluster bill. Counts are upper bounds (== where the structure is
+load-bearing, <= where AQE may legally coalesce further).
+"""
+
+from __future__ import annotations
+
+from auto_ml_platform_with_timeseries_data_spark.plans import explain
+from auto_ml_platform_with_timeseries_data_spark.registry import queries
+
+
+def _exchanges(spark, sf_dir, name: str) -> tuple[int, int]:
+    df = queries()[name](spark, sf_dir)
+    df.collect()  # finalize AQE
+    plan = explain.final_plan(df)
+    return plan.count("Exchange ("), plan.count("SortMergeJoin")
+
+
+def test_map_only_operators_have_zero_exchanges(spark, sf_dir):
+    """Token stats (q20), quality score (q21), fingerprint (q33), and
+    chunking (q93) are pure row-local expression pipelines — they must
+    stream at scan speed with NO shuffle at any scale."""
+    for name in ("q20_token_stats", "q21_quality_score",
+                 "q33_fingerprint", "q93_chunk_documents"):
+        ex, _ = _exchanges(spark, sf_dir, name)
+        assert ex == 0, (name, ex)
+
+
+def test_single_shuffle_aggregations(spark, sf_dir):
+    """Exact dedup (q16: one shuffle on the md5 fingerprint), hash
+    split (q74: map-only split + one final groupBy), and lang-ID
+    (q22: row-local n-gram vote + one groupBy) each carry exactly one
+    exchange — the unavoidable aggregation shuffle."""
+    for name in ("q16_dedup_exact", "q74_hash_split", "q22_langid"):
+        ex, smj = _exchanges(spark, sf_dir, name)
+        assert ex == 1, (name, ex)
+        assert smj == 0, name
+
+
+def test_stratified_sample_shuffles_only_aggregates(spark, sf_dir):
+    """q73: the hash-filter is map-only; the two exchanges belong to
+    the two-phase countDistinct over the already-reduced groups."""
+    ex, smj = _exchanges(spark, sf_dir, "q73_stratified_sample")
+    assert ex <= 2, ex
+    assert smj == 0
+
+
+def test_drift_stats_reduce_before_windowing(spark, sf_dir):
+    """q135/q136 must collapse the corpus to a per-cell/per-value count
+    table in ONE corpus shuffle before any window/marginal pass — the
+    remaining exchanges move only the tiny reduced table."""
+    ex, smj = _exchanges(spark, sf_dir, "q136_ks_drift")
+    assert ex <= 2, ex
+    assert smj == 0
+    ex, smj = _exchanges(spark, sf_dir, "q135_chisq_independence")
+    assert ex <= 4, ex
+    assert smj == 0
