@@ -171,7 +171,11 @@ def automl(train: DataFrame, features: list[str], label: str,
     reference's argmax-then-refit contract (CrossValidator's bestModel
     IS the full-train refit of the winning grid point)."""
     families = families or default_families(mode, fast=fast)
+    # cache: every family's CrossValidator re-reads the train set per
+    # fold split and refit (k folds × grid points × families scans) —
+    # materialize the projected frame once for all of them
     train = train.select(*features, F.col(label).cast("double").alias("__label"))
+    train = train.cache()
     if mode == "regression":
         evaluator = RegressionEvaluator(labelCol="__label", metricName="rmse")
         better = min
@@ -202,8 +206,11 @@ def automl(train: DataFrame, features: list[str], label: str,
     # Results keep dict order, so selection stays deterministic.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=max(1, len(families))) as pool:
-        results = list(pool.map(_run_family, families.items()))
+    try:
+        with ThreadPoolExecutor(max_workers=max(1, len(families))) as pool:
+            results = list(pool.map(_run_family, families.items()))
+    finally:
+        train.unpersist()
     best = better(results, key=lambda r: r.cv_metric)
     return AutoMLResult(best=best, all_results=results)
 
