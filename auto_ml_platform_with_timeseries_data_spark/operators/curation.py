@@ -670,3 +670,81 @@ def q136_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     split = hash_split(docs, "doc_id")
     return ks_two_sample(split, "n_chars", "split", "train", "test")
+
+
+# ---------------------------------------------------------------------------
+# q137 — cross-split duplicate leakage (train/test contamination)
+# ---------------------------------------------------------------------------
+
+
+def split_leakage(df: DataFrame, id_col: str, text_col: str,
+                  split_col: str, a: str = "train",
+                  b: str = "test") -> DataFrame:
+    """Exact-duplicate leakage across two splits: one row
+    (n_groups, n_leaked_groups, n_docs_in_leaked, leak_rate).
+
+    A fingerprint (md5 of normalized text) present in BOTH splits means
+    the test half of that group is memorizable from train — eval
+    numbers inflate silently. This composes the exact-dedup key (q16)
+    with the hash split (q74): hash splits are id-uniform, so any
+    near-1 leak_rate says the corpus wasn't deduplicated before
+    splitting (dedup FIRST, then split — or split by fingerprint).
+
+    Scale: one shuffle keyed by the 32-byte fingerprint (never the
+    text); per-group presence flags reduce map-side; the final rollup
+    is one row."""
+    keyed = df.select(
+        F.md5(normalize_text(text_col)).alias("__fp"),
+        F.col(split_col).alias("__s"),
+    ).filter(F.col("__s").isin(a, b))
+    groups = keyed.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max((F.col("__s") == a).cast("int")).alias("__in_a"),
+        F.max((F.col("__s") == b).cast("int")).alias("__in_b"),
+    )
+    leaked = (F.col("__in_a") == 1) & (F.col("__in_b") == 1)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(leaked.cast("long")).alias("n_leaked_groups"),
+        F.sum(F.when(leaked, F.col("__n")).otherwise(0)).alias(
+            "n_docs_in_leaked"),
+        (F.floor(F.sum(leaked.cast("double")) / F.count(F.lit(1))
+                 * 1e6 + F.lit(0.5)) / 1e6).alias("leak_rate"),
+    )
+
+
+@query(
+    "q137_split_leakage",
+    oracle=f"""
+    WITH s AS (
+      SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS fp,
+             CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80 THEN 'train'
+                  WHEN {_hash_u32_sql('doc_id')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    g AS (
+      SELECT fp, count(*) AS n,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_b
+      FROM s WHERE split IN ('train', 'test') GROUP BY fp
+    )
+    SELECT count(*) AS n_groups,
+           CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked_groups,
+           CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN n ELSE 0 END)
+                AS BIGINT) AS n_docs_in_leaked,
+           floor(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS leak_rate
+    FROM g
+    """,
+)
+def q137_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many exact-duplicate groups straddle the train/test hash
+    split? (The answer a curation pipeline must drive to 0 before
+    training — dedup, then split.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage(hash_split(docs, "doc_id"), "doc_id", "text",
+                         "split")

@@ -203,3 +203,25 @@ def test_ks_two_sample_planted_shift(spark):
     r = ks_two_sample(df, "v", "g", "a", "b").first()
     assert abs(r["ks"] - 0.5) < 1e-6
     assert r["n_a"] == 40 and r["n_b"] == 40
+
+
+def test_split_leakage_planted(spark):
+    """Three duplicate groups: one fully in train, one fully in test,
+    one straddling — exactly the straddler is counted."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        split_leakage,
+    )
+
+    rows = [
+        (1, "aaa", "train"), (2, "aaa", "train"),        # train-only dup
+        (3, "bbb", "test"), (4, "bbb", "test"),          # test-only dup
+        (5, "ccc", "train"), (6, "ccc", "test"),         # LEAKED
+        (7, "ddd", "train"),                              # unique
+        (8, "eee", "val"),                                # other split
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    r = split_leakage(df, "doc_id", "text", "split").first()
+    assert r["n_groups"] == 4            # aaa, bbb, ccc, ddd (val excluded)
+    assert r["n_leaked_groups"] == 1
+    assert r["n_docs_in_leaked"] == 2
+    assert abs(r["leak_rate"] - 0.25) < 1e-9
