@@ -770,3 +770,158 @@ _BM25_TERMS = ("data", "model", "system")
 def q121_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, "doc_id", "text", list(_BM25_TERMS))
+
+
+# ---------------------------------------------------------------------------
+# q138 — span-level duplication (C4/RefinedWeb-style substring dedup signal)
+# ---------------------------------------------------------------------------
+
+_SPAN_TOKENS = 10
+
+
+def span_duplication(df: DataFrame, id_col: str, text_col: str,
+                     group_col: str, span_tokens: int = _SPAN_TOKENS) -> DataFrame:
+    """Per-group duplicate-span statistics: documents are cut into
+    consecutive `span_tokens`-token spans (stride = span length), and a
+    span is DUPLICATED if its exact text occurs more than once in the
+    corpus. Output: (group, n_spans, n_dup_spans, dup_rate).
+
+    This is the sub-document dedup signal the C4/RefinedWeb pipelines
+    act on (boilerplate headers/footers repeat across pages that are
+    NOT document-level duplicates — doc-level dedup misses them;
+    span-level counting finds them). Two shuffles: span-keyed counts
+    (map-side partial; boilerplate skew lands on AQE's skew handling
+    like the LSH buckets), then a semi-join of spans against the
+    duplicated subset and a group rollup."""
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.col(group_col).alias("__g"),
+        tokens(normalize_text(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") >= span_tokens)
+    spans = toks.select(
+        "__id", "__g",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.floor(F.size("__toks") / span_tokens)
+                       .cast("int") - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice("__toks", i * span_tokens + 1, span_tokens)),
+        )).alias("__span"),
+    )
+    dup = (spans.groupBy("__span").agg(F.count(F.lit(1)).alias("__c"))
+           .filter(F.col("__c") > 1).select("__span"))
+    flagged = spans.join(dup, "__span", "left_semi")
+    per_g = spans.groupBy("__g").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup_g = flagged.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"))
+    return (
+        per_g.join(dup_g, "__g", "left")
+        .select(
+            F.col("__g").alias("group"),
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            (F.floor(F.coalesce("n_dup_spans", F.lit(0))
+                     / F.col("n_spans").cast("double") * 1e6 + F.lit(0.5))
+             / 1e6).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "q138_span_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split({_NORM}, ' ') AS toks
+      FROM documents WHERE len(string_split({_NORM}, ' ')) >= {_SPAN_TOKENS}
+    ),
+    s AS (
+      SELECT doc_id, lang,
+             array_to_string(
+               toks[i * {_SPAN_TOKENS} + 1 : (i + 1) * {_SPAN_TOKENS}],
+               ' ') AS span
+      FROM t, unnest(range(0, len(toks) // {_SPAN_TOKENS})) AS u(i)
+    ),
+    d AS (SELECT span FROM s GROUP BY span HAVING count(*) > 1)
+    SELECT lang AS "group",
+           count(*) AS n_spans,
+           CAST(sum(CASE WHEN s.span IN (SELECT span FROM d)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           floor(CAST(sum(CASE WHEN s.span IN (SELECT span FROM d)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1e6 + 0.5) / 1e6 AS dup_rate
+    FROM s GROUP BY lang
+    """,
+)
+def q138_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What fraction of each language's 10-token spans repeat anywhere
+    in the corpus? The boilerplate detector doc-level dedup misses."""
+    docs = load_table(spark, sf_dir, "documents")
+    return span_duplication(docs, "doc_id", "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q139 — unigram-LM pseudo-perplexity (cheap LM-quality proxy)
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str,
+                    top_n: int = 50) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM: logprob(doc) = (1/|doc|)·Σ ln(count(w)/N). The cheap
+    stand-in for LM-perplexity quality filtering (low scores = rare-
+    token soup: OCR noise, codes, lorem; high = common-word text) used
+    to triage before an expensive model pass. Returns the `top_n`
+    LOWEST-scoring documents (the filter's kill list), ties broken by
+    id.
+
+    Scale: the vocabulary reduces map-side to (word, count) — the only
+    corpus-sized shuffle is word-keyed; the per-doc mean then reuses
+    the same tokenized frame, joined against the (small, aggregated)
+    vocab. Exact integer counts; ln ratios pinned at 1e-6."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(normalize_text(text_col))).alias("__w"),
+    )
+    vocab = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").alias("__n"))
+    scored = (
+        toks.join(vocab, "__w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(F.log(F.col("__c").cast("double") / F.col("__n")))
+            .alias("__lp"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("__id").alias("doc_id"), "n_tokens",
+            (F.floor(F.col("__lp") * 1e6 + F.lit(0.5)) / 1e6).alias("logprob"),
+        )
+        .orderBy(F.asc("logprob"), F.asc("doc_id"))
+        .limit(top_n)
+    )
+
+
+@query(
+    "q139_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+      FROM documents
+    ),
+    v AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM v)
+    SELECT tok.doc_id, count(*) AS n_tokens,
+           floor(avg(ln(CAST(v.c AS DOUBLE) / n.n)) * 1e6 + 0.5) / 1e6
+             AS logprob
+    FROM tok JOIN v USING (w), n
+    GROUP BY tok.doc_id
+    ORDER BY logprob ASC, tok.doc_id ASC
+    LIMIT 50
+    """,
+)
+def q139_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 50 lowest unigram-LM-scored documents — the kill list a
+    perplexity-style quality filter would hand to review."""
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "doc_id", "text")

@@ -102,3 +102,52 @@ def test_bm25_semantics(spark):
         return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
     assert got[1] == round(s(2, 2, 3) + s(1, 1, 3), 4)
     assert got[3] == round(s(1, 2, 2), 4)
+
+
+def test_span_duplication_planted(spark):
+    """Two docs share a 10-token boilerplate span; a third is unique —
+    exactly the shared spans count as duplicated."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        span_duplication,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq1 = " ".join(f"u{i}" for i in range(10))
+    uniq2 = " ".join(f"v{i}" for i in range(10))
+    uniq3 = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, "g", boiler + " " + uniq1),   # spans: boiler, uniq1
+        (2, "g", boiler + " " + uniq2),   # spans: boiler, uniq2
+        (3, "g", uniq3),                  # span: uniq3
+        (4, "h", "short text"),           # < 10 tokens → no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["group"]: r for r in
+           span_duplication(df, "doc_id", "text", "lang").collect()}
+    g = out["g"]
+    assert g["n_spans"] == 5
+    assert g["n_dup_spans"] == 2          # the two boiler occurrences
+    assert abs(g["dup_rate"] - 0.4) < 1e-9
+    assert "h" not in out                 # no spans → no row
+
+
+def test_unigram_logprob_ranks_rare_token_soup_lowest(spark):
+    """A doc of hapax tokens must score below a doc of corpus-common
+    tokens; scores are exact unigram log-means."""
+    import math
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        unigram_logprob,
+    )
+
+    rows = [(1, "common common common common"),
+            (2, "common common rare1 rare2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["logprob"] for r in
+           unigram_logprob(df, "doc_id", "text", top_n=10).collect()}
+    # corpus: common×6, rare1×1, rare2×1, N=8
+    lp1 = math.log(6 / 8)
+    lp2 = (2 * math.log(6 / 8) + 2 * math.log(1 / 8)) / 4
+    assert abs(out[1] - (math.floor(lp1 * 1e6 + 0.5) / 1e6)) < 1e-9
+    assert abs(out[2] - (math.floor(lp2 * 1e6 + 0.5) / 1e6)) < 1e-9
+    assert out[2] < out[1]
