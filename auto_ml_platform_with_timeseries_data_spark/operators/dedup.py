@@ -722,3 +722,81 @@ def q55_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), pairs.select("id_a", "id_b"),
         id_col="doc_id")
     return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
+# q140 — containment pairs (asymmetric overlap; catches quotes/subsets)
+# ---------------------------------------------------------------------------
+
+_CONTAINMENT_T = 0.5
+
+
+def containment_pairs_blocked(df: DataFrame, id_col: str, text_col: str,
+                              block_col: str, shingle_n: int = 2,
+                              threshold: float = _CONTAINMENT_T) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs within blocks: (block, id_a, id_b,
+    containment) with containment = |A∩B| / min(|A|, |B|) ≥ threshold.
+
+    The asymmetric complement of Jaccard (q18): a short document quoted
+    verbatim inside a long one has containment ≈ 1 but Jaccard ≈
+    |short|/|long| ≈ 0 — Jaccard-only dedup keeps the quote-inclusion
+    duplicates. Same inverted-index count join as _jaccard_pairs_index
+    (the co-occurrence COUNT is |A∩B| either way); only the length
+    filter changes — containment has none (a tiny doc can be contained
+    in any size), so the fan-out is bounded by gram df alone and the
+    blocked grouping carries the scale argument."""
+    grams = _hash_grams(_grams_df(
+        df.withColumnRenamed(block_col, "__blk"), id_col, text_col,
+        shingle_n, extra_cols=("__blk",),
+    ))
+    ex = _spread(
+        grams.select(
+            "__blk", "__id", F.size("__grams").alias("__n"),
+            F.explode("__grams").alias("__g"),
+        ),
+        "__blk", "__g",
+    )
+    pairs = (
+        ex.alias("a").join(ex.alias("b"), ["__blk", "__g"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(
+            "__blk",
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
+            F.col("a.__n").alias("__na"), F.col("b.__n").alias("__nb"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    )
+    cont = F.col("__c") / F.least("__na", "__nb")
+    return (
+        pairs.filter(cont >= F.lit(threshold))
+        .select(
+            F.col("__blk").alias("block"), "id_a", "id_b",
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
+_CONTAINMENT_PAIRS_DUCK = f"""
+    WITH g AS (
+      SELECT lang, doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split({_NORM_DUCK}, ' '))),
+               i -> string_split({_NORM_DUCK}, ' ')[i] || ' ' ||
+                    string_split({_NORM_DUCK}, ' ')[i + 1]
+             )) AS grams
+      FROM documents
+    )
+    SELECT a.lang AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 LEAST(len(a.grams), len(b.grams)), 6) AS containment
+    FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          LEAST(len(a.grams), len(b.grams)) >= {_CONTAINMENT_T}
+"""
+
+
+@query("q140_containment_pairs", oracle=_CONTAINMENT_PAIRS_DUCK)
+def q140_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs_blocked(docs, "doc_id", "text", "lang",
+                                     shingle_n=2, threshold=_CONTAINMENT_T)

@@ -101,3 +101,27 @@ def test_connected_components_chain_and_singletons(spark):
     got = {r["id"]: r["component"] for r in
            dedup.connected_components(vertices, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 6, 7: 6}
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc quoted inside a long one: containment ≈ 1 while
+    Jaccard is small — the asymmetric dedup case q18 cannot flag."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        containment_pairs_blocked,
+        jaccard_pairs_blocked,
+    )
+
+    short = " ".join(f"q{i}" for i in range(8))          # 7 bigrams
+    long = short + " " + " ".join(f"x{i}" for i in range(40))
+    rows = [(1, "en", short), (2, "en", long), (3, "en", "other words only")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    cont = containment_pairs_blocked(df, "doc_id", "text", "lang",
+                                     threshold=0.5).collect()
+    assert len(cont) == 1
+    assert (cont[0]["id_a"], cont[0]["id_b"]) == (1, 2)
+    assert cont[0]["containment"] == 1.0                  # fully contained
+
+    jac = jaccard_pairs_blocked(df, "doc_id", "text", "lang",
+                                threshold=0.5).collect()
+    assert jac == []                                      # Jaccard misses it
