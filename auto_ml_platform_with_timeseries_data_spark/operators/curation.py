@@ -528,11 +528,15 @@ def chi_square_independence(df: DataFrame, a_col: str,
     source are strongly associated, sampling on one silently skews the
     other's distribution.
 
-    Scale: one groupBy over the (a, b) cells (map-side partial, the
-    shuffle carries |A|x|B| rows, not the data); marginals come from
-    window sums over the tiny cell table, so the corpus is scanned
-    once. The statistic is pinned with floor(x*1e6+0.5) AFTER the
-    cell-sum so the oracle hash is stable; dof = (|A|-1)(|B|-1)."""
+    Scale: ONE groupBy over the (a, b) cells (map-side partial, the
+    shuffle carries |A|x|B| rows, not the data — the corpus scans
+    once); marginals come from window sums over the tiny cell table.
+    Pearson's chi2 also sums the ZERO-observed cells ((0-E)^2/E = E) —
+    exactly the cells that dominate under strong association — but no
+    grid materialization is needed: since Σ_all-cells E = N, the
+    zero-cell contribution is N − Σ_observed E, added as a closed-form
+    correction. Pinned with floor(x*1e6+0.5) AFTER the sum;
+    dof = (|A|-1)(|B|-1)."""
     cells = df.groupBy(F.col(a_col).alias("__a"),
                        F.col(b_col).alias("__b")).agg(
         F.count(F.lit(1)).alias("__n"))
@@ -548,7 +552,8 @@ def chi_square_independence(df: DataFrame, a_col: str,
     e = (F.col("__ra").cast("double") * F.col("__cb")) / F.col("__tot")
     term = (F.col("__n") - e) * (F.col("__n") - e) / e
     return m.agg(
-        (F.floor(F.sum(term) * 1e6 + F.lit(0.5)) / 1e6).alias("chi2"),
+        (F.floor((F.sum(term) + F.max("__tot") - F.sum(e))
+                 * 1e6 + F.lit(0.5)) / 1e6).alias("chi2"),
         ((F.countDistinct("__a") - 1)
          * (F.countDistinct("__b") - 1)).alias("dof"),
         F.max("__tot").alias("n"),
@@ -569,10 +574,13 @@ def chi_square_independence(df: DataFrame, a_col: str,
              lang, source
       FROM c
     )
-    SELECT floor(sum((n - CAST(ra AS DOUBLE) * cb / tot)
-                     * (n - CAST(ra AS DOUBLE) * cb / tot)
-                     / (CAST(ra AS DOUBLE) * cb / tot)) * 1e6 + 0.5) / 1e6
-             AS chi2,
+    -- zero-observed cells contribute (0-E)^2/E = E; since the expected
+    -- counts sum to N over ALL cells, that is N - sum(E over observed)
+    SELECT floor((sum((n - CAST(ra AS DOUBLE) * cb / tot)
+                      * (n - CAST(ra AS DOUBLE) * cb / tot)
+                      / (CAST(ra AS DOUBLE) * cb / tot))
+                  + max(tot) - sum(CAST(ra AS DOUBLE) * cb / tot))
+                 * 1e6 + 0.5) / 1e6 AS chi2,
            CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
                 AS BIGINT) AS dof,
            CAST(max(tot) AS BIGINT) AS n
@@ -677,7 +685,7 @@ def q136_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def split_leakage(df: DataFrame, id_col: str, text_col: str,
+def split_leakage(df: DataFrame, text_col: str,
                   split_col: str, a: str = "train",
                   b: str = "test") -> DataFrame:
     """Exact-duplicate leakage across two splits: one row
@@ -746,5 +754,4 @@ def q137_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     split? (The answer a curation pipeline must drive to 0 before
     training — dedup, then split.)"""
     docs = load_table(spark, sf_dir, "documents")
-    return split_leakage(hash_split(docs, "doc_id"), "doc_id", "text",
-                         "split")
+    return split_leakage(hash_split(docs, "doc_id"), "text", "split")

@@ -139,8 +139,9 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        # 2 per query + 1 adaptive pass where the two disagreed >30%
-        "passes": max(pass_counts.values(), default=2),
+        # base protocol is 2 passes/query; queries listed below got one
+        # adaptive third pass (their first two disagreed >30%)
+        "passes": 2,
         "extra_pass_queries": sorted(
             n for n, c in pass_counts.items() if c > 2),
         "wall_incl_warmup": wall,

@@ -220,8 +220,23 @@ def test_split_leakage_planted(spark):
         (8, "eee", "val"),                                # other split
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, split string")
-    r = split_leakage(df, "doc_id", "text", "split").first()
+    r = split_leakage(df, "text", "split").first()
     assert r["n_groups"] == 4            # aaa, bbb, ccc, ddd (val excluded)
     assert r["n_leaked_groups"] == 1
     assert r["n_docs_in_leaked"] == 2
     assert abs(r["leak_rate"] - 0.25) < 1e-9
+
+
+def test_chi_square_counts_zero_observed_cells(spark):
+    """Diagonal 2×2 table with only (a,x)=10 and (b,y)=10 observed:
+    Pearson chi2 must include the two ZERO cells ((0−5)²/5 = 5 each) —
+    total 20, not the 10 an observed-cells-only sum reports."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        chi_square_independence,
+    )
+
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "l string, s string")
+    r = chi_square_independence(df, "l", "s").first()
+    assert r["chi2"] == 20.0
+    assert r["dof"] == 1 and r["n"] == 20

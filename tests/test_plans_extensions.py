@@ -19,7 +19,12 @@ def _exchanges(spark, sf_dir, name: str) -> tuple[int, int]:
     df = queries()[name](spark, sf_dir)
     df.collect()  # finalize AQE
     plan = explain.final_plan(df)
-    return plan.count("Exchange ("), plan.count("SortMergeJoin")
+    # count only SHUFFLE exchanges: "Exchange (" also prefixes
+    # BroadcastExchange/ReusedExchange, which are not shuffles
+    shuffles = (plan.count("Exchange (")
+                - plan.count("BroadcastExchange (")
+                - plan.count("ReusedExchange ("))
+    return shuffles, plan.count("SortMergeJoin")
 
 
 def test_map_only_operators_have_zero_exchanges(spark, sf_dir):

@@ -147,7 +147,9 @@ def test_multiprobe_is_superset_of_single_probe(spark, sf_dir):
                                      nbits=8, ntables=4,
                                      nprobes=6).collect()}
     assert one, "single-probe produced no candidates — dial too sparse"
-    assert set(one) < set(many)  # strict superset: probes added buckets
+    # non-strict: probes may only ADD buckets (equality is legal when
+    # every near pair already shares a primary bucket)
+    assert set(one) <= set(many)
     for pair, cos in one.items():
         assert many[pair] == cos
 
