@@ -87,7 +87,10 @@ def q133_ts_lstm_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic subset of users (hash % 20) so the driver-side check
     stays fast: LSTM cost is epochs × groups, and the subset exercises
     the identical plan shape. Seeded per group key → reproducible
-    across partitionings; rmse rounded for a stable rows-only hash."""
+    across partitionings; rmse rounded COARSELY (3 decimals): 50 Adam
+    epochs of BLAS matmuls amplify ulp-level differences between BLAS
+    builds/thread counts, so a 6-decimal hash was host-stable only —
+    3 decimals survives cross-host BLAS divergence."""
     from auto_ml_platform_with_timeseries_data_spark.ml.ts_automl import (
         ts_automl_per_group,
     )
@@ -99,5 +102,5 @@ def q133_ts_lstm_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                               lstm_epochs=50)
     return out.select(
         "group_key", "n_train", "n_test",
-        F.round("test_rmse", 6).alias("test_rmse"),
+        F.round("test_rmse", 3).alias("test_rmse"),
     )

@@ -536,10 +536,19 @@ def chi_square_independence(df: DataFrame, a_col: str,
     grid materialization is needed: since Σ_all-cells E = N, the
     zero-cell contribution is N − Σ_observed E, added as a closed-form
     correction. Pinned with floor(x*1e6+0.5) AFTER the sum;
-    dof = (|A|-1)(|B|-1)."""
-    cells = df.groupBy(F.col(a_col).alias("__a"),
-                       F.col(b_col).alias("__b")).agg(
-        F.count(F.lit(1)).alias("__n"))
+    dof = (|A|-1)(|B|-1).
+
+    NULL categories are EXCLUDED before aggregation: a NULL cell would
+    otherwise contribute to chi2 and the marginals while countDistinct
+    (which ignores NULLs) understates dof, leaving the statistic and its
+    degrees of freedom inconsistent. Dropping NULL rows keeps both sides
+    of the test on the same population — the standard complete-case
+    convention for contingency tests."""
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     wa = Window.partitionBy("__a")
     wb = Window.partitionBy("__b")
     wt = Window.partitionBy()

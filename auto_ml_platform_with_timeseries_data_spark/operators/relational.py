@@ -723,24 +723,49 @@ def q128_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     through DECIMAL (exact, order-independent); cum/total divide as
     bit-identical doubles on both engines.
 
-    Scale note: the cumulative window is GLOBAL (no partition key), so
-    it runs on one task — correct here because it runs over the
-    per-customer AGGREGATE, orders of magnitude smaller than the fact
-    table (millions of narrow rows ≈ tens of MB at any realistic
-    customer count). Past that, the standard two-pass prefix-sum
-    (range-partition by revenue, per-partition partials, broadcast
-    prefix offsets) swaps in without changing this contract."""
+    The cumulative sum is the classic distributed two-pass prefix sum —
+    NOT a global single-task window: (1) range-partition the customer
+    aggregate on (revenue desc, custkey) so partition p holds a
+    contiguous rank range; (2) per-partition cumulative sums run in
+    parallel under a window PARTITIONED by the range-partition id;
+    (3) per-partition totals (one row per partition — bounded model-size
+    state, like fitted centroids) collect to the driver, turn into exact
+    Decimal prefix offsets, and broadcast-join back. At 100× the
+    customer dimension every stage stays parallel: the only global
+    object is the P-row offset table. All revenue arithmetic stays in
+    DECIMAL until the final double cast, so the result is bit-identical
+    to the single-window formulation."""
+    from decimal import Decimal
+
     o = load_table(spark, sf_dir, "orders")
     r = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
         .cast("decimal(38,4)").alias("__rev"))
-    wcum = Window.orderBy(F.desc("__rev"), F.asc("custkey")) \
+    nparts = spark.sparkContext.defaultParallelism
+    # Range partitioner keeps the global (rev desc, custkey) order across
+    # partition ids: pid 0 holds the top revenues. Persist: the partials
+    # pass and the final pass both consume this exchange, and the ids
+    # from spark_partition_id must come from ONE materialization.
+    ranged = (
+        r.repartitionByRange(nparts, F.desc("__rev"), F.asc("custkey"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = ranged.groupBy("__pid").agg(F.sum("__rev").alias("__t")).collect()
+    by_pid = {row["__pid"]: row["__t"] for row in totals}
+    offsets, acc = [], Decimal(0)
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    total = acc  # exact grand total, known from the same partials
+    off_df = spark.createDataFrame(
+        offsets or [(0, Decimal(0))], "__pid int, __off decimal(38,4)")
+    wcum = Window.partitionBy("__pid") \
+                 .orderBy(F.desc("__rev"), F.asc("custkey")) \
                  .rowsBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = F.sum("__rev").over(wcum).cast("double")
-    total = F.sum("__rev").over(wall).cast("double")
-    share = cum / total
-    return r.select(
+    cum = (F.sum("__rev").over(wcum) + F.col("__off")).cast("double")
+    share = cum / F.lit(total).cast("decimal(38,4)").cast("double")
+    return ranged.join(F.broadcast(off_df), "__pid").select(
         "custkey",
         F.round(F.col("__rev").cast("double"), 2).alias("revenue"),
         (F.floor(share * 1e6 + F.lit(0.5)) / 1e6).alias("cum_share"),

@@ -127,6 +127,11 @@ def cosine_topk_srp(corpus: DataFrame, queries_df: DataFrame, id_col: str,
     import numpy as np
 
     sample = corpus.select(vec_col).first()
+    if sample is None or sample[0] is None:
+        # empty corpus → no neighbors (schema-stable, matches the
+        # bruteforce/exact paths' empty-input contract)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double")
     dim = len(sample[0])
     # Closure-captured, not sc.broadcast: the plane tensor is ~24 KB
     # (ntables×nbits×dim floats) — it rides the task closure for free,
@@ -399,6 +404,11 @@ def embedding_neardup_pairs_lsh(corpus: DataFrame, id_col: str,
     import numpy as np
 
     sample = corpus.select(vec_col).first()
+    if sample is None or sample[0] is None:
+        # empty corpus → no pairs (schema-stable, same guard as the
+        # exact path's nblocks=None branch)
+        return corpus.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
     dim = len(sample[0])
     planes = np.array(_hyperplanes(dim, nbits, ntables, seed),
                       dtype=np.float64)
@@ -475,6 +485,12 @@ def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
     join."""
     import numpy as np
 
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        # empty corpus → no neighbors (schema-stable; _ivf_train cannot
+        # seed centroids from nothing)
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double")
     cent_mat = _ivf_train(corpus, vec_col, ncells, train_iters)
     # closure-captured (≈ ncells×dim×8 B ≈ 8 KB) — see cosine_topk_srp
 

@@ -56,44 +56,54 @@ _QUERY_MODULES = (
 _loaded = False
 
 # Driver-sweep priority. The correctness driver verifies queries in the
-# order ``queries()`` yields them, under a ~50-query budget per round.
-# Round 1-2 spent the whole budget on the reference-parity + TPC-H block,
-# leaving the LLM-data-pipeline surface (dedup / similarity / text /
-# multimodal / curation / ts_features / sessionize) with zero
-# driver-verified rows. This list pins the first 50 slots to:
-#   1-17  reference parity Q1-Q15 surface (keeps those rows green), then
-#   18-50 the never-driver-checked extension queries flagged in
-#         VERDICT.md round 2 ("Next round" #1).
-# Queries not listed keep registration order after the priority block;
-# the already-twice-proven relational/TPC-H modules register last.
+# order ``queries()`` yields them, under a 50-query budget per round
+# (CORRECTNESS_r01-r03 each hold exactly 50 rows). Rounds 1-3 covered
+# the reference-parity, TPC-H, and LLM-pipeline headline blocks —
+# cumulatively 81 unique driver-green queries. Round 4 rotates onto the
+# LAST tier with zero driver-verified rows (VERDICT.md round 3 "Next
+# round" #1): the rounds-2/3 additions (q132, q135-q140), the
+# q80-q127 extension block, and the streaming surface, plus the four
+# new portable exact-twin queries (q141-q144) that convert the
+# hash-family rows-only entries into oracle-checked rows.
+#   1-6   canary slots — one long-green query per module family, so a
+#         regression in shared infrastructure still gets witnessed
+#   7-10  portable twins (new this round)
+#   11-47 never-driver-checked extension queries, cheap-first
+#   48-50 streaming (batch-equivalent oracles; the most expensive —
+#         last so a time-capped sweep drops them before batch rows)
+# Queries not listed keep registration order after the priority block.
 _PRIORITY: tuple[str, ...] = (
-    # reference parity core (green in rounds 1-2; keep green)
-    "q01_head", "q02_null_profile", "q03_histogram", "q04_corr_with_label",
-    "q05_groups", "q13_importance_rank", "q14_min_max", "q48_histogram_auto",
-    "q125_key_skew",
-    "q06_acf", "q07_ts_split", "q08_ts_windows",
-    "q10_rmse", "q11_binarize", "q12_f1_confusion",
-    "q09_scale_params", "q29_minmax_scaled",
-    # dedup
-    "q16_dedup_exact", "q17_minhash_dedup", "q18_jaccard_pairs",
-    "q23_simhash", "q33_fingerprint", "q55_dedup_components",
-    # similarity search
-    "q19_cosine_topk", "q34_ann_srp", "q35_embedding_neardup", "q36_ann_ivf",
-    # text analysis
-    "q20_token_stats", "q21_quality_score", "q22_langid",
-    "q51_winnow_fingerprints", "q57_bpe_tokens",
-    # sessionize / window
-    "q24_window_agg", "q25_sessionize", "q59_resample_ffill",
-    "q60_zscore_outliers",
-    # multimodal
-    "q37_media_stats", "q38_media_features",
-    # as-of join + JSONL round-trip
-    "q30_asof_join", "q56_jsonl_roundtrip",
-    # curation
-    "q73_stratified_sample", "q74_hash_split", "q75_class_balance",
-    "q76_pack_sequences", "q77_decontaminate", "q78_uniform_sample",
-    # time-series feature ops
-    "q69_ewma", "q70_ohlc", "q71_lag_features", "q72_interpolate",
+    # canaries (driver-green in r1-r3; one per module family)
+    "q01_head", "q06_acf", "q12_f1_confusion",
+    "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
+    # portable exact twins for the hash-family rows-only queries
+    "q141_minhash_portable", "q142_simhash_portable",
+    "q143_ann_signbucket", "q144_ivf_fixed_centroids",
+    # rounds-2/3 additions: quality gates + exact sketch twin
+    "q132_exact_agg_twin", "q135_chisq_independence", "q136_ks_drift",
+    "q137_split_leakage", "q138_span_dedup", "q139_unigram_logprob",
+    "q140_containment_pairs",
+    # extension block: sinks, ML-data ops, embeddings, text
+    "q80_partitioned_sink", "q83_merge_upsert", "q84_walkforward_splits",
+    "q86_weighted_sample", "q87_label_centroids", "q88_centroid_assign",
+    "q89_tfidf_topk", "q90_drift_psi", "q93_chunk_documents",
+    "q94_redact_tokens",
+    # extension block: relational/TS/window analytics
+    "q105_dominant_suppliers", "q106_time_weighted_avg",
+    "q107_cusum_changepoints", "q108_embedding_dim_stats",
+    "q109_bigram_pmi", "q110_seasonal_residuals", "q111_repetition_ratio",
+    "q112_word_entropy", "q113_target_encoding", "q114_funnel",
+    "q115_cohort_retention", "q116_media_resize", "q117_frame_sample",
+    "q118_embedding_quantize", "q119_fuzzy_decontaminate", "q121_bm25",
+    "q122_window_heavy_hitters", "q123_rolling_median", "q124_group_ols",
+    "q127_event_transitions",
+    # streaming (most expensive; batch-equivalent SQL oracles)
+    "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
+    # ---- slots 51+: checked only if the driver budget stretches ----
+    "q53_stateful_user_stats", "q79_stream_sessions",
+    "q92_stream_stream_join",
+    "q45_rolling_stats", "q85_cluster_retention",
+    "q104_small_quantity_revenue", "q120_sliding_window",
 )
 
 

@@ -159,8 +159,19 @@ def _read_xlsx_stdlib(path: str):
                 elif ctype == "b":
                     value = bool(int(value))
                 elif ctype in ("n", ""):  # numeric — int when exact
-                    f = float(value)
-                    value = int(f) if f.is_integer() else f
+                    # Integer-looking text parses through int() directly:
+                    # round-tripping via float would lose precision above
+                    # 2^53 (the XML stores decimal text, so int() is exact
+                    # at any magnitude). Scientific/decimal forms fall back
+                    # to float, downgrading to int only when exact.
+                    if not any(ch in value for ch in ".eE"):
+                        try:
+                            value = int(value)
+                        except ValueError:
+                            value = float(value)
+                    else:
+                        f = float(value)
+                        value = int(f) if f.is_integer() else f
                 rows.setdefault(implied_row, {})[col] = value
     if not rows:
         return pd.DataFrame()

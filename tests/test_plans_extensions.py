@@ -66,3 +66,18 @@ def test_drift_stats_reduce_before_windowing(spark, sf_dir):
     ex, smj = _exchanges(spark, sf_dir, "q135_chisq_independence")
     assert ex <= 4, ex
     assert smj == 0
+
+
+def test_pareto_abc_has_no_global_window(spark, sf_dir):
+    """q128's cumulative revenue share must run as the two-pass prefix
+    sum: per-range-partition windows + a broadcast offset join. A
+    refactor back to Window.orderBy with no partition key would funnel
+    the whole customer dimension through ONE task — the plan must
+    contain no single-partition exchange."""
+    df = queries()["q128_pareto_abc"](spark, sf_dir)
+    df.collect()
+    plan = explain.final_plan(df)
+    assert "SinglePartition" not in plan, plan
+    # the offset table joins broadcast — the big side never reshuffles
+    # for the join
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
