@@ -800,3 +800,169 @@ def q140_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs_blocked(docs, "doc_id", "text", "lang",
                                      shingle_n=2, threshold=_CONTAINMENT_T)
+
+
+# ---------------------------------------------------------------------------
+# Portable exact twins for the xxhash64-based signatures (q141/q142)
+#
+# q17 (MinHash-LSH) and q23 (SimHash) are rows-only: xxhash64 has no
+# DuckDB equivalent, so the driver can only count their rows. These
+# twins run the IDENTICAL signature machinery — shingling, min-over-
+# hash-family, per-bit majority vote — through a hash family both
+# engines can compute exactly: a 31-base polynomial rolling hash over
+# the gram/token characters, mod the prime 1_000_000_007 (products stay
+# < 2^63, so BIGINT arithmetic never overflows in either engine), then
+# the affine family h_i(g) = (a_i·h(g) + b_i) mod p. Every signature
+# value gets a real driver value-hash check; the production queries
+# keep xxhash64 (wider, cheaper — one JVM intrinsic vs a per-char
+# fold), with the twins certifying the surrounding machinery.
+# ---------------------------------------------------------------------------
+
+_POLY_P = 1_000_000_007
+_MINHASH_TWIN_H = 8  # hash functions in the portable family
+
+
+def _polyhash(g: Column) -> Column:
+    """base-31 polynomial rolling hash of a string, mod _POLY_P —
+    sequential fold over character code points, bit-identical in any
+    engine with 64-bit integers."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(g)),
+        lambda i: F.ascii(g.substr(i, F.lit(1))).cast("long"),
+    )
+    return F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + c) % _POLY_P,
+    )
+
+
+def minhash_signatures_portable(df: DataFrame, id_col: str, text_col: str,
+                                num_hashes: int = _MINHASH_TWIN_H,
+                                shingle_n: int = 2) -> DataFrame:
+    """(id, sig_0..sig_{H-1}): MinHash signature row through the portable
+    polynomial family — same shingle pipeline as the production path
+    (normalize → tokens → distinct word n-grams), same min-per-hash
+    reduction, SQL-checkable hash family. The per-gram hash is bound to
+    its own projection so the H affine transforms reuse it instead of
+    re-folding the characters H times (the _grams_df CSE lesson)."""
+    grams = _grams_df(df, id_col, text_col, shingle_n)
+    hashed = grams.select(
+        "__id", F.transform("__grams", _polyhash).alias("__hs"))
+
+    def affine(i: int):
+        # single-arg lambda on purpose: a 2-arg lambda would make
+        # F.transform pass the ARRAY INDEX as the second argument
+        return lambda h: (F.lit(2 * i + 1) * h + F.lit(7919 * i)) % _POLY_P
+
+    sigs = [
+        F.array_min(F.transform("__hs", affine(i))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.select(F.col("__id").alias(id_col), *sigs)
+
+
+_POLY_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, len({g}) + 1), "
+    "i -> CAST(ascii(substr({g}, i, 1)) AS BIGINT))), "
+    f"(a, b) -> (a * 31 + b) % {_POLY_P})"
+)
+
+
+def _minhash_twin_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"list_min(list_transform(hs, h -> ({2 * i + 1} * h + {7919 * i}) "
+        f"% {_POLY_P})) AS sig_{i}"
+        for i in range(_MINHASH_TWIN_H)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+      WHERE len(string_split({_NORM_DUCK}, ' ')) >= 2
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS grams
+      FROM toks
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, g -> {_POLY_DUCK.format(g='g')}) AS hs
+      FROM g
+    )
+    SELECT doc_id,
+           {sig_cols}
+    FROM h
+    """
+
+
+@query("q141_minhash_portable", oracle=_minhash_twin_oracle())
+def q141_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures_portable(docs, "doc_id", "text")
+
+
+_SIMHASH_TWIN_BITS = 16
+
+
+def simhash_portable(df: DataFrame, id_col: str, text_col: str,
+                     nbits: int = _SIMHASH_TWIN_BITS) -> DataFrame:
+    """(id, simhash): per-bit majority vote over portable token hashes —
+    the q23 machinery (explode with multiplicity → per-bit ±1 votes →
+    bit pack) with a SQL-checkable hash. nbits=16 because the
+    polynomial hash carries ~30 well-mixed bits; the vote/pack logic is
+    identical at any width."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(text_col))).alias("__t"),
+    ).select(id_col, _polyhash(F.col("__t")).alias("__h"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(nbits)
+    ]
+    votes = tok.groupBy(id_col).agg(*bit_votes)
+    sig = reduce(
+        lambda acc, b: acc + F.when(
+            F.col(f"__b{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+        range(1, nbits),
+        F.when(F.col("__b0") > 0, F.lit(1).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+    )
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def _simhash_twin_oracle() -> str:
+    vote_cols = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(_SIMHASH_TWIN_BITS)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_TWIN_BITS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split({_NORM_DUCK}, ' ')) AS tok
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, {_POLY_DUCK.format(g='tok')} AS h FROM t
+    ),
+    v AS (
+      SELECT doc_id,
+             {vote_cols}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM v
+    """
+
+
+@query("q142_simhash_portable", oracle=_simhash_twin_oracle())
+def q142_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_portable(docs, "doc_id", "text")

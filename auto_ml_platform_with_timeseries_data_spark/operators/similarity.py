@@ -470,7 +470,7 @@ def embedding_neardup_pairs_lsh(corpus: DataFrame, id_col: str,
 def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
                     vec_col: str, k: int = 5, ncells: int = 16,
                     nprobe: int = 4, round_to: int = 6,
-                    train_iters: int = 2) -> DataFrame:
+                    train_iters: int = 2, centroids=None) -> DataFrame:
     """IVF-style ANN: partition the corpus into inverted cells by nearest
     centroid; each query probes only its `nprobe` closest cells and
     rescores exactly within them. Output matches cosine_topk_bruteforce.
@@ -491,7 +491,14 @@ def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
         # seed centroids from nothing)
         return corpus.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, rank int, cosine double")
-    cent_mat = _ivf_train(corpus, vec_col, ncells, train_iters)
+    if centroids is not None:
+        # pre-built codebook (row-normalized here): a production index
+        # trains once and serves many query batches — and the portable
+        # twin (q144) injects a SQL-reproducible codebook this way
+        cent_mat = np.asarray(centroids, dtype=np.float64)
+        cent_mat = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    else:
+        cent_mat = _ivf_train(corpus, vec_col, ncells, train_iters)
     # closure-captured (≈ ncells×dim×8 B ≈ 8 KB) — see cosine_topk_srp
 
     def assigned(df: DataFrame, idc: str, vc: str, nc: str,
@@ -621,16 +628,20 @@ def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q36_ann_ivf")  # rows-only: centroid assignment not SQL-portable
 def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with 2 spherical-k-means training passes and 6/16 cells
-    probed: recall@5 ≈ 0.76 at sf0.01 (q129 tracks it; 0.54 untrained
-    at nprobe=4). Uniform-random fixture vectors have no cluster
-    structure, so IVF recall ≈ probe fraction — on real embeddings the
-    trained cells capture manifold clusters and the same dial probes a
-    far smaller fraction for the same recall."""
+    """IVF ANN with 2 spherical-k-means training passes and 10/16 cells
+    probed: recall@5 ≈ 0.92 at sf0.01 (q129 tracks it; 0.76 at
+    nprobe=6, 0.54 untrained at nprobe=4). Uniform-random fixture
+    vectors are IVF's worst case — no cluster structure, so recall
+    tracks the probe fraction and a >=0.9 default costs probing most
+    cells. On real embeddings the trained cells capture manifold
+    clusters and the same recall needs a far smaller probe fraction;
+    the candidate volume (the cost half of the dial) scales with
+    nprobe/ncells either way. The portable twin q144 pins the
+    assign/probe/rescore machinery against SQL with a fixed codebook."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_ivf(emb, queries_df, "vec_id", "embedding", _TOP_K,
-                           nprobe=6, train_iters=2)
+                           nprobe=10, train_iters=2)
 
 
 # ---------------------------------------------------------------------------
@@ -941,7 +952,7 @@ def q129_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 _TOP_K, nbits=6, ntables=16,
                                 nprobes=4)),  # q34's multiprobe dial
         ("ivf", cosine_topk_ivf(emb, queries_df, "vec_id", "embedding",
-                                _TOP_K, nprobe=6,
+                                _TOP_K, nprobe=10,
                                 train_iters=2)),  # q36's dial
     ):
         approx = df.select("query_id", "neighbor_id")
@@ -951,3 +962,195 @@ def q129_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                     int(hits), round(hits / total, 4)))
     return spark.createDataFrame(
         out, "method string, n_exact long, n_hit long, recall_at_k double")
+
+
+# ---------------------------------------------------------------------------
+# Portable exact twins for the hash-family ANN paths (q143/q144)
+#
+# q34 (SRP) and q36 (IVF) are rows-only: their bucketing depends on
+# seeded numpy hyperplanes / trained centroids, which no SQL engine can
+# reproduce. These twins run the IDENTICAL candidate-generation →
+# bucket-join → exact-rescore → top-k machinery through coarse
+# quantizers both engines compute exactly: sign bits of the leading
+# dimensions (q143 — the degenerate "axis-aligned hyperplanes" special
+# case of SRP) and a fixed codebook of corpus vectors (q144 — IVF with
+# an injected index). Every rank and cosine gets a real driver
+# value-hash check; the production paths keep their stronger hash
+# families, with the twins certifying the join/rescore/top-k half.
+# ---------------------------------------------------------------------------
+
+_SIGN_BITS = 6
+
+
+def cosine_topk_signbucket(corpus: DataFrame, queries_df: DataFrame,
+                           id_col: str, vec_col: str, k: int = 5,
+                           nbits: int = _SIGN_BITS,
+                           round_to: int = 6) -> DataFrame:
+    """ANN via axis-aligned sign bucketing: bucket(v) = Σ_d [v_d > 0]·2^d
+    over the first `nbits` dimensions; each query probes its own bucket
+    plus the `nbits` Hamming-1 flips (multiprobe, like q34's). The
+    corpus side is ONE map-only bucket projection; the probe fan-out
+    rides the broadcast query side; candidates rescore with the exact
+    JVM cosine fold. Same plan shape and shuffle keys as
+    cosine_topk_srp — only the (deterministic, SQL-portable) quantizer
+    differs."""
+    def bucket(vc: Column) -> Column:
+        return sum(
+            (F.when(vc[d] > 0, F.lit(1 << d)).otherwise(F.lit(0))
+             for d in range(nbits)),
+            F.lit(0),
+        ).cast("long")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cnorm", l2_norm(F.col("__cv"))) \
+     .withColumn("bucket", bucket(F.col("__cv")))
+    q = queries_df.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qnorm", l2_norm(F.col("__qv"))) \
+     .withColumn("__qb", bucket(F.col("__qv")))
+    probes = q.select(
+        "query_id", "__qv", "__qnorm",
+        F.explode(F.array(
+            F.col("__qb"),
+            *[F.col("__qb").bitwiseXOR(F.lit(1 << d)) for d in range(nbits)],
+        )).alias("bucket"),
+    )
+    # probe buckets are pairwise distinct and each corpus vector lives
+    # in exactly one bucket → every (query, neighbor) candidate appears
+    # at most once, no dedup needed before ranking
+    scored = (
+        c.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("__cv"), F.col("__qv"))
+             / (F.col("__cnorm") * F.col("__qnorm"))).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank",
+                F.round(F.col("__cos"), round_to).alias("cosine"))
+    )
+
+
+def _signbucket_oracle() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN v[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(_SIGN_BITS)
+    )
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << d})" for d in range(_SIGN_BITS)]
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    b AS (
+      SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bkt FROM e
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, bkt AS qb
+      FROM b WHERE vec_id < {_N_QUERIES}
+    ),
+    probes AS (
+      SELECT query_id, qv, unnest([{probe_list}]) AS pb FROM q
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(c.v, p.qv) AS cos
+      FROM probes p JOIN b c ON c.bkt = p.pb
+      WHERE c.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+           ROUND(cos, 6) AS cosine
+    FROM cand
+    QUALIFY rank <= {_TOP_K}
+    """
+
+
+@query("q143_ann_signbucket", oracle=_signbucket_oracle())
+def q143_ann_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_signbucket(emb, queries_df, "vec_id", "embedding",
+                                  _TOP_K)
+
+
+_IVF_TWIN_CELLS = 8
+_IVF_TWIN_LO = 10  # codebook = vec_id in [10, 18) — disjoint from queries
+_IVF_TWIN_PROBE = 3
+
+
+def _ivf_twin_oracle() -> str:
+    hi = _IVF_TWIN_LO + _IVF_TWIN_CELLS
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id - {_IVF_TWIN_LO} AS cid, v AS cv
+      FROM e WHERE vec_id >= {_IVF_TWIN_LO} AND vec_id < {hi}
+    ),
+    ca AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+                 AS rk
+        FROM e, cent c
+      ) WHERE rk = 1
+    ),
+    qa AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+                 AS rk
+        FROM e, cent c WHERE e.vec_id < {_N_QUERIES}
+      ) WHERE rk <= {_IVF_TWIN_PROBE}
+    ),
+    cand AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             list_cosine_similarity(a.v, q.qv) AS cos
+      FROM qa q JOIN ca a ON a.cid = q.cid
+      WHERE a.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+           ROUND(cos, 6) AS cosine
+    FROM cand
+    QUALIFY rank <= {_TOP_K}
+    """
+
+
+@query("q144_ivf_fixed_centroids", oracle=_ivf_twin_oracle())
+def q144_ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production IVF path (cosine_topk_ivf — Arrow BLAS assignment
+    kernel, cell-keyed probe join, exact rescore) with an INJECTED
+    codebook the oracle reproduces: the 8 corpus vectors vec_id 10-17.
+    Assignment argmax and probe ranking tolerate BLAS-vs-sequential
+    summation ulps because cell-cosine gaps are O(1e-2); the output
+    cosines come from the sequential JVM fold, bit-identical to the
+    oracle."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = _IVF_TWIN_LO + _IVF_TWIN_CELLS
+    rows = (
+        emb.filter((F.col("vec_id") >= _IVF_TWIN_LO) & (F.col("vec_id") < hi))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.array([r[0] for r in rows], dtype=np.float64)
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_ivf(emb, queries_df, "vec_id", "embedding", _TOP_K,
+                           ncells=_IVF_TWIN_CELLS, nprobe=_IVF_TWIN_PROBE,
+                           centroids=cents)

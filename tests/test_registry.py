@@ -1,39 +1,50 @@
 """Registry ordering contract.
 
 The correctness driver verifies queries in the order ``queries()`` yields
-them under a ~50-query budget per round.  Round 3 pins the first 50 slots
-to the reference-parity core plus the extension queries that had zero
-driver-verified rows after rounds 1-2 (VERDICT.md round 2, "Next round"
-item 1).  These tests keep that contract from silently regressing when
-new queries register.
+them under a 50-query budget per round (CORRECTNESS_r01-r03 each hold
+exactly 50 rows).  Round 4 pins the first 50 slots to 6 cross-family
+canaries + the 4 portable twins + the oracle-backed queries that had
+zero driver-verified rows after rounds 1-3 (VERDICT.md round 3, "Next
+round" item 1), with a ranked overflow tail past slot 50.  These tests
+keep that contract from silently regressing when new queries register.
 """
 
 from auto_ml_platform_with_timeseries_data_spark import registry
 
 
-def test_priority_block_is_exactly_the_sweep_budget():
-    assert len(registry._PRIORITY) == 50
-    assert len(set(registry._PRIORITY)) == 50
+def test_priority_block_covers_the_sweep_budget():
+    """At least 50 pinned slots (the driver budget), no duplicates; the
+    tail past 50 is the ranked overflow the driver reaches only if its
+    budget stretches."""
+    assert len(registry._PRIORITY) >= 50
+    assert len(set(registry._PRIORITY)) == len(registry._PRIORITY)
 
 
 def test_first_50_queries_are_the_priority_block():
     keys = list(registry.queries())
-    assert keys[:50] == list(registry._PRIORITY)
+    assert keys[:50] == list(registry._PRIORITY[:50])
 
 
 def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_parity_core_keeps_its_slots():
-    """Q1-Q14 surface (green in rounds 1-2) must stay inside the budget."""
-    core = {
-        "q01_head", "q02_null_profile", "q03_histogram",
-        "q04_corr_with_label", "q05_groups", "q06_acf", "q07_ts_split",
-        "q08_ts_windows", "q09_scale_params", "q10_rmse", "q11_binarize",
-        "q12_f1_confusion", "q13_importance_rank", "q14_min_max",
+def test_canaries_and_twins_keep_their_slots():
+    """One thrice-green canary per module family stays in-budget so a
+    shared-infrastructure regression is still witnessed, and the four
+    portable twins (round-4 additions converting rows-only queries to
+    oracle-checked) must consume driver budget on their first round."""
+    head = set(registry._PRIORITY[:50])
+    canaries = {
+        "q01_head", "q06_acf", "q12_f1_confusion",
+        "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    assert core <= set(registry._PRIORITY)
+    twins = {
+        "q141_minhash_portable", "q142_simhash_portable",
+        "q143_ann_signbucket", "q144_ivf_fixed_centroids",
+    }
+    assert canaries <= head
+    assert twins <= head
 
 
 def test_oracles_follow_query_order():
