@@ -1,5 +1,7 @@
-"""Multimodal plumbing: binary columns through Arrow mapInPandas kernels
-(decode stubbed per the build contract; plumbing real and tested)."""
+"""Multimodal plumbing: binary columns through Arrow mapInPandas kernels.
+Image decode is real (stdlib BMP/PPM parsers, golden-pixel-tested below);
+feature extraction and av demux keep deterministic byte-level stand-ins
+with the plumbing identical to the full-codec deployment."""
 
 from __future__ import annotations
 
@@ -39,9 +41,13 @@ def test_decode_features_schema_and_determinism(spark):
     assert a[4] == [0.0] * 8           # null blob → zero vector
 
 
-def test_real_decoder_raises_cleanly(spark):
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(_media_df(spark))
+def test_real_decoder_degrades_per_blob(spark):
+    """decode_image is REAL now (stdlib BMP/PPM): non-image blobs must
+    degrade to NULL rows with a parse error, never raise."""
+    got = {r["media_id"]: r
+           for r in mm.decode_image(_media_df(spark)).collect()}
+    assert all(r["content"] is None for r in got.values())
+    assert all(r["err"] is not None for r in got.values())
 
 
 def test_resize_media_crop_and_metadata(spark):
@@ -72,3 +78,72 @@ def test_sample_frames_fan_out(spark):
     assert last["n_bytes"] == 4                   # 21 bytes: frame 4 full
     # null blob emits no frames
     assert 4 not in by_doc
+
+
+# ---------------------------------------------------------------------------
+# Real raster decode (BMP/PPM stdlib parsers) — golden-pixel tests
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+    _decode_raster,
+    _encode_bmp,
+    _parse_bmp,
+    _parse_ppm,
+    decode_image,
+)
+
+
+def _gradient(h, w):
+    r = np.arange(h)[:, None, None]
+    c = np.arange(w)[None, :, None]
+    ch = np.arange(3)[None, None, :]
+    return ((r * 7 + c * 3 + ch * 11) % 256).astype(np.uint8)
+
+
+def test_bmp_roundtrip_golden_pixels():
+    """encode → parse must be the identity, including the padded-row
+    width (w=5 → 15-byte rows pad to 16) and the bottom-up flip."""
+    img = _gradient(4, 5)
+    blob = _encode_bmp(img)
+    assert blob[:2] == b"BM"
+    out = _parse_bmp(blob)
+    assert out.shape == (4, 5, 3)
+    assert np.array_equal(out, img)
+    # golden corner pixels: top-left is row 0 (flip happened), BGR→RGB
+    assert out[0, 0].tolist() == img[0, 0].tolist()
+    assert out[3, 4].tolist() == img[3, 4].tolist()
+
+
+def test_ppm_parse_with_comment_header():
+    img = _gradient(3, 2)
+    blob = b"P6\n# a comment\n2 3\n255\n" + img.tobytes()
+    out = _parse_ppm(blob)
+    assert np.array_equal(out, img)
+
+
+def test_decode_raster_rejects_garbage():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _decode_raster(b"\x89PNG not really" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        _parse_bmp(b"BM" + b"\x00" * 10)  # truncated header
+
+
+def test_decode_image_kernel_real_bmp(spark):
+    """End-to-end through Spark: real BMP bytes in, nearest-neighbor
+    resized RGB out; a garbage blob degrades to a NULL row with err."""
+    img = _gradient(8, 6)
+    rows = [(1, bytearray(_encode_bmp(img))), (2, bytearray(b"junk"))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r
+           for r in decode_image(df, size=(3, 4)).collect()}
+    assert got[1]["width"] == 3 and got[1]["height"] == 4
+    out = np.frombuffer(bytes(got[1]["content"]), dtype=np.uint8)
+    out = out.reshape(4, 3, 3)
+    want = img[(np.arange(4) * 8) // 4][:, (np.arange(3) * 6) // 3]
+    assert np.array_equal(out, want)
+    assert got[2]["content"] is None
+    assert "unsupported image format" in got[2]["err"]
