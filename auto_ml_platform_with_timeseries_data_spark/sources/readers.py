@@ -7,7 +7,8 @@ allowed at INGEST only; everything downstream sees an explicit schema
 at ~1M rows by format, so driver-side parse → Arrow is the right
 plan): pandas when an Excel engine is installed, else a stdlib
 zipfile+ElementTree xlsx parser (_read_xlsx_stdlib) — no openpyxl
-needed. Legacy binary .xls remains gated on xlrd.
+needed. Legacy binary .xls parses through the stdlib CFB+BIFF8
+reader in sources/xls.py — no xlrd required.
 """
 
 from __future__ import annotations
@@ -173,6 +174,15 @@ def _read_xlsx_stdlib(path: str):
                         f = float(value)
                         value = int(f) if f.is_integer() else f
                 rows.setdefault(implied_row, {})[col] = value
+    return _cells_to_pdf(rows)
+
+
+def _cells_to_pdf(rows: dict[int, dict[int, object]]):
+    """Sparse {row: {col: value}} → DataFrame with pd.read_excel
+    defaults (first populated row = header, gaps = null) — shared by the
+    stdlib .xlsx and .xls parsers so their assembly cannot diverge."""
+    import pandas as pd
+
     if not rows:
         return pd.DataFrame()
     ordered = [rows[k] for k in sorted(rows)]
@@ -185,20 +195,22 @@ def _read_xlsx_stdlib(path: str):
 
 def read_excel(spark: SparkSession, path: str) -> DataFrame:
     """Excel scan (S2, data_analysis.py:18): pandas when an engine is
-    present, else the stdlib xlsx parser. Legacy binary .xls needs xlrd
-    and stays a documented limitation."""
+    present, else the stdlib parsers — zipfile+ElementTree for .xlsx,
+    CFB+BIFF8 (sources/xls.py) for legacy binary .xls. No Excel
+    dependency is required for either format."""
     import pandas as pd
 
     try:
         pdf = pd.read_excel(path)
-    except ImportError as e:
+    except ImportError:
         if path.lower().endswith(".xlsx"):
             pdf = _read_xlsx_stdlib(path)
         else:
-            raise NotImplementedError(
-                "legacy .xls ingest needs xlrd, not present in this "
-                "image; convert to .xlsx/CSV/parquet upstream"
-            ) from e
+            from auto_ml_platform_with_timeseries_data_spark.sources.xls import (
+                read_xls_stdlib,
+            )
+
+            pdf = read_xls_stdlib(path)
     return spark.createDataFrame(pdf)
 
 
@@ -240,6 +252,49 @@ def q56_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q146_xls_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(n_chars AS DOUBLE) / 100 AS score
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q146_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .xls sink + source round-trip through the stdlib CFB+BIFF8
+    writer/reader (sources/xls.py — S2 with zero Excel dependencies):
+    a 50-row slice of documents → a real OLE2 .xls file on disk →
+    `read_excel` back → the values must equal selecting them straight
+    off the parquet. Excel is a driver-side ingest format by
+    construction (the BIFF grid caps at 65,536×256), so the roundtrip
+    is deliberately small; bulk data takes CSV/parquet/JSONL."""
+    import tempfile
+
+    from auto_ml_platform_with_timeseries_data_spark.sources.xls import (
+        write_xls_minimal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = (
+        docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", "lang", "n_chars",
+                (F.col("n_chars").cast("double") / 100).alias("score"))
+        .orderBy("doc_id").collect()  # 50 rows — driver-small by contract
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="sparkgraft_xls_"), "t.xls")
+    write_xls_minimal(
+        [["doc_id", "lang", "n_chars", "score"]]
+        + [[r["doc_id"], r["lang"], r["n_chars"], r["score"]] for r in rows],
+        path)
+    back = read_excel(spark, path)
+    return back.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("score").cast("double").alias("score"),
     )
 
 

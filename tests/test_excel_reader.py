@@ -206,3 +206,118 @@ def test_first_sheet_resolved_by_workbook_order_not_zip_name(tmp_path):
         z.writestr("xl/worksheets/sheet3.xml", first)   # actual first tab
     pdf = readers._read_xlsx_stdlib(str(p))
     assert list(pdf.columns) == ["right"]
+
+
+# ---------------------------------------------------------------------------
+# Legacy .xls (CFB + BIFF8) — stdlib reader/writer
+# ---------------------------------------------------------------------------
+
+import struct
+
+from auto_ml_platform_with_timeseries_data_spark.sources import xls
+
+
+def test_xls_roundtrip_small_ministream(tmp_path):
+    """< 4096-byte workbook stream → stored in the CFB mini stream; the
+    reader must walk root → miniFAT → mini sectors."""
+    rows = [
+        ["name", "age", "score", "flag", "note"],
+        ["alice", 30, 91.5, True, "hello"],
+        ["bob", 25, 88.25, False, None],
+        ["carol", 41, 100, True, "hello"],       # SST dedup
+        ["dénis", 33, -0.07, False, "ünïcode ☃"],  # wide (UTF-16) strings
+    ]
+    p = xls.write_xls_minimal(rows, str(tmp_path / "small.xls"))
+    pdf = xls.read_xls_stdlib(p)
+    assert list(pdf.columns) == rows[0]
+    assert pdf["name"].tolist() == ["alice", "bob", "carol", "dénis"]
+    assert pdf["age"].tolist() == [30, 25, 41, 33]
+    assert pdf["score"].tolist() == [91.5, 88.25, 100, -0.07]
+    assert pdf["flag"].tolist() == [True, False, True, False]
+    assert pdf["note"].tolist()[0] == "hello"
+    assert pdf["note"].tolist()[3] == "ünïcode ☃"
+    assert pdf["note"].isna().tolist() == [False, True, False, False]
+
+
+def test_xls_roundtrip_large_regular_sectors(tmp_path):
+    """≥ 4096-byte stream → regular 512-byte FAT sectors."""
+    rows = [["id", "val"]] + [[i, i * 1.5] for i in range(500)]
+    p = xls.write_xls_minimal(rows, str(tmp_path / "big.xls"))
+    pdf = xls.read_xls_stdlib(p)
+    assert len(pdf) == 500
+    assert pdf["id"].tolist() == list(range(500))
+    assert pdf["val"].tolist() == [i * 1.5 for i in range(500)]
+
+
+def test_xls_through_read_excel_into_spark(spark, tmp_path):
+    p = xls.write_xls_minimal(
+        [["a", "b"], [1, "x"], [2, "y"]], str(tmp_path / "t.xls"))
+    df = readers.read_excel(spark, p)
+    got = sorted((r["a"], r["b"]) for r in df.collect())
+    assert got == [(1, "x"), (2, "y")]
+
+
+def test_rk_value_decodings():
+    # integer RK: 100 encoded as (100<<2)|2
+    assert xls._rk_value((100 << 2) | 2) == 100
+    # negative 30-bit integer
+    assert xls._rk_value(((-7 & 0x3FFFFFFF) << 2) | 2) == -7
+    # float RK: top 30 bits of the IEEE double for 1.0
+    assert xls._rk_value(0x3FF00000) == 1.0
+    # div-100 flag on an int: 12345 → 123.45
+    assert xls._rk_value(((12345 << 2) | 2) | 1) == 123.45
+
+
+def test_biff8_rk_and_mulrk_records():
+    """Hand-crafted sheet using RK/MULRK (which the minimal writer never
+    emits) so the reader's compact-number paths are pinned."""
+    def rec(rid, payload):
+        return struct.pack("<HH", rid, len(payload)) + payload
+
+    sheet = (
+        xls._bof(0x0010)
+        + rec(xls._RK, struct.pack("<HHHI", 1, 0, 15, (42 << 2) | 2))
+        + rec(xls._MULRK,
+              struct.pack("<HH", 2, 1)
+              + struct.pack("<HI", 15, (7 << 2) | 2)
+              + struct.pack("<HI", 15, 0x3FF00000)
+              + struct.pack("<H", 2))
+        + rec(xls._EOF, b"")
+    )
+    name = b"S"
+    globals_len = len(
+        xls._bof(0x0005)
+        + rec(xls._BOUNDSHEET, struct.pack("<IHBB", 0, 0, 1, 0) + name)
+        + rec(xls._EOF, b"")
+    )  # BOUNDSHEET payload size is offset-independent
+    book = (
+        xls._bof(0x0005)
+        + rec(xls._BOUNDSHEET,
+              struct.pack("<IHBB", globals_len, 0, 1, 0) + name)
+        + rec(xls._EOF, b"")
+        + sheet
+    )
+    rows = xls.parse_biff8(book)
+    assert rows[1][0] == 42
+    assert rows[2][1] == 7 and rows[2][2] == 1.0
+
+
+def test_sst_continue_split_mid_string():
+    """An SST string split across a CONTINUE record re-emits its
+    compression flag at the boundary ([MS-XLS] 2.5.293): segment 1 ends
+    mid-string, segment 2 switches to wide chars."""
+    seg1 = struct.pack("<II", 2, 2)                 # 2 refs, 2 unique
+    seg1 += struct.pack("<HB", 3, 0) + b"abc"       # string 0, compressed
+    seg1 += struct.pack("<HB", 6, 0) + b"de"        # string 1: 2 of 6 chars
+    seg2 = bytes([1]) + "fghi".encode("utf-16-le")  # rest wide
+    got = xls._read_sst([seg1, seg2])
+    assert got == ["abc", "defghi"]
+
+
+def test_cfb_rejects_garbage(tmp_path):
+    import pytest
+
+    p = tmp_path / "bad.xls"
+    p.write_bytes(b"not an ole2 file" * 40)
+    with pytest.raises(ValueError):
+        xls.read_xls_stdlib(str(p))
