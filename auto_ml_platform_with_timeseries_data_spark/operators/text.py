@@ -9,7 +9,7 @@ they stream through 100 TB at scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -925,3 +925,152 @@ def q139_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity-style quality filter would hand to review."""
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q147/q148 — BPE tokenizer TRAINING (distributed merge learning)
+#
+# q57 counts tokens under a FIXED BPE-ish pre-tokenizer; these operators
+# learn the merge table itself — the map-reduce tokenizer-training loop
+# (Sennrich et al. 2016; what HF tokenizers' trainer distributes): count
+# weighted adjacent symbol pairs across the word-frequency table, merge
+# the argmax pair everywhere, repeat.
+# ---------------------------------------------------------------------------
+
+
+def _word_freqs(df: DataFrame, text_col: str) -> DataFrame:
+    """(w, cnt): the corpus collapsed to its word-frequency table — the
+    ONE corpus-sized shuffle in BPE training. Every merge round after
+    this runs on |vocab| rows, not |corpus| (the standard trick: pair
+    counts weight by word frequency instead of re-scanning text)."""
+    return (
+        df.select(F.explode(tokens(normalize_text(text_col))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs."""
+    return F.when(
+        F.size(syms) >= 2,
+        F.arrays_zip(
+            F.slice(syms, 1, F.size(syms) - 1).alias("l"),
+            F.slice(syms, 2, F.size(syms) - 1).alias("r"),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+
+
+def _apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Leftmost-nonoverlapping merge of (left, right) → left+right via a
+    sequential JVM fold — exact BPE semantics ("a a a" with pair (a,a)
+    → ["aa","a"], the merged symbol does not re-pair with what follows
+    unless it equals `left` itself)."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_learn(df: DataFrame, text_col: str, num_merges: int = 10,
+              min_count: int = 2) -> DataFrame:
+    """Learn a BPE merge table over the corpus. Output one row per merge:
+    (rank, left, right, pair_count, new_symbol), rank 1 = first merge.
+
+    Distributed shape: after the single corpus shuffle (_word_freqs),
+    each round is one |vocab|-row pair-explode + map-side-partial count
+    and a ONE-ROW argmax collect (the learned merge — model parameters,
+    like fitted centroids), then a map-only fold applies the merge.
+    Round state persists and the previous round releases, the
+    connected-components pattern. Ties break (count desc, left, right)
+    so the table is deterministic on any cluster. At 100 TB the word
+    table is the Zipf head — millions of rows against billions of
+    documents — so rounds cost seconds; the loop count (vocab size) is
+    the training budget, exactly as in single-node BPE."""
+    spark = df.sparkSession
+    state = _word_freqs(df, text_col).select(
+        "cnt", F.split("w", "").alias("syms")).persist()
+    merges: list[tuple] = []
+    cached = state
+    try:
+        for rank in range(1, num_merges + 1):
+            best = (
+                state.select("cnt", F.explode(_adjacent_pairs(F.col("syms")))
+                             .alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.desc("c"), "l", "r")
+                .first()
+            )
+            if best is None or best["c"] < min_count:
+                break
+            merges.append((rank, best["l"], best["r"], int(best["c"]),
+                           best["l"] + best["r"]))
+            nxt = state.select(
+                "cnt", _apply_merge(F.col("syms"), best["l"], best["r"])
+                .alias("syms")).persist()
+            nxt.count()  # materialize before releasing the parent
+            cached.unpersist()
+            state, cached = nxt, nxt
+    finally:
+        cached.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, pair_count long, "
+        "new_symbol string")
+
+
+@query("q147_bpe_learn")  # rows-only: iterative argmax loop (like q15/q130)
+def q147_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 10 learned BPE merges over the documents corpus — pinned by
+    a pure-Python BPE reference in tests/test_bpe_learn.py; the round-1
+    pair-count machinery is oracle-checked separately by q148."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn(docs, "text", num_merges=10)
+
+
+_BPE_PAIRS_DUCK = f"""
+    WITH w AS (
+      SELECT tok AS w, count(*) AS cnt FROM (
+        SELECT unnest(string_split({{norm}}, ' ')) AS tok FROM documents
+      ) WHERE tok != '' GROUP BY tok
+    ),
+    p AS (
+      SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, cnt
+      FROM w, LATERAL unnest(range(1, len(w))) AS t(i)
+    )
+    SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM p GROUP BY l, r
+    ORDER BY pair_count DESC, l, r
+    LIMIT 20
+"""
+
+
+@query(
+    "q148_bpe_pair_counts",
+    oracle=_BPE_PAIRS_DUCK.format(
+        norm="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"),
+)
+def q148_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-1 of BPE training, oracle-checked: the top-20 weighted
+    adjacent character-pair counts over the word-frequency table — the
+    distributed-heavy half of the loop (the per-round argmax/fold that
+    follows is mechanical). Deterministic (count desc, l, r) order."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _word_freqs(docs, "text")
+    return (
+        words.select("cnt",
+                     F.explode(_adjacent_pairs(F.split("w", ""))).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "l", "r")
+        .limit(20)
+    )

@@ -61,6 +61,10 @@ def test_priority_queries_are_oracle_checked():
     accepts explicitly."""
     rows_only_ok = {
         "q17_minhash_dedup", "q23_simhash", "q34_ann_srp", "q36_ann_ivf",
+        # iterative argmax training loop (the q15/q130 category); its
+        # round-1 machinery is oracle-checked as q148 and the full loop
+        # is pinned by a pure-Python reference test
+        "q147_bpe_learn",
     }
     oracles = registry.oracles()
     missing = [
