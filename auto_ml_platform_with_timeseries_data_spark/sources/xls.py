@@ -398,7 +398,10 @@ def _biff_workbook(rows: list[list[object]]) -> bytes:
         for s in strings:
             wide = any(ord(ch) > 0xFF for ch in s)
             raw = s.encode("utf-16-le" if wide else "latin-1")
-            body += struct.pack("<HB", len(s), 1 if wide else 0) + raw
+            # cch counts UTF-16 CODE UNITS, not Python characters —
+            # astral-plane chars occupy two units (surrogate pair)
+            cch = len(raw) // 2 if wide else len(raw)
+            body += struct.pack("<HB", cch, 1 if wide else 0) + raw
         sst = _rec(_SST, bytes(body))
 
     name = b"Sheet1"

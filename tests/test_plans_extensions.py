@@ -81,3 +81,31 @@ def test_pareto_abc_has_no_global_window(spark, sf_dir):
     # the offset table joins broadcast — the big side never reshuffles
     # for the join
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_portable_twins_plan_contracts(spark, sf_dir):
+    """q141 (per-doc MinHash signature) and q145 (BMP synth → decode →
+    checksum) are pure row-local pipelines — zero shuffles at any
+    scale; q142's SimHash bit votes carry exactly the one per-doc
+    aggregation shuffle; q148's BPE pair counting carries exactly two
+    (word-freq groupBy, then pair groupBy — both map-side partial)."""
+    for name, want in (("q141_minhash_portable", 0),
+                       ("q145_image_decode", 0),
+                       ("q142_simhash_portable", 1),
+                       ("q148_bpe_pair_counts", 2)):
+        ex, smj = _exchanges(spark, sf_dir, name)
+        assert ex == want, (name, ex)
+        assert smj == 0, name
+
+
+def test_signbucket_ann_broadcasts_probes(spark, sf_dir):
+    """q143: the probe fan-out must ride the BROADCAST query side — the
+    corpus never reshuffles for the candidate join; the one exchange
+    belongs to the per-query top-k window."""
+    df = queries()["q143_ann_signbucket"](spark, sf_dir)
+    df.collect()
+    plan = explain.final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    ex, _ = _exchanges(spark, sf_dir, "q143_ann_signbucket")
+    assert ex <= 1, ex
