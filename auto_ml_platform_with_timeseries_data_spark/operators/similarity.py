@@ -143,43 +143,44 @@ def cosine_topk_srp(corpus: DataFrame, queries_df: DataFrame, id_col: str,
 
     def sketched(df: DataFrame, prefix: str, probes: int = 1) -> DataFrame:
         idc, vc, nc = f"{prefix}_id", f"__{prefix}v", f"__{prefix}norm"
+        T, B = planes.shape[0], planes.shape[1]
+        nprobe = min(probes, B + 1)  # own bucket + ≤B single-bit flips
 
         def kernel(batches):
             import pandas as pd
 
-            P = planes
+            # ONE matmul against the flattened (T·B, dim) plane tensor
+            # and ONE output frame per batch: per-table Python loops and
+            # per-probe DataFrame constructions cost interpreter time
+            # linear in T×probes per batch — at cluster batch sizes the
+            # single fused GEMM is the shape BLAS optimizes for.
+            P_flat = planes.reshape(T * B, -1)
             for pdf in batches:
                 if pdf.empty:
                     continue
                 m = np.array(list(pdf[vc]), dtype=np.float64)  # (n, dim)
+                n = m.shape[0]
                 norms = np.linalg.norm(m, axis=1)
-                out = []
-                for t in range(P.shape[0]):
-                    proj = m @ P[t].T                           # (n, nbits)
-                    bits = proj > 0
-                    buckets = bits.astype(np.int64) @ pows
-                    out.append(pd.DataFrame({
-                        idc: pdf[idc].to_numpy(),
-                        vc: pdf[vc],
-                        nc: norms,
-                        "tbl": t,
-                        "bucket": buckets,
-                    }))
-                    if probes > 1:
-                        # flip the (probes−1) bits with the smallest
-                        # |projection| — the query's most uncertain signs
-                        order = np.argsort(np.abs(proj), axis=1)
-                        for j in range(min(probes - 1, proj.shape[1])):
-                            flip = pows[order[:, j]]
-                            out.append(pd.DataFrame({
-                                idc: pdf[idc].to_numpy(),
-                                vc: pdf[vc],
-                                nc: norms,
-                                "tbl": t,
-                                "bucket": buckets + flip
-                                - 2 * (buckets & flip),  # xor via arith
-                            }))
-                yield pd.concat(out, ignore_index=True)
+                proj = (m @ P_flat.T).reshape(n, T, B)
+                buckets = (proj > 0).astype(np.int64) @ pows   # (n, T)
+                all_buckets = [buckets]
+                if nprobe > 1:
+                    # flip the (nprobe−1) bits with the smallest
+                    # |projection| — the query's most uncertain signs
+                    order = np.argsort(np.abs(proj), axis=2)
+                    for j in range(nprobe - 1):
+                        all_buckets.append(buckets ^ pows[order[:, :, j]])
+                # (n, nprobe, T) → row-major flatten keeps each input row
+                # contiguous, so id/vec/norm columns are plain repeats
+                stacked = np.stack(all_buckets, axis=1)
+                reps = nprobe * T
+                yield pd.DataFrame({
+                    idc: np.repeat(pdf[idc].to_numpy(), reps),
+                    vc: pdf[vc].to_numpy().repeat(reps),
+                    nc: np.repeat(norms, reps),
+                    "tbl": np.tile(np.arange(T, dtype=np.int32), n * nprobe),
+                    "bucket": stacked.reshape(-1),
+                })
 
         return df.select(
             F.col(id_col).alias(idc), _as_double(F.col(vec_col)).alias(vc)
@@ -414,32 +415,37 @@ def embedding_neardup_pairs_lsh(corpus: DataFrame, id_col: str,
                       dtype=np.float64)
     pows = np.power(2.0, np.arange(nbits)).astype(np.int64)
 
+    T, B = planes.shape[0], planes.shape[1]
+    nprobe = min(nprobes, B + 1)
+
     def kernel(batches):
         import pandas as pd
 
+        # fused single-GEMM sketch + one output frame per batch — same
+        # rationale as cosine_topk_srp's kernel
+        P_flat = planes.reshape(T * B, -1)
         for pdf in batches:
             if pdf.empty:
                 continue
             m = np.array(list(pdf["__v"]), dtype=np.float64)
+            n = m.shape[0]
             norms = np.linalg.norm(m, axis=1)
-            out = []
-            for t in range(planes.shape[0]):
-                proj = m @ planes[t].T
-                bits = proj > 0
-                buckets = bits.astype(np.int64) @ pows
-                out.append(pd.DataFrame({
-                    "__id": pdf["__id"].to_numpy(), "__v": pdf["__v"],
-                    "__n": norms, "tbl": t, "bucket": buckets}))
-                if nprobes > 1:
-                    order = np.argsort(np.abs(proj), axis=1)
-                    for j in range(min(nprobes - 1, proj.shape[1])):
-                        flip = pows[order[:, j]]
-                        out.append(pd.DataFrame({
-                            "__id": pdf["__id"].to_numpy(),
-                            "__v": pdf["__v"], "__n": norms, "tbl": t,
-                            "bucket": buckets + flip
-                            - 2 * (buckets & flip)}))
-            yield pd.concat(out, ignore_index=True)
+            proj = (m @ P_flat.T).reshape(n, T, B)
+            buckets = (proj > 0).astype(np.int64) @ pows
+            all_buckets = [buckets]
+            if nprobe > 1:
+                order = np.argsort(np.abs(proj), axis=2)
+                for j in range(nprobe - 1):
+                    all_buckets.append(buckets ^ pows[order[:, :, j]])
+            stacked = np.stack(all_buckets, axis=1)
+            reps = nprobe * T
+            yield pd.DataFrame({
+                "__id": np.repeat(pdf["__id"].to_numpy(), reps),
+                "__v": pdf["__v"].to_numpy().repeat(reps),
+                "__n": np.repeat(norms, reps),
+                "tbl": np.tile(np.arange(T, dtype=np.int32), n * nprobe),
+                "bucket": stacked.reshape(-1),
+            })
 
     sk = corpus.select(
         F.col(id_col).alias("__id"), _as_double(F.col(vec_col)).alias("__v")

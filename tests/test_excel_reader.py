@@ -321,3 +321,54 @@ def test_cfb_rejects_garbage(tmp_path):
     p.write_bytes(b"not an ole2 file" * 40)
     with pytest.raises(ValueError):
         xls.read_xls_stdlib(str(p))
+
+
+def test_biff8_formula_and_inline_label_records():
+    """FORMULA cached results (numeric, bool, and string-via-STRING) and
+    inline LABEL strings — paths the minimal writer never emits."""
+    def rec(rid, payload):
+        return struct.pack("<HH", rid, len(payload)) + payload
+
+    sheet = (
+        xls._bof(0x0010)
+        # numeric formula result: 2.5
+        + rec(xls._FORMULA,
+              struct.pack("<HHH", 0, 0, 15) + struct.pack("<d", 2.5)
+              + b"\x00\x00\x00\x00\x00\x00")
+        # bool formula result: TRUE  (special encoding, tail 0xFFFF)
+        + rec(xls._FORMULA,
+              struct.pack("<HHH", 0, 1, 15)
+              + bytes([1, 0, 1, 0, 0, 0, 0xFF, 0xFF])
+              + b"\x00\x00\x00\x00\x00\x00")
+        # string formula result: value arrives in the STRING record
+        + rec(xls._FORMULA,
+              struct.pack("<HHH", 0, 2, 15)
+              + bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+              + b"\x00\x00\x00\x00\x00\x00")
+        + rec(xls._STRING, struct.pack("<HB", 2, 0) + b"hi")
+        # inline label (compressed)
+        + rec(xls._LABEL, struct.pack("<HHHHB", 1, 0, 15, 3, 0) + b"abc")
+        # inline label (wide)
+        + rec(xls._LABEL, struct.pack("<HHHHB", 1, 1, 15, 2, 1)
+              + "é☃".encode("utf-16-le"))
+        + rec(xls._EOF, b"")
+    )
+    name = b"S"
+    globals_len = len(
+        xls._bof(0x0005)
+        + rec(xls._BOUNDSHEET, struct.pack("<IHBB", 0, 0, 1, 0) + name)
+        + rec(xls._EOF, b"")
+    )
+    book = (
+        xls._bof(0x0005)
+        + rec(xls._BOUNDSHEET,
+              struct.pack("<IHBB", globals_len, 0, 1, 0) + name)
+        + rec(xls._EOF, b"")
+        + sheet
+    )
+    rows = xls.parse_biff8(book)
+    assert rows[0][0] == 2.5
+    assert rows[0][1] is True
+    assert rows[0][2] == "hi"
+    assert rows[1][0] == "abc"
+    assert rows[1][1] == "é☃"
