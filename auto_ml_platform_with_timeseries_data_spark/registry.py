@@ -101,7 +101,7 @@ _PRIORITY: tuple[str, ...] = (
     "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     # ---- slots 51+: checked only if the driver budget stretches ----
     "q145_image_decode", "q146_xls_roundtrip", "q148_bpe_pair_counts",
-    "q147_bpe_learn",
+    "q147_bpe_learn", "q149_stream_sink_exactly_once",
     "q53_stateful_user_stats", "q79_stream_sessions",
     "q92_stream_stream_join",
     "q45_rolling_stats", "q85_cluster_retention",

@@ -454,3 +454,71 @@ def q92_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q92mem{uuid.uuid4().hex[:8]}"
     run_to_memory(joined, name, output_mode="append")
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# q149 — exactly-once parquet sink via foreachBatch idempotent writes
+# ---------------------------------------------------------------------------
+
+
+def stream_to_parquet_idempotent(stream: DataFrame, dest: str,
+                                 checkpoint: str):
+    """The production exactly-once file-sink pattern: foreachBatch writes
+    each micro-batch to a DETERMINISTIC per-epoch directory with
+    overwrite. Structured Streaming replays a failed epoch with the SAME
+    epoch_id, so the overwrite makes redelivery idempotent — at-least-
+    once execution + idempotent write = exactly-once output, without the
+    file-sink's single-driver commit-log bottleneck. Each epoch directory
+    is written in parallel by the batch's tasks; nothing funnels through
+    the driver."""
+    import os
+
+    def write_batch(bdf: DataFrame, epoch_id: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(dest, f"epoch={epoch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+@query(
+    "q149_stream_sink_exactly_once",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           ROUND(sum(value), 4) AS sum_value,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def q149_stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exactly-once streaming sink: events consumed one file
+    per trigger (4 epochs), each micro-batch landed in its own
+    epoch=N parquet directory by foreachBatch, the landed dataset read
+    back and aggregated — the result must equal aggregating the source
+    directly (no lost or duplicated rows across epochs)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    stage_dir = _staged_plain(spark, sf_dir)
+    dest = tempfile.mkdtemp(prefix="sparkgraft_sink_")
+    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    stream_to_parquet_idempotent(stream, dest, ckpt)
+    back = spark.read.parquet(dest).drop("epoch")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )

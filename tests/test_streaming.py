@@ -152,3 +152,49 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got.count() == ev.count()          # no loss, no dupes
     assert got.select(F.sum("event_id")).first()[0] == \
         ev.select(F.sum("event_id")).first()[0]
+
+
+def test_stream_sink_exactly_once_replay_idempotent(spark, tmp_path):
+    """The foreachBatch sink's exactly-once claim rests on epoch replay
+    being idempotent: re-landing the SAME epoch (Structured Streaming's
+    at-least-once redelivery) must not duplicate rows."""
+    import os
+
+    from auto_ml_platform_with_timeseries_data_spark.streaming import events as se
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "event_id long, value double")
+    dest = str(tmp_path / "sink")
+
+    def write_batch(bdf, epoch_id):
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(dest, f"epoch={epoch_id}"))
+
+    write_batch(df, 0)
+    write_batch(df, 0)  # replayed epoch
+    write_batch(df.filter("event_id >= 5"), 1)
+    back = spark.read.parquet(dest)
+    assert back.count() == 15  # 10 (epoch 0, once) + 5 (epoch 1)
+    assert back.select("epoch").distinct().count() == 2
+
+
+def test_stream_sink_query_matches_batch(spark, sf_dir):
+    """q149 end-to-end: streamed-and-landed aggregate equals the batch
+    aggregate of the source."""
+    from auto_ml_platform_with_timeseries_data_spark.streaming.events import (
+        q149_stream_sink_exactly_once,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    got = {r["event_type"]: r for r in
+           q149_stream_sink_exactly_once(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {r["event_type"]: r for r in
+            ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("event_id").alias("min_id"),
+                F.max("event_id").alias("max_id")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert (got[k]["n"], got[k]["min_id"], got[k]["max_id"]) == \
+            (want[k]["n"], want[k]["min_id"], want[k]["max_id"])
