@@ -1,0 +1,202 @@
+"""Scale probe: time key operators at 1x and 10x the sf0.1 fixture and
+print the wall-clock scaling ratio.
+
+The correctness gates run at fixed SF; this probe is the empirical
+check behind the 100 TB design claims — a linear-by-design operator
+(hash dedup, LSH, sessionize, prefix sum) should scale ~linearly in
+rows (ratio ≈ 10 or better, since fixed per-query overhead amortizes),
+while the exact all-pairs paths are expected to go quadratic (that is
+their contract; the LSH siblings are the scale path).
+
+Staging derives the 10x corpus from the fixture itself: k shifted
+copies with disjoint id spaces (and, for near-dup inputs, a per-copy
+text/vector perturbation so cross-copy rows are not trivial exact
+duplicates of each other at the near-dup thresholds).
+
+Usage: python scripts/scale_probe.py [sf_dir] [copies]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _stage(spark, sf_dir: str, copies: int) -> dict[str, str]:
+    """Write {table: dir} for documents/embeddings/orders/events at Nx."""
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    out = {}
+    specs = {
+        "documents": ("doc_id", 10_000_000),
+        "embeddings": ("vec_id", 10_000_000),
+        "orders": ("o_custkey", 10_000_000),
+        "events": ("event_id", 100_000_000),
+    }
+    for table, (idc, stride) in specs.items():
+        df = load_table(spark, sf_dir, table)
+        parts = []
+        for k in range(copies):
+            part = df.withColumn(idc, F.col(idc) + F.lit(k * stride))
+            if table == "documents" and k > 0:
+                # make cross-copy texts distinct (suffix a copy tag) so
+                # exact/near-dup pair counts don't explode combinatorially
+                part = part.withColumn(
+                    "text", F.concat("text", F.lit(f" copytag{k}")))
+            if table == "events" and k > 0:
+                part = part.withColumn(
+                    "user_id", F.col("user_id") + F.lit(k * 1_000_000))
+            parts.append(part)
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionAll(p)
+        d = os.path.join(tempfile.mkdtemp(prefix="sparkgraft_scale_"), table)
+        big.repartition(32).write.mode("overwrite").parquet(d)
+        out[table] = d
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        dedup,
+        relational,
+        sessionize,
+        similarity,
+        text,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.session import get_spark
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    spark = get_spark(app_name="scale_probe")
+    staged = _stage(spark, sf_dir, copies)
+
+    def docs1():
+        return load_table(spark, sf_dir, "documents")
+
+    def docsN():
+        return spark.read.parquet(staged["documents"])
+
+    def emb1():
+        return load_table(spark, sf_dir, "embeddings")
+
+    def embN():
+        return spark.read.parquet(staged["embeddings"])
+
+    probes = {
+        "exact_dedup": lambda d: dedup.exact_dedup_groups(
+            d, "doc_id", "text").count(),
+        "minhash_lsh": lambda d: dedup.minhash_dedup_pairs(
+            d, "doc_id", "text", threshold=0.35).count(),
+        "simhash": lambda d: dedup.simhash64(d, "doc_id", "text").count(),
+    }
+
+    results = {}
+
+    def run(name, fn1, fnN):
+        t0 = time.time()
+        n1 = fn1()
+        t1 = time.time() - t0
+        t0 = time.time()
+        nN = fnN()
+        tN = time.time() - t0
+        results[name] = {
+            "rows_1x": n1, "rows_10x": nN,
+            "sec_1x": round(t1, 2), "sec_10x": round(tN, 2),
+            "ratio": round(tN / t1, 1) if t1 > 0 else None,
+        }
+        print(f"{name}: 1x {t1:.2f}s ({n1} rows) -> {copies}x {tN:.2f}s "
+              f"({nN} rows), ratio {tN / max(t1, 1e-9):.1f}")
+
+    for name, fn in probes.items():
+        run(name, lambda fn=fn: fn(docs1()), lambda fn=fn: fn(docsN()))
+
+    # BPE pair counting (round 1 of tokenizer training)
+    def bpe_count(d):
+        words = text._word_freqs(d, "text")
+        return (words.select("cnt", F.explode(
+            text._adjacent_pairs(F.split("w", ""))).alias("p"))
+            .groupBy("p.l", "p.r").agg(F.sum("cnt")).count())
+
+    run("bpe_pair_counts", lambda: bpe_count(docs1()),
+        lambda: bpe_count(docsN()))
+
+    # SRP ANN over embeddings (bucketed path)
+    def srp(d):
+        q = d.filter(F.col("vec_id") % 10_000_000 < 10)
+        return similarity.cosine_topk_srp(
+            d, q.limit(10), "vec_id", "embedding", 5,
+            nbits=6, ntables=16, nprobes=4).count()
+
+    run("srp_ann", lambda: srp(emb1()), lambda: srp(embN()))
+
+    # exact block-matrix near-dup: the declared-quadratic path
+    def neardup(d):
+        return similarity.embedding_neardup_pairs(
+            d, "vec_id", "embedding", 0.4).count()
+
+    run("exact_neardup_quadratic", lambda: neardup(emb1()),
+        lambda: neardup(embN()))
+
+    # two-pass Pareto prefix sum over orders
+    def pareto(path_based):
+        if path_based:
+            o = spark.read.parquet(staged["orders"])
+        else:
+            o = load_table(spark, sf_dir, "orders")
+        r = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("decimal(38,4)").alias("__rev"))
+        # reuse the registered implementation's machinery via count on
+        # the final frame shape (window + broadcast offsets)
+        from decimal import Decimal
+
+        from pyspark.sql.window import Window
+        nparts = spark.sparkContext.defaultParallelism
+        ranged = (r.repartitionByRange(nparts, F.desc("__rev"),
+                                       F.asc("custkey"))
+                  .withColumn("__pid", F.spark_partition_id()).persist())
+        totals = ranged.groupBy("__pid").agg(
+            F.sum("__rev").alias("__t")).collect()
+        by_pid = {row["__pid"]: row["__t"] for row in totals}
+        offs, acc = [], Decimal(0)
+        for pid in sorted(by_pid):
+            offs.append((pid, acc))
+            acc += by_pid[pid]
+        off_df = spark.createDataFrame(offs or [(0, Decimal(0))],
+                                       "__pid int, __off decimal(38,4)")
+        w = Window.partitionBy("__pid").orderBy(
+            F.desc("__rev"), F.asc("custkey")).rowsBetween(
+            Window.unboundedPreceding, 0)
+        n = (ranged.join(F.broadcast(off_df), "__pid")
+             .select((F.sum("__rev").over(w) + F.col("__off"))
+                     .alias("cum")).count())
+        ranged.unpersist()
+        return n
+
+    run("pareto_prefix_sum", lambda: pareto(False), lambda: pareto(True))
+
+    # sessionize over events
+    def sess(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return sessionize.sessionize(ev, "user_id", "ts", gap_minutes=30).count()
+
+    run("sessionize", lambda: sess(False), lambda: sess(True))
+
+    print(json.dumps({"copies": copies, "sf_dir": sf_dir,
+                      "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
