@@ -71,11 +71,13 @@ def _fake_embedding(blob: bytes | None) -> list[float]:
 
 
 def decode_features(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """mapInPandas kernel: blob → feature vector (stubbed decode).
-
-    Real deployments replace `_fake_embedding` with PIL/torchvision etc;
-    the batch shape, output schema and partition behavior are identical.
-    """
+    """mapInPandas kernel: blob → feature vector. The embedding model
+    itself is out of engine scope (no vision/audio model ships in this
+    image), so the vector is a deterministic bytes-derived stand-in
+    (`_fake_embedding`, oracle-checkable via md5 hex arithmetic — q38);
+    real deployments swap in CLIP/torchvision inside the same kernel —
+    batch shape, output schema and partition behavior are identical.
+    Pixel-level DECODE, by contrast, is real: see `decode_image`."""
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != content_col]
         + [StructField("features", ArrayType(FloatType()), True)]
@@ -246,13 +248,16 @@ def decode_image(df: DataFrame, content_col: str = "content",
 def resize_media(df: DataFrame, content_col: str = "content",
                  id_col: str = "media_id",
                  out_w: int = 16, out_h: int = 16) -> DataFrame:
-    """Image resize kernel with a stubbed decoder: the byte stream is
-    treated as row-major 1-byte pixels and top-left-cropped to
-    out_w×out_h (deterministic; short blobs keep their length). A real
-    deployment swaps the kernel body for PIL/torchvision decode+resize —
-    the Arrow batch iteration, binary-in/binary-out schema, and metadata
-    update are exactly what the real operator uses. Blobs never shuffle;
-    the kernel is map-only."""
+    """Byte-crop resize kernel — the ORACLE-CHECKABLE twin of the real
+    decoder: the byte stream is treated as row-major 1-byte pixels and
+    top-left-cropped to out_w×out_h (deterministic; short blobs keep
+    their length), so DuckDB can verify every output byte in the hex
+    domain (q116). REAL pixel decode+resize is `decode_image` above
+    (stdlib BMP/PPM parsing, q145); this variant stays because its
+    byte-level contract is portable SQL while a raster decode oracle
+    must recompute pixels arithmetically. Same Arrow batch iteration,
+    binary-in/binary-out schema, and metadata update either way. Blobs
+    never shuffle; the kernel is map-only."""
     n_out = out_w * out_h
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
