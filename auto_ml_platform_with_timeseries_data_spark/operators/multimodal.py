@@ -516,3 +516,165 @@ def q145_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return decoded.mapInPandas(
         checksum, "media_id long, width int, height int, checksum long")
+
+
+# ---------------------------------------------------------------------------
+# q150 — REAL audio decode (RIFF/WAV PCM16) + frame energy features
+# ---------------------------------------------------------------------------
+
+
+def _parse_wav_pcm16(b: bytes):
+    """Decode a RIFF/WAVE file with 16-bit PCM samples into
+    (sample_rate, channels, int16 numpy array) — stdlib struct chunk
+    walking (RIFF header, fmt / data chunks, even-byte chunk padding,
+    unknown chunks skipped), no audio library."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        cid, size = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={fmt_tag} bits={bits} "
+                    "(PCM16 only)")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks pad to even byte counts
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    return rate, channels, samples
+
+
+def _encode_wav_pcm16(samples, rate: int = 8000, channels: int = 1) -> bytes:
+    """int16 samples → RIFF/WAVE PCM16 bytes (the q150 fixture
+    generator; also a real writer for small audio sinks)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data
+              + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def audio_frame_energy(df: DataFrame, content_col: str = "content",
+                       id_col: str = "media_id",
+                       frame_samples: int = 256) -> DataFrame:
+    """REAL audio feature extraction: parse WAV bytes, split samples
+    into fixed frames, emit per-frame energy (Σ s²) and zero-crossing
+    count — the two features a voice-activity / silence-trim curation
+    pass runs first. Exact int64 arithmetic so the row is bit-stable on
+    any host. Map-only kernel; audio bytes never shuffle."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, energy, zc = [], [], [], [], []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                try:
+                    _rate, _ch, s = _parse_wav_pcm16(bytes(blob))
+                except ValueError:
+                    continue
+                s64 = s.astype(np.int64)
+                for fi in range(0, len(s), frame_samples):
+                    fr = s64[fi : fi + frame_samples]
+                    ids.append(mid)
+                    idxs.append(fi // frame_samples)
+                    ns.append(len(fr))
+                    energy.append(int((fr * fr).sum()))
+                    zc.append(int(((fr[:-1] < 0) != (fr[1:] < 0)).sum()))
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "n_samples": pd.Series(ns, dtype="int64"),
+                "energy": pd.Series(energy, dtype="int64"),
+                "zero_crossings": pd.Series(zc, dtype="int64"),
+            })
+
+    return df.select(id_col, content_col).mapInPandas(
+        kernel,
+        f"{id_col} long, frame_idx long, n_samples long, "
+        "energy long, zero_crossings long",
+    )
+
+
+_Q150_SAMPLES = 600   # 600 samples → frames of 256: [256, 256, 88]
+_Q150_FRAME = 256
+_Q150_DOCS = 100
+
+
+@query(
+    "q150_audio_features",
+    # The oracle recomputes expected frame features arithmetically from
+    # the generation rule s[n] = ((doc_id*7 + n*13) % 2048) - 1024 —
+    # any parser bug (chunk offsets, padding, sample width, byte order)
+    # breaks the energy sums. Zero crossings use the same sign rule as
+    # the kernel ((s<0) transitions between consecutive samples).
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, fi
+      FROM documents,
+           LATERAL unnest(range(0, CAST(ceil({_Q150_SAMPLES}/{_Q150_FRAME}.0)
+                                       AS BIGINT))) AS t(fi)
+      WHERE doc_id < {_Q150_DOCS}
+    ),
+    s AS (
+      SELECT doc_id, fi,
+             fi * {_Q150_FRAME} AS lo,
+             least((fi + 1) * {_Q150_FRAME}, {_Q150_SAMPLES}) AS hi
+      FROM f
+    )
+    SELECT doc_id AS media_id, fi AS frame_idx,
+           hi - lo AS n_samples,
+           CAST(list_sum(list_transform(range(lo, hi),
+               n -> pow((doc_id * 7 + n * 13) % 2048 - 1024, 2)))
+             AS BIGINT) AS energy,
+           CAST(list_sum(list_transform(range(lo, hi - 1),
+               n -> CASE WHEN ((doc_id * 7 + n * 13) % 2048 - 1024 < 0)
+                         != ((doc_id * 7 + (n+1) * 13) % 2048 - 1024 < 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+    FROM s
+    """,
+)
+def q150_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: a kernel synthesizes a genuine
+    RIFF/WAVE PCM16 file per document (deterministic sawtooth
+    s[n] = ((doc_id*7 + n*13) % 2048) - 1024, 600 samples — the last
+    frame is partial, exercising the tail path), `audio_frame_energy`
+    parses the actual chunk structure and emits exact per-frame energy
+    and zero-crossing counts, which the oracle recomputes from the
+    generation rule alone. Same map-only blob discipline as q145."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _Q150_DOCS).select("doc_id")
+
+    def make_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = np.arange(_Q150_SAMPLES, dtype=np.int64)
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "content": [
+                    _encode_wav_pcm16(((int(d) * 7 + n * 13) % 2048 - 1024)
+                                      .astype(np.int16))
+                    for d in pdf["doc_id"]
+                ],
+            })
+
+    media = docs.mapInPandas(make_wav, "media_id long, content binary")
+    return audio_frame_energy(media, frame_samples=_Q150_FRAME)

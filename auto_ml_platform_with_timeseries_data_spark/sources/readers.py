@@ -345,3 +345,46 @@ def q80_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "q151_csv_roundtrip",
+    oracle="""
+    -- mirrors the adversarial rewrite: 'pre "q", \\n' || text || '\\npost'
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(length('pre "q", ' || chr(10) || text || chr(10)
+                           || 'post')) AS BIGINT) AS text_len_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def q151_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round-trip under adversarial content (S1
+    robustness): document text is rewritten to embed quotes, commas and
+    NEWLINES before writing, then read back with multiLine + escape
+    options; aggregating the recovered text must match the oracle's
+    aggregation of the same transformation. Catches the classic CSV
+    corruption failure (row split at an embedded newline) that silently
+    drops/duplicates training documents at ingest. multiLine=true costs
+    file-level parallelism (a quoted newline spans records, so Spark
+    cannot split the file blindly) — the reason parquet/JSONL are the
+    bulk formats and CSV is an ingest-edge format here."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('pre "q", \n'), "text", F.lit("\npost")).alias("text"),
+        "lang", "n_chars",
+    )
+    stage = tempfile.mkdtemp(prefix="sparkgraft_csv_")
+    (docs.write.mode("overwrite")
+     .option("header", True).option("quoteAll", True)
+     .option("escape", '"')
+     .csv(stage))
+    back = spark.read.schema(docs.schema).option("header", True) \
+        .option("multiLine", True).option("escape", '"').csv(stage)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.length("text")).alias("text_len_sum"),
+    )

@@ -147,3 +147,62 @@ def test_decode_image_kernel_real_bmp(spark):
     assert np.array_equal(out, want)
     assert got[2]["content"] is None
     assert "unsupported image format" in got[2]["err"]
+
+
+# ---------------------------------------------------------------------------
+# Real audio decode (RIFF/WAV PCM16) — golden-sample tests
+# ---------------------------------------------------------------------------
+
+from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+    _encode_wav_pcm16,
+    _parse_wav_pcm16,
+    audio_frame_energy,
+)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    s = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    blob = _encode_wav_pcm16(s, rate=16000)
+    rate, ch, got = _parse_wav_pcm16(blob)
+    assert (rate, ch) == (16000, 1)
+    assert np.array_equal(got, s)
+    # unknown chunk before fmt/data must be skipped (incl. odd-size pad)
+    import struct
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = blob[:12] + extra + blob[12:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    _, _, got2 = _parse_wav_pcm16(spliced)
+    assert np.array_equal(got2, s)
+
+
+def test_wav_rejects_non_pcm16():
+    import struct
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        _parse_wav_pcm16(b"RIFFxxxxNOPE")
+    # 8-bit PCM: fmt says bits=8
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+    with pytest.raises(ValueError):
+        _parse_wav_pcm16(bad)
+
+
+def test_audio_frame_energy_exact(spark):
+    s = np.array([3, -4, 0, 5, -1], dtype=np.int16)
+    blob = _encode_wav_pcm16(s)
+    df = spark.createDataFrame([(1, bytearray(blob)), (2, None)],
+                               "media_id long, content binary")
+    rows = {(r["media_id"], r["frame_idx"]): r
+            for r in audio_frame_energy(df, frame_samples=3).collect()}
+    assert set(rows) == {(1, 0), (1, 1)}
+    # frame 0: [3,-4,0] → energy 25, crossings: 3→-4 (1), -4→0 (1; 0 is
+    # non-negative under the s<0 rule)
+    assert rows[(1, 0)]["energy"] == 25
+    assert rows[(1, 0)]["zero_crossings"] == 2
+    # frame 1: [5,-1] → energy 26, one crossing
+    assert rows[(1, 1)]["energy"] == 26
+    assert rows[(1, 1)]["zero_crossings"] == 1
+    assert rows[(1, 1)]["n_samples"] == 2
