@@ -102,7 +102,7 @@ _PRIORITY: tuple[str, ...] = (
     # ---- slots 51+: checked only if the driver budget stretches ----
     "q145_image_decode", "q146_xls_roundtrip", "q148_bpe_pair_counts",
     "q147_bpe_learn", "q149_stream_sink_exactly_once",
-    "q150_audio_features", "q151_csv_roundtrip",
+    "q150_audio_features", "q151_csv_roundtrip", "q152_video_frames",
     "q53_stateful_user_stats", "q79_stream_sessions",
     "q92_stream_stream_join",
     "q45_rolling_stats", "q85_cluster_retention",

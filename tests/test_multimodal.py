@@ -206,3 +206,39 @@ def test_audio_frame_energy_exact(spark):
     assert rows[(1, 1)]["energy"] == 26
     assert rows[(1, 1)]["zero_crossings"] == 1
     assert rows[(1, 1)]["n_samples"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Real video demux (RIFF/AVI)
+# ---------------------------------------------------------------------------
+
+from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+    _demux_avi,
+    _encode_avi,
+    demux_video_frames,
+)
+
+
+def test_avi_roundtrip_and_padding():
+    frames = [b"abc", b"de", b"f" * 7]  # odd sizes exercise chunk pads
+    blob = _encode_avi(frames)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    assert _demux_avi(blob) == frames
+
+
+def test_avi_rejects_garbage():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _demux_avi(b"RIFFxxxxWAVE")
+
+
+def test_demux_video_frames_sampling(spark):
+    frames = [bytes([i]) * 4 for i in range(6)]
+    rows = [(1, bytearray(_encode_avi(frames))), (2, bytearray(b"junk")),
+            (3, None)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = demux_video_frames(df, every=3).collect()
+    by = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in got}
+    assert set(by) == {(1, 0), (1, 3)}
+    assert by[(1, 0)] == frames[0] and by[(1, 3)] == frames[3]
