@@ -388,3 +388,55 @@ def q151_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum(F.length("text")).alias("text_len_sum"),
     )
+
+
+def export_jsonl_shards(df: DataFrame, dest: str,
+                        max_records_per_file: int = 10_000,
+                        target_files: int | None = None) -> str:
+    """Training-data shard exporter: JSONL shards with a hard per-shard
+    row cap. `maxRecordsPerFile` is the Spark-native lever — each write
+    task rolls to a new file at the cap, so shard sizing needs no extra
+    shuffle; an optional `target_files` repartition first spreads rows
+    when the upstream partitioning is skewed. Downstream trainers want
+    bounded shards for shuffle-buffer and resume granularity."""
+    w = df
+    if target_files is not None:
+        w = w.repartition(target_files)
+    (w.write.mode("overwrite")
+     .option("maxRecordsPerFile", max_records_per_file)
+     .json(dest))
+    return dest
+
+
+@query(
+    "q153_sharded_export",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           TRUE AS caps_ok
+    FROM documents GROUP BY lang
+    """,
+)
+def q153_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-capped shard export end-to-end: documents → JSONL shards of
+    ≤100 rows each → read back with explicit schema → per-lang content
+    aggregate must equal the source, and `caps_ok` asserts (via
+    input_file_name counting) that NO shard exceeded the cap — the
+    property a resume-granular training loader depends on."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    dest = tempfile.mkdtemp(prefix="sparkgraft_shards_")
+    export_jsonl_shards(docs, dest, max_records_per_file=100)
+    back = spark.read.schema(docs.schema).json(dest)
+    per_file_max = (
+        back.groupBy(F.input_file_name().alias("__f"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__mx"))
+        .first()["__mx"]
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.lit(bool(per_file_max <= 100)).alias("caps_ok"),
+    )
