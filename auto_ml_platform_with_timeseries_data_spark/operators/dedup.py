@@ -966,3 +966,98 @@ def _simhash_twin_oracle() -> str:
 def q142_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return simhash_portable(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: delta batch vs an existing corpus fingerprint index
+# ---------------------------------------------------------------------------
+
+
+def fingerprint_index(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Materialize the corpus dedup index: one row per distinct
+    normalized-text fingerprint with its canonical (min) id. This is
+    the ONLY state an incremental pipeline keeps about the historical
+    corpus — 32-byte md5 + 8-byte id per distinct document, so the
+    100 TB corpus collapses to a few GB of index that never has to be
+    re-scanned when new crawl batches arrive."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"),
+                  F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"))
+    )
+
+
+def incremental_dedup_status(delta: DataFrame, index: DataFrame,
+                             id_col: str, text_col: str) -> DataFrame:
+    """Classify each delta-batch document against an existing corpus
+    fingerprint index (from `fingerprint_index`) without touching
+    corpus text: `dup_corpus` (fingerprint already indexed —
+    canonical_id points into the corpus), `novel` (first sight
+    anywhere — the row owns its fingerprint within the delta), or
+    `dup_delta` (another delta row with a smaller id owns it).
+
+    Scale shape: the delta is fingerprinted map-side (md5 of the
+    normalized text), then both the within-delta canonical window and
+    the index join key on that 32-byte fingerprint — the document body
+    never shuffles. The window's hash partitioning on `__fp` is
+    reusable by the subsequent sort-merge join on the same key, so the
+    delta side is exchanged once; the index side (the big one at
+    100 TB) streams through as the join's other input with no
+    auxiliary pass. Novelty of a crawl batch is decided by ONE join
+    against index state, not a recompute over the corpus."""
+    fp = delta.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("__fp")
+    )
+    w = Window.partitionBy("__fp")
+    delta_canon = fp.select(
+        id_col, "__fp",
+        F.min(id_col).over(w).alias("__delta_canonical"),
+    )
+    joined = delta_canon.join(
+        index.withColumnRenamed("fingerprint", "__fp"), on="__fp", how="left"
+    )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("canonical_id").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col(id_col) == F.col("__delta_canonical"), F.lit("novel"))
+        .otherwise(F.lit("dup_delta"))
+        .alias("status"),
+        F.coalesce("canonical_id", "__delta_canonical").alias("canonical_id"),
+    )
+
+
+_INCREMENTAL_DEDUP_DUCK = f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM_DUCK}) AS fp FROM documents
+    ),
+    idx AS (
+      SELECT fp, min(doc_id) AS corpus_canonical
+      FROM fp WHERE doc_id % 5 != 0 GROUP BY fp
+    ),
+    delta AS (
+      SELECT doc_id, fp,
+             min(doc_id) OVER (PARTITION BY fp) AS delta_canonical
+      FROM fp WHERE doc_id % 5 = 0
+    )
+    SELECT d.doc_id,
+           CASE WHEN i.fp IS NOT NULL THEN 'dup_corpus'
+                WHEN d.doc_id = d.delta_canonical THEN 'novel'
+                ELSE 'dup_delta' END AS status,
+           CAST(coalesce(i.corpus_canonical, d.delta_canonical) AS BIGINT)
+             AS canonical_id
+    FROM delta d LEFT JOIN idx i ON d.fp = i.fp
+"""
+
+
+@query("q154_incremental_dedup", oracle=_INCREMENTAL_DEDUP_DUCK)
+def q154_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-batch dedup: corpus = doc_id % 5 != 0 (the
+    already-indexed 80%), delta = doc_id % 5 == 0 (the new batch).
+    The corpus contributes only its fingerprint index; each delta doc
+    is labeled dup_corpus / dup_delta / novel with its canonical id."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = fingerprint_index(corpus, "doc_id", "text")
+    return incremental_dedup_status(delta, idx, "doc_id", "text")

@@ -125,3 +125,23 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     jac = jaccard_pairs_blocked(df, "doc_id", "text", "lang",
                                 threshold=0.5).collect()
     assert jac == []                                      # Jaccard misses it
+
+
+def test_incremental_dedup_status_classes(spark):
+    corpus = spark.createDataFrame(
+        [(10, "alpha bravo charlie"), (11, "delta echo foxtrot")],
+        "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(20, "  ALPHA   bravo charlie "),   # dup of corpus doc 10
+         (21, "golf hotel india"),           # novel, owns its fp
+         (22, "golf hotel india"),           # dup within the delta
+         (23, "juliet kilo lima")],          # novel
+        "doc_id long, text string")
+    idx = dedup.fingerprint_index(corpus, "doc_id", "text")
+    got = {r["doc_id"]: r for r in
+           dedup.incremental_dedup_status(delta, idx, "doc_id", "text")
+           .collect()}
+    assert (got[20]["status"], got[20]["canonical_id"]) == ("dup_corpus", 10)
+    assert (got[21]["status"], got[21]["canonical_id"]) == ("novel", 21)
+    assert (got[22]["status"], got[22]["canonical_id"]) == ("dup_delta", 21)
+    assert (got[23]["status"], got[23]["canonical_id"]) == ("novel", 23)
