@@ -1,0 +1,137 @@
+"""Physical-layout operators: Z-order (Morton) clustering for
+multi-dimensional data skipping, plus the capped shard exporter's
+sibling surface (sources/readers.py:export_jsonl_shards).
+
+Why this exists at 100 TB: parquet min/max footer stats prune files
+only when the file layout CORRELATES with the predicate column. A
+table range-partitioned (or incidentally ordered) by time prunes time
+predicates but reads every file for a `user_id = ?` probe; Z-ordering
+interleaves the bit-bucketed dimensions into one Morton key so a sort
+on that single key gives every interleaved dimension a bounded
+min/max span per file — point/range predicates on ANY of the
+clustered columns skip most files. This is the clustering strategy
+behind Delta/Iceberg `OPTIMIZE ZORDER BY`, built here from Spark
+primitives: fixed-width integer bucketing (JVM expressions, no UDF) →
+bit interleave (shift/or fold, whole-stage codegen) →
+`repartitionByRange` on the key → `sortWithinPartitions` → parquet.
+
+Bucketing is floor((v - min) * (2^bits - 1) / span) with an integer
+numerator < 2^53, so the IEEE-double division floors identically in
+Spark and the oracle; the interleave itself is pure shift/or — the
+whole key is reproducible bit-for-bit across engines.
+
+Reference: no counterpart (extension scope per SURVEY §7 /
+BASELINE.json north star — lakehouse layout for training-data scans).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+_BITS = 16  # per-dimension bucket resolution (2 dims × 16 bits → 32-bit key)
+
+
+def _bucket_expr(v: Column, vmin: Column, vmax: Column,
+                 bits: int = _BITS) -> Column:
+    """Fixed-width bucket id in [0, 2^bits): floor((v - min) *
+    (2^bits - 1) / max(1, max - min)). Inputs are integers, and the
+    scaled numerator stays well under 2^53, so the double division
+    floors identically in Spark and the oracle."""
+    span = F.greatest(vmax - vmin, F.lit(1))
+    scaled = (v - vmin) * F.lit((1 << bits) - 1)
+    return F.floor(scaled / span).cast("long")
+
+
+def _interleave(bx: Column, by: Column, bits: int = _BITS) -> Column:
+    """Morton interleave: bit i of bx → key bit 2i+1, bit i of by →
+    key bit 2i. A shift/or fold over `bits` terms — pure JVM
+    expressions inside whole-stage codegen."""
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(bx, i).bitwiseAND(F.lit(1)),
+                                 2 * i + 1))
+        terms.append(F.shiftleft(F.shiftright(by, i).bitwiseAND(F.lit(1)),
+                                 2 * i))
+    return reduce(Column.bitwiseOR, terms)
+
+
+def zorder_keys(df: DataFrame, col_x: str, col_y: str,
+                bits: int = _BITS) -> DataFrame:
+    """Append `zkey` (Morton code of the two bucketed columns). Global
+    min/max come from ONE 1-row aggregate broadcast-joined back — a
+    map-side pass plus a free broadcast, never a window over the
+    table."""
+    bounds = df.agg(
+        F.min(col_x).alias("__xmin"), F.max(col_x).alias("__xmax"),
+        F.min(col_y).alias("__ymin"), F.max(col_y).alias("__ymax"),
+    )
+    out = df.join(F.broadcast(bounds))
+    bx = _bucket_expr(F.col(col_x), F.col("__xmin"), F.col("__xmax"), bits)
+    by = _bucket_expr(F.col(col_y), F.col("__ymin"), F.col("__ymax"), bits)
+    return out.withColumn("zkey", _interleave(bx, by, bits)) \
+        .drop("__xmin", "__xmax", "__ymin", "__ymax")
+
+
+def zorder_write(df: DataFrame, dest: str, col_x: str, col_y: str,
+                 nfiles: int, bits: int = _BITS) -> str:
+    """Cluster-and-write: compute zkey → `repartitionByRange(nfiles,
+    zkey)` (one range shuffle; Spark samples split points) →
+    `sortWithinPartitions(zkey)` (task-local sort, no extra exchange)
+    → parquet. Each output file then holds a contiguous Morton range,
+    i.e. a bounded min/max span in BOTH source dimensions — the
+    property parquet footer pruning needs. The zkey column is dropped
+    before write; it is layout state, not data."""
+    keyed = zorder_keys(df, col_x, col_y, bits)
+    (keyed.repartitionByRange(nfiles, "zkey")
+     .sortWithinPartitions("zkey")
+     .drop("zkey")
+     .write.mode("overwrite").parquet(dest))
+    return dest
+
+
+def _interleave_duck(bx: str, by: str, bits: int = _BITS) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+_ZORDER_DUCK = f"""
+    WITH b AS (
+      SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+             CAST(min(floor(epoch(ts))) AS BIGINT) AS ymin,
+             CAST(max(floor(epoch(ts))) AS BIGINT) AS ymax
+      FROM events
+    ),
+    k AS (
+      SELECT event_id,
+             CAST(floor(CAST((user_id - xmin) * {(1 << _BITS) - 1} AS DOUBLE)
+                        / greatest(xmax - xmin, 1)) AS BIGINT) AS bx,
+             CAST(floor(CAST((CAST(floor(epoch(ts)) AS BIGINT) - ymin)
+                             * {(1 << _BITS) - 1} AS DOUBLE)
+                        / greatest(ymax - ymin, 1)) AS BIGINT) AS by
+      FROM events, b
+    )
+    SELECT event_id, CAST({_interleave_duck('bx', 'by')} AS BIGINT) AS zkey
+    FROM k
+"""
+
+
+@query("q155_zorder_keys", oracle=_ZORDER_DUCK)
+def q155_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton keys over (user_id, event time) for the events table —
+    the clustering key `zorder_write` sorts by. Checked bit-for-bit
+    against the oracle's reimplementation of the same integer
+    bucketing + interleave."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("__epoch"),
+    )
+    return zorder_keys(ev, "user_id", "__epoch").select("event_id", "zkey")

@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "auto_ml_platform_with_timeseries_data_spark.operators.curation",
     "auto_ml_platform_with_timeseries_data_spark.operators.ts_features",
     "auto_ml_platform_with_timeseries_data_spark.operators.pipeline_ops",
+    "auto_ml_platform_with_timeseries_data_spark.operators.layout",
     "auto_ml_platform_with_timeseries_data_spark.sources.readers",
     "auto_ml_platform_with_timeseries_data_spark.operators.graph",
     "auto_ml_platform_with_timeseries_data_spark.operators.relational",
@@ -103,7 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "q145_image_decode", "q146_xls_roundtrip", "q148_bpe_pair_counts",
     "q147_bpe_learn", "q149_stream_sink_exactly_once",
     "q150_audio_features", "q151_csv_roundtrip", "q152_video_frames",
-    "q153_sharded_export", "q154_incremental_dedup",
+    "q153_sharded_export", "q154_incremental_dedup", "q155_zorder_keys",
     "q53_stateful_user_stats", "q79_stream_sessions",
     "q92_stream_stream_join",
     "q45_rolling_stats", "q85_cluster_retention",
