@@ -391,3 +391,86 @@ def q125_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(key_skew_stats(docs, "lang", "documents.lang"))
         .unionAll(key_skew_stats(li, "l_suppkey", "lineitem.l_suppkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate quantiles (Greenwald-Khanna sketch) with a self-measured
+# rank-error gate against the exact answer — the q81→q132 sketch-twin
+# pattern applied to percentiles.
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch_gate(df: DataFrame, group_col: str, val_col: str,
+                         ps: list[float] | None = None,
+                         accuracy: int = 10_000) -> DataFrame:
+    """Per-group quantiles two ways: `percentile` (exact — needs the
+    group's values materialized for interpolation, the thing you CANNOT
+    afford per-group at 100 TB) and `percentile_approx` (Greenwald-
+    Khanna: one-pass, mergeable, O(1/eps) memory per group — the scale
+    path). Each approximate value is then rank-checked against the data
+    in one extra broadcast-join pass: its true rank must sit within
+    eps·n (+2 for the nearest-rank vs interpolated-position offset) of
+    the target position. Output: one row per (group, decile) with the
+    EXACT value (oracle-checkable) and the sketch's pass/fail verdict —
+    green rows certify the sketch path, exact twin certifies the values.
+    """
+    ps = ps or [i / 10.0 for i in range(1, 10)]
+    eps = 1.0 / accuracy
+    parr = F.array(*[F.lit(p) for p in ps])
+    both = df.groupBy(group_col).agg(
+        F.count(val_col).alias("__n"),
+        F.expr(f"percentile({val_col}, array({','.join(map(str, ps))}))")
+        .alias("__exact"),
+        F.percentile_approx(val_col, parr, F.lit(accuracy)).alias("__approx"),
+    )
+    decile = both.select(
+        group_col, "__n",
+        F.posexplode(F.arrays_zip("__exact", "__approx")),
+    ).select(
+        group_col, "__n",
+        (F.col("pos") + 1).alias("decile"),
+        F.col("col.__exact").alias("__ev"),
+        F.col("col.__approx").cast("double").alias("__av"),
+    )
+    # one corpus pass: true rank of every approximate value
+    ranks = (
+        df.select(group_col, F.col(val_col).alias("__v"))
+        .join(F.broadcast(decile), on=group_col)
+        .groupBy(group_col, "decile", "__n", "__ev", "__av")
+        .agg(
+            F.sum(F.when(F.col("__v") < F.col("__av"), 1).otherwise(0))
+            .alias("__r_lt"),
+            F.sum(F.when(F.col("__v") <= F.col("__av"), 1).otherwise(0))
+            .alias("__r_le"),
+        )
+    )
+    target = (F.col("decile") / 10.0) * (F.col("__n") - 1) + 1
+    slack = F.lit(eps) * F.col("__n") + F.lit(2.0)
+    return ranks.select(
+        group_col,
+        F.col("decile").cast("int").alias("decile"),
+        F.round("__ev", 6).alias("exact_val"),
+        ((F.col("__r_lt") <= target + slack)
+         & (F.col("__r_le") >= target - slack)).alias("approx_ok"),
+    )
+
+
+_QUANTILE_GATE_DUCK = """
+    WITH q AS (
+      SELECT lang,
+             quantile_cont(n_chars,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, CAST(i AS INT) AS decile,
+           ROUND(qs[i], 6) AS exact_val, TRUE AS approx_ok
+    FROM q, (SELECT unnest(generate_series(1, 9)) AS i)
+"""
+
+
+@query("q156_quantile_sketch", oracle=_QUANTILE_GATE_DUCK)
+def q156_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang document-length deciles: exact values oracle-checked,
+    Greenwald-Khanna sketch rank-gated in the same result."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_sketch_gate(docs, "lang", "n_chars")

@@ -82,3 +82,21 @@ def test_corr_non_numeric_yields_null(spark):
 def test_min_max(spark):
     row = prof.min_max(_df(spark), "a").collect()[0]
     assert row["min_value"] == 1.0 and row["max_value"] == 4.0
+
+
+def test_quantile_sketch_gate_matches_numpy(spark):
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        quantile_sketch_gate,
+    )
+
+    vals = [float(v) for v in range(1, 202)]  # 1..201 → exact deciles known
+    df = spark.createDataFrame([("g", v) for v in vals],
+                               "grp string, x double")
+    got = {r["decile"]: r for r in
+           quantile_sketch_gate(df, "grp", "x").collect()}
+    for d in range(1, 10):
+        want = float(np.percentile(vals, d * 10))  # linear interpolation
+        assert abs(got[d]["exact_val"] - want) < 1e-9
+        assert got[d]["approx_ok"], d
