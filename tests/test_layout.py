@@ -70,3 +70,24 @@ def test_zorder_write_prunes_both_dimensions(spark, sf_dir, tmp_path):
 
     # layout changes bytes, not rows: content round-trips
     assert spark.read.parquet(zdest).count() == ev.count()
+
+
+def test_compact_parquet_bin_packs(spark, sf_dir, tmp_path):
+    import glob
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+        compact_parquet,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    frag = str(tmp_path / "frag")
+    comp = str(tmp_path / "comp")
+    docs.write.option("maxRecordsPerFile", 10).parquet(frag)
+    n_frag = len(glob.glob(frag + "/part-*"))
+    compact_parquet(spark, frag, comp, target_bytes=512 * 1024)
+    n_comp = len(glob.glob(comp + "/part-*"))
+    assert n_comp < n_frag
+    # content preserved exactly
+    assert (spark.read.parquet(comp).exceptAll(docs).count() == 0
+            and docs.exceptAll(spark.read.parquet(comp)).count() == 0)
