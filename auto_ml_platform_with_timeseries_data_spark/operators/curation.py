@@ -29,6 +29,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -764,3 +766,132 @@ def q137_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     training — dedup, then split.)"""
     docs = load_table(spark, sf_dir, "documents")
     return split_leakage(hash_split(docs, "doc_id"), "text", "split")
+
+
+# ---------------------------------------------------------------------------
+# q158 — Bloom-filter decontamination (bounded-memory scale path for q77)
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 7            # hash functions → FP ~0.8% at 16 bits/element
+_BLOOM_BITS_PER_ELEM = 16
+
+
+def bloom_build(grams: DataFrame, gram_col: str) -> tuple[list[int], int]:
+    """Build a Bloom bitmap over a gram set: k xxhash64 positions per
+    gram, distinct positions collected (bounded: ≤ k·|grams| ints —
+    index/model state like IVF centroids, NOT corpus data), packed into
+    m/64 longs driver-side. m self-sizes to 16 bits per element
+    (rounded to a whole word) so the FP rate stays <1% regardless of
+    benchmark size; the bitmap for even a 10M-gram benchmark is 20 MB —
+    broadcastable, where q77's exact gram set would be GBs of strings."""
+    n_elems = grams.count()
+    m = 64 * max(1, -(-(_BLOOM_BITS_PER_ELEM * n_elems) // 64))
+    pos = grams.select(
+        F.explode(F.array(*[
+            F.pmod(F.xxhash64(gram_col, F.lit(i)), F.lit(m)).cast("long")
+            for i in range(_BLOOM_K)
+        ])).alias("p")
+    ).distinct().collect()
+    words = [0] * (m // 64)
+    for r in pos:
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # pack as signed 64-bit for the ArrayType(LongType) literal
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return words, m
+
+
+def decontaminate_bloom(df: DataFrame, id_col: str, text_col: str,
+                        bench_pred: Column, n: int = _DECON_N) -> DataFrame:
+    """Contamination check against a BLOOM FILTER of the benchmark's
+    n-grams instead of the exact gram set. Guarantee: no false
+    negatives (every truly contaminated doc flags), small false-positive
+    rate (clean docs occasionally flag — acceptable for a kill-list).
+
+    Returns one row per corpus doc: (id, exact_hit, fn_free) where
+    exact_hit is the ground-truth contamination flag (computed here so
+    the oracle can check it) and fn_free certifies the Bloom guarantee
+    exact_hit → bloom_hit held for that row. The probe side is map-only:
+    grams explode, k hash positions, bit-test against the broadcast
+    bitmap literal, partial-aggregated OR per doc — the only shuffle
+    carries (doc_id, two booleans)."""
+    norm = df.select(
+        F.col(id_col).alias("__id"), bench_pred.alias("__is_bench"),
+        tokens(normalize_text(text_col)).alias("__toks"),
+    )
+    grams = norm.select(
+        "__id", "__is_bench",
+        F.explode_outer(F.when(
+            F.size("__toks") >= n,
+            F.array_distinct(word_ngrams(F.col("__toks"), n)),
+        )).alias("__g"),
+    )
+    bench = grams.filter("__is_bench").filter(F.col("__g").isNotNull()) \
+        .select("__g").distinct()
+    words, m = bloom_build(bench, "__g")
+    bitmap = F.array(*[F.lit(w) for w in words])
+    corpus = grams.filter(~F.col("__is_bench"))
+    # dynamic bit test needs a column-valued shift amount, which the
+    # PySpark shiftright wrapper doesn't take → SQL shiftright via expr
+    # over pre-projected position columns
+    proj = corpus.select(
+        "__id", "__g",
+        *[F.pmod(F.xxhash64("__g", F.lit(i)), F.lit(m)).cast("long")
+          .alias(f"__p{i}") for i in range(_BLOOM_K)],
+    ).withColumn("__bm", bitmap)
+    gram_hit = reduce(
+        Column.__and__,
+        [F.expr(f"(shiftright(element_at(__bm, CAST(__p{i} / 64 AS INT) + 1),"
+                f" CAST(__p{i} % 64 AS INT)) & 1) = 1")
+         for i in range(_BLOOM_K)],
+    )
+    flags = proj.select(
+        "__id",
+        (F.col("__g").isNotNull() & gram_hit).alias("__bloom_hit"),
+    ).groupBy("__id").agg(F.max("__bloom_hit").alias("__bloom"))
+    exact = decontaminate(df, id_col, text_col, bench_pred, n=n) \
+        .withColumnRenamed(id_col, "__eid")
+    return (
+        flags.join(exact, flags["__id"] == F.col("__eid"), "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__eid").isNotNull().alias("exact_hit"),
+            (F.col("__eid").isNull() | F.col("__bloom")).alias("fn_free"),
+        )
+    )
+
+
+@query(
+    "q158_bloom_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          ' ') AS t
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3]))) AS gram
+      FROM toks WHERE len(t) >= 4
+    ), bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 97 != 0
+    )
+    SELECT d.doc_id,
+           h.doc_id IS NOT NULL AS exact_hit,
+           TRUE AS fn_free
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 97 != 0
+    """,
+)
+def q158_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter contamination kill-list vs the exact ground truth:
+    exact_hit is oracle-checked; fn_free certifies no-false-negative
+    per row (the Bloom guarantee the scale path rests on)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_bloom(docs, "doc_id", "text",
+                               F.col("doc_id") % 97 == 0, n=_DECON_N)

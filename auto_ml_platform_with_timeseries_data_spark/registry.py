@@ -105,7 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     "q147_bpe_learn", "q149_stream_sink_exactly_once",
     "q150_audio_features", "q151_csv_roundtrip", "q152_video_frames",
     "q153_sharded_export", "q154_incremental_dedup", "q155_zorder_keys",
-    "q156_quantile_sketch", "q157_compaction",
+    "q156_quantile_sketch", "q157_compaction", "q158_bloom_decontaminate",
     "q53_stateful_user_stats", "q79_stream_sessions",
     "q92_stream_stream_join",
     "q45_rolling_stats", "q85_cluster_retention",

@@ -240,3 +240,27 @@ def test_chi_square_counts_zero_observed_cells(spark):
     r = chi_square_independence(df, "l", "s").first()
     assert r["chi2"] == 20.0
     assert r["dof"] == 1 and r["n"] == 20
+
+
+def test_bloom_decontaminate_no_false_negatives_and_low_fp(spark):
+    from pyspark.sql import functions as F
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        decontaminate_bloom,
+    )
+
+    bench_text = "the secret benchmark passage about distributed joins"
+    rows = [(0, bench_text)]                      # the benchmark doc
+    rows.append((1, "prefix words then " + bench_text + " then suffix"))
+    rows += [(i, f"clean document number {i} with unique tokens "
+                 f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}")
+             for i in range(2, 202)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = decontaminate_bloom(df, "doc_id", "text",
+                              F.col("doc_id") == 0, n=4).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["exact_hit"] is True
+    assert all(r["fn_free"] for r in got)          # the Bloom guarantee
+    # clean docs share no 4-gram with the benchmark
+    fp_capable = [r for r in got if not r["exact_hit"]]
+    assert len(fp_capable) == 200
