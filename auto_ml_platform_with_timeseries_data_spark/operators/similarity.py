@@ -960,6 +960,8 @@ def q129_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf", cosine_topk_ivf(emb, queries_df, "vec_id", "embedding",
                                 _TOP_K, nprobe=10,
                                 train_iters=2)),  # q36's dial
+        ("pq", cosine_topk_pq(emb, queries_df, "vec_id", "embedding",
+                              _TOP_K)),  # q159's dial
     ):
         approx = df.select("query_id", "neighbor_id")
         hits = exact.join(approx, ["query_id", "neighbor_id"]).count()
@@ -1160,3 +1162,304 @@ def q144_ivf_fixed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, queries_df, "vec_id", "embedding", _TOP_K,
                            ncells=_IVF_TWIN_CELLS, nprobe=_IVF_TWIN_PROBE,
                            centroids=cents)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-domain ANN family
+# (complements SRP-LSH q34 and IVF q36): vectors become nsub byte codes
+# (64 float32 dims → 8 bytes here, a 32× compression), and the scan
+# ranks candidates WITHOUT touching raw vectors via ADC lookup tables.
+# At 100 TB of embeddings this is the index you can afford to keep hot:
+# the coded corpus is GBs where the raw vectors are TBs.
+# ---------------------------------------------------------------------------
+
+_PQ_NSUB = 8
+_PQ_KSUB = 256   # classic 1-byte codes; recall@5 1.0 with refine=8 on
+                 # the worst-case uniform fixture (q129 measures; 16/4
+                 # scored 0.5 — codebook resolution is the lever here)
+
+
+def _pq_train(corpus: DataFrame, vec_col: str, nsub: int, ksub: int,
+              iters: int):
+    """Per-subspace k-means codebooks (nsub, ksub, subdim) over UNIT
+    vectors (PQ of unit vectors ≈ cosine; raw-norm subvectors would
+    blow up the distortion exactly like un-normalized IVF centroids).
+    Init = hash-ordered sample, split into subvectors; each Lloyd
+    iteration is ONE corpus pass assigning all subspaces at once in an
+    Arrow kernel, then a mergeable (sub, cell, dim) avg — collect is
+    nsub·ksub·subdim values, bounded model state (the _ivf_train
+    contract, per subspace)."""
+    import numpy as np
+
+    seed_rows = (
+        corpus.select(F.col(vec_col).alias("v"))
+        .withColumn("__h", F.xxhash64("v"))
+        .orderBy("__h").limit(ksub).collect()
+    )
+    ksub = min(ksub, len(seed_rows))  # tiny corpus → fewer codes
+    seeds = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    dim = seeds.shape[1]
+    subdim = dim // nsub
+    books = seeds.reshape(ksub, nsub, subdim).transpose(1, 0, 2).copy()
+
+    vecs = corpus.select(_as_double(F.col(vec_col)).alias("__v"))
+    for _ in range(iters):
+        def assign_kernel(batches, B=books):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.array(list(pdf["__v"]), dtype=np.float64)
+                norms = np.linalg.norm(m, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                sub = (m / norms).reshape(len(m), B.shape[0], -1)
+                out_sub, out_cell, out_vec = [], [], []
+                for s in range(B.shape[0]):
+                    d = ((sub[:, s, None, :] - B[s][None, :, :]) ** 2
+                         ).sum(axis=2)
+                    cell = np.argmin(d, axis=1)
+                    out_sub.append(np.full(len(m), s, dtype=np.int32))
+                    out_cell.append(cell.astype(np.int32))
+                    out_vec.extend(list(sub[:, s, :]))
+                yield pd.DataFrame({
+                    "sub": np.concatenate(out_sub),
+                    "cell": np.concatenate(out_cell),
+                    "__sv": out_vec,
+                })
+
+        rows = (
+            vecs.mapInPandas(assign_kernel,
+                             "sub int, cell int, __sv array<double>")
+            .select("sub", "cell", F.posexplode("__sv").alias("dim", "x"))
+            .groupBy("sub", "cell", "dim").agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = books.copy()
+        for r in rows:
+            new[r["sub"], r["cell"], r["dim"]] = r["m"]
+        books = new
+    return books
+
+
+def pq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+              codebooks) -> DataFrame:
+    """Map-only Arrow kernel: (id, codes array<int> of length nsub) —
+    argmin L2 per subspace of the unit vector. 8 small-int codes
+    replace 64 floats; this frame IS the compressed index you persist."""
+    import numpy as np
+
+    nsub = codebooks.shape[0]
+
+    def kernel(batches, B=codebooks):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["__v"]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sub = (m / norms).reshape(len(m), nsub, -1)
+            codes = np.empty((len(m), nsub), dtype=np.int32)
+            for s in range(nsub):
+                d = ((sub[:, s, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame({"__id": pdf["__id"],
+                                "codes": list(codes)})
+
+    return (
+        corpus.select(F.col(id_col).alias("__id"),
+                      _as_double(F.col(vec_col)).alias("__v"))
+        .mapInPandas(kernel, "__id long, codes array<int>")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def cosine_topk_pq(corpus: DataFrame, queries_df: DataFrame, id_col: str,
+                   vec_col: str, k: int = _TOP_K, nsub: int = _PQ_NSUB,
+                   ksub: int = _PQ_KSUB, iters: int = 2, refine: int = 8,
+                   codebooks=None, round_to: int = 6) -> DataFrame:
+    """PQ ANN: encode → ADC scan → exact rescore of the top refine·k.
+
+    ADC (asymmetric distance computation): per query, a lookup table
+    LUT[s, j] = q_sub_s · codebook[s][j] (nsub·ksub floats, closure-
+    captured); a corpus row's approximate cosine is Σ_s LUT[s, code_s]
+    — a gather-sum over BYTES, never the raw vectors. The kernel emits
+    only its per-batch top refine·k per query, so the shuffle carries
+    candidates, not the corpus; a global window takes the exact top
+    refine·k (batch-level pre-top is a pure optimization — the global
+    top is partition-independent), and only those candidates touch raw
+    vectors again for the exact JVM-fold rescore. ADC scores are
+    rounded to `round_to` before ranking (with id tie-break) so
+    candidate selection is reproducible across summation orders."""
+    import numpy as np
+
+    if codebooks is None:
+        codebooks = _pq_train(corpus, vec_col, nsub, ksub, iters)
+    q_rows = (queries_df.select(F.col(id_col).alias("qid"),
+                                _as_double(F.col(vec_col)).alias("qv"))
+              .collect())
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id long, neighbor_id long, rank int, cosine double")
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    subdim = qm.shape[1] // nsub
+    # LUT[q, s, j] = q_sub · c_sub
+    lut = np.einsum("qsd,sjd->qsj",
+                    qm.reshape(len(qm), nsub, subdim), codebooks)
+    n_keep = refine * k
+
+    def adc_kernel(batches, L=lut, Q=qids, keep=n_keep):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            ids = pdf["__id"].to_numpy()
+            # scores[b, q] = Σ_s L[q, s, codes[b, s]]
+            scores = L[:, np.arange(codes.shape[1])[None, :],
+                       codes].sum(axis=2).T
+            for qi in range(len(Q)):
+                s = scores[:, qi]
+                mask = ids != Q[qi]
+                order = np.argsort(-s[mask])[:keep]
+                sel_ids = ids[mask][order]
+                yield pd.DataFrame({
+                    "query_id": np.full(len(sel_ids), Q[qi],
+                                        dtype=np.int64),
+                    "neighbor_id": sel_ids,
+                    "approx": s[mask][order],
+                })
+
+    codes_df = pq_encode(corpus, id_col, vec_col, codebooks) \
+        .withColumnRenamed(id_col, "__id")
+    scored = codes_df.mapInPandas(
+        adc_kernel, "query_id long, neighbor_id long, approx double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("approx"), round_to).desc(), F.col("neighbor_id"))
+    cand = scored.withColumn("__rk", F.row_number().over(w)) \
+        .filter(F.col("__rk") <= n_keep).drop("approx", "__rk")
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("__nv"))
+    qdf = corpus.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qm)],
+        "query_id long, __qv array<double>")
+    rescored = (cand.join(F.broadcast(qdf), "query_id")
+                .join(vecs, "neighbor_id")
+                .withColumn("cosine", cosine(F.col("__qv"),
+                                             F.col("__nv"))))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"),
+                    F.round("cosine", round_to).alias("cosine")))
+
+
+@query("q159_ann_pq")  # rows-only: trained codebooks not SQL-portable
+def q159_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_pq(emb, queries_df, "vec_id", "embedding", _TOP_K)
+
+
+_PQ_TWIN_LO = 20
+_PQ_TWIN_KSUB = 16
+_PQ_TWIN_REFINE = 4
+
+
+def _pq_twin_oracle() -> str:
+    hi = _PQ_TWIN_LO + _PQ_TWIN_KSUB
+    nsub, sd = _PQ_NSUB, 64 // _PQ_NSUB
+    keep = _PQ_TWIN_REFINE * _TOP_K
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, y -> y * y))) AS n FROM e
+    ),
+    un AS (
+      SELECT vec_id, v, list_transform(v, x -> x / n) AS uv FROM nrm
+    ),
+    cb AS (
+      SELECT vec_id - {_PQ_TWIN_LO} AS j, uv AS cv
+      FROM un WHERE vec_id >= {_PQ_TWIN_LO} AND vec_id < {hi}
+    ),
+    subs AS (SELECT unnest(generate_series(0, {nsub - 1})) AS s),
+    codes AS (
+      SELECT vec_id, s, j FROM (
+        SELECT n.vec_id, subs.s, c.j,
+               row_number() OVER (PARTITION BY n.vec_id, subs.s
+                 ORDER BY list_distance(
+                    n.uv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}],
+                    c.cv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}]) ASC,
+                    c.j) AS rk
+        FROM un n, subs, cb c
+      ) WHERE rk = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, uv AS quv FROM un
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    adc AS (
+      SELECT q.query_id, codes.vec_id AS neighbor_id,
+             ROUND(sum(list_inner_product(
+               q.quv[codes.s * {sd} + 1 : codes.s * {sd} + {sd}],
+               c.cv[codes.s * {sd} + 1 : codes.s * {sd} + {sd}])), 6)
+               AS approx
+      FROM q, codes JOIN cb c ON codes.j = c.j
+      WHERE codes.vec_id != q.query_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx DESC, neighbor_id) AS rk
+        FROM adc
+      ) WHERE rk <= {keep}
+    )
+    SELECT c.query_id, c.neighbor_id,
+           CAST(row_number() OVER (PARTITION BY c.query_id
+             ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                      c.neighbor_id) AS INT) AS rank,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM cand c
+    JOIN e a ON a.vec_id = c.query_id
+    JOIN e b ON b.vec_id = c.neighbor_id
+    QUALIFY rank <= {_TOP_K}
+    """
+
+
+@query("q160_pq_fixed_codebook", oracle=_pq_twin_oracle())
+def q160_pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ path (pq_encode Arrow kernel → ADC gather-sum
+    scan → global candidate window → exact JVM-fold rescore) with an
+    INJECTED codebook the oracle reproduces: subvectors of the unit
+    corpus vectors vec_id 20-35. Same certify-the-machinery contract as
+    q143/q144 — the trained path (q159) keeps its k-means codebooks,
+    this twin gives every rank and cosine a driver value-hash check.
+    ADC scores round to 6 before ranking on BOTH sides, so candidate
+    selection tolerates summation-order ulps."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = _PQ_TWIN_LO + _PQ_TWIN_KSUB
+    rows = (
+        emb.filter((F.col("vec_id") >= _PQ_TWIN_LO) & (F.col("vec_id") < hi))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    seeds = np.array([r[0] for r in rows], dtype=np.float64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    books = seeds.reshape(len(seeds), _PQ_NSUB, -1).transpose(1, 0, 2).copy()
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_pq(emb, queries_df, "vec_id", "embedding", _TOP_K,
+                          refine=_PQ_TWIN_REFINE, codebooks=books)

@@ -175,3 +175,25 @@ def test_lsh_neardup_subset_of_exact_with_high_recall(spark, sf_dir):
     assert len(approx) >= 0.9 * len(exact)              # recall floor
     for k, v in approx.items():
         assert v == exact[k]                            # identical scores
+
+
+def test_pq_ann_recall_reasonable(spark):
+    df, vecs = _emb_df(spark, n=120)
+    queries = df.filter(df.vec_id < 5)
+    exact = sim.cosine_topk_bruteforce(df, queries, "vec_id", "embedding",
+                                       k=5)
+    approx = sim.cosine_topk_pq(df, queries, "vec_id", "embedding", k=5,
+                                nsub=4, ksub=32, refine=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.6
+
+
+def test_pq_encode_codes_shape_and_range(spark):
+    df, _ = _emb_df(spark, n=40)
+    books = sim._pq_train(df, "embedding", nsub=4, ksub=8, iters=1)
+    codes = sim.pq_encode(df, "vec_id", "embedding", books).collect()
+    assert len(codes) == 40
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
