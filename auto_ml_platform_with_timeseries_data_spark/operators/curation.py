@@ -895,3 +895,72 @@ def q158_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decontaminate_bloom(docs, "doc_id", "text",
                                F.col("doc_id") % 97 == 0, n=_DECON_N)
+
+
+# ---------------------------------------------------------------------------
+# q161 — temperature-flattened source mixing (pretraining mix weights)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mix_sample(df: DataFrame, id_col: str, source_col: str,
+                           alpha: float = 0.5,
+                           budget_frac: float = 0.5) -> DataFrame:
+    """Downsample so the source distribution follows n_i^α (α<1 flattens
+    head sources toward the tail — the standard pretraining mix rule;
+    α=1 keeps natural proportions, α=0 makes sources uniform). Per-source
+    keep rate r_i = min(1, budget·n_i^α / (Σ_j n_j^α · n_i) · N); row
+    membership is the deterministic Knuth hash vs an INTEGER threshold
+    floor(r_i·2³²), so the sample is reproducible and the ulp-sensitive
+    float rate never meets the data directly. One tiny groupBy for the
+    rates (broadcast back), then a map-only filter — no corpus shuffle.
+    α is fixed at 0.5 here so the power is sqrt(), which IEEE rounds
+    identically in every engine (general pow() is not correctly-rounded
+    and could flip a threshold by one ulp)."""
+    assert alpha == 0.5, "portable contract pins alpha=0.5 (see docstring)"
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    # whole-frame window over the per-source counts — a handful of rows,
+    # already aggregated, so the single-task window is free; it also
+    # mirrors the oracle's sum(...) OVER () summation exactly
+    wall = Window.partitionBy()
+    rates = counts.select(
+        source_col,
+        F.floor(F.least(
+            F.lit(1.0),
+            F.lit(budget_frac) * F.sum("__n").over(wall) * F.sqrt("__n")
+            / F.sum(F.sqrt("__n")).over(wall) / F.col("__n"),
+        ) * F.lit(_M32)).cast("long").alias("__th"),
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_u32(id_col) < F.col("__th"))
+        .select(id_col, source_col)
+    )
+
+
+@query(
+    "q161_temperature_mix",
+    oracle=f"""
+    WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    s AS (
+      -- NB: aliases must not collide case-insensitively with column n
+      SELECT source, n, sum(sqrt(n)) OVER () AS sqsum,
+             sum(n) OVER () AS tot
+      FROM c
+    ),
+    r AS (
+      SELECT source,
+             CAST(floor(LEAST(1.0, 0.5 * tot * sqrt(n) / sqsum / n)
+                        * {_M32}) AS BIGINT) AS th
+      FROM s
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE {_hash_u32_sql('d.doc_id')} < r.th
+    """,
+)
+def q161_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature mix over documents at a 50% token budget:
+    head sources shed mass toward the tail, membership hash-checked
+    row-by-row against the oracle's identical arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_sample(docs, "doc_id", "source")

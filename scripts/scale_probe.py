@@ -193,6 +193,32 @@ def main() -> int:
 
     run("sessionize", lambda: sess(False), lambda: sess(True))
 
+    # round-4 additions: incremental dedup, Bloom decontamination, PQ ANN
+    from auto_ml_platform_with_timeseries_data_spark.operators import curation
+
+    def incr(d):
+        corpus = d.filter(F.col("doc_id") % 5 != 0)
+        delta = d.filter(F.col("doc_id") % 5 == 0)
+        idx = dedup.fingerprint_index(corpus, "doc_id", "text")
+        return dedup.incremental_dedup_status(
+            delta, idx, "doc_id", "text").count()
+
+    run("incremental_dedup", lambda: incr(docs1()), lambda: incr(docsN()))
+
+    def bloom(d):
+        return curation.decontaminate_bloom(
+            d, "doc_id", "text", F.col("doc_id") % 97 == 0).count()
+
+    run("bloom_decontaminate", lambda: bloom(docs1()),
+        lambda: bloom(docsN()))
+
+    def pq(d):
+        q = d.filter(F.col("vec_id") % 10_000_000 < 10)
+        return similarity.cosine_topk_pq(
+            d, q.limit(10), "vec_id", "embedding", 5).count()
+
+    run("pq_ann", lambda: pq(emb1()), lambda: pq(embN()))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

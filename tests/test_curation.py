@@ -264,3 +264,24 @@ def test_bloom_decontaminate_no_false_negatives_and_low_fp(spark):
     # clean docs share no 4-gram with the benchmark
     fp_capable = [r for r in got if not r["exact_hit"]]
     assert len(fp_capable) == 200
+
+
+def test_temperature_mix_flattens_head_sources(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        temperature_mix_sample,
+    )
+
+    rows = [(i, "head") for i in range(9000)]
+    rows += [(i + 9000, "tail") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = temperature_mix_sample(df, "doc_id", "source")
+    counts = {r["source"]: r["cnt"] for r in
+              kept.groupBy("source").agg(F.count("*").alias("cnt"))
+              .collect()}
+    # natural head share 90%; sqrt-flattened target share = 3/4.
+    # tail rate = min(1, .5*10000*sqrt(1000)/(sqrt(9000)+sqrt(1000))/1000)
+    # = 1.0 → all 1000 tail docs kept; head keeps ~3750 of 9000.
+    assert counts["tail"] == 1000
+    assert 3300 < counts["head"] < 4200
+    head_share = counts["head"] / (counts["head"] + counts["tail"])
+    assert head_share < 0.82          # flattened vs the natural 0.9
