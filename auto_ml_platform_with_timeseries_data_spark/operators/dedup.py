@@ -1061,3 +1061,139 @@ def q154_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.filter(F.col("doc_id") % 5 == 0)
     idx = fingerprint_index(corpus, "doc_id", "text")
     return incremental_dedup_status(delta, idx, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: delta batch vs the corpus LSH signature index
+# (the q154 exact-index pattern, one tier up — and, unlike production
+# MinHash (xxhash64), built on the q141 portable family so the whole
+# path is oracle-checkable end-to-end)
+# ---------------------------------------------------------------------------
+
+_INC_BAND_ROWS = 2
+_INC_THRESHOLD = 0.35
+
+
+def _portable_bands(sig: DataFrame, id_col: str, out_id: str,
+                    band_rows: int = _INC_BAND_ROWS,
+                    num_hashes: int = _MINHASH_TWIN_H) -> DataFrame:
+    """Melt a wide signature row into (id, band, k1..kr) band rows —
+    the join keys are the raw BIGINT signature values (no string
+    concatenation, so no cross-engine formatting contract)."""
+    nbands = num_hashes // band_rows
+    return sig.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                *[F.col(f"sig_{b * band_rows + r}").alias(f"k{r}")
+                  for r in range(band_rows)],
+            )
+            for b in range(nbands)
+        ])).alias("__b"),
+    ).select(out_id, "__b.*")
+
+
+def incremental_neardup_pairs(delta: DataFrame, corpus: DataFrame,
+                              id_col: str, text_col: str,
+                              threshold: float = _INC_THRESHOLD,
+                              band_rows: int = _INC_BAND_ROWS) -> DataFrame:
+    """Near-duplicate pairs between a new delta batch and the existing
+    corpus, via the corpus's STORED MinHash band index: (delta_id,
+    corpus_id, jaccard) for exact word-bigram Jaccard ≥ threshold among
+    LSH candidates.
+
+    Scale shape: the corpus contributes its band index (nbands small
+    ints per doc — persisted state in production, recomputed here);
+    the delta's bands join it on (band, k1..kr) — the standard LSH
+    shuffle, linear in data. Only candidate ids fetch gram sets for
+    the exact verify (an id-keyed semi-join — point lookups against
+    the corpus, not a rescan). With r=2 rows × 4 bands the family
+    catches J≥0.7 pairs w.p. ~0.94 and J≥0.9 w.p. ~0.999; candidates
+    below that are bonus, and the emitted set is deterministic either
+    way (candidates ∩ exact-verified), which is what the oracle
+    re-derives."""
+    sd = minhash_signatures_portable(delta, id_col, text_col)
+    sc = minhash_signatures_portable(corpus, id_col, text_col)
+    keys = ["band"] + [f"k{r}" for r in range(band_rows)]
+    cand = (
+        _portable_bands(sd, id_col, "delta_id", band_rows)
+        .join(_portable_bands(sc, id_col, "corpus_id", band_rows), keys)
+        .select("delta_id", "corpus_id").distinct()
+    )
+    gd = _grams_df(delta, id_col, text_col, 2).select(
+        F.col("__id").alias("delta_id"), F.col("__grams").alias("__ga"))
+    gc = _grams_df(corpus, id_col, text_col, 2).select(
+        F.col("__id").alias("corpus_id"), F.col("__grams").alias("__gb"))
+    return (
+        cand.join(gd, "delta_id").join(gc, "corpus_id")
+        .select(
+            "delta_id", "corpus_id",
+            F.round(jaccard(F.col("__ga"), F.col("__gb")), 6)
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _inc_neardup_oracle() -> str:
+    nbands = _MINHASH_TWIN_H // _INC_BAND_ROWS
+    sig_items = ", ".join(
+        f"list_min(list_transform(hs, h -> ({2 * i + 1} * h + {7919 * i}) "
+        f"% {_POLY_P}))"
+        for i in range(_MINHASH_TWIN_H)
+    )
+    band_rows_sql = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"s[{b * _INC_BAND_ROWS + 1}] AS k1, "
+        f"s[{b * _INC_BAND_ROWS + 2}] AS k2 FROM sig"
+        for b in range(nbands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_DUCK}, ' ') AS t FROM documents
+      WHERE len(string_split({_NORM_DUCK}, ' ')) >= 2
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t)),
+               i -> t[i] || ' ' || t[i + 1])) AS grams
+      FROM toks
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(grams, g -> {_POLY_DUCK.format(g='g')}) AS hs
+      FROM g
+    ),
+    sig AS (SELECT doc_id, [{sig_items}] AS s FROM h),
+    bands AS (
+{band_rows_sql}
+    ),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+      FROM bands d JOIN bands c
+        ON d.band = c.band AND d.k1 = c.k1 AND d.k2 = c.k2
+      WHERE d.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+    )
+    SELECT delta_id, corpus_id,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+                 (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM cand JOIN g a ON a.doc_id = cand.delta_id
+              JOIN g b ON b.doc_id = cand.corpus_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+          (len(a.grams) + len(b.grams)
+           - len(list_intersect(a.grams, b.grams))) >= {_INC_THRESHOLD}
+    """
+
+
+@query("q162_incremental_neardup", oracle=_inc_neardup_oracle())
+def q162_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup screening of the delta batch (doc_id % 5 == 0) against
+    the corpus signature index (doc_id % 5 != 0): same split contract
+    as q154, LSH-candidate + exact-Jaccard semantics, every pair
+    value-hash-checked through the portable hash family."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    return incremental_neardup_pairs(delta, corpus, "doc_id", "text")

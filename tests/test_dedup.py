@@ -145,3 +145,22 @@ def test_incremental_dedup_status_classes(spark):
     assert (got[21]["status"], got[21]["canonical_id"]) == ("novel", 21)
     assert (got[22]["status"], got[22]["canonical_id"]) == ("dup_delta", 21)
     assert (got[23]["status"], got[23]["canonical_id"]) == ("novel", 23)
+
+
+def test_incremental_neardup_finds_cross_batch_pair(spark):
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    near = base.replace("kappa", "KAPPA2")       # high-J near-dup
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different text about parquet footers "
+                        "and shuffle partitions in adaptive execution")],
+        "doc_id long, text string")
+    delta = spark.createDataFrame(
+        [(10, near), (11, "unrelated fresh content nobody saw before "
+                          "with its own vocabulary entirely")],
+        "doc_id long, text string")
+    got = dedup.incremental_neardup_pairs(delta, corpus, "doc_id", "text",
+                                          threshold=0.3).collect()
+    pairs = {(r["delta_id"], r["corpus_id"]) for r in got}
+    assert (10, 1) in pairs
+    assert all(d != 11 for d, _ in pairs)
