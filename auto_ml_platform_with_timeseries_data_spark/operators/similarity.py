@@ -1303,7 +1303,7 @@ def cosine_topk_pq(corpus: DataFrame, queries_df: DataFrame, id_col: str,
               .collect())
     if not q_rows:
         return corpus.sparkSession.createDataFrame(
-            [], f"query_id long, neighbor_id long, rank int, cosine double")
+            [], "query_id long, neighbor_id long, rank int, cosine double")
     qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)
