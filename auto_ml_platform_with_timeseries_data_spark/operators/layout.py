@@ -198,3 +198,54 @@ def q157_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.lit(bool(n_comp < n_frag)).alias("compacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed parquet manifest (skipping metadata, Iceberg-manifest style)
+# ---------------------------------------------------------------------------
+
+
+def parquet_manifest(spark: SparkSession, path: str,
+                     columns: list[str]) -> DataFrame:
+    """Per-file skipping metadata built DISTRIBUTED: the driver only
+    lists paths (metadata); each task opens its files' parquet FOOTERS
+    via pyarrow — row groups are never read — and emits (file, rows,
+    bytes, col, min, max). At 100 TB with millions of files this is how
+    query planners get pruning stats without scanning data; the
+    min/max rows here are exactly what `zorder_write` bounds per file.
+    Values surface as strings (one schema for any column type)."""
+    import glob as _glob
+    import os as _os
+
+    files = sorted(_glob.glob(_os.path.join(path, "part-*.parquet")))
+
+    def kernel(batches, cols=tuple(columns)):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = {"file": [], "rows": [], "bytes": [],
+                   "col": [], "min": [], "max": []}
+            for f in pdf["path"]:
+                md = pq.ParquetFile(f).metadata
+                for c in cols:
+                    idx = md.schema.names.index(c)
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        mins.append(st.min)
+                        maxs.append(st.max)
+                    out["file"].append(_os.path.basename(f))
+                    out["rows"].append(md.num_rows)
+                    out["bytes"].append(_os.path.getsize(f))
+                    out["col"].append(c)
+                    out["min"].append(str(min(mins)))
+                    out["max"].append(str(max(maxs)))
+            yield pd.DataFrame(out)
+
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string") \
+        .repartition(max(1, min(len(files), 32)))
+    return paths_df.mapInPandas(
+        kernel,
+        "file string, rows long, bytes long, col string, "
+        "min string, max string")

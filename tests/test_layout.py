@@ -91,3 +91,25 @@ def test_compact_parquet_bin_packs(spark, sf_dir, tmp_path):
     # content preserved exactly
     assert (spark.read.parquet(comp).exceptAll(docs).count() == 0
             and docs.exceptAll(spark.read.parquet(comp)).count() == 0)
+
+
+def test_parquet_manifest_matches_footers(spark, sf_dir, tmp_path):
+    from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+        parquet_manifest,
+        zorder_write,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("epoch_s"),
+    )
+    dest = str(tmp_path / "z")
+    zorder_write(ev, dest, "user_id", "epoch_s", nfiles=8)
+    man = parquet_manifest(spark, dest, ["user_id", "epoch_s"]).collect()
+    per_file_rows = {r["file"]: r["rows"] for r in man}
+    assert sum(per_file_rows.values()) == ev.count()
+    spans = _spans(dest, "user_id")
+    got = sorted((int(r["min"]), int(r["max"])) for r in man
+                 if r["col"] == "user_id")
+    assert got == sorted(spans)

@@ -61,6 +61,10 @@ def test_priority_queries_are_oracle_checked():
     accepts explicitly."""
     rows_only_ok = {
         "q17_minhash_dedup", "q23_simhash", "q34_ann_srp", "q36_ann_ivf",
+        # trained PQ codebooks (k-means) — same category as q36; the
+        # machinery is oracle-checked via the injected-codebook twin
+        # q160, which sits directly before it in the priority order
+        "q159_ann_pq",
         # iterative argmax training loop (the q15/q130 category); its
         # round-1 machinery is oracle-checked as q148 and the full loop
         # is pinned by a pure-Python reference test
