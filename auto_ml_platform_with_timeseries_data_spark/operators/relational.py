@@ -20,12 +20,41 @@ Scale notes (these ARE the plans we want at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from auto_ml_platform_with_timeseries_data_spark.registry import query
 from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+
+_SPLIT_M = 1_000_000
+
+
+def _split_sum(c: Column, name: str) -> list[Column]:
+    """Exact order-independent money sum on the LONG fast path: split
+    each value into (value div M, value mod M) and sum the halves
+    separately. Both partial sums stay inside BIGINT to ~10^12 rows per
+    group (lo < M bounds sum_lo by N·M; hi shrinks by M), and long
+    aggregation lives in whole-stage codegen — where a DECIMAL(>18)
+    sum boxes a BigDecimal per row and ran 4× slower (measured 1.3 s
+    vs 0.36 s on the sf0.1 fixture; see BASELINE.md q26 note). The
+    (c - lo)/M form keeps the division exact in doubles (numerator is
+    a multiple of M, both < 2^53)."""
+    lo = c % _SPLIT_M
+    hi = ((c - lo) / _SPLIT_M).cast("long")
+    return [F.sum(hi).alias(f"__{name}_hi"), F.sum(lo).alias(f"__{name}_lo")]
+
+
+def _split_money(name: str, unit_scale: int) -> Column:
+    """Recombine a split sum (post-aggregation, rows = #groups) in
+    DECIMAL — exact at any magnitude — and round to money: the value
+    is (hi·M + lo) · 10^-unit_scale."""
+    total = (F.col(f"__{name}_hi").cast("decimal(38,0)")
+             * F.lit(_SPLIT_M) + F.col(f"__{name}_lo"))
+    return (F.round(total / F.lit(10 ** unit_scale).cast("decimal(7,0)"), 2)
+            .cast("double"))
+
 
 
 @query(
@@ -46,31 +75,42 @@ from auto_ml_platform_with_timeseries_data_spark.tables import load_table
     """,
 )
 def q26_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-shaped pricing summary: one scan, 8 partial aggregates.
+    """TPC-H Q1-shaped pricing summary: one scan, partial aggregates.
 
-    Price sums go through exact DECIMAL accumulation (then cast back to
-    double) so the result is independent of partition/accumulation order
-    — required for bit-identical distributed runs AND oracle parity.
+    Money columns are exact 2-dp values (the TPC-H money contract), so
+    each row converts to integer CENTS once — price·(1-disc) is then an
+    exact integer in 10^-4 units, ·(1+tax) in 10^-6 units — and every
+    sum runs as split long pairs (`_split_sum`): order-independent
+    exact accumulation like the previous DECIMAL formulation, but on
+    the codegen long path instead of per-row boxed BigDecimals (4×
+    faster measured). Recombination to DECIMAL happens on the four
+    output rows only. Results are bit-identical to the DECIMAL oracle.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # narrow decimals so the triple product stays exact ((12,4)×(8,4)×(8,4)
-    # → scale 12, precision ≤30 — inside DECIMAL(38) in both engines; wider
-    # inputs would trigger Spark's precision-loss rounding and diverge)
-    price_d = F.col("l_extendedprice").cast("decimal(12,4)")
-    disc_d = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
-    tax_d = (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc100 = F.round((F.lit(1) - F.col("l_discount")) * 100).cast("long")
+    tax100 = F.round((F.lit(1) + F.col("l_tax")) * 100).cast("long")
+    qty100 = F.round(F.col("l_quantity") * 100).cast("long")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(12,4)")), 2).cast("double").alias("sum_qty"),
-            F.round(F.sum(price_d), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(price_d * disc_d), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(price_d * disc_d * tax_d), 2).cast("double").alias("sum_charge"),
+            *_split_sum(qty100, "qty"),
+            *_split_sum(cents, "price"),
+            *_split_sum(cents * disc100, "disc"),
+            *_split_sum(cents * disc100 * tax100, "charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            _split_money("qty", 2).alias("sum_qty"),
+            _split_money("price", 2).alias("sum_base_price"),
+            _split_money("disc", 4).alias("sum_disc_price"),
+            _split_money("charge", 6).alias("sum_charge"),
+            "avg_qty", "avg_price", "avg_disc", "count_order",
         )
     )
 
