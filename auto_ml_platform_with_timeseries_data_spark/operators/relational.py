@@ -151,12 +151,17 @@ def q27_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(
-                F.col("l_extendedprice").cast("decimal(12,4)")
-                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
-            ), 2).cast("double").alias("revenue"),
+            # split-long exact money sum (see _split_sum): same values
+            # as the DECIMAL oracle, but on the codegen long path
+            *_split_sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * F.round((F.lit(1) - F.col("l_discount")) * 100)
+                .cast("long"),
+                "rev"),
             F.count(F.lit(1)).alias("n_items"),
         )
+        .select("n_name", _split_money("rev", 4).alias("revenue"),
+                "n_items")
     )
 
 
