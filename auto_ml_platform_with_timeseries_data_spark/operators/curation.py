@@ -964,3 +964,102 @@ def q161_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-by-row against the oracle's identical arithmetic."""
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mix_sample(docs, "doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# q163 — token-budget corpus head (distributed prefix-sum cutoff)
+# ---------------------------------------------------------------------------
+
+
+def token_budget_head(df: DataFrame, id_col: str, text_col: str,
+                      budget_tokens: int) -> DataFrame:
+    """Cut a corpus at an exact global token budget: order documents by
+    the deterministic uniform hash (a reproducible shuffle), keep each
+    document iff its INCLUSIVE cumulative token count still fits the
+    budget. This is the op that turns "the crawl" into "an N-token
+    training set" — membership must be exact and stable across reruns,
+    which rand()-based sampling cannot give. (The reference has no
+    counterpart; extension scope per SURVEY §0.)
+
+    The global cumulative sum reuses the q128 two-pass prefix-sum shape
+    (operators/relational.py:765) — NOT a single-task global window:
+    (1) range-partition on (hash, id) so partition p holds a contiguous
+    span of the shuffled order; (2) per-partition running sums execute
+    in parallel under a window PARTITIONED by the range-partition id;
+    (3) per-partition token totals (P rows — bounded model-size state)
+    become exact broadcast prefix offsets. Partitions whose offset
+    already exceeds the budget are dropped BEFORE the sort/window runs,
+    so the per-partition work is proportional to the budget, not the
+    corpus: at 100 TB with a 1% budget, 99% of partitions exit at the
+    offset filter. Token counts are BIGINTs end to end — the cutoff is
+    bit-exact on both engines."""
+    base = df.select(
+        F.col(id_col),
+        F.size(tokens(normalize_text(text_col))).alias("n_tokens"),
+        hash_u32(id_col).alias("__pri"),
+    )
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    # One materialization feeds both the totals pass and the final pass:
+    # spark_partition_id is only meaningful relative to a single
+    # exchange (same contract as q128).
+    ranged = (
+        base.repartitionByRange(nparts, F.asc("__pri"), F.asc(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = (ranged.groupBy("__pid")
+              .agg(F.sum("n_tokens").alias("__t")).collect())
+    by_pid = {row["__pid"]: row["__t"] for row in totals}
+    offsets, acc = [], 0
+    for pid in sorted(by_pid):
+        offsets.append((pid, acc))
+        acc += by_pid[pid]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __off bigint")
+    wcum = (Window.partitionBy("__pid")
+            .orderBy(F.asc("__pri"), F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ranged.join(F.broadcast(off_df), "__pid")
+        # partition-granular pruning: a partition starting past the
+        # budget cannot contribute any row — skip its window entirely
+        .filter(F.col("__off") < F.lit(budget_tokens))
+        .select(
+            id_col,
+            "n_tokens",
+            (F.sum("n_tokens").over(wcum) + F.col("__off"))
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+_TB_BUDGET = 10000
+_TB_TOKS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+@query(
+    "q163_token_budget_head",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TB_TOKS}) AS n_tokens,
+             {_hash_u32_sql('doc_id')} AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY pri, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= {_TB_BUDGET}
+    """,
+)
+def q163_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10k-token training-set head over the shuffled-by-hash corpus;
+    the oracle re-runs the identical arithmetic through one SQL window
+    (correct at fixture scale) while the engine uses the two-pass
+    distributed prefix sum (correct at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_head(docs, "doc_id", "text", _TB_BUDGET)

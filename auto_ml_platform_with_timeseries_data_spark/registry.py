@@ -107,7 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "q153_sharded_export", "q154_incremental_dedup", "q155_zorder_keys",
     "q156_quantile_sketch", "q157_compaction", "q158_bloom_decontaminate",
     "q160_pq_fixed_codebook", "q159_ann_pq", "q161_temperature_mix",
-    "q162_incremental_neardup",
+    "q162_incremental_neardup", "q163_token_budget_head",
     "q53_stateful_user_stats", "q79_stream_sessions",
     "q92_stream_stream_join",
     "q45_rolling_stats", "q85_cluster_retention",

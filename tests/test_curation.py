@@ -285,3 +285,62 @@ def test_temperature_mix_flattens_head_sources(spark):
     assert 3300 < counts["head"] < 4200
     head_share = counts["head"] / (counts["head"] + counts["tail"])
     assert head_share < 0.82          # flattened vs the natural 0.9
+
+
+# ---------------------------------------------------------------------------
+# q163 token-budget head
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_head_inclusive_cutoff(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        token_budget_head,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["tok"] * (5 + i))) for i in range(40)]
+    )
+    out = token_budget_head(df, "doc_id", "text", 300).toPandas()
+    # independent recomputation: hash order, inclusive running sum
+    rows = sorted(
+        ((i % 1000003) * 2654435761 % _M32, i, 5 + i) for i in range(40)
+    )
+    want, acc = [], 0
+    for _pri, i, n in rows:
+        acc += n
+        if acc > 300:
+            break
+        want.append((i, n, acc))
+    got = sorted(zip(out.doc_id, out.n_tokens, out.cum_tokens))
+    assert [tuple(map(int, g)) for g in got] == sorted(want)
+    assert 0 < len(want) < 40  # the budget actually cut the corpus
+
+
+def test_token_budget_head_no_global_window(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        token_budget_head,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="a b c") for i in range(100)])
+    plan = explain.formatted_plan(token_budget_head(df, "doc_id", "text", 50))
+    # the running sum must execute under a PARTITIONED window — a global
+    # single-task cumulative window would print an empty partition spec
+    assert "Window" in plan
+    assert "windowspecdefinition(cum_tokens" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            spec = line.split("windowspecdefinition(", 1)[1]
+            assert spec.split(",")[0].strip().startswith("__pid")
+
+
+def test_token_budget_head_empty_input(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        token_budget_head,
+    )
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = token_budget_head(df, "doc_id", "text", 100)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "cum_tokens"]
