@@ -219,6 +219,16 @@ def main() -> int:
 
     run("pq_ann", lambda: pq(emb1()), lambda: pq(embN()))
 
+    # token-budget head: FIXED budget at both sizes — the docstring's
+    # claim is that work tracks the budget, not the corpus, so the 10x
+    # run should stay near-flat (the scan+count pass still grows, but
+    # the sort/window work is pruned to the budget-prefix partitions)
+    def tbh(d):
+        return curation.token_budget_head(
+            d, "doc_id", "text", 10_000).count()
+
+    run("token_budget_head", lambda: tbh(docs1()), lambda: tbh(docsN()))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0
