@@ -76,3 +76,20 @@ def test_priority_queries_are_oracle_checked():
         if k not in oracles and k not in rows_only_ok
     ]
     assert missing == [], missing
+
+
+def test_driver_budget_prefix_is_oracle_backed():
+    """The driver's per-round correctness budget is ~50 queries taken in
+    queries() order. Round 4 spends that budget on never-driver-checked
+    oracle-backed queries (VERDICT.md round 3, Next-round #1): every one
+    of the first 50 slots must carry a DuckDB oracle — a rows-only query
+    in the prefix would burn a slot on a weaker check — and the three
+    batch-equivalent streaming oracles close the prefix (most expensive
+    last, so a time-capped sweep drops them before batch rows)."""
+    names = list(registry.queries())
+    oracles = registry.oracles()
+    not_oracle_backed = [n for n in names[:50] if n not in oracles]
+    assert not_oracle_backed == []
+    assert names[47:50] == [
+        "q39_stream_window_counts", "q52_stream_dedup",
+        "q58_stream_static_join"]
