@@ -575,7 +575,11 @@ def chi_square_independence(df: DataFrame, a_col: str,
     "q135_chisq_independence",
     oracle="""
     WITH c AS (
-      SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+      -- complete-case: NULL categories are dropped BEFORE aggregation,
+      -- matching chi_square_independence's filter (a NULL cell would
+      -- feed chi2/n while count(DISTINCT) excludes it from dof)
+      SELECT lang, source, count(*) AS n FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
     ),
     m AS (
       SELECT n,
@@ -915,19 +919,31 @@ def temperature_mix_sample(df: DataFrame, id_col: str, source_col: str,
     rates (broadcast back), then a map-only filter — no corpus shuffle.
     α is fixed at 0.5 here so the power is sqrt(), which IEEE rounds
     identically in every engine (general pow() is not correctly-rounded
-    and could flip a threshold by one ulp)."""
+    and could flip a threshold by one ulp).
+
+    The temperature weights themselves are INTEGER-scaled before any
+    sum: sq_i = floor(sqrt(n_i)·2²⁰) (sqrt correctly rounded, ·2²⁰
+    exact, floor deterministic), so Σ sq_i is an exact BIGINT sum with
+    NO accumulation-order sensitivity — a float Σ sqrt(n_i) could
+    differ by an ulp between engines/partitionings and flip
+    floor(r·2³²) for a doc whose hash sits exactly on the threshold.
+    The rate is then ONE fixed left-associated double expression over
+    exact integers, written identically on both engines."""
     assert alpha == 0.5, "portable contract pins alpha=0.5 (see docstring)"
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = (df.groupBy(source_col)
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .withColumn("__sq", F.floor(F.sqrt("__n") * F.lit(1048576.0))
+                          .cast("long")))
     # whole-frame window over the per-source counts — a handful of rows,
-    # already aggregated, so the single-task window is free; it also
-    # mirrors the oracle's sum(...) OVER () summation exactly
+    # already aggregated, so the single-task window is free; both sums
+    # are over BIGINTs, hence exact regardless of evaluation order
     wall = Window.partitionBy()
     rates = counts.select(
         source_col,
         F.floor(F.least(
             F.lit(1.0),
-            F.lit(budget_frac) * F.sum("__n").over(wall) * F.sqrt("__n")
-            / F.sum(F.sqrt("__n")).over(wall) / F.col("__n"),
+            F.lit(budget_frac) * F.sum("__n").over(wall) * F.col("__sq")
+            / F.sum("__sq").over(wall) / F.col("__n"),
         ) * F.lit(_M32)).cast("long").alias("__th"),
     )
     return (
@@ -941,15 +957,21 @@ def temperature_mix_sample(df: DataFrame, id_col: str, source_col: str,
     "q161_temperature_mix",
     oracle=f"""
     WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    q AS (
+      -- integer-scaled temperature weight: floor(sqrt(n)*2^20) — the
+      -- band sum below is then an exact integer, order-independent
+      SELECT source, n, CAST(floor(sqrt(n) * 1048576.0) AS BIGINT) AS sq
+      FROM c
+    ),
     s AS (
       -- NB: aliases must not collide case-insensitively with column n
-      SELECT source, n, sum(sqrt(n)) OVER () AS sqsum,
+      SELECT source, n, sq, sum(sq) OVER () AS sqsum,
              sum(n) OVER () AS tot
-      FROM c
+      FROM q
     ),
     r AS (
       SELECT source,
-             CAST(floor(LEAST(1.0, 0.5 * tot * sqrt(n) / sqsum / n)
+             CAST(floor(LEAST(1.0, 0.5 * tot * sq / sqsum / n)
                         * {_M32}) AS BIGINT) AS th
       FROM s
     )

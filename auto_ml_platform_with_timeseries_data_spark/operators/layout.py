@@ -182,11 +182,12 @@ def q157_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-identical, via the oracle-checked per-lang aggregate."""
     import glob
     import os
-    import tempfile
+
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    frag = tempfile.mkdtemp(prefix="sparkgraft_frag_")
-    comp = tempfile.mkdtemp(prefix="sparkgraft_comp_")
+    frag = staging_dir("frag")
+    comp = staging_dir("comp")
     (docs.write.mode("overwrite").option("maxRecordsPerFile", 20)
      .parquet(frag))
     compact_parquet(spark, frag, comp, target_bytes=256 * 1024)

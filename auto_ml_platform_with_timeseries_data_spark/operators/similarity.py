@@ -1313,9 +1313,10 @@ def cosine_topk_pq(corpus: DataFrame, queries_df: DataFrame, id_col: str,
                     qm.reshape(len(qm), nsub, subdim), codebooks)
     n_keep = refine * k
 
-    def adc_kernel(batches, L=lut, Q=qids, keep=n_keep):
+    def adc_kernel(batches, L=lut, Q=qids, keep=n_keep, rt=round_to):
         import pandas as pd
 
+        grid = 10.0 ** (-rt)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -1327,13 +1328,26 @@ def cosine_topk_pq(corpus: DataFrame, queries_df: DataFrame, id_col: str,
             for qi in range(len(Q)):
                 s = scores[:, qi]
                 mask = ids != Q[qi]
-                order = np.argsort(-s[mask])[:keep]
-                sel_ids = ids[mask][order]
+                sm, im = s[mask], ids[mask]
+                # The global candidate window ranks by (round(approx, rt)
+                # DESC, neighbor_id ASC); the batch pre-top must use the
+                # SAME key or a candidate tying at rt decimals at the
+                # keep boundary could be dropped here yet kept by the
+                # deterministic global ranking. Sort by the rounded key,
+                # then keep every row within one 10^-rt grid step of the
+                # cutoff: that also absorbs the half-even (np.round) vs
+                # half-up (F.round) disagreement at exact midpoints, so
+                # the pre-top stays a pure optimization.
+                r = np.round(sm, rt)
+                order = np.lexsort((im, -r))
+                if len(order) > keep:
+                    cutoff = r[order[keep - 1]]
+                    order = order[r[order] >= cutoff - grid]
                 yield pd.DataFrame({
-                    "query_id": np.full(len(sel_ids), Q[qi],
+                    "query_id": np.full(len(order), Q[qi],
                                         dtype=np.int64),
-                    "neighbor_id": sel_ids,
-                    "approx": s[mask][order],
+                    "neighbor_id": im[order],
+                    "approx": sm[order],
                 })
 
     codes_df = pq_encode(corpus, id_col, vec_col, codebooks) \

@@ -242,10 +242,10 @@ def q56_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition, JSON-escaped text survives embedded newlines/quotes) →
     read back with an EXPLICIT schema (no inference pass over 100 TB)
     → aggregate; the result must equal aggregating the original table."""
-    import tempfile
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix="sparkgraft_jsonl_")
+    stage = staging_dir("jsonl")
     docs.write.mode("overwrite").json(stage)
     back = spark.read.schema(docs.schema).json(stage)
     return back.groupBy("lang").agg(
@@ -271,11 +271,10 @@ def q146_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the parquet. Excel is a driver-side ingest format by
     construction (the BIFF grid caps at 65,536×256), so the roundtrip
     is deliberately small; bulk data takes CSV/parquet/JSONL."""
-    import tempfile
-
     from auto_ml_platform_with_timeseries_data_spark.sources.xls import (
         write_xls_minimal,
     )
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
 
     docs = load_table(spark, sf_dir, "documents")
     rows = (
@@ -284,7 +283,7 @@ def q146_xls_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_chars").cast("double") / 100).alias("score"))
         .orderBy("doc_id").collect()  # 50 rows — driver-small by contract
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="sparkgraft_xls_"), "t.xls")
+    path = os.path.join(staging_dir("xls"), "t.xls")
     write_xls_minimal(
         [["doc_id", "lang", "n_chars", "score"]]
         + [[r["doc_id"], r["lang"], r["n_chars"], r["score"]] for r in rows],
@@ -334,10 +333,10 @@ def q80_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     per (task, lang) here — at scale you'd repartition("lang") first so
     each partition is written by one task (avoids the small-files
     explosion of tasks × partitions)."""
-    import tempfile
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    stage = tempfile.mkdtemp(prefix="sparkgraft_part_")
+    stage = staging_dir("part")
     (docs.repartition("lang").write.mode("overwrite")
      .partitionBy("lang").parquet(stage))
     back = spark.read.parquet(stage).filter(F.col("lang") == "en")
@@ -369,14 +368,14 @@ def q151_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     file-level parallelism (a quoted newline spans records, so Spark
     cannot split the file blindly) — the reason parquet/JSONL are the
     bulk formats and CSV is an ingest-edge format here."""
-    import tempfile
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.lit('pre "q", \n'), "text", F.lit("\npost")).alias("text"),
         "lang", "n_chars",
     )
-    stage = tempfile.mkdtemp(prefix="sparkgraft_csv_")
+    stage = staging_dir("csv")
     (docs.write.mode("overwrite")
      .option("header", True).option("quoteAll", True)
      .option("escape", '"')
@@ -423,10 +422,10 @@ def q153_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate must equal the source, and `caps_ok` asserts (via
     input_file_name counting) that NO shard exceeded the cap — the
     property a resume-granular training loader depends on."""
-    import tempfile
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    dest = tempfile.mkdtemp(prefix="sparkgraft_shards_")
+    dest = staging_dir("shards")
     export_jsonl_shards(docs, dest, max_records_per_file=100)
     back = spark.read.schema(docs.schema).json(dest)
     per_file_max = (

@@ -112,10 +112,12 @@ def _staged_plain(spark: SparkSession, sf_dir: str) -> str:
     """events as 4 unordered parquet files (windowed-agg inputs)."""
     key = ("plain4", sf_dir)
     if key not in _STAGE_CACHE:
-        import tempfile
+        from auto_ml_platform_with_timeseries_data_spark.staging import (
+            staging_dir,
+        )
 
         ev = load_table(spark, sf_dir, "events")
-        d = tempfile.mkdtemp(prefix="sparkgraft_stream_")
+        d = staging_dir("stream_plain", fresh=True)
         ev.repartition(4).write.mode("overwrite").parquet(d)
         _STAGE_CACHE[key] = d
     return _STAGE_CACHE[key]
@@ -128,15 +130,18 @@ def _staged_time_sliced(spark: SparkSession, sf_dir: str,
     every event doubled (at-least-once delivery simulation)."""
     key = ("sliced4_doubled" if doubled else "sliced4", sf_dir)
     if key not in _STAGE_CACHE:
-        import tempfile
         import time as _time
 
         from pyspark.sql.window import Window
 
+        from auto_ml_platform_with_timeseries_data_spark.staging import (
+            staging_dir,
+        )
+
         ev = load_table(spark, sf_dir, "events")
         if doubled:
             ev = ev.unionAll(ev)
-        d = tempfile.mkdtemp(prefix="sparkgraft_slicestream_")
+        d = staging_dir("stream_sliced", fresh=True)
         sliced = ev.withColumn("__slice", F.ntile(4).over(Window.orderBy("ts")))
         for i in range(1, 5):
             (sliced.filter(F.col("__slice") == i).drop("__slice")
@@ -503,12 +508,13 @@ def q149_stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
     epoch=N parquet directory by foreachBatch, the landed dataset read
     back and aggregated — the result must equal aggregating the source
     directly (no lost or duplicated rows across epochs)."""
-    import tempfile
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
 
     ev = load_table(spark, sf_dir, "events")
     stage_dir = _staged_plain(spark, sf_dir)
-    dest = tempfile.mkdtemp(prefix="sparkgraft_sink_")
-    ckpt = tempfile.mkdtemp(prefix="sparkgraft_ckpt_")
+    # stable tags: the pre-wipe doubles as the fresh-checkpoint contract
+    dest = staging_dir("sink_dest")
+    ckpt = staging_dir("sink_ckpt")
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)

@@ -242,6 +242,54 @@ def test_chi_square_counts_zero_observed_cells(spark):
     assert r["dof"] == 1 and r["n"] == 20
 
 
+def test_chi_square_null_categories_complete_case(spark):
+    """NULL categories are dropped before aggregation (complete-case):
+    the planted 2×2 with chi2=20 keeps chi2=20/dof=1/n=80 after NULL
+    rows are mixed in, and DuckDB running the q135 oracle's WHERE
+    convention on the same rows agrees — the engine and oracle
+    implement the SAME population."""
+    import duckdb
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        chi_square_independence,
+    )
+
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 30
+            + [(None, "x")] * 7 + [("a", None)] * 5 + [(None, None)] * 3)
+    df = spark.createDataFrame(rows, "l string, s string")
+    r = chi_square_independence(df, "l", "s").first()
+    assert r["dof"] == 1 and r["n"] == 80
+    assert abs(r["chi2"] - 20.0) < 1e-6
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (l VARCHAR, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    o = con.execute("""
+        WITH c AS (
+          SELECT l, s, count(*) AS n FROM t
+          WHERE l IS NOT NULL AND s IS NOT NULL GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT n, sum(n) OVER (PARTITION BY l) AS ra,
+                 sum(n) OVER (PARTITION BY s) AS cb,
+                 sum(n) OVER () AS tot, l, s
+          FROM c
+        )
+        SELECT floor((sum((n - CAST(ra AS DOUBLE) * cb / tot)
+                          * (n - CAST(ra AS DOUBLE) * cb / tot)
+                          / (CAST(ra AS DOUBLE) * cb / tot))
+                      + max(tot)
+                      - sum(CAST(ra AS DOUBLE) * cb / tot)) * 1e6 + 0.5)
+               / 1e6 AS chi2,
+               (count(DISTINCT l) - 1) * (count(DISTINCT s) - 1) AS dof,
+               max(tot) AS n
+        FROM m
+    """).fetchone()
+    assert (float(o[0]), int(o[1]), int(o[2])) == \
+        (r["chi2"], r["dof"], r["n"])
+
+
 def test_bloom_decontaminate_no_false_negatives_and_low_fp(spark):
     from pyspark.sql import functions as F
 
