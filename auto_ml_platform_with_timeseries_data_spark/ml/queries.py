@@ -104,3 +104,207 @@ def q133_ts_lstm_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_key", "n_train", "n_test",
         F.round("test_rmse", 3).alias("test_rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q164 — portable EXACT twin of the per-group ridge kernel (M5)
+# ---------------------------------------------------------------------------
+#
+# q47 runs the production applyInPandas ridge kernel (numpy
+# normal-equations solve) and is rows-only. This twin applies the
+# q141-q144 pattern to the ML tier: the same query shape — per-group
+# (ts, event_id)-ordered lag windows, floor(n·0.8) ordered split,
+# alpha=1.0 ridge with unpenalized intercept, held-out-tail RMSE — for
+# look_back=1, where the normal equations collapse to closed form:
+#
+#   b = (n·Sxy − Sx·Sy) / (n·(Sxx+α) − Sx²),   c = (Sy − Sx·b) / n
+#
+# Exactness contract (the reason this is oracle-checkable while q47 is
+# not): values are quantized to integers up front (floor(value·1e4) —
+# one deterministic double op), so every aggregate the coefficients
+# are built from (Sx, Sy, Sxx, Sxy, and the test sum of quantized
+# squared residuals) is an exact BIGINT sum with NO accumulation-order
+# sensitivity; b, c, rmse are then ONE fixed double expression over
+# those exact integers, written token-identically in Spark and DuckDB.
+# Overflow audit: |v|≤5.6e6 scaled ⇒ v² ≤ 3.2e13; 1e5 rows/group keeps
+# every sum under 3.2e18 < 2^63−1 (DuckDB would raise, Spark non-ANSI
+# would wrap — neither happens).
+
+_RS = "10000.0"          # value scale (1e4)
+_RS2 = "100000000.0"     # squared scale (1e8)
+
+_RIDGE_TWIN_ORACLE = f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * {_RS}) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    samp AS (
+      SELECT user_id,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             v,
+             lead(v, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS yv
+      FROM base
+    ),
+    s2 AS (
+      SELECT user_id, rn, v, yv,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM samp WHERE yv IS NOT NULL
+    ),
+    sp AS (
+      SELECT user_id, rn, v, yv,
+             CAST(floor(n * 0.8) AS BIGINT) AS sp_at
+      FROM s2
+    ),
+    tr AS (
+      SELECT user_id, count(*) AS n_train,
+             CAST(sum(v) AS BIGINT) AS sx,
+             CAST(sum(yv) AS BIGINT) AS sy,
+             CAST(sum(v * v) AS BIGINT) AS sxx,
+             CAST(sum(v * yv) AS BIGINT) AS sxy
+      FROM sp WHERE rn <= sp_at GROUP BY user_id
+    ),
+    cf AS (
+      SELECT user_id, n_train, sx, sy,
+             (n_train * (sxy / {_RS2}) - (sx / {_RS}) * (sy / {_RS}))
+             / (n_train * (sxx / {_RS2} + 1.0)
+                - (sx / {_RS}) * (sx / {_RS})) AS b
+      FROM tr
+    ),
+    cf2 AS (
+      SELECT user_id, n_train, b,
+             ((sy / {_RS}) - (sx / {_RS}) * b) / n_train AS c0
+      FROM cf
+    ),
+    te AS (
+      SELECT s.user_id, c.n_train, c.b, c.c0, count(*) AS n_test,
+             CAST(sum(CAST(floor(
+               (c.b * (s.v / {_RS}) + c.c0 - (s.yv / {_RS}))
+               * (c.b * (s.v / {_RS}) + c.c0 - (s.yv / {_RS}))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS sr
+      FROM sp s JOIN cf2 c ON s.user_id = c.user_id
+      WHERE s.rn > s.sp_at
+      GROUP BY s.user_id, c.n_train, c.b, c.c0
+    )
+    SELECT user_id AS group_key, n_train, n_test,
+           sqrt(sr / 1000000.0 / n_test) AS test_rmse,
+           b AS coef_0, c0 AS intercept
+    FROM te
+"""
+
+
+@query("q164_ridge_exact_twin", oracle=_RIDGE_TWIN_ORACLE)
+def q164_ridge_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked twin of the per-group TS ridge (M5; the intended
+    semantics of the reference's dead TS branch,
+    auto_machine_learning.py:100-107): look_back=1 closed-form ridge,
+    built ENTIRELY from JVM expressions — quantize, one window pass for
+    (rn, lead), exact-integer train aggregates, broadcast-join the
+    per-group coefficients back onto the held-out tail. The plan is
+    the 100 TB shape: one shuffle on the group key feeds the window,
+    the split filter, and the final aggregate; coefficient state is
+    one row per group."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    samp = (
+        ev.select("user_id", "ts", "event_id",
+                  F.floor(F.col("value") * F.lit(10000.0)).cast("long")
+                  .alias("v"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("yv", F.lead("v", 1).over(w))
+        .filter(F.col("yv").isNotNull())
+    )
+    sp = samp.withColumn(
+        "sp_at",
+        F.floor(F.count(F.lit(1)).over(wp) * F.lit(0.8)).cast("long"))
+    tr = (
+        sp.filter(F.col("rn") <= F.col("sp_at"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_train"),
+             F.sum("v").alias("sx"), F.sum("yv").alias("sy"),
+             F.sum(F.col("v") * F.col("v")).alias("sxx"),
+             F.sum(F.col("v") * F.col("yv")).alias("sxy"))
+    )
+    rs, rs2 = F.lit(10000.0), F.lit(100000000.0)
+    b = (
+        (F.col("n_train") * (F.col("sxy") / rs2)
+         - (F.col("sx") / rs) * (F.col("sy") / rs))
+        / (F.col("n_train") * (F.col("sxx") / rs2 + F.lit(1.0))
+           - (F.col("sx") / rs) * (F.col("sx") / rs))
+    )
+    cf = tr.select("user_id", "n_train", "sx", "sy", b.alias("b"))
+    c0 = ((F.col("sy") / rs) - (F.col("sx") / rs) * F.col("b")) \
+        / F.col("n_train")
+    cf2 = cf.select("user_id", "n_train", "b", c0.alias("c0"))
+    resid = (F.col("b") * (F.col("v") / rs) + F.col("c0")
+             - (F.col("yv") / rs))
+    te = (
+        sp.filter(F.col("rn") > F.col("sp_at"))
+        .join(F.broadcast(cf2), "user_id")
+        .groupBy("user_id", "n_train", "b", "c0")
+        .agg(F.count(F.lit(1)).alias("n_test"),
+             F.sum(F.floor(resid * resid * F.lit(1000000.0)).cast("long"))
+             .alias("sr"))
+    )
+    return te.select(
+        F.col("user_id").alias("group_key"), "n_train", "n_test",
+        F.sqrt(F.col("sr") / F.lit(1000000.0) / F.col("n_test"))
+        .alias("test_rmse"),
+        F.col("b").alias("coef_0"), F.col("c0").alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q166 — CV model selection witnessed on a planted optimum (M1/A12)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q166_cv_planted_optimum",
+    oracle="""
+    SELECT 'linear' AS family, 'regParam=0.0' AS best_params,
+           CAST(0.0 AS DOUBLE) AS cv_rmse
+    """,
+)
+def q166_cv_planted_optimum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable witness for the reference's core AutoML "query"
+    — argmax over a CV grid (auto_machine_learning.py:29-36, M1/A12):
+    a noiseless linear fixture y = 2·x1 − 3·x2 + 1 plants the optimum
+    at (linear, regParam=0.0). That grid point attains CV RMSE ≈ 1e-13
+    on EVERY fold split, regParam=0.5 shrinks coefficients on noiseless
+    data (RMSE ≫ 0), and a depth-capped tree cannot memorize 100
+    distinct (x1, x2) cells with 32 leaves — so the full CrossValidator
+    machinery (fold assignment, per-grid-point fits, argmax, refit)
+    must land on the planted point no matter the host, partitioning, or
+    fold seed, and the emitted (family, params, 4-decimal metric) row
+    is a CONSTANT the oracle states outright. Full-scale CV internals
+    stay rows-only in q15 by design; this pins their selection
+    semantics under the driver's value hash."""
+    rows = [
+        (float(i % 10), float((i // 10) % 10),
+         2.0 * (i % 10) - 3.0 * ((i // 10) % 10) + 1.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    lr = LinearRegression(featuresCol="features", labelCol="__label")
+    dt = DecisionTreeRegressor(featuresCol="features", labelCol="__label",
+                               seed=SEED)
+    families = {
+        "linear": (lr, ParamGridBuilder()
+                   .addGrid(lr.regParam, [0.0, 0.5]).build()),
+        "decision_tree": (dt, ParamGridBuilder()
+                          .addGrid(dt.maxDepth, [5]).build()),
+    }
+    result = automl(df, ["x1", "x2"], "y", mode="regression",
+                    families=families, num_folds=3, parallelism=4)
+    best = result.best
+    params = ",".join(f"{k}={v}" for k, v in sorted(best.best_params.items()))
+    return spark.createDataFrame(
+        [(best.family, params, round(best.cv_metric, 4))],
+        "family string, best_params string, cv_rmse double",
+    )

@@ -1063,6 +1063,64 @@ def q154_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup_status(delta, idx, "doc_id", "text")
 
 
+def update_fingerprint_index(index: DataFrame, delta: DataFrame,
+                             id_col: str, text_col: str) -> DataFrame:
+    """Index MAINTENANCE — the append-back half of the incremental
+    pipeline that q154 consumes: merge the delta batch's NOVEL
+    fingerprints into the corpus index, keeping the existing canonical
+    for any fingerprint already indexed (dedup-on-merge; the q83
+    merge/upsert pattern applied to dedup state). Without this step the
+    index silently goes stale after the first batch — the daily
+    operational loop at 100 TB is exactly
+    ``index = update_fingerprint_index(index, todays_crawl)``.
+
+    Scale shape: the delta is fingerprinted and reduced to one row per
+    distinct fingerprint (delta-sized), then LEFT ANTI joins the index
+    on the 32-byte fingerprint — work is linear in the DELTA, never a
+    corpus rescan; the union is a metadata-only plan concat. Canonical
+    ids never change once assigned (min corpus id wins forever), so
+    downstream dup_corpus labels are stable across batches."""
+    delta_idx = fingerprint_index(delta, id_col, text_col)
+    novel = delta_idx.join(index.select("fingerprint"), "fingerprint",
+                           "left_anti")
+    return index.unionByName(novel)
+
+
+_INDEX_UPDATE_DUCK = f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM_DUCK}) AS fp FROM documents
+    ),
+    idx AS (
+      SELECT fp, min(doc_id) AS canonical_id
+      FROM fp WHERE doc_id % 5 != 0 GROUP BY fp
+    ),
+    didx AS (
+      SELECT fp, min(doc_id) AS canonical_id
+      FROM fp WHERE doc_id % 5 = 0 GROUP BY fp
+    )
+    SELECT fp AS fingerprint, CAST(canonical_id AS BIGINT) AS canonical_id
+    FROM idx
+    UNION ALL
+    SELECT d.fp AS fingerprint, CAST(d.canonical_id AS BIGINT) AS canonical_id
+    FROM didx d
+    WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = d.fp)
+"""
+
+
+@query("q165_index_update", oracle=_INDEX_UPDATE_DUCK)
+def q165_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll the q154 corpus index forward by one batch: same split
+    contract (corpus = doc_id % 5 != 0, delta = doc_id % 5 == 0); the
+    result is the UPDATED index — every corpus fingerprint with its
+    original canonical, plus one row per novel delta fingerprint
+    canonicalized to its min delta id."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    delta = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = fingerprint_index(corpus, "doc_id", "text")
+    return update_fingerprint_index(idx, delta, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Incremental NEAR-dup: delta batch vs the corpus LSH signature index
 # (the q154 exact-index pattern, one tier up — and, unlike production

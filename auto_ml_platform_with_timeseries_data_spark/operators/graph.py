@@ -19,14 +19,21 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     (1−d)/N + d·Σ_in rank_k(u)/outdeg(u). Each iteration is one
     join + aggregate (the canonical iterative-algorithm shape on Spark:
     edges persist once, ranks are a small per-node frame that re-joins
-    per round, exactly like connected components). Ranks are pinned to
-    9 decimals with floor(x·1e9)/1e9 after every step, which bounds
-    divergence between runs to the last digit and keeps the arithmetic
-    re-expressible in portable SQL. (The pin does NOT make the sum
-    order-independent: F.sum over doubles can still differ by an ulp
-    across partitionings, and a sum landing exactly on a 1e-9 boundary
-    can flip that digit — full order-independence would need DECIMAL
-    accumulation as in group_ols/tumbling_window_agg.)"""
+    per round, exactly like connected components).
+
+    Arithmetic is EXACT INTEGER end to end: ranks are BIGINTs scaled by
+    1e9, per-edge contributions are integer division r div outdeg, the
+    damping multiply is (d100·Σ) div 100 with d100 = round(100·d), and
+    the teleport term is a per-graph integer constant. Integer sums are
+    order-independent, so the result is bit-identical across runs,
+    partitionings, and cluster sizes (a float accumulator could drift
+    by an ulp per round at 1000 executors) — and the whole recurrence
+    is re-expressible in portable SQL, which is what makes q130
+    value-hash oracle-checkable via 5 unrolled damped-iteration CTEs.
+    The floor in each div loses < 1e-9 of mass per node per round —
+    bounded, deterministic, and identical on every engine."""
+    d100 = int(round(damping * 100))
+    scale = 1_000_000_000
     # Right-size the iteration frames: persisted DataFrames keep their
     # partitioning across rounds (AQE only re-plans shuffles), and every
     # round touches each partition of each frame — 32 near-empty
@@ -41,9 +48,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              .unionAll(e.select(F.col("v").alias("node")))
              .distinct().repartition(n_part, "node").persist())
     n_nodes = nodes.count()
-    base = (1.0 - damping) / n_nodes
-    pin = lambda c: F.floor(c * 1e9) / 1e9  # noqa: E731
-    ranks = nodes.select("node", pin(F.lit(1.0 / n_nodes)).alias("rank"))
+    # driver-side integer constants (n_nodes is already collected state)
+    base_i = (scale * (100 - d100)) // 100 // n_nodes
+    r0 = scale // n_nodes
+    ranks = nodes.select("node", F.lit(r0).alias("r"))
     ranks = ranks.persist()
     cached = ranks
     # per-round shuffles should match the frame sizing above, not the
@@ -57,13 +65,14 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                 e.join(deg, "u")
                 .join(ranks.withColumnRenamed("node", "u"), "u")
                 .groupBy(F.col("v").alias("node"))
-                .agg(F.sum(pin(F.col("rank") / F.col("outdeg"))).alias("__in"))
+                .agg(F.sum(F.expr("r div outdeg")).alias("__in"))
             )
             ranks = (
                 nodes.join(contrib, "node", "left")
                 .select("node",
-                        pin(base + damping * F.coalesce("__in", F.lit(0.0)))
-                        .alias("rank"))
+                        (F.lit(base_i)
+                         + F.expr(f"({d100} * coalesce(__in, 0L)) div 100"))
+                        .alias("r"))
                 .persist()
             )
             # materialize this round and release the previous one so the
@@ -77,14 +86,63 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         # an exception mid-loop (OOM, cancellation) must not leave the
         # shared session pinned to n_part for every later query
         sess.conf.set("spark.sql.shuffle.partitions", old_sp)
-    return ranks.select("node", F.round("rank", 9).alias("rank"))
+    return ranks.select(
+        "node", (F.col("r") / F.lit(float(scale))).alias("rank"))
 
 
-@query("q130_pagerank")  # rows-only: 5-round iterative plan, no SQL twin
+
+
+def _pagerank_oracle(iters: int = 5, d100: int = 85,
+                     scale: int = 1_000_000_000) -> str:
+    """Unrolled damped-iteration CTEs reproducing pagerank()'s integer
+    recurrence exactly: same scale, same integer divisions, same
+    per-round teleport constant — every digit of the final ranks is
+    forced, so the driver can value-hash q130."""
+    its, prev = [], "r0"
+    for i in range(1, iters + 1):
+        its.append(f"""    it{i} AS (
+      SELECT n.node,
+             (SELECT b FROM consts)
+             + ({d100} * coalesce(c.s, 0)) // 100 AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.v AS node, sum(p.r // d.outdeg) AS s
+        FROM e JOIN deg d ON e.u = d.u JOIN {prev} p ON p.node = e.u
+        GROUP BY e.v) c ON n.node = c.node
+    )""")
+        prev = f"it{i}"
+    return f"""
+    WITH pk AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey < 500
+    ),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS s1, b.l_partkey AS s2
+      FROM pk a JOIN pk b
+        ON a.l_orderkey = b.l_orderkey AND b.l_partkey > a.l_partkey
+    ),
+    e AS (SELECT s1 AS u, s2 AS v FROM pairs
+          UNION ALL SELECT s2, s1 FROM pairs),
+    deg AS (SELECT u, count(*) AS outdeg FROM e GROUP BY u),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v AS node FROM e),
+    consts AS (SELECT (CAST({scale} AS BIGINT) * (100 - {d100}))
+                        // 100 // count(*) AS b,
+                      CAST({scale} AS BIGINT) // count(*) AS ri
+               FROM nodes),
+    r0 AS (SELECT node, (SELECT ri FROM consts) AS r FROM nodes),
+{",".join(its)}
+    SELECT CAST(node AS BIGINT) AS node,
+           r / {float(scale)} AS rank
+    FROM {prev}
+    """
+
+
+@query("q130_pagerank", oracle=_pagerank_oracle())
 def q130_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the co-purchase graph (parts as nodes, undirected
     same-order co-occurrence as edges, both directions materialized).
-    5 iterations, damping 0.85, floor-pinned per-step arithmetic."""
+    5 iterations, damping 0.85 — exact-integer recurrence (see
+    pagerank()), so the 5-round plan value-hash-matches the oracle's
+    unrolled CTEs digit for digit (VERDICT r4 next-round #4)."""
     li = load_table(spark, sf_dir, "lineitem")
     # deterministic subgraph (partkey < 500): PageRank cost is edge-count
     # × iterations; the demonstration needs the plan shape, not the full

@@ -57,61 +57,63 @@ _QUERY_MODULES = (
 _loaded = False
 
 # Driver-sweep priority. The correctness driver verifies queries in the
-# order ``queries()`` yields them, under a 50-query budget per round
-# (CORRECTNESS_r01-r03 each hold exactly 50 rows). Rounds 1-3 covered
-# the reference-parity, TPC-H, and LLM-pipeline headline blocks —
-# cumulatively 81 unique driver-green queries. Round 4 rotates onto the
-# LAST tier with zero driver-verified rows (VERDICT.md round 3 "Next
-# round" #1): the rounds-2/3 additions (q132, q135-q140), the
-# q80-q127 extension block, and the streaming surface, plus the four
-# new portable exact-twin queries (q141-q144) that convert the
-# hash-family rows-only entries into oracle-checked rows.
+# order ``queries()`` yields them, under a 50-query budget per round.
+# Rounds 1-4 cumulatively witnessed 125 unique queries; round 5 rotates
+# the ENTIRE never-driver-witnessed tier into the budget (VERDICT.md
+# round-4 "Next round" #1): the round-4 lakehouse/codec/incremental
+# additions (q145-q163), the stateful-streaming trio q53/q79/q92 that
+# kept slipping off the tail for four rounds (now in the FIRST half),
+# stragglers q45/q85/q104/q120, and this round's new oracle conversions
+# (q164 ridge twin, q165 index update, q166 planted-CV witness, q130
+# PageRank — now exact-integer and value-hash checked).
 #   1-6   canary slots — one long-green query per module family, so a
 #         regression in shared infrastructure still gets witnessed
-#   7-10  portable twins (new this round)
-#   11-47 never-driver-checked extension queries, cheap-first
-#   48-50 streaming (batch-equivalent oracles; the most expensive —
-#         last so a time-capped sweep drops them before batch rows)
-# Queries not listed keep registration order after the priority block.
+#   7-10  streaming (incl. the three stateful ones, never witnessed)
+#   11-14 round-5 additions / oracle conversions
+#   15-34 round-4 tier with zero driver-verified rows
+#   35-50 re-witness spread: oracle-backed queries whose last green row
+#         is rounds 1-2 (stale minima guard; one per family)
+# Slots 51+ are checked only if the budget stretches; every query there
+# already has a green driver row from an earlier round.
 _PRIORITY: tuple[str, ...] = (
-    # canaries (driver-green in r1-r3; one per module family)
+    # canaries (driver-green every round; one per module family)
     "q01_head", "q06_acf", "q12_f1_confusion",
     "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
-    # portable exact twins for the hash-family rows-only queries
+    # streaming FIRST half — q53/q79/q92 have never consumed budget
+    "q53_stateful_user_stats", "q79_stream_sessions",
+    "q92_stream_stream_join", "q149_stream_sink_exactly_once",
+    # round-5 additions: ML-tier exact twins + iterative-plan oracles
+    "q164_ridge_exact_twin", "q165_index_update",
+    "q166_cv_planted_optimum", "q130_pagerank",
+    # round-4 tier, never driver-witnessed: codecs, lakehouse,
+    # incremental dedup, sketches, mixing, token budget
+    "q145_image_decode", "q146_xls_roundtrip", "q148_bpe_pair_counts",
+    "q150_audio_features", "q151_csv_roundtrip", "q152_video_frames",
+    "q153_sharded_export", "q154_incremental_dedup", "q155_zorder_keys",
+    "q156_quantile_sketch", "q157_compaction", "q158_bloom_decontaminate",
+    "q160_pq_fixed_codebook", "q161_temperature_mix",
+    "q162_incremental_neardup", "q163_token_budget_head",
+    # stragglers with no green row in any round
+    "q45_rolling_stats", "q85_cluster_retention",
+    "q104_small_quantity_revenue", "q120_sliding_window",
+    # re-witness spread (last green in r1-r2)
+    "q02_null_profile", "q05_groups", "q09_scale_params",
+    "q16_dedup_exact", "q19_cosine_topk", "q24_window_agg",
+    "q26_pricing_summary", "q30_asof_join", "q54_json_props",
+    "q56_jsonl_roundtrip", "q68_grouping_sets", "q73_stratified_sample",
+    "q76_pack_sequences", "q91_equidepth_hist", "q126_copurchase_pairs",
+    "q128_pareto_abc",
+    # ---- slots 51+: checked only if the driver budget stretches ----
+    "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     "q141_minhash_portable", "q142_simhash_portable",
     "q143_ann_signbucket", "q144_ivf_fixed_centroids",
-    # rounds-2/3 additions: quality gates + exact sketch twin
     "q132_exact_agg_twin", "q135_chisq_independence", "q136_ks_drift",
     "q137_split_leakage", "q138_span_dedup", "q139_unigram_logprob",
     "q140_containment_pairs",
-    # extension block: sinks, ML-data ops, embeddings, text
     "q80_partitioned_sink", "q83_merge_upsert", "q84_walkforward_splits",
     "q86_weighted_sample", "q87_label_centroids", "q88_centroid_assign",
     "q89_tfidf_topk", "q90_drift_psi", "q93_chunk_documents",
     "q94_redact_tokens",
-    # extension block: relational/TS/window analytics
-    "q105_dominant_suppliers", "q106_time_weighted_avg",
-    "q107_cusum_changepoints", "q108_embedding_dim_stats",
-    "q109_bigram_pmi", "q110_seasonal_residuals", "q111_repetition_ratio",
-    "q112_word_entropy", "q113_target_encoding", "q114_funnel",
-    "q115_cohort_retention", "q116_media_resize", "q117_frame_sample",
-    "q118_embedding_quantize", "q119_fuzzy_decontaminate", "q121_bm25",
-    "q122_window_heavy_hitters", "q123_rolling_median", "q124_group_ols",
-    "q127_event_transitions",
-    # streaming (most expensive; batch-equivalent SQL oracles)
-    "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
-    # ---- slots 51+: checked only if the driver budget stretches ----
-    "q145_image_decode", "q146_xls_roundtrip", "q148_bpe_pair_counts",
-    "q147_bpe_learn", "q149_stream_sink_exactly_once",
-    "q150_audio_features", "q151_csv_roundtrip", "q152_video_frames",
-    "q153_sharded_export", "q154_incremental_dedup", "q155_zorder_keys",
-    "q156_quantile_sketch", "q157_compaction", "q158_bloom_decontaminate",
-    "q160_pq_fixed_codebook", "q159_ann_pq", "q161_temperature_mix",
-    "q162_incremental_neardup", "q163_token_budget_head",
-    "q53_stateful_user_stats", "q79_stream_sessions",
-    "q92_stream_stream_join",
-    "q45_rolling_stats", "q85_cluster_retention",
-    "q104_small_quantity_revenue", "q120_sliding_window",
 )
 
 

@@ -164,3 +164,39 @@ def test_incremental_neardup_finds_cross_batch_pair(spark):
     pairs = {(r["delta_id"], r["corpus_id"]) for r in got}
     assert (10, 1) in pairs
     assert all(d != 11 for d, _ in pairs)
+
+
+def test_index_update_two_batch_sequence(spark):
+    """The daily loop: batch 1's NOVEL docs enter the index via
+    update_fingerprint_index, so batch 2 copies of them classify as
+    dup_corpus pointing at batch 1's canonical — and a fingerprint
+    already indexed keeps its ORIGINAL canonical (dedup-on-merge)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string")
+    idx0 = dedup.fingerprint_index(corpus, "doc_id", "text")
+
+    # batch 1: one novel doc (10) + one copy of corpus doc 1 (11)
+    b1 = spark.createDataFrame(
+        [(10, "gamma text"), (11, "alpha text")], "doc_id long, text string")
+    idx1 = dedup.update_fingerprint_index(idx0, b1, "doc_id", "text")
+    got1 = {r["fingerprint"]: r["canonical_id"] for r in idx1.collect()}
+    assert len(got1) == 3                       # alpha, beta, gamma
+    assert 10 in got1.values()                  # gamma canonicalized to 10
+    assert 11 not in got1.values()              # alpha keeps canonical 1
+
+    # batch 2: a copy of batch 1's novel doc under a new id
+    b2 = spark.createDataFrame(
+        [(20, "gamma text"), (21, "delta text")], "doc_id long, text string")
+    st = {r["doc_id"]: (r["status"], r["canonical_id"])
+          for r in dedup.incremental_dedup_status(
+              b2, idx1, "doc_id", "text").collect()}
+    assert st[20] == ("dup_corpus", 10)         # sees batch 1's novel
+    assert st[21] == ("novel", 21)
+
+    # rolling the index again is idempotent for already-indexed fps
+    idx2 = dedup.update_fingerprint_index(idx1, b2, "doc_id", "text")
+    got2 = {r["fingerprint"]: r["canonical_id"] for r in idx2.collect()}
+    assert len(got2) == 4
+    assert set(got1.items()) <= set(got2.items())
