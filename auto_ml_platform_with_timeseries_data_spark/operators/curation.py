@@ -1085,3 +1085,223 @@ def q163_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed prefix sum (correct at any scale)."""
     docs = load_table(spark, sf_dir, "documents")
     return token_budget_head(docs, "doc_id", "text", _TB_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# q167 — Gopher-style composite quality gate (rule-based doc filtering)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "for")
+
+
+def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str,
+                         lang_col: str = "lang") -> DataFrame:
+    """Rule-based document quality gate in the style of the Gopher /
+    MassiveText curation rules (Rae et al. 2021, table A1): per
+    document, five boolean rules plus their conjunction. Everything is
+    built from INTEGER comparisons over JVM string/array expressions —
+    the only float is one fixed-form mean-word-length ratio — so the
+    flags are bit-reproducible across engines:
+
+    - r_words:   word count in [5, 2000]
+    - r_wordlen: mean word length in [2, 12], computed as
+      (len(norm) − (n−1)) / n — normalized text has exactly n−1 single
+      spaces, so no second pass over the tokens
+    - r_symbol:  symbol-to-word ratio < 0.1, counted portably via
+      literal replace (# occurrences + non-overlapping '...'
+      occurrences); compared in integer form 10·symbols < n_words
+    - r_alpha:   ≥ 80% of words contain an alphabetic character
+      (integer form 5·alpha ≥ 4·n)
+    - r_stop:    ≥ 2 distinct stopwords from a fixed 8-word list (the
+      Gopher stop-word sanity check; array_intersect dedups
+      identically on both engines)
+
+    Scale: map-only — the flags compute inside whole-stage codegen
+    during the scan; at 100 TB this runs at parquet read bandwidth
+    with zero shuffles (whatever aggregation the caller adds on top is
+    the only exchange)."""
+    c = F.col(text_col)
+    norm = normalize_text(text_col)
+    toks = tokens(norm)
+    nw = F.size(toks)
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    # non-overlapping '...' count = chars removed by replace, div 3
+    ell_cnt = F.expr(
+        f"(length({text_col}) - length(replace({text_col}, '...', '')))"
+        " div 3")
+    sym_cnt = hashes + ell_cnt
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    stops = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
+    mean_wl = (F.length(norm) - (nw - F.lit(1))) / nw
+    return df.select(
+        F.col(id_col), F.col(lang_col),
+        ((nw >= 5) & (nw <= 2000)).alias("r_words"),
+        ((mean_wl >= 2.0) & (mean_wl <= 12.0)).alias("r_wordlen"),
+        (sym_cnt * 10 < nw).alias("r_symbol"),
+        (alpha * 5 >= nw * 4).alias("r_alpha"),
+        (stops >= 2).alias("r_stop"),
+    ).withColumn(
+        "passes",
+        F.col("r_words") & F.col("r_wordlen") & F.col("r_symbol")
+        & F.col("r_alpha") & F.col("r_stop"),
+    )
+
+
+_GQ_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_GQ_STOPS = "[" + ", ".join(f"'{s}'" for s in _STOPWORDS) + "]"
+
+
+@query(
+    "q167_gopher_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, {_GQ_NORM} AS norm,
+             string_split({_GQ_NORM}, ' ') AS toks,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ells
+      FROM documents
+    ),
+    f AS (
+      SELECT lang, len(toks) AS nw,
+             (length(norm) - (len(toks) - 1)) / len(toks) AS mwl,
+             hashes + ells AS sym,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS alpha,
+             len(list_intersect(toks, {_GQ_STOPS})) AS stops
+      FROM t
+    ),
+    r AS (
+      SELECT lang,
+             (nw >= 5 AND nw <= 2000) AS r_words,
+             (mwl >= 2.0 AND mwl <= 12.0) AS r_wordlen,
+             (sym * 10 < nw) AS r_symbol,
+             (alpha * 5 >= nw * 4) AS r_alpha,
+             (stops >= 2) AS r_stop
+      FROM f
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN r_words AND r_wordlen AND r_symbol
+                          AND r_alpha AND r_stop
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN r_words THEN 0 ELSE 1 END) AS BIGINT)
+             AS f_words,
+           CAST(sum(CASE WHEN r_wordlen THEN 0 ELSE 1 END) AS BIGINT)
+             AS f_wordlen,
+           CAST(sum(CASE WHEN r_symbol THEN 0 ELSE 1 END) AS BIGINT)
+             AS f_symbol,
+           CAST(sum(CASE WHEN r_alpha THEN 0 ELSE 1 END) AS BIGINT)
+             AS f_alpha,
+           CAST(sum(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT)
+             AS f_stop
+    FROM r GROUP BY lang
+    """,
+)
+def q167_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality audit of the corpus: per language, how many
+    documents pass the composite gate and how many fail each rule —
+    the go/no-go table a curation run reads before deciding which
+    rules to tighten. Map-only flags + one small groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, "doc_id", "text")
+    return flags.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("passes").cast("long")).alias("n_pass"),
+        F.sum((~F.col("r_words")).cast("long")).alias("f_words"),
+        F.sum((~F.col("r_wordlen")).cast("long")).alias("f_wordlen"),
+        F.sum((~F.col("r_symbol")).cast("long")).alias("f_symbol"),
+        F.sum((~F.col("r_alpha")).cast("long")).alias("f_alpha"),
+        F.sum((~F.col("r_stop")).cast("long")).alias("f_stop"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q168 — stratified token-budget head (per-language N-token cuts)
+# ---------------------------------------------------------------------------
+
+
+def stratified_token_budget_head(df: DataFrame, id_col: str, text_col: str,
+                                 stratum_col: str,
+                                 budget_tokens: int) -> DataFrame:
+    """Per-stratum version of `token_budget_head`: cut EACH stratum
+    (language, source, ...) at its own exact token budget, in the
+    deterministic hash-shuffled order. This is how a multilingual
+    pretraining mix is actually cut — "20B tokens of each language" —
+    and a naive implementation is a Window partitioned by stratum,
+    which at 100 TB puts one language (say, half the corpus) into a
+    single sort partition.
+
+    Instead the q128/q163 two-pass shape generalizes: range-partition
+    on (stratum, hash, id) so every partition holds a contiguous span
+    of ONE OR TWO strata's shuffled order; per-(partition, stratum)
+    token totals (≤ P + |strata| rows — bounded driver state) become
+    exact per-stratum prefix offsets; the running-sum window then
+    partitions by (range-partition, stratum) — parallel within every
+    stratum, no stratum-sized sort anywhere. Partitions whose stratum
+    offset already exceeds the stratum's budget drop BEFORE the window
+    runs, so per-stratum work tracks the budget, not the stratum."""
+    base = df.select(
+        F.col(stratum_col).alias("__s"), F.col(id_col),
+        F.size(tokens(normalize_text(text_col))).alias("n_tokens"),
+        hash_u32(id_col).alias("__pri"),
+    )
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        base.repartitionByRange(nparts, F.asc("__s"), F.asc("__pri"),
+                                F.asc(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    totals = (ranged.groupBy("__pid", "__s")
+              .agg(F.sum("n_tokens").alias("__t")).collect())
+    acc: dict[str, int] = {}
+    offsets = []
+    for row in sorted(totals, key=lambda r: (r["__s"], r["__pid"])):
+        offsets.append((row["__pid"], row["__s"], acc.get(row["__s"], 0)))
+        acc[row["__s"]] = acc.get(row["__s"], 0) + row["__t"]
+    off_df = df.sparkSession.createDataFrame(
+        offsets or [(0, "", 0)], "__pid int, __s string, __off bigint")
+    wcum = (Window.partitionBy("__pid", "__s")
+            .orderBy(F.asc("__pri"), F.asc(id_col))
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        ranged.join(F.broadcast(off_df), ["__pid", "__s"])
+        .filter(F.col("__off") < F.lit(budget_tokens))
+        .select(
+            F.col("__s").alias(stratum_col), id_col, "n_tokens",
+            (F.sum("n_tokens").over(wcum) + F.col("__off"))
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+_STB_BUDGET = 5000
+
+
+@query(
+    "q168_stratified_token_head",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang, doc_id, len({_TB_TOKS}) AS n_tokens,
+             {_hash_u32_sql('doc_id')} AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang
+                  ORDER BY pri, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT lang, doc_id, n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= {_STB_BUDGET}
+    """,
+)
+def q168_stratified_token_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5k tokens of EVERY language in deterministic shuffled order; the
+    oracle is one per-stratum SQL window (fine at fixture scale), the
+    engine is the stratified two-pass prefix sum (fine at any scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_token_budget_head(docs, "doc_id", "text", "lang",
+                                        _STB_BUDGET)

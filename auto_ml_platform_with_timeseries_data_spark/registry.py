@@ -101,8 +101,9 @@ _PRIORITY: tuple[str, ...] = (
     "q16_dedup_exact", "q19_cosine_topk", "q24_window_agg",
     "q26_pricing_summary", "q30_asof_join", "q54_json_props",
     "q56_jsonl_roundtrip", "q68_grouping_sets", "q73_stratified_sample",
-    "q76_pack_sequences", "q91_equidepth_hist", "q126_copurchase_pairs",
     "q128_pareto_abc",
+    # round-5 new operators (no driver row yet)
+    "q167_gopher_gate", "q168_stratified_token_head",
     # ---- slots 51+: checked only if the driver budget stretches ----
     "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     "q141_minhash_portable", "q142_simhash_portable",

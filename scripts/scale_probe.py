@@ -229,6 +229,68 @@ def main() -> int:
 
     run("token_budget_head", lambda: tbh(docs1()), lambda: tbh(docsN()))
 
+    # round-5 additions: lakehouse layout ops + incremental near-dup
+    import glob as _glob
+
+    from auto_ml_platform_with_timeseries_data_spark.operators import layout
+    from auto_ml_platform_with_timeseries_data_spark.sources import readers
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
+
+    def zorder(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        ev = ev.select(
+            "event_id", "user_id",
+            F.floor(F.col("ts").cast("double")).cast("long").alias("__ep"))
+        return layout.zorder_keys(ev, "user_id", "__ep").count()
+
+    run("zorder_keys", lambda: zorder(False), lambda: zorder(True))
+
+    # compaction: wall includes the fragmentation write (both halves of
+    # the OPTIMIZE cycle scale with data); reported rows = output files
+    def compact(d, tag):
+        frag = staging_dir(f"probe_frag_{tag}")
+        comp = staging_dir(f"probe_comp_{tag}")
+        d.write.mode("overwrite").option("maxRecordsPerFile", 20) \
+            .parquet(frag)
+        return layout.compact_parquet(spark, frag, comp,
+                                      target_bytes=256 * 1024)
+
+    run("compaction", lambda: compact(docs1(), "1x"),
+        lambda: compact(docsN(), "Nx"))
+
+    # shard export: reported rows = shard-file count; byte skew
+    # (max/mean shard size) printed alongside — a skewed export means
+    # one writer task got a fat partition, the failure mode the
+    # row cap exists to bound
+    def shards(d, tag):
+        dest = staging_dir(f"probe_shards_{tag}")
+        readers.export_jsonl_shards(d, dest, max_records_per_file=100)
+        sizes = [os.path.getsize(f)
+                 for f in _glob.glob(os.path.join(dest, "part-*"))
+                 if os.path.isfile(f)]
+        skew = max(sizes) / (sum(sizes) / len(sizes)) if sizes else 0.0
+        print(f"  shard_export[{tag}]: {len(sizes)} files, "
+              f"byte skew max/mean {skew:.2f}")
+        return len(sizes)
+
+    run("shard_export", lambda: shards(docs1(), "1x"),
+        lambda: shards(docsN(), "Nx"))
+
+    # incremental near-dup: corpus AND delta both scale 10x; the
+    # copytag perturbation keeps cross-copy texts non-identical but
+    # still near-dup (J≈1 on long docs), so candidate pairs grow
+    # ~copies^2 per doc family — the wall reflects real pair growth,
+    # same contract as the minhash_lsh probe above
+    def inc_nd(d):
+        corpus = d.filter(F.col("doc_id") % 5 != 0)
+        delta = d.filter(F.col("doc_id") % 5 == 0)
+        return dedup.incremental_neardup_pairs(
+            delta, corpus, "doc_id", "text").count()
+
+    run("incremental_neardup", lambda: inc_nd(docs1()),
+        lambda: inc_nd(docsN()))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

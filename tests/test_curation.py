@@ -392,3 +392,71 @@ def test_token_budget_head_empty_input(spark):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "doc_id", "n_tokens", "cum_tokens"]
+
+
+def test_gopher_flags_planted_rules(spark):
+    """Each rule trips on a purpose-built document and the composite
+    gate is their conjunction."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        gopher_quality_flags,
+    )
+
+    rows = [
+        # passes everything: >5 words, sane lengths, stopwords, alpha
+        (1, "the quick brown fox is one of the best animals in town", "en"),
+        (2, "too short", "en"),                        # fails r_words (<5)
+        (3, "# ## ### #### the is of " + "x " * 10, "en"),  # symbol-heavy
+        (4, "zz qq ww ee rr tt yy uu ii oo", "en"),    # no stopwords
+        (5, "the is of to 12345 67890 11111 22222 33333", "en"),  # digits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in
+           gopher_quality_flags(df, "doc_id", "text").collect()}
+    assert got[1]["passes"]
+    assert not got[2]["r_words"] and not got[2]["passes"]
+    assert not got[3]["r_symbol"]
+    assert not got[4]["r_stop"]
+    assert not got[5]["r_alpha"]     # 5 of 9 words are digit-only
+
+
+def test_stratified_token_head_cuts_each_stratum(spark):
+    """Each stratum is cut at ITS OWN budget boundary, and the result
+    is invariant under input partitioning (the two-pass prefix sum
+    cannot depend on where range-partition boundaries land)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        hash_u32,
+        stratified_token_budget_head,
+    )
+
+    rows = [(i, "w " * ((i % 7) + 1), ["en", "fr", "de"][i % 3])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    budget = 50
+
+    got = stratified_token_budget_head(df, "doc_id", "text", "lang", budget)
+    out = got.collect()
+
+    # brute-force expected set: per-stratum cumulative in (hash, id) order
+    import collections
+    pri = {r["doc_id"]: ((r["doc_id"] % 1000003) * 2654435761) % 4294967296
+           for r in out}  # sanity only; recompute below for all rows
+    all_rows = [(i, (i % 7) + 1, ["en", "fr", "de"][i % 3]) for i in range(300)]
+    by_lang = collections.defaultdict(list)
+    for i, nt, lang in all_rows:
+        h = ((i % 1000003) * 2654435761) % 4294967296
+        by_lang[lang].append((h, i, nt))
+    expected = {}
+    for lang, lst in by_lang.items():
+        cum = 0
+        for h, i, nt in sorted(lst):
+            cum += nt
+            if cum <= budget:
+                expected[i] = (lang, nt, cum)
+    assert {r["doc_id"]: (r["lang"], r["n_tokens"], r["cum_tokens"])
+            for r in out} == expected
+
+    # partitioning invariance
+    got2 = stratified_token_budget_head(
+        df.repartition(7, "doc_id"), "doc_id", "text", "lang", budget)
+    assert sorted((r["doc_id"], r["cum_tokens"]) for r in got2.collect()) \
+        == sorted((r["doc_id"], r["cum_tokens"]) for r in out)
