@@ -1305,3 +1305,101 @@ def q168_stratified_token_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return stratified_token_budget_head(docs, "doc_id", "text", "lang",
                                         _STB_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# q169 — the curation PIPELINE, composed end to end in one plan
+# ---------------------------------------------------------------------------
+
+_PIPE_BUDGET = 3000
+
+
+@query(
+    "q169_curation_pipeline",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source, {_GQ_NORM} AS norm,
+             string_split({_GQ_NORM}, ' ') AS toks,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ells
+      FROM documents
+    ),
+    gated AS (
+      SELECT doc_id, lang, source, norm, len(toks) AS nw
+      FROM t
+      WHERE (len(toks) >= 5 AND len(toks) <= 2000)
+        AND ((length(norm) - (len(toks) - 1)) / len(toks) >= 2.0)
+        AND ((length(norm) - (len(toks) - 1)) / len(toks) <= 12.0)
+        AND ((hashes + ells) * 10 < len(toks))
+        AND (len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) * 5
+             >= len(toks) * 4)
+        AND (len(list_intersect(toks, {_GQ_STOPS})) >= 2)
+    ),
+    deduped AS (
+      SELECT doc_id, lang, source, nw FROM (
+        SELECT doc_id, lang, source, nw,
+               min(doc_id) OVER (PARTITION BY md5(norm)) AS canon
+        FROM gated
+      ) WHERE doc_id = canon
+    ),
+    srccnt AS (
+      SELECT source, count(*) AS n FROM deduped GROUP BY source
+    ),
+    srcq AS (
+      SELECT source, n, CAST(floor(sqrt(n) * 1048576.0) AS BIGINT) AS sq
+      FROM srccnt
+    ),
+    srcs AS (
+      SELECT source, n, sq, sum(sq) OVER () AS sqsum, sum(n) OVER () AS tot
+      FROM srcq
+    ),
+    rates AS (
+      SELECT source,
+             CAST(floor(LEAST(1.0, 0.5 * tot * sq / sqsum / n)
+                        * {_M32}) AS BIGINT) AS th
+      FROM srcs
+    ),
+    mixed AS (
+      SELECT d.doc_id, d.lang, d.nw
+      FROM deduped d JOIN rates r ON d.source = r.source
+      WHERE {_hash_u32_sql('d.doc_id')} < r.th
+    ),
+    c AS (
+      SELECT lang, doc_id, nw,
+             CAST(sum(nw) OVER (PARTITION BY lang
+                  ORDER BY {_hash_u32_sql('doc_id')}, doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM mixed
+    )
+    SELECT lang, doc_id, nw AS n_tokens, cum_tokens FROM c
+    WHERE cum_tokens <= {_PIPE_BUDGET}
+    """,
+)
+def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-to-training-set pipeline as ONE composed lazy
+    plan — the point of a declarative engine is that the curation
+    stages FUSE: quality gate (q167 rules, map-only, evaluated inside
+    the scan) → exact dedup keeping the canonical copy (one shuffle on
+    the md5 fingerprint) → temperature-flattened source mixing (q161
+    arithmetic on the survivors' counts, broadcast thresholds,
+    map-only filter) → per-language token-budget cut (q168's
+    stratified two-pass prefix sum). Catalyst pipelines the gate +
+    mix filters into the scans on either side of the dedup exchange;
+    nothing materializes between stages except the two shuffles the
+    semantics require. Every stage is the SAME arithmetic its
+    standalone query proves, so the composed result is oracle-checked
+    end to end — per-doc rows of the final training set."""
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, "doc_id", "text")
+    gated = (docs.join(flags.filter("passes").select("doc_id"), "doc_id")
+             .select("doc_id", "lang", "source", "text"))
+    w = Window.partitionBy(F.md5(normalize_text("text")))
+    deduped = (gated
+               .withColumn("__canon", F.min("doc_id").over(w))
+               .filter(F.col("doc_id") == F.col("__canon"))
+               .drop("__canon"))
+    mixed_ids = temperature_mix_sample(deduped, "doc_id", "source")
+    mixed = deduped.join(mixed_ids.select("doc_id"), "doc_id")
+    return stratified_token_budget_head(mixed, "doc_id", "text", "lang",
+                                        _PIPE_BUDGET).select(
+        "lang", "doc_id", "n_tokens", "cum_tokens")

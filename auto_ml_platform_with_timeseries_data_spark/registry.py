@@ -104,6 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     "q128_pareto_abc",
     # round-5 new operators (no driver row yet)
     "q167_gopher_gate", "q168_stratified_token_head",
+    "q169_curation_pipeline",
     # ---- slots 51+: checked only if the driver budget stretches ----
     "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     "q141_minhash_portable", "q142_simhash_portable",
