@@ -1477,3 +1477,162 @@ def q160_pq_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
     return cosine_topk_pq(emb, queries_df, "vec_id", "embedding", _TOP_K,
                           refine=_PQ_TWIN_REFINE, codebooks=books)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic (embedding-cluster) deduplication
+# ---------------------------------------------------------------------------
+
+_SEM_T = 0.4
+_SEM_CELLS = 8
+
+
+def _assign_cells(df: DataFrame, id_col: str, vec_col: str,
+                  cent_mat) -> DataFrame:
+    """argmax-cosine cell assignment against a broadcast centroid
+    matrix (closure-captured — bounded model parameters), one Arrow
+    pass over the corpus. Ties break to the lowest cell id
+    (np.argmax first-max), matching the oracle's (cos DESC, cid ASC)
+    row_number."""
+    import numpy as np
+
+    def kernel(batches, C=cent_mat):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["__v"]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cell = np.argmax((m / norms) @ C.T, axis=1)
+            yield pd.DataFrame({"__id": pdf["__id"],
+                                "cell": cell.astype(np.int32)})
+
+    return (
+        df.select(F.col(id_col).alias("__id"),
+                  _as_double(F.col(vec_col)).alias("__v"))
+        .mapInPandas(kernel, "__id long, cell int")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def semdedup(corpus: DataFrame, id_col: str, vec_col: str,
+             threshold: float = _SEM_T, ncells: int = 16, iters: int = 2,
+             centroids=None, round_to: int = 6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then deduplicate WITHIN each cluster — a document
+    is a semantic duplicate iff some lower-id document in its cell has
+    cosine ≥ threshold (dup_of = the smallest such id; the min-id
+    representative of every semantic neighborhood survives). The
+    pinned lower-id contract makes the output deterministic without a
+    transitive-closure pass — same shape as containment_pairs.
+
+    Scale: the O(N²) cosine verify is confined WITHIN cells — the same
+    blocking idea as LSH banding, but the blocks are learned from the
+    data, which is why SemDeDup finds paraphrase-level dups that
+    shingle-hash families miss. One Arrow assignment pass (centroids
+    are bounded model state), one shuffle on the cell key, per-cell
+    pair join. Cell balance bounds the quadratic term: spherical
+    k-means iterations (the IVF trainer) keep occupancies even;
+    at 100 TB you raise ncells so max-cell stays join-able, exactly
+    like IVF's nlist."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = _ivf_train(corpus, vec_col, ncells, iters)
+    cent_mat = np.asarray(centroids, dtype=np.float64)
+    cent_mat = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    assigned = _assign_cells(corpus, id_col, vec_col, cent_mat)
+    base = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        assigned, id_col)
+    a = base.select(F.col(id_col).alias("__a"), F.col("cell"),
+                    F.col(vec_col).alias("__va"))
+    b = base.select(F.col(id_col).alias("__b"), F.col("cell"),
+                    F.col(vec_col).alias("__vb"))
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("__b") < F.col("__a"))
+        .filter(F.round(cosine(F.col("__va"), F.col("__vb")), round_to)
+                >= F.lit(threshold))
+        .groupBy(F.col("__a").alias(id_col))
+        .agg(F.min("__b").alias("dup_of"))
+    )
+    return (
+        base.select(id_col, "cell")
+        .join(dups, id_col, "left")
+        .select(
+            id_col, "cell",
+            F.when(F.col("dup_of").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("kept")).alias("status"),
+            "dup_of",
+        )
+    )
+
+
+@query("q171_semdedup")  # rows-only: trained k-means centroids
+def q171_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production SemDeDup over the embeddings table: trained spherical
+    k-means cells, within-cell lower-id cosine dedup at 0.4. Aggregated
+    to per-cell counts so the rows-only hash is stable across the
+    BLAS-ulp cell-boundary cases that trained centroids can have."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, "vec_id", "embedding", threshold=_SEM_T,
+                   ncells=_SEM_CELLS, iters=2)
+    return (out.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("status"))
+
+
+def _semdedup_twin_oracle() -> str:
+    hi = _IVF_TWIN_LO + _IVF_TWIN_CELLS
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id - {_IVF_TWIN_LO} AS cid, v AS cv
+      FROM e WHERE vec_id >= {_IVF_TWIN_LO} AND vec_id < {hi}
+    ),
+    ca AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+                 AS rk
+        FROM e, cent c
+      ) WHERE rk = 1
+    ),
+    d AS (
+      SELECT a.vec_id, min(b.vec_id) AS dup_of
+      FROM ca a JOIN ca b
+        ON a.cid = b.cid AND b.vec_id < a.vec_id
+       AND ROUND(list_cosine_similarity(a.v, b.v), 6) >= {_SEM_T}
+      GROUP BY a.vec_id
+    )
+    SELECT ca.vec_id, ca.cid AS cell,
+           CASE WHEN d.dup_of IS NOT NULL THEN 'dup' ELSE 'kept' END
+             AS status,
+           CAST(d.dup_of AS BIGINT) AS dup_of
+    FROM ca LEFT JOIN d ON ca.vec_id = d.vec_id
+    """
+
+
+@query("q172_semdedup_fixed_cells", oracle=_semdedup_twin_oracle())
+def q172_semdedup_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup machinery (Arrow argmax assignment, cell-keyed pair
+    join, lower-id min-dup contract) with the q144 INJECTED codebook,
+    so every (cell, status, dup_of) row carries a driver value hash.
+    Cosines round to 6 on both sides before the threshold compare —
+    the same ulp-tolerance contract as q144/q160."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = _IVF_TWIN_LO + _IVF_TWIN_CELLS
+    rows = (
+        emb.filter((F.col("vec_id") >= _IVF_TWIN_LO) & (F.col("vec_id") < hi))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.array([r[0] for r in rows], dtype=np.float64)
+    return semdedup(emb, "vec_id", "embedding", threshold=_SEM_T,
+                    centroids=cents)

@@ -82,6 +82,7 @@ _PRIORITY: tuple[str, ...] = (
     # streaming FIRST half — q53/q79/q92 have never consumed budget
     "q53_stateful_user_stats", "q79_stream_sessions",
     "q92_stream_stream_join", "q149_stream_sink_exactly_once",
+    "q170_stream_incremental_dedup",
     # round-5 additions: ML-tier exact twins + iterative-plan oracles
     "q164_ridge_exact_twin", "q165_index_update",
     "q166_cv_planted_optimum", "q130_pagerank",
@@ -97,14 +98,14 @@ _PRIORITY: tuple[str, ...] = (
     "q45_rolling_stats", "q85_cluster_retention",
     "q104_small_quantity_revenue", "q120_sliding_window",
     # re-witness spread (last green in r1-r2)
-    "q02_null_profile", "q05_groups", "q09_scale_params",
+    "q05_groups", "q09_scale_params",
     "q16_dedup_exact", "q19_cosine_topk", "q24_window_agg",
     "q26_pricing_summary", "q30_asof_join", "q54_json_props",
-    "q56_jsonl_roundtrip", "q68_grouping_sets", "q73_stratified_sample",
+    "q56_jsonl_roundtrip", "q73_stratified_sample",
     "q128_pareto_abc",
     # round-5 new operators (no driver row yet)
     "q167_gopher_gate", "q168_stratified_token_head",
-    "q169_curation_pipeline",
+    "q169_curation_pipeline", "q172_semdedup_fixed_cells",
     # ---- slots 51+: checked only if the driver budget stretches ----
     "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     "q141_minhash_portable", "q142_simhash_portable",

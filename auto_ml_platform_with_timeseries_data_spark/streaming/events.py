@@ -528,3 +528,125 @@ def q149_stream_sink_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — streaming incremental dedup against a STATIC corpus index
+# ---------------------------------------------------------------------------
+
+
+def _staged_delta_docs(spark: SparkSession, sf_dir: str) -> str:
+    """The q154 delta batch (doc_id % 5 == 0) staged as 4 sequential
+    doc_id-ordered files — the 'today's crawl arrives in chunks'
+    shape."""
+    key = ("delta_docs4", sf_dir)
+    if key not in _STAGE_CACHE:
+        import time as _time
+
+        from pyspark.sql.window import Window
+
+        from auto_ml_platform_with_timeseries_data_spark.staging import (
+            staging_dir,
+        )
+
+        docs = load_table(spark, sf_dir, "documents") \
+            .filter(F.col("doc_id") % 5 == 0)
+        d = staging_dir("stream_delta_docs", fresh=True)
+        sliced = docs.withColumn(
+            "__slice", F.ntile(4).over(Window.orderBy("doc_id")))
+        for i in range(1, 5):
+            (sliced.filter(F.col("__slice") == i).drop("__slice")
+             .coalesce(1).write.mode("append").parquet(d))
+            _time.sleep(0.05)
+        _STAGE_CACHE[key] = d
+    return _STAGE_CACHE[key]
+
+
+@query(
+    "q170_stream_incremental_dedup",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    idx AS (
+      SELECT DISTINCT fp FROM fp WHERE doc_id % 5 != 0
+    ),
+    delta AS (SELECT doc_id, fp FROM fp WHERE doc_id % 5 = 0),
+    firsts AS (SELECT DISTINCT fp FROM delta)
+    SELECT (SELECT count(*) FROM delta) AS n_stream,
+           (SELECT count(*) FROM firsts) AS n_first_seen,
+           (SELECT count(*) FROM firsts f
+             WHERE EXISTS (SELECT 1 FROM idx i WHERE i.fp = f.fp))
+             AS n_dup_corpus,
+           (SELECT count(*) FROM firsts f
+             WHERE NOT EXISTS (SELECT 1 FROM idx i WHERE i.fp = f.fp))
+             AS n_novel,
+           (SELECT count(*) FROM delta)
+             - (SELECT count(*) FROM firsts) AS n_dup_delta
+    """,
+)
+def q170_stream_incremental_dedup(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The q154 pipeline IN FLIGHT: a document stream (4 micro-batches)
+    is deduplicated against itself with streaming `dropDuplicates` on
+    the content fingerprint (state carried ACROSS micro-batches — a
+    dup arriving three triggers after its first sighting is still
+    dropped), then each surviving first-sighting classifies against
+    the STATIC corpus fingerprint index via a stream-static join (the
+    index is a batch DataFrame joined into every micro-batch — Spark
+    re-plans it per trigger, no state). Emitted counts are
+    order-independent (which representative of a dup family survives
+    is arrival-order-dependent; how MANY survive is not), so the batch
+    oracle pins them exactly.
+
+    Production note: dropDuplicates without a watermark keeps state
+    per distinct fingerprint forever — right for a bounded backfill
+    like this; an unbounded crawl stream uses
+    dropDuplicatesWithinWatermark (q52) once fingerprints carry event
+    time, or the batch-incremental q154/q165 loop."""
+    import uuid
+
+    from auto_ml_platform_with_timeseries_data_spark.functions.text_exprs import (
+        normalize_text,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        fingerprint_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = fingerprint_index(corpus, "doc_id", "text") \
+        .withColumnRenamed("fingerprint", "__fp")
+    stage_dir = _staged_delta_docs(spark, sf_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    firsts = (
+        stream.select(F.col("doc_id"),
+                      F.md5(normalize_text("text")).alias("__fp"))
+        .dropDuplicates(["__fp"])
+        .join(idx, "__fp", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("canonical_id").isNotNull(), F.lit("dup_corpus"))
+            .otherwise(F.lit("novel")).alias("status"),
+        )
+    )
+    name = f"q170mem{uuid.uuid4().hex[:8]}"
+    run_to_memory(firsts, name, output_mode="append")
+    n_stream = docs.filter(F.col("doc_id") % 5 == 0).count()
+    emitted = spark.table(name)
+    return emitted.agg(
+        F.lit(n_stream).cast("long").alias("n_stream"),
+        F.count(F.lit(1)).alias("n_first_seen"),
+        F.sum((F.col("status") == "dup_corpus").cast("long"))
+        .alias("n_dup_corpus"),
+        F.sum((F.col("status") == "novel").cast("long")).alias("n_novel"),
+        (F.lit(n_stream) - F.count(F.lit(1))).cast("long")
+        .alias("n_dup_delta"),
+    )

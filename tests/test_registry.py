@@ -29,22 +29,42 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_twins_keep_their_slots():
-    """One thrice-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed, and the four
-    portable twins (round-4 additions converting rows-only queries to
-    oracle-checked) must consume driver budget on their first round."""
+def test_canaries_and_round5_promotions_keep_their_slots():
+    """One long-green canary per module family stays in-budget so a
+    shared-infrastructure regression is still witnessed; the round-5
+    rotation (VERDICT r4 #1) must put the never-driver-witnessed tier
+    and the new conversions in the 50-slot budget, with the stateful
+    streaming trio in the FIRST half (it slipped off the tail for four
+    rounds). The round-4 twins q141-q144 are driver-green since r04
+    and may yield their slots."""
     head = set(registry._PRIORITY[:50])
+    first_half = set(registry._PRIORITY[:25])
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    twins = {
-        "q141_minhash_portable", "q142_simhash_portable",
-        "q143_ann_signbucket", "q144_ivf_fixed_centroids",
+    streaming = {"q53_stateful_user_stats", "q79_stream_sessions",
+                 "q92_stream_stream_join"}
+    promotions = {
+        "q145_image_decode", "q146_xls_roundtrip", "q148_bpe_pair_counts",
+        "q149_stream_sink_exactly_once", "q150_audio_features",
+        "q151_csv_roundtrip", "q152_video_frames", "q153_sharded_export",
+        "q154_incremental_dedup", "q155_zorder_keys",
+        "q156_quantile_sketch", "q157_compaction",
+        "q158_bloom_decontaminate", "q160_pq_fixed_codebook",
+        "q161_temperature_mix", "q162_incremental_neardup",
+        "q163_token_budget_head",
+        "q45_rolling_stats", "q85_cluster_retention",
+        "q104_small_quantity_revenue", "q120_sliding_window",
+        # round-5 additions / oracle conversions
+        "q164_ridge_exact_twin", "q165_index_update",
+        "q166_cv_planted_optimum", "q130_pagerank",
+        "q167_gopher_gate", "q168_stratified_token_head",
+        "q169_curation_pipeline", "q170_stream_incremental_dedup",
     }
     assert canaries <= head
-    assert twins <= head
+    assert streaming <= first_half
+    assert promotions <= head
 
 
 def test_oracles_follow_query_order():
@@ -80,16 +100,12 @@ def test_priority_queries_are_oracle_checked():
 
 def test_driver_budget_prefix_is_oracle_backed():
     """The driver's per-round correctness budget is ~50 queries taken in
-    queries() order. Round 4 spends that budget on never-driver-checked
-    oracle-backed queries (VERDICT.md round 3, Next-round #1): every one
-    of the first 50 slots must carry a DuckDB oracle — a rows-only query
-    in the prefix would burn a slot on a weaker check — and the three
-    batch-equivalent streaming oracles close the prefix (most expensive
-    last, so a time-capped sweep drops them before batch rows)."""
+    queries() order: every one of the first 50 slots must carry a
+    DuckDB oracle — a rows-only query in the prefix would burn a slot
+    on a weaker check. (Round 5 moves streaming INTO the first half
+    instead of closing the prefix: ordering streaming last starved
+    q53/q79/q92 of budget for four straight rounds.)"""
     names = list(registry.queries())
     oracles = registry.oracles()
     not_oracle_backed = [n for n in names[:50] if n not in oracles]
     assert not_oracle_backed == []
-    assert names[47:50] == [
-        "q39_stream_window_counts", "q52_stream_dedup",
-        "q58_stream_static_join"]

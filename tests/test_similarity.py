@@ -197,3 +197,32 @@ def test_pq_encode_codes_shape_and_range(spark):
     for r in codes:
         assert len(r["codes"]) == 4
         assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_semdedup_planted_clusters(spark):
+    """Two tight semantic groups + a singleton, separable cells: each
+    group keeps exactly its min-id member, the singleton is kept, and
+    dup_of points at the group minimum (lower-id contract)."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        semdedup,
+    )
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    b = [0.0, 1.0, 0.0, 0.0]
+    c = [0.0, 0.0, 1.0, 0.0]
+    jit = [0.99, 0.01, 0.0, 0.0]     # cosine(a, jit) ≈ 0.9999
+    jit2 = [0.0, 0.98, 0.02, 0.0]    # cosine(b, jit2) ≈ 0.9998
+    rows = [(1, a), (2, jit), (3, b), (4, jit2), (5, c), (6, jit)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([a, b, c], dtype=np.float64)
+    got = {r["vec_id"]: r for r in
+           semdedup(df, "vec_id", "embedding", threshold=0.9,
+                    centroids=cents).collect()}
+    assert got[1]["status"] == "kept" and got[1]["dup_of"] is None
+    assert got[2]["status"] == "dup" and got[2]["dup_of"] == 1
+    assert got[3]["status"] == "kept"
+    assert got[4]["status"] == "dup" and got[4]["dup_of"] == 3
+    assert got[5]["status"] == "kept"
+    assert got[6]["status"] == "dup" and got[6]["dup_of"] == 1  # min id, not 2
