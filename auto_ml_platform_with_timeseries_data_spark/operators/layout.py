@@ -250,3 +250,211 @@ def parquet_manifest(spark: SparkSession, path: str,
         kernel,
         "file string, rows long, bytes long, col string, "
         "min string, max string")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 history merge + snapshot diff (table-versioning half of the
+# lakehouse story: q83 is MERGE-upsert for facts; these are the
+# slowly-changing-dimension and version-audit ops around it)
+# ---------------------------------------------------------------------------
+
+
+def scd2_apply(dim: DataFrame, changes: DataFrame, key: str,
+               tracked: list[str], ts: int) -> DataFrame:
+    """Apply one change batch to a type-2 slowly-changing dimension:
+    the current snapshot `dim` (version valid_from=0) absorbs
+    `changes` at time `ts`, producing the full SCD2 history —
+    unchanged rows stay open, genuinely-changed rows are CLOSED
+    (valid_to=ts) and re-opened with the new attributes, brand-new
+    keys open at ts, and NO-OP change rows (same attribute values)
+    create no version churn.
+
+    Change detection is per-column NULL-SAFE equality (eqNullSafe /
+    IS NOT DISTINCT FROM) — never a string-concat row hash, whose
+    float formatting differs across engines. One full-outer join on
+    the key is the only shuffle; each output class is a projection of
+    that join, so the plan reads both inputs once. At 100 TB the dim
+    side is bucketed/Z-ordered on the key (q155) and the daily change
+    batch is delta-sized — the standard warehouse nightly."""
+    c = dim.alias("c")
+    n = changes.alias("n")
+    j = c.join(n, F.col(f"c.{key}").eqNullSafe(F.col(f"n.{key}")), "full")
+    differs = reduce(
+        lambda a, b: a | b,
+        [~F.col(f"c.{t}").eqNullSafe(F.col(f"n.{t}")) for t in tracked])
+    has_c = F.col(f"c.{key}").isNotNull()
+    has_n = F.col(f"n.{key}").isNotNull()
+    keep_open = j.filter(has_c & (~has_n | ~differs)).select(
+        *[F.col(f"c.{t}").alias(t) for t in [key] + tracked],
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = j.filter(has_c & has_n & differs).select(
+        *[F.col(f"c.{t}").alias(t) for t in [key] + tracked],
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(ts).cast("long").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.filter(has_n & (~has_c | differs)).select(
+        *[F.col(f"n.{t}").alias(t) for t in [key] + tracked],
+        F.lit(ts).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return keep_open.unionByName(closed).unionByName(opened)
+
+
+_SCD2_TRACKED = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _scd2_changes_sql(src: str = "customer") -> str:
+    """The deterministic change batch, as SQL (mirrored in Spark below):
+    updates (custkey%10=0: balance +100, segment MOVED), no-op rows
+    (custkey%7=3 and not %10=0: identical values), new keys
+    (custkey%100=0: key+10000)."""
+    return f"""
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + 100.0 AS c_acctbal,
+             'MOVED' AS c_mktsegment
+      FROM {src} WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM {src} WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0
+      UNION ALL
+      SELECT c_custkey + 10000 AS c_custkey, c_name, c_nationkey,
+             c_acctbal, c_mktsegment
+      FROM {src} WHERE c_custkey % 100 = 0
+    """
+
+
+def _scd2_changes(cust: DataFrame) -> DataFrame:
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("MOVED").alias("c_mktsegment"))
+    noops = cust.filter((F.col("c_custkey") % 7 == 3)
+                        & (F.col("c_custkey") % 10 != 0)).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    news = cust.filter(F.col("c_custkey") % 100 == 0).select(
+        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    return updates.unionByName(noops).unionByName(news)
+
+
+@query(
+    "q173_scd2_dimension",
+    oracle=f"""
+    WITH chg AS ({_scd2_changes_sql()}),
+    j AS (
+      SELECT c.c_custkey AS ck, n.c_custkey AS nk,
+             c.c_name AS c_name_c, c.c_nationkey AS c_nationkey_c,
+             c.c_acctbal AS c_acctbal_c, c.c_mktsegment AS c_mktsegment_c,
+             n.c_name AS c_name_n, n.c_nationkey AS c_nationkey_n,
+             n.c_acctbal AS c_acctbal_n, n.c_mktsegment AS c_mktsegment_n,
+             (NOT (c.c_name IS NOT DISTINCT FROM n.c_name)
+              OR NOT (c.c_nationkey IS NOT DISTINCT FROM n.c_nationkey)
+              OR NOT (c.c_acctbal IS NOT DISTINCT FROM n.c_acctbal)
+              OR NOT (c.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment))
+               AS differs
+      FROM customer c FULL JOIN chg n ON c.c_custkey = n.c_custkey
+    )
+    SELECT ck AS c_custkey, c_name_c AS c_name,
+           CAST(c_nationkey_c AS INT) AS c_nationkey,
+           c_acctbal_c AS c_acctbal, c_mktsegment_c AS c_mktsegment,
+           CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+           TRUE AS is_current
+    FROM j WHERE ck IS NOT NULL AND (nk IS NULL OR NOT differs)
+    UNION ALL
+    SELECT ck, c_name_c, CAST(c_nationkey_c AS INT), c_acctbal_c,
+           c_mktsegment_c, CAST(0 AS BIGINT), CAST(1 AS BIGINT), FALSE
+    FROM j WHERE ck IS NOT NULL AND nk IS NOT NULL AND differs
+    UNION ALL
+    SELECT nk, c_name_n, CAST(c_nationkey_n AS INT), c_acctbal_n,
+           c_mktsegment_n, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+    FROM j WHERE nk IS NOT NULL AND (ck IS NULL OR differs)
+    """,
+)
+def q173_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD merge on the customer dimension: a deterministic
+    change batch (updates + no-ops + new keys) applied at ts=1; the
+    full history table is value-hash-checked — no-op change rows must
+    NOT spawn versions, closed rows carry valid_to=1, new keys open at
+    1."""
+    cust = load_table(spark, sf_dir, "customer")
+    return scd2_apply(cust, _scd2_changes(cust), "c_custkey",
+                      _SCD2_TRACKED, ts=1)
+
+
+def snapshot_diff(a: DataFrame, b: DataFrame, key: str,
+                  cols: list[str]) -> DataFrame:
+    """Version audit between two snapshots of the same table: one row
+    per key whose state differs — status 'added' (only in b),
+    'removed' (only in a), 'changed' (present in both, any tracked
+    column differs under null-safe compare). Unchanged keys emit
+    nothing, so the output is delta-sized. One full-outer join on the
+    key; per-column eqNullSafe, never a stringified row hash."""
+    aa = a.alias("a")
+    bb = b.alias("b")
+    j = aa.join(bb, F.col(f"a.{key}").eqNullSafe(F.col(f"b.{key}")), "full")
+    differs = reduce(
+        lambda x, y: x | y,
+        [~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in cols])
+    has_a = F.col(f"a.{key}").isNotNull()
+    has_b = F.col(f"b.{key}").isNotNull()
+    return j.select(
+        F.coalesce(F.col(f"a.{key}"), F.col(f"b.{key}")).alias(key),
+        F.when(~has_a, F.lit("added"))
+        .when(~has_b, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .alias("status"),
+    ).filter(F.col("status").isNotNull())
+
+
+@query(
+    "q174_snapshot_diff",
+    oracle=f"""
+    WITH v2 AS (
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 13 != 0
+      UNION ALL
+      SELECT c_custkey + 10000, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 100 = 0
+    ),
+    j AS (
+      SELECT a.c_custkey AS ak, b.c_custkey AS bk,
+             (NOT (a.c_name IS NOT DISTINCT FROM b.c_name)
+              OR NOT (a.c_nationkey IS NOT DISTINCT FROM b.c_nationkey)
+              OR NOT (a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal)
+              OR NOT (a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment))
+               AS differs
+      FROM customer a FULL JOIN v2 b ON a.c_custkey = b.c_custkey
+    )
+    SELECT coalesce(ak, bk) AS c_custkey,
+           CASE WHEN ak IS NULL THEN 'added'
+                WHEN bk IS NULL THEN 'removed'
+                WHEN differs THEN 'changed' END AS status
+    FROM j
+    WHERE ak IS NULL OR bk IS NULL OR differs
+    """,
+)
+def q174_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two versions of the customer table: v2 drops custkey%13=0
+    (removed), bumps balances for %10=0 (changed), and appends shifted
+    keys for %100=0 (added); only the delta rows come back."""
+    cust = load_table(spark, sf_dir, "customer")
+    v2 = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.when(F.col("c_custkey") % 10 == 0,
+               F.col("c_acctbal") + F.lit(100.0))
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    ).unionByName(
+        cust.filter(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 10000).alias("c_custkey"),
+            "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    return snapshot_diff(cust, v2, "c_custkey", _SCD2_TRACKED)

@@ -98,7 +98,6 @@ _PRIORITY: tuple[str, ...] = (
     "q45_rolling_stats", "q85_cluster_retention",
     "q104_small_quantity_revenue", "q120_sliding_window",
     # re-witness spread (last green in r1-r2)
-    "q05_groups", "q09_scale_params",
     "q16_dedup_exact", "q19_cosine_topk", "q24_window_agg",
     "q26_pricing_summary", "q30_asof_join", "q54_json_props",
     "q56_jsonl_roundtrip", "q73_stratified_sample",
@@ -106,6 +105,7 @@ _PRIORITY: tuple[str, ...] = (
     # round-5 new operators (no driver row yet)
     "q167_gopher_gate", "q168_stratified_token_head",
     "q169_curation_pipeline", "q172_semdedup_fixed_cells",
+    "q173_scd2_dimension", "q174_snapshot_diff",
     # ---- slots 51+: checked only if the driver budget stretches ----
     "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     "q141_minhash_portable", "q142_simhash_portable",

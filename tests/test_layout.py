@@ -113,3 +113,46 @@ def test_parquet_manifest_matches_footers(spark, sf_dir, tmp_path):
     got = sorted((int(r["min"]), int(r["max"])) for r in man
                  if r["col"] == "user_id")
     assert got == sorted(spans)
+
+
+def test_scd2_apply_version_semantics(spark):
+    """No-op change rows spawn no versions; real changes close the old
+    row and open a new one; new keys open at ts; untouched keys stay
+    open from 0."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+        scd2_apply,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double")
+    changes = spark.createDataFrame(
+        [(2, "b", 20.0),      # no-op
+         (3, "c", 99.0),      # real change
+         (4, "d", 40.0)],     # new key
+        "k long, name string, bal double")
+    got = scd2_apply(dim, changes, "k", ["name", "bal"], ts=1).collect()
+    rows = {(r["k"], r["valid_from"], r["valid_to"], r["is_current"],
+             r["bal"]) for r in got}
+    assert rows == {
+        (1, 0, None, True, 10.0),     # untouched
+        (2, 0, None, True, 20.0),     # no-op: still ONE open row
+        (3, 0, 1, False, 30.0),       # closed old version
+        (3, 1, None, True, 99.0),     # re-opened with new attrs
+        (4, 1, None, True, 40.0),     # brand-new key
+    }
+    assert len(got) == 5
+
+
+def test_snapshot_diff_statuses(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+        snapshot_diff,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, v string")
+    b = spark.createDataFrame(
+        [(2, "y"), (3, "Z"), (4, "w")], "k long, v string")
+    got = {r["k"]: r["status"] for r in
+           snapshot_diff(a, b, "k", ["v"]).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
