@@ -271,11 +271,14 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, key: str,
 
     Change detection is per-column NULL-SAFE equality (eqNullSafe /
     IS NOT DISTINCT FROM) — never a string-concat row hash, whose
-    float formatting differs across engines. One full-outer join on
-    the key is the only shuffle; each output class is a projection of
-    that join, so the plan reads both inputs once. At 100 TB the dim
-    side is bucketed/Z-ordered on the key (q155) and the daily change
-    batch is delta-sized — the standard warehouse nightly."""
+    float formatting differs across engines. ONE full-outer join on
+    the key is the only shuffle, and the join executes ONCE: every
+    joined row emits its 1-2 version rows through a single
+    array+explode projection (a 3-way union of filtered selects would
+    re-run the join per branch — 3 merge passes over the same shuffled
+    data at 100 TB). The dim side is bucketed/Z-ordered on the key
+    (q155) and the daily change batch is delta-sized — the standard
+    warehouse nightly."""
     c = dim.alias("c")
     n = changes.alias("n")
     j = c.join(n, F.col(f"c.{key}").eqNullSafe(F.col(f"n.{key}")), "full")
@@ -284,25 +287,23 @@ def scd2_apply(dim: DataFrame, changes: DataFrame, key: str,
         [~F.col(f"c.{t}").eqNullSafe(F.col(f"n.{t}")) for t in tracked])
     has_c = F.col(f"c.{key}").isNotNull()
     has_n = F.col(f"n.{key}").isNotNull()
-    keep_open = j.filter(has_c & (~has_n | ~differs)).select(
-        *[F.col(f"c.{t}").alias(t) for t in [key] + tracked],
-        F.lit(0).cast("long").alias("valid_from"),
-        F.lit(None).cast("long").alias("valid_to"),
-        F.lit(True).alias("is_current"),
+
+    def _ver(side: str, vfrom, vto, current: bool):
+        return F.struct(
+            *[F.col(f"{side}.{t}").alias(t) for t in [key] + tracked],
+            F.lit(vfrom).cast("long").alias("valid_from"),
+            (F.lit(vto).cast("long") if vto is not None
+             else F.lit(None).cast("long")).alias("valid_to"),
+            F.lit(current).alias("is_current"),
+        )
+
+    versions = (
+        F.when(has_c & has_n & differs,
+               F.array(_ver("c", 0, ts, False), _ver("n", ts, None, True)))
+        .when(has_c, F.array(_ver("c", 0, None, True)))
+        .otherwise(F.array(_ver("n", ts, None, True)))
     )
-    closed = j.filter(has_c & has_n & differs).select(
-        *[F.col(f"c.{t}").alias(t) for t in [key] + tracked],
-        F.lit(0).cast("long").alias("valid_from"),
-        F.lit(ts).cast("long").alias("valid_to"),
-        F.lit(False).alias("is_current"),
-    )
-    opened = j.filter(has_n & (~has_c | differs)).select(
-        *[F.col(f"n.{t}").alias(t) for t in [key] + tracked],
-        F.lit(ts).cast("long").alias("valid_from"),
-        F.lit(None).cast("long").alias("valid_to"),
-        F.lit(True).alias("is_current"),
-    )
-    return keep_open.unionByName(closed).unionByName(opened)
+    return j.select(F.explode(versions).alias("__v")).select("__v.*")
 
 
 _SCD2_TRACKED = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]

@@ -291,6 +291,38 @@ def main() -> int:
     run("incremental_neardup", lambda: inc_nd(docs1()),
         lambda: inc_nd(docsN()))
 
+    # round-5 additions: quality gate, stratified budget head, SemDeDup
+    def gate(d):
+        return curation.gopher_quality_flags(d, "doc_id", "text") \
+            .filter("passes").count()
+
+    run("gopher_gate", lambda: gate(docs1()), lambda: gate(docsN()))
+
+    # stratified budget head: FIXED per-lang budget at both sizes — the
+    # per-stratum work should track the budget, not the stratum
+    def strat(d):
+        return curation.stratified_token_budget_head(
+            d, "doc_id", "text", "lang", 10_000).count()
+
+    run("stratified_token_head", lambda: strat(docs1()),
+        lambda: strat(docsN()))
+
+    # SemDeDup with a FIXED injected codebook (same cells both sizes):
+    # with ncells constant, 10x rows puts 10x occupancy in every cell →
+    # ~100x within-cell pairs; the honest contract is "raise ncells
+    # with corpus size", so this measures the priced worst case
+    import numpy as np
+    cent_rows = (emb1().filter((F.col("vec_id") >= 10)
+                               & (F.col("vec_id") < 18))
+                 .orderBy("vec_id").select("embedding").collect())
+    cents = np.array([r[0] for r in cent_rows], dtype=np.float64)
+
+    def semd(d):
+        return similarity.semdedup(d, "vec_id", "embedding",
+                                   threshold=0.4, centroids=cents).count()
+
+    run("semdedup_fixed_cells", lambda: semd(emb1()), lambda: semd(embN()))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

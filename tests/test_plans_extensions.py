@@ -109,3 +109,47 @@ def test_signbucket_ann_broadcasts_probes(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     ex, _ = _exchanges(spark, sf_dir, "q143_ann_signbucket")
     assert ex <= 1, ex
+
+
+def test_round5_plan_contracts(spark, sf_dir):
+    """Round-5 queries keep the plans their docstrings price:
+
+    - q164 ridge twin: the per-group coefficient table joins BROADCAST
+      back onto the held-out tail — the events side never reshuffles
+      for the join (the window/agg shuffle on user_id is the only big
+      exchange family).
+    - q167 gopher gate: flags are map-only; the per-lang audit adds
+      exactly the one aggregation shuffle.
+    - q168 stratified head: the two-pass prefix sum survives — no
+      single-partition exchange (a partition-less Window would funnel
+      a 100 TB stratum through one task); offsets join broadcast.
+    - q173 SCD2 / q174 snapshot diff: exactly ONE shuffled full-outer
+      join (SMJ or AQE's shuffled-hash pick — full outer cannot
+      broadcast), executed once: q173 emits every version row through
+      one array+explode projection instead of a 3-way union that
+      would re-run the join per branch."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    df = queries()["q164_ridge_exact_twin"](spark, sf_dir)
+    df.collect()
+    plan = explain.final_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    ex, smj = _exchanges(spark, sf_dir, "q167_gopher_gate")
+    assert ex == 1, ex
+    assert smj == 0
+
+    df = queries()["q168_stratified_token_head"](spark, sf_dir)
+    df.collect()
+    plan = explain.final_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+    for name in ("q173_scd2_dimension", "q174_snapshot_diff"):
+        df = queries()[name](spark, sf_dir)
+        df.collect()
+        plan = explain.final_plan(df)
+        joins = (plan.count("SortMergeJoin")
+                 + plan.count("ShuffledHashJoin"))
+        assert joins == 1, (name, joins)
