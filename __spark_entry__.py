@@ -37,7 +37,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query; rows-only
     entries (CV search, xxhash64-based sketches, SRP/IVF-LSH, HLL,
-    iterative PageRank/LSTM, streaming) are omitted. Ordering mirrors
+    LSTM training, trained-codebook ANN) are omitted — PageRank and
+    all streaming queries carry oracles (exact-integer recurrence /
+    batch-equivalent SQL). Ordering mirrors
     queries(): registry._PRIORITY pins the driver's budget-capped sweep
     to the parity core + the never-yet-checked extension block."""
     return registry.oracles()

@@ -110,3 +110,43 @@ def test_all_nan_column_detection_property(mask):
     kept, removed = profile.drop_all_nan_columns(df)
     assert removed == expect
     assert kept.columns == [c for c in "abc" if c not in expect]
+
+
+_doc_text = st.text(
+    alphabet=st.sampled_from(list("abc def# .the and\n\tz")),
+    min_size=0, max_size=120,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+def test_gopher_flags_match_python_reference(texts):
+    """The five JVM-expression quality rules agree with a direct Python
+    reimplementation on arbitrary text (whitespace runs, empty docs,
+    symbol runs, missing stopwords)."""
+    import re
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        _STOPWORDS,
+        gopher_quality_flags,
+    )
+
+    def ref(t: str):
+        norm = re.sub(r"\s+", " ", t.lower()).strip()
+        toks = norm.split(" ")
+        nw = len(toks)
+        mwl = (len(norm) - (nw - 1)) / nw
+        sym = t.count("#") + (len(t) - len(t.replace("...", ""))) // 3
+        alpha = sum(1 for x in toks if re.search("[a-z]", x))
+        stops = len(set(toks) & set(_STOPWORDS))
+        return (5 <= nw <= 2000, 2.0 <= mwl <= 12.0, sym * 10 < nw,
+                alpha * 5 >= nw * 4, stops >= 2)
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    rows = [(i, t, "en") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: (r["r_words"], r["r_wordlen"], r["r_symbol"],
+                         r["r_alpha"], r["r_stop"])
+           for r in gopher_quality_flags(df, "doc_id", "text").collect()}
+    for i, t in enumerate(rows):
+        assert got[i] == ref(t[1]), (t[1], got[i], ref(t[1]))
