@@ -1636,3 +1636,52 @@ def q172_semdedup_fixed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = np.array([r[0] for r in rows], dtype=np.float64)
     return semdedup(emb, "vec_id", "embedding", threshold=_SEM_T,
                     centroids=cents)
+
+
+_RECALL_FLOORS = {"srp": 0.75, "ivf": 0.75, "pq": 0.7}
+
+
+@query(
+    "q175_ann_recall_gate",
+    oracle="""
+    SELECT 'ivf' AS method, CAST(0.75 AS DOUBLE) AS floor_recall,
+           TRUE AS floor_ok
+    UNION ALL
+    SELECT 'pq', CAST(0.7 AS DOUBLE), TRUE
+    UNION ALL
+    SELECT 'srp', CAST(0.75 AS DOUBLE), TRUE
+    """,
+)
+def q175_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall FLOORS for the three production ANN paths as a
+    driver-checked regression gate: q129 measures the exact recall@5
+    numbers (rows-only — trained-index cell boundaries can flip a
+    single neighbor across BLAS builds), but whether each path stays
+    ABOVE its floor is stable: measured recall@5 spans
+    srp 0.94-0.98, ivf 0.92-0.94, pq 0.84-1.0 across sf0.01/sf0.1
+    (approximation coarsens with corpus size at fixed dials), so the
+    0.7-0.75 floors sit ≥4 neighbor-flips below every measurement —
+    only a real regression in the hash family, probe dial, or rescore
+    can cross them. The oracle is the
+    constant all-TRUE table; a red driver row here means an ANN path
+    actually lost recall."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    exact = cosine_topk_bruteforce(emb, queries_df, "vec_id", "embedding",
+                                   _TOP_K).select("query_id", "neighbor_id")
+    total = exact.count()
+    out = []
+    for method, df in (
+        ("srp", cosine_topk_srp(emb, queries_df, "vec_id", "embedding",
+                                _TOP_K, nbits=6, ntables=16, nprobes=4)),
+        ("ivf", cosine_topk_ivf(emb, queries_df, "vec_id", "embedding",
+                                _TOP_K, nprobe=10, train_iters=2)),
+        ("pq", cosine_topk_pq(emb, queries_df, "vec_id", "embedding",
+                              _TOP_K)),
+    ):
+        hits = exact.join(df.select("query_id", "neighbor_id"),
+                          ["query_id", "neighbor_id"]).count()
+        floor = _RECALL_FLOORS[method]
+        out.append((method, floor, hits / total >= floor))
+    return spark.createDataFrame(
+        out, "method string, floor_recall double, floor_ok boolean")
