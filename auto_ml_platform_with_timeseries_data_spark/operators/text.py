@@ -1074,3 +1074,77 @@ def q148_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "l", "r")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q176 — BPE ENCODE (apply a merge table), the third leg of the
+# tokenizer story: q148 oracle-checks training round 1, q147 learns the
+# table, this applies one
+# ---------------------------------------------------------------------------
+
+# fixed merge table (rank order). Every pair has left != right, which
+# makes leftmost-nonoverlapping string replace EXACTLY equivalent to
+# the sequential _apply_merge fold (a "|l|r|" occurrence can only
+# overlap another when l == r), so the oracle can apply the merges with
+# chained replace() over pipe-delimited symbols.
+_ENC_MERGES = (("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"))
+
+
+def bpe_encode_counts(df: DataFrame, id_col: str, text_col: str,
+                      merges=_ENC_MERGES) -> DataFrame:
+    """Apply a learned BPE merge table and report per-document token
+    economics: words, characters, and post-merge BPE token count — the
+    numbers a pretraining budget is actually denominated in.
+
+    Distributed shape (the production vocab trick, in reverse of
+    training): the corpus explodes to (doc, word) pairs, but the
+    5-merge fold runs ONCE PER DISTINCT WORD — the Zipf head — and
+    joins back on the word; the join side carries a 2-column table and
+    AQE broadcasts it at fixture scale / hash-joins it at vocab scale.
+    Encoding cost is O(|vocab| · merges), not O(corpus · merges)."""
+    toks = tokens(normalize_text(text_col))
+    words = (df.select(F.col(id_col), F.explode(toks).alias("w"))
+             .filter(F.col("w") != ""))
+    enc = F.split(F.col("w"), "")
+    for left, right in merges:
+        enc = _apply_merge(enc, left, right)
+    vocab = words.select("w").distinct().select(
+        "w", F.size(enc).alias("__n_bpe"))
+    return (
+        words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_words"),
+             F.sum(F.length("w")).alias("n_chars_words"),
+             F.sum("__n_bpe").alias("n_bpe_tokens"))
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    enc = "'|' || regexp_replace(w, '(.)', '\\1|', 'g')"
+    for left, right in _ENC_MERGES:
+        enc = f"replace({enc}, '|{left}|{right}|', '|{left}{right}|')"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, tok AS w FROM (
+        SELECT doc_id, unnest(string_split({norm}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok != ''
+    ),
+    e AS (SELECT doc_id, w, {enc} AS enc FROM w)
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars_words,
+           CAST(sum(len(string_split(trim(enc, '|'), '|'))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM e GROUP BY doc_id
+    """
+
+
+@query("q176_bpe_encode", oracle=_bpe_encode_oracle())
+def q176_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with a fixed 5-merge BPE table (th, the, in,
+    an, on) and emit per-doc word/char/BPE-token counts — every count
+    value-hash-checked against the oracle's chained-replace
+    reimplementation of the same leftmost-nonoverlapping merges."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_counts(docs, "doc_id", "text")

@@ -151,3 +151,35 @@ def test_unigram_logprob_ranks_rare_token_soup_lowest(spark):
     assert abs(out[1] - (math.floor(lp1 * 1e6 + 0.5) / 1e6)) < 1e-9
     assert abs(out[2] - (math.floor(lp2 * 1e6 + 0.5) / 1e6)) < 1e-9
     assert out[2] < out[1]
+
+
+def test_bpe_encode_fold_matches_python_reference(spark):
+    """The HOF merge fold applied per word equals a pure-Python BPE
+    apply on adversarial words (chained merges, repeated symbols,
+    merge-at-boundary)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        _ENC_MERGES,
+        bpe_encode_counts,
+    )
+
+    def py_apply(word):
+        syms = list(word)
+        for l, r in _ENC_MERGES:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    texts = ["the thin anthem on and on", "ththe inin nanan", "t h e",
+             "onion anon tintin", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in
+           bpe_encode_counts(df, "doc_id", "text").collect()}
+    for i, t in enumerate(texts):
+        expect = sum(py_apply(w) for w in t.split())
+        assert got[i] == expect, (t, got[i], expect)
