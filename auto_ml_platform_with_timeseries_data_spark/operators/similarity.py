@@ -1685,3 +1685,143 @@ def q175_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append((method, floor, hits / total >= floor))
     return spark.createDataFrame(
         out, "method string, floor_recall double, floor_ok boolean")
+
+
+# ---------------------------------------------------------------------------
+# q177 — margin-based parallel-pair mining (the CCMatrix/LASER
+# criterion: score a candidate pair by its cosine RELATIVE to each
+# side's k-NN neighborhood, not absolutely)
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 4
+_MARGIN_T = 1.02
+
+
+def margin_mine_pairs(src: DataFrame, tgt: DataFrame, id_col: str,
+                      vec_col: str, k: int = _MARGIN_K,
+                      margin: float = _MARGIN_T) -> DataFrame:
+    """Mine aligned pairs between two embedding sets with the
+    max-margin criterion (Artetxe & Schwenk 2019; the CCMatrix mining
+    rule): for y in kNN(x), score(x,y) = cos(x,y) / ((avg top-k
+    cos(x,·) + avg top-k cos(·,y)) / 2) and keep pairs above the
+    margin. Absolute-cosine mining drifts with hubness — a vector
+    cosine-close to EVERYTHING matches everything; dividing by both
+    neighborhoods cancels the hub effect.
+
+    Exactness contract: the VECTORS are quantized to integers up
+    front (floor(x·2¹⁰) per component), so every dot product and
+    squared norm is an exact BIGINT sum — order-independent, no
+    engine's float fold in the loop (measured: the two engines' raw
+    float cosines differ enough that ~3 in 10⁴ pairs crossed a 1e-6
+    quantization boundary; integer dots remove the divergence at the
+    source). The quantized cosine dot/√(da·db), its floor(·1e6)
+    integerization, the exact top-k neighborhood sums, and the final
+    floor(x·1e6+0.5) margin pin are each ONE fixed double expression
+    over those integers, written identically on both engines. Pairs
+    with zero norms or a non-positive denominator are dropped.
+
+    Scale shape: the pair scan broadcasts the smaller side (here both
+    sides are query-scale); at corpus scale the scan becomes the
+    block-matrix slab pattern of embedding_neardup_pairs and the
+    per-side top-k windows shuffle once on each id — the margins are
+    then a pair-keyed join of two small neighborhood tables."""
+    def quant(df: DataFrame, out_id: str, qc: str, dc: str) -> DataFrame:
+        qv = F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.floor(x * F.lit(1024.0)).cast("long"))
+        d = F.aggregate(
+            F.transform(F.col(qc), lambda x: x * x),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        return (df.select(F.col(id_col).alias(out_id), qv.alias(qc))
+                .withColumn(dc, d)
+                .filter(F.col(dc) > 0))
+
+    a = quant(src, "src_id", "__qa", "__da")
+    b = quant(tgt, "tgt_id", "__qb", "__db")
+    dot = F.aggregate(
+        F.zip_with("__qa", "__qb", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    ci = F.floor(
+        dot / F.sqrt((F.col("__da") * F.col("__db")).cast("double"))
+        * F.lit(1e6)).cast("long")
+    pairs = (a.crossJoin(F.broadcast(b))
+             .select("src_id", "tgt_id", ci.alias("ci")))
+    wa = Window.partitionBy("src_id").orderBy(F.desc("ci"), F.asc("tgt_id"))
+    wb = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
+    ranked = (pairs
+              .withColumn("__ra", F.row_number().over(wa))
+              .withColumn("__rb", F.row_number().over(wb)))
+    sa = (ranked.filter(F.col("__ra") <= k).groupBy("src_id")
+          .agg(F.sum("ci").alias("__sa")))
+    sb = (ranked.filter(F.col("__rb") <= k).groupBy("tgt_id")
+          .agg(F.sum("ci").alias("__sb")))
+    cand = (ranked.filter(F.col("__ra") <= k)
+            .join(sa, "src_id").join(sb, "tgt_id")
+            .filter(F.col("__sa") + F.col("__sb") > 0))
+    mg = (F.col("ci") * F.lit(float(2 * k))) \
+        / (F.col("__sa") + F.col("__sb"))
+    # floor(x*1e6+0.5)/1e6, not round(): the two engines' round()
+    # implementations disagree at the 6th-decimal boundary even on
+    # bit-identical doubles (the round-2 lesson recorded in BASELINE)
+    pinned = F.floor(mg * 1e6 + F.lit(0.5)) / 1e6
+    return (cand.select("src_id", "tgt_id", pinned.alias("margin"))
+            .filter(F.col("margin") >= F.lit(margin)))
+
+
+def _margin_oracle() -> str:
+    k, t = _MARGIN_K, _MARGIN_T
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS d
+      FROM q
+    ),
+    p AS (
+      SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+             CAST(floor(
+               CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                    i -> a.qv[i] * b.qv[i])) AS BIGINT)
+               / sqrt(CAST(a.d * b.d AS DOUBLE)) * 1e6) AS BIGINT) AS ci
+      FROM n a JOIN n b
+        ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+       AND a.d > 0 AND b.d > 0
+    ),
+    r AS (
+      SELECT src_id, tgt_id, ci,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY ci DESC, tgt_id) AS ra,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY ci DESC, src_id) AS rb
+      FROM p
+    ),
+    sa AS (SELECT src_id, CAST(sum(ci) AS BIGINT) AS s FROM r
+           WHERE ra <= {k} GROUP BY src_id),
+    sb AS (SELECT tgt_id, CAST(sum(ci) AS BIGINT) AS s FROM r
+           WHERE rb <= {k} GROUP BY tgt_id)
+    SELECT r.src_id, r.tgt_id,
+           floor((r.ci * {float(2 * k)}) / (sa.s + sb.s) * 1e6 + 0.5)
+             / 1e6 AS margin
+    FROM r JOIN sa ON r.src_id = sa.src_id
+           JOIN sb ON r.tgt_id = sb.tgt_id
+    WHERE r.ra <= {k} AND sa.s + sb.s > 0
+      AND floor((r.ci * {float(2 * k)}) / (sa.s + sb.s) * 1e6 + 0.5)
+            / 1e6 >= {t}
+    """
+
+
+@query("q177_margin_mining", oracle=_margin_oracle())
+def q177_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine aligned pairs between the even-id and odd-id halves of the
+    embedding table (a stand-in for two languages' encoder outputs):
+    k=4 neighborhoods, margin ≥ 1.02, every (pair, margin) row
+    value-hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    return margin_mine_pairs(src, tgt, "vec_id", "embedding")
