@@ -1359,7 +1359,7 @@ def cosine_topk_pq(corpus: DataFrame, queries_df: DataFrame, id_col: str,
     cand = scored.withColumn("__rk", F.row_number().over(w)) \
         .filter(F.col("__rk") <= n_keep).drop("approx", "__rk")
     vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
-                         F.col(vec_col).alias("__nv"))
+                         _as_double(F.col(vec_col)).alias("__nv"))
     qdf = corpus.sparkSession.createDataFrame(
         [(int(i), [float(x) for x in v]) for i, v in zip(qids, qm)],
         "query_id long, __qv array<double>")
@@ -1546,10 +1546,12 @@ def semdedup(corpus: DataFrame, id_col: str, vec_col: str,
     assigned = _assign_cells(corpus, id_col, vec_col, cent_mat)
     base = corpus.select(F.col(id_col), F.col(vec_col)).join(
         assigned, id_col)
+    # cast BEFORE the fold: raw float32 products diverge ~1e-7 from the
+    # oracle's double arithmetic and can flip a round-6 boundary
     a = base.select(F.col(id_col).alias("__a"), F.col("cell"),
-                    F.col(vec_col).alias("__va"))
+                    _as_double(F.col(vec_col)).alias("__va"))
     b = base.select(F.col(id_col).alias("__b"), F.col("cell"),
-                    F.col(vec_col).alias("__vb"))
+                    _as_double(F.col(vec_col)).alias("__vb"))
     dups = (
         a.join(b, "cell")
         .filter(F.col("__b") < F.col("__a"))
