@@ -1,14 +1,15 @@
 """Graph algorithms over derived edge lists (the iterative-plan
 family: rank propagation here, min-label propagation in dedup.py's
-connected_components). Both queries are rows-only (iterative plans have
-no portable SQL twin); registry._PRIORITY keeps them outside the
-driver's budget-capped sweep slots, which go to oracle-checked
-queries first."""
+connected_components) plus the mergeable-sketch queries. q130's
+exact-integer recurrence gives the iterative plan a full value-hash
+oracle (unrolled CTEs); q131's HLL registers stay rows-only but the
+KMV sibling q178 oracle-checks the identical rollup dataflow."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from auto_ml_platform_with_timeseries_data_spark.registry import query
 from auto_ml_platform_with_timeseries_data_spark.tables import load_table
@@ -196,5 +197,120 @@ def q131_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact", "approx",
             (F.abs(F.col("approx") - F.col("exact"))
              / F.col("exact") <= 0.05).alias("within_bound"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q178 — KMV (k-minimum-values) distinct sketch: the mergeable-sketch
+# dataflow of q131, but with EVERY number oracle-checked (HLL's binary
+# registers aren't SQL-portable; KMV's state is just the k smallest
+# hash values, which any engine reproduces exactly)
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def kmv_daily_sketches(ev: DataFrame, k: int = _KMV_K) -> DataFrame:
+    """Per-(week, day) KMV sketch of active users: the k smallest
+    DISTINCT deterministic hash values. Bounded state (k BIGINTs per
+    day) — the pre-aggregate a 100 TB event stream keeps instead of
+    raw user ids."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        hash_u32,
+    )
+
+    return (
+        ev.select(F.date_trunc("week", "ts").alias("week"),
+                  F.date_trunc("day", "ts").alias("day"),
+                  hash_u32("user_id").alias("h"))
+        .distinct()
+        .groupBy("week", "day")
+        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins"))
+    )
+
+
+@query(
+    "q178_kmv_distinct",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_trunc('week', ts) AS week, date_trunc('day', ts) AS day,
+             (user_id % 1000003) * 2654435761 % 4294967296 AS h
+      FROM events GROUP BY 1, 2, 3
+    ),
+    daily AS (
+      -- per-day k smallest distinct hashes (the persisted sketch)
+      SELECT week, day, h FROM (
+        SELECT week, day, h,
+               row_number() OVER (PARTITION BY week, day ORDER BY h) AS rk
+        FROM d
+      ) WHERE rk <= {_KMV_K}
+    ),
+    merged AS (
+      -- weekly merge = k smallest of the UNION of daily sketches
+      SELECT week, h, rk, n_in_sketch FROM (
+        SELECT week, h,
+               row_number() OVER (PARTITION BY week ORDER BY h) AS rk,
+               count(*) OVER (PARTITION BY week) AS n_in_sketch
+        FROM (SELECT DISTINCT week, h FROM daily)
+      ) WHERE rk <= {_KMV_K}
+    ),
+    est AS (
+      SELECT week,
+             CASE WHEN max(n_in_sketch) < {_KMV_K}
+                  THEN CAST(max(n_in_sketch) AS DOUBLE)
+                  ELSE ({_KMV_K} - 1) * 4294967296.0 / max(CASE
+                       WHEN rk = {_KMV_K} THEN h END) END AS raw_est
+      FROM merged GROUP BY week
+    ),
+    ex AS (
+      SELECT date_trunc('week', ts) AS week,
+             count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(e.week, '%Y-%m-%d') AS week,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           floor(e.raw_est * 100.0 + 0.5) / 100.0 AS approx_distinct,
+           abs(e.raw_est - ex.exact_distinct) / ex.exact_distinct <= 0.3
+             AS within_bound
+    FROM est e JOIN ex ON e.week = ex.week
+    """,
+)
+def q178_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate weekly distinct users via MERGED daily KMV sketches,
+    with the exact count beside it — the q131 rollup dataflow
+    (pre-aggregate days once, re-aggregate to weeks without touching
+    raw events) where sketch state, merge, estimator arithmetic
+    ((k−1)·2³²/kth-min over exact integer hashes), and error gate are
+    ALL value-hash-checked by the oracle. KMV σ ≈ 1/√(k−2) ≈ 13% at
+    k=64; gate at 30%. Weeks whose union holds fewer than k hashes are
+    exact by construction (the sketch IS the value set)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = kmv_daily_sketches(ev)
+    merged = (
+        daily.select("week", F.explode("mins").alias("h")).distinct()
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("week").orderBy("h")))
+        .withColumn("n_in_sketch", F.count(F.lit(1)).over(
+            Window.partitionBy("week")))
+        .filter(F.col("rk") <= _KMV_K)
+    )
+    est = merged.groupBy("week").agg(
+        F.when(F.max("n_in_sketch") < _KMV_K,
+               F.max("n_in_sketch").cast("double"))
+        .otherwise(F.lit(float(_KMV_K - 1)) * F.lit(4294967296.0)
+                   / F.max(F.when(F.col("rk") == _KMV_K, F.col("h"))))
+        .alias("raw_est"))
+    exact = ev.select(F.date_trunc("week", "ts").alias("week"), "user_id") \
+        .groupBy("week").agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return (
+        est.join(exact, "week")
+        .select(
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            "exact_distinct",
+            (F.floor(F.col("raw_est") * 100.0 + F.lit(0.5)) / 100.0)
+            .alias("approx_distinct"),
+            (F.abs(F.col("raw_est") - F.col("exact_distinct"))
+             / F.col("exact_distinct") <= 0.3).alias("within_bound"),
         )
     )
