@@ -43,3 +43,45 @@ def test_key_skew_stats_flags_hot_key(spark):
     assert got["max_per_key"] == 91              # key 7: 90 + 1
     assert got["top_key_share"] == 0.91
     assert got["skew_factor"] == 9.1             # 91 / (100/10)
+
+
+def test_kmv_small_sets_are_exact_and_estimator_sane(spark):
+    """A week whose merged sketch holds fewer than k hashes reports the
+    EXACT distinct count; a large week estimates within the KMV bound."""
+    import datetime
+
+    from auto_ml_platform_with_timeseries_data_spark.registry import (
+        QUERIES, load_all,
+    )
+
+    load_all()
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # week 1: 10 users over 3 days (< k=64 → exact by construction)
+    for d in range(3):
+        for u in range(10):
+            rows.append((len(rows), base + datetime.timedelta(days=d), u))
+    # week 2: 500 users spread over 5 days (> k → estimated)
+    for d in range(7, 12):
+        for u in range(d * 100, d * 100 + 100):
+            rows.append((len(rows), base + datetime.timedelta(days=d), u))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+
+    import auto_ml_platform_with_timeseries_data_spark.tables as tables
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda sp, sf, name: df  # events only here
+        import auto_ml_platform_with_timeseries_data_spark.operators.graph as g
+        old = g.load_table
+        g.load_table = tables.load_table
+        try:
+            got = {r["week"]: r for r in
+                   QUERIES["q178_kmv_distinct"](spark, "ignored").collect()}
+        finally:
+            g.load_table = old
+    finally:
+        tables.load_table = orig
+    small = [r for r in got.values() if r["exact_distinct"] == 10]
+    big = [r for r in got.values() if r["exact_distinct"] == 500]
+    assert small and small[0]["approx_distinct"] == 10.0   # exact path
+    assert big and big[0]["within_bound"]                  # 30% gate holds
