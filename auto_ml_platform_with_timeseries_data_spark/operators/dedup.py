@@ -1255,3 +1255,87 @@ def q162_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     delta = docs.filter(F.col("doc_id") % 5 == 0)
     return incremental_neardup_pairs(delta, corpus, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q179 — canonical SELECTION policy per near-dup cluster (keep-best,
+# not keep-first)
+# ---------------------------------------------------------------------------
+
+
+def select_canonical(docs: DataFrame, components: DataFrame, id_col: str,
+                     quality_col: str) -> DataFrame:
+    """Pick each dup cluster's surviving document by a QUALITY policy —
+    highest `quality_col`, ties to the smallest id — instead of the
+    min-id convention the clustering itself uses. Min-id is arbitrary:
+    production curation keeps the longest / highest-scoring member of
+    a duplicate family (the copies are often truncations or boilerplate
+    -wrapped rehosts of it). Output: one row per doc with its
+    component, the cluster's chosen canonical, and an is_canonical
+    flag — the table a training-set writer anti-joins against.
+
+    Scale: one window over (component) ranked by (quality desc, id) —
+    a single shuffle on the component key; cluster sizes are dup-family
+    sizes (small by nature), so no skewed-partition risk."""
+    j = components.join(
+        docs.select(F.col(id_col), F.col(quality_col)), id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.asc(id_col))
+    return (
+        j.withColumn(
+            "canonical_id",
+            F.first(id_col).over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)))
+        .select(
+            id_col, "component", "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
+@query(
+    "q179_canonical_selection",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_DUCK}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component
+      FROM reach GROUP BY src
+    ),
+    ranked AS (
+      SELECT c.doc_id, c.component, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rk
+      FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    canon AS (
+      SELECT component, doc_id AS canonical_id FROM ranked WHERE rk = 1
+    )
+    SELECT r.doc_id, r.component, k.canonical_id,
+           r.doc_id = k.canonical_id AS is_canonical
+    FROM ranked r JOIN canon k ON r.component = k.component
+    """,
+)
+def q179_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q55's near-dup clusters with a keep-LONGEST canonical policy:
+    every doc labeled with its cluster, the cluster's chosen survivor
+    (max n_chars, ties to min doc_id), and whether it survives —
+    value-hash-checked against the recursive-CTE closure + the same
+    argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_blocked(docs, "doc_id", "text", "lang",
+                                  shingle_n=2, threshold=_JACCARD_THRESHOLD)
+    comp = connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"),
+        id_col="doc_id").select(F.col("id").alias("doc_id"), "component")
+    return select_canonical(docs, comp, "doc_id", "n_chars")

@@ -99,7 +99,7 @@ _PRIORITY: tuple[str, ...] = (
     "q104_small_quantity_revenue", "q120_sliding_window",
     # re-witness spread (last green in r1-r2)
     "q16_dedup_exact", "q175_ann_recall_gate", "q176_bpe_encode",
-    "q26_pricing_summary", "q177_margin_mining", "q178_kmv_distinct",
+    "q179_canonical_selection", "q177_margin_mining", "q178_kmv_distinct",
     "q56_jsonl_roundtrip", "q73_stratified_sample",
     "q128_pareto_abc",
     # round-5 new operators (no driver row yet)
