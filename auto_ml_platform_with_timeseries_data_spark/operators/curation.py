@@ -1403,3 +1403,77 @@ def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_token_budget_head(mixed, "doc_id", "text", "lang",
                                         _PIPE_BUDGET).select(
         "lang", "doc_id", "n_tokens", "cum_tokens")
+
+
+# ---------------------------------------------------------------------------
+# q180 — leakage-free split assignment (split by content group, not id)
+# ---------------------------------------------------------------------------
+
+
+def split_by_content_group(df: DataFrame, id_col: str, text_col: str,
+                           train: int = 80, val: int = 10) -> DataFrame:
+    """hash_split (q74) keyed by the CONTENT GROUP instead of the doc
+    id: every document hashes on its exact-dup family's canonical id
+    (min id over the md5 fingerprint), so a duplicate family can never
+    straddle train/test — the q137 leakage gate is satisfied BY
+    CONSTRUCTION rather than audited after the fact. The residual
+    exposure is near-dups only (route those through q179's cluster
+    table the same way).
+
+    Scale: one shuffle on the 32-byte fingerprint for the canonical
+    window; the split itself stays a row-local hash — no second
+    shuffle."""
+    w = Window.partitionBy(F.md5(normalize_text(text_col)))
+    canon = F.min(id_col).over(w)
+    b = hash_u32(canon) % 100
+    return df.withColumn(
+        "split",
+        F.when(b < train, "train")
+        .when(b < train + val, "val")
+        .otherwise("test"),
+    ).withColumn("__fp", F.md5(normalize_text(text_col)))
+
+
+@query(
+    "q180_leakfree_split",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_GQ_NORM}) AS fp FROM documents
+    ),
+    c AS (
+      SELECT doc_id, fp, min(doc_id) OVER (PARTITION BY fp) AS canon
+      FROM fp
+    ),
+    s AS (
+      SELECT doc_id, fp,
+             CASE WHEN {_hash_u32_sql('canon')} % 100 < 80 THEN 'train'
+                  WHEN {_hash_u32_sql('canon')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM c
+    ),
+    lk AS (
+      SELECT count(*) AS bad FROM (
+        SELECT fp FROM s GROUP BY fp HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_groups,
+           (SELECT bad FROM lk) = 0 AS leak_free
+    FROM s GROUP BY split
+    """,
+)
+def q180_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-keyed 80/10/10 split of the corpus: per-split doc and
+    content-group counts, with the zero-exact-dup-leakage property
+    verified inside the query (leak_free must be TRUE on every row) —
+    the constructive complement to q137's after-the-fact audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = split_by_content_group(docs, "doc_id", "text")
+    bad = (s.groupBy("__fp")
+           .agg(F.countDistinct("split").alias("__ns"))
+           .filter(F.col("__ns") > 1).count())
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__fp").alias("n_groups"),
+        F.lit(bad == 0).alias("leak_free"),
+    )
