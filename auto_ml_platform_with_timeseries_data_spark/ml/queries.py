@@ -308,3 +308,46 @@ def q166_cv_planted_optimum(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(best.family, params, round(best.cv_metric, 4))],
         "family string, best_params string, cv_rmse double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q181 — look-back sweep witnessed on a planted optimum (W3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q181_ts_lookback_planted",
+    oracle="""
+    SELECT CAST(4 AS INT) AS look_back, 'linear' AS family,
+           CAST(0.0 AS DOUBLE) AS test_rmse
+    """,
+)
+def q181_ts_lookback_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver witness for the look-back sweep (W3 — the loop the
+    reference's dead TS branch iterates, auto_machine_learning.py:
+    100-107): a fixture where each group follows y_t = y_{t-4} + 1
+    (four interleaved arithmetic tracks) plants the optimum at
+    look_back=4 — windows of 2 or 3 lags literally do not contain the
+    predictive lag, so their held-out RMSE is O(track spacing), while
+    (4, linear) recovers y = lag_3 + 1 exactly on every split and
+    every host; GBT approximates the same line in steps and cannot tie
+    a 1e-13 RMSE. The swept argmax (q166's planted-optimum pattern
+    applied to ts_automl_global) is therefore a CONSTANT the oracle
+    states."""
+    from auto_ml_platform_with_timeseries_data_spark.ml.ts_automl import (
+        ts_automl_global,
+    )
+
+    rows = []
+    for g in range(4):
+        base = 100.0 * (g + 1)
+        series = [base + 17.0 * (i % 4) for i in range(4)]
+        for t in range(4, 80):
+            series.append(series[t - 4] + 1.0)
+        rows.extend((g, t, float(v)) for t, v in enumerate(series))
+    df = spark.createDataFrame(rows, "g long, t long, y double")
+    best = ts_automl_global(df, "g", "t", "y", look_backs=(2, 3, 4))
+    return spark.createDataFrame(
+        [(best.look_back, best.family, round(best.test_rmse, 4))],
+        "look_back int, family string, test_rmse double",
+    )

@@ -100,7 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     # re-witness spread (last green in r1-r2)
     "q16_dedup_exact", "q175_ann_recall_gate", "q176_bpe_encode",
     "q179_canonical_selection", "q177_margin_mining", "q178_kmv_distinct",
-    "q180_leakfree_split", "q73_stratified_sample",
+    "q180_leakfree_split", "q181_ts_lookback_planted",
     "q128_pareto_abc",
     # round-5 new operators (no driver row yet)
     "q167_gopher_gate", "q168_stratified_token_head",
