@@ -200,3 +200,50 @@ def test_index_update_two_batch_sequence(spark):
     got2 = {r["fingerprint"]: r["canonical_id"] for r in idx2.collect()}
     assert len(got2) == 4
     assert set(got1.items()) <= set(got2.items())
+
+
+def test_select_canonical_keeps_best_not_first(spark):
+    """The cluster survivor is the QUALITY argmax (ties to min id), not
+    the min id the clustering uses as its component label."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        select_canonical,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 99)],
+        "doc_id long, n_chars long")
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7)], "doc_id long, component long")
+    got = {r["doc_id"]: r for r in
+           select_canonical(docs, comp, "doc_id", "n_chars").collect()}
+    # cluster 1: docs 2 and 3 tie on quality 50 > doc 1's 10 → doc 2 wins
+    assert got[1]["canonical_id"] == 2 and not got[1]["is_canonical"]
+    assert got[2]["is_canonical"] and got[3]["canonical_id"] == 2
+    assert got[7]["is_canonical"]          # singleton survives
+
+
+def test_split_by_content_group_never_straddles(spark):
+    """Exact duplicates land in the same split by construction, and the
+    split of a dup equals the split of its family's min-id member."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        hash_split,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        normalize_text,  # noqa: F401  (module import sanity)
+    )
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        split_by_content_group,
+    )
+
+    rows = [(i, f"unique text {i}") for i in range(50)]
+    rows += [(1000 + i, f"unique text {i}") for i in range(50)]   # dups
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = split_by_content_group(df, "doc_id", "text")
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    for i in range(50):
+        assert got[i] == got[1000 + i]     # family never straddles
+    # the family split equals hash_split of the canonical (min) id
+    base = {r["doc_id"]: r["split"] for r in
+            hash_split(df.filter("doc_id < 50"), "doc_id").collect()}
+    for i in range(50):
+        assert got[i] == base[i]
