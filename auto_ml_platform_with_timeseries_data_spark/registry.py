@@ -98,7 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     "q45_rolling_stats", "q85_cluster_retention",
     "q104_small_quantity_revenue", "q120_sliding_window",
     # re-witness spread (last green in r1-r2)
-    "q16_dedup_exact", "q175_ann_recall_gate", "q176_bpe_encode",
+    "q182_stream_index_maintenance", "q175_ann_recall_gate",
+    "q176_bpe_encode",
     "q179_canonical_selection", "q177_margin_mining", "q178_kmv_distinct",
     "q180_leakfree_split", "q181_ts_lookback_planted",
     "q128_pareto_abc",

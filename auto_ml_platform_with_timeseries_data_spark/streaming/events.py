@@ -650,3 +650,102 @@ def q170_stream_incremental_dedup(spark: SparkSession,
         (F.lit(n_stream) - F.count(F.lit(1))).cast("long")
         .alias("n_dup_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — the daily-crawl index loop AS A STREAM: per-micro-batch
+# classify-and-append against a PERSISTED on-disk fingerprint index
+# (q154's consume half + q165's maintenance half, fused into
+# foreachBatch)
+# ---------------------------------------------------------------------------
+
+
+def _staged_doc_batches(spark: SparkSession, sf_dir: str) -> str:
+    """ALL documents as 4 sequential doc_id-ordered files — four crawl
+    'days' arriving in order."""
+    key = ("doc_batches4", sf_dir)
+    if key not in _STAGE_CACHE:
+        import time as _time
+
+        from pyspark.sql.window import Window
+
+        from auto_ml_platform_with_timeseries_data_spark.staging import (
+            staging_dir,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        d = staging_dir("stream_doc_batches", fresh=True)
+        sliced = docs.withColumn(
+            "__slice", F.ntile(4).over(Window.orderBy("doc_id")))
+        for i in range(1, 5):
+            (sliced.filter(F.col("__slice") == i).drop("__slice")
+             .coalesce(1).write.mode("append").parquet(d))
+            _time.sleep(0.05)
+        _STAGE_CACHE[key] = d
+    return _STAGE_CACHE[key]
+
+
+@query(
+    "q182_stream_index_maintenance",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS fingerprint,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q182_stream_index_maintenance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The rolling dedup-index loop run END TO END as a stream: four
+    doc_id-ordered micro-batches each (a) fingerprint themselves, (b)
+    anti-join the CURRENT on-disk index to find novel fingerprints, and
+    (c) append exactly those novels back to the index directory — the
+    q154 classify + q165 maintain cycle inside one foreachBatch. After
+    the stream drains, the persisted index must equal the batch-built
+    index over the whole corpus: every distinct fingerprint exactly
+    once, canonicalized to its global min doc_id (batches partition the
+    id range in order, so first-sighting min == global min — the
+    arrival-order invariant the maintenance contract guarantees).
+
+    State lives ON DISK, not in stream memory: each batch reads the
+    index directory fresh, so the loop survives restarts and the state
+    size is the index, not the watermark horizon — the shape a rolling
+    100 TB crawl actually runs (per-day batch = one trigger)."""
+    import glob
+    import os
+    import uuid
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        fingerprint_index,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.staging import (
+        staging_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage_dir = _staged_doc_batches(spark, sf_dir)
+    index_dir = staging_dir("stream_fp_index")   # wiped per invocation
+    ckpt = staging_dir("stream_fp_index_ckpt")
+
+    def upsert(bdf: DataFrame, epoch_id: int) -> None:
+        sp = bdf.sparkSession
+        delta_idx = fingerprint_index(bdf, "doc_id", "text")
+        if glob.glob(os.path.join(index_dir, "part-*")):
+            idx = sp.read.parquet(index_dir).select("fingerprint")
+            delta_idx = delta_idx.join(idx, "fingerprint", "left_anti")
+        delta_idx.write.mode("append").parquet(index_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (stream.writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", ckpt)
+         .queryName(f"q182idx{uuid.uuid4().hex[:8]}")
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(index_dir).select("fingerprint",
+                                                "canonical_id")
