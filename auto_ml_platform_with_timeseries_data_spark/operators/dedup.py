@@ -1339,3 +1339,92 @@ def q179_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id"), pairs.select("id_a", "id_b"),
         id_col="doc_id").select(F.col("id").alias("doc_id"), "component")
     return select_canonical(docs, comp, "doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q183 — NEAR-dup-aware leak-free split (q180's guarantee extended from
+# exact-dup families to q55/q179 near-dup clusters)
+# ---------------------------------------------------------------------------
+
+
+def split_by_neardup_cluster(docs: DataFrame, components: DataFrame,
+                             id_col: str, train: int = 80,
+                             val: int = 10) -> DataFrame:
+    """Split assignment keyed by the NEAR-dup cluster's component id:
+    exact-dup splitting (q180) still leaks paraphrases and truncations
+    across train/test — the actual eval-contamination vector — so the
+    group key here is the connected component of the Jaccard pair
+    graph. Row-local hash once the component label is joined on."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        hash_u32,
+    )
+
+    b = hash_u32(F.col("component")) % 100
+    return docs.select(F.col(id_col)).join(components, id_col).withColumn(
+        "split",
+        F.when(b < train, "train")
+        .when(b < train + val, "val")
+        .otherwise("test"),
+    )
+
+
+@query(
+    "q183_neardup_leakfree_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_DUCK}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+    ),
+    comp AS (
+      SELECT src AS doc_id, min(dst) AS component
+      FROM reach GROUP BY src
+    ),
+    s AS (
+      SELECT doc_id, component,
+             CASE WHEN ((component % 1000003) * 2654435761 % 4294967296)
+                       % 100 < 80 THEN 'train'
+                  WHEN ((component % 1000003) * 2654435761 % 4294967296)
+                       % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM comp
+    ),
+    lk AS (
+      SELECT count(*) AS bad FROM (
+        SELECT component FROM s GROUP BY component
+        HAVING count(DISTINCT split) > 1
+      )
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT component) AS BIGINT) AS n_clusters,
+           (SELECT bad FROM lk) = 0 AS leak_free
+    FROM s GROUP BY split
+    """,
+)
+def q183_neardup_leakfree_split(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """80/10/10 split keyed by the near-dup cluster: per-split doc and
+    cluster counts with the zero-straddle property verified inside the
+    query — closes the contamination story (q137 audits, q180 fixes
+    exact dups, this fixes paraphrase families)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_blocked(docs, "doc_id", "text", "lang",
+                                  shingle_n=2, threshold=_JACCARD_THRESHOLD)
+    comp = connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"),
+        id_col="doc_id").select(F.col("id").alias("doc_id"), "component")
+    s = split_by_neardup_cluster(docs, comp, "doc_id")
+    bad = (s.groupBy("component")
+           .agg(F.countDistinct("split").alias("__ns"))
+           .filter(F.col("__ns") > 1).count())
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("component").alias("n_clusters"),
+        F.lit(bad == 0).alias("leak_free"),
+    )
