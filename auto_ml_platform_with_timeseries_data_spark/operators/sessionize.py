@@ -391,3 +391,77 @@ def q127_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.floor((F.col("n").cast("double") / F.sum("n").over(tot))
                 * 1e6 + F.lit(0.5)) / 1e6
     return c.select("prev_type", "next_type", "n", p.alias("p"))
+
+
+# ---------------------------------------------------------------------------
+# q184 — MAD (median absolute deviation) robust outliers: the
+# heavy-tail-safe complement to q60's trailing z-score
+# ---------------------------------------------------------------------------
+
+
+def mad_outliers(df: DataFrame, group_col: str, id_col: str,
+                 value_col: str, z_threshold: float = 3.5) -> DataFrame:
+    """Per-group robust outliers by modified z-score (Iglewicz-Hoaglin):
+    0.6745·(x − median) / MAD, flag |z| > threshold. Mean/stddev (q60)
+    are themselves dragged by the outliers they hunt — a few extreme
+    points inflate σ until nothing is 2.5σ out; median and MAD have
+    50% breakdown, the standard robust alternative for heavy-tailed
+    telemetry.
+
+    Exactness: both medians are rank-based middle-element (or exact
+    middle-two average) selections over the SAME parquet doubles on
+    both engines — no accumulation, nothing order-dependent (the q123
+    contract); the z expression is then one fixed double formula,
+    pinned floor(x·1e6+0.5). Groups with MAD = 0 (≥ half the values
+    identical) are dropped — robust z is undefined there.
+
+    Scale: two groupBy passes over (group) + one broadcast-size join
+    of per-group medians; no window over raw rows, no sort beyond the
+    aggregate's internal one."""
+    med = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("__med"))
+    dev = (df.join(med, group_col)
+           .withColumn("__ad", F.abs(F.col(value_col) - F.col("__med"))))
+    mad = dev.groupBy(group_col).agg(
+        F.expr("percentile(__ad, 0.5)").alias("__mad"))
+    z = (F.lit(0.6745) * (F.col(value_col) - F.col("__med"))
+         / F.col("__mad"))
+    return (
+        dev.join(mad, group_col)
+        .filter(F.col("__mad") > 0)
+        .select(
+            F.col(group_col), F.col(id_col), F.col(value_col),
+            (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("robust_z"),
+        )
+        .filter(F.abs(F.col("robust_z")) > z_threshold)
+    )
+
+
+@query(
+    "q184_mad_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, median(value) AS med FROM events GROUP BY user_id
+    ),
+    d AS (
+      SELECT e.user_id, e.event_id, e.value, m.med,
+             abs(e.value - m.med) AS ad
+      FROM events e JOIN m ON e.user_id = m.user_id
+    ),
+    md AS (
+      SELECT user_id, median(ad) AS mad FROM d GROUP BY user_id
+    )
+    SELECT d.user_id, d.event_id, d.value,
+           floor(0.6745 * (d.value - d.med) / md.mad * 1e6 + 0.5) / 1e6
+             AS robust_z
+    FROM d JOIN md ON d.user_id = md.user_id
+    WHERE md.mad > 0
+      AND abs(floor(0.6745 * (d.value - d.med) / md.mad * 1e6 + 0.5)
+              / 1e6) > 3.5
+    """,
+)
+def q184_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outliers over event values at modified-z 3.5 —
+    every flagged row's pinned z value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return mad_outliers(ev, "user_id", "event_id", "value")

@@ -711,7 +711,14 @@ def q182_stream_index_maintenance(spark: SparkSession,
     State lives ON DISK, not in stream memory: each batch reads the
     index directory fresh, so the loop survives restarts and the state
     size is the index, not the watermark horizon — the shape a rolling
-    100 TB crawl actually runs (per-day batch = one trigger)."""
+    100 TB crawl actually runs (per-day batch = one trigger).
+
+    Replay caveat: foreachBatch is at-least-once, and a REPLAYED epoch
+    would append its novels twice under plain mode=append. Production
+    hardening is the q149 pattern — write each epoch's novels to an
+    epoch={id} subdirectory with overwrite (idempotent redelivery) and
+    union the epoch dirs on read; kept plain here so the maintained
+    index stays directly value-hash-comparable to the batch oracle."""
     import glob
     import os
     import uuid
