@@ -226,3 +226,59 @@ def test_semdedup_planted_clusters(spark):
     assert got[4]["status"] == "dup" and got[4]["dup_of"] == 3
     assert got[5]["status"] == "kept"
     assert got[6]["status"] == "dup" and got[6]["dup_of"] == 1  # min id, not 2
+
+
+def test_margin_mining_matches_python_reference(spark):
+    """The integer-quantized margin pipeline equals a direct numpy/
+    python reimplementation on a planted bilingual fixture (one true
+    aligned pair per source vector + distractors)."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        margin_mine_pairs,
+    )
+
+    rng = np.random.RandomState(7)
+    dim = 8
+    base = rng.randn(6, dim)
+    rows = []
+    for i in range(6):
+        v = base[i] / np.linalg.norm(base[i])
+        rows.append((2 * i, [float(x) for x in v]))            # src (even)
+        w = v + 0.05 * rng.randn(dim)
+        w = w / np.linalg.norm(w)
+        rows.append((2 * i + 1, [float(x) for x in w]))        # tgt (odd)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter("vec_id % 2 = 0")
+    tgt = df.filter("vec_id % 2 = 1")
+    got = {(r["src_id"], r["tgt_id"]): r["margin"] for r in
+           margin_mine_pairs(src, tgt, "vec_id", "embedding",
+                             k=2, margin=1.0).collect()}
+
+    # python reference with the same quantization contract
+    import math
+    q = {r[0]: [math.floor(x * 1024.0) for x in r[1]] for r in rows}
+    d = {i: sum(x * x for x in qv) for i, qv in q.items()}
+    ci = {}
+    for a in range(0, 12, 2):
+        for b in range(1, 12, 2):
+            dotv = sum(x * y for x, y in zip(q[a], q[b]))
+            ci[(a, b)] = math.floor(dotv / math.sqrt(float(d[a] * d[b]))
+                                    * 1e6)
+    ka = {a: sorted(((-ci[(a, b)], b) for b in range(1, 12, 2)))[:2]
+          for a in range(0, 12, 2)}
+    kb = {b: sorted(((-ci[(a, b)], a) for a in range(0, 12, 2)))[:2]
+          for b in range(1, 12, 2)}
+    expect = {}
+    for a in range(0, 12, 2):
+        sa = sum(-c for c, _ in ka[a])
+        for negc, b in ka[a]:
+            sb = sum(-c for c, _ in kb[b])
+            if sa + sb <= 0:
+                continue
+            mg = math.floor((-negc) * 4.0 / (sa + sb) * 1e6 + 0.5) / 1e6
+            if mg >= 1.0:
+                expect[(a, b)] = mg
+    assert got == expect
+    # every source's true partner is mined (planted alignment)
+    assert all((2 * i, 2 * i + 1) in got for i in range(6))
