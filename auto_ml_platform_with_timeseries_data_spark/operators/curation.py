@@ -1477,3 +1477,94 @@ def q180_leakfree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("__fp").alias("n_groups"),
         F.lit(bad == 0).alias("leak_free"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q185 — the dataset card: one release-summary table per language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q185_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             md5({_GQ_NORM}) AS fp,
+             len(string_split({_GQ_NORM}, ' ')) AS n_tokens,
+             {_GQ_NORM} AS norm,
+             string_split({_GQ_NORM}, ' ') AS toks,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ells
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, doc_id, fp, source, n_tokens,
+             CASE WHEN (len(toks) >= 5 AND len(toks) <= 2000)
+               AND ((length(norm) - (len(toks) - 1)) / len(toks) >= 2.0)
+               AND ((length(norm) - (len(toks) - 1)) / len(toks) <= 12.0)
+               AND ((hashes + ells) * 10 < len(toks))
+               AND (len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    * 5 >= len(toks) * 4)
+               AND (len(list_intersect(toks, {_GQ_STOPS})) >= 2)
+             THEN 1 ELSE 0 END AS gate_pass
+      FROM t
+    ),
+    src AS (
+      SELECT lang, source, count(*) AS sc FROM g GROUP BY lang, source
+    ),
+    topsrc AS (
+      SELECT lang, max(sc) AS max_sc, CAST(sum(sc) AS BIGINT) AS tot
+      FROM src GROUP BY lang
+    )
+    SELECT g.lang,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT g.source) AS BIGINT) AS n_sources,
+           CAST(count(*) - count(DISTINCT g.fp) AS BIGINT) AS n_dup,
+           CAST(sum(g.n_tokens) AS BIGINT) AS total_tokens,
+           median(g.n_tokens) AS p50_tokens,
+           CAST(sum(g.gate_pass) AS BIGINT) AS n_gate_pass,
+           CAST(floor(CAST(max(ts.max_sc) AS DOUBLE) * 1000000.0
+                      / max(ts.tot)) AS BIGINT) AS top_source_ppm
+    FROM g JOIN topsrc ts ON g.lang = ts.lang
+    GROUP BY g.lang
+    """,
+)
+def q185_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release table a corpus ships with — per language: volume
+    (docs, exact token total, median doc length), provenance (source
+    count, top-source concentration in ppm — the "is this just one
+    crawl?" number), redundancy (exact-dup surplus), and quality (q167
+    gate pass count). Every figure is integer/median-portable
+    arithmetic, so the whole card is value-hash-checked; the heavy
+    inputs (fingerprints, token counts, gate flags) all compute
+    map-side in ONE scan, followed by two small aggregations."""
+    from auto_ml_platform_with_timeseries_data_spark.functions.text_exprs import (
+        normalize_text,
+        tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, "doc_id", "text").select(
+        "doc_id", F.col("passes").cast("long").alias("gate_pass"))
+    g = (docs.select(
+            "doc_id", "lang", "source",
+            F.md5(normalize_text("text")).alias("fp"),
+            F.size(tokens(normalize_text("text"))).alias("n_tokens"))
+         .join(flags, "doc_id"))
+    src = g.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("sc"))
+    topsrc = src.groupBy("lang").agg(
+        F.max("sc").alias("max_sc"), F.sum("sc").alias("tot"))
+    return (
+        g.join(topsrc, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.expr("percentile(n_tokens, 0.5)").alias("p50_tokens"),
+            F.sum("gate_pass").alias("n_gate_pass"),
+            F.floor(F.max("max_sc").cast("double") * F.lit(1000000.0)
+                    / F.max("tot")).cast("long").alias("top_source_ppm"),
+        )
+    )
