@@ -834,3 +834,113 @@ def q152_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sampled.mapInPandas(
         checksum, "media_id long, frame_idx long, checksum long")
+
+
+# ---------------------------------------------------------------------------
+# q186 — image NEAR-DUP via dHash over the real decode path (the
+# multimodal tier's dedup op: decode → 9×8 grayscale → gradient bits)
+# ---------------------------------------------------------------------------
+
+_DH_W, _DH_H = 9, 8          # dHash canonical grid: 9 wide → 8 bit cols
+_DH_DOCS = 200
+_DH_FAMILIES = 50            # seed = doc_id % 50 → ~4 planted dups each
+
+
+def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Perceptual difference-hash over REAL image bytes: decode + resize
+    to 9×8 through the stdlib raster path (`decode_image` — same parser
+    q145 certifies), then bit[i,j] = px[i,j] < px[i,j+1] over the red
+    channel — the classic dHash gradient fingerprint, robust to
+    re-encoding and uniform brightness shifts. Emitted as two 32-bit
+    halves (dhash_lo/dhash_hi) so the 64-bit fingerprint stays inside
+    signed BIGINTs on every engine. Map-only; blobs never shuffle."""
+    import numpy as np
+
+    decoded = decode_image(media, id_col=id_col, size=(_DH_W, _DH_H))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w32 = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+        for pdf in batches:
+            lo, hi = [], []
+            for b in pdf["content"]:
+                px = (np.frombuffer(b, dtype=np.uint8)
+                      .reshape(_DH_H, _DH_W, 3)[:, :, 0].astype(np.int64))
+                bits = (px[:, :_DH_W - 1] < px[:, 1:]).astype(np.uint64) \
+                    .reshape(-1)
+                lo.append(int((bits[:32] * w32).sum()))
+                hi.append(int((bits[32:] * w32).sum()))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "dhash_lo": pd.Series(lo, dtype="int64"),
+                "dhash_hi": pd.Series(hi, dtype="int64"),
+            })
+
+    return decoded.filter(F.col("err").isNull()).mapInPandas(
+        kernel, f"{id_col} long, dhash_lo long, dhash_hi long")
+
+
+def _dhash_oracle() -> str:
+    # bit(k): i = k//8 source row, j = k%8; resized px(i, j') =
+    # src[i, (13*j')//9] with src[r, c] = (seed*31 + 13*r + c) % 256
+    def px(jexpr: str) -> str:
+        return (f"(((doc_id % {_DH_FAMILIES}) * 31 + 13 * (k // 8)"
+                f" + (13 * ({jexpr})) // 9) % 256)")
+
+    bit = f"CASE WHEN {px('k % 8')} < {px('(k % 8) + 1')} THEN 1 ELSE 0 END"
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32),
+                 k -> {bit} * (CAST(1 AS BIGINT) << k))) AS BIGINT)
+               AS dhash_lo,
+             CAST(list_sum(list_transform(range(32, 64),
+                 k -> {bit} * (CAST(1 AS BIGINT) << (k - 32)))) AS BIGINT)
+               AS dhash_hi
+      FROM documents WHERE doc_id < {_DH_DOCS}
+    )
+    SELECT dhash_lo, dhash_hi, count(*) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM h GROUP BY dhash_lo, dhash_hi
+    """
+
+
+@query("q186_image_dhash_dedup", oracle=_dhash_oracle())
+def q186_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup end to end through genuine bytes: per document a
+    REAL 24-bit BMP is synthesized from seed = doc_id % 50 (so every
+    pattern recurs ~4× — planted visual duplicates), the dHash kernel
+    decodes and fingerprints the actual file bytes, and identical
+    fingerprints group into dup families with min-id canonicals. The
+    oracle recomputes every fingerprint ARITHMETICALLY from the
+    generation rule (never parsing BMP), so a decode/resize/bit-order
+    bug anywhere in the pipeline breaks the value hash — the q145
+    certification pattern extended from checksums to a working
+    dedup operator."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _DH_DOCS).select("doc_id")
+
+    def make_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r = np.arange(_Q145_H)[:, None]
+        c = np.arange(_Q145_W)[None, :]
+        base = (r * _Q145_W + c)[..., None]
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "content": [
+                    _encode_bmp(np.broadcast_to(
+                        (((int(did) % _DH_FAMILIES) * 31 + base) % 256)
+                        .astype(np.uint8),
+                        (_Q145_H, _Q145_W, 3)))
+                    for did in pdf["doc_id"]
+                ],
+            })
+
+    media = docs.mapInPandas(make_bmp, "media_id long, content binary")
+    return (
+        image_dhash(media)
+        .groupBy("dhash_lo", "dhash_hi")
+        .agg(F.count(F.lit(1)).alias("n_images"),
+             F.min("media_id").alias("canonical_id"))
+    )
