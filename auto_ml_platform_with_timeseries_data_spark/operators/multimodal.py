@@ -29,6 +29,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -942,5 +943,100 @@ def q186_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_dhash(media)
         .groupBy("dhash_lo", "dhash_hi")
         .agg(F.count(F.lit(1)).alias("n_images"),
+             F.min("media_id").alias("canonical_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — audio dedup via energy-gradient fingerprint over the real WAV
+# path (the audio analog of q186's dHash: decode → frame energies →
+# sign-of-difference bits)
+# ---------------------------------------------------------------------------
+
+_AF_FRAME = 40               # 600 samples → 15 exact frames → 14 bits
+_AF_DOCS = 200
+_AF_FAMILIES = 25            # seed = doc_id % 25 → ~8 planted dups each
+
+
+def audio_fingerprint(media: DataFrame,
+                      id_col: str = "media_id") -> DataFrame:
+    """Chromaprint-style clip fingerprint from REAL WAV bytes: the
+    certified PCM16 parser emits exact per-frame energies
+    (audio_frame_energy), then bit[f] = energy[f] < energy[f+1] — the
+    energy-gradient sign profile, robust to uniform gain changes the
+    way dHash is robust to brightness. The frame pass is the Arrow
+    kernel; the bit-packing is pure JVM window + aggregate (lead,
+    shiftleft, sum) — nothing audio-sized shuffles, only (id, frame,
+    energy) rows."""
+    e = audio_frame_energy(media, id_col=id_col, frame_samples=_AF_FRAME)
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    bits = (e.withColumn("__next", F.lead("energy", 1).over(w))
+            .filter(F.col("__next").isNotNull())
+            .withColumn(
+                "__bit",
+                F.when(F.col("energy") < F.col("__next"),
+                       F.expr("shiftleft(1L, cast(frame_idx as int))"))
+                .otherwise(F.lit(0).cast("long"))))
+    return bits.groupBy(id_col).agg(F.sum("__bit").alias("fingerprint"))
+
+
+def _audio_fp_oracle() -> str:
+    sample = f"((doc_id % {_AF_FAMILIES}) * 7 + n * 13) % 2048 - 1024"
+
+    def energy(lo: str, hi: str) -> str:
+        return (f"list_sum(list_transform(range({lo}, {hi}),"
+                f" n -> pow({sample}, 2)))")
+
+    nbits = 600 // _AF_FRAME - 1
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, {nbits}), f ->
+               CASE WHEN {energy(f'f * {_AF_FRAME}',
+                                 f'f * {_AF_FRAME} + {_AF_FRAME}')}
+                         < {energy(f'(f + 1) * {_AF_FRAME}',
+                                   f'(f + 1) * {_AF_FRAME} + {_AF_FRAME}')}
+                    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END))
+               AS BIGINT) AS fingerprint
+      FROM documents WHERE doc_id < {_AF_DOCS}
+    )
+    SELECT fingerprint, count(*) AS n_clips,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM h GROUP BY fingerprint
+    """
+
+
+@query("q187_audio_fingerprint_dedup", oracle=_audio_fp_oracle())
+def q187_audio_fingerprint_dedup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Audio dedup end to end through genuine RIFF/WAVE bytes: clips
+    synthesized from seed = doc_id % 25 (planted acoustic duplicates),
+    parsed and fingerprinted by the energy-gradient rule, grouped into
+    dup families with min-id canonicals — every 14-bit fingerprint
+    recomputed arithmetically by the oracle from the generation rule,
+    never parsing WAV (the q150/q186 certification pattern)."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _AF_DOCS).select("doc_id")
+
+    def make_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = np.arange(_Q150_SAMPLES, dtype=np.int64)
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["doc_id"],
+                "content": [
+                    _encode_wav_pcm16(
+                        (((int(d) % _AF_FAMILIES) * 7 + n * 13) % 2048
+                         - 1024).astype(np.int16))
+                    for d in pdf["doc_id"]
+                ],
+            })
+
+    media = docs.mapInPandas(make_wav, "media_id long, content binary")
+    return (
+        audio_fingerprint(media)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_clips"),
              F.min("media_id").alias("canonical_id"))
     )
