@@ -1040,3 +1040,103 @@ def q187_audio_fingerprint_dedup(spark: SparkSession,
         .agg(F.count(F.lit(1)).alias("n_clips"),
              F.min("media_id").alias("canonical_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q188 — video dedup: per-frame dHash sequence over the real AVI demux
+# (closes the modality square: text/embedding/image/audio/video)
+# ---------------------------------------------------------------------------
+
+_VD_DOCS = 100
+_VD_FAMILIES = 20            # seed = doc_id % 20 → ~5 planted dup clips
+
+
+def video_fingerprint(media: DataFrame,
+                      id_col: str = "media_id") -> DataFrame:
+    """Clip-level perceptual fingerprint from REAL AVI bytes: demux the
+    container (certified movi-walk), dHash every frame through the real
+    BMP decode path, and fold the per-frame 64-bit hashes into one
+    clip integer with frame-position weights — identical frame
+    SEQUENCES collide, reordered or re-cut clips do not. All kernels
+    map-only; container bytes never shuffle, only (id, frame, lo, hi)
+    rows."""
+    frames = demux_video_frames(media, id_col=id_col, every=1)
+    keyed = frames.select(
+        (F.col(id_col) * 16 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame").alias("content"))
+    h = image_dhash(keyed)
+    return (
+        h.select((F.col("media_id") / 16).cast("long").alias(id_col),
+                 (F.col("media_id") % 16).alias("__f"),
+                 "dhash_lo", "dhash_hi")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("dhash_lo") * (F.col("__f") * 2 + 1)
+                   + F.col("dhash_hi") * (F.col("__f") * 2 + 2))
+             .alias("fingerprint"))
+    )
+
+
+def _video_fp_oracle() -> str:
+    # frame f of seed s: src[r, c] = (s*31 + f*97 + r*6 + c) % 256;
+    # dHash grid resize 6x4 → 9x8: px(i, j) = src[i // 2, (6*j) // 9]
+    def px(jexpr: str) -> str:
+        return (f"(((doc_id % {_VD_FAMILIES}) * 31 + f * 97"
+                f" + ((k // 8) // 2) * 6 + (6 * ({jexpr})) // 9) % 256)")
+
+    bit = f"CASE WHEN {px('k % 8')} < {px('(k % 8) + 1')} THEN 1 ELSE 0 END"
+    lo = (f"list_sum(list_transform(range(0, 32), k -> {bit}"
+          f" * (CAST(1 AS BIGINT) << k)))")
+    hi = (f"list_sum(list_transform(range(32, 64), k -> {bit}"
+          f" * (CAST(1 AS BIGINT) << (k - 32))))")
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, {_Q152_FRAMES}), f ->
+                 ({lo}) * (f * 2 + 1) + ({hi}) * (f * 2 + 2)))
+               AS BIGINT) AS fingerprint
+      FROM documents WHERE doc_id < {_VD_DOCS}
+    )
+    SELECT fingerprint, count(*) AS n_clips,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM h GROUP BY fingerprint
+    """
+
+
+@query("q188_video_fingerprint_dedup", oracle=_video_fp_oracle())
+def q188_video_fingerprint_dedup(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Video dedup end to end through genuine container bytes: AVIs
+    synthesized from seed = doc_id % 20 (planted duplicate clips, 5
+    BMP frames each), demuxed and per-frame dHashed by the certified
+    parsers, folded into clip fingerprints, grouped into dup families
+    — every fingerprint recomputed arithmetically by the oracle from
+    the generation rule, never parsing RIFF or BMP."""
+    import numpy as np
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _VD_DOCS).select("doc_id")
+    base = (np.arange(_Q152_H)[:, None] * _Q152_W
+            + np.arange(_Q152_W)[None, :])[..., None]
+
+    def make_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                seed = int(d) % _VD_FAMILIES
+                frames = [
+                    _encode_bmp(np.broadcast_to(
+                        ((seed * 31 + f * 97 + base) % 256)
+                        .astype(np.uint8), (_Q152_H, _Q152_W, 3)))
+                    for f in range(_Q152_FRAMES)
+                ]
+                blobs.append(_encode_avi(frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "content": blobs})
+
+    media = docs.mapInPandas(make_avi, "media_id long, content binary")
+    return (
+        video_fingerprint(media)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_clips"),
+             F.min("media_id").alias("canonical_id"))
+    )

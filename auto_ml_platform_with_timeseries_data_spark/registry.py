@@ -110,7 +110,7 @@ _PRIORITY: tuple[str, ...] = (
     # ---- slots 51+: checked only if the driver budget stretches ----
     "q183_neardup_leakfree_split", "q184_mad_outliers",
     "q185_dataset_card", "q186_image_dhash_dedup",
-    "q187_audio_fingerprint_dedup",
+    "q187_audio_fingerprint_dedup", "q188_video_fingerprint_dedup",
     "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     "q141_minhash_portable", "q142_simhash_portable",
     "q143_ann_signbucket", "q144_ivf_fixed_centroids",
