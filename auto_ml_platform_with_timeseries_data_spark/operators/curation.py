@@ -1005,30 +1005,34 @@ def token_budget_head(df: DataFrame, id_col: str, text_col: str,
 
     The global cumulative sum reuses the q128 two-pass prefix-sum shape
     (operators/relational.py:765) — NOT a single-task global window:
-    (1) range-partition on (hash, id) so partition p holds a contiguous
-    span of the shuffled order; (2) per-partition running sums execute
-    in parallel under a window PARTITIONED by the range-partition id;
-    (3) per-partition token totals (P rows — bounded model-size state)
-    become exact broadcast prefix offsets. Partitions whose offset
-    already exceeds the budget are dropped BEFORE the sort/window runs,
-    so the per-partition work is proportional to the budget, not the
-    corpus: at 100 TB with a 1% budget, 99% of partitions exit at the
-    offset filter. Token counts are BIGINTs end to end — the cutoff is
-    bit-exact on both engines."""
+    (1) assign a DERIVED range-bucket id __pid = floor(hash·P / 2³²):
+    because the ordering key IS the uniform hash, equal hash ranges are
+    equal-sized buckets — no sampled RangePartitioner, and (critically)
+    __pid is a pure function of the row, so the totals pass and the
+    final pass recompute it identically with NO persisted frame (the
+    previous spark_partition_id formulation needed a .persist() that
+    lived for the process lifetime); (2) per-bucket running sums
+    execute in parallel under a window PARTITIONED by __pid; (3)
+    per-bucket token totals (P rows — bounded driver state) become
+    exact broadcast prefix offsets. Buckets whose offset already
+    exceeds the budget are dropped BEFORE the sort/window runs, so the
+    per-bucket work is proportional to the budget, not the corpus: at
+    100 TB with a 1% budget, 99% of buckets exit at the offset filter.
+    Ties are safe: equal hashes share a bucket (the bucket id is a
+    monotone function of the hash), so no (pri, id) tie ever straddles
+    a bucket boundary. Token counts are BIGINTs end to end — the
+    cutoff is bit-exact on both engines."""
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(id_col),
         F.size(tokens(normalize_text(text_col))).alias("n_tokens"),
         hash_u32(id_col).alias("__pri"),
     )
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    # One materialization feeds both the totals pass and the final pass:
-    # spark_partition_id is only meaningful relative to a single
-    # exchange (same contract as q128).
-    ranged = (
-        base.repartitionByRange(nparts, F.asc("__pri"), F.asc(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
+    # hash·P < 2³²·P ≪ 2⁵³, and /2³² is a power-of-two divide — the
+    # double arithmetic inside floor() is exact.
+    ranged = base.withColumn(
+        "__pid",
+        F.floor(F.col("__pri") * nparts / F.lit(2 ** 32)).cast("int"))
     totals = (ranged.groupBy("__pid")
               .agg(F.sum("n_tokens").alias("__t")).collect())
     by_pid = {row["__pid"]: row["__t"] for row in totals}
@@ -1231,27 +1235,29 @@ def stratified_token_budget_head(df: DataFrame, id_col: str, text_col: str,
     which at 100 TB puts one language (say, half the corpus) into a
     single sort partition.
 
-    Instead the q128/q163 two-pass shape generalizes: range-partition
-    on (stratum, hash, id) so every partition holds a contiguous span
-    of ONE OR TWO strata's shuffled order; per-(partition, stratum)
-    token totals (≤ P + |strata| rows — bounded driver state) become
-    exact per-stratum prefix offsets; the running-sum window then
-    partitions by (range-partition, stratum) — parallel within every
-    stratum, no stratum-sized sort anywhere. Partitions whose stratum
+    Instead the q128/q163 two-pass shape generalizes: a DERIVED
+    range-bucket id __pid = floor(hash·P / 2³²) cuts EVERY stratum's
+    hash-shuffled order into the same P contiguous spans (the ordering
+    key within a stratum IS the uniform hash, so equal hash ranges are
+    equal spans of each stratum); per-(bucket, stratum) token totals
+    (≤ P·|strata| rows — bounded driver state) become exact per-stratum
+    prefix offsets; the running-sum window then partitions by (bucket,
+    stratum) — parallel within every stratum, no stratum-sized sort
+    anywhere. Because __pid is a pure function of the row, both passes
+    recompute it identically and NO persisted frame is needed (the
+    previous spark_partition_id formulation cached the ranged frame
+    for the process lifetime). (Bucket, stratum) pairs whose stratum
     offset already exceeds the stratum's budget drop BEFORE the window
     runs, so per-stratum work tracks the budget, not the stratum."""
+    nparts = df.sparkSession.sparkContext.defaultParallelism
     base = df.select(
         F.col(stratum_col).alias("__s"), F.col(id_col),
         F.size(tokens(normalize_text(text_col))).alias("n_tokens"),
         hash_u32(id_col).alias("__pri"),
     )
-    nparts = df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        base.repartitionByRange(nparts, F.asc("__s"), F.asc("__pri"),
-                                F.asc(id_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
-    )
+    ranged = base.withColumn(
+        "__pid",
+        F.floor(F.col("__pri") * nparts / F.lit(2 ** 32)).cast("int"))
     totals = (ranged.groupBy("__pid", "__s")
               .agg(F.sum("n_tokens").alias("__t")).collect())
     acc: dict[str, int] = {}

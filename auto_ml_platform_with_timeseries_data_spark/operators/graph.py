@@ -213,20 +213,25 @@ _KMV_K = 64
 
 def kmv_daily_sketches(ev: DataFrame, k: int = _KMV_K) -> DataFrame:
     """Per-(week, day) KMV sketch of active users: the k smallest
-    DISTINCT deterministic hash values. Bounded state (k BIGINTs per
-    day) — the pre-aggregate a 100 TB event stream keeps instead of
-    raw user ids."""
+    DISTINCT deterministic hash values. The rank pass is a per-day
+    row_number window — sort-based and spillable, with the k-row cut
+    applied BEFORE any array materializes, so no aggregation buffer
+    ever holds more than k BIGINTs per day (a collect_set of all
+    distinct hashes would hold the full per-day user set in one
+    aggregation state — exactly what the sketch exists to avoid)."""
     from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
         hash_u32,
     )
 
-    return (
-        ev.select(F.date_trunc("week", "ts").alias("week"),
+    d = ev.select(F.date_trunc("week", "ts").alias("week"),
                   F.date_trunc("day", "ts").alias("day"),
-                  hash_u32("user_id").alias("h"))
-        .distinct()
+                  hash_u32("user_id").alias("h")).distinct()
+    w = Window.partitionBy("week", "day").orderBy(F.asc("h"))
+    return (
+        d.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
         .groupBy("week", "day")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins"))
+        .agg(F.array_sort(F.collect_list("h")).alias("mins"))
     )
 
 

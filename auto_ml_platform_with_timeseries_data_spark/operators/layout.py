@@ -313,7 +313,9 @@ def _scd2_changes_sql(src: str = "customer") -> str:
     """The deterministic change batch, as SQL (mirrored in Spark below):
     updates (custkey%10=0: balance +100, segment MOVED), no-op rows
     (custkey%7=3 and not %10=0: identical values), new keys
-    (custkey%100=0: key+10000)."""
+    (custkey%100=0: key+10_000_000 — offset past any realistic custkey
+    space so planted "new" keys can never collide with real ones at
+    larger scale factors; sf0.1 already holds 15k customers)."""
     return f"""
       SELECT c_custkey, c_name, c_nationkey,
              c_acctbal + 100.0 AS c_acctbal,
@@ -323,7 +325,7 @@ def _scd2_changes_sql(src: str = "customer") -> str:
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM {src} WHERE c_custkey % 7 = 3 AND c_custkey % 10 != 0
       UNION ALL
-      SELECT c_custkey + 10000 AS c_custkey, c_name, c_nationkey,
+      SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
              c_acctbal, c_mktsegment
       FROM {src} WHERE c_custkey % 100 = 0
     """
@@ -338,7 +340,7 @@ def _scd2_changes(cust: DataFrame) -> DataFrame:
                         & (F.col("c_custkey") % 10 != 0)).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     news = cust.filter(F.col("c_custkey") % 100 == 0).select(
-        (F.col("c_custkey") + 10000).alias("c_custkey"),
+        (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
         "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     return updates.unionByName(noops).unionByName(news)
 
@@ -422,7 +424,7 @@ def snapshot_diff(a: DataFrame, b: DataFrame, key: str,
              c_mktsegment
       FROM customer WHERE c_custkey % 13 != 0
       UNION ALL
-      SELECT c_custkey + 10000, c_name, c_nationkey, c_acctbal,
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal,
              c_mktsegment
       FROM customer WHERE c_custkey % 100 = 0
     ),
@@ -456,6 +458,6 @@ def q174_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     ).unionByName(
         cust.filter(F.col("c_custkey") % 100 == 0).select(
-            (F.col("c_custkey") + 10000).alias("c_custkey"),
+            (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
             "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
     return snapshot_diff(cust, v2, "c_custkey", _SCD2_TRACKED)

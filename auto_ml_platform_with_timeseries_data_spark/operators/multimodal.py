@@ -1059,15 +1059,20 @@ def video_fingerprint(media: DataFrame,
     clip integer with frame-position weights — identical frame
     SEQUENCES collide, reordered or re-cut clips do not. All kernels
     map-only; container bytes never shuffle, only (id, frame, lo, hi)
-    rows."""
+    rows. Frame keys pack as id·2³² + frame_idx — 32 bits of frame
+    space per clip (no realistic clip demuxes 4B frames), so no two
+    clips can alias no matter the frame count; the earlier ·16 packing
+    silently merged clips at 16+ frames."""
     frames = demux_video_frames(media, id_col=id_col, every=1)
     keyed = frames.select(
-        (F.col(id_col) * 16 + F.col("frame_idx")).alias("media_id"),
+        (F.shiftleft(F.col(id_col), 32) + F.col("frame_idx"))
+        .alias("media_id"),
         F.col("frame").alias("content"))
     h = image_dhash(keyed)
     return (
-        h.select((F.col("media_id") / 16).cast("long").alias(id_col),
-                 (F.col("media_id") % 16).alias("__f"),
+        h.select(F.shiftright(F.col("media_id"), 32).alias(id_col),
+                 F.col("media_id").bitwiseAND(F.lit(0xFFFFFFFF))
+                 .alias("__f"),
                  "dhash_lo", "dhash_hi")
         .groupBy(id_col)
         .agg(F.sum(F.col("dhash_lo") * (F.col("__f") * 2 + 1)

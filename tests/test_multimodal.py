@@ -242,3 +242,39 @@ def test_demux_video_frames_sampling(spark):
     by = {(r["media_id"], r["frame_idx"]): bytes(r["frame"]) for r in got}
     assert set(by) == {(1, 0), (1, 3)}
     assert by[(1, 0)] == frames[0] and by[(1, 3)] == frames[3]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual fingerprints (dHash / clip fingerprint)
+# ---------------------------------------------------------------------------
+
+from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+    _encode_bmp,
+    video_fingerprint,
+)
+
+
+def test_video_fingerprint_20_frames_no_alias(spark):
+    """Clips longer than 16 frames must not alias: the old id*16 packing
+    folded frame 16+ of clip N into clip N+1's key space, merging their
+    fingerprints. Frame 17 is past that cap on purpose."""
+    import numpy as np
+
+    def frame(v: int) -> bytes:
+        base = (np.arange(8)[:, None] * 13 + np.arange(13)[None, :])
+        px = ((v * 31 + base * 97) % 256).astype(np.uint8)
+        return _encode_bmp(np.broadcast_to(px[..., None], (8, 13, 3)))
+
+    f_a = [frame(i) for i in range(20)]
+    f_b = list(f_a)
+    f_b[17] = frame(99)          # differs ONLY past the old 16-frame cap
+    f_c = list(f_a)              # exact duplicate of clip 1
+    rows = [(1, bytearray(_encode_avi(f_a))),
+            (2, bytearray(_encode_avi(f_b))),
+            (3, bytearray(_encode_avi(f_c)))]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["fingerprint"]
+           for r in video_fingerprint(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1] == got[3]      # identical 20-frame clips collide
+    assert got[1] != got[2]      # a single frame-17 change separates them
