@@ -24,6 +24,7 @@ production dedup pipelines do.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -292,34 +293,54 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+def hamming_band_pairs(sigs: DataFrame, id_col: str,
+                       sig_cols: Sequence[tuple[str, int]],
                        max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, candidate-blocked on
-    16-bit signature chunks (a pair within distance d≤3 shares at least
-    one of the 4 chunks exactly — pigeonhole)."""
-    sigs = simhash64(df, id_col, text_col)
+    """Near-pairs by Hamming distance over one or more integer signature
+    columns, candidate-blocked on 16-bit bands: the signature bits split
+    into B = Σ⌈bits/16⌉ bands, candidates join on (band_id, band
+    value), and survivors verify the exact popcount of the XOR. By
+    pigeonhole, a pair within distance d ≤ B−1 differs in at most B−1
+    bands and therefore shares at least one band exactly — so for
+    max_hamming ≤ B−1 recall is EXACT, not probabilistic.
+
+    ``sig_cols`` is [(column, n_bits), ...] — e.g. [("simhash", 64)]
+    for one 64-bit signature, or [("dhash_lo", 32), ("dhash_hi", 32)]
+    for a fingerprint carried as two 32-bit halves (q186's dHash).
+    Returns (id_a, id_b, hamming).
+
+    Scale shape shared with the LSH/simhash candidates: ONE (band_id,
+    band) shuffle, in-bucket pair expansion via HOFs after the
+    aggregate (the signature chain executes once, not per join side),
+    popcount verification entirely JVM-side."""
+    names = [c for c, _ in sig_cols]
+    bands = []
+    for col, nbits in sig_cols:
+        for off in range(0, nbits, 16):
+            bands.append(F.struct(
+                F.lit(len(bands)).alias("band_id"),
+                F.shiftright(F.col(col), off).bitwiseAND(F.lit(0xFFFF))
+                .alias("band"),
+            ))
     chunks = sigs.select(
-        id_col, "simhash",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(c).alias("chunk_id"),
-                F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF))
-                .alias("chunk"),
-            )
-            for c in range(4)
-        ])).alias("cc"),
-    ).select(id_col, "simhash", "cc.chunk_id", "cc.chunk")
-    # Same single-pass pattern as the LSH candidates: group each 16-bit
-    # chunk bucket, expand in-bucket pairs with a HOF — the simhash chain
-    # (explode + 64 bit-vote aggregates) executes once, not per join side.
-    members = chunks.groupBy("chunk_id", "chunk").agg(
+        id_col, *names, F.explode(F.array(*bands)).alias("bb"),
+    ).select(id_col, *names, "bb.band_id", "bb.band")
+    members = chunks.groupBy("band_id", "band").agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            F.collect_list(F.struct(F.col(id_col).alias("id"), *names))
         ).alias("__m")
     )
     # Same fan-out-after-agg trap as the LSH buckets — re-spread; same
     # explode_outer rationale (≥1 pair guaranteed by size(__m) > 1).
-    members = _spread(members.filter(F.size("__m") > 1), "chunk_id", "chunk")
+    members = _spread(members.filter(F.size("__m") > 1), "band_id", "band")
+
+    def _ham(a, b):
+        return reduce(
+            lambda acc, c: acc + F.bit_count(a[c].bitwiseXOR(b[c])),
+            names[1:],
+            F.bit_count(a[names[0]].bitwiseXOR(b[names[0]])),
+        )
+
     pairs = members.select(
         F.explode_outer(
             F.flatten(F.transform(
@@ -328,8 +349,7 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
                     F.filter(F.col("__m"), lambda b: b["id"] > a["id"]),
                     lambda b: F.struct(
                         a["id"].alias("id_a"), b["id"].alias("id_b"),
-                        F.bit_count(a["simhash"].bitwiseXOR(b["simhash"]))
-                        .alias("hamming"),
+                        _ham(a, b).alias("hamming"),
                     ),
                 ),
             ))
@@ -340,6 +360,17 @@ def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str, text_col: str,
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidate-blocked on
+    16-bit signature chunks (a pair within distance d≤3 shares at least
+    one of the 4 chunks exactly — pigeonhole). Thin wrapper over the
+    generic `hamming_band_pairs` machinery, which q189 reuses for
+    perceptual image fingerprints."""
+    sigs = simhash64(df, id_col, text_col)
+    return hamming_band_pairs(sigs, id_col, [("simhash", 64)], max_hamming)
 
 
 # ---------------------------------------------------------------------------

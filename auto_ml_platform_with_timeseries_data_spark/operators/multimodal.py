@@ -1145,3 +1145,101 @@ def q188_video_fingerprint_dedup(spark: SparkSession,
         .agg(F.count(F.lit(1)).alias("n_clips"),
              F.min("media_id").alias("canonical_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q189 — image NEAR-dup: Hamming-banded match over dHash fingerprints
+# (exact-equality grouping, q186, misses a re-encode that flips a single
+# gradient bit — near-match is the entire point of perceptual hashing)
+# ---------------------------------------------------------------------------
+
+_NP_DOCS = 200
+_NP_FAMILIES = 50            # seed = doc_id % 50 → 4 images per family
+_NP_MAXH = 2                 # ≤ 2 flipped bits counts as a near-dup
+# Perturbed source pixel (row 0, col 4): col 4 is sampled by exactly one
+# resize column (j'=3 → (13·3)//9 = 4), so a perturbation there can flip
+# at most the two gradient bits that compare against j'=3 — a planted
+# 1–2-bit near-duplicate by construction.
+_NP_PERT_R, _NP_PERT_C = 0, 4
+
+
+def _image_neardup_oracle() -> str:
+    # px(i, j') = ((seed*31 + 13*i + (13*j')//9) * 97 + pert) % 256 with
+    # pert = 128 iff the doc is a perturbed copy and (i, srccol) = (0, 4).
+    # The ×97 mixing makes fingerprints of DIFFERENT families
+    # pseudo-random (pairwise Hamming ≈ 32), so only planted pairs match.
+    def px(jexpr: str) -> str:
+        return (
+            f"((((doc_id % {_NP_FAMILIES}) * 31 + 13 * (k // 8)"
+            f" + (13 * ({jexpr})) // 9) * 97"
+            f" + CASE WHEN (doc_id // {_NP_FAMILIES}) % 2 = 1"
+            f" AND k // 8 = {_NP_PERT_R}"
+            f" AND (13 * ({jexpr})) // 9 = {_NP_PERT_C}"
+            f" THEN 128 ELSE 0 END) % 256)"
+        )
+
+    bit = f"CASE WHEN {px('k % 8')} < {px('(k % 8) + 1')} THEN 1 ELSE 0 END"
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 32),
+                 k -> {bit} * (CAST(1 AS BIGINT) << k))) AS BIGINT)
+               AS dhash_lo,
+             CAST(list_sum(list_transform(range(32, 64),
+                 k -> {bit} * (CAST(1 AS BIGINT) << (k - 32)))) AS BIGINT)
+               AS dhash_hi
+      FROM documents WHERE doc_id < {_NP_DOCS}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.dhash_lo, b.dhash_lo))
+                + bit_count(xor(a.dhash_hi, b.dhash_hi)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash_lo, b.dhash_lo))
+          + bit_count(xor(a.dhash_hi, b.dhash_hi)) <= {_NP_MAXH}
+    """
+
+
+@query("q189_image_neardup_banded", oracle=_image_neardup_oracle())
+def q189_image_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-dup through genuine bytes: per document a REAL BMP is
+    synthesized from seed = doc_id % 50, and every second family member
+    carries a single-pixel perturbation at a resize-sampled position —
+    a planted 1–2-bit Hamming neighbor that EXACT fingerprint equality
+    (q186's groupBy) cannot see. The dHash kernel decodes and
+    fingerprints the actual file bytes; `hamming_band_pairs` (the
+    SimHash band machinery, operators/dedup.py) blocks candidates on
+    16-bit bands — pigeonhole-exact recall for distance ≤ 3 with 4
+    bands — and verifies the popcount JVM-side. The oracle recomputes
+    every fingerprint arithmetically from the synthesis rule and
+    brute-forces all pairs, so the band join is held to EXACT recall,
+    not just plausible candidates."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _NP_DOCS).select("doc_id")
+    base = (np.arange(_Q145_H)[:, None] * _Q145_W
+            + np.arange(_Q145_W)[None, :])
+
+    def make_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = []
+            for did in pdf["doc_id"]:
+                seed = int(did) % _NP_FAMILIES
+                px = ((seed * 31 + base) * 97) % 256
+                if (int(did) // _NP_FAMILIES) % 2 == 1:
+                    px = px.copy()
+                    px[_NP_PERT_R, _NP_PERT_C] = (
+                        px[_NP_PERT_R, _NP_PERT_C] + 128) % 256
+                imgs.append(_encode_bmp(np.broadcast_to(
+                    px.astype(np.uint8)[..., None],
+                    (_Q145_H, _Q145_W, 3))))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": imgs})
+
+    media = docs.mapInPandas(make_bmp, "media_id long, content binary")
+    fp = image_dhash(media)
+    return hamming_band_pairs(
+        fp, "media_id", [("dhash_lo", 32), ("dhash_hi", 32)], _NP_MAXH)

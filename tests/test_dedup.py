@@ -247,3 +247,29 @@ def test_split_by_content_group_never_straddles(spark):
             hash_split(df.filter("doc_id < 50"), "doc_id").collect()}
     for i in range(50):
         assert got[i] == base[i]
+
+
+def test_hamming_band_pairs_exact_recall(spark):
+    """Pigeonhole recall: with 4 bands over 64 bits, EVERY pair within
+    distance <= 3 must be found; pairs beyond max_hamming must not."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base & 0xFFFFFFFF, base >> 32),
+        (2, (base ^ 0b11) & 0xFFFFFFFF, base >> 32),          # d=2 in lo
+        (3, base & 0xFFFFFFFF, (base >> 32) ^ (1 << 31)),     # d=1 in hi
+        (4, (base ^ 0xFF) & 0xFFFFFFFF, base >> 32),          # d=8: too far
+        (5, base & 0xFFFFFFFF, base >> 32),                   # d=0 dup of 1
+    ]
+    df = spark.createDataFrame(rows, "id long, lo long, hi long")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in hamming_band_pairs(
+               df, "id", [("lo", 32), ("hi", 32)], max_hamming=3).collect()}
+    assert got[(1, 5)] == 0
+    assert got[(1, 2)] == 2 and got[(2, 5)] == 2
+    assert got[(1, 3)] == 1 and got[(3, 5)] == 1
+    assert got[(2, 3)] == 3
+    assert not any(4 in p for p in got)
