@@ -1148,3 +1148,133 @@ def q176_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     reimplementation of the same leftmost-nonoverlapping merges."""
     docs = load_table(spark, sf_dir, "documents")
     return bpe_encode_counts(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q190 — ExactSubstr span-REMOVAL rewrite (the constructive half of
+# q138's span-duplication audit: excise corpus-repeated spans, keep the
+# first occurrence — Lee et al.'s substring dedup, at span granularity)
+# ---------------------------------------------------------------------------
+
+_ESR_SPAN = 10
+
+
+def exact_substring_rewrite(df: DataFrame, id_col: str, text_col: str,
+                            span_tokens: int = _ESR_SPAN) -> DataFrame:
+    """Rewrite every document so that each exact `span_tokens`-token
+    span occurs AT MOST ONCE in the whole corpus: documents cut into
+    consecutive spans (stride = span length, q138's grid), every
+    occurrence after the global first — ordered by (doc_id, span_idx)
+    — is excised, and the text is rebuilt from the surviving spans plus
+    the (< span_tokens) tail remainder, which is always kept. Output:
+    (doc_id, n_tokens, tokens_removed, text_kept). This is the
+    operation production LLM pipelines run between exact and fuzzy
+    dedup — the constructive counterpart of q138, which only measures.
+
+    Scale: the first-occurrence rank is ONE span-keyed window —
+    partitioned on xxhash64(span) so the shuffle KEY is 8 bytes (the
+    span text rides along once because the rebuild needs it; a rewrite
+    op cannot avoid moving the corpus it rewrites). Within a hash
+    bucket row_number orders by (doc_id, span_idx) — the same
+    global-first rule as the oracle's partition-by-text, modulo a
+    2⁻⁶⁴ hash collision (the _hash_grams contract). The rebuild is a
+    per-doc groupBy with state bounded by the document itself;
+    boilerplate skew (one span repeated millions of times) lands on
+    one window partition but carries only (id, idx) pairs per
+    occurrence beyond the first-kept span text."""
+    st = span_tokens
+    d = (df.select(F.col(id_col).alias("__id"),
+                   tokens(normalize_text(text_col)).alias("__toks"))
+         .withColumn("__n", F.size("__toks"))
+         .withColumn("__k", F.floor(F.col("__n") / st).cast("int")))
+    spans = (
+        d.filter(F.col("__k") >= 1)
+        .select("__id", F.explode(F.transform(
+            F.sequence(F.lit(0), F.col("__k") - 1),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.concat_ws(" ", F.slice("__toks", i * st + 1, st))
+                .alias("span")))).alias("sp"))
+        .select("__id", F.col("sp.i").alias("__i"),
+                F.col("sp.span").alias("__span"))
+    )
+    w = Window.partitionBy(F.xxhash64("__span")).orderBy("__id", "__i")
+    flagged = spans.withColumn("__rn", F.row_number().over(w))
+    g = flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__nspans"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+        .cast("long").alias("__nkept"),
+        F.flatten(F.transform(
+            F.array_sort(F.collect_list(
+                F.when(F.col("__rn") == 1, F.struct("__i", "__span")))),
+            lambda x: F.split(x["__span"], " "))).alias("__kept_toks"),
+    )
+    return (
+        d.join(g, "__id", "left")
+        .select(
+            F.col("__id").alias("doc_id"),
+            F.col("__n").cast("long").alias("n_tokens"),
+            (F.lit(st) * (F.coalesce("__nspans", F.lit(0))
+                          - F.coalesce("__nkept", F.lit(0))))
+            .cast("long").alias("tokens_removed"),
+            F.array_join(
+                F.concat(
+                    F.coalesce(F.col("__kept_toks"),
+                               F.array().cast("array<string>")),
+                    F.slice("__toks", F.col("__k") * st + 1,
+                            F.col("__n") - F.col("__k") * st)),
+                " ").alias("text_kept"),
+        )
+    )
+
+
+def _esr_oracle() -> str:
+    st = _ESR_SPAN
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i,
+             array_to_string(toks[i * {st} + 1 : (i + 1) * {st}], ' ')
+               AS span
+      FROM t, unnest(range(0, len(toks) // {st})) AS u(i)
+    ),
+    k AS (
+      SELECT doc_id, i, span,
+             row_number() OVER (PARTITION BY span
+                                ORDER BY doc_id, i) AS rn
+      FROM s
+    ),
+    g AS (
+      SELECT doc_id,
+             count(*) AS nspans,
+             count(*) FILTER (WHERE rn = 1) AS nkept,
+             coalesce(array_to_string(
+               list(span ORDER BY i) FILTER (WHERE rn = 1), ' '), '')
+               AS kept
+      FROM k GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST({st} * (coalesce(g.nspans, 0) - coalesce(g.nkept, 0))
+             AS BIGINT) AS tokens_removed,
+           trim(coalesce(g.kept, '') || ' ' ||
+                coalesce(array_to_string(
+                  t.toks[(len(t.toks) // {st}) * {st} + 1 : len(t.toks)],
+                  ' '), '')) AS text_kept
+    FROM t LEFT JOIN g ON t.doc_id = g.doc_id
+    """
+
+
+@query("q190_exact_substr_rewrite", oracle=_esr_oracle())
+def q190_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup the documents table: every 10-token span that
+    repeats anywhere in the corpus survives only at its first
+    (doc_id, span_idx) occurrence; each document comes back rewritten
+    with its removed-token count. The full rewritten TEXT of every
+    document is value-hash-checked against the oracle's
+    partition-by-span-text reimplementation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_substring_rewrite(docs, "doc_id", "text")

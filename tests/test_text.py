@@ -183,3 +183,32 @@ def test_bpe_encode_fold_matches_python_reference(spark):
     for i, t in enumerate(texts):
         expect = sum(py_apply(w) for w in t.split())
         assert got[i] == expect, (t, got[i], expect)
+
+
+def test_exact_substring_rewrite_collapses_boilerplate(spark):
+    """A doc made entirely of the corpus-repeated span keeps only its
+    first occurrence; later docs of the same boilerplate lose ALL full
+    spans (tails under one span length always survive)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        exact_substring_rewrite,
+    )
+
+    phrase = "a b c d e f g h i j"          # exactly one 10-token span
+    rows = [
+        (0, " ".join([phrase] * 3)),        # 3 identical spans, no tail
+        (1, " ".join([phrase] * 2) + " x y z"),  # all spans are dups
+        (2, "p q r s t u v w x0 y0 unique tail here"),  # 1 fresh span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           exact_substring_rewrite(df, "doc_id", "text").collect()}
+    # doc 0: spans 1,2 are dups of span 0 -> 20 tokens removed
+    assert got[0]["n_tokens"] == 30
+    assert got[0]["tokens_removed"] == 20
+    assert got[0]["text_kept"] == phrase
+    # doc 1: both spans lose to doc 0's span 0; only the tail survives
+    assert got[1]["tokens_removed"] == 20
+    assert got[1]["text_kept"] == "x y z"
+    # doc 2: its single span is globally unique -> untouched
+    assert got[2]["tokens_removed"] == 0
+    assert got[2]["text_kept"] == "p q r s t u v w x0 y0 unique tail here"
