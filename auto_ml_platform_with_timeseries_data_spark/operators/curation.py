@@ -1574,3 +1574,133 @@ def q185_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.max("tot")).cast("long").alias("top_source_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q191 — trained-linear quality classifier (fastText-style scorer: the
+# third quality filter real pipelines run after rule gates (q167) and
+# the unigram-LM proxy (q139) — hash n-grams → sparse dot with a fixed
+# weight table → sigmoid → keep flag)
+# ---------------------------------------------------------------------------
+
+_FTC_BUCKETS = 4096          # hashing-trick feature space
+_FTC_KNUTH = 2654435761      # bucket → pseudo-random weight mix
+_FTC_WMOD = 2003             # weights uniform in [-1001, 1001]
+_FTC_WOFF = 1001
+_FTC_SCALE = 1000.0          # mean-pooled logit scale
+
+
+def quality_classifier_score(df: DataFrame, id_col: str,
+                             text_col: str) -> DataFrame:
+    """fastText-style document quality scorer, entirely JVM-side HOF
+    arithmetic: word unigrams + consecutive-word bigrams over the
+    `^[a-z0-9]+$`-gated token stream hash into `_FTC_BUCKETS` buckets
+    (the hashing trick), each bucket carries a FIXED injected weight
+    (the q144/q160/q172 portable-model pattern — a trained fastText
+    ships exactly such a table), the integer weight sum is the
+    document's raw margin, and the mean-pooled sigmoid gives the
+    score. keep = margin > 0 is integer-exact; the sigmoid is pinned
+    at 1e-6 on both engines.
+
+    Feature hashing is position-weighted char-code arithmetic
+    (code(t) = Σ ascii(tᵢ)·i), chosen over engine-native hash
+    functions because BOTH engines reproduce it bit-exactly; bigram
+    codes compose from per-token (len, code, charsum) structs without
+    materializing the concatenated string. Map-only — one projection,
+    no shuffle, scan-speed at 100 TB."""
+    def _code(t):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(t)), F.lit(0).cast("long"),
+            lambda acc, i: acc + F.ascii(F.substring(t, i, F.lit(1))) * i)
+
+    def _csum(t):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(t)), F.lit(0).cast("long"),
+            lambda acc, i: acc + F.ascii(F.substring(t, i, F.lit(1))))
+
+    elig = F.filter(tokens(normalize_text(text_col)),
+                    lambda t: t.rlike("^[a-z0-9]+$"))
+    feats = F.transform(elig, lambda t: F.struct(
+        F.length(t).alias("l"), _code(t).alias("code"),
+        _csum(t).alias("csum")))
+    base = df.select(F.col(id_col).alias("doc_id"), feats.alias("__f"))
+    n1 = F.greatest(F.size("__f") - 1, F.lit(0))
+    # code(a + '_' + b) = code(a) + (len(a)+1)·(95 + csum(b)) + code(b)
+    # (95 = ascii('_')) — the bigram feature without building the string.
+    codes = F.concat(
+        F.transform("__f", lambda x: x["code"]),
+        F.zip_with(
+            F.slice("__f", 1, n1), F.slice("__f", 2, n1),
+            lambda a, b: a["code"] + (a["l"] + 1) * (F.lit(95) + b["csum"])
+            + b["code"]),
+    )
+    raw = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: acc + ((c % _FTC_BUCKETS) * F.lit(_FTC_KNUTH))
+        % _FTC_WMOD - _FTC_WOFF)
+    return (
+        base.select("doc_id", codes.alias("__c"), raw.alias("raw_score"))
+        .select(
+            "doc_id",
+            F.size("__c").cast("long").alias("n_feats"),
+            F.col("raw_score"),
+            F.when(F.size("__c") == 0, F.lit(0.5)).otherwise(
+                F.floor(
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(
+                        -(F.col("raw_score").cast("double")
+                          / (F.size("__c") * F.lit(_FTC_SCALE))))))
+                    * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
+            (F.col("raw_score") > 0).alias("keep"),
+        )
+    )
+
+
+def _ftc_oracle() -> str:
+    code = ("list_sum(list_transform(range(1, len(t)+1),"
+            " i -> ascii(t[i:i]) * i))")
+    csum = ("list_sum(list_transform(range(1, len(t)+1),"
+            " i -> ascii(t[i:i])))")
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split({_GQ_NORM}, ' '),
+                           t -> regexp_matches(t, '^[a-z0-9]+$')),
+               t -> struct_pack(l := len(t), code := {code},
+                                csum := {csum})) AS fs
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             list_concat(
+               list_transform(fs, x -> x.code),
+               list_transform(range(1, len(fs)), j ->
+                 fs[j].code + (fs[j].l + 1) * (95 + fs[j+1].csum)
+                 + fs[j+1].code)) AS codes
+      FROM f
+    ),
+    s AS (
+      SELECT doc_id, len(codes) AS n_feats,
+             CAST(coalesce(list_sum(list_transform(codes, c ->
+               ((c % {_FTC_BUCKETS}) * CAST({_FTC_KNUTH} AS BIGINT))
+               % {_FTC_WMOD} - {_FTC_WOFF})), 0) AS BIGINT) AS raw_score
+      FROM c
+    )
+    SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, raw_score,
+           CASE WHEN n_feats = 0 THEN 0.5
+                ELSE floor((1.0 / (1.0 + exp(-(CAST(raw_score AS DOUBLE)
+                     / (n_feats * {_FTC_SCALE}))))) * 1e6 + 0.5) / 1e6
+           END AS score,
+           raw_score > 0 AS keep
+    FROM s
+    """
+
+
+@query("q191_quality_classifier", oracle=_ftc_oracle())
+def q191_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with the fixed-weight fastText-style
+    linear classifier: per-doc feature count, integer raw margin,
+    sigmoid score, and keep flag — margins integer-exact, the sigmoid
+    pinned at 1e-6, all value-hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_classifier_score(docs, "doc_id", "text")

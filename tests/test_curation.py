@@ -460,3 +460,37 @@ def test_stratified_token_head_cuts_each_stratum(spark):
         df.repartition(7, "doc_id"), "doc_id", "text", "lang", budget)
     assert sorted((r["doc_id"], r["cum_tokens"]) for r in got2.collect()) \
         == sorted((r["doc_id"], r["cum_tokens"]) for r in out)
+
+
+def test_quality_classifier_margin_arithmetic(spark):
+    """The raw margin must equal the hand-computed hashing-trick sum
+    (unigrams + composed bigram codes); ineligible-only docs score a
+    neutral 0.5 with keep=False."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        _FTC_BUCKETS,
+        _FTC_KNUTH,
+        _FTC_WMOD,
+        _FTC_WOFF,
+        quality_classifier_score,
+    )
+
+    def code(t):
+        return sum(ord(ch) * (i + 1) for i, ch in enumerate(t))
+
+    def w(c):
+        return ((c % _FTC_BUCKETS) * _FTC_KNUTH) % _FTC_WMOD - _FTC_WOFF
+
+    rows = [(1, "ab  CD! cd"), (2, "-- ÉÉ ??")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           quality_classifier_score(df, "doc_id", "text").collect()}
+    # doc 1 eligible tokens after normalize: [ab, cd] ("cd!" fails the
+    # ^[a-z0-9]+$ gate); features = 2 unigrams + 1 bigram "ab_cd"
+    expect = w(code("ab")) + w(code("cd")) + w(code("ab_cd"))
+    assert got[1]["n_feats"] == 3
+    assert got[1]["raw_score"] == expect
+    assert got[1]["keep"] == (expect > 0)
+    assert got[2]["n_feats"] == 0
+    assert got[2]["raw_score"] == 0
+    assert got[2]["score"] == 0.5
+    assert got[2]["keep"] is False
