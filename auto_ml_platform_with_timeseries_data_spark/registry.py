@@ -58,59 +58,72 @@ _loaded = False
 
 # Driver-sweep priority. The correctness driver verifies queries in the
 # order ``queries()`` yields them, under a 50-query budget per round.
-# Rounds 1-4 cumulatively witnessed 125 unique queries; round 5 rotates
-# the ENTIRE never-driver-witnessed tier into the budget (VERDICT.md
-# round-4 "Next round" #1): the round-4 lakehouse/codec/incremental
-# additions (q145-q163), the stateful-streaming trio q53/q79/q92 that
-# kept slipping off the tail for four rounds (now in the FIRST half),
-# stragglers q45/q85/q104/q120, and this round's new oracle conversions
-# (q164 ridge twin, q165 index update, q166 planted-CV witness, q130
-# PageRank — now exact-integer and value-hash checked).
+# Rounds 1-5 cumulatively witnessed 173 unique queries (168 hash-green);
+# after round 5 the ONLY oracle-backed queries with no driver row ever
+# are q183-q188 (VERDICT.md round-5 "Next round" #1). Round 6 therefore
+# spends its budget as:
 #   1-6   canary slots — one long-green query per module family, so a
 #         regression in shared infrastructure still gets witnessed
-#   7-10  streaming (incl. the three stateful ones, never witnessed)
-#   11-14 round-5 additions / oracle conversions
-#   15-34 round-4 tier with zero driver-verified rows
-#   35-50 re-witness spread: oracle-backed queries whose last green row
-#         is rounds 1-2 (stale minima guard; one per family)
+#   7-12  q183-q188: near-dup-keyed leak-free split, MAD outliers,
+#         dataset card, image/audio/video perceptual dedup — the last
+#         never-witnessed tier
+#   13-15 round-6 additions: q189 Hamming-banded image near-dup, q190
+#         ExactSubstr span-removal rewrite, q191 fastText-style
+#         quality classifier
+#   16-50 re-witness rotation: the 34 oracle-backed relational/TPC-H
+#         queries whose last green driver row is rounds 1-2, plus
+#         q30_asof_join (last green r3; takes the slot of rows-only
+#         q81_approx_aggs, which would spend budget on a weaker check)
 # Slots 51+ are checked only if the budget stretches; every query there
-# already has a green driver row from an earlier round.
+# already has a green driver row from rounds 3-5.
 _PRIORITY: tuple[str, ...] = (
     # canaries (driver-green every round; one per module family)
     "q01_head", "q06_acf", "q12_f1_confusion",
     "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
-    # streaming FIRST half — q53/q79/q92 have never consumed budget
+    # the never-driver-witnessed tier (oracle-backed, green in the
+    # local 188/188 sweep since round 5)
+    "q183_neardup_leakfree_split", "q184_mad_outliers",
+    "q185_dataset_card", "q186_image_dhash_dedup",
+    "q187_audio_fingerprint_dedup", "q188_video_fingerprint_dedup",
+    # round-6 additions
+    "q189_image_neardup_banded", "q190_exact_substr_rewrite",
+    "q191_quality_classifier",
+    # re-witness rotation (last green driver row in rounds 1-2, plus
+    # q30_asof_join standing in for rows-only q81)
+    "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
+    "q31_set_ops", "q32_rollup", "q40_cube", "q41_topk_per_group",
+    "q42_semi_anti_join", "q43_percentiles", "q44_profit_by_nation_brand",
+    "q46_distinct_counts", "q49_range_join", "q50_shipping_priority",
+    "q54_json_props", "q61_forecast_revenue", "q62_returned_items",
+    "q63_promo_revenue", "q64_large_orders", "q65_brand_revenue_bands",
+    "q66_supplier_breadth", "q67_dormant_customers", "q68_grouping_sets",
+    "q30_asof_join", "q82_pivot_unpivot", "q91_equidepth_hist",
+    "q95_late_order_priority", "q96_top_supplier", "q97_sole_late_supplier",
+    "q98_min_cost_supplier", "q99_local_supplier_volume",
+    "q100_volume_shipping", "q101_market_share", "q102_important_parts",
+    "q103_order_count_distribution", "q126_copurchase_pairs",
+    # ---- slots 51+: checked only if the driver budget stretches ----
+    # streaming + round-5 tier (green in r5), then the r3/r4 blocks
     "q53_stateful_user_stats", "q79_stream_sessions",
     "q92_stream_stream_join", "q149_stream_sink_exactly_once",
-    "q170_stream_incremental_dedup",
-    # round-5 additions: ML-tier exact twins + iterative-plan oracles
+    "q170_stream_incremental_dedup", "q182_stream_index_maintenance",
     "q164_ridge_exact_twin", "q165_index_update",
     "q166_cv_planted_optimum", "q130_pagerank",
-    # round-4 tier, never driver-witnessed: codecs, lakehouse,
-    # incremental dedup, sketches, mixing, token budget
     "q145_image_decode", "q146_xls_roundtrip", "q148_bpe_pair_counts",
     "q150_audio_features", "q151_csv_roundtrip", "q152_video_frames",
     "q153_sharded_export", "q154_incremental_dedup", "q155_zorder_keys",
     "q156_quantile_sketch", "q157_compaction", "q158_bloom_decontaminate",
     "q160_pq_fixed_codebook", "q161_temperature_mix",
     "q162_incremental_neardup", "q163_token_budget_head",
-    # stragglers with no green row in any round
     "q45_rolling_stats", "q85_cluster_retention",
     "q104_small_quantity_revenue", "q120_sliding_window",
-    # re-witness spread (last green in r1-r2)
-    "q182_stream_index_maintenance", "q175_ann_recall_gate",
-    "q176_bpe_encode",
+    "q175_ann_recall_gate", "q176_bpe_encode",
     "q179_canonical_selection", "q177_margin_mining", "q178_kmv_distinct",
     "q180_leakfree_split", "q181_ts_lookback_planted",
     "q128_pareto_abc",
-    # round-5 new operators (no driver row yet)
     "q167_gopher_gate", "q168_stratified_token_head",
     "q169_curation_pipeline", "q172_semdedup_fixed_cells",
     "q173_scd2_dimension", "q174_snapshot_diff",
-    # ---- slots 51+: checked only if the driver budget stretches ----
-    "q183_neardup_leakfree_split", "q184_mad_outliers",
-    "q185_dataset_card", "q186_image_dhash_dedup",
-    "q187_audio_fingerprint_dedup", "q188_video_fingerprint_dedup",
     "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     "q141_minhash_portable", "q142_simhash_portable",
     "q143_ann_signbucket", "q144_ivf_fixed_centroids",

@@ -29,42 +29,46 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round5_promotions_keep_their_slots():
+def test_canaries_and_round6_promotions_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-5
-    rotation (VERDICT r4 #1) must put the never-driver-witnessed tier
-    and the new conversions in the 50-slot budget, with the stateful
-    streaming trio in the FIRST half (it slipped off the tail for four
-    rounds). The round-4 twins q141-q144 are driver-green since r04
-    and may yield their slots."""
+    shared-infrastructure regression is still witnessed; the round-6
+    rotation (VERDICT r5 #1) must put the only oracle-backed queries
+    with NO driver row ever (q183-q188) plus this round's additions
+    (q189-q191) in the FIRST half, and fill the remainder with the
+    relational/TPC-H block whose last green driver row is rounds 1-2
+    (every round-3-to-5-green query may yield its slot)."""
     head = set(registry._PRIORITY[:50])
     first_half = set(registry._PRIORITY[:25])
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    streaming = {"q53_stateful_user_stats", "q79_stream_sessions",
-                 "q92_stream_stream_join"}
-    promotions = {
-        "q145_image_decode", "q146_xls_roundtrip", "q148_bpe_pair_counts",
-        "q149_stream_sink_exactly_once", "q150_audio_features",
-        "q151_csv_roundtrip", "q152_video_frames", "q153_sharded_export",
-        "q154_incremental_dedup", "q155_zorder_keys",
-        "q156_quantile_sketch", "q157_compaction",
-        "q158_bloom_decontaminate", "q160_pq_fixed_codebook",
-        "q161_temperature_mix", "q162_incremental_neardup",
-        "q163_token_budget_head",
-        "q45_rolling_stats", "q85_cluster_retention",
-        "q104_small_quantity_revenue", "q120_sliding_window",
-        # round-5 additions / oracle conversions
-        "q164_ridge_exact_twin", "q165_index_update",
-        "q166_cv_planted_optimum", "q130_pagerank",
-        "q167_gopher_gate", "q168_stratified_token_head",
-        "q169_curation_pipeline", "q170_stream_incremental_dedup",
+    never_witnessed = {
+        "q183_neardup_leakfree_split", "q184_mad_outliers",
+        "q185_dataset_card", "q186_image_dhash_dedup",
+        "q187_audio_fingerprint_dedup", "q188_video_fingerprint_dedup",
+        "q189_image_neardup_banded", "q190_exact_substr_rewrite",
+        "q191_quality_classifier",
+    }
+    stale_r1_r2 = {
+        "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
+        "q31_set_ops", "q32_rollup", "q40_cube", "q41_topk_per_group",
+        "q42_semi_anti_join", "q43_percentiles",
+        "q44_profit_by_nation_brand", "q46_distinct_counts",
+        "q49_range_join", "q50_shipping_priority", "q54_json_props",
+        "q61_forecast_revenue", "q62_returned_items", "q63_promo_revenue",
+        "q64_large_orders", "q65_brand_revenue_bands",
+        "q66_supplier_breadth", "q67_dormant_customers",
+        "q68_grouping_sets", "q30_asof_join", "q82_pivot_unpivot",
+        "q91_equidepth_hist", "q95_late_order_priority", "q96_top_supplier",
+        "q97_sole_late_supplier", "q98_min_cost_supplier",
+        "q99_local_supplier_volume", "q100_volume_shipping",
+        "q101_market_share", "q102_important_parts",
+        "q103_order_count_distribution", "q126_copurchase_pairs",
     }
     assert canaries <= head
-    assert streaming <= first_half
-    assert promotions <= head
+    assert never_witnessed <= first_half
+    assert stale_r1_r2 <= head
 
 
 def test_oracles_follow_query_order():
