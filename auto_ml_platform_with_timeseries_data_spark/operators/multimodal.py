@@ -847,6 +847,34 @@ _DH_DOCS = 200
 _DH_FAMILIES = 50            # seed = doc_id % 50 → ~4 planted dups each
 
 
+def synth_bmp_media(ids: DataFrame, families: int = _DH_FAMILIES,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP corpus from an id frame: one REAL 24-bit BMP
+    per row, pattern seeded by id % families (so each pattern recurs
+    ~|ids|/families times — planted visual duplicates). Shared by q186
+    and the scale probe, which passes families ∝ corpus size to hold
+    family size constant."""
+    import numpy as np
+
+    base = (np.arange(_Q145_H)[:, None] * _Q145_W
+            + np.arange(_Q145_W)[None, :])[..., None]
+
+    def make_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "content": [
+                    _encode_bmp(np.broadcast_to(
+                        (((int(did) % families) * 31 + base) % 256)
+                        .astype(np.uint8),
+                        (_Q145_H, _Q145_W, 3)))
+                    for did in pdf[id_col]
+                ],
+            })
+
+    return ids.mapInPandas(make_bmp, "media_id long, content binary")
+
+
 def image_dhash(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Perceptual difference-hash over REAL image bytes: decode + resize
     to 9×8 through the stdlib raster path (`decode_image` — same parser
@@ -917,28 +945,9 @@ def q186_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bug anywhere in the pipeline breaks the value hash — the q145
     certification pattern extended from checksums to a working
     dedup operator."""
-    import numpy as np
-
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _DH_DOCS).select("doc_id")
-
-    def make_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        r = np.arange(_Q145_H)[:, None]
-        c = np.arange(_Q145_W)[None, :]
-        base = (r * _Q145_W + c)[..., None]
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["doc_id"],
-                "content": [
-                    _encode_bmp(np.broadcast_to(
-                        (((int(did) % _DH_FAMILIES) * 31 + base) % 256)
-                        .astype(np.uint8),
-                        (_Q145_H, _Q145_W, 3)))
-                    for did in pdf["doc_id"]
-                ],
-            })
-
-    media = docs.mapInPandas(make_bmp, "media_id long, content binary")
+    media = synth_bmp_media(docs)
     return (
         image_dhash(media)
         .groupBy("dhash_lo", "dhash_hi")
@@ -956,6 +965,30 @@ def q186_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AF_FRAME = 40               # 600 samples → 15 exact frames → 14 bits
 _AF_DOCS = 200
 _AF_FAMILIES = 25            # seed = doc_id % 25 → ~8 planted dups each
+
+
+def synth_wav_media(ids: DataFrame, families: int = _AF_FAMILIES,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PCM16 WAV corpus from an id frame, seeded by
+    id % families (planted acoustic duplicates). Shared by q187 and
+    the scale probe."""
+    import numpy as np
+
+    n = np.arange(_Q150_SAMPLES, dtype=np.int64)
+
+    def make_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf[id_col],
+                "content": [
+                    _encode_wav_pcm16(
+                        (((int(d) % families) * 7 + n * 13) % 2048
+                         - 1024).astype(np.int16))
+                    for d in pdf[id_col]
+                ],
+            })
+
+    return ids.mapInPandas(make_wav, "media_id long, content binary")
 
 
 def audio_fingerprint(media: DataFrame,
@@ -1015,25 +1048,9 @@ def q187_audio_fingerprint_dedup(spark: SparkSession,
     dup families with min-id canonicals — every 14-bit fingerprint
     recomputed arithmetically by the oracle from the generation rule,
     never parsing WAV (the q150/q186 certification pattern)."""
-    import numpy as np
-
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _AF_DOCS).select("doc_id")
-
-    def make_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        n = np.arange(_Q150_SAMPLES, dtype=np.int64)
-        for pdf in batches:
-            yield pd.DataFrame({
-                "media_id": pdf["doc_id"],
-                "content": [
-                    _encode_wav_pcm16(
-                        (((int(d) % _AF_FAMILIES) * 7 + n * 13) % 2048
-                         - 1024).astype(np.int16))
-                    for d in pdf["doc_id"]
-                ],
-            })
-
-    media = docs.mapInPandas(make_wav, "media_id long, content binary")
+    media = synth_wav_media(docs)
     return (
         audio_fingerprint(media)
         .groupBy("fingerprint")
@@ -1049,6 +1066,33 @@ def q187_audio_fingerprint_dedup(spark: SparkSession,
 
 _VD_DOCS = 100
 _VD_FAMILIES = 20            # seed = doc_id % 20 → ~5 planted dup clips
+
+
+def synth_avi_media(ids: DataFrame, families: int = _VD_FAMILIES,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic AVI corpus from an id frame: one REAL container of
+    `_Q152_FRAMES` BMP frames per row, seeded by id % families (planted
+    duplicate clips). Shared by q188 and the scale probe."""
+    import numpy as np
+
+    base = (np.arange(_Q152_H)[:, None] * _Q152_W
+            + np.arange(_Q152_W)[None, :])[..., None]
+
+    def make_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                seed = int(d) % families
+                frames = [
+                    _encode_bmp(np.broadcast_to(
+                        ((seed * 31 + f * 97 + base) % 256)
+                        .astype(np.uint8), (_Q152_H, _Q152_W, 3)))
+                    for f in range(_Q152_FRAMES)
+                ]
+                blobs.append(_encode_avi(frames))
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": blobs})
+
+    return ids.mapInPandas(make_avi, "media_id long, content binary")
 
 
 def video_fingerprint(media: DataFrame,
@@ -1116,29 +1160,9 @@ def q188_video_fingerprint_dedup(spark: SparkSession,
     parsers, folded into clip fingerprints, grouped into dup families
     — every fingerprint recomputed arithmetically by the oracle from
     the generation rule, never parsing RIFF or BMP."""
-    import numpy as np
-
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _VD_DOCS).select("doc_id")
-    base = (np.arange(_Q152_H)[:, None] * _Q152_W
-            + np.arange(_Q152_W)[None, :])[..., None]
-
-    def make_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            blobs = []
-            for d in pdf["doc_id"]:
-                seed = int(d) % _VD_FAMILIES
-                frames = [
-                    _encode_bmp(np.broadcast_to(
-                        ((seed * 31 + f * 97 + base) % 256)
-                        .astype(np.uint8), (_Q152_H, _Q152_W, 3)))
-                    for f in range(_Q152_FRAMES)
-                ]
-                blobs.append(_encode_avi(frames))
-            yield pd.DataFrame({"media_id": pdf["doc_id"],
-                                "content": blobs})
-
-    media = docs.mapInPandas(make_avi, "media_id long, content binary")
+    media = synth_avi_media(docs)
     return (
         video_fingerprint(media)
         .groupBy("fingerprint")
@@ -1163,7 +1187,10 @@ _NP_MAXH = 2                 # ≤ 2 flipped bits counts as a near-dup
 _NP_PERT_R, _NP_PERT_C = 0, 4
 
 
-def _image_neardup_oracle() -> str:
+def _mixed_dhash_cte() -> str:
+    """CTE body computing (doc_id, dhash_lo, dhash_hi) arithmetically
+    from `synth_bmp_media_mixed`'s generation rule — shared by the q189
+    and q193 oracles."""
     # px(i, j') = ((seed*31 + 13*i + (13*j')//9) * 97 + pert) % 256 with
     # pert = 128 iff the doc is a perturbed copy and (i, srccol) = (0, 4).
     # The ×97 mixing makes fingerprints of DIFFERENT families
@@ -1180,7 +1207,6 @@ def _image_neardup_oracle() -> str:
 
     bit = f"CASE WHEN {px('k % 8')} < {px('(k % 8) + 1')} THEN 1 ELSE 0 END"
     return f"""
-    WITH h AS (
       SELECT doc_id,
              CAST(list_sum(list_transform(range(0, 32),
                  k -> {bit} * (CAST(1 AS BIGINT) << k))) AS BIGINT)
@@ -1189,7 +1215,12 @@ def _image_neardup_oracle() -> str:
                  k -> {bit} * (CAST(1 AS BIGINT) << (k - 32)))) AS BIGINT)
                AS dhash_hi
       FROM documents WHERE doc_id < {_NP_DOCS}
-    )
+    """
+
+
+def _image_neardup_oracle() -> str:
+    return f"""
+    WITH h AS ({_mixed_dhash_cte()})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.dhash_lo, b.dhash_lo))
                 + bit_count(xor(a.dhash_hi, b.dhash_hi)) AS INT) AS hamming
@@ -1213,33 +1244,144 @@ def q189_image_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     every fingerprint arithmetically from the synthesis rule and
     brute-forces all pairs, so the band join is held to EXACT recall,
     not just plausible candidates."""
-    import numpy as np
-
     from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
         hamming_band_pairs,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _NP_DOCS).select("doc_id")
+    media = synth_bmp_media_mixed(docs)
+    fp = image_dhash(media)
+    return hamming_band_pairs(
+        fp, "media_id", [("dhash_lo", 32), ("dhash_hi", 32)], _NP_MAXH)
+
+
+def synth_bmp_media_mixed(ids: DataFrame, families: int = _NP_FAMILIES,
+                          id_col: str = "doc_id") -> DataFrame:
+    """q189's near-dup BMP corpus: the ×97-mixed pattern makes
+    cross-family fingerprints pseudo-random (pairwise Hamming ≈ 32 —
+    unlike `synth_bmp_media`, whose mostly-monotone gradients collide
+    across families), and every second family member carries the
+    single-pixel perturbation — a planted 1–2-bit Hamming neighbor.
+    Shared by q189 and the scale probe (families ∝ corpus size).
+
+    The (seed // 256) term gives the probe head-room past 256 distinct
+    patterns (seed otherwise enters the pixels only mod 256, which
+    would silently merge families — growing family SIZE instead of
+    family count at 10×); it vanishes for seed < 256, so q189's
+    50-family oracle arithmetic is unchanged."""
+    import numpy as np
+
     base = (np.arange(_Q145_H)[:, None] * _Q145_W
             + np.arange(_Q145_W)[None, :])
 
     def make_bmp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             imgs = []
-            for did in pdf["doc_id"]:
-                seed = int(did) % _NP_FAMILIES
-                px = ((seed * 31 + base) * 97) % 256
-                if (int(did) // _NP_FAMILIES) % 2 == 1:
+            for did in pdf[id_col]:
+                seed = int(did) % families
+                px = ((seed * 31 + base) * 97
+                      + (seed // 256) * (base * 53 + 7)) % 256
+                if (int(did) // families) % 2 == 1:
                     px = px.copy()
                     px[_NP_PERT_R, _NP_PERT_C] = (
                         px[_NP_PERT_R, _NP_PERT_C] + 128) % 256
                 imgs.append(_encode_bmp(np.broadcast_to(
                     px.astype(np.uint8)[..., None],
                     (_Q145_H, _Q145_W, 3))))
-            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": imgs})
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": imgs})
 
-    media = docs.mapInPandas(make_bmp, "media_id long, content binary")
-    fp = image_dhash(media)
-    return hamming_band_pairs(
-        fp, "media_id", [("dhash_lo", 32), ("dhash_hi", 32)], _NP_MAXH)
+    return ids.mapInPandas(make_bmp, "media_id long, content binary")
+
+
+# ---------------------------------------------------------------------------
+# q193 — CLIP-style image–text pair gate (LAION-style curation: score
+# every (image, caption) pair by embedding cosine, keep pairs above a
+# threshold; the join + vector-math plumbing is real, the embedding
+# models are deterministic stand-ins per the engine's q38 convention)
+# ---------------------------------------------------------------------------
+
+_CP_TAU_NUM, _CP_TAU_DEN = 81, 100   # τ = 0.9 → τ² = 81/100, exact
+
+
+def q193_clip_pair_oracle() -> str:
+    digit = "(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+    tis = []
+    for i in range(8):
+        base = 4 * i + 1
+        tis.append(" + ".join(
+            f"{digit.format(p=base + j)} * {16 ** (3 - j)}"
+            for j in range(4)))
+    mis = [f"(dhash_lo >> {8 * i}) & 255" for i in range(4)] + \
+          [f"(dhash_hi >> {8 * i}) & 255" for i in range(4)]
+    tcols = ", ".join(f"({e}) AS t{i}" for i, e in enumerate(tis))
+    mcols = ", ".join(f"({e}) AS m{i}" for i, e in enumerate(mis))
+    dot = " + ".join(f"t{i} * m{i}" for i in range(8))
+    nt = " + ".join(f"t{i} * t{i}" for i in range(8))
+    nm = " + ".join(f"m{i} * m{i}" for i in range(8))
+    return f"""
+    WITH h AS ({_mixed_dhash_cte()}),
+    v AS (
+      SELECT d.doc_id, {tcols}, {mcols}
+      FROM documents d JOIN h ON d.doc_id = h.doc_id
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST({dot} AS BIGINT) AS dot,
+             CAST({nt} AS BIGINT) AS nt,
+             CAST({nm} AS BIGINT) AS nm
+      FROM v
+    )
+    SELECT doc_id, dot AS img_txt_dot,
+           CASE WHEN nt * nm = 0 THEN 0.0
+                ELSE floor(CAST(dot AS DOUBLE)
+                     / sqrt(CAST(nt AS DOUBLE) * CAST(nm AS DOUBLE))
+                     * 1e6 + 0.5) / 1e6 END AS cos_sim,
+           {_CP_TAU_DEN} * dot * dot >= {_CP_TAU_NUM} * nt * nm AS keep
+    FROM s
+    """
+
+
+@query("q193_clip_pair_gate", oracle=q193_clip_pair_oracle())
+def q193_clip_pair_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–text pair filtering through genuine bytes: each document
+    pairs with its synthesized BMP; the image embedding is the 8 bytes
+    of the REAL decoded dHash fingerprint, the text embedding the 8
+    u16 chunks of md5(text) (the q38 stand-in convention — a real
+    deployment swaps CLIP into the same join + cosine plan). The
+    keep flag is INTEGER-exact (cos ≥ τ ⟺ τ_den·dot² ≥ τ_num·‖t‖²‖m‖²
+    — cross-multiplied, no floats anywhere near the boundary), and the
+    reported cosine is built solely from correctly-rounded IEEE ops
+    (cast/mul/div/sqrt) over exact integers, so the 1e-6 pin is
+    bit-stable on both engines. One broadcast-sized join; vector math
+    entirely JVM-side."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _NP_DOCS).select("doc_id", "text")
+    fp = image_dhash(synth_bmp_media_mixed(docs.select("doc_id")))
+    j = docs.join(fp, docs["doc_id"] == fp["media_id"]).drop("media_id")
+    t = [F.conv(F.substring(F.md5("text"), 4 * i + 1, 4), 16, 10)
+         .cast("long") for i in range(8)]
+    m = [F.shiftright(F.col("dhash_lo"), 8 * i).bitwiseAND(F.lit(255))
+         for i in range(4)] + \
+        [F.shiftright(F.col("dhash_hi"), 8 * i).bitwiseAND(F.lit(255))
+         for i in range(4)]
+    dot = sum((t[i] * m[i] for i in range(1, 8)), t[0] * m[0])
+    nt = sum((t[i] * t[i] for i in range(1, 8)), t[0] * t[0])
+    nm = sum((m[i] * m[i] for i in range(1, 8)), m[0] * m[0])
+    s = j.select(
+        "doc_id",
+        dot.cast("long").alias("dot"),
+        nt.cast("long").alias("nt"),
+        nm.cast("long").alias("nm"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("dot").alias("img_txt_dot"),
+        F.when(F.col("nt") * F.col("nm") == 0, F.lit(0.0)).otherwise(
+            F.floor(F.col("dot").cast("double")
+                    / F.sqrt(F.col("nt").cast("double")
+                             * F.col("nm").cast("double"))
+                    * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"),
+        (F.lit(_CP_TAU_DEN) * F.col("dot") * F.col("dot")
+         >= F.lit(_CP_TAU_NUM) * F.col("nt") * F.col("nm")).alias("keep"),
+    )

@@ -1278,3 +1278,104 @@ def q190_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-by-span-text reimplementation."""
     docs = load_table(spark, sf_dir, "documents")
     return exact_substring_rewrite(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q192 — bigram-LM pseudo-perplexity (the CCNet-style LM quality filter:
+# q139's unigram proxy upgraded to conditional bigram probabilities with
+# add-one smoothing — the cheapest model that penalizes IMPLAUSIBLE
+# SEQUENCES, not just rare words)
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-one-smoothed bigram LM: logprob(doc) = (1/B)·Σ ln((c(w₁,w₂)+1)
+    / (c(w₁)+V)) over the doc's B consecutive-token bigrams, V = corpus
+    vocabulary size. Word salad scores low even when every WORD is
+    common — the sequence signal the unigram filter (q139) cannot see;
+    this is the shape of CCNet's LM filter with the trained KenLM
+    swapped for the corpus's own counts.
+
+    Scale: the model is two count tables built by word-keyed map-side-
+    combined groupBys (bigram table ≈ corpus bigram vocabulary — big
+    but distributable; never collected); scoring joins each doc bigram
+    against the two tables on their natural keys, then one per-doc
+    rollup. Counts are exact BIGINTs; only the final ln ratios are
+    floating, pinned at 1e-6 (the q139 convention)."""
+    n1 = F.greatest(F.size("__toks") - 1, F.lit(0))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(normalize_text(text_col)).alias("__toks"))
+    bg = base.select(
+        "__id",
+        F.explode(F.zip_with(
+            F.slice("__toks", 1, n1), F.slice("__toks", 2, n1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("b"),
+    ).select("__id", "b.w1", "b.w2")
+    uni = (base.select(F.explode("__toks").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("__c1")))
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    scored = (
+        bg.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log((F.col("__c12") + F.lit(1)).cast("double")
+                        / (F.col("__c1") + F.col("__v"))))
+            .alias("__lp"),
+        )
+    )
+    return (
+        base.select("__id").join(scored, "__id", "left")
+        .select(
+            F.col("__id").alias("doc_id"),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long")
+            .alias("n_bigrams"),
+            F.coalesce(
+                F.floor(F.col("__lp") * 1e6 + F.lit(0.5)) / 1e6,
+                F.lit(0.0)).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "q192_bigram_lm_logprob",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tk, unnest(range(1, len(toks))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+    ),
+    v AS (SELECT count(*) AS vsz FROM uni),
+    sc AS (
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             avg(ln(CAST(c.c12 + 1 AS DOUBLE) / (u.c1 + v.vsz))) AS lp
+      FROM bg b
+      JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+      JOIN uni u ON b.w1 = u.w
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           coalesce(floor(s.lp * 1e6 + 0.5) / 1e6, 0.0) AS avg_logprob
+    FROM tk t LEFT JOIN sc s ON t.doc_id = s.doc_id
+    """,
+)
+def q192_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document under the corpus's own add-one bigram LM —
+    exact integer count tables, per-doc mean ln ratios pinned at 1e-6,
+    all 500 rows value-hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs, "doc_id", "text")

@@ -67,11 +67,12 @@ _loaded = False
 #   7-12  q183-q188: near-dup-keyed leak-free split, MAD outliers,
 #         dataset card, image/audio/video perceptual dedup — the last
 #         never-witnessed tier
-#   13-15 round-6 additions: q189 Hamming-banded image near-dup, q190
-#         ExactSubstr span-removal rewrite, q191 fastText-style
-#         quality classifier
-#   16-50 re-witness rotation: the 34 oracle-backed relational/TPC-H
-#         queries whose last green driver row is rounds 1-2, plus
+#   13-17 round-6 additions: q189 Hamming-banded image near-dup, q190
+#         ExactSubstr span-removal rewrite, q191 fastText-style quality
+#         classifier, q192 bigram-LM filter, q193 CLIP-style pair gate
+#   18-50 re-witness rotation: 32 oracle-backed relational/TPC-H
+#         queries whose last green driver row is rounds 1-2 (q97/q98
+#         yield to the new additions — q96 covers their family), plus
 #         q30_asof_join (last green r3; takes the slot of rows-only
 #         q81_approx_aggs, which would spend budget on a weaker check)
 # Slots 51+ are checked only if the budget stretches; every query there
@@ -87,7 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "q187_audio_fingerprint_dedup", "q188_video_fingerprint_dedup",
     # round-6 additions
     "q189_image_neardup_banded", "q190_exact_substr_rewrite",
-    "q191_quality_classifier",
+    "q191_quality_classifier", "q192_bigram_lm_logprob",
+    "q193_clip_pair_gate",
     # re-witness rotation (last green driver row in rounds 1-2, plus
     # q30_asof_join standing in for rows-only q81)
     "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
@@ -98,8 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "q63_promo_revenue", "q64_large_orders", "q65_brand_revenue_bands",
     "q66_supplier_breadth", "q67_dormant_customers", "q68_grouping_sets",
     "q30_asof_join", "q82_pivot_unpivot", "q91_equidepth_hist",
-    "q95_late_order_priority", "q96_top_supplier", "q97_sole_late_supplier",
-    "q98_min_cost_supplier", "q99_local_supplier_volume",
+    "q95_late_order_priority", "q96_top_supplier",
+    "q99_local_supplier_volume",
     "q100_volume_shipping", "q101_market_share", "q102_important_parts",
     "q103_order_count_distribution", "q126_copurchase_pairs",
     # ---- slots 51+: checked only if the driver budget stretches ----
@@ -124,6 +126,7 @@ _PRIORITY: tuple[str, ...] = (
     "q167_gopher_gate", "q168_stratified_token_head",
     "q169_curation_pipeline", "q172_semdedup_fixed_cells",
     "q173_scd2_dimension", "q174_snapshot_diff",
+    "q97_sole_late_supplier", "q98_min_cost_supplier",
     "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     "q141_minhash_portable", "q142_simhash_portable",
     "q143_ann_signbucket", "q144_ivf_fixed_centroids",

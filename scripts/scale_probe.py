@@ -39,6 +39,7 @@ def _stage(spark, sf_dir: str, copies: int) -> dict[str, str]:
         "embeddings": ("vec_id", 10_000_000),
         "orders": ("o_custkey", 10_000_000),
         "events": ("event_id", 100_000_000),
+        "customer": ("c_custkey", 100_000_000),
     }
     for table, (idc, stride) in specs.items():
         df = load_table(spark, sf_dir, table)
@@ -322,6 +323,121 @@ def main() -> int:
                                    threshold=0.4, centroids=cents).count()
 
     run("semdedup_fixed_cells", lambda: semd(emb1()), lambda: semd(embN()))
+
+    # round-5/6 tail: SCD2 merge + snapshot diff over customer
+    from auto_ml_platform_with_timeseries_data_spark.operators import layout
+
+    def cust(path_based):
+        return (spark.read.parquet(staged["customer"]) if path_based
+                else load_table(spark, sf_dir, "customer"))
+
+    def scd2(path_based):
+        c = cust(path_based)
+        return layout.scd2_apply(c, layout._scd2_changes(c), "c_custkey",
+                                 layout._SCD2_TRACKED, ts=1).count()
+
+    run("scd2_dimension", lambda: scd2(False), lambda: scd2(True))
+
+    def snapdiff(path_based):
+        c = cust(path_based)
+        v2 = c.filter(F.col("c_custkey") % 13 != 0).select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.when(F.col("c_custkey") % 10 == 0,
+                   F.col("c_acctbal") + F.lit(100.0))
+            .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+            "c_mktsegment",
+        ).unionByName(
+            c.filter(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 1_000_000_000).alias("c_custkey"),
+                "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        return layout.snapshot_diff(c, v2, "c_custkey",
+                                    layout._SCD2_TRACKED).count()
+
+    run("snapshot_diff", lambda: snapdiff(False), lambda: snapdiff(True))
+
+    # perceptual fingerprint dedup kernels (q186-q188): families scale
+    # with the corpus so the planted family SIZE stays constant (~4/8/5
+    # members) — the honest dup-rate contract; wall should track rows
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        multimodal,
+    )
+
+    def img_dedup(d):
+        # ×97-mixed synthesis: well-separated families (the plain q186
+        # pattern's mostly-monotone gradients collide across families,
+        # which would probe one-hot-key skew instead of the dedup path)
+        fams = max(50, d.count() // 4)
+        media = multimodal.synth_bmp_media_mixed(d.select("doc_id"), fams)
+        return (multimodal.image_dhash(media)
+                .groupBy("dhash_lo", "dhash_hi")
+                .agg(F.count(F.lit(1))).count())
+
+    run("image_dhash_dedup", lambda: img_dedup(docs1()),
+        lambda: img_dedup(docsN()))
+
+    def audio_dedup(d):
+        fams = max(25, d.count() // 8)
+        media = multimodal.synth_wav_media(d.select("doc_id"), fams)
+        return (multimodal.audio_fingerprint(media)
+                .groupBy("fingerprint").agg(F.count(F.lit(1))).count())
+
+    run("audio_fp_dedup", lambda: audio_dedup(docs1()),
+        lambda: audio_dedup(docsN()))
+
+    def video_dedup(d):
+        fams = max(20, d.count() // 5)
+        media = multimodal.synth_avi_media(d.select("doc_id"), fams)
+        return (multimodal.video_fingerprint(media)
+                .groupBy("fingerprint").agg(F.count(F.lit(1))).count())
+
+    run("video_fp_dedup", lambda: video_dedup(docs1()),
+        lambda: video_dedup(docsN()))
+
+    # Hamming-banded image near-dup (q189): constant family size again;
+    # pairs (and wall) should scale ~linearly with rows
+    def img_neardup(d):
+        fams = max(50, d.count() // 4)
+        media = multimodal.synth_bmp_media_mixed(d.select("doc_id"), fams)
+        fp = multimodal.image_dhash(media)
+        return dedup.hamming_band_pairs(
+            fp, "media_id", [("dhash_lo", 32), ("dhash_hi", 32)],
+            max_hamming=2).count()
+
+    run("image_neardup_banded", lambda: img_neardup(docs1()),
+        lambda: img_neardup(docsN()))
+
+    # near-dup-keyed leak-free split (q183): pair build + components
+    # dominate; copytag perturbation keeps cross-copy docs near-dup, so
+    # pair growth ~copies^2 per family is priced in (the minhash_lsh
+    # contract), while the component/split passes stay edge-linear
+    def nd_split(d):
+        pairs = dedup.jaccard_pairs_blocked(
+            d, "doc_id", "text", "lang", shingle_n=2, threshold=0.5)
+        comp = dedup.connected_components(
+            d.select("doc_id"), pairs.select("id_a", "id_b"),
+            id_col="doc_id").select(F.col("id").alias("doc_id"),
+                                    "component")
+        return dedup.split_by_neardup_cluster(
+            d, comp, "doc_id").groupBy("split").count().count()
+
+    run("neardup_leakfree_split", lambda: nd_split(docs1()),
+        lambda: nd_split(docsN()))
+
+    # ExactSubstr span-removal rewrite (q190): one span-keyed window +
+    # per-doc rebuild — linear in spans even when one boilerplate span
+    # repeats across every copy
+    def esr(d):
+        return text.exact_substring_rewrite(d, "doc_id", "text").count()
+
+    run("exact_substr_rewrite", lambda: esr(docs1()), lambda: esr(docsN()))
+
+    # fastText-style classifier (q191): map-only HOF arithmetic —
+    # should scale at scan speed
+    def ftc(d):
+        return curation.quality_classifier_score(
+            d, "doc_id", "text").filter("keep").count()
+
+    run("quality_classifier", lambda: ftc(docs1()), lambda: ftc(docsN()))
 
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))

@@ -212,3 +212,33 @@ def test_exact_substring_rewrite_collapses_boilerplate(spark):
     # doc 2: its single span is globally unique -> untouched
     assert got[2]["tokens_removed"] == 0
     assert got[2]["text_kept"] == "p q r s t u v w x0 y0 unique tail here"
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-one-smoothed bigram LM over a 3-doc corpus, checked against
+    hand-computed counts; a repeated phrase scores higher than word
+    salad built from the same vocabulary."""
+    import math
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    rows = [(0, "a b c"), (1, "a b c"), (2, "c a"), (3, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           bigram_logprob(df, "doc_id", "text").collect()}
+    # counts: c(a)=3 c(b)=2 c(c)=3 c(x)=1, V=4
+    # bigrams: (a,b)x2 (b,c)x2 (c,a)x1
+    lp_ab = math.log((2 + 1) / (3 + 4))
+    lp_bc = math.log((2 + 1) / (2 + 4))
+    lp_ca = math.log((1 + 1) / (3 + 4))
+    exp0 = math.floor((lp_ab + lp_bc) / 2 * 1e6 + 0.5) / 1e6
+    exp2 = math.floor(lp_ca * 1e6 + 0.5) / 1e6
+    assert got[0]["n_bigrams"] == 2 and got[0]["avg_logprob"] == exp0
+    assert got[1]["avg_logprob"] == exp0
+    assert got[2]["n_bigrams"] == 1 and got[2]["avg_logprob"] == exp2
+    # single-token doc: no bigrams, neutral 0.0
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_logprob"] == 0.0
+    # the twice-seen phrase outscores the once-seen transition
+    assert got[0]["avg_logprob"] > got[2]["avg_logprob"]
