@@ -991,8 +991,8 @@ def synth_wav_media(ids: DataFrame, families: int = _AF_FAMILIES,
     return ids.mapInPandas(make_wav, "media_id long, content binary")
 
 
-def audio_fingerprint(media: DataFrame,
-                      id_col: str = "media_id") -> DataFrame:
+def audio_fingerprint(media: DataFrame, id_col: str = "media_id",
+                      frame_samples: int = _AF_FRAME) -> DataFrame:
     """Chromaprint-style clip fingerprint from REAL WAV bytes: the
     certified PCM16 parser emits exact per-frame energies
     (audio_frame_energy), then bit[f] = energy[f] < energy[f+1] — the
@@ -1001,7 +1001,8 @@ def audio_fingerprint(media: DataFrame,
     kernel; the bit-packing is pure JVM window + aggregate (lead,
     shiftleft, sum) — nothing audio-sized shuffles, only (id, frame,
     energy) rows."""
-    e = audio_frame_energy(media, id_col=id_col, frame_samples=_AF_FRAME)
+    e = audio_frame_energy(media, id_col=id_col,
+                           frame_samples=frame_samples)
     w = Window.partitionBy(id_col).orderBy("frame_idx")
     bits = (e.withColumn("__next", F.lead("energy", 1).over(w))
             .filter(F.col("__next").isNotNull())
@@ -1385,3 +1386,239 @@ def q193_clip_pair_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_CP_TAU_DEN) * F.col("dot") * F.col("dot")
          >= F.lit(_CP_TAU_NUM) * F.col("nt") * F.col("nm")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — audio NEAR-dup: Hamming-banded match over 59-bit
+# energy-gradient fingerprints (q187's exact-equality grouping misses a
+# re-mastered clip whose one altered passage flips a gradient bit)
+# ---------------------------------------------------------------------------
+
+_AN_DOCS = 200
+_AN_FAMILIES = 50            # 4 clips per family; every 2nd is perturbed
+_AN_FRAME = 10               # 600 samples → 60 frames → 59 gradient bits
+_AN_MAXH = 2
+# Perturbed passage: samples 200..209 — exactly frame 20, so only the
+# two gradient bits comparing against e(20) (bits 19 and 20) can flip.
+_AN_PERT_LO, _AN_PERT_HI, _AN_PERT_AMP = 200, 210, 500
+
+
+def synth_wav_media_perturbed(ids: DataFrame,
+                              families: int = _AN_FAMILIES,
+                              id_col: str = "doc_id") -> DataFrame:
+    """q195's near-dup WAV corpus: the q187 sample rule, with every
+    second family member carrying a +500 bump over one 10-sample
+    passage — a planted ≤2-bit Hamming neighbor of its family's
+    fingerprint. The seed-dependent MULTIPLIER (2·seed+31, always odd)
+    decorrelates families: q187's additive rule only phase-shifts one
+    shared sawtooth, which leaves cross-family energy gradients — and
+    therefore fingerprints — nearly identical (measured: 21% of ALL
+    pairs within Hamming 2)."""
+    import numpy as np
+
+    n = np.arange(_Q150_SAMPLES, dtype=np.int64)
+    bump = ((n >= _AN_PERT_LO) & (n < _AN_PERT_HI)) * _AN_PERT_AMP
+
+    def make_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                seed = int(d) % families
+                s = ((seed * 7 + n * 13) * (2 * seed + 31)) % 2048 - 1024
+                if (int(d) // families) % 2 == 1:
+                    s = s + bump
+                blobs.append(_encode_wav_pcm16(s.astype(np.int16)))
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": blobs})
+
+    return ids.mapInPandas(make_wav, "media_id long, content binary")
+
+
+def _audio_neardup_oracle() -> str:
+    sample = (f"((((doc_id % {_AN_FAMILIES}) * 7 + n * 13)"
+              f" * (2 * (doc_id % {_AN_FAMILIES}) + 31)) % 2048 - 1024"
+              f" + CASE WHEN (doc_id // {_AN_FAMILIES}) % 2 = 1"
+              f" AND n >= {_AN_PERT_LO} AND n < {_AN_PERT_HI}"
+              f" THEN {_AN_PERT_AMP} ELSE 0 END)")
+
+    def energy(lo: str, hi: str) -> str:
+        return (f"list_sum(list_transform(range({lo}, {hi}),"
+                f" n -> pow({sample}, 2)))")
+
+    nbits = _Q150_SAMPLES // _AN_FRAME - 1
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, {nbits}), f ->
+               CASE WHEN {energy(f'f * {_AN_FRAME}',
+                                 f'f * {_AN_FRAME} + {_AN_FRAME}')}
+                         < {energy(f'(f + 1) * {_AN_FRAME}',
+                                   f'(f + 1) * {_AN_FRAME} + {_AN_FRAME}')}
+                    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END))
+               AS BIGINT) AS fingerprint
+      FROM documents WHERE doc_id < {_AN_DOCS}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT)
+             AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= {_AN_MAXH}
+    """
+
+
+@query("q195_audio_neardup_banded", oracle=_audio_neardup_oracle())
+def q195_audio_neardup_banded(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Audio NEAR-dup through genuine RIFF/WAVE bytes: 59-bit
+    energy-gradient fingerprints from the certified PCM16 parse path,
+    candidates blocked on 16-bit bands (`hamming_band_pairs` —
+    pigeonhole-exact recall for distance ≤ 3), popcount verified
+    JVM-side. Every second family member carries a one-passage +500
+    bump — a planted ≤2-bit neighbor exact fingerprint equality
+    (q187) cannot see. The oracle recomputes every fingerprint from
+    the synthesis arithmetic and brute-forces all pairs, holding the
+    band join to exact recall."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _AN_DOCS).select("doc_id")
+    media = synth_wav_media_perturbed(docs)
+    fp = audio_fingerprint(media, frame_samples=_AN_FRAME)
+    return hamming_band_pairs(
+        fp, "media_id", [("fingerprint", 64)], _AN_MAXH)
+
+
+# ---------------------------------------------------------------------------
+# q194 — video NEAR-dup: banded match over the frame-SEQUENCE of dHashes
+# (q188's folded-sum fingerprint only catches identical sequences; a
+# re-encode that flips one gradient bit in one frame defeats it)
+# ---------------------------------------------------------------------------
+
+_VN_DOCS = 100
+_VN_FAMILIES = 25            # 4 clips per family; every 2nd is perturbed
+_VN_MAXH = 4                 # clip-total Hamming budget across all frames
+# Perturbed source pixel (frame 2, src row 0, col 1): src row 0 feeds
+# resize rows 0 and 1, and col 1 is sampled by exactly one resize column
+# (j=2), so the bump flips at most the 4 bits {rows 0,1} × {cmp (1,2),
+# (2,3)} — inside the clip-total budget by construction.
+_VN_PERT_F, _VN_PERT_R, _VN_PERT_C = 2, 0, 1
+
+
+def synth_avi_media_mixed(ids: DataFrame, families: int = _VN_FAMILIES,
+                          id_col: str = "doc_id") -> DataFrame:
+    """q194's near-dup AVI corpus: ×97-mixed per-frame patterns (well-
+    separated families, unlike `synth_avi_media`'s monotone gradients)
+    with every second family member perturbed at one resize-sampled
+    pixel of frame 2 — a planted ≤4-bit neighbor of its family's
+    frame sequence."""
+    import numpy as np
+
+    base = (np.arange(_Q152_H)[:, None] * _Q152_W
+            + np.arange(_Q152_W)[None, :])
+
+    def make_avi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                seed = int(d) % families
+                pert = (int(d) // families) % 2 == 1
+                frames = []
+                for f in range(_Q152_FRAMES):
+                    px = ((seed * 31 + f * 41 + base) * 97) % 256
+                    if pert and f == _VN_PERT_F:
+                        px = px.copy()
+                        px[_VN_PERT_R, _VN_PERT_C] = (
+                            px[_VN_PERT_R, _VN_PERT_C] + 128) % 256
+                    frames.append(_encode_bmp(np.broadcast_to(
+                        px.astype(np.uint8)[..., None],
+                        (_Q152_H, _Q152_W, 3))))
+                blobs.append(_encode_avi(frames))
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": blobs})
+
+    return ids.mapInPandas(make_avi, "media_id long, content binary")
+
+
+def _video_neardup_oracle() -> str:
+    # px(f; i, j) = ((seed*31 + f*41 + (i//2)*6 + (6*j)//9) * 97
+    #               + pert(f, i, j)) % 256 — the resize map of the
+    # 6×4 source onto the 9×8 dHash grid, q188's convention.
+    def px(f: int, jexpr: str) -> str:
+        return (
+            f"((((doc_id % {_VN_FAMILIES}) * 31 + {f} * 41"
+            f" + ((k // 8) // 2) * 6 + (6 * ({jexpr})) // 9) * 97"
+            f" + CASE WHEN (doc_id // {_VN_FAMILIES}) % 2 = 1"
+            f" AND {f} = {_VN_PERT_F}"
+            f" AND ((k // 8) // 2) = {_VN_PERT_R}"
+            f" AND (6 * ({jexpr})) // 9 = {_VN_PERT_C}"
+            f" THEN 128 ELSE 0 END) % 256)"
+        )
+
+    cols = []
+    for f in range(_Q152_FRAMES):
+        bit = (f"CASE WHEN {px(f, 'k % 8')} < {px(f, '(k % 8) + 1')}"
+               f" THEN 1 ELSE 0 END")
+        cols.append(
+            f"CAST(list_sum(list_transform(range(0, 32), k -> {bit}"
+            f" * (CAST(1 AS BIGINT) << k))) AS BIGINT) AS f{f}_lo")
+        cols.append(
+            f"CAST(list_sum(list_transform(range(32, 64), k -> {bit}"
+            f" * (CAST(1 AS BIGINT) << (k - 32)))) AS BIGINT) AS f{f}_hi")
+    colsql = ",\n             ".join(cols)
+    # bit_count yields INT8 in DuckDB — widen each term or the 10-way
+    # sum overflows at 127
+    ham = " + ".join(
+        f"CAST(bit_count(xor(a.f{f}_{p}, b.f{f}_{p})) AS INT)"
+        for f in range(_Q152_FRAMES) for p in ("lo", "hi"))
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             {colsql}
+      FROM documents WHERE doc_id < {_VN_DOCS}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS INT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {_VN_MAXH}
+    """
+
+
+@query("q194_video_neardup_banded", oracle=_video_neardup_oracle())
+def q194_video_neardup_banded(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Video NEAR-dup through genuine container bytes: demux every AVI
+    (certified movi-walk), dHash every frame through the real BMP
+    decode, widen the 5-frame sequence into ten 32-bit signature
+    columns, and run the generic `hamming_band_pairs` over all 320
+    bits (20 bands — pigeonhole-exact recall for clip-total distance
+    ≤ 19, far past the ≤4 threshold). Identical clips pair at 0;
+    one-frame re-encodes pair within the budget; reordered or re-cut
+    clips do not pair (frame position lives in the column identity).
+    The oracle recomputes every per-frame fingerprint arithmetically
+    and brute-forces clip pairs."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _VN_DOCS).select("doc_id")
+    media = synth_avi_media_mixed(docs)
+    frames = demux_video_frames(media, every=1)
+    keyed = frames.select(
+        (F.shiftleft(F.col("media_id"), 32) + F.col("frame_idx"))
+        .alias("media_id"),
+        F.col("frame").alias("content"))
+    fps = image_dhash(keyed).select(
+        F.shiftright(F.col("media_id"), 32).alias("doc_id"),
+        F.col("media_id").bitwiseAND(F.lit(0xFFFFFFFF)).alias("__f"),
+        "dhash_lo", "dhash_hi")
+    wide = fps.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("__f") == f, F.col(f"dhash_{p}")))
+        .alias(f"f{f}_{p}")
+        for f in range(_Q152_FRAMES) for p in ("lo", "hi")
+    ])
+    return hamming_band_pairs(
+        wide, "doc_id",
+        [(f"f{f}_{p}", 32)
+         for f in range(_Q152_FRAMES) for p in ("lo", "hi")],
+        _VN_MAXH)
