@@ -67,12 +67,14 @@ _loaded = False
 #   7-12  q183-q188: near-dup-keyed leak-free split, MAD outliers,
 #         dataset card, image/audio/video perceptual dedup — the last
 #         never-witnessed tier
-#   13-17 round-6 additions: q189 Hamming-banded image near-dup, q190
+#   13-19 round-6 additions: q189 Hamming-banded image near-dup, q190
 #         ExactSubstr span-removal rewrite, q191 fastText-style quality
-#         classifier, q192 bigram-LM filter, q193 CLIP-style pair gate
-#   18-50 re-witness rotation: 32 oracle-backed relational/TPC-H
-#         queries whose last green driver row is rounds 1-2 (q97/q98
-#         yield to the new additions — q96 covers their family), plus
+#         classifier, q192 bigram-LM filter, q193 CLIP-style pair gate,
+#         q194/q195 video/audio near-dup banding
+#   20-50 re-witness rotation: 30 oracle-backed relational/TPC-H
+#         queries whose last green driver row is rounds 1-2 (q97/q98/
+#         q101/q102 yield to the new additions — q96/q100/q103 cover
+#         their families), plus
 #         q30_asof_join (last green r3; takes the slot of rows-only
 #         q81_approx_aggs, which would spend budget on a weaker check)
 # Slots 51+ are checked only if the budget stretches; every query there
@@ -89,7 +91,8 @@ _PRIORITY: tuple[str, ...] = (
     # round-6 additions
     "q189_image_neardup_banded", "q190_exact_substr_rewrite",
     "q191_quality_classifier", "q192_bigram_lm_logprob",
-    "q193_clip_pair_gate",
+    "q193_clip_pair_gate", "q194_video_neardup_banded",
+    "q195_audio_neardup_banded",
     # re-witness rotation (last green driver row in rounds 1-2, plus
     # q30_asof_join standing in for rows-only q81)
     "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
@@ -102,8 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     "q30_asof_join", "q82_pivot_unpivot", "q91_equidepth_hist",
     "q95_late_order_priority", "q96_top_supplier",
     "q99_local_supplier_volume",
-    "q100_volume_shipping", "q101_market_share", "q102_important_parts",
-    "q103_order_count_distribution", "q126_copurchase_pairs",
+    "q100_volume_shipping", "q103_order_count_distribution",
+    "q126_copurchase_pairs",
     # ---- slots 51+: checked only if the driver budget stretches ----
     # streaming + round-5 tier (green in r5), then the r3/r4 blocks
     "q53_stateful_user_stats", "q79_stream_sessions",
@@ -127,6 +130,7 @@ _PRIORITY: tuple[str, ...] = (
     "q169_curation_pipeline", "q172_semdedup_fixed_cells",
     "q173_scd2_dimension", "q174_snapshot_diff",
     "q97_sole_late_supplier", "q98_min_cost_supplier",
+    "q101_market_share", "q102_important_parts",
     "q39_stream_window_counts", "q52_stream_dedup", "q58_stream_static_join",
     "q141_minhash_portable", "q142_simhash_portable",
     "q143_ann_signbucket", "q144_ivf_fixed_centroids",

@@ -49,7 +49,8 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q187_audio_fingerprint_dedup", "q188_video_fingerprint_dedup",
         "q189_image_neardup_banded", "q190_exact_substr_rewrite",
         "q191_quality_classifier", "q192_bigram_lm_logprob",
-        "q193_clip_pair_gate",
+        "q193_clip_pair_gate", "q194_video_neardup_banded",
+        "q195_audio_neardup_banded",
     }
     stale_r1_r2 = {
         "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
@@ -63,7 +64,6 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q68_grouping_sets", "q30_asof_join", "q82_pivot_unpivot",
         "q91_equidepth_hist", "q95_late_order_priority", "q96_top_supplier",
         "q99_local_supplier_volume", "q100_volume_shipping",
-        "q101_market_share", "q102_important_parts",
         "q103_order_count_distribution", "q126_copurchase_pairs",
     }
     assert canaries <= head
