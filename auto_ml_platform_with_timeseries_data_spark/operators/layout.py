@@ -461,3 +461,93 @@ def q174_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
             "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
     return snapshot_diff(cust, v2, "c_custkey", _SCD2_TRACKED)
+
+
+# ---------------------------------------------------------------------------
+# q196 — continuous aggregate with incremental (delta-bounded) refresh
+# ---------------------------------------------------------------------------
+
+
+def continuous_aggregate_refresh(events: DataFrame, ts_col: str,
+                                 value_col: str,
+                                 delta_pred: Column) -> DataFrame:
+    """TimescaleDB-style continuous aggregate: an hourly materialized
+    rollup (count, sum) maintained by INCREMENTAL refresh — only the
+    buckets the delta batch touches are recomputed; every other bucket
+    is carried over from the previous materialization untouched.
+
+    Dataflow: `delta_pred` marks the newly-arrived rows. The previous
+    materialization is the rollup of ¬delta rows; the refresh set is
+    the DISTINCT buckets the delta touches (a broadcast-sized frame —
+    a crawl's delta lands in a bounded recent window); touched buckets
+    are recomputed from ALL rows (so late data merges into old buckets
+    correctly, not just appended), and the final view is
+    carry-over ⟕anti touched ∪ recomputed. Refresh cost is therefore
+    ∝ |touched buckets| + |delta|, never ∝ corpus — the invariant that
+    makes a 100 TB hypertable's rollup maintainable per micro-batch.
+
+    Values are summed as round-half-up integer cents so the
+    incremental plan and the one-shot oracle agree bit-for-bit.
+    Reference analogue: the per-group time-series aggregation the
+    platform recomputes from scratch on every upload
+    (auto_machine_learning.py train path); this is the maintained
+    version. Streaming sibling: q39/q182."""
+    ev = events.select(
+        F.date_trunc("hour", F.col(ts_col)).alias("__bucket"),
+        F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("long")
+        .alias("__cents"),
+        delta_pred.alias("__is_delta"),
+    )
+    old_agg = (ev.filter(~F.col("__is_delta"))
+               .groupBy("__bucket")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.sum("__cents").alias("sum_cents")))
+    touched = (ev.filter(F.col("__is_delta"))
+               .select("__bucket").distinct())
+    recomputed = (ev.join(F.broadcast(touched), "__bucket", "leftsemi")
+                  .groupBy("__bucket")
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       F.sum("__cents").alias("sum_cents"))
+                  .withColumn("refreshed", F.lit(1)))
+    carried = (old_agg.join(F.broadcast(touched), "__bucket", "leftanti")
+               .withColumn("refreshed", F.lit(0)))
+    return carried.unionByName(recomputed).select(
+        F.date_format("__bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        F.col("refreshed").cast("int").alias("refreshed"),
+    )
+
+
+@query(
+    "q196_continuous_aggregate",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    ev AS (
+      SELECT date_trunc('hour', ts) AS b,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents, ts
+      FROM events
+    ),
+    touched AS (
+      SELECT DISTINCT b FROM ev, mx WHERE ts > m - INTERVAL 48 HOUR
+    )
+    SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(CASE WHEN b IN (SELECT b FROM touched) THEN 1 ELSE 0 END
+                AS INT) AS refreshed
+    FROM ev GROUP BY b
+    """,
+)
+def q196_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the hourly events rollup incrementally, treating the
+    trailing 48 h as the newly-arrived delta: carried-over buckets and
+    recomputed buckets together must equal the one-shot rollup the
+    oracle computes — every bucket's count, integer-cent sum, and
+    refreshed flag value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("__mx"))
+    with_cut = ev.crossJoin(F.broadcast(mx))
+    return continuous_aggregate_refresh(
+        with_cut, "ts", "value",
+        F.col("ts") > F.col("__mx") - F.expr("INTERVAL 48 HOURS"))

@@ -1379,3 +1379,91 @@ def q192_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     all 500 rows value-hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return bigram_logprob(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q199 — CCNet-style perplexity bucketing (head / middle / tail)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(df: DataFrame, id_col: str, text_col: str,
+                       lang_col: str) -> DataFrame:
+    """Assign every document to CCNet's head/middle/tail tercile by
+    LM score WITHIN its language: score with the corpus bigram LM
+    (bigram_logprob — exact count tables, mean ln ratio pinned at
+    1e-6), rank per language by (score desc, id), and compute the
+    tercile ARITHMETICALLY as ⌊(rank−1)·3 / n_lang⌋ rather than via
+    NTILE so both engines distribute remainders identically. Per-lang
+    bucketing is the point of CCNet's design: a uniform global
+    threshold would class low-resource languages wholesale as tail.
+
+    Scale: the LM tables distribute (word-keyed groupBys); the rank is
+    one window per language partition over (id, score) pairs — the
+    text itself never enters the shuffle. The tercile boundaries need
+    n_lang, a per-partition count — no global sort."""
+    scored = bigram_logprob(df, id_col, text_col)
+    lang = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(lang_col).alias("lang"))
+    j = scored.join(lang, "doc_id")
+    w = Window.partitionBy("lang")
+    rn = F.row_number().over(
+        w.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc()))
+    cnt = F.count(F.lit(1)).over(w)
+    idx = F.floor((rn - 1) * 3 / cnt).cast("int")
+    return j.select(
+        "doc_id", "lang", "avg_logprob",
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                     idx + 1).alias("bucket"),
+    )
+
+
+@query(
+    "q199_perplexity_buckets",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM tk, unnest(range(1, len(toks))) AS u(i)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    uni AS (
+      SELECT w, count(*) AS c1
+      FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+    ),
+    v AS (SELECT count(*) AS vsz FROM uni),
+    sc AS (
+      SELECT b.doc_id,
+             avg(ln(CAST(c.c12 + 1 AS DOUBLE) / (u.c1 + v.vsz))) AS lp
+      FROM bg b
+      JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+      JOIN uni u ON b.w1 = u.w
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    ),
+    pinned AS (
+      SELECT t.doc_id, t.lang,
+             coalesce(floor(s.lp * 1e6 + 0.5) / 1e6, 0.0) AS avg_logprob
+      FROM tk t LEFT JOIN sc s ON t.doc_id = s.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lang, avg_logprob,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY avg_logprob DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY lang) AS cnt
+      FROM pinned
+    )
+    SELECT doc_id, lang, avg_logprob,
+           (['head', 'middle', 'tail'])
+             [CAST(floor((rn - 1) * 3.0 / cnt) AS INT) + 1] AS bucket
+    FROM ranked
+    """,
+)
+def q199_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket every document head/middle/tail by per-language bigram-LM
+    score terciles — all 500 (doc, lang, score, bucket) rows
+    value-hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, "doc_id", "text", "lang")

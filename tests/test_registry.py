@@ -51,6 +51,8 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q191_quality_classifier", "q192_bigram_lm_logprob",
         "q193_clip_pair_gate", "q194_video_neardup_banded",
         "q195_audio_neardup_banded",
+        "q196_continuous_aggregate", "q197_blocking_bestmatch",
+        "q198_softdedup_weights", "q199_perplexity_buckets",
     }
     stale_r1_r2 = {
         "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
@@ -58,13 +60,13 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q42_semi_anti_join", "q43_percentiles",
         "q44_profit_by_nation_brand", "q46_distinct_counts",
         "q49_range_join", "q50_shipping_priority", "q54_json_props",
-        "q61_forecast_revenue", "q62_returned_items", "q63_promo_revenue",
-        "q64_large_orders", "q65_brand_revenue_bands",
+        "q61_forecast_revenue", "q63_promo_revenue",
+        "q64_large_orders",
         "q66_supplier_breadth", "q67_dormant_customers",
         "q68_grouping_sets", "q30_asof_join", "q82_pivot_unpivot",
         "q91_equidepth_hist", "q95_late_order_priority", "q96_top_supplier",
-        "q99_local_supplier_volume", "q100_volume_shipping",
-        "q103_order_count_distribution", "q126_copurchase_pairs",
+        "q100_volume_shipping",
+        "q126_copurchase_pairs",
     }
     assert canaries <= head
     assert never_witnessed <= first_half
