@@ -1704,3 +1704,192 @@ def q191_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned at 1e-6, all value-hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return quality_classifier_score(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q200 — DoReMi-style domain reweighting (linearized multiplicative weights)
+# ---------------------------------------------------------------------------
+
+
+def domain_reweight(df: DataFrame, id_col: str, text_col: str,
+                    domain_col: str) -> DataFrame:
+    """One multiplicative-weights step of DoReMi-style domain
+    reweighting: domains whose documents score WORSE than the corpus
+    average under the reference LM (here the corpus bigram LM, q192)
+    get their token-share mixture weight multiplied up, easier domains
+    down — the published DoReMi update with exp(η·excess) linearized
+    to (1 + η·excess) so the whole step stays in exact integer/floored
+    arithmetic both engines reproduce bit-for-bit (the q161
+    integer-scaled-weights convention; η = 1/4).
+
+    Pipeline: per-doc pinned LM scores (integer micro-units, sign
+    flipped so every sum is positive and BIGINT division never
+    straddles the toward-zero/floor divide), one groupBy(domain) for
+    (docs, tokens, Σ score), a broadcast 1-row corpus aggregate, then
+    pure row-local arithmetic: excess_ppm = ⌊(domain−corpus)·10⁶ /
+    corpus⌋, factor_ppm = max(0, 10⁶ + ⌊excess_ppm/4⌋), and the final
+    normalized weight_ppm = (tokens·factor·10⁶) div Σ(tokens·factor).
+    Scale: the LM tables dominate (word-keyed, distributable); the
+    reweight itself touches |domains| rows."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        bigram_logprob,
+    )
+
+    scored = bigram_logprob(df, id_col, text_col)
+    per_doc = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(domain_col).alias("domain"),
+                  F.size(tokens(normalize_text(text_col))).cast("long")
+                  .alias("__ntok"))
+        .join(scored, "doc_id")
+        .select(
+            "domain", "__ntok",
+            F.floor(-F.col("avg_logprob") * 1e6 + F.lit(0.5)).cast("long")
+            .alias("__neg_micro"))
+    )
+    dom = per_doc.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__ntok").alias("tokens"),
+        F.sum("__neg_micro").alias("__s"))
+    corpus = per_doc.agg(
+        (F.sum("__neg_micro") / F.count(F.lit(1))).alias("__gmean"))
+    out = (
+        dom.crossJoin(F.broadcast(corpus))
+        .withColumn("mean_neg_lp_micro",
+                    F.expr("__s div n_docs").cast("long"))
+        .withColumn(
+            "excess_ppm",
+            F.floor((F.col("__s") / F.col("n_docs") - F.col("__gmean"))
+                    * 1_000_000 / F.col("__gmean")).cast("long"))
+        .withColumn(
+            "factor_ppm",
+            F.greatest(
+                F.lit(0),
+                F.lit(1_000_000) +
+                F.floor(F.col("excess_ppm") / 4).cast("long"))
+            .cast("long"))
+    )
+    total = out.agg(F.sum(F.col("tokens") * F.col("factor_ppm"))
+                    .alias("__tot"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .withColumn(
+            "weight_ppm",
+            F.expr("(tokens * factor_ppm * 1000000) div __tot")
+            .cast("long"))
+        .select("domain", F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("tokens").cast("long").alias("tokens"),
+                "mean_neg_lp_micro", "excess_ppm", "factor_ppm",
+                "weight_ppm")
+    )
+
+
+_Q200_SCORE_CTE = """
+    tk AS (SELECT doc_id, source,
+                  string_split(trim(regexp_replace(lower(text),
+                    '\\s+', ' ', 'g')), ' ') AS toks
+           FROM documents),
+    bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM tk, unnest(range(1, len(toks))) AS u(i)),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    uni AS (SELECT w, count(*) AS c1
+            FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w),
+    v AS (SELECT count(*) AS vsz FROM uni),
+    sc AS (SELECT b.doc_id,
+                  avg(ln(CAST(c.c12 + 1 AS DOUBLE) / (u.c1 + v.vsz))) AS lp
+           FROM bg b
+           JOIN c12 c ON b.w1 = c.w1 AND b.w2 = c.w2
+           JOIN uni u ON b.w1 = u.w
+           CROSS JOIN v GROUP BY b.doc_id),
+    per_doc AS (
+      SELECT t.source AS domain,
+             CAST(len(t.toks) AS BIGINT) AS ntok,
+             CAST(floor(-(coalesce(floor(s.lp * 1e6 + 0.5) / 1e6, 0.0))
+                        * 1e6 + 0.5) AS BIGINT) AS neg_micro
+      FROM tk t LEFT JOIN sc s ON t.doc_id = s.doc_id)
+"""
+
+
+@query(
+    "q200_doremi_reweight",
+    oracle=f"""
+    WITH {_Q200_SCORE_CTE},
+    dom AS (
+      SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(ntok) AS BIGINT) AS tokens,
+             CAST(sum(neg_micro) AS BIGINT) AS s
+      FROM per_doc GROUP BY domain),
+    corpus AS (
+      SELECT CAST(sum(neg_micro) AS DOUBLE) / count(*) AS gmean
+      FROM per_doc),
+    f AS (
+      SELECT domain, n_docs, tokens,
+             CAST(s // n_docs AS BIGINT) AS mean_neg_lp_micro,
+             CAST(floor((CAST(s AS DOUBLE) / n_docs - gmean)
+                        * 1000000 / gmean) AS BIGINT) AS excess_ppm
+      FROM dom CROSS JOIN corpus),
+    g AS (
+      SELECT *, CAST(greatest(0, 1000000 +
+                CAST(floor(excess_ppm / 4.0) AS BIGINT)) AS BIGINT)
+                AS factor_ppm
+      FROM f),
+    tot AS (SELECT CAST(sum(tokens * factor_ppm) AS BIGINT) AS t FROM g)
+    SELECT domain, n_docs, tokens, mean_neg_lp_micro, excess_ppm,
+           factor_ppm,
+           CAST((tokens * factor_ppm * 1000000) // t AS BIGINT)
+             AS weight_ppm
+    FROM g CROSS JOIN tot
+    """,
+)
+def q200_doremi_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One linearized multiplicative-weights DoReMi step over the 20
+    document sources: per-domain LM hardness, excess vs the corpus
+    mean, update factor, and normalized mixture weight — all 20 rows
+    integer-exact and value-hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return domain_reweight(docs, "doc_id", "text", "source")
+
+
+# ---------------------------------------------------------------------------
+# q203 — k-anonymity audit (quasi-identifier suppression list)
+# ---------------------------------------------------------------------------
+
+
+def k_anonymity_groups(df: DataFrame, quasi_cols: list[str],
+                       k: int = 8) -> DataFrame:
+    """Group the table by its quasi-identifier combination and flag
+    every group smaller than k — the suppression list a privacy-
+    preserving release pipeline either drops or generalizes before a
+    dataset leaves the house. One map-side-combined groupBy on the
+    quasi-identifier tuple; no row data is carried, so the shuffle is
+    |distinct combinations|, not |table|."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("group_count"))
+            .withColumn("suppress",
+                        (F.col("group_count") < k).cast("int")))
+
+
+@query(
+    "q203_k_anonymity",
+    oracle="""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_count,
+           CAST(CASE WHEN count(*) < 8 THEN 1 ELSE 0 END AS INT)
+             AS suppress
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+)
+def q203_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of customer under the (nation, segment,
+    balance-bucket) quasi-identifier: every combination's population
+    and suppression flag value-hash-checked (k = 8)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return k_anonymity_groups(
+        cust.select(
+            "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+            .alias("bal_bucket")),
+        ["c_nationkey", "c_mktsegment", "bal_bucket"])

@@ -319,3 +319,197 @@ def q178_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.col("exact_distinct") <= 0.3).alias("within_bound"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q201 — Count-Min sketch heavy hitters (mergeable counting sketch)
+# ---------------------------------------------------------------------------
+
+_CM_P = 1_000_003          # prime modulus (the hash_u32 pre-mod prime)
+_CM_W = 256                # sketch width (columns per hash row)
+_CM_ROWS = ((1_299_709, 15_485_863), (2_750_159, 32_452_843),
+            (4_256_233, 49_979_687), (5_800_079, 67_867_967))
+
+
+def _cm_col(key, a: int, b: int):
+    """Portable row hash: ((a·(key mod p) + b) mod p) mod w — plain
+    BIGINT arithmetic both engines evaluate identically."""
+    return ((F.lit(a) * (key % _CM_P) + F.lit(b)) % _CM_P) % _CM_W
+
+
+def countmin_estimates(df: DataFrame, key_col: str) -> DataFrame:
+    """Count-Min estimates (min over d row counters) for every distinct
+    key, next to the exact count: est ≥ exact always (one-sided error),
+    and est − exact is the collision mass the d×w sketch admits.
+
+    The sketch build is d tiny groupBys on (row, col) — 4·256 counters
+    total regardless of corpus size, each a map-side-combined SUM, so
+    the sketch state is mergeable across partitions/days/shards by
+    construction (counter-wise addition; the q178 KMV rollup shape for
+    COUNTS instead of distincts). The estimate pass joins each
+    candidate key's d (row, col) coordinates against the counter
+    table — at 100 TB the candidate set comes from a cheap pre-filter
+    (a sampled or per-partition top-k), never an all-keys enumeration;
+    here every key is a candidate so the oracle can check every row."""
+    keyed = df.select(F.col(key_col).cast("long").alias("k"))
+    counters = None
+    for i, (a, b) in enumerate(_CM_ROWS):
+        c = (keyed.groupBy(_cm_col(F.col("k"), a, b).alias("col"))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .withColumn("row", F.lit(i)))
+        counters = c if counters is None else counters.unionByName(c)
+    exact = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    coords = exact.select(
+        "k", "exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("row"),
+                     _cm_col(F.col("k"), a, b).alias("col"))
+            for i, (a, b) in enumerate(_CM_ROWS)])).alias("c"),
+    ).select("k", "exact", "c.row", "c.col")
+    return (
+        coords.join(F.broadcast(counters), ["row", "col"])
+        .groupBy("k", "exact")
+        .agg(F.min("cnt").cast("long").alias("est"))
+        .select(F.col("k").alias("key"), F.col("est"),
+                F.col("exact").cast("long").alias("exact"),
+                (F.col("est") - F.col("exact")).cast("long").alias("err"))
+    )
+
+
+def _cm_sql(col: str, a: int, b: int) -> str:
+    return f"((({a} * ({col} % {_CM_P}) + {b}) % {_CM_P}) % {_CM_W})"
+
+
+_CM_ORACLE = f"""
+    WITH keyed AS (SELECT CAST(user_id AS BIGINT) AS k FROM events),
+    counters AS (
+      {" UNION ALL ".join(
+          f"SELECT {i} AS row, {_cm_sql('k', a, b)} AS col, "
+          f"CAST(count(*) AS BIGINT) AS cnt FROM keyed GROUP BY 2"
+          for i, (a, b) in enumerate(_CM_ROWS))}
+    ),
+    exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact
+              FROM keyed GROUP BY k),
+    coords AS (
+      {" UNION ALL ".join(
+          f"SELECT k, exact, {i} AS row, {_cm_sql('k', a, b)} AS col "
+          f"FROM exact"
+          for i, (a, b) in enumerate(_CM_ROWS))}
+    )
+    SELECT k AS key, CAST(min(cnt) AS BIGINT) AS est, exact,
+           CAST(min(cnt) - exact AS BIGINT) AS err
+    FROM coords JOIN counters USING (row, col)
+    GROUP BY k, exact
+"""
+
+
+@query("q201_countmin_heavy_hitters", oracle=_CM_ORACLE)
+def q201_countmin_heavy_hitters(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Count-Min estimate vs exact count for every event user — the
+    one-sided-error certificate (est ≥ exact) and the collision mass
+    of the 4×256 sketch, every row value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return countmin_estimates(ev, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# q202 — per-vertex triangle counting (degree-ordered compact-forward)
+# ---------------------------------------------------------------------------
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "a",
+                    b_col: str = "b") -> DataFrame:
+    """Local (per-vertex) triangle counts over an undirected edge list.
+
+    The plan is the compact-forward algorithm: orient every edge from
+    the (degree, id)-smaller endpoint to the larger, then count, for
+    each oriented edge (u, v), the common out-neighbors |N⁺(u)∩N⁺(v)|
+    via a two-hop join (u→v, u→w) ⋈ (v→w). Orientation bounds every
+    vertex's out-degree by O(√m) on any graph, so the wedge join —
+    the quadratic-risk step — generates Σ outdeg(u)² ≤ m·√m wedges
+    instead of Σ deg(u)² (a star vertex with degree d contributes d²
+    undirected wedges but ~0 oriented ones: all its edges point AWAY
+    from higher-degree hubs... toward them, giving the hub in-edges
+    only). Per-vertex counts are orientation-independent, so the
+    oracle can verify with the naive a<b<c three-way join — same
+    multiset of triangles, exact integer counts."""
+    deg = (edges.select(F.col(a_col).alias("v"))
+           .unionAll(edges.select(F.col(b_col).alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
+    e = (edges
+         .join(deg.withColumnRenamed("v", a_col)
+               .withColumnRenamed("d", "__da"), a_col)
+         .join(deg.withColumnRenamed("v", b_col)
+               .withColumnRenamed("d", "__db"), b_col)
+         .select(
+             F.when((F.col("__da") < F.col("__db")) |
+                    ((F.col("__da") == F.col("__db")) &
+                     (F.col(a_col) < F.col(b_col))),
+                    F.col(a_col)).otherwise(F.col(b_col)).alias("u"),
+             F.when((F.col("__da") < F.col("__db")) |
+                    ((F.col("__da") == F.col("__db")) &
+                     (F.col(a_col) < F.col(b_col))),
+                    F.col(b_col)).otherwise(F.col(a_col)).alias("w"),
+         ))
+    e.persist()
+    wedges = (e.alias("e1").join(e.alias("e2"),
+                                 F.col("e1.u") == F.col("e2.u"))
+              .filter(F.col("e1.w") < F.col("e2.w"))
+              .select(F.col("e1.u").alias("u"),
+                      F.col("e1.w").alias("v1"),
+                      F.col("e2.w").alias("v2")))
+    tris = wedges.join(
+        e.select(F.col("u").alias("v1"), F.col("w").alias("v2"))
+        .unionAll(e.select(F.col("w").alias("v1"), F.col("u").alias("v2")))
+        .filter(F.col("v1") < F.col("v2")).distinct(),
+        ["v1", "v2"])
+    out = (tris.select(F.explode(F.array("u", "v1", "v2")).alias("vertex"))
+           .groupBy("vertex")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+_COPURCHASE_EDGES = """
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+"""
+
+
+@query(
+    "q202_triangle_count",
+    oracle=f"""
+    WITH e AS ({_COPURCHASE_EDGES}),
+    tri AS (
+      SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+      FROM e e1
+      JOIN e e2 ON e2.pa = e1.pb
+      JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    )
+    SELECT vertex, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS vertex FROM tri UNION ALL
+          SELECT y FROM tri UNION ALL
+          SELECT z FROM tri)
+    GROUP BY vertex
+    """,
+)
+def q202_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts over the ≥2-shared-orders co-purchase
+    graph: compact-forward wedge join vs the oracle's naive x<y<z
+    three-way join — identical triangle multiset, every vertex row
+    value-hash-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (li.alias("x").join(
+        li.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey")) &
+        (F.col("x.l_partkey") < F.col("y.l_partkey")))
+        .groupBy(F.col("x.l_partkey").alias("a"),
+                 F.col("y.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2).drop("__n"))
+    return triangle_counts(edges)

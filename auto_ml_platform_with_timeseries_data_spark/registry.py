@@ -68,15 +68,17 @@ _loaded = False
 #   7-12  q183-q188: near-dup-keyed leak-free split, MAD outliers,
 #         dataset card, image/audio/video perceptual dedup — the last
 #         never-witnessed tier
-#   13-23 round-6 additions: q189 Hamming-banded image near-dup, q190
+#   13-27 round-6 additions: q189 Hamming-banded image near-dup, q190
 #         ExactSubstr span-removal rewrite, q191 fastText-style quality
 #         classifier, q192 bigram-LM filter, q193 CLIP-style pair gate,
 #         q194/q195 video/audio near-dup banding, q196 continuous-
 #         aggregate incremental refresh, q197 ER blocking best-match,
-#         q198 soft-dedup weights, q199 CCNet perplexity buckets
-#   24-50 re-witness rotation: 26 oracle-backed relational/TPC-H
+#         q198 soft-dedup weights, q199 CCNet perplexity buckets,
+#         q200 DoReMi reweight, q201 Count-Min heavy hitters, q202
+#         triangle counting, q203 k-anonymity audit
+#   28-50 re-witness rotation: 23 oracle-backed relational/TPC-H
 #         queries whose last green driver row is rounds 1-2 (q97/q98/
-#         q101/q102/q62/q65/q99/q103 yield to the new additions — each
+#         q101/q102/q62-q67/q99/q103 yield to the new additions — each
 #         family keeps an in-budget member), plus
 #         q30_asof_join (last green r3; takes the slot of rows-only
 #         q81_approx_aggs, which would spend budget on a weaker check)
@@ -101,23 +103,25 @@ _PRIORITY: tuple[str, ...] = (
     # q103 yield to q63+q64 / q44 / q96+q100 / q28+q126)
     "q196_continuous_aggregate", "q197_blocking_bestmatch",
     "q198_softdedup_weights", "q199_perplexity_buckets",
+    "q200_doremi_reweight", "q201_countmin_heavy_hitters",
+    "q202_triangle_count", "q203_k_anonymity",
     # re-witness rotation (last green driver row in rounds 1-2, plus
     # q30_asof_join standing in for rows-only q81)
     "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
     "q31_set_ops", "q32_rollup", "q40_cube", "q41_topk_per_group",
     "q42_semi_anti_join", "q43_percentiles", "q44_profit_by_nation_brand",
     "q46_distinct_counts", "q49_range_join", "q50_shipping_priority",
-    "q54_json_props", "q61_forecast_revenue",
-    "q63_promo_revenue", "q64_large_orders",
-    "q66_supplier_breadth", "q67_dormant_customers", "q68_grouping_sets",
+    "q54_json_props", "q61_forecast_revenue", "q68_grouping_sets",
     "q30_asof_join", "q82_pivot_unpivot", "q91_equidepth_hist",
     "q95_late_order_priority", "q96_top_supplier",
     "q100_volume_shipping",
     "q126_copurchase_pairs",
     # ---- slots 51+: checked only if the driver budget stretches ----
-    # rotation entries displaced by q196-q199 (green r1-r2; families
+    # rotation entries displaced by q196-q203 (green r1-r2; families
     # still covered in-budget), then streaming + the r3-r5 blocks
-    "q62_returned_items", "q65_brand_revenue_bands",
+    "q62_returned_items", "q63_promo_revenue", "q64_large_orders",
+    "q65_brand_revenue_bands", "q66_supplier_breadth",
+    "q67_dormant_customers",
     "q99_local_supplier_volume", "q103_order_count_distribution",
     "q53_stateful_user_stats", "q79_stream_sessions",
     "q92_stream_stream_join", "q149_stream_sink_exactly_once",

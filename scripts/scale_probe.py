@@ -439,6 +439,109 @@ def main() -> int:
 
     run("quality_classifier", lambda: ftc(docs1()), lambda: ftc(docsN()))
 
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        graph,
+        linkage,
+    )
+
+    # continuous-aggregate incremental refresh (q196): one split pass +
+    # touched-bucket recompute — the copies share the fixture's time
+    # range, so buckets stay constant while rows per bucket grow; wall
+    # should track the scan, never buckets x corpus
+    def cagg(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        mx = ev.agg(F.max("ts").alias("__mx"))
+        return layout.continuous_aggregate_refresh(
+            ev.crossJoin(F.broadcast(mx)), "ts", "value",
+            F.col("ts") > F.col("__mx") - F.expr("INTERVAL 48 HOURS"),
+        ).count()
+
+    run("continuous_aggregate", lambda: cagg(False), lambda: cagg(True))
+
+    # ER blocking best-match (q197): candidate pairs are
+    # sum-over-blocks |L_b|x|R_b|; staged copies multiply BOTH sides of
+    # every block by `copies`, so pair growth ~copies^2 is the declared
+    # contract (real corpora grow blocks, not clone them — the block
+    # key's selectivity is the knob)
+    def bbm(d):
+        return linkage.blocking_best_match(
+            d.filter(F.col("source") == "src0"),
+            d.filter(F.col("source") != "src0"),
+            "doc_id", "text", "lang", length_bucket=32).count()
+
+    run("blocking_bestmatch", lambda: bbm(docs1()), lambda: bbm(docsN()))
+
+    # soft-dedup weights (q198): one fingerprint hash-groupBy — linear
+    def sdw(d):
+        return linkage.soft_dedup_weights(d, "doc_id", "text").count()
+
+    run("softdedup_weights", lambda: sdw(docs1()), lambda: sdw(docsN()))
+
+    # CCNet perplexity buckets (q199): word-keyed LM count tables +
+    # per-lang rank windows — linear in tokens
+    def ppb(d):
+        return text.perplexity_buckets(d, "doc_id", "text", "lang").count()
+
+    run("perplexity_buckets", lambda: ppb(docs1()), lambda: ppb(docsN()))
+
+    # DoReMi reweight (q200): the LM count tables dominate — linear in
+    # tokens; the reweight itself is |domains| rows
+    def drw(d):
+        return curation.domain_reweight(
+            d, "doc_id", "text", "source").count()
+
+    run("doremi_reweight", lambda: drw(docs1()), lambda: drw(docsN()))
+
+    # Count-Min heavy hitters (q201): d tiny (row,col) groupBys with
+    # constant 4x256 state + a per-key estimate join — scan-speed
+    def cmhh(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return graph.countmin_estimates(ev, "user_id").count()
+
+    run("countmin_heavy_hitters", lambda: cmhh(False),
+        lambda: cmhh(True))
+
+    # Triangle counting (q202): probe the triangle kernel on k disjoint
+    # shifted copies of the co-purchase graph — edges (and triangles)
+    # scale with copies while per-vertex degree stays constant, so the
+    # degree-ordered wedge join should track edges ~linearly
+    def tri_edges():
+        li = load_table(spark, sf_dir, "lineitem")
+        return (li.alias("x").join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey")) &
+            (F.col("x.l_partkey") < F.col("y.l_partkey")))
+            .groupBy(F.col("x.l_partkey").alias("a"),
+                     F.col("y.l_partkey").alias("b"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2).drop("__n"))
+
+    def tri(n_copies):
+        e1 = tri_edges()
+        parts = [e1.select((F.col("a") + F.lit(k * 10_000_000)).alias("a"),
+                           (F.col("b") + F.lit(k * 10_000_000)).alias("b"))
+                 for k in range(n_copies)]
+        big = parts[0]
+        for p in parts[1:]:
+            big = big.unionAll(p)
+        return graph.triangle_counts(big).count()
+
+    run("triangle_count", lambda: tri(1), lambda: tri(copies))
+
+    # k-anonymity audit (q203): one map-side-combined groupBy — linear
+    def kanon(path_based):
+        c = (spark.read.parquet(staged["customer"]) if path_based
+             else load_table(spark, sf_dir, "customer"))
+        return curation.k_anonymity_groups(
+            c.select("c_nationkey", "c_mktsegment",
+                     F.floor(F.col("c_acctbal") / 1000).cast("long")
+                     .alias("bal_bucket")),
+            ["c_nationkey", "c_mktsegment", "bal_bucket"]).count()
+
+    run("k_anonymity", lambda: kanon(False), lambda: kanon(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

@@ -494,3 +494,38 @@ def test_quality_classifier_margin_arithmetic(spark):
     assert got[2]["raw_score"] == 0
     assert got[2]["score"] == 0.5
     assert got[2]["keep"] is False
+
+
+def test_doremi_upweights_hard_domains(spark):
+    """A domain of rare bigrams (hard under the corpus LM) must gain
+    weight relative to its token share; the easy domain loses it.
+    Weights stay normalized (sum within ppm rounding of 1e6)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        domain_reweight,
+    )
+
+    rows = [(i, "common words common words common words", "easy")
+            for i in range(10)]
+    rows += [(100 + i, f"rare{i}a rare{i}b rare{i}c rare{i}d rare{i}e "
+              f"rare{i}f", "hard") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = {r["domain"]: r for r in
+           domain_reweight(df, "doc_id", "text", "src").collect()}
+    total_tokens = sum(r["tokens"] for r in got.values())
+    hard_share = got["hard"]["tokens"] * 1_000_000 // total_tokens
+    assert got["hard"]["excess_ppm"] > 0 > got["easy"]["excess_ppm"]
+    assert got["hard"]["weight_ppm"] > hard_share
+    assert abs(sum(r["weight_ppm"] for r in got.values()) - 1_000_000) <= 2
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        k_anonymity_groups,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A")] * 10 + [(2, "B")] * 3, "nat long, seg string")
+    got = {(r["nat"], r["seg"]): r for r in
+           k_anonymity_groups(df, ["nat", "seg"], k=8).collect()}
+    assert got[(1, "A")]["suppress"] == 0
+    assert got[(2, "B")]["suppress"] == 1 and got[(2, "B")]["group_count"] == 3

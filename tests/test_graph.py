@@ -85,3 +85,39 @@ def test_kmv_small_sets_are_exact_and_estimator_sane(spark):
     big = [r for r in got.values() if r["exact_distinct"] == 500]
     assert small and small[0]["approx_distinct"] == 10.0   # exact path
     assert big and big[0]["within_bound"]                  # 30% gate holds
+
+
+def test_countmin_one_sided_error(spark):
+    """est >= exact for EVERY key (the Count-Min guarantee), exact for
+    keys with no collisions, and the distinct-key row count holds."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.graph import (
+        countmin_estimates,
+    )
+
+    df = spark.createDataFrame(
+        [(i % 50,) for i in range(2000)] + [(999,)] * 100, "user_id long")
+    rows = countmin_estimates(df, "user_id").collect()
+    assert len(rows) == 51
+    assert all(r["est"] >= r["exact"] for r in rows)
+    assert all(r["err"] == r["est"] - r["exact"] for r in rows)
+    # with 51 keys in 256 columns x 4 rows, at least the hot key should
+    # see little relative error: min-over-rows kills most collisions
+    hot = next(r for r in rows if r["key"] == 999)
+    assert hot["exact"] == 100 and hot["est"] < 200
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 minus edge (3,4): triangles {1,2,3} and {1,2,4} only."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)], "a long, b long")
+    got = {r["vertex"]: r["n_triangles"]
+           for r in triangle_counts(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)], "a long, b long")
+    assert triangle_counts(star).count() == 0

@@ -38,7 +38,10 @@ def test_canaries_and_round6_promotions_keep_their_slots():
     relational/TPC-H block whose last green driver row is rounds 1-2
     (every round-3-to-5-green query may yield its slot)."""
     head = set(registry._PRIORITY[:50])
-    first_half = set(registry._PRIORITY[:25])
+    # q183-q203 (6 + 15 round-6 additions) + 6 canaries = 27 slots;
+    # the whole never-witnessed tier must sit in the first 30 so the
+    # driver budget reaches it even if the sweep is cut short
+    first_half = set(registry._PRIORITY[:30])
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
@@ -53,6 +56,8 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q195_audio_neardup_banded",
         "q196_continuous_aggregate", "q197_blocking_bestmatch",
         "q198_softdedup_weights", "q199_perplexity_buckets",
+        "q200_doremi_reweight", "q201_countmin_heavy_hitters",
+        "q202_triangle_count", "q203_k_anonymity",
     }
     stale_r1_r2 = {
         "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
@@ -60,9 +65,7 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q42_semi_anti_join", "q43_percentiles",
         "q44_profit_by_nation_brand", "q46_distinct_counts",
         "q49_range_join", "q50_shipping_priority", "q54_json_props",
-        "q61_forecast_revenue", "q63_promo_revenue",
-        "q64_large_orders",
-        "q66_supplier_breadth", "q67_dormant_customers",
+        "q61_forecast_revenue",
         "q68_grouping_sets", "q30_asof_join", "q82_pivot_unpivot",
         "q91_equidepth_hist", "q95_late_order_priority", "q96_top_supplier",
         "q100_volume_shipping",
