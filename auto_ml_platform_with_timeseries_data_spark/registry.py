@@ -75,11 +75,13 @@ _loaded = False
 #         aggregate incremental refresh, q197 ER blocking best-match,
 #         q198 soft-dedup weights, q199 CCNet perplexity buckets,
 #         q200 DoReMi reweight, q201 Count-Min heavy hitters, q202
-#         triangle counting, q203 k-anonymity audit
-#   28-50 re-witness rotation: 23 oracle-backed relational/TPC-H
+#         triangle counting, q203 k-anonymity audit, q204 streaming
+#         continuous aggregate (stateful streaming in the first
+#         30 per the round-5 starvation lesson)
+#   29-50 re-witness rotation: 22 oracle-backed relational/TPC-H
 #         queries whose last green driver row is rounds 1-2 (q97/q98/
-#         q101/q102/q62-q67/q99/q103 yield to the new additions — each
-#         family keeps an in-budget member), plus
+#         q101/q102/q62-q67/q91/q99/q103 yield to the new additions —
+#         each family keeps an in-budget member), plus
 #         q30_asof_join (last green r3; takes the slot of rows-only
 #         q81_approx_aggs, which would spend budget on a weaker check)
 # Slots 51+ are checked only if the budget stretches; every query there
@@ -105,6 +107,7 @@ _PRIORITY: tuple[str, ...] = (
     "q198_softdedup_weights", "q199_perplexity_buckets",
     "q200_doremi_reweight", "q201_countmin_heavy_hitters",
     "q202_triangle_count", "q203_k_anonymity",
+    "q204_stream_continuous_aggregate",
     # re-witness rotation (last green driver row in rounds 1-2, plus
     # q30_asof_join standing in for rows-only q81)
     "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
@@ -112,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "q42_semi_anti_join", "q43_percentiles", "q44_profit_by_nation_brand",
     "q46_distinct_counts", "q49_range_join", "q50_shipping_priority",
     "q54_json_props", "q61_forecast_revenue", "q68_grouping_sets",
-    "q30_asof_join", "q82_pivot_unpivot", "q91_equidepth_hist",
+    "q30_asof_join", "q82_pivot_unpivot",
     "q95_late_order_priority", "q96_top_supplier",
     "q100_volume_shipping",
     "q126_copurchase_pairs",

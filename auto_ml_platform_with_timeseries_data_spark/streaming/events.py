@@ -756,3 +756,127 @@ def q182_stream_index_maintenance(spark: SparkSession,
     q.stop()
     return spark.read.parquet(index_dir).select("fingerprint",
                                                 "canonical_id")
+
+
+# ---------------------------------------------------------------------------
+# q204 — streaming continuous aggregate: per-micro-batch merge into an
+# epoch-versioned on-disk rollup (q196's refresh loop AS A STREAM; the
+# maintained hypertable rollup a timeseries platform serves reads from)
+# ---------------------------------------------------------------------------
+
+
+def _staged_event_batches(spark: SparkSession, sf_dir: str) -> str:
+    """ALL events as 4 sequential ts-ordered files — four ingest 'days'
+    arriving in order."""
+    key = ("event_batches4", sf_dir)
+    if key not in _STAGE_CACHE:
+        import time as _time
+
+        from pyspark.sql.window import Window
+
+        from auto_ml_platform_with_timeseries_data_spark.staging import (
+            staging_dir,
+        )
+
+        ev = load_table(spark, sf_dir, "events")
+        d = staging_dir("stream_event_batches", fresh=True)
+        sliced = ev.withColumn(
+            "__slice", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+        for i in range(1, 5):
+            (sliced.filter(F.col("__slice") == i).drop("__slice")
+             .coalesce(1).write.mode("append").parquet(d))
+            _time.sleep(0.05)
+        _STAGE_CACHE[key] = d
+    return _STAGE_CACHE[key]
+
+
+def rollup_partial(bdf: DataFrame) -> DataFrame:
+    """Hourly (bucket, count, integer-cent sum) partial of one batch."""
+    return (bdf.select(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("cents"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("cents").alias("sum_cents")))
+
+
+def rollup_merge(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """Additive merge of two rollup versions — the count/sum merge
+    algebra that makes the maintained aggregate associative (any batch
+    arrival order yields the same final rollup)."""
+    return (prev.unionByName(delta)
+            .groupBy("bucket")
+            .agg(F.sum("n_events").alias("n_events"),
+                 F.sum("sum_cents").alias("sum_cents")))
+
+
+@query(
+    "q204_stream_continuous_aggregate",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY 1
+    """,
+)
+def q204_stream_continuous_aggregate(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The hourly events rollup maintained AS A STREAM: four ts-ordered
+    micro-batches each aggregate themselves to (bucket, count, cents)
+    partials and merge additively into the previous on-disk rollup
+    version, writing the merged rollup to an epoch={id} directory with
+    overwrite. After the stream drains, the newest version must equal
+    the one-shot batch rollup of the whole table — every bucket's
+    count and integer-cent sum value-hash-checked.
+
+    Two production properties the epoch-versioned merge buys:
+    - EXACTLY-ONCE under foreachBatch's at-least-once contract: a
+      replayed epoch re-reads the same previous version and overwrites
+      its OWN directory — the merge is idempotent per epoch (the q149
+      sink pattern applied to stateful maintenance, hardening the
+      append-only caveat q182 documents).
+    - Bounded state: each version holds one row per bucket — the
+      retention window's bucket count, never the event count. A late
+      row ADDS into its existing bucket (sum/count merge algebra), the
+      same late-data semantics q196 proves for the batch refresh.
+    Serving reads always hit the newest complete version — snapshot
+    isolation for free from immutable epoch directories."""
+    import os
+    import uuid
+
+    from auto_ml_platform_with_timeseries_data_spark.staging import (
+        staging_dir,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage_dir = _staged_event_batches(spark, sf_dir)
+    state_root = staging_dir("stream_cagg")       # wiped per invocation
+    ckpt = staging_dir("stream_cagg_ckpt")
+    last = {"path": None}
+
+    def merge(bdf: DataFrame, epoch_id: int) -> None:
+        sp = bdf.sparkSession
+        delta = rollup_partial(bdf)
+        if last["path"] is not None:
+            delta = rollup_merge(sp.read.parquet(last["path"]), delta)
+        out = os.path.join(state_root, f"epoch={epoch_id}")
+        delta.write.mode("overwrite").parquet(out)
+        last["path"] = out
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (stream.writeStream.foreachBatch(merge)
+         .option("checkpointLocation", ckpt)
+         .queryName(f"q204cagg{uuid.uuid4().hex[:8]}")
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(last["path"]).select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_cents").cast("long").alias("sum_cents"))

@@ -58,6 +58,7 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q198_softdedup_weights", "q199_perplexity_buckets",
         "q200_doremi_reweight", "q201_countmin_heavy_hitters",
         "q202_triangle_count", "q203_k_anonymity",
+        "q204_stream_continuous_aggregate",
     }
     stale_r1_r2 = {
         "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
@@ -67,7 +68,7 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q49_range_join", "q50_shipping_priority", "q54_json_props",
         "q61_forecast_revenue",
         "q68_grouping_sets", "q30_asof_join", "q82_pivot_unpivot",
-        "q91_equidepth_hist", "q95_late_order_priority", "q96_top_supplier",
+        "q95_late_order_priority", "q96_top_supplier",
         "q100_volume_shipping",
         "q126_copurchase_pairs",
     }

@@ -198,3 +198,31 @@ def test_stream_sink_query_matches_batch(spark, sf_dir):
     for k in want:
         assert (got[k]["n"], got[k]["min_id"], got[k]["max_id"]) == \
             (want[k]["n"], want[k]["min_id"], want[k]["max_id"])
+
+
+def test_rollup_merge_is_associative_and_late_data_adds(spark):
+    """q204's merge algebra: splitting the input any way and merging
+    partials equals the one-shot rollup, and a late row lands in its
+    existing bucket (adds, never duplicates the bucket row)."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.streaming.events import (
+        rollup_merge,
+        rollup_partial,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 5)
+    t1 = dt.datetime(2024, 1, 1, 1, 5)
+    rows = [(t0, 1.0), (t0, 2.0), (t1, 4.0), (t0, 8.0)]
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    one_shot = {r["bucket"]: r for r in rollup_partial(ev).collect()}
+
+    b1 = spark.createDataFrame(rows[:3], "ts timestamp, value double")
+    b2 = spark.createDataFrame(rows[3:], "ts timestamp, value double")  # late
+    merged = {r["bucket"]: r for r in rollup_merge(
+        rollup_partial(b1), rollup_partial(b2)).collect()}
+
+    assert set(merged) == set(one_shot) and len(merged) == 2
+    for k in one_shot:
+        assert merged[k]["n_events"] == one_shot[k]["n_events"]
+        assert merged[k]["sum_cents"] == one_shot[k]["sum_cents"]
