@@ -544,10 +544,19 @@ def q196_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     trailing 48 h as the newly-arrived delta: carried-over buckets and
     recomputed buckets together must equal the one-shot rollup the
     oracle computes — every bucket's count, integer-cent sum, and
-    refreshed flag value-hash-checked."""
+    refreshed flag value-hash-checked.
+
+    The cutoff is resolved to a DRIVER-SIDE LITERAL (one bounded
+    1-row collect) rather than a broadcast 1-row frame: a literal
+    `ts > cutoff` predicate reaches the parquet scan (PushedFilters →
+    footer/partition pruning on a time-partitioned hypertable), where
+    a crossJoin-carried cutoff would force every branch to re-derive
+    the max and full-scan — the audit showed 8 nested-loop joins for
+    the frame version vs none for the literal."""
+    import datetime as dt
+
     ev = load_table(spark, sf_dir, "events")
-    mx = ev.agg(F.max("ts").alias("__mx"))
-    with_cut = ev.crossJoin(F.broadcast(mx))
+    mx = ev.agg(F.max("ts")).first()[0]
+    cutoff = mx - dt.timedelta(hours=48)
     return continuous_aggregate_refresh(
-        with_cut, "ts", "value",
-        F.col("ts") > F.col("__mx") - F.expr("INTERVAL 48 HOURS"))
+        ev, "ts", "value", F.col("ts") > F.lit(cutoff))

@@ -449,13 +449,13 @@ def main() -> int:
     # range, so buckets stay constant while rows per bucket grow; wall
     # should track the scan, never buckets x corpus
     def cagg(path_based):
+        import datetime as dt
+
         ev = (spark.read.parquet(staged["events"]) if path_based
               else load_table(spark, sf_dir, "events"))
-        mx = ev.agg(F.max("ts").alias("__mx"))
+        cutoff = ev.agg(F.max("ts")).first()[0] - dt.timedelta(hours=48)
         return layout.continuous_aggregate_refresh(
-            ev.crossJoin(F.broadcast(mx)), "ts", "value",
-            F.col("ts") > F.col("__mx") - F.expr("INTERVAL 48 HOURS"),
-        ).count()
+            ev, "ts", "value", F.col("ts") > F.lit(cutoff)).count()
 
     run("continuous_aggregate", lambda: cagg(False), lambda: cagg(True))
 
