@@ -351,3 +351,157 @@ def q181_ts_lookback_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(best.look_back, best.family, round(best.test_rmse, 4))],
         "look_back int, family string, test_rmse double",
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — expanding-window walk-forward backtest (the honest TS model
+# evaluation: K folds, each training on all history before its test
+# segment — q84's split generator actually RUN through the q164
+# closed-form ridge, per (group, fold))
+# ---------------------------------------------------------------------------
+
+_BACKTEST_FOLDS = 3
+
+
+_BACKTEST_ORACLE = f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(value * {_RS}) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    samp AS (
+      SELECT user_id,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             v,
+             lead(v, 1) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS yv
+      FROM base
+    ),
+    s2 AS (
+      SELECT user_id, rn, v, yv,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM samp WHERE yv IS NOT NULL
+    ),
+    folds AS (SELECT unnest([1, 2, 3]) AS k),
+    sf AS (
+      SELECT s.user_id, s.rn, s.v, s.yv, f.k,
+             CAST(floor(s.n * f.k / 4.0) AS BIGINT) AS bound,
+             CAST(floor(s.n * (f.k + 1) / 4.0) AS BIGINT) AS bound_next
+      FROM s2 s CROSS JOIN folds f
+    ),
+    tr AS (
+      SELECT user_id, k, count(*) AS n_train,
+             CAST(sum(v) AS BIGINT) AS sx,
+             CAST(sum(yv) AS BIGINT) AS sy,
+             CAST(sum(v * v) AS BIGINT) AS sxx,
+             CAST(sum(v * yv) AS BIGINT) AS sxy
+      FROM sf WHERE rn <= bound GROUP BY user_id, k
+      HAVING count(*) >= 2
+    ),
+    cf AS (
+      SELECT user_id, k, n_train, sx, sy,
+             (n_train * (sxy / {_RS2}) - (sx / {_RS}) * (sy / {_RS}))
+             / (n_train * (sxx / {_RS2} + 1.0)
+                - (sx / {_RS}) * (sx / {_RS})) AS b
+      FROM tr
+    ),
+    cf2 AS (
+      SELECT user_id, k, n_train, b,
+             ((sy / {_RS}) - (sx / {_RS}) * b) / n_train AS c0
+      FROM cf
+    ),
+    te AS (
+      SELECT s.user_id, s.k, c.n_train, c.b, c.c0, count(*) AS n_test,
+             CAST(sum(CAST(floor(
+               (c.b * (s.v / {_RS}) + c.c0 - (s.yv / {_RS}))
+               * (c.b * (s.v / {_RS}) + c.c0 - (s.yv / {_RS}))
+               * 1000000.0) AS BIGINT)) AS BIGINT) AS sr
+      FROM sf s JOIN cf2 c ON s.user_id = c.user_id AND s.k = c.k
+      WHERE s.rn > s.bound AND s.rn <= s.bound_next
+      GROUP BY s.user_id, s.k, c.n_train, c.b, c.c0
+    )
+    SELECT user_id AS group_key, CAST(k AS INT) AS fold,
+           n_train, n_test,
+           sqrt(sr / 1000000.0 / n_test) AS test_rmse,
+           b AS coef_0, c0 AS intercept
+    FROM te
+"""
+
+
+@query("q208_ts_backtest", oracle=_BACKTEST_ORACLE)
+def q208_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward backtest of the per-group ridge over 3 expanding
+    folds: fold k trains on the first ⌊n·k/4⌋ ordered samples and
+    tests on the next quarter — the evaluation protocol that respects
+    time (no future leakage into any fold's training window; the
+    q180/q183 leak-free discipline applied on the TIME axis). Exact-
+    integer aggregates per (group, fold); coefficients broadcast back;
+    per-fold RMSE one pinned double expression (the q164 contract).
+
+    Scale: the fold dimension is a 3-row broadcast crossJoin — the
+    events shuffle happens ONCE on the group key; every fold's train
+    filter and test join reuse that partitioning. State is one
+    coefficient row per (group, fold)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    rs, rs2 = F.lit(10000.0), F.lit(100000000.0)
+    samp = (
+        ev.select("user_id", "ts", "event_id",
+                  F.floor(F.col("value") * rs).cast("long").alias("v"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("yv", F.lead("v", 1).over(w))
+        .filter(F.col("yv").isNotNull())
+        .withColumn("n", F.count(F.lit(1)).over(wp))
+    )
+    folds = spark.range(1, _BACKTEST_FOLDS + 1).select(
+        F.col("id").cast("long").alias("k"))
+    sf = (samp.crossJoin(F.broadcast(folds))
+          .withColumn("bound",
+                      F.floor(F.col("n") * F.col("k") / F.lit(4.0))
+                      .cast("long"))
+          .withColumn("bound_next",
+                      F.floor(F.col("n") * (F.col("k") + 1) / F.lit(4.0))
+                      .cast("long")))
+    tr = (
+        sf.filter(F.col("rn") <= F.col("bound"))
+        .groupBy("user_id", "k")
+        .agg(F.count(F.lit(1)).alias("n_train"),
+             F.sum("v").alias("sx"), F.sum("yv").alias("sy"),
+             F.sum(F.col("v") * F.col("v")).alias("sxx"),
+             F.sum(F.col("v") * F.col("yv")).alias("sxy"))
+        .filter(F.col("n_train") >= 2)
+    )
+    b = (
+        (F.col("n_train") * (F.col("sxy") / rs2)
+         - (F.col("sx") / rs) * (F.col("sy") / rs))
+        / (F.col("n_train") * (F.col("sxx") / rs2 + F.lit(1.0))
+           - (F.col("sx") / rs) * (F.col("sx") / rs))
+    )
+    cf = tr.select("user_id", "k", "n_train", "sx", "sy", b.alias("b"))
+    c0 = ((F.col("sy") / rs) - (F.col("sx") / rs) * F.col("b")) \
+        / F.col("n_train")
+    cf2 = cf.select("user_id", "k", "n_train", "b", c0.alias("c0"))
+    resid = (F.col("b") * (F.col("v") / rs) + F.col("c0")
+             - (F.col("yv") / rs))
+    te = (
+        sf.filter((F.col("rn") > F.col("bound")) &
+                  (F.col("rn") <= F.col("bound_next")))
+        .join(F.broadcast(cf2), ["user_id", "k"])
+        .groupBy("user_id", "k", "n_train", "b", "c0")
+        .agg(F.count(F.lit(1)).alias("n_test"),
+             F.sum(F.floor(resid * resid * F.lit(1000000.0)).cast("long"))
+             .alias("sr"))
+    )
+    return te.select(
+        F.col("user_id").alias("group_key"),
+        F.col("k").cast("int").alias("fold"),
+        "n_train", "n_test",
+        F.sqrt(F.col("sr") / F.lit(1000000.0) / F.col("n_test"))
+        .alias("test_rmse"),
+        F.col("b").alias("coef_0"), F.col("c0").alias("intercept"),
+    )

@@ -474,3 +474,95 @@ def q156_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Greenwald-Khanna sketch rank-gated in the same result."""
     docs = load_table(spark, sf_dir, "documents")
     return quantile_sketch_gate(docs, "lang", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# q207 — single-pass pairwise correlation matrix (feature profiling)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Full Pearson correlation matrix over k numeric columns in ONE
+    aggregation pass: quantize every column to integer cents up front
+    (one deterministic double op), accumulate all k sums, k squares,
+    and k·(k−1)/2 cross-products as exact DECIMAL(38,0) integers in a
+    single map-side-combined global agg — one scan, one 1-row shuffle,
+    regardless of k or corpus size (vs k² separate corr() passes).
+    The correlation itself is then one token-identical double
+    expression over those exact integers, pinned at 1e-6 — the q164
+    exactness contract extended to products that overflow BIGINT
+    (price-cents² sums reach ~6e19 at sf0.1; DECIMAL(38,0) in Spark,
+    HUGEINT in the oracle, both exact)."""
+    q = {c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+         for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(q[c].cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(F.sum((q[c] * q[c]).cast("decimal(38,0)"))
+                    .alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(F.sum((q[a] * q[b]).cast("decimal(38,0)"))
+                    .alias(f"sp_{a}_{b}"))
+    stats = df.agg(*aggs)
+
+    def corr_expr(a: str, b: str) -> Column:
+        n = F.col("n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        r = ((n * sab - sa * sb)
+             / F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb)))
+        return F.floor(r * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    rows = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 corr_expr(a, b).alias("corr"))
+        for a, b in pairs])
+    return (stats.select(F.col("n").cast("long").alias("n"),
+                         F.explode(rows).alias("r"))
+            .select("n", "r.col_a", "r.col_b", "r.corr"))
+
+
+def _corr_oracle(cols=_CORR_COLS) -> str:
+    qs = {c: f"CAST(floor({c} * 100 + 0.5) AS BIGINT)" for c in cols}
+    sums = ",\n             ".join(
+        f"CAST(sum({qs[c]}) AS HUGEINT) AS s_{c},\n             "
+        f"CAST(sum({qs[c]} * {qs[c]}) AS HUGEINT) AS ss_{c}"
+        for c in cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    prods = ",\n             ".join(
+        f"CAST(sum({qs[a]} * {qs[b]}) AS HUGEINT) AS sp_{a}_{b}"
+        for a, b in pairs)
+    sel = "\n    UNION ALL\n".join(f"""
+    SELECT n, '{a}' AS col_a, '{b}' AS col_b,
+           floor((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+                  - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
+                         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
+                           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS corr
+    FROM stats""" for a, b in pairs)
+    return f"""
+    WITH stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {sums},
+             {prods}
+      FROM lineitem
+    )
+    {sel}
+    """
+
+
+@query("q207_corr_matrix", oracle=_corr_oracle())
+def q207_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six pairwise Pearson correlations over lineitem's numeric
+    measures from one single-pass sufficient-statistics aggregate —
+    every (pair, corr) row value-hash-checked at 1e-6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return corr_matrix(li, list(_CORR_COLS))

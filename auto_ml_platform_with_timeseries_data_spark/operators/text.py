@@ -1467,3 +1467,196 @@ def q199_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return perplexity_buckets(docs, "doc_id", "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q205 — HTML boilerplate extraction (the WET/trafilatura-shape stage)
+# ---------------------------------------------------------------------------
+
+
+def html_extract_text(df: DataFrame, id_col: str,
+                      html_col: str) -> DataFrame:
+    """Main-content extraction from raw HTML — the first stage of every
+    web-corpus pipeline (WARC → text): drop <script>/<style> blocks
+    WITH their contents, drop structural boilerplate containers
+    (<title>/<nav>/<header>/<footer>/<aside>) with their contents,
+    flatten the
+    remaining markup to whitespace, decode the three load-bearing
+    entities, and normalize. Pure JVM regexp chain — map-only, no UDF,
+    scan-speed at any corpus size; each pattern is RE2-safe so the
+    identical program runs in the oracle."""
+    c = F.col(html_col)
+    # non-greedy block removal — RE2-compatible (no lookaround), so the
+    # oracle runs the byte-identical program
+    c = F.regexp_replace(c, r"<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"<style[^>]*>.*?</style>", " ")
+    for tag in ("title", "nav", "header", "footer", "aside"):
+        c = F.regexp_replace(c, f"<{tag}[^>]*>.*?</{tag}>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = F.regexp_replace(c, "&amp;", "&")
+    c = F.regexp_replace(c, "&lt;", "<")
+    c = F.regexp_replace(c, "&gt;", ">")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        normalize_text(c).alias("extracted"),
+    )
+
+
+def _synth_html(text_col: str = "text") -> "Column":
+    """Deterministic HTML wrapper for the fixture corpus: title, script,
+    nav, the document body in <p>, footer — the shape a crawled page
+    has, built in-query so the extractor faces real markup (the
+    multimodal synth-BMP convention applied to web pages)."""
+    toks = tokens(normalize_text(text_col))
+    return F.concat(
+        F.lit("<html><head><title>"), F.element_at(toks, 1),
+        F.lit("</title><script>var x = 1 < 2;</script>"
+              "<style>p { color: red }</style></head>"
+              "<body><nav><a href=\"/\">home</a> about</nav>"
+              "<header>site</header><p>"),
+        F.col(text_col),
+        F.lit("</p><aside>ads &amp; links</aside>"
+              "<footer>copyright</footer></body></html>"))
+
+
+_Q205_SYNTH_DUCK = (
+    "concat('<html><head><title>', "
+    f"({_TOKS})[1], "
+    "'</title><script>var x = 1 < 2;</script>"
+    "<style>p { color: red }</style></head>"
+    "<body><nav><a href=\"/\">home</a> about</nav>"
+    "<header>site</header><p>', "
+    "text, "
+    "'</p><aside>ads &amp; links</aside>"
+    "<footer>copyright</footer></body></html>')"
+)
+
+
+@query(
+    "q205_html_extract",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_Q205_SYNTH_DUCK} AS h FROM documents),
+    s1 AS (SELECT doc_id,
+                  regexp_replace(h, '<script[^>]*>.*?</script>', ' ', 'g')
+                    AS h FROM raw),
+    s2 AS (SELECT doc_id,
+                  regexp_replace(h, '<style[^>]*>.*?</style>', ' ', 'g')
+                    AS h FROM s1),
+    s2t AS (SELECT doc_id,
+                   regexp_replace(h, '<title[^>]*>.*?</title>', ' ', 'g')
+                     AS h FROM s2),
+    s3 AS (SELECT doc_id,
+                  regexp_replace(h, '<nav[^>]*>.*?</nav>', ' ', 'g')
+                    AS h FROM s2t),
+    s4 AS (SELECT doc_id,
+                  regexp_replace(h, '<header[^>]*>.*?</header>', ' ', 'g')
+                    AS h FROM s3),
+    s5 AS (SELECT doc_id,
+                  regexp_replace(h, '<footer[^>]*>.*?</footer>', ' ', 'g')
+                    AS h FROM s4),
+    s6 AS (SELECT doc_id,
+                  regexp_replace(h, '<aside[^>]*>.*?</aside>', ' ', 'g')
+                    AS h FROM s5),
+    s7 AS (SELECT doc_id,
+                  regexp_replace(h, '<[^>]+>', ' ', 'g') AS h FROM s6),
+    s8 AS (SELECT doc_id,
+                  replace(replace(replace(h, '&amp;', '&'),
+                          '&lt;', '<'), '&gt;', '>') AS h FROM s7),
+    ex AS (SELECT doc_id,
+                  trim(regexp_replace(lower(h), '\\s+', ' ', 'g'))
+                    AS extracted FROM s8)
+    SELECT e.doc_id, e.extracted,
+           CAST(CASE WHEN e.extracted =
+                  trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))
+                THEN 1 ELSE 0 END AS INT) AS clean_roundtrip
+    FROM ex e JOIN documents d ON e.doc_id = d.doc_id
+    """,
+)
+def q205_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap every document in synthesized page markup (title, script,
+    style, nav/header/footer/aside boilerplate) and run the extractor:
+    the recovered main content must round-trip to the original
+    normalized text — full extracted text AND the round-trip
+    certificate value-hash-checked for all rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id", F.col("text").alias("__orig"),
+        _synth_html("text").alias("html"))
+    out = html_extract_text(wrapped, "doc_id", "html")
+    return (out.join(wrapped.select("doc_id", "__orig"), "doc_id")
+            .select(
+                "doc_id", "extracted",
+                (F.col("extracted") == normalize_text("__orig"))
+                .cast("int").alias("clean_roundtrip")))
+
+
+# ---------------------------------------------------------------------------
+# q206 — URL canonicalization (crawl frontier / dedup key normalization)
+# ---------------------------------------------------------------------------
+
+
+def normalize_urls(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """Canonicalize crawl URLs into the dedup/frontier key every web
+    pipeline groups by: lowercase, strip the fragment, drop tracking
+    (utm_*) parameters, strip the default port, collapse duplicate
+    path slashes, strip a leading www. — then surface the host. All
+    JVM regexp chains (map-only, scan-speed); the oracle mirrors each
+    step with RE2 equivalents (replacement backreference syntax
+    differs — $1 vs \\\\1 — but the outputs are byte-identical, which
+    is what the value hash checks)."""
+    u = F.lower(F.col(url_col))
+    u = F.regexp_replace(u, r"#.*$", "")                       # fragment
+    u = F.regexp_replace(u, r"utm_[a-z]+=[^&]*&?", "")         # tracking
+    u = F.regexp_replace(u, r"[?&]$", "")                      # dangling sep
+    u = F.regexp_replace(u, r":80/", "/")                      # default port
+    u = F.regexp_replace(u, r"([^:/])//+", "$1/")              # dup slashes
+    u = F.regexp_replace(u, r"://www\.", "://")                # www
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        u.alias("norm_url"),
+        F.regexp_extract(u, r"://([^/]+)", 1).alias("host"),
+    )
+
+
+@query(
+    "q206_url_normalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             concat('HTTP://WWW.Example', CAST(doc_id % 7 AS VARCHAR),
+                    '.COM:80//Path//', source,
+                    '/?utm_source=feed&id=', CAST(doc_id AS VARCHAR),
+                    '&utm_campaign=x#Frag') AS url
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, lower(url) AS u FROM raw),
+    s2 AS (SELECT doc_id, regexp_replace(u, '#.*$', '', 'g') AS u FROM s1),
+    s3 AS (SELECT doc_id,
+                  regexp_replace(u, 'utm_[a-z]+=[^&]*&?', '', 'g') AS u
+           FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '', 'g') AS u FROM s3),
+    s5 AS (SELECT doc_id, regexp_replace(u, ':80/', '/', 'g') AS u FROM s4),
+    s6 AS (SELECT doc_id,
+                  regexp_replace(u, '([^:/])//+', '\\1/', 'g') AS u
+           FROM s5),
+    s7 AS (SELECT doc_id,
+                  regexp_replace(u, '://www\\.', '://', 'g') AS u FROM s6)
+    SELECT doc_id, u AS norm_url,
+           regexp_extract(u, '://([^/]+)', 1) AS host
+    FROM s7
+    """,
+)
+def q206_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a messy crawl URL per document (uppercase scheme and
+    host, default port, duplicate slashes, utm tracking params,
+    fragment) and canonicalize it — normalized URL and extracted host
+    value-hash-checked for every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:80//Path//"), F.col("source"),
+            F.lit("/?utm_source=feed&id="), F.col("doc_id").cast("string"),
+            F.lit("&utm_campaign=x#Frag")).alias("url"))
+    return normalize_urls(raw, "doc_id", "url")

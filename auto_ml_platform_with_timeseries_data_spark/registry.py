@@ -77,11 +77,13 @@ _loaded = False
 #         q200 DoReMi reweight, q201 Count-Min heavy hitters, q202
 #         triangle counting, q203 k-anonymity audit, q204 streaming
 #         continuous aggregate (stateful streaming in the first
-#         30 per the round-5 starvation lesson)
-#   29-50 re-witness rotation: 22 oracle-backed relational/TPC-H
-#         queries whose last green driver row is rounds 1-2 (q97/q98/
-#         q101/q102/q62-q67/q91/q99/q103 yield to the new additions —
-#         each family keeps an in-budget member), plus
+#         30 per the round-5 starvation lesson), q205 HTML boilerplate
+#         extraction, q206 URL canonicalization, q207 single-pass corr
+#         matrix, q208 walk-forward TS backtest
+#   33-50 re-witness rotation: 18 oracle-backed relational/TPC-H
+#         queries whose last green driver row is rounds 1-2 (q27/q40/
+#         q41/q46/q62-q67/q91/q97/q98/q99/q101-q103 yield to the new
+#         additions — each family keeps an in-budget member), plus
 #         q30_asof_join (last green r3; takes the slot of rows-only
 #         q81_approx_aggs, which would spend budget on a weaker check)
 # Slots 51+ are checked only if the budget stretches; every query there
@@ -108,23 +110,27 @@ _PRIORITY: tuple[str, ...] = (
     "q200_doremi_reweight", "q201_countmin_heavy_hitters",
     "q202_triangle_count", "q203_k_anonymity",
     "q204_stream_continuous_aggregate",
+    "q205_html_extract", "q206_url_normalize",
+    "q207_corr_matrix", "q208_ts_backtest",
     # re-witness rotation (last green driver row in rounds 1-2, plus
     # q30_asof_join standing in for rows-only q81)
-    "q26_pricing_summary", "q27_revenue_by_nation", "q28_top_customers",
-    "q31_set_ops", "q32_rollup", "q40_cube", "q41_topk_per_group",
+    "q26_pricing_summary", "q28_top_customers",
+    "q31_set_ops", "q32_rollup",
     "q42_semi_anti_join", "q43_percentiles", "q44_profit_by_nation_brand",
-    "q46_distinct_counts", "q49_range_join", "q50_shipping_priority",
+    "q49_range_join", "q50_shipping_priority",
     "q54_json_props", "q61_forecast_revenue", "q68_grouping_sets",
     "q30_asof_join", "q82_pivot_unpivot",
     "q95_late_order_priority", "q96_top_supplier",
     "q100_volume_shipping",
     "q126_copurchase_pairs",
     # ---- slots 51+: checked only if the driver budget stretches ----
-    # rotation entries displaced by q196-q203 (green r1-r2; families
+    # rotation entries displaced by q196-q208 (green r1-r2; families
     # still covered in-budget), then streaming + the r3-r5 blocks
+    "q27_revenue_by_nation", "q40_cube", "q41_topk_per_group",
+    "q46_distinct_counts",
     "q62_returned_items", "q63_promo_revenue", "q64_large_orders",
     "q65_brand_revenue_bands", "q66_supplier_breadth",
-    "q67_dormant_customers",
+    "q67_dormant_customers", "q91_equidepth_hist",
     "q99_local_supplier_volume", "q103_order_count_distribution",
     "q53_stateful_user_stats", "q79_stream_sessions",
     "q92_stream_stream_join", "q149_stream_sink_exactly_once",

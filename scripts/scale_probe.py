@@ -40,6 +40,7 @@ def _stage(spark, sf_dir: str, copies: int) -> dict[str, str]:
         "orders": ("o_custkey", 10_000_000),
         "events": ("event_id", 100_000_000),
         "customer": ("c_custkey", 100_000_000),
+        "lineitem": ("l_orderkey", 100_000_000),
     }
     for table, (idc, stride) in specs.items():
         df = load_table(spark, sf_dir, table)
@@ -541,6 +542,52 @@ def main() -> int:
             ["c_nationkey", "c_mktsegment", "bal_bucket"]).count()
 
     run("k_anonymity", lambda: kanon(False), lambda: kanon(True))
+
+    # HTML extraction + URL canonicalization (q205/q206): map-only
+    # regexp chains — scan-speed
+    def htmlx(d):
+        wrapped = d.select("doc_id", text._synth_html("text").alias("h"))
+        return text.html_extract_text(wrapped, "doc_id", "h").count()
+
+    run("html_extract", lambda: htmlx(docs1()), lambda: htmlx(docsN()))
+
+    def urln(d):
+        raw = d.select("doc_id", F.concat(
+            F.lit("HTTP://WWW.Example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".COM:80//Path//x/?utm_source=feed&id="),
+            F.col("doc_id").cast("string"), F.lit("#f")).alias("url"))
+        return text.normalize_urls(raw, "doc_id", "url").count()
+
+    run("url_normalize", lambda: urln(docs1()), lambda: urln(docsN()))
+
+    # single-pass corr matrix (q207): one global sufficient-statistics
+    # agg — scan-speed, constant output
+    from auto_ml_platform_with_timeseries_data_spark.operators import profile
+
+    def corr(path_based):
+        li = (spark.read.parquet(staged["lineitem"]) if path_based
+              else load_table(spark, sf_dir, "lineitem"))
+        return profile.corr_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"]).count()
+
+    run("corr_matrix", lambda: corr(False), lambda: corr(True))
+
+    # walk-forward TS backtest (q208): one group-key shuffle feeds the
+    # windows, a 3-row fold crossJoin, per-(group,fold) coefficients
+    def backtest(path_based):
+        import auto_ml_platform_with_timeseries_data_spark.ml.queries as mq
+        if path_based:
+            old = mq.load_table
+            mq.load_table = (
+                lambda sp, sf, name: sp.read.parquet(staged["events"]))
+            try:
+                return mq.q208_ts_backtest(spark, sf_dir).count()
+            finally:
+                mq.load_table = old
+        return mq.q208_ts_backtest(spark, sf_dir).count()
+
+    run("ts_backtest", lambda: backtest(False), lambda: backtest(True))
 
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))

@@ -125,3 +125,27 @@ def test_binary_f1_evaluator_empty_dataset_scores_zero(spark):
     score 0.0 (sklearn zero_division=0), not raise."""
     df = spark.createDataFrame([], "__label double, prediction double")
     assert ml.BinaryF1Evaluator(labelCol="__label").evaluate(df) == 0.0
+
+
+def test_ts_backtest_folds_expand_without_leakage(spark, sf_dir):
+    """Fold k's training window must end strictly before its test
+    window, train sizes expand with k, and every (group, fold) row
+    carries a finite RMSE."""
+    import math
+
+    from auto_ml_platform_with_timeseries_data_spark.registry import queries
+
+    rows = queries()["q208_ts_backtest"](spark, sf_dir).collect()
+    assert rows
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group_key"], {})[r["fold"]] = r
+        assert math.isfinite(r["test_rmse"]) and r["n_test"] > 0
+    for folds in by_group.values():
+        ks = sorted(folds)
+        for a, b in zip(ks, ks[1:]):
+            assert folds[b]["n_train"] > folds[a]["n_train"]
+            # fold a's test segment IS fold b's training increment:
+            # expanding windows never retest seen data
+            assert folds[b]["n_train"] >= \
+                folds[a]["n_train"] + folds[a]["n_test"]

@@ -100,3 +100,19 @@ def test_quantile_sketch_gate_matches_numpy(spark):
         want = float(np.percentile(vals, d * 10))  # linear interpolation
         assert abs(got[d]["exact_val"] - want) < 1e-9
         assert got[d]["approx_ok"], d
+
+
+def test_corr_matrix_matches_known_values(spark):
+    """y = 2x exactly -> corr 1; z anti-correlated with x -> corr -1;
+    all pairs emitted once."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        corr_matrix,
+    )
+
+    rows = [(float(i), float(2 * i), float(-i)) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    assert got[("x", "y")] == 1.0
+    assert got[("x", "z")] == -1.0

@@ -242,3 +242,36 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[3]["n_bigrams"] == 0 and got[3]["avg_logprob"] == 0.0
     # the twice-seen phrase outscores the once-seen transition
     assert got[0]["avg_logprob"] > got[2]["avg_logprob"]
+
+
+def test_html_extract_strips_blocks_and_decodes_entities(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        html_extract_text,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "<html><head><title>T</title><script>if (a<b) x()</script>"
+             "</head><body><nav>menu</nav><p>Tom &amp; Jerry</p>"
+             "<aside>ad</aside><footer>f</footer></body></html>"),
+         (2, "plain text no markup")],
+        "doc_id long, html string")
+    got = {r["doc_id"]: r["extracted"]
+           for r in html_extract_text(df, "doc_id", "html").collect()}
+    assert got[1] == "tom & jerry"       # boilerplate gone, entity decoded
+    assert got[2] == "plain text no markup"
+
+
+def test_url_normalize_canonical_key(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        normalize_urls,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "HTTP://WWW.Site.COM:80//a//b/?utm_source=x&id=7#frag"),
+         (2, "http://site.com/a/b/?id=7")],
+        "doc_id long, url string")
+    got = {r["doc_id"]: r for r in
+           normalize_urls(df, "doc_id", "url").collect()}
+    assert got[1]["norm_url"] == "http://site.com/a/b/?id=7"
+    assert got[1]["norm_url"] == got[2]["norm_url"]   # same canonical key
+    assert got[1]["host"] == "site.com"
