@@ -560,3 +560,91 @@ def q196_continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = mx - dt.timedelta(hours=48)
     return continuous_aggregate_refresh(
         ev, "ts", "value", F.col("ts") > F.lit(cutoff))
+
+
+# ---------------------------------------------------------------------------
+# q210 — CDC apply: ordered op-log (insert/update/delete) → final state
+# ---------------------------------------------------------------------------
+
+
+def cdc_apply(oplog: DataFrame, key_col: str,
+              seq_col: str = "seq", op_col: str = "op") -> DataFrame:
+    """Collapse a change-data-capture log into final table state:
+    last-writer-wins per key by the log's sequence number, with 'D'
+    tombstones deleting the key. Exactly the Debezium-consumer /
+    MERGE-loop semantics — but as ONE window pass instead of N
+    sequential merges, which is what makes replaying a day of CDC
+    against a 100 TB table tractable: shuffle once on the key, take
+    each key's max-seq row, drop tombstones. The log may arrive in
+    any order (the window sorts per key); q83's single-batch upsert
+    and q173's SCD2 history are the siblings — this is the
+    'current-state table' consumer."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(seq_col).desc())
+    return (oplog.withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1) & (F.col(op_col) != "D"))
+            .drop("__rn", op_col)
+            .withColumnRenamed(seq_col, "last_seq"))
+
+
+_CDC_LOG_DUCK = """
+      SELECT c_custkey, 'I' AS op, CAST(1 AS BIGINT) AS seq,
+             c_acctbal, c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 'U', 2, c_acctbal + 100.0, c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', 3, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0
+      UNION ALL
+      SELECT c_custkey, 'U', 4, c_acctbal + 100.0, 'MACHINERY'
+      FROM customer WHERE c_custkey % 20 = 0
+"""
+
+
+@query(
+    "q210_cdc_apply",
+    oracle=f"""
+    WITH log AS ({_CDC_LOG_DUCK}),
+    ranked AS (
+      SELECT c_custkey, op, seq, c_acctbal, c_mktsegment,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY seq DESC) AS rn
+      FROM log
+    )
+    SELECT c_custkey, CAST(seq AS BIGINT) AS last_seq,
+           c_acctbal, c_mktsegment
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q210_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a four-epoch CDC log over customer (full insert, a +100
+    balance update wave, a %13 tombstone wave, a %20 segment rewrite
+    that supersedes the earlier update): the collapsed current-state
+    table — surviving keys, their last sequence, and final column
+    values — value-hash-checked. Deletes win over earlier updates;
+    later updates win over earlier ones; untouched rows keep seq 1."""
+    cust = load_table(spark, sf_dir, "customer")
+
+    def ep(pred, op, seq, bal, seg):
+        base = cust.filter(pred) if pred is not None else cust
+        return base.select(
+            "c_custkey", F.lit(op).alias("op"),
+            F.lit(seq).cast("long").alias("seq"),
+            bal.alias("c_acctbal"), seg.alias("c_mktsegment"))
+
+    log = (
+        ep(None, "I", 1, F.col("c_acctbal"), F.col("c_mktsegment"))
+        .unionByName(ep(F.col("c_custkey") % 10 == 0, "U", 2,
+                        F.col("c_acctbal") + 100.0,
+                        F.col("c_mktsegment")))
+        .unionByName(ep(F.col("c_custkey") % 13 == 0, "D", 3,
+                        F.col("c_acctbal"), F.col("c_mktsegment")))
+        .unionByName(ep(F.col("c_custkey") % 20 == 0, "U", 4,
+                        F.col("c_acctbal") + 100.0, F.lit("MACHINERY")))
+    )
+    return cdc_apply(log, "c_custkey").select(
+        "c_custkey", "last_seq", "c_acctbal", "c_mktsegment")

@@ -1,0 +1,162 @@
+"""Data-quality constraint auditing — the expectations stage (Great-
+Expectations / Deequ shape) a production pipeline runs before data is
+allowed downstream: range, not-null, uniqueness, and referential-
+integrity checks, each reduced to ONE exact violation count so the
+whole audit is a handful of map-side-combined aggregates.
+
+Scale: every check is a single scan (or one broadcast/shuffle join for
+referential checks) producing one row — the audit over a 100 TB table
+costs the scans, holds no per-row state, and the constraint results
+table is |constraints| rows. Checks compose by unionByName, so a suite
+runs as independent jobs that Spark schedules concurrently.
+
+Reference analogue: the reference validates uploads only by pandas
+read success (`auto_machine_learning.py` upload path); this is the
+explicit contract a multi-tenant platform needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+
+def _result(name: str, kind: str, checked: Column,
+            violations: Column) -> list[Column]:
+    return [
+        F.lit(name).alias("constraint_id"),
+        F.lit(kind).alias("kind"),
+        checked.cast("long").alias("n_checked"),
+        violations.cast("long").alias("n_violations"),
+        (violations == 0).cast("int").alias("passed"),
+    ]
+
+
+def range_check(df: DataFrame, name: str, col: str,
+                lo: float, hi: float) -> DataFrame:
+    """Violations = rows outside [lo, hi] (nulls count as violations —
+    a range contract implies presence)."""
+    bad = F.sum(
+        F.when(F.col(col).between(lo, hi), F.lit(0)).otherwise(F.lit(1)))
+    return df.agg(*_result(name, "range", F.count(F.lit(1)), bad))
+
+
+def not_null_check(df: DataFrame, name: str, col: str) -> DataFrame:
+    bad = F.sum(F.when(F.col(col).isNull(), F.lit(1)).otherwise(F.lit(0)))
+    return df.agg(*_result(name, "not_null", F.count(F.lit(1)), bad))
+
+
+def unique_check(df: DataFrame, name: str, col: str) -> DataFrame:
+    """Violations = n_rows − n_distinct (0 ⇔ the column is a key)."""
+    return df.agg(*_result(
+        name, "unique", F.count(F.lit(1)),
+        F.count(F.lit(1)) - F.count_distinct(F.col(col))))
+
+
+def referential_check(child: DataFrame, name: str, col: str,
+                      parent: DataFrame, pcol: str) -> DataFrame:
+    """Violations = child rows whose key has no parent — one left-anti
+    join against the (usually broadcastable) parent key set."""
+    orphans = (child.select(F.col(col).alias("__k"))
+               .join(parent.select(F.col(pcol).alias("__k")).distinct(),
+                     "__k", "left_anti"))
+    total = child.agg(F.count(F.lit(1)).alias("__n"))
+    return orphans.agg(F.count(F.lit(1)).alias("__bad")).crossJoin(
+        F.broadcast(total)).select(*_result(
+            name, "referential", F.col("__n"), F.col("__bad")))
+
+
+@query(
+    "q209_constraint_audit",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS constraint_id,
+           'referential' AS kind,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_checked,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+             AS n_violations,
+           CAST(CASE WHEN (SELECT count(*) FROM orders o
+             WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+             = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    UNION ALL
+    SELECT 'lineitem_quantity_range', 'range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                    THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(CASE WHEN sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                    THEN 0 ELSE 1 END) = 0 THEN 1 ELSE 0 END AS INT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_discount_range', 'range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                    THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(CASE WHEN sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1
+                    THEN 0 ELSE 1 END) = 0 THEN 1 ELSE 0 END AS INT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer_key_unique', 'unique',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+           CAST(CASE WHEN count(*) = count(DISTINCT c_custkey)
+                THEN 1 ELSE 0 END AS INT)
+    FROM customer
+    UNION ALL
+    SELECT 'events_value_not_null', 'not_null',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(CASE WHEN sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                = 0 THEN 1 ELSE 0 END AS INT)
+    FROM events
+    UNION ALL
+    SELECT 'orders_totalprice_positive', 'range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice BETWEEN 0.01 AND 1e12
+                    THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(CASE WHEN sum(CASE WHEN o_totalprice
+                    BETWEEN 0.01 AND 1e12 THEN 0 ELSE 1 END) = 0
+                THEN 1 ELSE 0 END AS INT)
+    FROM orders
+    UNION ALL
+    SELECT 'events_value_tight_range', 'range',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value BETWEEN 0.0 AND 5.0
+                    THEN 0 ELSE 1 END) AS BIGINT),
+           CAST(CASE WHEN sum(CASE WHEN value BETWEEN 0.0 AND 5.0
+                    THEN 0 ELSE 1 END) = 0 THEN 1 ELSE 0 END AS INT)
+    FROM events
+    """,
+)
+def q209_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the seven-constraint expectation suite over the star schema
+    — referential, range, uniqueness, and null contracts (plus one
+    deliberately violated range), each row's checked/violation counts
+    and pass flag value-hash-checked."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    suite = [
+        referential_check(orders, "orders_custkey_fk", "o_custkey",
+                          customer, "c_custkey"),
+        range_check(lineitem, "lineitem_quantity_range", "l_quantity",
+                    1, 50),
+        range_check(lineitem, "lineitem_discount_range", "l_discount",
+                    0.0, 0.1),
+        unique_check(customer, "customer_key_unique", "c_custkey"),
+        not_null_check(events, "events_value_not_null", "value"),
+        range_check(orders, "orders_totalprice_positive", "o_totalprice",
+                    0.01, 1e12),
+        # deliberately over-tight contract: the fixture violates it, so
+        # the violation-counting path (not just the all-green path) is
+        # value-hash-witnessed
+        range_check(events, "events_value_tight_range", "value",
+                    0.0, 5.0),
+    ]
+    out = suite[0]
+    for s in suite[1:]:
+        out = out.unionByName(s)
+    return out

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "auto_ml_platform_with_timeseries_data_spark.operators.sessionize",
     "auto_ml_platform_with_timeseries_data_spark.operators.curation",
     "auto_ml_platform_with_timeseries_data_spark.operators.linkage",
+    "auto_ml_platform_with_timeseries_data_spark.operators.validation",
     "auto_ml_platform_with_timeseries_data_spark.operators.ts_features",
     "auto_ml_platform_with_timeseries_data_spark.operators.pipeline_ops",
     "auto_ml_platform_with_timeseries_data_spark.operators.layout",
@@ -79,10 +80,11 @@ _loaded = False
 #         continuous aggregate (stateful streaming in the first
 #         30 per the round-5 starvation lesson), q205 HTML boilerplate
 #         extraction, q206 URL canonicalization, q207 single-pass corr
-#         matrix, q208 walk-forward TS backtest
-#   33-50 re-witness rotation: 18 oracle-backed relational/TPC-H
-#         queries whose last green driver row is rounds 1-2 (q27/q40/
-#         q41/q46/q62-q67/q91/q97/q98/q99/q101-q103 yield to the new
+#         matrix, q208 walk-forward TS backtest, q209 constraint
+#         audit, q210 CDC apply
+#   35-50 re-witness rotation: 16 oracle-backed relational/TPC-H
+#         queries whose last green driver row is rounds 1-2 (q27/q31/
+#         q40/q41/q43/q46/q62-q67/q91/q97-q103 yield to the new
 #         additions — each family keeps an in-budget member), plus
 #         q30_asof_join (last green r3; takes the slot of rows-only
 #         q81_approx_aggs, which would spend budget on a weaker check)
@@ -112,11 +114,12 @@ _PRIORITY: tuple[str, ...] = (
     "q204_stream_continuous_aggregate",
     "q205_html_extract", "q206_url_normalize",
     "q207_corr_matrix", "q208_ts_backtest",
+    "q209_constraint_audit", "q210_cdc_apply",
     # re-witness rotation (last green driver row in rounds 1-2, plus
     # q30_asof_join standing in for rows-only q81)
     "q26_pricing_summary", "q28_top_customers",
-    "q31_set_ops", "q32_rollup",
-    "q42_semi_anti_join", "q43_percentiles", "q44_profit_by_nation_brand",
+    "q32_rollup",
+    "q42_semi_anti_join", "q44_profit_by_nation_brand",
     "q49_range_join", "q50_shipping_priority",
     "q54_json_props", "q61_forecast_revenue", "q68_grouping_sets",
     "q30_asof_join", "q82_pivot_unpivot",
@@ -126,7 +129,8 @@ _PRIORITY: tuple[str, ...] = (
     # ---- slots 51+: checked only if the driver budget stretches ----
     # rotation entries displaced by q196-q208 (green r1-r2; families
     # still covered in-budget), then streaming + the r3-r5 blocks
-    "q27_revenue_by_nation", "q40_cube", "q41_topk_per_group",
+    "q27_revenue_by_nation", "q31_set_ops", "q40_cube",
+    "q41_topk_per_group", "q43_percentiles",
     "q46_distinct_counts",
     "q62_returned_items", "q63_promo_revenue", "q64_large_orders",
     "q65_brand_revenue_bands", "q66_supplier_breadth",

@@ -589,6 +589,49 @@ def main() -> int:
 
     run("ts_backtest", lambda: backtest(False), lambda: backtest(True))
 
+    # constraint audit (q209): each check one scan / one anti-join —
+    # the staged key shift makes the FK check report violations, which
+    # costs the same work as passing (timing is what's probed)
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    def audit(path_based):
+        if path_based:
+            o = spark.read.parquet(staged["orders"])
+            c = spark.read.parquet(staged["customer"])
+            li = spark.read.parquet(staged["lineitem"])
+        else:
+            o = load_table(spark, sf_dir, "orders")
+            c = load_table(spark, sf_dir, "customer")
+            li = load_table(spark, sf_dir, "lineitem")
+        suite = validation.referential_check(
+            o, "fk", "o_custkey", c, "c_custkey").unionByName(
+            validation.range_check(li, "rng", "l_quantity", 1, 50)
+        ).unionByName(validation.unique_check(c, "uniq", "c_custkey"))
+        return suite.count()
+
+    run("constraint_audit", lambda: audit(False), lambda: audit(True))
+
+    # CDC apply (q210): one key shuffle + window over the op log
+    def cdc(path_based):
+        c = (spark.read.parquet(staged["customer"]) if path_based
+             else load_table(spark, sf_dir, "customer"))
+        log = (c.select("c_custkey", F.lit("I").alias("op"),
+                        F.lit(1).cast("long").alias("seq"), "c_acctbal")
+               .unionByName(
+                   c.filter(F.col("c_custkey") % 10 == 0).select(
+                       "c_custkey", F.lit("U").alias("op"),
+                       F.lit(2).cast("long").alias("seq"),
+                       (F.col("c_acctbal") + 100.0).alias("c_acctbal")))
+               .unionByName(
+                   c.filter(F.col("c_custkey") % 13 == 0).select(
+                       "c_custkey", F.lit("D").alias("op"),
+                       F.lit(3).cast("long").alias("seq"), "c_acctbal")))
+        return layout.cdc_apply(log, "c_custkey").count()
+
+    run("cdc_apply", lambda: cdc(False), lambda: cdc(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

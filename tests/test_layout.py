@@ -156,3 +156,25 @@ def test_snapshot_diff_statuses(spark):
     got = {r["k"]: r["status"] for r in
            snapshot_diff(a, b, "k", ["v"]).collect()}
     assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged
+
+
+def test_cdc_apply_last_writer_wins_and_tombstones(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+        cdc_apply,
+    )
+
+    log = spark.createDataFrame(
+        [
+            (1, "I", 1, 10.0),
+            (1, "U", 3, 30.0),   # out-of-order arrival: seq 3 before 2
+            (1, "U", 2, 20.0),
+            (2, "I", 1, 10.0),
+            (2, "D", 2, 10.0),   # tombstone deletes key 2
+            (3, "I", 1, 99.0),
+            (4, "D", 1, 0.0),    # delete-before-insert: key never lands
+        ],
+        "k long, op string, seq long, v double")
+    got = {r["k"]: r for r in cdc_apply(log, "k").collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["v"] == 30.0 and got[1]["last_seq"] == 3
+    assert got[3]["v"] == 99.0 and got[3]["last_seq"] == 1

@@ -38,7 +38,7 @@ def test_canaries_and_round6_promotions_keep_their_slots():
     relational/TPC-H block whose last green driver row is rounds 1-2
     (every round-3-to-5-green query may yield its slot)."""
     head = set(registry._PRIORITY[:50])
-    # q183-q208 (6 + 20 round-6 additions) + 6 canaries = 32 slots;
+    # q183-q210 (6 + 22 round-6 additions) + 6 canaries = 34 slots;
     # the whole never-witnessed tier must sit in the first 35 so the
     # driver budget reaches it even if the sweep is cut short
     first_half = set(registry._PRIORITY[:35])
@@ -61,11 +61,12 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q204_stream_continuous_aggregate",
         "q205_html_extract", "q206_url_normalize",
         "q207_corr_matrix", "q208_ts_backtest",
+        "q209_constraint_audit", "q210_cdc_apply",
     }
     stale_r1_r2 = {
         "q26_pricing_summary", "q28_top_customers",
-        "q31_set_ops", "q32_rollup",
-        "q42_semi_anti_join", "q43_percentiles",
+        "q32_rollup",
+        "q42_semi_anti_join",
         "q44_profit_by_nation_brand",
         "q49_range_join", "q50_shipping_priority", "q54_json_props",
         "q61_forecast_revenue",
