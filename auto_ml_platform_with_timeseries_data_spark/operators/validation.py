@@ -160,3 +160,106 @@ def q209_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in suite[1:]:
         out = out.unionByName(s)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q212 — GDPR erasure cascade (right-to-be-forgotten propagation)
+# ---------------------------------------------------------------------------
+
+
+def gdpr_erase(customer: DataFrame, orders: DataFrame,
+               lineitem: DataFrame, erase_keys: DataFrame) -> DataFrame:
+    """Propagate a subject-erasure list through the star schema and
+    certify completeness: customers on the list are removed, their
+    orders cascade, their orders' lineitems cascade transitively; the
+    result is one row per table with before/deleted/after counts AND a
+    residual count re-checking that NO surviving row still references
+    an erased subject — the audit artifact a compliance run must file.
+
+    Plan shape at 100 TB: the erase list is broadcast (subjects are
+    a tiny fraction); each cascade level is one broadcast semi/anti
+    join, so the whole erasure is map-side — no fact-table shuffle.
+    The transitive lineitem step joins on the cascaded ORDER keys
+    (an anti-join against erased orders), never re-deriving subject
+    ids from lineitem."""
+    ek = F.broadcast(erase_keys.select(F.col(
+        erase_keys.columns[0]).alias("__k")).distinct())
+    dead_orders = orders.join(
+        ek, orders["o_custkey"] == F.col("__k"), "leftsemi")
+    live_cust = customer.join(
+        ek, customer["c_custkey"] == F.col("__k"), "leftanti")
+    live_orders = orders.join(
+        ek, orders["o_custkey"] == F.col("__k"), "leftanti")
+    live_li = lineitem.join(
+        F.broadcast(dead_orders.select("o_orderkey").distinct()),
+        lineitem["l_orderkey"] == dead_orders["o_orderkey"], "leftanti")
+
+    def row(name, before_df, after_df, residual_df):
+        before = before_df.agg(F.count(F.lit(1)).alias("__b"))
+        after = after_df.agg(F.count(F.lit(1)).alias("__a"))
+        resid = residual_df.agg(F.count(F.lit(1)).alias("__r"))
+        return (before.crossJoin(F.broadcast(after))
+                .crossJoin(F.broadcast(resid))
+                .select(
+                    F.lit(name).alias("table_name"),
+                    F.col("__b").cast("long").alias("rows_before"),
+                    (F.col("__b") - F.col("__a")).cast("long")
+                    .alias("rows_deleted"),
+                    F.col("__a").cast("long").alias("rows_after"),
+                    F.col("__r").cast("long").alias("residual_refs")))
+
+    resid_cust = live_cust.join(
+        ek, live_cust["c_custkey"] == F.col("__k"), "leftsemi")
+    resid_orders = live_orders.join(
+        ek, live_orders["o_custkey"] == F.col("__k"), "leftsemi")
+    resid_li = live_li.join(
+        F.broadcast(dead_orders.select("o_orderkey").distinct()),
+        live_li["l_orderkey"] == dead_orders["o_orderkey"], "leftsemi")
+    return (row("customer", customer, live_cust, resid_cust)
+            .unionByName(row("orders", orders, live_orders, resid_orders))
+            .unionByName(row("lineitem", lineitem, live_li, resid_li)))
+
+
+@query(
+    "q212_gdpr_erasure",
+    oracle="""
+    WITH ek AS (SELECT c_custkey AS k FROM customer
+                WHERE c_custkey % 97 = 0),
+    dead_o AS (SELECT o_orderkey FROM orders
+               WHERE o_custkey IN (SELECT k FROM ek))
+    SELECT 'customer' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+             WHERE c_custkey IN (SELECT k FROM ek)) AS rows_deleted,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer
+             WHERE c_custkey NOT IN (SELECT k FROM ek)) AS rows_after,
+           CAST(0 AS BIGINT) AS residual_refs
+    UNION ALL
+    SELECT 'orders',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_custkey IN (SELECT k FROM ek)),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+             WHERE o_custkey NOT IN (SELECT k FROM ek)),
+           CAST(0 AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey IN (SELECT o_orderkey FROM dead_o)),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM dead_o)),
+           CAST(0 AS BIGINT)
+    """,
+)
+def q212_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase every %97 customer and cascade through orders and
+    lineitem: per-table before/deleted/after counts plus the zero-
+    residual certificate, all value-hash-checked (the oracle pins
+    residuals at 0 — a non-zero Spark residual hash-fails)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    keys = customer.filter(F.col("c_custkey") % 97 == 0) \
+        .select("c_custkey")
+    return gdpr_erase(customer, orders, lineitem, keys)

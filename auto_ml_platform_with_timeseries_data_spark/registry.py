@@ -81,11 +81,12 @@ _loaded = False
 #         30 per the round-5 starvation lesson), q205 HTML boilerplate
 #         extraction, q206 URL canonicalization, q207 single-pass corr
 #         matrix, q208 walk-forward TS backtest, q209 constraint
-#         audit, q210 CDC apply
-#   35-50 re-witness rotation: 16 oracle-backed relational/TPC-H
+#         audit, q210 CDC apply, q211 ORC round-trip, q212 GDPR
+#         erasure cascade
+#   37-50 re-witness rotation: 14 oracle-backed relational/TPC-H
 #         queries whose last green driver row is rounds 1-2 (q27/q31/
-#         q40/q41/q43/q46/q62-q67/q91/q97-q103 yield to the new
-#         additions — each family keeps an in-budget member), plus
+#         q32/q40/q41/q43/q46/q54/q62-q67/q91/q97-q103 yield to the
+#         new additions — each family keeps an in-budget member), plus
 #         q30_asof_join (last green r3; takes the slot of rows-only
 #         q81_approx_aggs, which would spend budget on a weaker check)
 # Slots 51+ are checked only if the budget stretches; every query there
@@ -115,13 +116,13 @@ _PRIORITY: tuple[str, ...] = (
     "q205_html_extract", "q206_url_normalize",
     "q207_corr_matrix", "q208_ts_backtest",
     "q209_constraint_audit", "q210_cdc_apply",
+    "q211_orc_roundtrip", "q212_gdpr_erasure",
     # re-witness rotation (last green driver row in rounds 1-2, plus
     # q30_asof_join standing in for rows-only q81)
     "q26_pricing_summary", "q28_top_customers",
-    "q32_rollup",
     "q42_semi_anti_join", "q44_profit_by_nation_brand",
     "q49_range_join", "q50_shipping_priority",
-    "q54_json_props", "q61_forecast_revenue", "q68_grouping_sets",
+    "q61_forecast_revenue", "q68_grouping_sets",
     "q30_asof_join", "q82_pivot_unpivot",
     "q95_late_order_priority", "q96_top_supplier",
     "q100_volume_shipping",
@@ -129,9 +130,9 @@ _PRIORITY: tuple[str, ...] = (
     # ---- slots 51+: checked only if the driver budget stretches ----
     # rotation entries displaced by q196-q208 (green r1-r2; families
     # still covered in-budget), then streaming + the r3-r5 blocks
-    "q27_revenue_by_nation", "q31_set_ops", "q40_cube",
+    "q27_revenue_by_nation", "q31_set_ops", "q32_rollup", "q40_cube",
     "q41_topk_per_group", "q43_percentiles",
-    "q46_distinct_counts",
+    "q46_distinct_counts", "q54_json_props",
     "q62_returned_items", "q63_promo_revenue", "q64_large_orders",
     "q65_brand_revenue_bands", "q66_supplier_breadth",
     "q67_dormant_customers", "q91_equidepth_hist",

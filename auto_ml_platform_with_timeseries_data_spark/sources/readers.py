@@ -439,3 +439,33 @@ def q153_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.lit(bool(per_file_max <= 100)).alias("caps_ok"),
     )
+
+
+@query(
+    "q211_orc_roundtrip",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, lang,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q211_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round-trip (format breadth beyond parquet/
+    CSV/JSONL/Excel: ORC is the other columnar format a lakehouse
+    ingests from Hive-era estates): write the documents table as ORC,
+    read it back, and emit a per-document content digest — every
+    doc_id's md5 must equal the oracle's digest of the ORIGINAL
+    parquet row, proving the round-trip is byte-lossless. ORC's
+    stripe/footer statistics give the same predicate-pushdown contract
+    as parquet at scale; Spark's native vectorized ORC reader keeps
+    scans whole-stage-codegen."""
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars")
+    stage = staging_dir("orc")
+    docs.write.mode("overwrite").orc(stage)
+    back = spark.read.orc(stage)
+    return back.select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang",
+        F.col("n_chars").cast("long").alias("n_chars"))

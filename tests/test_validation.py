@@ -32,3 +32,25 @@ def test_constraint_checks_count_violations(spark):
     ok = range_check(child.filter("v is not null and v < 100"),
                      "ok", "v", 0.0, 100.0).first()
     assert ok["passed"] == 1 and ok["n_violations"] == 0
+
+
+def test_gdpr_erasure_cascades_transitively(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.validation import (
+        gdpr_erase,
+    )
+
+    cust = spark.createDataFrame([(1,), (2,), (3,)], "c_custkey long")
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 2), (13, 3)],
+        "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(10, 1), (11, 1), (11, 2), (12, 1), (13, 1)],
+        "l_orderkey long, l_lineno long")
+    keys = spark.createDataFrame([(2,)], "c_custkey long")
+    got = {r["table_name"]: r for r in
+           gdpr_erase(cust, orders, li, keys).collect()}
+    assert got["customer"]["rows_deleted"] == 1
+    assert got["orders"]["rows_deleted"] == 2          # orders 11, 12
+    assert got["lineitem"]["rows_deleted"] == 3        # lines of 11, 12
+    assert all(r["residual_refs"] == 0 for r in got.values())
+    assert got["lineitem"]["rows_after"] == 2
