@@ -157,3 +157,51 @@ def test_perplexity_buckets_are_per_lang_terciles(spark):
     assert fr == ["head"]  # a 1-doc language is all head, never tail
     # ranking follows logprob: doc 1 must be head
     assert en[1] == "head"
+
+
+# ---------------------------------------------------------------------------
+# plan contracts for the round-6 late additions (the 100 TB claims in
+# the docstrings, checked against the actual physical plans)
+# ---------------------------------------------------------------------------
+
+
+def _plan(q, spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.registry import queries
+
+    return explain.formatted_plan(queries()[q](spark, sf_dir))
+
+
+def test_new_ops_have_no_cartesian_or_nested_loop_joins(spark, sf_dir):
+    """None of the round-6 late additions may fall back to a cartesian
+    or (non-trivial) nested-loop join; 1-row broadcast aggregates are
+    the only sanctioned BroadcastNestedLoopJoin source (q199 carries
+    exactly one — the vocab-size scalar the q192 LM broadcasts), and
+    q196's literal-cutoff fix removed even those."""
+    for q in ("q196_continuous_aggregate", "q197_blocking_bestmatch",
+              "q198_softdedup_weights",
+              "q201_countmin_heavy_hitters", "q202_triangle_count",
+              "q203_k_anonymity", "q207_corr_matrix",
+              "q210_cdc_apply"):
+        plan = _plan(q, spark, sf_dir)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+    # q199: the ONLY nested-loop join allowed is the 1-row vocab scalar
+    # (formatted plans print each node twice: tree + detail section)
+    plan = _plan("q199_perplexity_buckets", spark, sf_dir)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_gdpr_cascade_is_broadcast_only(spark, sf_dir):
+    """q212's erasure joins must all broadcast the subject/order key
+    sets — no fact-table shuffle join in the cascade."""
+    plan = _plan("q212_gdpr_erasure", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_countmin_counters_are_broadcast(spark, sf_dir):
+    """The 4x256 counter table joins back as a broadcast — estimate
+    lookup never shuffles the key set."""
+    plan = _plan("q201_countmin_heavy_hitters", spark, sf_dir)
+    assert "BroadcastHashJoin" in plan

@@ -150,3 +150,90 @@ def test_gopher_flags_match_python_reference(texts):
            for r in gopher_quality_flags(df, "doc_id", "text").collect()}
     for i, t in enumerate(rows):
         assert got[i] == ref(t[1]), (t[1], got[i], ref(t[1]))
+
+
+@settings(max_examples=8, deadline=None)
+@given(ops=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5),      # key
+              st.sampled_from(["I", "U", "D"]),            # op
+              st.integers(min_value=-1000, max_value=1000)),  # value
+    min_size=1, max_size=24))
+def test_cdc_apply_matches_python_reference(ops):
+    """cdc_apply == a sequential Python replay of the log in seq order,
+    for ANY op mix (insert/update/delete, repeated keys, delete-first,
+    resurrect-after-delete)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+        cdc_apply,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    rows = [(k, op, i + 1, float(v)) for i, (k, op, v) in enumerate(ops)]
+    log = spark.createDataFrame(rows, "k long, op string, seq long, v double")
+
+    state: dict = {}
+    for k, op, seq, v in rows:                       # replay in seq order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = (seq, v)
+    got = {r["k"]: (r["last_seq"], r["v"])
+           for r in cdc_apply(log, "k").collect()}
+    # keys whose final op was D are absent from both models;
+    # resurrections (I after D) survive in both
+    assert got == state
+
+
+@settings(max_examples=8, deadline=None)
+@given(keys=st.lists(st.integers(min_value=0, max_value=30),
+                     min_size=1, max_size=60))
+def test_countmin_never_underestimates(keys):
+    """One-sided error on arbitrary key multisets."""
+    from collections import Counter
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.graph import (
+        countmin_estimates,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    exact = Counter(keys)
+    rows = countmin_estimates(df, "user_id").collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["exact"] == exact[r["key"]]
+        assert r["est"] >= r["exact"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(vals=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),      # hour bucket
+              st.integers(min_value=-500, max_value=500)),  # cents
+    min_size=1, max_size=30),
+    cut=st.integers(min_value=0, max_value=29))
+def test_rollup_merge_any_split_equals_one_shot(vals, cut):
+    """Splitting the event stream at ANY point and merging the two
+    partials equals the one-shot rollup — the associativity that makes
+    q204's maintained aggregate correct under any batch boundaries."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.streaming.events import (
+        rollup_merge,
+        rollup_partial,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    rows = [(dt.datetime(2024, 1, 1, h, 30), c / 100.0) for h, c in vals]
+    cut = min(cut, len(rows) - 1)
+    ev = spark.createDataFrame(rows, "ts timestamp, value double")
+    one = {r["bucket"]: (r["n_events"], r["sum_cents"])
+           for r in rollup_partial(ev).collect()}
+    a = spark.createDataFrame(rows[:cut] or [(dt.datetime(2024, 1, 1), 0.0)],
+                              "ts timestamp, value double")
+    b = spark.createDataFrame(rows[cut:], "ts timestamp, value double")
+    if cut == 0:
+        merged_df = rollup_partial(b)
+    else:
+        merged_df = rollup_merge(rollup_partial(a), rollup_partial(b))
+    merged = {r["bucket"]: (r["n_events"], r["sum_cents"])
+              for r in merged_df.collect()}
+    assert merged == one
