@@ -1450,12 +1450,14 @@ def q183_neardup_leakfree_split(spark: SparkSession,
     comp = connected_components(
         docs.select("doc_id"), pairs.select("id_a", "id_b"),
         id_col="doc_id").select(F.col("id").alias("doc_id"), "component")
-    s = split_by_neardup_cluster(docs, comp, "doc_id")
+    s = split_by_neardup_cluster(docs, comp, "doc_id").persist()
     bad = (s.groupBy("component")
            .agg(F.countDistinct("split").alias("__ns"))
            .filter(F.col("__ns") > 1).count())
-    return s.groupBy("split").agg(
+    out = s.groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("component").alias("n_clusters"),
         F.lit(bad == 0).alias("leak_free"),
-    )
+    ).localCheckpoint(eager=True)   # ≤3 rows; lets s release immediately
+    s.unpersist()
+    return out
