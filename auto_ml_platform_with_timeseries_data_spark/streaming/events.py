@@ -854,16 +854,22 @@ def q204_stream_continuous_aggregate(spark: SparkSession,
     stage_dir = _staged_event_batches(spark, sf_dir)
     state_root = staging_dir("stream_cagg")       # wiped per invocation
     ckpt = staging_dir("stream_cagg_ckpt")
-    last = {"path": None}
+    versions: dict[int, str] = {}
 
     def merge(bdf: DataFrame, epoch_id: int) -> None:
         sp = bdf.sparkSession
         delta = rollup_partial(bdf)
-        if last["path"] is not None:
-            delta = rollup_merge(sp.read.parquet(last["path"]), delta)
+        # previous version = the newest epoch STRICTLY BELOW this one —
+        # not simply "the last write": a replayed epoch must merge
+        # against its predecessor again, never against its own earlier
+        # output (which would double-count the batch)
+        prev = [e for e in versions if e < epoch_id]
+        if prev:
+            delta = rollup_merge(sp.read.parquet(versions[max(prev)]),
+                                 delta)
         out = os.path.join(state_root, f"epoch={epoch_id}")
         delta.write.mode("overwrite").parquet(out)
-        last["path"] = out
+        versions[epoch_id] = out
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -876,7 +882,7 @@ def q204_stream_continuous_aggregate(spark: SparkSession,
          .start())
     q.processAllAvailable()
     q.stop()
-    return spark.read.parquet(last["path"]).select(
+    return spark.read.parquet(versions[max(versions)]).select(
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_cents").cast("long").alias("sum_cents"))
