@@ -333,7 +333,11 @@ _CM_ROWS = ((1_299_709, 15_485_863), (2_750_159, 32_452_843),
 
 def _cm_col(key, a: int, b: int):
     """Portable row hash: ((a·(key mod p) + b) mod p) mod w — plain
-    BIGINT arithmetic both engines evaluate identically."""
+    BIGINT arithmetic both engines evaluate identically. Keys are
+    assumed non-negative (fixture ids are); a negative key would hash
+    consistently across engines (both mod operators take the
+    dividend's sign) but into a signed column id — pre-shift ids if a
+    source ever carries them."""
     return ((F.lit(a) * (key % _CM_P) + F.lit(b)) % _CM_P) % _CM_W
 
 
@@ -420,7 +424,9 @@ def q201_countmin_heavy_hitters(spark: SparkSession,
 
 def triangle_counts(edges: DataFrame, a_col: str = "a",
                     b_col: str = "b") -> DataFrame:
-    """Local (per-vertex) triangle counts over an undirected edge list.
+    """Local (per-vertex) triangle counts over an undirected edge list
+    (simple graph contract: one row per edge, no self-loops — the
+    q202 builder guarantees both via its a<b groupBy).
 
     The plan is the compact-forward algorithm: orient every edge from
     the (degree, id)-smaller endpoint to the larger, then count, for
