@@ -601,3 +601,114 @@ def group_ols(df: DataFrame, key: str, ts_col: str, value_col: str,
 def q124_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return group_ols(ev, "user_id", "ts", "value")
+
+
+# ---------------------------------------------------------------------------
+# q213 — per-entity distribution-moment features (mean/var/skew/kurtosis)
+# ---------------------------------------------------------------------------
+
+
+def moment_features(df: DataFrame, group_col: str,
+                    value_col: str) -> DataFrame:
+    """Per-group population mean, variance, skewness, and excess
+    kurtosis — the tsfresh-style distribution-shape features — from
+    ONE aggregation pass of exact integer power sums: v = ⌊value·10⁴⌋
+    as BIGINT, Σv and Σv² as BIGINT, Σv³ and Σv⁴ as DECIMAL(38,0)
+    (v⁴ reaches ~10²⁷ — past BIGINT, exact in 38 digits / HUGEINT).
+    The moments are then ONE token-identical double expression over
+    those exact sums; skew's v^1.5 uses var·sqrt(var) because IEEE
+    sqrt is correctly rounded while pow(x, 1.5) is not — the same
+    ulp-determinism rule the q164 contract uses. Standardized skew
+    and kurtosis are scale-invariant, so the 10⁴ quantization cancels
+    exactly. Constant-valued groups (var = 0) are excluded — their
+    shape moments are undefined.
+
+    Scale: one map-side-combined groupBy carrying five numbers per
+    group; features for a billion entities are one shuffle of five
+    columns."""
+    v = F.floor(F.col(value_col) * 10000.0 + F.lit(0.5)).cast("long")
+    # cast BEFORE multiplying: v^3 overflows BIGINT at |v| ~ 2.1e6, so
+    # the cube/quartic must accumulate in DECIMAL from the first product
+    vd = v.cast("decimal(19,0)")
+    agg = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum((vd * vd * vd).cast("decimal(38,0)")).alias("s3"),
+        F.sum((vd * vd * vd * vd).cast("decimal(38,0)")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    s3 = F.col("s3").cast("double")
+    s4 = F.col("s4").cast("double")
+    m = s1 / n
+    var = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) \
+        / (var * F.sqrt(var))
+    kurt = (s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n)
+            - 3 * m * m * m * m) / (var * var) - 3.0
+
+    def pin(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+
+    return (agg.filter(var > 0).select(
+        F.col(group_col),
+        F.col("n").cast("long").alias("n"),
+        pin(m / 10000.0).alias("mean"),
+        pin(var / 100000000.0).alias("variance"),
+        pin(skew).alias("skewness"),
+        pin(kurt).alias("kurtosis"),
+    ))
+
+
+@query(
+    "q213_moment_features",
+    oracle="""
+    WITH q AS (
+      SELECT user_id,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    a AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(v * v) AS BIGINT) AS s2,
+             CAST(sum(CAST(v AS HUGEINT) * v * v) AS HUGEINT) AS s3,
+             CAST(sum(CAST(v AS HUGEINT) * v * v * v) AS HUGEINT) AS s4
+      FROM q GROUP BY user_id
+    ),
+    d AS (
+      SELECT user_id, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+             CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+      FROM a
+    ),
+    mm AS (
+      SELECT user_id, n, nd, s1, s2, s3, s4,
+             s1 / nd AS m,
+             s2 / nd - (s1 / nd) * (s1 / nd) AS var
+      FROM d
+    )
+    SELECT user_id, n,
+           floor((m / 10000.0) * 1000000 + 0.5) / 1000000 AS mean,
+           floor((var / 100000000.0) * 1000000 + 0.5) / 1000000
+             AS variance,
+           floor(((s3 / nd - 3 * m * (s2 / nd) + 2 * m * m * m)
+                  / (var * sqrt(var))) * 1000000 + 0.5) / 1000000
+             AS skewness,
+           floor(((s4 / nd - 4 * m * (s3 / nd) + 6 * m * m * (s2 / nd)
+                   - 3 * m * m * m * m) / (var * var) - 3.0)
+                 * 1000000 + 0.5) / 1000000 AS kurtosis
+    FROM mm WHERE var > 0
+    """,
+)
+def q213_moment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape features for every event user: count, mean,
+    population variance, skewness, and excess kurtosis from exact
+    integer power sums — all rows value-hash-checked at 1e-6."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return moment_features(ev, "user_id", "value")

@@ -82,11 +82,13 @@ _loaded = False
 #         extraction, q206 URL canonicalization, q207 single-pass corr
 #         matrix, q208 walk-forward TS backtest, q209 constraint
 #         audit, q210 CDC apply, q211 ORC round-trip, q212 GDPR
-#         erasure cascade
-#   37-50 re-witness rotation: 14 oracle-backed relational/TPC-H
+#         erasure cascade, q213 distribution-moment features, q214
+#         Apriori frequent triples
+#   39-50 re-witness rotation: 12 oracle-backed relational/TPC-H
 #         queries whose last green driver row is rounds 1-2 (q27/q31/
-#         q32/q40/q41/q43/q46/q54/q62-q67/q91/q97-q103 yield to the
-#         new additions — each family keeps an in-budget member), plus
+#         q32/q40/q41/q43/q46/q54/q61/q62-q67/q91/q97-q103/q126 yield
+#         to the new additions — q61's forecast family is covered by
+#         q208/q213, q126's co-purchase family by q214), plus
 #         q30_asof_join (last green r3; takes the slot of rows-only
 #         q81_approx_aggs, which would spend budget on a weaker check)
 # Slots 51+ are checked only if the budget stretches; every query there
@@ -117,22 +119,23 @@ _PRIORITY: tuple[str, ...] = (
     "q207_corr_matrix", "q208_ts_backtest",
     "q209_constraint_audit", "q210_cdc_apply",
     "q211_orc_roundtrip", "q212_gdpr_erasure",
+    "q213_moment_features", "q214_frequent_triples",
     # re-witness rotation (last green driver row in rounds 1-2, plus
     # q30_asof_join standing in for rows-only q81)
     "q26_pricing_summary", "q28_top_customers",
     "q42_semi_anti_join", "q44_profit_by_nation_brand",
     "q49_range_join", "q50_shipping_priority",
-    "q61_forecast_revenue", "q68_grouping_sets",
+    "q68_grouping_sets",
     "q30_asof_join", "q82_pivot_unpivot",
     "q95_late_order_priority", "q96_top_supplier",
     "q100_volume_shipping",
-    "q126_copurchase_pairs",
     # ---- slots 51+: checked only if the driver budget stretches ----
     # rotation entries displaced by q196-q208 (green r1-r2; families
     # still covered in-budget), then streaming + the r3-r5 blocks
     "q27_revenue_by_nation", "q31_set_ops", "q32_rollup", "q40_cube",
     "q41_topk_per_group", "q43_percentiles",
     "q46_distinct_counts", "q54_json_props",
+    "q61_forecast_revenue", "q126_copurchase_pairs",
     "q62_returned_items", "q63_promo_revenue", "q64_large_orders",
     "q65_brand_revenue_bands", "q66_supplier_breadth",
     "q67_dormant_customers", "q91_equidepth_hist",

@@ -632,6 +632,31 @@ def main() -> int:
 
     run("cdc_apply", lambda: cdc(False), lambda: cdc(True))
 
+    # distribution-moment features (q213): one map-side-combined
+    # groupBy of five power sums — scan-speed
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features,
+    )
+
+    def moments(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return ts_features.moment_features(
+            ev.filter(F.col("value").isNotNull()), "user_id",
+            "value").count()
+
+    run("moment_features", lambda: moments(False), lambda: moments(True))
+
+    # Apriori frequent triples (q214): basket-keyed double self-join
+    # after the level-1 prune — work tracks Σ C(basket_size, 3)
+    def triples(path_based):
+        li = (spark.read.parquet(staged["lineitem"]) if path_based
+              else load_table(spark, sf_dir, "lineitem"))
+        return relational.frequent_triples(
+            li, "l_orderkey", "l_partkey").count()
+
+    run("frequent_triples", lambda: triples(False), lambda: triples(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

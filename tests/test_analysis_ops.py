@@ -176,3 +176,50 @@ def test_repetition_ratio_detects_loops(spark):
     r = {x["doc_id"]: x["r"] for x in per}
     assert r[1] > 0.9   # looped text: almost all trigrams repeat
     assert r[2] == 0.0  # all-unique text: no repetition
+
+
+def test_moment_features_match_python_reference(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        moment_features,
+    )
+
+    vals = [1.0, 2.0, 2.0, 3.0, 7.0, 9.0, 4.5, 0.5]
+    df = spark.createDataFrame([(1, v) for v in vals], "g long, v double")
+    r = moment_features(df, "g", "v").first()
+
+    q = [round(v * 10000) for v in vals]          # the operator's quantization
+    n = len(q)
+    m = sum(q) / n
+    var = sum(x * x for x in q) / n - m * m
+    skew = (sum(x ** 3 for x in q) / n - 3 * m * (sum(x * x for x in q) / n)
+            + 2 * m ** 3) / (var * var ** 0.5)
+    kurt = (sum(x ** 4 for x in q) / n - 4 * m * (sum(x ** 3 for x in q) / n)
+            + 6 * m * m * (sum(x * x for x in q) / n) - 3 * m ** 4) \
+        / (var * var) - 3.0
+    assert r["n"] == n
+    assert abs(r["mean"] - m / 10000.0) < 1e-6
+    assert abs(r["variance"] - var / 1e8) < 1e-6
+    assert abs(r["skewness"] - skew) < 1e-5
+    assert abs(r["kurtosis"] - kurt) < 1e-5
+
+    # constant group: undefined shape moments -> excluded
+    const = spark.createDataFrame([(2, 5.0)] * 4, "g long, v double")
+    assert moment_features(const, "g", "v").count() == 0
+
+
+def test_frequent_triples_known_baskets(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.relational import (
+        frequent_triples,
+    )
+
+    baskets = [
+        (1, 10), (1, 20), (1, 30),          # {10,20,30}
+        (2, 10), (2, 20), (2, 30), (2, 40),  # {10,20,30,40}
+        (3, 10), (3, 20), (3, 50),           # 50 appears once -> pruned
+    ]
+    df = spark.createDataFrame(baskets, "bk long, it long")
+    got = {(r["item_a"], r["item_b"], r["item_c"]): r["support"]
+           for r in frequent_triples(df, "bk", "it").collect()}
+    # only {10,20,30} reaches support 2; triples with 40 or 50 have
+    # support 1 and must be absent
+    assert got == {(10, 20, 30): 2}

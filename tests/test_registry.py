@@ -38,7 +38,7 @@ def test_canaries_and_round6_promotions_keep_their_slots():
     relational/TPC-H block whose last green driver row is rounds 1-2
     (every round-3-to-5-green query may yield its slot)."""
     head = set(registry._PRIORITY[:50])
-    # q183-q212 (6 + 24 round-6 additions) + 6 canaries = 36 slots;
+    # q183-q214 (6 + 26 round-6 additions) + 6 canaries = 38 slots;
     # the whole never-witnessed tier must sit in the first 40 so the
     # driver budget reaches it even if the sweep is cut short
     first_half = set(registry._PRIORITY[:40])
@@ -63,17 +63,16 @@ def test_canaries_and_round6_promotions_keep_their_slots():
         "q207_corr_matrix", "q208_ts_backtest",
         "q209_constraint_audit", "q210_cdc_apply",
         "q211_orc_roundtrip", "q212_gdpr_erasure",
+        "q213_moment_features", "q214_frequent_triples",
     }
     stale_r1_r2 = {
         "q26_pricing_summary", "q28_top_customers",
         "q42_semi_anti_join",
         "q44_profit_by_nation_brand",
         "q49_range_join", "q50_shipping_priority",
-        "q61_forecast_revenue",
         "q68_grouping_sets", "q30_asof_join", "q82_pivot_unpivot",
         "q95_late_order_priority", "q96_top_supplier",
         "q100_volume_shipping",
-        "q126_copurchase_pairs",
     }
     assert canaries <= head
     assert never_witnessed <= first_half
