@@ -515,9 +515,12 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
         ssa = F.col(f"ss_{a}").cast("double")
         ssb = F.col(f"ss_{b}").cast("double")
         sab = F.col(f"sp_{a}_{b}").cast("double")
-        r = ((n * sab - sa * sb)
-             / F.sqrt((n * ssa - sa * sa) * (n * ssb - sb * sb)))
-        return F.floor(r * 1_000_000 + F.lit(0.5)) / 1_000_000
+        den = (n * ssa - sa * sa) * (n * ssb - sb * sb)
+        r = (n * sab - sa * sb) / F.sqrt(den)
+        # a constant column makes den 0 and r NaN; floor(NaN) throws
+        # under ANSI, so the undefined correlation is NULL by contract
+        return F.when(den > 0,
+                      F.floor(r * 1_000_000 + F.lit(0.5)) / 1_000_000)
 
     rows = F.array(*[
         F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
@@ -538,15 +541,20 @@ def _corr_oracle(cols=_CORR_COLS) -> str:
     prods = ",\n             ".join(
         f"CAST(sum({qs[a]} * {qs[b]}) AS HUGEINT) AS sp_{a}_{b}"
         for a, b in pairs)
+    def den(a: str, b: str) -> str:
+        return (f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))")
+
     sel = "\n    UNION ALL\n".join(f"""
     SELECT n, '{a}' AS col_a, '{b}' AS col_b,
-           floor((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
-                  - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
-                 / sqrt((CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)
-                         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
-                        * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)
-                           - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)))
-                 * 1000000 + 0.5) / 1000000 AS corr
+           CASE WHEN {den(a, b)} > 0 THEN
+             floor((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+                    - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                   / sqrt({den(a, b)})
+                   * 1000000 + 0.5) / 1000000
+           END AS corr
     FROM stats""" for a, b in pairs)
     return f"""
     WITH stats AS (

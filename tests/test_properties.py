@@ -237,3 +237,83 @@ def test_rollup_merge_any_split_equals_one_shot(vals, cut):
     merged = {r["bucket"]: (r["n_events"], r["sum_cents"])
               for r in merged_df.collect()}
     assert merged == one
+
+
+@settings(max_examples=6, deadline=None)
+@given(cols=st.lists(
+    st.lists(st.floats(min_value=-100, max_value=100, allow_nan=False,
+                       allow_infinity=False),
+             min_size=5, max_size=5),
+    min_size=8, max_size=20))
+def test_corr_matrix_matches_python_reference(cols):
+    """q207's sufficient-statistics correlations == the textbook
+    two-pass formula on the quantized values, for arbitrary data."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        corr_matrix,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    names = ["a", "b", "c", "d", "e"]
+    df = spark.createDataFrame(
+        [tuple(float(v) for v in row) for row in cols],
+        ", ".join(f"{n} double" for n in names))
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in corr_matrix(df, names).collect()}
+    q = [[math.floor(v * 100 + 0.5) for v in row] for row in cols]
+    n = len(q)
+    for i in range(5):
+        for j in range(i + 1, 5):
+            xs = [r[i] for r in q]
+            ys = [r[j] for r in q]
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            syy = sum(y * y for y in ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+            key = (names[i], names[j])
+            if den <= 0:
+                # constant column: corr undefined -> NULL by contract
+                assert got[key] is None
+                continue
+            ref = (n * sxy - sx * sy) / math.sqrt(den)
+            assert abs(got[key] - ref) < 2e-6, key
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(
+    st.lists(st.sampled_from("abcdef"), min_size=2, max_size=8),
+    min_size=2, max_size=12))
+def test_blocking_best_match_equals_bruteforce_within_blocks(texts):
+    """q197's blocked argmax == brute-force best Jaccard over the pairs
+    the blocking admits, with the (score desc, id asc) tie-break."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.linkage import (
+        blocking_best_match,
+    )
+
+    docs = [(i, " ".join(t), "en") for i, t in enumerate(texts)]
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    left = df.filter("doc_id % 2 = 0")
+    right = df.filter("doc_id % 2 = 1")
+    got = {r["left_id"]: (r["match_id"], r["score_ppm"]) for r in
+           blocking_best_match(left, right, "doc_id", "text", "lang",
+                               length_bucket=4).collect()}
+
+    def key(t):
+        return ("en", t[0], len(t) // 4)
+
+    def score(a, b):
+        inter = len(set(a) & set(b))
+        union = len(set(a)) + len(set(b)) - inter
+        return inter * 1_000_000 // union
+
+    expect = {}
+    for i, t in enumerate(texts):
+        if i % 2 != 0:
+            continue
+        cands = [(score(t, u), -j) for j, u in enumerate(texts)
+                 if j % 2 == 1 and key(u) == key(t)]
+        if cands:
+            s, nj = max(cands)
+            expect[i] = (-nj, s)
+    assert got == expect
