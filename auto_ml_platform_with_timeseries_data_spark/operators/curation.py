@@ -1759,8 +1759,15 @@ def domain_reweight(df: DataFrame, id_col: str, text_col: str,
                     F.expr("__s div n_docs").cast("long"))
         .withColumn(
             "excess_ppm",
-            F.floor((F.col("__s") / F.col("n_docs") - F.col("__gmean"))
-                    * 1_000_000 / F.col("__gmean")).cast("long"))
+            # a corpus whose every doc is scoreless (under 2 tokens)
+            # has gmean 0 — no hardness signal, excess is 0 by
+            # contract rather than a division-by-zero ANSI error
+            F.when(
+                F.col("__gmean") > 0,
+                F.floor((F.col("__s") / F.col("n_docs")
+                         - F.col("__gmean"))
+                        * 1_000_000 / F.col("__gmean")).cast("long"))
+            .otherwise(F.lit(0)).cast("long"))
         .withColumn(
             "factor_ppm",
             F.greatest(
@@ -1825,8 +1832,10 @@ _Q200_SCORE_CTE = """
     f AS (
       SELECT domain, n_docs, tokens,
              CAST(s // n_docs AS BIGINT) AS mean_neg_lp_micro,
-             CAST(floor((CAST(s AS DOUBLE) / n_docs - gmean)
-                        * 1000000 / gmean) AS BIGINT) AS excess_ppm
+             CAST(CASE WHEN gmean > 0 THEN
+               floor((CAST(s AS DOUBLE) / n_docs - gmean)
+                     * 1000000 / gmean)
+             ELSE 0 END AS BIGINT) AS excess_ppm
       FROM dom CROSS JOIN corpus),
     g AS (
       SELECT *, CAST(greatest(0, 1000000 +

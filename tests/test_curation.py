@@ -529,3 +529,21 @@ def test_k_anonymity_flags_small_groups(spark):
            k_anonymity_groups(df, ["nat", "seg"], k=8).collect()}
     assert got[(1, "A")]["suppress"] == 0
     assert got[(2, "B")]["suppress"] == 1 and got[(2, "B")]["group_count"] == 3
+
+
+def test_doremi_scoreless_corpus_is_uniform(spark):
+    """A corpus where every doc is under 2 tokens has no LM signal
+    (gmean 0): the reweight must return zero excess and the plain
+    token-share weight rather than raise a division error (ANSI)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        domain_reweight,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "", "a"), (2, "x", "a"), (3, "y", "b")],
+        "doc_id long, text string, src string")
+    rows = {r["domain"]: r for r in
+            domain_reweight(df, "doc_id", "text", "src").collect()}
+    assert all(r["excess_ppm"] == 0 for r in rows.values())
+    assert all(r["factor_ppm"] == 1_000_000 for r in rows.values())
+    assert abs(sum(r["weight_ppm"] for r in rows.values()) - 1_000_000) <= 2
