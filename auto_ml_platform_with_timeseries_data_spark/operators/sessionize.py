@@ -240,7 +240,9 @@ def zscore_outliers(df: DataFrame, group_col: str, ts_col: str,
     )
     mean = F.avg(value_col).over(w)
     sd = F.stddev_samp(value_col).over(w)
-    z = (F.col(value_col) - mean) / sd
+    # a constant trailing window has sd 0: no baseline spread means no
+    # outlier verdict (NULL z, filtered out) — and no ANSI divide error
+    z = F.when(sd > 0, (F.col(value_col) - mean) / sd)
     return (
         df.select(
             F.col(group_col), F.col(order_tiebreak), F.col(value_col),
@@ -257,7 +259,9 @@ def zscore_outliers(df: DataFrame, group_col: str, ts_col: str,
     SELECT user_id, event_id, value, trailing_mean, zscore FROM (
       SELECT user_id, event_id, value,
              ROUND(avg(value) OVER w, 6) AS trailing_mean,
-             ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS zscore
+             ROUND(CASE WHEN stddev_samp(value) OVER w > 0 THEN
+               (value - avg(value) OVER w) / stddev_samp(value) OVER w
+             END, 6) AS zscore
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)

@@ -47,8 +47,16 @@ def l2_norm(a: Column) -> Column:
     ))
 
 
+def _safe_ratio(num: Column, den: Column) -> Column:
+    """num/den, NULL when den is 0 — a zero-norm vector has no defined
+    cosine, and ANSI mode turns the bare division into a job-killing
+    error; NULL sorts last under desc() so degenerate vectors simply
+    drop out of every ranking."""
+    return F.when(den > 0, num / den)
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return _safe_ratio(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_topk_bruteforce(corpus: DataFrame, queries_df: DataFrame,
@@ -73,8 +81,8 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries_df: DataFrame,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot(F.col("__cv"), F.col("__qv"))
-             / (F.col("__cnorm") * F.col("__qnorm"))).alias("__cos"),
+            _safe_ratio(dot(F.col("__cv"), F.col("__qv")),
+                         F.col("__cnorm") * F.col("__qnorm")).alias("__cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -201,8 +209,10 @@ def cosine_topk_srp(corpus: DataFrame, queries_df: DataFrame, id_col: str,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot(F.col("__neighborv"), F.col("__queryv"))
-             / (F.col("__neighbornorm") * F.col("__querynorm"))).alias("__cos"),
+            _safe_ratio(
+                dot(F.col("__neighborv"), F.col("__queryv")),
+                F.col("__neighbornorm") * F.col("__querynorm"))
+            .alias("__cos"),
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("__cos").alias("__cos"))
@@ -550,8 +560,8 @@ def cosine_topk_ivf(corpus: DataFrame, queries_df: DataFrame, id_col: str,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot(F.col("__cv"), F.col("__qv"))
-             / (F.col("__cnorm") * F.col("__qnorm"))).alias("__cos"),
+            _safe_ratio(dot(F.col("__cv"), F.col("__qv")),
+                         F.col("__cnorm") * F.col("__qnorm")).alias("__cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
@@ -1034,8 +1044,8 @@ def cosine_topk_signbucket(corpus: DataFrame, queries_df: DataFrame,
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot(F.col("__cv"), F.col("__qv"))
-             / (F.col("__cnorm") * F.col("__qnorm"))).alias("__cos"),
+            _safe_ratio(dot(F.col("__cv"), F.col("__qv")),
+                         F.col("__cnorm") * F.col("__qnorm")).alias("__cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))

@@ -130,3 +130,17 @@ def test_zscore_flags_planted_spike(spark):
         rows, "user_id long, event_id long, ts timestamp, value double")
     got = zscore_outliers(df, "user_id", "ts", "event_id", "value").collect()
     assert [r["event_id"] for r in got] == [30]
+
+
+def test_zscore_constant_window_flags_nothing(spark):
+    """A constant trailing window has zero spread: no outlier verdict,
+    no ANSI divide error — even when a new value finally deviates the
+    z-score is NULL until the window has spread."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.sessionize import (
+        zscore_outliers,
+    )
+
+    rows = [(1, i, 5.0) for i in range(10)] + [(1, 10, 99.0)]
+    df = spark.createDataFrame(rows, "g long, ts long, v double")
+    out = zscore_outliers(df, "g", "ts", "ts", "v")
+    assert out.count() == 0

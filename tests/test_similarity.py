@@ -282,3 +282,21 @@ def test_margin_mining_matches_python_reference(spark):
     assert got == expect
     # every source's true partner is mined (planted alignment)
     assert all((2 * i, 2 * i + 1) in got for i in range(6))
+
+
+def test_zero_norm_vectors_drop_from_rankings(spark):
+    """A zero vector has no defined cosine: it scores NULL (never an
+    ANSI divide error) and sorts after every real neighbor."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    rows = cosine_topk_bruteforce(vecs, vecs, "vec_id", "embedding",
+                                  k=2).collect()
+    q1 = sorted([r for r in rows if r["query_id"] == 1],
+                key=lambda r: r["rank"])
+    assert q1[0]["neighbor_id"] == 2          # real neighbor outranks
+    assert q1[1]["neighbor_id"] == 3 and q1[1]["cosine"] is None
