@@ -646,8 +646,12 @@ def ks_two_sample(df: DataFrame, value_col: str, group_col: str,
         F.sum("__ca").over(wt).alias("__na"),
         F.sum("__cb").over(wt).alias("__nb"),
     )
-    gap = F.abs(F.col("__cuma").cast("double") / F.col("__na")
-                - F.col("__cumb").cast("double") / F.col("__nb"))
+    # an empty sample has no ECDF: the statistic is NULL by contract
+    # (never an ANSI divide error) when either group is missing
+    gap = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        F.abs(F.col("__cuma").cast("double") / F.col("__na")
+              - F.col("__cumb").cast("double") / F.col("__nb")))
     return m.agg(
         (F.floor(F.max(gap) * 1e6 + F.lit(0.5)) / 1e6).alias("ks"),
         F.max("__na").alias("n_a"),

@@ -67,7 +67,12 @@ def acf(df: DataFrame, group: str, order: str, value: str,
     ).select(
         group,
         F.col("lag").cast("int").alias("lag"),
-        F.round(F.col("__num") / F.col("__num0"), round_to).alias("acf"),
+        # a constant series has zero variance: its autocorrelation is
+        # undefined (statsmodels returns NaN) — NULL here, never an
+        # ANSI divide error
+        F.round(F.when(F.col("__num0") > 0,
+                       F.col("__num") / F.col("__num0")),
+                round_to).alias("acf"),
     )
 
 
@@ -158,7 +163,8 @@ def _acf_oracle() -> str:
         for k in range(1, _ACF_LAGS + 1)
     )
     unions = " UNION ALL ".join(
-        f"SELECT user_id, {k} AS lag, ROUND(num{k} / num0, 6) AS acf FROM a"
+        f"SELECT user_id, {k} AS lag, ROUND(CASE WHEN num0 > 0 THEN"
+        f" num{k} / num0 END, 6) AS acf FROM a"
         for k in range(1, _ACF_LAGS + 1)
     )
     return f"""
@@ -169,7 +175,8 @@ def _acf_oracle() -> str:
                  sum((value - mean) * (value - mean)) AS num0,
                  {num_aggs}
           FROM l JOIN m USING (user_id) GROUP BY l.user_id)
-    SELECT user_id, 0 AS lag, ROUND(num0 / num0, 6) AS acf FROM a
+    SELECT user_id, 0 AS lag,
+           ROUND(CASE WHEN num0 > 0 THEN num0 / num0 END, 6) AS acf FROM a
     UNION ALL {unions}
     """
 

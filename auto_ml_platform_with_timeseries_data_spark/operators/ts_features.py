@@ -558,7 +558,11 @@ def group_ols(df: DataFrame, key: str, ts_col: str, value_col: str,
     sy = F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx = F.col("sxx").cast("double")
-    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # a group with a single timestamp (or one row) has a singular
+    # normal equation (n*sxx == sx^2): slope/intercept are NULL by
+    # contract, never an ANSI divide error
+    den = n * sxx - sx * sx
+    beta = F.when(den > 0, (n * sxy - sx * sy) / den)
     alpha = (sy - beta * sx) / n
     r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     return agg.select(
@@ -588,13 +592,17 @@ def group_ols(df: DataFrame, key: str, ts_col: str, value_col: str,
       FROM b GROUP BY user_id
     )
     SELECT user_id, n,
+           CASE WHEN n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
            floor(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                 * 86400.0 * 1e6 + 0.5) / 1e6 AS slope_per_day,
+                 * 86400.0 * 1e6 + 0.5) / 1e6 END AS slope_per_day,
+           CASE WHEN n * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0 THEN
            floor(((CAST(sy AS DOUBLE)
                    - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                       / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                     * CAST(sx AS DOUBLE)) / n) * 1e6 + 0.5) / 1e6 AS intercept
+                     * CAST(sx AS DOUBLE)) / n) * 1e6 + 0.5) / 1e6 END AS intercept
     FROM a
     """,
 )

@@ -223,3 +223,29 @@ def test_frequent_triples_known_baskets(spark):
     # only {10,20,30} reaches support 2; triples with 40 or 50 have
     # support 1 and must be absent
     assert got == {(10, 20, 30): 2}
+
+
+def test_group_ols_singular_design_is_null(spark):
+    """All observations at one timestamp: the normal equation is
+    singular -> NULL slope/intercept, never an ANSI divide error."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        group_ols,
+    )
+
+    rows = [(1, dt.datetime(2024, 1, 1), float(i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "g long, ts timestamp, v double")
+    r = group_ols(df, "g", "ts", "v").first()
+    assert r["slope_per_day"] is None and r["intercept"] is None
+
+
+def test_ks_missing_group_is_null(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        ks_two_sample,
+    )
+
+    df = spark.createDataFrame([("a", float(i)) for i in range(5)],
+                               "grp string, v double")
+    r = ks_two_sample(df, "v", "grp", "a", "b").first()
+    assert r["ks"] is None and r["n_b"] == 0

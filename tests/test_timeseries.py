@@ -104,3 +104,19 @@ if HAVE_HYP:
         df = _series_df(spark, {"g": [float(i) for i in range(n)]})
         cnt = ts.sliding_windows(df, "g", "t", ["v"], "v", lb).count() if n else 0
         assert cnt == max(0, n - lb)
+
+
+def test_acf_constant_series_is_null_not_error(spark):
+    """Zero-variance series: autocorrelation undefined (statsmodels
+    NaN) -> NULL at every lag, never an ANSI divide error."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.timeseries import (
+        acf,
+    )
+
+    rows = [(1, dt.datetime(2024, 1, 1, 0, i), 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "g long, ts timestamp, v double")
+    out = acf(df, "g", "ts", "v", max_lag=3).collect()
+    assert len(out) == 4
+    assert all(r["acf"] is None for r in out)
