@@ -97,9 +97,13 @@ def histogram(df: DataFrame, col: str, nbins: int = 10) -> DataFrame:
     """
     stats = df.agg(F.min(col).alias("__mn"), F.max(col).alias("__mx"))
     x, mn, mx = F.col(col), F.col("__mn"), F.col("__mx")
-    bucket = F.least(
-        F.floor((x - mn) * nbins / (mx - mn)).cast("int"), F.lit(nbins - 1)
-    )
+    # constant column: zero span puts everything in bin 0 (numpy's
+    # behavior for constant data), instead of an ANSI divide error
+    bucket = F.when(
+        mx > mn,
+        F.least(F.floor((x - mn) * nbins / (mx - mn)).cast("int"),
+                F.lit(nbins - 1)),
+    ).otherwise(F.lit(0))
     return (
         df.select(col)
         .crossJoin(F.broadcast(stats))
@@ -142,9 +146,11 @@ def histogram_auto(df: DataFrame, col: str) -> DataFrame:
     fd = F.when(iqr > 0, F.ceil((mx - mn) / fd_width)).otherwise(F.lit(0))
     nbins = F.greatest(sturges, fd).cast("int")
     x = F.col(col)
-    bucket = F.least(
-        F.floor((x - mn) * nbins / (mx - mn)).cast("int"), nbins - 1
-    )
+    bucket = F.when(
+        mx > mn,
+        F.least(F.floor((x - mn) * nbins / (mx - mn)).cast("int"),
+                nbins - 1),
+    ).otherwise(F.lit(0))
     return (
         df.select(col)
         .crossJoin(F.broadcast(stats))

@@ -64,9 +64,14 @@ def standard_scale(train: DataFrame, apply_to: DataFrame,
     )
     out = apply_to.crossJoin(F.broadcast(stats))
     for c in features:
+        # constant train column: sigma 0 -> scaled value NULL by
+        # contract (sklearn emits 0 there; NULL keeps "no information"
+        # visible), never an ANSI divide error
         out = out.withColumn(
-            f"{c}_scaled", (F.col(c) - F.col(f"__mu_{c}")) / F.col(f"__sigma_{c}")
-        )
+            f"{c}_scaled",
+            F.when(F.col(f"__sigma_{c}") > 0,
+                   (F.col(c) - F.col(f"__mu_{c}"))
+                   / F.col(f"__sigma_{c}")))
     return out.drop(*[f"__mu_{c}" for c in features],
                     *[f"__sigma_{c}" for c in features])
 
@@ -82,8 +87,9 @@ def min_max_scale(train: DataFrame, apply_to: DataFrame,
     for c in features:
         out = out.withColumn(
             f"{c}_scaled",
-            (F.col(c) - F.col(f"__mn_{c}"))
-            / (F.col(f"__mx_{c}") - F.col(f"__mn_{c}")),
+            F.when(F.col(f"__mx_{c}") > F.col(f"__mn_{c}"),
+                   (F.col(c) - F.col(f"__mn_{c}"))
+                   / (F.col(f"__mx_{c}") - F.col(f"__mn_{c}"))),
         )
     return out.drop(*[f"__mn_{c}" for c in features],
                     *[f"__mx_{c}" for c in features])

@@ -37,7 +37,10 @@ def test_standard_scale_round_trip(xs):
     mu = sum(xs) / n
     sigma = math.sqrt(sum((v - mu) ** 2 for v in xs) / n)
     if sigma == 0:
-        return  # constant column: (x−μ)/σ undefined, contract is NaN/null
+        # constant column: (x−μ)/σ undefined -> NULL by contract
+        out = scaling.standard_scale(df, df, ["x"]).collect()
+        assert all(r["x_scaled"] is None for r in out)
+        return
     out = scaling.standard_scale(df, df, ["x"]).collect()
     for r in out:
         assert math.isclose(r["x_scaled"] * sigma + mu, r["x"],
@@ -54,7 +57,10 @@ def test_min_max_scale_bounds_and_round_trip(xs):
     df = spark.createDataFrame([(float(v),) for v in xs], "x double")
     lo, hi = min(xs), max(xs)
     if hi == lo:
-        return  # degenerate range: division by zero, contract is NaN/null
+        # degenerate range -> NULL by contract
+        out = scaling.min_max_scale(df, df, ["x"]).collect()
+        assert all(r["x_scaled"] is None for r in out)
+        return
     out = scaling.min_max_scale(df, df, ["x"]).collect()
     for r in out:
         assert -1e-12 <= r["x_scaled"] <= 1 + 1e-12
