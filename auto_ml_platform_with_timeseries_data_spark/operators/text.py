@@ -63,10 +63,13 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
         F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("double") / n_tok
     )
     len_score = F.least(n_tok.cast("double"), F.lit(200.0)) / F.lit(200.0)
-    alpha_ratio = (
+    # an empty document has zero normalized length: alpha ratio is 0
+    # by contract (no signal), never an ANSI divide error
+    alpha_ratio = F.when(
+        F.length(norm) > 0,
         F.length(F.regexp_replace(norm, r"[^a-z]", "")).cast("double")
-        / F.length(norm)
-    )
+        / F.length(norm),
+    ).otherwise(F.lit(0.0))
     return df.select(
         F.col(id_col),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -275,3 +275,16 @@ def test_url_normalize_canonical_key(spark):
     assert got[1]["norm_url"] == "http://site.com/a/b/?id=7"
     assert got[1]["norm_url"] == got[2]["norm_url"]   # same canonical key
     assert got[1]["host"] == "site.com"
+
+
+def test_quality_score_empty_doc_is_zero_alpha(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        quality_score,
+    )
+
+    df = spark.createDataFrame([(1, ""), (2, "the cat")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            quality_score(df, "doc_id", "text").collect()}
+    assert rows[1]["alpha_ratio"] == 0.0      # no ANSI divide error
+    assert rows[2]["alpha_ratio"] > 0.5
