@@ -480,7 +480,8 @@ def triangle_counts(edges: DataFrame, a_col: str = "a",
 
 _COPURCHASE_EDGES = """
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM lineitem a JOIN lineitem b
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2
       HAVING count(*) >= 2
@@ -508,8 +509,11 @@ def q202_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-part triangle counts over the ≥2-shared-orders co-purchase
     graph: compact-forward wedge join vs the oracle's naive x<y<z
     three-way join — identical triangle multiset, every vertex row
-    value-hash-checked."""
-    li = load_table(spark, sf_dir, "lineitem")
+    value-hash-checked. (order, part) rows are deduped before the
+    pair self-join so the ≥2 support counts DISTINCT shared orders —
+    an order repeating the same part must not mint an edge alone."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
     edges = (li.alias("x").join(
         li.alias("y"),
         (F.col("x.l_orderkey") == F.col("y.l_orderkey")) &

@@ -1590,8 +1590,9 @@ def q194_video_neardup_banded(spark: SparkSession,
     (certified movi-walk), dHash every frame through the real BMP
     decode, widen the 5-frame sequence into ten 32-bit signature
     columns, and run the generic `hamming_band_pairs` over all 320
-    bits (20 bands — pigeonhole-exact recall for clip-total distance
-    ≤ 19, far past the ≤4 threshold). Identical clips pair at 0;
+    bits (2 bands per 32-bit column × 10 columns = 40 bands —
+    pigeonhole-exact recall for clip-total distance ≤ 39, far past
+    the ≤4 threshold). Identical clips pair at 0;
     one-frame re-encodes pair within the budget; reordered or re-cut
     clips do not pair (frame position lives in the column identity).
     The oracle recomputes every per-frame fingerprint arithmetically

@@ -834,6 +834,10 @@ def frequent_triples(baskets: DataFrame, basket_col: str, item_col: str,
     step (sound — no frequent triple is lost). The triple enumeration
     is then a basket-keyed double self-join with ordered items
     (a<b<c, each triple generated exactly once) and a count filter.
+    (basket, item) rows are DEDUPED before the join — a basket that
+    repeats an item (lineitem does repeat partkeys within an order)
+    must still contribute exactly ONE row per triple, so support
+    counts baskets, not row combinations.
     At 100 TB the prune is what keeps the join tractable: the long
     tail of once-seen items (most of a real catalog) never enters;
     what remains shuffles on the basket key it is already grouped by."""
@@ -843,7 +847,8 @@ def frequent_triples(baskets: DataFrame, basket_col: str, item_col: str,
                   .select(item_col))
     li = (baskets.join(F.broadcast(freq_items), item_col, "leftsemi")
           .select(F.col(basket_col).alias("__bk"),
-                  F.col(item_col).alias("__it")))
+                  F.col(item_col).alias("__it"))
+          .distinct())
     a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
     return (
         a.join(b, (F.col("a.__bk") == F.col("b.__bk")) &
@@ -867,7 +872,7 @@ def frequent_triples(baskets: DataFrame, basket_col: str, item_col: str,
       SELECT it FROM li GROUP BY it
       HAVING count(DISTINCT bk) >= 2
     ),
-    f AS (SELECT bk, it FROM li WHERE it IN (SELECT it FROM freq))
+    f AS (SELECT DISTINCT bk, it FROM li WHERE it IN (SELECT it FROM freq))
     SELECT a.it AS item_a, b.it AS item_b, c.it AS item_c,
            CAST(count(*) AS BIGINT) AS support
     FROM f a

@@ -811,6 +811,64 @@ def rollup_merge(prev: DataFrame, delta: DataFrame) -> DataFrame:
                  F.sum("sum_cents").alias("sum_cents")))
 
 
+def rollup_versions(state_root: str) -> dict[int, str]:
+    """COMPLETE rollup versions on disk: ``epoch=N`` directories under
+    ``state_root`` whose parquet commit marker (``_SUCCESS``) exists.
+
+    This is the recovery source of truth — NOT driver memory. After a
+    driver restart, a replayed epoch must still find its predecessor to
+    merge against, and the epoch directories are the only state that
+    survives the restart. Listing also excludes torn writes: a crash
+    mid-write leaves a directory without ``_SUCCESS``, which a replay
+    then overwrites atomically-enough (mode=overwrite clears it first).
+    The listing is O(#epochs) driver-side names — bounded by the
+    retention policy, never by data size."""
+    import os
+
+    versions: dict[int, str] = {}
+    try:
+        names = os.listdir(state_root)
+    except OSError:
+        return versions
+    for name in names:
+        if not name.startswith("epoch="):
+            continue
+        try:
+            eid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        path = os.path.join(state_root, name)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            versions[eid] = path
+    return versions
+
+
+def rollup_merge_epoch(spark_or_bdf_session, bdf: DataFrame,
+                       epoch_id: int, state_root: str) -> str:
+    """One micro-batch step of the maintained rollup: aggregate the
+    batch, merge with the newest on-disk predecessor version, write
+    ``epoch={epoch_id}``. Returns the written path. Restart-safe by
+    construction — the predecessor comes from ``rollup_versions``
+    (disk), so a replay after driver loss re-merges against the same
+    predecessor it used the first time and overwrites its OWN
+    directory: idempotent per epoch."""
+    import os
+
+    sp = spark_or_bdf_session
+    delta = rollup_partial(bdf)
+    # previous version = the newest COMPLETE epoch STRICTLY BELOW this
+    # one — not simply "the last write": a replayed epoch must merge
+    # against its predecessor again, never against its own earlier
+    # output (which would double-count the batch)
+    versions = rollup_versions(state_root)
+    prev = [e for e in versions if e < epoch_id]
+    if prev:
+        delta = rollup_merge(sp.read.parquet(versions[max(prev)]), delta)
+    out = os.path.join(state_root, f"epoch={epoch_id}")
+    delta.write.mode("overwrite").parquet(out)
+    return out
+
+
 @query(
     "q204_stream_continuous_aggregate",
     oracle="""
@@ -836,14 +894,18 @@ def q204_stream_continuous_aggregate(spark: SparkSession,
       replayed epoch re-reads the same previous version and overwrites
       its OWN directory — the merge is idempotent per epoch (the q149
       sink pattern applied to stateful maintenance, hardening the
-      append-only caveat q182 documents).
+      append-only caveat q182 documents). The predecessor lookup reads
+      the ON-DISK ``epoch=*`` listing (``rollup_versions``), not driver
+      memory, so the guarantee survives a real driver RESTART with
+      checkpoint recovery: the replayed batch still finds its
+      predecessor (tests/test_streaming.py simulates this with a fresh
+      stream + checkpoint over the same state_root).
     - Bounded state: each version holds one row per bucket — the
       retention window's bucket count, never the event count. A late
       row ADDS into its existing bucket (sum/count merge algebra), the
       same late-data semantics q196 proves for the batch refresh.
     Serving reads always hit the newest complete version — snapshot
     isolation for free from immutable epoch directories."""
-    import os
     import uuid
 
     from auto_ml_platform_with_timeseries_data_spark.staging import (
@@ -854,22 +916,9 @@ def q204_stream_continuous_aggregate(spark: SparkSession,
     stage_dir = _staged_event_batches(spark, sf_dir)
     state_root = staging_dir("stream_cagg")       # wiped per invocation
     ckpt = staging_dir("stream_cagg_ckpt")
-    versions: dict[int, str] = {}
 
     def merge(bdf: DataFrame, epoch_id: int) -> None:
-        sp = bdf.sparkSession
-        delta = rollup_partial(bdf)
-        # previous version = the newest epoch STRICTLY BELOW this one —
-        # not simply "the last write": a replayed epoch must merge
-        # against its predecessor again, never against its own earlier
-        # output (which would double-count the batch)
-        prev = [e for e in versions if e < epoch_id]
-        if prev:
-            delta = rollup_merge(sp.read.parquet(versions[max(prev)]),
-                                 delta)
-        out = os.path.join(state_root, f"epoch={epoch_id}")
-        delta.write.mode("overwrite").parquet(out)
-        versions[epoch_id] = out
+        rollup_merge_epoch(bdf.sparkSession, bdf, epoch_id, state_root)
 
     stream = (
         spark.readStream.schema(ev.schema)
@@ -882,6 +931,7 @@ def q204_stream_continuous_aggregate(spark: SparkSession,
          .start())
     q.processAllAvailable()
     q.stop()
+    versions = rollup_versions(state_root)
     return spark.read.parquet(versions[max(versions)]).select(
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         F.col("n_events").cast("long").alias("n_events"),

@@ -226,3 +226,51 @@ def test_rollup_merge_is_associative_and_late_data_adds(spark):
     for k in one_shot:
         assert merged[k]["n_events"] == one_shot[k]["n_events"]
         assert merged[k]["sum_cents"] == one_shot[k]["sum_cents"]
+
+
+def test_rollup_survives_driver_restart_and_replay(spark, tmp_path):
+    """q204's restart contract: the predecessor version is discovered
+    from the ON-DISK epoch=* listing, so a driver restart (all Python
+    state gone) followed by an at-least-once REPLAY of the in-flight
+    epoch still converges to the one-shot rollup. Torn writes (an
+    epoch directory without _SUCCESS) are invisible to recovery."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.streaming.events import (
+        rollup_merge_epoch,
+        rollup_partial,
+        rollup_versions,
+    )
+
+    root = str(tmp_path / "cagg_state")
+    os.makedirs(root)
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    batches = [
+        [(t(0, 5), 1.0), (t(0, 10), 2.0)],
+        [(t(1, 5), 4.0), (t(0, 55), 8.0)],   # late row into bucket 0
+        [(t(2, 5), 16.0), (t(1, 30), 32.0)],
+    ]
+    dfs = [spark.createDataFrame(rows, "ts timestamp, value double")
+           for rows in batches]
+
+    # first driver lifetime: epochs 0 and 1 land
+    rollup_merge_epoch(spark, dfs[0], 0, root)
+    rollup_merge_epoch(spark, dfs[1], 1, root)
+
+    # --- driver restart: nothing Python-side survives; the module
+    # functions carry no dict, so calling them again IS the restarted
+    # driver. Checkpoint recovery replays the in-flight epoch 1 first.
+    rollup_merge_epoch(spark, dfs[1], 1, root)   # at-least-once replay
+    rollup_merge_epoch(spark, dfs[2], 2, root)
+
+    # a torn write from a crash must not be served or merged
+    os.makedirs(os.path.join(root, "epoch=9"))
+    versions = rollup_versions(root)
+    assert set(versions) == {0, 1, 2}
+
+    got = {str(r["bucket"]): (r["n_events"], r["sum_cents"])
+           for r in spark.read.parquet(versions[2]).collect()}
+    ev = dfs[0].unionByName(dfs[1]).unionByName(dfs[2])
+    want = {str(r["bucket"]): (r["n_events"], r["sum_cents"])
+            for r in rollup_partial(ev).collect()}
+    assert got == want and len(got) == 3
