@@ -70,6 +70,24 @@ HEADLINE = [
     "q122_window_heavy_hitters",
     "q123_rolling_median",
     "q124_group_ols",
+    # post-round-2 tier (added round 7, VERDICT r6 #1): the curation /
+    # lakehouse / perceptual-dedup / governance surface under the same
+    # per-round 2x wall-clock regression gate as the original 49
+    "q154_incremental_dedup",
+    "q162_incremental_neardup",
+    "q163_token_budget_head",
+    "q167_gopher_gate",
+    "q168_stratified_token_head",
+    "q169_curation_pipeline",
+    "q173_scd2_dimension",
+    "q186_image_dhash_dedup",
+    "q189_image_neardup_banded",
+    "q190_exact_substr_rewrite",
+    "q196_continuous_aggregate",
+    "q202_triangle_count",
+    "q207_corr_matrix",
+    "q210_cdc_apply",
+    "q214_frequent_triples",
 ]
 
 
