@@ -1837,3 +1837,407 @@ def q177_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
     return margin_mine_pairs(src, tgt, "vec_id", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance — assign NEW vectors to the EXISTING
+# trained cells/codebooks, append to the index, and certify drift.
+# The q154→q165→q182 incremental story applied to vectors (VERDICT r6
+# "Next round" #4): a rolling crawl adds embeddings continuously; the
+# index must absorb them WITHOUT retraining, and a cheap certificate
+# must say when retraining has become necessary.
+# ---------------------------------------------------------------------------
+
+_APPEND_DELTA_HI = 100   # vec_id < 100 — the newly crawled batch
+_APPEND_IVF_LO = 100     # injected IVF codebook = corpus vectors [100, 108)
+_APPEND_PQ_LO = 120      # injected PQ seeds = corpus vectors [120, 136)
+_APPEND_PQ_KSUB = 16
+_DRIFT_RES_MARGIN_PPM = 50_000     # retrain if Δ mean residual > +0.05
+_DRIFT_SHARE_MARGIN_PPM = 200_000  # or occupancy share shifts > ±20pp
+
+
+def ivf_append(base: DataFrame, delta: DataFrame, id_col: str, vec_col: str,
+               centroids,
+               res_margin_ppm: int = _DRIFT_RES_MARGIN_PPM,
+               share_margin_ppm: int = _DRIFT_SHARE_MARGIN_PPM):
+    """Append a crawl batch to an EXISTING IVF index: assign the new
+    vectors to the already-trained cells (one Arrow argmax pass + one
+    broadcast centroid join — no k-means, no corpus rescan) and emit a
+    per-cell DRIFT CERTIFICATE that gates retraining.
+
+    Returns ``(index, certificate)``:
+
+    - ``index`` — (id, cell) rows for base ∪ delta; the delta rows are
+      the appended postings, the same shape ``cosine_topk_ivf`` probes.
+    - ``certificate`` — one row per cell: base/delta occupancy, mean
+      assignment residual (1 − cos to the owning centroid, in exact
+      ppm integers), the occupancy-share shift, and a ``retrain`` flag
+      that fires when the incoming batch's residual exceeds the base
+      residual by ``res_margin_ppm`` (the centroids no longer describe
+      the new data) or its occupancy share shifts by more than
+      ``share_margin_ppm`` (the data moved to different cells) — the
+      two classic IVF staleness signals.
+
+    100 TB design: the delta pass touches ONLY the new vectors; base
+    statistics are one map-side-combined aggregate over the (already
+    persisted) index joined back to its vectors — in production they
+    are maintained incrementally with the same additive algebra as
+    q204's rollup (count and residual-sum merge), so nothing here ever
+    rescans the corpus. Certificate state is |cells| rows. All
+    arithmetic past the cosine is BIGINT-exact: residuals quantize to
+    ppm once (round-half-up floor(x·1e6+0.5)), means are positive
+    integer divisions, shares are ppm integer divisions — the oracle
+    reproduces every value bit-for-bit."""
+    import numpy as np
+
+    spark = base.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    Cn = C / norms  # argmax(dot, unit rows) == argmax cosine
+    ncells = len(C)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(ncells)],
+        "cid int, __c array<double>")
+
+    tagged = (base.select(F.col(id_col), F.col(vec_col),
+                          F.lit(False).alias("__is_delta"))
+              .unionByName(delta.select(F.col(id_col), F.col(vec_col),
+                                        F.lit(True).alias("__is_delta"))))
+    index = _assign_cells(tagged, id_col, vec_col, Cn)
+    scored = (
+        tagged.join(index, id_col)
+        .join(F.broadcast(cent_df), F.col("cell") == F.col("cid"))
+        .select(
+            "cell", "__is_delta",
+            (F.lit(1000000) - F.floor(
+                cosine(_as_double(F.col(vec_col)), F.col("__c")) * 1e6
+                + F.lit(0.5))).cast("long").alias("__res_ppm"))
+    )
+    agg = scored.groupBy(F.col("cell").alias("cid")).agg(
+        F.sum(F.when(~F.col("__is_delta"), 1).otherwise(0))
+        .cast("long").alias("n_base"),
+        F.sum(F.when(F.col("__is_delta"), 1).otherwise(0))
+        .cast("long").alias("n_delta"),
+        F.sum(F.when(~F.col("__is_delta"), F.col("__res_ppm"))).alias("__sb"),
+        F.sum(F.when(F.col("__is_delta"), F.col("__res_ppm"))).alias("__sd"))
+    cells = spark.range(ncells).select(F.col("id").cast("int").alias("cid"))
+    w = Window.partitionBy(F.lit(0))
+    cert = (
+        cells.join(agg, "cid", "left")
+        .select("cid",
+                F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+                F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+                "__sb", "__sd")
+        .withColumn("__tb", F.sum("n_base").over(w))
+        .withColumn("__td", F.sum("n_delta").over(w))
+        .withColumn("base_res_ppm",
+                    F.when(F.col("n_base") > 0,
+                           F.expr("__sb div n_base")))
+        .withColumn("delta_res_ppm",
+                    F.when(F.col("n_delta") > 0,
+                           F.expr("__sd div n_delta")))
+        .withColumn("share_shift_ppm",
+                    F.expr("(n_delta * 1000000) div __td"
+                           " - (n_base * 1000000) div __tb"))
+        .withColumn(
+            "retrain",
+            (F.col("n_delta") > 0) &
+            (F.coalesce(
+                F.col("delta_res_ppm") >
+                F.col("base_res_ppm") + F.lit(res_margin_ppm),
+                F.lit(True)) |
+             (F.abs("share_shift_ppm") > F.lit(share_margin_ppm))))
+        .select("cid", "n_base", "n_delta", "base_res_ppm",
+                "delta_res_ppm", "share_shift_ppm", "retrain")
+    )
+    return index, cert
+
+
+def _ivf_append_oracle() -> str:
+    hi = _APPEND_IVF_LO + _IVF_TWIN_CELLS
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id - {_APPEND_IVF_LO} AS cid, v AS cv
+      FROM e WHERE vec_id >= {_APPEND_IVF_LO} AND vec_id < {hi}
+    ),
+    asg AS (
+      SELECT vec_id, cid, cos, vec_id < {_APPEND_DELTA_HI} AS is_delta
+      FROM (
+        SELECT e.vec_id, c.cid,
+               list_cosine_similarity(e.v, c.cv) AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+                 AS rk
+        FROM e, cent c
+      ) WHERE rk = 1
+    ),
+    r AS (
+      SELECT cid, is_delta,
+             1000000 - CAST(floor(cos * 1e6 + 0.5) AS BIGINT) AS res_ppm
+      FROM asg
+    ),
+    agg AS (
+      SELECT cid,
+             sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS n_delta,
+             sum(CASE WHEN NOT is_delta THEN res_ppm END) AS sb,
+             sum(CASE WHEN is_delta THEN res_ppm END) AS sd
+      FROM r GROUP BY cid
+    ),
+    cells AS (SELECT unnest(generate_series(0, {_IVF_TWIN_CELLS - 1}))
+                AS cid),
+    filled AS (
+      SELECT cells.cid,
+             CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(n_delta, 0) AS BIGINT) AS n_delta,
+             sb, sd,
+             sum(coalesce(n_base, 0)) OVER () AS tb,
+             sum(coalesce(n_delta, 0)) OVER () AS td
+      FROM cells LEFT JOIN agg ON cells.cid = agg.cid
+    )
+    SELECT cid, n_base, n_delta,
+           CAST(CASE WHEN n_base > 0 THEN sb // n_base END AS BIGINT)
+             AS base_res_ppm,
+           CAST(CASE WHEN n_delta > 0 THEN sd // n_delta END AS BIGINT)
+             AS delta_res_ppm,
+           CAST((n_delta * 1000000) // td - (n_base * 1000000) // tb
+             AS BIGINT) AS share_shift_ppm,
+           (n_delta > 0) AND (
+             coalesce(CASE WHEN n_delta > 0 THEN sd // n_delta END >
+                      CASE WHEN n_base > 0 THEN sb // n_base END
+                        + {_DRIFT_RES_MARGIN_PPM}, TRUE)
+             OR abs((n_delta * 1000000) // td - (n_base * 1000000) // tb)
+                  > {_DRIFT_SHARE_MARGIN_PPM}) AS retrain
+    FROM filled
+    """
+
+
+@query("q215_ivf_append", oracle=_ivf_append_oracle())
+def q215_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF maintenance: vectors vec_id < 100 arrive as the
+    crawl delta against the existing index (vec_id ≥ 100) whose
+    trained centroids are INJECTED as corpus vectors [100, 108) so the
+    oracle reproduces them (the q144 twin contract). Every certificate
+    value — occupancy, ppm residual means, share shift, retrain flag —
+    is integer-exact and value-hash-checked."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = _APPEND_IVF_LO + _IVF_TWIN_CELLS
+    rows = (
+        emb.filter((F.col("vec_id") >= _APPEND_IVF_LO) &
+                   (F.col("vec_id") < hi))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    cents = np.array([r[0] for r in rows], dtype=np.float64)
+    base = emb.filter(F.col("vec_id") >= _APPEND_DELTA_HI)
+    delta = emb.filter(F.col("vec_id") < _APPEND_DELTA_HI)
+    _, cert = ivf_append(base, delta, "vec_id", "embedding", cents)
+    return cert
+
+
+def pq_append(base: DataFrame, delta: DataFrame, id_col: str, vec_col: str,
+              codebooks,
+              err_margin_ppm: int = _DRIFT_RES_MARGIN_PPM,
+              share_margin_ppm: int = _DRIFT_SHARE_MARGIN_PPM):
+    """q215's append/certify contract for the PQ index: encode the new
+    vectors against the EXISTING per-subspace codebooks (one Arrow
+    argmin pass — no codebook retrain) and certify drift per
+    (subspace, codeword): occupancy, mean squared quantization error
+    of the unit subvectors (exact ppm integers), per-subspace
+    occupancy-share shift, and the retrain flag. Rising quantization
+    error on incoming data is THE standard PQ staleness signal — the
+    codebook stops describing the distribution before recall visibly
+    collapses downstream.
+
+    Returns ``(codes, certificate)`` — ``codes`` is the appended
+    compressed index (id, codes array), the ``cosine_topk_pq`` input
+    shape. Scale: delta-only encode, |nsub·ksub|-row certificate, and
+    base statistics maintainable by the same additive algebra as
+    q204's rollup."""
+    import numpy as np
+
+    spark = base.sparkSession
+    B = np.asarray(codebooks, dtype=np.float64)   # (nsub, ksub, subdim)
+    nsub, ksub, subdim = B.shape
+    cw_rows = [(s, j, [float(x) for x in B[s, j]])
+               for s in range(nsub) for j in range(ksub)]
+    cw_df = spark.createDataFrame(cw_rows, "s int, j int, __cw array<double>")
+
+    tagged = (base.select(F.col(id_col), F.col(vec_col),
+                          F.lit(False).alias("__is_delta"))
+              .unionByName(delta.select(F.col(id_col), F.col(vec_col),
+                                        F.lit(True).alias("__is_delta"))))
+    codes = pq_encode(tagged, id_col, vec_col, B)
+
+    norm = l2_norm(_as_double(F.col(vec_col)))
+    nz = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+    unit = F.transform(_as_double(F.col(vec_col)), lambda x: x / nz)
+    per_sub = (
+        tagged.join(codes, id_col)
+        .select("__is_delta", F.col("codes"), unit.alias("__u"))
+        .select("__is_delta",
+                F.posexplode("codes").alias("s", "j"),
+                F.col("__u"))
+        .join(F.broadcast(cw_df), ["s", "j"])
+        .select(
+            "s", "j", "__is_delta",
+            F.floor(F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("__u"), F.col("s") * subdim + 1, subdim),
+                    F.col("__cw"),
+                    lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0), lambda acc, x: acc + x) * 1e6 + F.lit(0.5))
+            .cast("long").alias("__err_ppm"))
+    )
+    agg = per_sub.groupBy("s", "j").agg(
+        F.sum(F.when(~F.col("__is_delta"), 1).otherwise(0))
+        .cast("long").alias("n_base"),
+        F.sum(F.when(F.col("__is_delta"), 1).otherwise(0))
+        .cast("long").alias("n_delta"),
+        F.sum(F.when(~F.col("__is_delta"), F.col("__err_ppm"))).alias("__sb"),
+        F.sum(F.when(F.col("__is_delta"), F.col("__err_ppm"))).alias("__sd"))
+    grid = (spark.range(nsub).select(F.col("id").cast("int").alias("s"))
+            .crossJoin(F.broadcast(
+                spark.range(ksub).select(F.col("id").cast("int")
+                                         .alias("j")))))
+    w = Window.partitionBy("s")
+    cert = (
+        grid.join(agg, ["s", "j"], "left")
+        .select("s", "j",
+                F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+                F.coalesce("n_delta", F.lit(0)).cast("long").alias("n_delta"),
+                "__sb", "__sd")
+        .withColumn("__tb", F.sum("n_base").over(w))
+        .withColumn("__td", F.sum("n_delta").over(w))
+        .withColumn("base_err_ppm",
+                    F.when(F.col("n_base") > 0, F.expr("__sb div n_base")))
+        .withColumn("delta_err_ppm",
+                    F.when(F.col("n_delta") > 0, F.expr("__sd div n_delta")))
+        .withColumn("share_shift_ppm",
+                    F.expr("(n_delta * 1000000) div __td"
+                           " - (n_base * 1000000) div __tb"))
+        .withColumn(
+            "retrain",
+            (F.col("n_delta") > 0) &
+            (F.coalesce(
+                F.col("delta_err_ppm") >
+                F.col("base_err_ppm") + F.lit(err_margin_ppm),
+                F.lit(True)) |
+             (F.abs("share_shift_ppm") > F.lit(share_margin_ppm))))
+        .select("s", "j", "n_base", "n_delta", "base_err_ppm",
+                "delta_err_ppm", "share_shift_ppm", "retrain")
+    )
+    return codes, cert
+
+
+def _pq_append_oracle() -> str:
+    hi = _APPEND_PQ_LO + _APPEND_PQ_KSUB
+    nsub, sd = _PQ_NSUB, 64 // _PQ_NSUB
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, y -> y * y))) AS n FROM e
+    ),
+    un AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / CASE WHEN n = 0 THEN 1 ELSE n END)
+               AS uv
+      FROM nrm
+    ),
+    cb AS (
+      SELECT vec_id - {_APPEND_PQ_LO} AS j, uv AS cv
+      FROM un WHERE vec_id >= {_APPEND_PQ_LO} AND vec_id < {hi}
+    ),
+    subs AS (SELECT unnest(generate_series(0, {nsub - 1})) AS s),
+    asg AS (
+      SELECT vec_id, s, j, d, vec_id < {_APPEND_DELTA_HI} AS is_delta
+      FROM (
+        SELECT n.vec_id, subs.s, c.j,
+               list_distance(
+                  n.uv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}],
+                  c.cv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}]) ** 2 AS d,
+               row_number() OVER (PARTITION BY n.vec_id, subs.s
+                 ORDER BY list_distance(
+                    n.uv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}],
+                    c.cv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}]) ASC,
+                    c.j) AS rk
+        FROM un n, subs, cb c
+      ) WHERE rk = 1
+    ),
+    r AS (
+      SELECT s, j, is_delta,
+             CAST(floor(d * 1e6 + 0.5) AS BIGINT) AS err_ppm
+      FROM asg
+    ),
+    agg AS (
+      SELECT s, j,
+             sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS n_delta,
+             sum(CASE WHEN NOT is_delta THEN err_ppm END) AS sb,
+             sum(CASE WHEN is_delta THEN err_ppm END) AS sd
+      FROM r GROUP BY s, j
+    ),
+    grid AS (
+      SELECT subs.s, js.j
+      FROM subs, (SELECT unnest(generate_series(0, {_APPEND_PQ_KSUB - 1}))
+                    AS j) js
+    ),
+    filled AS (
+      SELECT grid.s, grid.j,
+             CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(n_delta, 0) AS BIGINT) AS n_delta,
+             sb, sd,
+             sum(coalesce(n_base, 0)) OVER (PARTITION BY grid.s) AS tb,
+             sum(coalesce(n_delta, 0)) OVER (PARTITION BY grid.s) AS td
+      FROM grid LEFT JOIN agg ON grid.s = agg.s AND grid.j = agg.j
+    )
+    SELECT s, j, n_base, n_delta,
+           CAST(CASE WHEN n_base > 0 THEN sb // n_base END AS BIGINT)
+             AS base_err_ppm,
+           CAST(CASE WHEN n_delta > 0 THEN sd // n_delta END AS BIGINT)
+             AS delta_err_ppm,
+           CAST((n_delta * 1000000) // td - (n_base * 1000000) // tb
+             AS BIGINT) AS share_shift_ppm,
+           (n_delta > 0) AND (
+             coalesce(CASE WHEN n_delta > 0 THEN sd // n_delta END >
+                      CASE WHEN n_base > 0 THEN sb // n_base END
+                        + {_DRIFT_RES_MARGIN_PPM}, TRUE)
+             OR abs((n_delta * 1000000) // td - (n_base * 1000000) // tb)
+                  > {_DRIFT_SHARE_MARGIN_PPM}) AS retrain
+    FROM filled
+    """
+
+
+@query("q216_pq_append", oracle=_pq_append_oracle())
+def q216_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental PQ maintenance: the vec_id < 100 crawl delta is
+    encoded against the EXISTING per-subspace codebooks (unit
+    subvectors of corpus vectors [120, 136) — the q160 twin contract,
+    so the oracle reproduces them) and the per-(subspace, codeword)
+    drift certificate is emitted. Occupancies, ppm quantization-error
+    means, share shifts, and retrain flags all integer-exact and
+    value-hash-checked."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = _APPEND_PQ_LO + _APPEND_PQ_KSUB
+    rows = (
+        emb.filter((F.col("vec_id") >= _APPEND_PQ_LO) &
+                   (F.col("vec_id") < hi))
+        .orderBy("vec_id").select("embedding").collect()
+    )
+    seeds = np.array([r[0] for r in rows], dtype=np.float64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    books = seeds.reshape(len(seeds), _PQ_NSUB, -1).transpose(1, 0, 2).copy()
+    base = emb.filter(F.col("vec_id") >= _APPEND_DELTA_HI)
+    delta = emb.filter(F.col("vec_id") < _APPEND_DELTA_HI)
+    _, cert = pq_append(base, delta, "vec_id", "embedding", books)
+    return cert

@@ -300,3 +300,91 @@ def test_zero_norm_vectors_drop_from_rankings(spark):
                 key=lambda r: r["rank"])
     assert q1[0]["neighbor_id"] == 2          # real neighbor outranks
     assert q1[1]["neighbor_id"] == 3 and q1[1]["cosine"] is None
+
+
+def test_ivf_append_certificate_planted_drift(spark):
+    """ivf_append: index covers base+delta, certificate occupancies
+    reconcile, and a delta batch concentrated FAR from the trained
+    centroids fires the retrain flag (planted drift), while an
+    in-distribution delta does not."""
+    dim = 8
+    e0 = [1.0] + [0.0] * (dim - 1)
+    e1 = [0.0, 1.0] + [0.0] * (dim - 2)
+    cents = np.array([e0, e1])
+    base_rows = []
+    for i in range(20):  # near e0 / e1 alternately — residual ~0
+        v = [float(x) for x in cents[i % 2] * 5.0]
+        v[4] = 0.01 * (i % 3)
+        base_rows.append((100 + i, v))
+    base = spark.createDataFrame(base_rows,
+                                 "vec_id long, embedding array<double>")
+    # drift: every delta vector sits diagonal to both centroids
+    diag = [1.0, 1.0, 1.0, 1.0] + [0.0] * (dim - 4)
+    delta = spark.createDataFrame([(i, diag) for i in range(10)],
+                                  "vec_id long, embedding array<double>")
+    index, cert = sim.ivf_append(base, delta, "vec_id", "embedding", cents)
+    assert index.count() == 30
+    rows = {r["cid"]: r for r in cert.collect()}
+    assert set(rows) == {0, 1}
+    assert sum(r["n_base"] for r in rows.values()) == 20
+    assert sum(r["n_delta"] for r in rows.values()) == 10
+    # all deltas land in cell 0 (tie on cos → lowest cid) with cos
+    # 1/2 → residual 500000 ppm >> base residual → retrain fires
+    assert rows[0]["n_delta"] == 10
+    assert rows[0]["retrain"] is True
+    assert rows[1]["retrain"] is False  # no delta members
+    assert rows[0]["delta_res_ppm"] == 500000
+
+    # in-distribution delta: same generator as base → no retrain
+    good = spark.createDataFrame(
+        [(i, [float(x) for x in cents[i % 2] * 3.0]) for i in range(10)],
+        "vec_id long, embedding array<double>")
+    _, cert2 = sim.ivf_append(base, good, "vec_id", "embedding", cents)
+    assert all(not r["retrain"] for r in cert2.collect())
+
+
+def test_ivf_append_zero_vector_null_by_contract(spark):
+    """A zero delta vector has no defined cosine: it still counts in
+    occupancy (it was appended) but its residual is NULL-by-contract
+    and excluded from the mean — no ANSI division crash."""
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    base = spark.createDataFrame([(100, [2.0, 0.0])],
+                                 "vec_id long, embedding array<double>")
+    delta = spark.createDataFrame([(0, [0.0, 0.0]), (1, [3.0, 0.0])],
+                                  "vec_id long, embedding array<double>")
+    _, cert = sim.ivf_append(base, delta, "vec_id", "embedding", cents)
+    rows = {r["cid"]: r for r in cert.collect()}
+    assert rows[0]["n_delta"] == 2          # zero vector appended to cell 0
+    assert rows[0]["delta_res_ppm"] == 0    # mean over the non-NULL member
+
+
+def test_pq_append_certificate_shape_and_drift(spark):
+    """pq_append: codes cover base+delta with nsub codes each, the
+    certificate is the full (subspace, codeword) grid with reconciling
+    occupancies, and an out-of-distribution delta fires retrain."""
+    rng = np.random.default_rng(7)
+    nsub, ksub, dim = 2, 4, 8
+    seeds = rng.normal(size=(ksub, dim))
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    books = seeds.reshape(ksub, nsub, dim // nsub).transpose(1, 0, 2).copy()
+    base = spark.createDataFrame(
+        [(100 + i, [float(x) for x in seeds[i % ksub] * 2.0])
+         for i in range(16)],
+        "vec_id long, embedding array<double>")
+    delta = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=dim) * 9.0])
+         for i in range(6)],
+        "vec_id long, embedding array<double>")
+    codes, cert = sim.pq_append(base, delta, "vec_id", "embedding", books)
+    got = codes.collect()
+    assert len(got) == 22 and all(len(r["codes"]) == nsub for r in got)
+    rows = cert.collect()
+    assert len(rows) == nsub * ksub
+    for s in range(nsub):
+        srows = [r for r in rows if r["s"] == s]
+        assert sum(r["n_base"] for r in srows) == 16
+        assert sum(r["n_delta"] for r in srows) == 6
+    # base vectors are exact codewords → base_err_ppm == 0 where occupied
+    assert all(r["base_err_ppm"] == 0 for r in rows if r["n_base"] > 0)
+    # random delta cannot be exactly codeword-aligned → some retrain
+    assert any(r["retrain"] for r in rows)
