@@ -648,3 +648,78 @@ def q210_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cdc_apply(log, "c_custkey").select(
         "c_custkey", "last_seq", "c_acctbal", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q218 — incremental view maintenance (IVM) for a join view: the delta
+# algebra Δ(O ⋈ L) = ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL that materialized-view
+# engines (e.g. DBSP/Materialize-style, or Delta Live Tables) apply
+# instead of recomputing the join — the join sibling of q196/q204's
+# additive aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def ivm_join_delta(old_left: DataFrame, old_right: DataFrame,
+                   delta_left: DataFrame, delta_right: DataFrame,
+                   on: str | list[str]) -> DataFrame:
+    """The insert-delta of an inner-join view: rows the view GAINS when
+    ``delta_left``/``delta_right`` batches arrive. The three terms are
+    disjoint by construction (each pair of rows joins in exactly one
+    term, by which sides are new), so the union needs no dedup.
+
+    100 TB design: each term shuffles on the join key like any join,
+    but the two mixed terms are DELTA-sized on one side — the batch
+    joins the (bucketed/partitioned) base table with partition pruning
+    on the key, and AQE broadcasts the delta side when it fits; the
+    base⋈base term is never recomputed. The maintained view (or any
+    additive aggregate over it, via q204's merge algebra) is then
+    updated by appending these delta rows — work per batch is
+    O(|Δ| · join fan-out), independent of the accumulated view size."""
+    return (delta_left.join(old_right, on)
+            .unionByName(old_left.join(delta_right, on))
+            .unionByName(delta_left.join(delta_right, on)))
+
+
+@query(
+    "q218_ivm_join",
+    oracle="""
+    WITH v AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) *
+             (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))
+               AS rev
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(rev) AS BIGINT) AS revenue_micro
+    FROM v GROUP BY priority
+    """,
+)
+def q218_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintain the orders⋈lineitem join view incrementally: orders
+    with o_orderkey % 10 == 0 arrive as a late order batch and
+    lineitems with l_linenumber ≥ 4 as a late line batch (so all
+    three delta terms are non-empty: new orders × old lines, old
+    orders × new lines, new × new), the view gains exactly
+    Δ = ΔO⋈L ∪ O⋈ΔL ∪ ΔO⋈ΔL, and the maintained view's per-priority
+    (count, exact integer-micro revenue) digest must equal the
+    oracle's ONE-SHOT join of the full tables — proving the delta
+    algebra misses no pair and duplicates none."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        (F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+         * (F.lit(100) -
+            F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")))
+        .alias("rev")).withColumnRenamed("l_orderkey", "o_orderkey")
+    old_o = o.filter(F.col("o_orderkey") % 10 != 0)
+    new_o = o.filter(F.col("o_orderkey") % 10 == 0)
+    old_l = li.filter(F.col("l_linenumber") < 4).drop("l_linenumber")
+    new_l = li.filter(F.col("l_linenumber") >= 4).drop("l_linenumber")
+    view_old = old_o.join(old_l, "o_orderkey")
+    delta = ivm_join_delta(old_o, old_l, new_o, new_l, "o_orderkey")
+    maintained = view_old.unionByName(delta)
+    return (maintained.groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("rev").alias("revenue_micro")))

@@ -489,7 +489,8 @@ def q156_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
-def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+def corr_matrix(df: DataFrame, cols: list[str],
+                quantize: bool = True) -> DataFrame:
     """Full Pearson correlation matrix over k numeric columns in ONE
     aggregation pass: quantize every column to integer cents up front
     (one deterministic double op), accumulate all k sums, k squares,
@@ -500,9 +501,18 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     expression over those exact integers, pinned at 1e-6 — the q164
     exactness contract extended to products that overflow BIGINT
     (price-cents² sums reach ~6e19 at sf0.1; DECIMAL(38,0) in Spark,
-    HUGEINT in the oracle, both exact)."""
-    q = {c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
-         for c in cols}
+    HUGEINT in the oracle, both exact).
+
+    ``quantize=False`` skips the cents step for inputs that are
+    ALREADY exact integers (e.g. the 2×average-rank columns Spearman
+    feeds in) — the sufficient-statistics pass and the final double
+    expression are shared verbatim, so both correlations carry the
+    same exactness contract."""
+    if quantize:
+        q = {c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+             for c in cols}
+    else:
+        q = {c: F.col(c).cast("long") for c in cols}
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         aggs.append(F.sum(q[c].cast("decimal(38,0)")).alias(f"s_{c}"))
@@ -580,3 +590,139 @@ def q207_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     every (pair, corr) row value-hash-checked at 1e-6."""
     li = load_table(spark, sf_dir, "lineitem")
     return corr_matrix(li, list(_CORR_COLS))
+
+
+# ---------------------------------------------------------------------------
+# q217 — Spearman rank-correlation matrix (robust sibling of q207:
+# monotone association, insensitive to outliers and monotone
+# transforms — the drift-analysis companion to q90/q136)
+# ---------------------------------------------------------------------------
+
+
+def _rank2_maps(df: DataFrame, cols: list[str]) -> dict[str, DataFrame]:
+    """(value → 2×average rank) map for EVERY column from ONE corpus
+    scan, fully distributed.
+
+    Average ranks handle ties exactly (Spearman's standard treatment)
+    and doubling keeps them INTEGER: for a value v with c occurrences
+    and s strictly-smaller rows, avg rank = s + (c+1)/2, so
+    2·avg = 2s + c + 1 — BIGINT end to end, no float ranks.
+
+    All k columns posexplode into one (col_idx, value) long frame, so
+    the distinct-value counting is a single shuffle instead of k
+    corpus scans. The strictly-smaller count is then the q128 two-pass
+    prefix sum over the DISTINCT-value frame: range-partition on
+    (col_idx, value) — partitions may span column boundaries, which
+    the per-(col_idx, pid) offsets absorb — cumulative-sum per
+    partition in parallel, collect one (k·P)-row partial-total table,
+    broadcast the exact offsets back. No global single-task window
+    anywhere; each map's size is its column's distinct cardinality,
+    and the corpus only ever joins it by value."""
+    spark = df.sparkSession
+    lv = df.select(F.posexplode(F.array(
+        *[F.col(c).cast("double") for c in cols])).alias("__ci", "__v"))
+    dv = lv.groupBy("__ci", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    nparts = spark.sparkContext.defaultParallelism
+    ranged = (dv.repartitionByRange(nparts, F.asc("__ci"), F.asc("__v"))
+              .withColumn("__pid", F.spark_partition_id())
+              .persist())
+    totals = (ranged.groupBy("__ci", "__pid")
+              .agg(F.sum("__c").alias("__t")).collect())
+    acc: dict[int, int] = {}
+    offs = []
+    for r in sorted(totals, key=lambda r: (r["__ci"], r["__pid"])):
+        offs.append((r["__ci"], r["__pid"], acc.get(r["__ci"], 0)))
+        acc[r["__ci"]] = acc.get(r["__ci"], 0) + r["__t"]
+    off = spark.createDataFrame(offs or [(0, 0, 0)],
+                                "__ci int, __pid int, __off long")
+    wcum = (Window.partitionBy("__ci", "__pid").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    smaller = F.coalesce(F.sum("__c").over(wcum), F.lit(0)) + F.col("__off")
+    allmaps = (ranged.join(F.broadcast(off), ["__ci", "__pid"])
+               .select("__ci", "__v",
+                       (F.lit(2) * smaller + F.col("__c") + 1)
+                       .alias("__r2"))
+               .localCheckpoint(eager=True))
+    ranged.unpersist()
+    return {
+        c: allmaps.filter(F.col("__ci") == i)
+        .select(F.col("__v").alias(c), F.col("__r2").alias(f"__r2_{c}"))
+        for i, c in enumerate(cols)
+    }
+
+
+def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """All pairwise Spearman rank correlations in one sufficient-
+    statistics pass: replace every column by its exact 2×average-rank
+    integers (k value-keyed map joins — each rank map is distinct-
+    cardinality-sized, built by the distributed two-pass prefix sum),
+    then run the SAME one-scan DECIMAL(38,0) machinery as Pearson
+    (``corr_matrix(quantize=False)``). ρ is Pearson on average ranks
+    — the tie-correct definition — and doubling ranks scales both
+    numerator and denominator by 4, leaving ρ unchanged."""
+    src = df.na.drop(subset=list(cols)).select(
+        *[F.col(c).cast("double").alias(c) for c in cols])
+    maps = _rank2_maps(src, list(cols))
+    out = src
+    for c in cols:
+        out = out.join(maps[c], c)
+    ranked = out.select(*[F.col(f"__r2_{c}").alias(c) for c in cols])
+    return corr_matrix(ranked, list(cols), quantize=False)
+
+
+def _spearman_oracle(cols=_CORR_COLS) -> str:
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    ranks = ",\n             ".join(
+        f"2 * rank() OVER (ORDER BY {c})"
+        f" + count(*) OVER (PARTITION BY {c}) - 1 AS q_{c}"
+        for c in cols)
+    sums = ",\n             ".join(
+        f"CAST(sum(q_{c}) AS HUGEINT) AS s_{c},\n             "
+        f"CAST(sum(q_{c} * q_{c}) AS HUGEINT) AS ss_{c}"
+        for c in cols)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    prods = ",\n             ".join(
+        f"CAST(sum(q_{a} * q_{b}) AS HUGEINT) AS sp_{a}_{b}"
+        for a, b in pairs)
+
+    def den(a: str, b: str) -> str:
+        return (f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+                f" * (CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))")
+
+    sel = "\n    UNION ALL\n".join(f"""
+    SELECT n, '{a}' AS col_a, '{b}' AS col_b,
+           CASE WHEN {den(a, b)} > 0 THEN
+             floor((CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)
+                    - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                   / sqrt({den(a, b)})
+                   * 1000000 + 0.5) / 1000000
+           END AS corr
+    FROM stats""" for a, b in pairs)
+    return f"""
+    WITH src AS (
+      SELECT {", ".join(cols)} FROM lineitem WHERE {notnull}
+    ),
+    r AS (
+      SELECT {ranks}
+      FROM src
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {sums},
+             {prods}
+      FROM r
+    )
+    {sel}
+    """
+
+
+@query("q217_spearman_matrix", oracle=_spearman_oracle())
+def q217_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six pairwise Spearman rank correlations over lineitem's
+    numeric measures — exact integer 2×average ranks through the q207
+    single-pass machinery, every (pair, ρ) row value-hash-checked at
+    1e-6 against the oracle's window-rank formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return spearman_matrix(li, list(_CORR_COLS))

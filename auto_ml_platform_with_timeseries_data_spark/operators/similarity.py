@@ -2101,10 +2101,10 @@ def pq_append(base: DataFrame, delta: DataFrame, id_col: str, vec_col: str,
         .cast("long").alias("n_delta"),
         F.sum(F.when(~F.col("__is_delta"), F.col("__err_ppm"))).alias("__sb"),
         F.sum(F.when(F.col("__is_delta"), F.col("__err_ppm"))).alias("__sd"))
-    grid = (spark.range(nsub).select(F.col("id").cast("int").alias("s"))
-            .crossJoin(F.broadcast(
-                spark.range(ksub).select(F.col("id").cast("int")
-                                         .alias("j")))))
+    # constant nsub×ksub metadata grid — driver literal, no join
+    grid = spark.createDataFrame(
+        [(s, j) for s in range(nsub) for j in range(ksub)],
+        "s int, j int")
     w = Window.partitionBy("s")
     cert = (
         grid.join(agg, ["s", "j"], "left")

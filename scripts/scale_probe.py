@@ -648,14 +648,69 @@ def main() -> int:
     run("moment_features", lambda: moments(False), lambda: moments(True))
 
     # Apriori frequent triples (q214): basket-keyed double self-join
-    # after the level-1 prune — work tracks Σ C(basket_size, 3)
+    # after the level-1 prune — work tracks Σ C(basket_size, 3). The
+    # support threshold is priced against corpus size (2 per copy):
+    # id-shifted staging replicates every basket, so a FIXED threshold
+    # would let every 1-support triple cross it at 10× and the output
+    # table would swamp the timing with copy inflation instead of
+    # modeling real growth (VERDICT r6 "Next round" #7).
     def triples(path_based):
         li = (spark.read.parquet(staged["lineitem"]) if path_based
               else load_table(spark, sf_dir, "lineitem"))
         return relational.frequent_triples(
-            li, "l_orderkey", "l_partkey").count()
+            li, "l_orderkey", "l_partkey",
+            min_support=2 * (copies if path_based else 1)).count()
 
     run("frequent_triples", lambda: triples(False), lambda: triples(True))
+
+    # ORC round-trip (q211): columnar write + vectorized read, linear
+    # in bytes — the q157-compaction cost shape through the other
+    # columnar format
+    def orcrt(d):
+        out = os.path.join(tempfile.mkdtemp(prefix="sparkgraft_orc_"),
+                           "docs")
+        d.select("doc_id", "text", "lang", "n_chars") \
+            .write.mode("overwrite").orc(out)
+        return spark.read.orc(out).select(
+            "doc_id", F.md5("text").alias("m")).count()
+
+    run("orc_roundtrip", lambda: orcrt(docs1()), lambda: orcrt(docsN()))
+
+    # incremental ANN maintenance (q215/q216): the SAME trained
+    # codebooks absorb a 10%-of-corpus delta at both sizes — assign +
+    # certify work is linear in vectors, certificate state constant
+    # (|cells| / nsub·ksub rows)
+    import numpy as np
+
+    cent_rows = (emb1().filter((F.col("vec_id") >= 100) &
+                               (F.col("vec_id") < 108))
+                 .orderBy("vec_id").select("embedding").collect())
+    cents = np.array([r[0] for r in cent_rows], dtype=np.float64)
+
+    def ivfapp(d):
+        _, cert = similarity.ivf_append(
+            d.filter(F.col("vec_id") % 10 != 0),
+            d.filter(F.col("vec_id") % 10 == 0),
+            "vec_id", "embedding", cents)
+        return cert.count()
+
+    run("ivf_append", lambda: ivfapp(emb1()), lambda: ivfapp(embN()))
+
+    seed_rows = (emb1().filter((F.col("vec_id") >= 120) &
+                               (F.col("vec_id") < 136))
+                 .orderBy("vec_id").select("embedding").collect())
+    seeds = np.array([r[0] for r in seed_rows], dtype=np.float64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    books = seeds.reshape(len(seeds), 8, -1).transpose(1, 0, 2).copy()
+
+    def pqapp(d):
+        _, cert = similarity.pq_append(
+            d.filter(F.col("vec_id") % 10 != 0),
+            d.filter(F.col("vec_id") % 10 == 0),
+            "vec_id", "embedding", books)
+        return cert.count()
+
+    run("pq_append", lambda: pqapp(emb1()), lambda: pqapp(embN()))
 
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))

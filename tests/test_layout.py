@@ -178,3 +178,33 @@ def test_cdc_apply_last_writer_wins_and_tombstones(spark):
     assert set(got) == {1, 3}
     assert got[1]["v"] == 30.0 and got[1]["last_seq"] == 3
     assert got[3]["v"] == 99.0 and got[3]["last_seq"] == 1
+
+
+def test_ivm_join_delta_equals_recompute(spark):
+    """The three delta terms exactly cover the view growth: maintained
+    view == one-shot join of the full tables, with no duplicate pairs,
+    under a random 4-way split of both sides."""
+    import random
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+        ivm_join_delta,
+    )
+
+    rnd = random.Random(5)
+    left = [(k, f"l{i}") for i, k in enumerate(
+        rnd.choices(range(30), k=120))]
+    right = [(k, f"r{i}") for i, k in enumerate(
+        rnd.choices(range(30), k=150))]
+    lo = spark.createDataFrame(left, "k long, lv string")
+    ro = spark.createDataFrame(right, "k long, rv string")
+    dl = lo.filter(F.length("lv") % 3 == 0)
+    ol = lo.exceptAll(dl)
+    dr = ro.filter(F.length("rv") % 2 == 0)
+    orr = ro.exceptAll(dr)
+
+    maintained = (ol.join(orr, "k")
+                  .unionByName(ivm_join_delta(ol, orr, dl, dr, "k")))
+    full = lo.join(ro, "k")
+    assert maintained.count() == full.count()
+    assert maintained.exceptAll(full).count() == 0
+    assert full.exceptAll(maintained).count() == 0

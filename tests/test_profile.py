@@ -116,3 +116,40 @@ def test_corr_matrix_matches_known_values(spark):
     assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
     assert got[("x", "y")] == 1.0
     assert got[("x", "z")] == -1.0
+
+
+def test_spearman_matches_pandas_rank_corr(spark):
+    """spearman_matrix == Pearson over pandas average ranks (the
+    textbook tie-correct definition), at the 1e-6 pin."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    n = 400
+    pdf = pd.DataFrame({
+        "a": rng.integers(0, 8, n).astype(float),     # heavy ties
+        "b": rng.normal(size=n),
+        "c": rng.integers(0, 3, n).astype(float),     # heavier ties
+    })
+    pdf["d"] = pdf["b"] ** 3 + rng.normal(scale=0.1, size=n)
+    df = spark.createDataFrame(pdf)
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in prof.spearman_matrix(df, ["a", "b", "c", "d"])
+           .collect()}
+    ranks = pdf.rank(method="average")
+    want = ranks.corr(method="pearson")
+    assert len(got) == 6
+    for (x, y), v in got.items():
+        assert abs(v - want.loc[x, y]) < 2e-6, (x, y, v, want.loc[x, y])
+    # monotone transform association: rho(b, b^3+noise) must be high
+    assert got[("b", "d")] > 0.9
+
+
+def test_spearman_constant_column_null_by_contract(spark):
+    """A constant column has zero rank variance — its correlations are
+    NULL by contract (q207's den>0 guard), not an ANSI crash."""
+    rows = [(float(i % 5), 1.0) for i in range(40)]
+    df = spark.createDataFrame(rows, "x double, k double")
+    got = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in prof.spearman_matrix(df, ["x", "k"]).collect()}
+    assert got[("x", "k")] is None

@@ -29,53 +29,39 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round6_promotions_keep_their_slots():
+def test_canaries_and_round7_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-6
-    rotation (VERDICT r5 #1) must put the only oracle-backed queries
-    with NO driver row ever (q183-q188) plus this round's additions
-    (q189-q191) in the FIRST half, and fill the remainder with the
-    relational/TPC-H block whose last green driver row is rounds 1-2
-    (every round-3-to-5-green query may yield its slot)."""
+    shared-infrastructure regression is still witnessed; the round-7
+    rotation (VERDICT r6 #3) puts this round's never-witnessed
+    additions (q215-q218) right after the canaries, then spends the
+    whole remaining budget on evidence currency: the 23 queries whose
+    last green driver row is rounds 1-2, then the oldest round-3
+    block."""
     head = set(registry._PRIORITY[:50])
-    # q183-q214 (6 + 26 round-6 additions) + 6 canaries = 38 slots;
-    # the whole never-witnessed tier must sit in the first 40 so the
-    # driver budget reaches it even if the sweep is cut short
-    first_half = set(registry._PRIORITY[:40])
+    first_twelve = set(registry._PRIORITY[:12])
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
     never_witnessed = {
-        "q183_neardup_leakfree_split", "q184_mad_outliers",
-        "q185_dataset_card", "q186_image_dhash_dedup",
-        "q187_audio_fingerprint_dedup", "q188_video_fingerprint_dedup",
-        "q189_image_neardup_banded", "q190_exact_substr_rewrite",
-        "q191_quality_classifier", "q192_bigram_lm_logprob",
-        "q193_clip_pair_gate", "q194_video_neardup_banded",
-        "q195_audio_neardup_banded",
-        "q196_continuous_aggregate", "q197_blocking_bestmatch",
-        "q198_softdedup_weights", "q199_perplexity_buckets",
-        "q200_doremi_reweight", "q201_countmin_heavy_hitters",
-        "q202_triangle_count", "q203_k_anonymity",
-        "q204_stream_continuous_aggregate",
-        "q205_html_extract", "q206_url_normalize",
-        "q207_corr_matrix", "q208_ts_backtest",
-        "q209_constraint_audit", "q210_cdc_apply",
-        "q211_orc_roundtrip", "q212_gdpr_erasure",
-        "q213_moment_features", "q214_frequent_triples",
+        "q215_ivf_append", "q216_pq_append",
+        "q217_spearman_matrix", "q218_ivm_join",
     }
     stale_r1_r2 = {
-        "q26_pricing_summary", "q28_top_customers",
-        "q42_semi_anti_join",
-        "q44_profit_by_nation_brand",
-        "q49_range_join", "q50_shipping_priority",
-        "q68_grouping_sets", "q30_asof_join", "q82_pivot_unpivot",
-        "q95_late_order_priority", "q96_top_supplier",
-        "q100_volume_shipping",
+        "q101_market_share", "q102_important_parts",
+        "q103_order_count_distribution", "q126_copurchase_pairs",
+        "q27_revenue_by_nation", "q31_set_ops", "q32_rollup",
+        "q40_cube", "q41_topk_per_group", "q43_percentiles",
+        "q46_distinct_counts", "q54_json_props",
+        "q61_forecast_revenue", "q62_returned_items",
+        "q63_promo_revenue", "q64_large_orders",
+        "q65_brand_revenue_bands", "q66_supplier_breadth",
+        "q67_dormant_customers", "q91_equidepth_hist",
+        "q97_sole_late_supplier", "q98_min_cost_supplier",
+        "q99_local_supplier_volume",
     }
     assert canaries <= head
-    assert never_witnessed <= first_half
+    assert never_witnessed <= first_twelve
     assert stale_r1_r2 <= head
 
 
