@@ -1906,3 +1906,147 @@ def q203_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("c_acctbal") / 1000).cast("long")
             .alias("bal_bucket")),
         ["c_nationkey", "c_mktsegment", "bal_bucket"])
+
+
+# ---------------------------------------------------------------------------
+# q219 — l-diversity audit (the attack k-anonymity misses: a group of
+# k identical-looking people still leaks its sensitive attribute when
+# they all SHARE it; Machanavajjhala et al. 2007)
+# ---------------------------------------------------------------------------
+
+
+def l_diversity_groups(df: DataFrame, quasi_cols: list[str],
+                       sensitive_col: str, el: int = 3) -> DataFrame:
+    """Per quasi-identifier combination: population, DISTINCT count of
+    the sensitive attribute, and the homogeneity flag (distinct < l).
+    The release pipeline generalizes or suppresses flagged groups even
+    when they pass the q203 size bar. One map-side-combined groupBy
+    carrying (quasi tuple, sensitive) — shuffle is |distinct (quasi,
+    sensitive) pairs|, never |table|; count_distinct folds exactly
+    because the pairs are already unique per group after the partial
+    aggregate."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).cast("long").alias("group_count"),
+                 F.count_distinct(F.col(sensitive_col)).cast("long")
+                 .alias("distinct_sensitive"))
+            .withColumn("homogeneous",
+                        (F.col("distinct_sensitive") < el).cast("int")))
+
+
+@query(
+    "q219_l_diversity",
+    oracle="""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(count(*) AS BIGINT) AS group_count,
+           CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+             AS BIGINT) AS distinct_sensitive,
+           CAST(CASE WHEN count(DISTINCT
+                  CAST(floor(c_acctbal / 1000) AS BIGINT)) < 3
+                THEN 1 ELSE 0 END AS INT) AS homogeneous
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q219_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of customer: (nation, segment) groups must
+    span at least 3 distinct balance buckets or they are flagged
+    homogeneous — every group's population, distinct-sensitive count,
+    and flag value-hash-checked (l = 3)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return l_diversity_groups(
+        cust.select(
+            "c_nationkey", "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+            .alias("bal_bucket")),
+        ["c_nationkey", "c_mktsegment"], "bal_bucket")
+
+
+# ---------------------------------------------------------------------------
+# q220 — DSIR-style data selection via importance resampling (Xie et
+# al. 2023, arXiv:2302.03169): rank raw-corpus documents by the log
+# importance weight of their features under a TARGET-domain LM vs the
+# RAW-corpus LM — the principled "pick pretraining data that looks
+# like the target domain" selector (the model-free sibling of the
+# q191 classifier and q199's perplexity buckets)
+# ---------------------------------------------------------------------------
+
+
+def dsir_select(df: DataFrame, id_col: str, text_col: str,
+                target_pred: Column, top_n: int = 100) -> DataFrame:
+    """Per-document log importance weight Σ_w ln(p̂_target(w)/p̂_raw(w))
+    over unigram features, add-one smoothed on BOTH estimators with
+    the raw vocabulary size (a target-unseen word contributes its
+    smoothed floor instead of -inf), then the top_n highest-weight
+    documents — the batch DSIR selects for target-domain training.
+
+    Scale: both LMs are word-keyed aggregates (the only corpus-sized
+    shuffle is the token explode); the two 1-row totals broadcast; the
+    scoring join reuses the tokenized frame against the (vocabulary-
+    sized) count tables. Counts are exact integers; the log-ratio sum
+    is pinned at 1e-6 with a token-identical oracle expression (the
+    q139 contract). Empty target → every weight is the smoothed-floor
+    ratio, no division by zero (denominators include |V| ≥ 1)."""
+    toks = df.select(
+        F.col(id_col).alias("__id"), target_pred.alias("__t"),
+        F.explode(tokens(normalize_text(text_col))).alias("__w"))
+    raw = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt = (toks.filter("__t").groupBy("__w")
+           .agg(F.count(F.lit(1)).alias("__ct")))
+    tot = raw.agg(F.sum("__cr").alias("__nr"),
+                  F.count(F.lit(1)).alias("__v"))
+    ntt = tgt.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__nt"))
+    num = ((F.coalesce(F.col("__ct"), F.lit(0)) + 1).cast("double")
+           / (F.col("__nt") + F.col("__v")))
+    den = ((F.col("__cr") + 1).cast("double")
+           / (F.col("__nr") + F.col("__v")))
+    scored = (
+        toks.join(raw, "__w").join(tgt, "__w", "left")
+        .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(ntt))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sum(F.log(num / den)).alias("__lw")))
+    return (
+        scored.select(
+            F.col("__id").alias("doc_id"), "n_tokens",
+            (F.floor(F.col("__lw") * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("dsir_weight"))
+        .orderBy(F.desc("dsir_weight"), F.asc("doc_id")).limit(top_n))
+
+
+_DSIR_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@query(
+    "q220_dsir_select",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source IN ('src0', 'src1') AS is_t,
+             unnest(string_split({_DSIR_NORM}, ' ')) AS w
+      FROM documents
+    ),
+    raw AS (SELECT w, count(*) AS cr FROM tok GROUP BY w),
+    tgt AS (SELECT w, count(*) AS ct FROM tok WHERE is_t GROUP BY w),
+    tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                   CAST(count(*) AS BIGINT) AS v FROM raw),
+    ntt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tgt),
+    sc AS (
+      SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(ln((CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (nt + v))
+                    / (CAST(raw.cr + 1 AS DOUBLE) / (nr + v)))) AS lw
+      FROM tok JOIN raw USING (w) LEFT JOIN tgt USING (w), tot, ntt
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           floor(lw * 1e6 + 0.5) / 1e6 AS dsir_weight
+    FROM sc ORDER BY dsir_weight DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q220_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection with sources src0/src1 standing in as the target
+    domain sample: the 100 raw documents whose unigram features score
+    highest under the target-vs-raw log importance weight — every
+    (doc, n_tokens, weight) row value-hash-checked at 1e-6."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, "doc_id", "text",
+                       F.col("source").isin("src0", "src1"))

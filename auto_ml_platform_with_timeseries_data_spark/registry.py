@@ -66,14 +66,15 @@ _loaded = False
 # round" #3):
 #   1-6   canary slots — one long-green query per module family, so a
 #         regression in shared infrastructure still gets witnessed
-#   7-10  the round-7 additions (never witnessed): q215/q216
+#   7-12  the round-7 additions (never witnessed): q215/q216
 #         incremental ANN maintenance certificates, q217 Spearman
-#         rank-correlation matrix, q218 join-view IVM
+#         rank-correlation matrix, q218 join-view IVM, q219
+#         l-diversity audit, q220 DSIR importance selection
 #   11-33 the 23 queries whose last green driver row is rounds 1-2
 #         (the stalest evidence in the repo: q27/q31/q32/q40/q41/q43/
 #         q46/q54/q61/q62-q67/q91/q97-q99/q101-q103/q126)
-#   34-50 the oldest 17 of the round-3 block (parity core q02-q14 and
-#         the q16-q24 operator families)
+#   35-50 the oldest of the round-3 block (parity core q02-q14 and
+#         the q16-q21 operator families; q22/q24 overflow to 51+)
 # Slots 51+ are the ranked overflow the driver reaches only if its
 # budget stretches: the rest of round-3, then the round-4, round-5,
 # and round-6 blocks (newest evidence last). Rows-only queries sit
@@ -85,6 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     "q35_embedding_neardup", "q125_key_skew",
     "q215_ivf_append", "q216_pq_append",
     "q217_spearman_matrix", "q218_ivm_join",
+    "q219_l_diversity", "q220_dsir_select",
     "q101_market_share", "q102_important_parts",
     "q103_order_count_distribution", "q126_copurchase_pairs",
     "q27_revenue_by_nation", "q31_set_ops",

@@ -547,3 +547,33 @@ def test_doremi_scoreless_corpus_is_uniform(spark):
     assert all(r["excess_ppm"] == 0 for r in rows.values())
     assert all(r["factor_ppm"] == 1_000_000 for r in rows.values())
     assert abs(sum(r["weight_ppm"] for r in rows.values()) - 1_000_000) <= 2
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Planted preference: raw docs sharing the target domain's
+    distinctive vocabulary outrank generic docs; empty target sample
+    degrades to the smoothed floor without crashing."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        dsir_select,
+    )
+
+    rows = []
+    for i in range(10):   # the target sample (is_target docs)
+        rows.append((i, "quantum flux capacitor lattice", "tgt"))
+    for i in range(10, 30):  # raw docs that LOOK like the target
+        rows.append((i, "quantum lattice flux theory", "raw"))
+    for i in range(30, 60):  # generic raw docs
+        rows.append((i, "the cat sat on the mat today", "raw"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = dsir_select(df, "doc_id", "text", F.col("src") == "tgt",
+                      top_n=20).collect()
+    top_ids = [r["doc_id"] for r in got]
+    # the 20 best must be drawn from the target-like block (10-29);
+    # the target docs themselves score highest but are part of the
+    # ranking too — assert no generic doc makes the cut
+    assert all(i < 30 for i in top_ids)
+    assert all(r["dsir_weight"] is not None for r in got)
+
+    empty = dsir_select(df, "doc_id", "text", F.lit(False), top_n=5)
+    vals = empty.collect()
+    assert len(vals) == 5  # no crash, smoothed floor everywhere

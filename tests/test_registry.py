@@ -46,6 +46,7 @@ def test_canaries_and_round7_rotation_keep_their_slots():
     never_witnessed = {
         "q215_ivf_append", "q216_pq_append",
         "q217_spearman_matrix", "q218_ivm_join",
+        "q219_l_diversity", "q220_dsir_select",
     }
     stale_r1_r2 = {
         "q101_market_share", "q102_important_parts",
