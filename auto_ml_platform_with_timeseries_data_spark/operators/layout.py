@@ -723,3 +723,145 @@ def q218_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (maintained.groupBy(F.col("o_orderpriority").alias("priority"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.sum("rev").alias("revenue_micro")))
+
+
+# ---------------------------------------------------------------------------
+# q221 — data-skipping certificate: measure what the q155 Z-order
+# layout actually buys. Per-file min/max footer stats (the parquet
+# pruning contract) are computed for a Morton-clustered layout and an
+# id-ordered baseline, then probed with a band predicate on EACH
+# clustered dimension — files whose [min, max] span misses the band
+# are the ones a scan skips.
+# ---------------------------------------------------------------------------
+
+
+def zorder_pruning_certificate(ev: DataFrame, id_col: str, x_col: str,
+                               y_col: str, nfiles: int = 64) -> DataFrame:
+    """(layout, probe, files_total, files_hit) for four combinations:
+    {zorder, id_ordered} × {x-band, y-band}. File assignment is the
+    DETERMINISTIC splitter — fixed-width Morton-key ranges
+    (zkey >> (2·bits − log2(nfiles))) for the clustered layout,
+    fixed-width id ranges for the baseline — so the certificate is
+    bit-reproducible across engines (the production `zorder_write`
+    path uses sampled repartitionByRange instead; same clustering
+    property, nondeterministic split points). Probe bands are the
+    middle decile of each dimension, derived from the same broadcast
+    1-row bounds aggregate the bucketing uses. Everything after the
+    Morton interleave is integer min/max/count — exact.
+
+    The 100 TB claim this certifies: a Morton-clustered table answers
+    band predicates on ANY clustered dimension by reading a bounded
+    fraction of files, while the id-ordered baseline must read ~all
+    files for dimensions uncorrelated with id."""
+    shift = 2 * _BITS - max(1, (nfiles - 1).bit_length())
+    bounds = ev.agg(
+        F.min(x_col).alias("__uxmin"), F.max(x_col).alias("__uxmax"),
+        F.min(y_col).alias("__uymin"), F.max(y_col).alias("__uymax"),
+        F.min(id_col).alias("__emin"), F.max(id_col).alias("__emax"),
+    )
+    zk = (zorder_keys(ev, x_col, y_col)
+          .crossJoin(F.broadcast(bounds)))
+    zfile = F.shiftright(F.col("zkey"), shift)
+    bfile = F.floor(
+        ((F.col(id_col) - F.col("__emin")) * F.lit(nfiles - 1))
+        / F.greatest(F.col("__emax") - F.col("__emin"), F.lit(1)))
+    stats = None
+    for layout, fcol in (("zorder", zfile), ("id_ordered", bfile)):
+        st = (zk.groupBy(fcol.alias("__f"))
+              .agg(F.min(x_col).alias("__xlo"), F.max(x_col).alias("__xhi"),
+                   F.min(y_col).alias("__ylo"), F.max(y_col).alias("__yhi"))
+              .select(F.lit(layout).alias("layout"), "__f",
+                      "__xlo", "__xhi", "__ylo", "__yhi"))
+        stats = st if stats is None else stats.unionByName(st)
+    stats = stats.crossJoin(F.broadcast(bounds))
+    xlo = F.col("__uxmin") + F.expr("(__uxmax - __uxmin) * 45 div 100")
+    xhi = F.col("__uxmin") + F.expr("(__uxmax - __uxmin) * 55 div 100")
+    ylo = F.col("__uymin") + F.expr("(__uymax - __uymin) * 45 div 100")
+    yhi = F.col("__uymin") + F.expr("(__uymax - __uymin) * 55 div 100")
+    agg = stats.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("files_total"),
+        F.sum(F.when((F.col("__xhi") >= xlo) &
+                     (F.col("__xlo") <= xhi), 1).otherwise(0))
+        .cast("long").alias("__hx"),
+        F.sum(F.when((F.col("__yhi") >= ylo) &
+                     (F.col("__ylo") <= yhi), 1).otherwise(0))
+        .cast("long").alias("__hy"),
+    )
+    return (agg.select("layout", F.lit("x_band").alias("probe"),
+                       "files_total", F.col("__hx").alias("files_hit"))
+            .unionByName(
+                agg.select("layout", F.lit("y_band").alias("probe"),
+                           "files_total", F.col("__hy").alias("files_hit"))))
+
+
+def _zprune_oracle() -> str:
+    m = (1 << _BITS) - 1
+    return f"""
+    WITH b AS (
+      SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+             CAST(min(floor(epoch(ts))) AS BIGINT) AS ymin,
+             CAST(max(floor(epoch(ts))) AS BIGINT) AS ymax,
+             min(event_id) AS emin, max(event_id) AS emax
+      FROM events
+    ),
+    k AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+             CAST(floor(CAST((user_id - xmin) * {m} AS DOUBLE)
+                        / greatest(xmax - xmin, 1)) AS BIGINT) AS bx,
+             CAST(floor(CAST((CAST(floor(epoch(ts)) AS BIGINT) - ymin)
+                             * {m} AS DOUBLE)
+                        / greatest(ymax - ymin, 1)) AS BIGINT) AS by,
+             emin, emax
+      FROM events, b
+    ),
+    z AS (
+      SELECT event_id, user_id, ep,
+             (CAST(({_interleave_duck('bx', 'by')}) AS BIGINT) >> 26) AS zf,
+             CAST(floor(CAST((event_id - emin) * 63 AS DOUBLE)
+                        / greatest(emax - emin, 1)) AS BIGINT) AS bf
+      FROM k
+    ),
+    st AS (
+      SELECT 'zorder' AS layout, zf AS f,
+             min(user_id) AS xlo, max(user_id) AS xhi,
+             min(ep) AS ylo, max(ep) AS yhi
+      FROM z GROUP BY zf
+      UNION ALL
+      SELECT 'id_ordered', bf,
+             min(user_id), max(user_id), min(ep), max(ep)
+      FROM z GROUP BY bf
+    ),
+    p AS (
+      SELECT xmin + (xmax - xmin) * 45 // 100 AS pxlo,
+             xmin + (xmax - xmin) * 55 // 100 AS pxhi,
+             ymin + (ymax - ymin) * 45 // 100 AS pylo,
+             ymin + (ymax - ymin) * 55 // 100 AS pyhi
+      FROM b
+    ),
+    a AS (
+      SELECT layout, CAST(count(*) AS BIGINT) AS files_total,
+             CAST(sum(CASE WHEN xhi >= pxlo AND xlo <= pxhi
+                      THEN 1 ELSE 0 END) AS BIGINT) AS hx,
+             CAST(sum(CASE WHEN yhi >= pylo AND ylo <= pyhi
+                      THEN 1 ELSE 0 END) AS BIGINT) AS hy
+      FROM st, p GROUP BY layout
+    )
+    SELECT layout, 'x_band' AS probe, files_total, hx AS files_hit FROM a
+    UNION ALL
+    SELECT layout, 'y_band' AS probe, files_total, hy AS files_hit FROM a
+    """
+
+
+@query("q221_zorder_pruning", oracle=_zprune_oracle())
+def q221_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-skipping certificate for the events table clustered on
+    (user_id, event time): per-layout, per-probe file-hit counts,
+    value-hash-checked — the measured proof that Morton clustering
+    bounds footer-stat spans on BOTH dimensions while the id-ordered
+    baseline only prunes the dimension id correlates with."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("__epoch"),
+    )
+    return zorder_pruning_certificate(ev, "event_id", "user_id", "__epoch")

@@ -208,3 +208,32 @@ def test_ivm_join_delta_equals_recompute(spark):
     assert maintained.count() == full.count()
     assert maintained.exceptAll(full).count() == 0
     assert full.exceptAll(maintained).count() == 0
+
+
+def test_zorder_pruning_certificate_bounds_both_dimensions(spark, sf_dir):
+    """The clustering claim, measured: a Morton layout answers a band
+    probe on EITHER dimension from a bounded file fraction, while the
+    id-ordered baseline must read almost everything for the dimension
+    id does not correlate with."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+        zorder_pruning_certificate,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("ep"))
+    got = {(r["layout"], r["probe"]): r for r in
+           zorder_pruning_certificate(ev, "event_id", "user_id", "ep")
+           .collect()}
+    assert len(got) == 4
+    for k, r in got.items():
+        assert 0 < r["files_hit"] <= r["files_total"]
+    # zorder prunes BOTH dimensions to a minority of files
+    assert got[("zorder", "x_band")]["files_hit"] * 2 < \
+        got[("zorder", "x_band")]["files_total"]
+    assert got[("zorder", "y_band")]["files_hit"] * 2 < \
+        got[("zorder", "y_band")]["files_total"]
+    # the baseline reads ~all files for the uncorrelated dimension
+    assert got[("id_ordered", "x_band")]["files_hit"] > \
+        got[("zorder", "x_band")]["files_hit"]
