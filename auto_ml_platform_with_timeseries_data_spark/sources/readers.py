@@ -469,3 +469,54 @@ def q211_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "doc_id", F.md5("text").alias("text_md5"), "lang",
         F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# q222 — schema-evolution round-trip: a parquet directory whose early
+# files PREDATE a column (the v1 crawl wrote no `lang`) must still read
+# as one table under mergeSchema, with the missing column null-backfilled
+# — the additive-evolution contract every long-lived lakehouse table
+# depends on (Delta/Iceberg call it schema merging; plain Spark parquet
+# supports it via per-file footers + mergeSchema)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q222_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN doc_id < 250 THEN 1 ELSE 2 END AS batch,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_lang,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def q222_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write documents with doc_id < 250 WITHOUT the lang column (the
+    pre-evolution files), append the rest with it, read the directory
+    back with mergeSchema: v1 rows must surface lang = NULL (the
+    null-backfill contract) while every row and byte survives — the
+    per-batch row counts, null-lang counts, and exact character sums
+    are value-hash-checked against the original table. Scale: schema
+    merge is a FOOTER operation (one small read per file at planning
+    time, or sampled); the data pages are never rewritten — which is
+    the point: evolving a 100 TB table's schema costs metadata, not a
+    rewrite."""
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", F.col("n_chars").cast("long")
+        .alias("n_chars"))
+    d = staging_dir("schema_evo")
+    (docs.filter(F.col("doc_id") < 250).drop("lang")
+     .write.mode("append").parquet(d))
+    (docs.filter(F.col("doc_id") >= 250)
+     .write.mode("append").parquet(d))
+    back = spark.read.option("mergeSchema", "true").parquet(d)
+    return (back.groupBy(
+        F.when(F.col("lang").isNull(), 1).otherwise(2).alias("batch"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+             .cast("long").alias("n_null_lang"),
+             F.sum("n_chars").cast("long").alias("total_chars")))
