@@ -88,6 +88,15 @@ HEADLINE = [
     "q207_corr_matrix",
     "q210_cdc_apply",
     "q214_frequent_triples",
+    # round-7 additions — under the gate from the round they were born
+    "q215_ivf_append",
+    "q216_pq_append",
+    "q217_spearman_matrix",
+    "q218_ivm_join",
+    "q219_l_diversity",
+    "q220_dsir_select",
+    "q221_zorder_pruning",
+    "q222_schema_evolution",
 ]
 
 

@@ -712,6 +712,75 @@ def main() -> int:
 
     run("pq_append", lambda: pqapp(emb1()), lambda: pqapp(embN()))
 
+    # Spearman matrix (q217): one posexplode shuffle builds all rank
+    # maps; the extendedprice map is ~distinct-cardinality-sized, so
+    # its join-back is the scaling term
+    def spear(path_based):
+        li = (spark.read.parquet(staged["lineitem"]) if path_based
+              else load_table(spark, sf_dir, "lineitem"))
+        return profile.spearman_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount",
+                 "l_tax"]).count()
+
+    run("spearman_matrix", lambda: spear(False), lambda: spear(True))
+
+    # join-view IVM (q218): the three delta joins shuffle on the key;
+    # deltas grow with the corpus here, so expect ~linear
+    def ivm(path_based):
+        import auto_ml_platform_with_timeseries_data_spark.operators.layout as lay
+        if path_based:
+            old = lay.load_table
+
+            def fake(sp, sf, name):
+                return sp.read.parquet(staged[name])
+            lay.load_table = fake
+            try:
+                return lay.q218_ivm_join(spark, sf_dir).count()
+            finally:
+                lay.load_table = old
+        return lay.q218_ivm_join(spark, sf_dir).count()
+
+    run("ivm_join", lambda: ivm(False), lambda: ivm(True))
+
+    # l-diversity (q219): one map-side-combined groupBy over customer
+    def ldiv(path_based):
+        from auto_ml_platform_with_timeseries_data_spark.operators import (
+            curation,
+        )
+        c = (spark.read.parquet(staged["customer"]) if path_based
+             else load_table(spark, sf_dir, "customer"))
+        return curation.l_diversity_groups(
+            c.select("c_nationkey", "c_mktsegment",
+                     F.floor(F.col("c_acctbal") / 1000).cast("long")
+                     .alias("bal")),
+            ["c_nationkey", "c_mktsegment"], "bal").count()
+
+    run("l_diversity", lambda: ldiv(False), lambda: ldiv(True))
+
+    # DSIR selection (q220): two word-keyed LM aggregates + the
+    # scoring join — token-linear
+    def dsir(d):
+        from auto_ml_platform_with_timeseries_data_spark.operators import (
+            curation,
+        )
+        return curation.dsir_select(
+            d, "doc_id", "text",
+            F.col("source").isin("src0", "src1")).count()
+
+    run("dsir_select", lambda: dsir(docs1()), lambda: dsir(docsN()))
+
+    # Z-order pruning certificate (q221): map-only key + two groupBys
+    def zprune(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return layout.zorder_pruning_certificate(
+            ev.select("event_id", "user_id",
+                      F.floor(F.col("ts").cast("double")).cast("long")
+                      .alias("ep")),
+            "event_id", "user_id", "ep").count()
+
+    run("zorder_pruning", lambda: zprune(False), lambda: zprune(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0
