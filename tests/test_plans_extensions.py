@@ -153,3 +153,37 @@ def test_round5_plan_contracts(spark, sf_dir):
         joins = (plan.count("SortMergeJoin")
                  + plan.count("ShuffledHashJoin"))
         assert joins == 1, (name, joins)
+
+
+def test_round7_plan_contracts(spark, sf_dir):
+    """Round-7 queries keep the plans their docstrings price:
+
+    - q215/q216 ANN appends: no cartesian or nested-loop join — the
+      centroid/codeword tables join BROADCAST; the certificate's
+      global totals come from a tiny |cells|-row window, never a
+      corpus-wide single partition.
+    - q217 Spearman: the two-pass prefix machinery survives — no
+      SinglePartition exchange anywhere (a global rank window would
+      funnel the distinct-value frame through one task).
+    - q218 IVM / q220 DSIR / q221 pruning certificate: no cartesian
+      products; every join is keyed or broadcast.
+    """
+    for name in ("q215_ivf_append", "q216_pq_append",
+                 "q218_ivm_join", "q220_dsir_select",
+                 "q221_zorder_pruning"):
+        df = queries()[name](spark, sf_dir)
+        df.collect()
+        plan = explain.final_plan(df)
+        assert "CartesianProduct" not in plan, name
+        # the only legal BNLJ is a broadcast of a 1-row bounds/total
+        # aggregate (the audited histogram/zorder pattern): q220's two
+        # LM totals and q221's bounds frame; q215/q216/q218 must have
+        # none at all
+        if name in ("q215_ivf_append", "q216_pq_append", "q218_ivm_join"):
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+    df = queries()["q217_spearman_matrix"](spark, sf_dir)
+    df.collect()
+    plan = explain.final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan, "global-window rank regression"
