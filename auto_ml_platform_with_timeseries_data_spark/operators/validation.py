@@ -263,3 +263,122 @@ def q212_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = customer.filter(F.col("c_custkey") % 97 == 0) \
         .select("c_custkey")
     return gdpr_erase(customer, orders, lineitem, keys)
+
+
+# ---------------------------------------------------------------------------
+# q223 — order-independent table digest for replica reconciliation:
+# compare two copies of a 100 TB table WITHOUT moving either — each
+# side computes one bounded digest row per partition (count + XOR +
+# sum of portable row hashes) and only the digests travel. The
+# cross-engine consistency-check pattern behind replication audits,
+# backup verification, and migration cutovers; order-independence
+# (XOR/sum are commutative) means partitioning and scan order on the
+# two replicas may differ freely.
+# ---------------------------------------------------------------------------
+
+
+def table_digest(df: DataFrame, part_col: str, canon: Column) -> DataFrame:
+    """(part, n_rows, xor_digest, sum_digest) per partition value.
+
+    The row hash is the portable base-31 polynomial fold (the q141
+    twin family — bit-identical in any 64-bit engine), widened by two
+    independent affine transforms packed into one 61-bit value for the
+    XOR lane; the sum lane keeps the first transform (≤ p per row, so
+    BIGINT holds ~9e9 rows per partition). A single corrupted cent in
+    one row flips both lanes with probability ≈ 1 − 2⁻³⁰ each. One
+    map-side-combined groupBy; the shuffle carries |partitions| rows."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        _POLY_P,
+        _polyhash,
+    )
+
+    h = _polyhash(canon)
+    h1 = (h * 3 + 17) % _POLY_P
+    h2 = (h * 5 + 101) % _POLY_P
+    return (df.select(F.col(part_col).alias("part"),
+                      (h1 * F.lit(1 << 31) + h2).alias("__d"),
+                      h1.alias("__h1"))
+            .groupBy("part")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.expr("bit_xor(__d)").alias("xor_digest"),
+                 F.sum("__h1").cast("long").alias("sum_digest")))
+
+
+def _digest_oracle() -> str:
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        _POLY_DUCK,
+        _POLY_P,
+    )
+    canon = ("concat_ws('|', CAST(o_orderkey AS VARCHAR),"
+             " CAST(o_custkey AS VARCHAR), o_orderstatus,"
+             " CAST({cents} AS VARCHAR),"
+             " strftime(o_orderdate, '%Y-%m-%d'))")
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    rcents = (f"CASE WHEN o_orderkey % 20000 = 7 THEN {cents} + 1"
+              f" ELSE {cents} END")
+    return f"""
+    WITH c AS (
+      SELECT o_orderstatus AS part,
+             {canon.format(cents=cents)} AS cs,
+             {canon.format(cents=rcents)} AS cr
+      FROM orders
+    ),
+    h AS (
+      SELECT part,
+             {_POLY_DUCK.format(g='cs')} AS hs,
+             {_POLY_DUCK.format(g='cr')} AS hr
+      FROM c
+    ),
+    w AS (
+      SELECT part,
+             (hs * 3 + 17) % {_POLY_P} AS s1,
+             (hs * 5 + 101) % {_POLY_P} AS s2,
+             (hr * 3 + 17) % {_POLY_P} AS r1,
+             (hr * 5 + 101) % {_POLY_P} AS r2
+      FROM h
+    ),
+    a AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(bit_xor(s1 * {1 << 31} + s2) AS BIGINT) AS xor_src,
+             CAST(sum(s1) AS BIGINT) AS sum_src,
+             CAST(bit_xor(r1 * {1 << 31} + r2) AS BIGINT) AS xor_rep,
+             CAST(sum(r1) AS BIGINT) AS sum_rep
+      FROM w GROUP BY part
+    )
+    SELECT part AS status, n_rows, xor_src, sum_src, xor_rep, sum_rep,
+           (xor_src = xor_rep AND sum_src = sum_rep) AS consistent
+    FROM a
+    """
+
+
+@query("q223_table_digest", oracle=_digest_oracle())
+def q223_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconcile orders against a 'replica' carrying a planted one-cent
+    corruption on every o_orderkey % 20000 == 7 row: per-status counts
+    and XOR/sum digest lanes for both sides, with the consistency flag
+    — statuses containing a corrupted row must flag false, the rest
+    true, every digest value-hash-checked."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    rcents = F.when(F.col("o_orderkey") % 20000 == 7, cents + 1) \
+        .otherwise(cents)
+
+    def canon(c: Column) -> Column:
+        return F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"), F.col("o_orderstatus"),
+            c.cast("string"),
+            F.date_format("o_orderdate", "yyyy-MM-dd"))
+
+    src = table_digest(o, "o_orderstatus", canon(cents)) \
+        .withColumnRenamed("xor_digest", "xor_src") \
+        .withColumnRenamed("sum_digest", "sum_src")
+    rep = table_digest(o, "o_orderstatus", canon(rcents)) \
+        .select(F.col("part"), F.col("xor_digest").alias("xor_rep"),
+                F.col("sum_digest").alias("sum_rep"))
+    return (src.join(rep, "part")
+            .select(F.col("part").alias("status"), "n_rows",
+                    "xor_src", "sum_src", "xor_rep", "sum_rep",
+                    ((F.col("xor_src") == F.col("xor_rep")) &
+                     (F.col("sum_src") == F.col("sum_rep")))
+                    .alias("consistent")))

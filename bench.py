@@ -97,6 +97,7 @@ HEADLINE = [
     "q220_dsir_select",
     "q221_zorder_pruning",
     "q222_schema_evolution",
+    "q223_table_digest",
 ]
 
 

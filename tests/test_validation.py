@@ -54,3 +54,35 @@ def test_gdpr_erasure_cascades_transitively(spark):
     assert got["lineitem"]["rows_deleted"] == 3        # lines of 11, 12
     assert all(r["residual_refs"] == 0 for r in got.values())
     assert got["lineitem"]["rows_after"] == 2
+
+
+def test_table_digest_order_independent_and_sensitive(spark):
+    """The digest is invariant to row order/partitioning and flips on
+    a single-field change in a single row."""
+    from pyspark.sql import functions as F
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.validation import (
+        table_digest,
+    )
+
+    rows = [(i, f"p{i % 2}", 100 + i) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, part string, v long")
+    canon = F.concat_ws("|", F.col("k").cast("string"),
+                        F.col("v").cast("string"))
+    base = {r["part"]: r for r in
+            table_digest(df, "part", canon).collect()}
+    shuffled = {r["part"]: r for r in
+                table_digest(df.repartition(7).orderBy(F.desc("k")),
+                             "part", canon).collect()}
+    assert base.keys() == shuffled.keys()
+    for p in base:
+        assert base[p]["xor_digest"] == shuffled[p]["xor_digest"]
+        assert base[p]["sum_digest"] == shuffled[p]["sum_digest"]
+
+    mut = df.withColumn("v", F.when(F.col("k") == 13, F.col("v") + 1)
+                        .otherwise(F.col("v")))
+    changed = {r["part"]: r for r in
+               table_digest(mut, "part", canon).collect()}
+    assert changed["p1"]["xor_digest"] != base["p1"]["xor_digest"]
+    assert changed["p1"]["sum_digest"] != base["p1"]["sum_digest"]
+    assert changed["p0"]["xor_digest"] == base["p0"]["xor_digest"]
