@@ -1623,3 +1623,101 @@ def q194_video_neardup_banded(spark: SparkSession,
         [(f"f{f}_{p}", 32)
          for f in range(_Q152_FRAMES) for p in ("lo", "hi")],
         _VN_MAXH)
+
+
+# ---------------------------------------------------------------------------
+# q224 — perceptual-index MAINTENANCE: the q165 append-back loop
+# applied to the image dHash index. A rolling media crawl keeps ONE
+# persisted (fingerprint → canonical) table; each new batch is
+# decoded+fingerprinted map-side (delta-only work), known fingerprints
+# keep their corpus canonical forever, novel ones append with the
+# batch's min id. Completes the incremental story across modalities:
+# text exact (q154/q165), text near (q162), streaming (q182), vectors
+# (q215/q216), and now perceptual media.
+# ---------------------------------------------------------------------------
+
+_II_CORPUS_HI = 160       # corpus images: doc_id < 160, 40 pattern families
+_II_DELTA_HI = 200        # delta batch: doc_id in [160, 200), 50 families
+_II_FAM_OLD = 40          # delta seeds 10..49 → 30 already-indexed
+_II_FAM_NEW = 50          # patterns + 10 genuinely novel ones
+
+
+def image_index_update(index: DataFrame, delta_media: DataFrame) -> DataFrame:
+    """Merge a delta batch's NOVEL dHash fingerprints into the corpus
+    index, keeping existing canonicals (dedup-on-merge). Work is
+    linear in the DELTA: one map-only decode+fingerprint pass, one
+    delta-sized groupBy, one anti-join against the index on the
+    16-byte fingerprint pair — the corpus images are never re-decoded.
+    Canonicals never change once assigned, so downstream dup labels
+    stay stable across batches (the q165 contract, one modality up)."""
+    delta_idx = (image_dhash(delta_media)
+                 .groupBy("dhash_lo", "dhash_hi")
+                 .agg(F.min("media_id").alias("canonical_id")))
+    novel = delta_idx.join(index.select("dhash_lo", "dhash_hi"),
+                           ["dhash_lo", "dhash_hi"], "left_anti")
+    return index.unionByName(novel)
+
+
+def _image_index_oracle() -> str:
+    def px(fam: int, jexpr: str) -> str:
+        return (f"(((doc_id % {fam}) * 31 + 13 * (k // 8)"
+                f" + (13 * ({jexpr})) // 9) % 256)")
+
+    def half(fam: int, k0: int, k1: int) -> str:
+        bit = (f"CASE WHEN {px(fam, 'k % 8')} < {px(fam, '(k % 8) + 1')}"
+               f" THEN 1 ELSE 0 END")
+        return (f"CAST(list_sum(list_transform(range({k0}, {k1}),"
+                f" k -> {bit} * (CAST(1 AS BIGINT) << (k - {k0}))))"
+                f" AS BIGINT)")
+
+    return f"""
+    WITH hc AS (
+      SELECT doc_id, {half(_II_FAM_OLD, 0, 32)} AS dhash_lo,
+             {half(_II_FAM_OLD, 32, 64)} AS dhash_hi
+      FROM documents WHERE doc_id < {_II_CORPUS_HI}
+    ),
+    idx AS (
+      SELECT dhash_lo, dhash_hi, CAST(min(doc_id) AS BIGINT)
+               AS canonical_id
+      FROM hc GROUP BY 1, 2
+    ),
+    hd AS (
+      SELECT doc_id, {half(_II_FAM_NEW, 0, 32)} AS dhash_lo,
+             {half(_II_FAM_NEW, 32, 64)} AS dhash_hi
+      FROM documents
+      WHERE doc_id >= {_II_CORPUS_HI} AND doc_id < {_II_DELTA_HI}
+    ),
+    didx AS (
+      SELECT dhash_lo, dhash_hi, CAST(min(doc_id) AS BIGINT)
+               AS canonical_id
+      FROM hd GROUP BY 1, 2
+    )
+    SELECT * FROM idx
+    UNION ALL
+    SELECT d.* FROM didx d
+    WHERE NOT EXISTS (SELECT 1 FROM idx i
+                      WHERE i.dhash_lo = d.dhash_lo
+                        AND i.dhash_hi = d.dhash_hi)
+    """
+
+
+@query("q224_image_index_update", oracle=_image_index_oracle())
+def q224_image_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll the image dHash index forward by one crawl batch: the
+    corpus (doc_id < 160, 40 pattern families) owns its canonicals;
+    the delta batch ([160, 200), 50 families) re-encounters 30 of its
+    patterns (kept — corpus canonical wins) and contributes 10 novel
+    fingerprints (appended with the batch's min id). Both branches
+    value-hash-checked; the oracle recomputes every fingerprint
+    ARITHMETICALLY from the generation rule, never parsing BMP — the
+    q186 certification contract."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus_ids = docs.filter(F.col("doc_id") < _II_CORPUS_HI)
+    delta_ids = docs.filter((F.col("doc_id") >= _II_CORPUS_HI) &
+                            (F.col("doc_id") < _II_DELTA_HI))
+    index = (image_dhash(synth_bmp_media(corpus_ids,
+                                         families=_II_FAM_OLD))
+             .groupBy("dhash_lo", "dhash_hi")
+             .agg(F.min("media_id").alias("canonical_id")))
+    return image_index_update(
+        index, synth_bmp_media(delta_ids, families=_II_FAM_NEW))

@@ -98,6 +98,7 @@ HEADLINE = [
     "q221_zorder_pruning",
     "q222_schema_evolution",
     "q223_table_digest",
+    "q224_image_index_update",
 ]
 
 

@@ -278,3 +278,34 @@ def test_video_fingerprint_20_frames_no_alias(spark):
     assert set(got) == {1, 2, 3}
     assert got[1] == got[3]      # identical 20-frame clips collide
     assert got[1] != got[2]      # a single frame-17 change separates them
+
+
+def test_image_index_update_keeps_corpus_canonicals(spark):
+    """q224's maintenance contract: a re-encountered fingerprint keeps
+    its corpus canonical; only genuinely novel fingerprints append,
+    canonicalized to the delta batch's min id."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+        image_dhash,
+        image_index_update,
+        synth_bmp_media,
+    )
+
+    ids = spark.range(40).select(F.col("id").alias("doc_id"))
+    corpus = ids.filter(F.col("doc_id") < 30)     # seeds 0..9 (fam=10)
+    delta = ids.filter(F.col("doc_id") >= 30)     # seeds 0..9 ∪ 10..14
+    index = (image_dhash(synth_bmp_media(corpus, families=10))
+             .groupBy("dhash_lo", "dhash_hi")
+             .agg(F.min("media_id").alias("canonical_id")))
+    base = {(r["dhash_lo"], r["dhash_hi"]): r["canonical_id"]
+            for r in index.collect()}
+    updated = image_index_update(
+        index, synth_bmp_media(delta, families=15))
+    rows = {(r["dhash_lo"], r["dhash_hi"]): r["canonical_id"]
+            for r in updated.collect()}
+    # every corpus fingerprint survives with its ORIGINAL canonical
+    for fp, canon in base.items():
+        assert rows[fp] == canon
+    # any appended fingerprint is novel and owned by a delta id
+    for fp, canon in rows.items():
+        if fp not in base:
+            assert canon >= 30
