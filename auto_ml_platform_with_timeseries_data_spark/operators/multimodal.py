@@ -1721,3 +1721,177 @@ def q224_image_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.min("media_id").alias("canonical_id")))
     return image_index_update(
         index, synth_bmp_media(delta_ids, families=_II_FAM_NEW))
+
+
+# ---------------------------------------------------------------------------
+# q225/q226 — perceptual-index maintenance for AUDIO and VIDEO: the
+# q224 append-back loop applied to the energy-gradient and
+# frame-sequence fingerprints, completing the maintenance matrix over
+# every modality the dedup tier covers (q186/q187/q188 → q224/q225/
+# q226).
+# ---------------------------------------------------------------------------
+
+_AI_CORPUS_HI = 160
+_AI_DELTA_HI = 200
+_AI_FAM_OLD = 20          # corpus seeds 0..19
+_AI_FAM_NEW = 25          # delta seeds 0..24 → 5 genuinely novel
+
+_VI_CORPUS_HI = 80
+_VI_DELTA_HI = 100
+_VI_FAM_OLD = 16          # corpus seeds 0..15
+_VI_FAM_NEW = 20          # delta seeds 0..19 → 4 genuinely novel
+
+
+def fingerprint_index_update(index: DataFrame,
+                             delta_fp: DataFrame) -> DataFrame:
+    """Shared append-back step: reduce the delta's fingerprints to one
+    row per distinct value (delta-sized), anti-join the index, union.
+    Known fingerprints keep their corpus canonical forever; work is
+    linear in the delta — the corpus media are never re-decoded."""
+    delta_idx = (delta_fp.groupBy("fingerprint")
+                 .agg(F.min("media_id").alias("canonical_id")))
+    novel = delta_idx.join(index.select("fingerprint"),
+                           ["fingerprint"], "left_anti")
+    return index.unionByName(novel)
+
+
+def synth_wav_media_mod(ids: DataFrame, families: int,
+                        id_col: str = "doc_id") -> DataFrame:
+    """q225's seed-MODULATED WAV corpus: the q187 generator's frame
+    energies are seed-invariant in their ORDERING (every clip yields
+    the same gradient fingerprint — q187's single dup family), so the
+    index-maintenance query needs clips whose fingerprints actually
+    differ. Each frame f is amplitude-modulated by bit f of the seed
+    (gain 1 or 4), so the energy-gradient profile encodes the seed's
+    bit pattern; |sample| ≤ 4096 stays comfortably inside PCM16."""
+    import numpy as np
+
+    n = np.arange(_Q150_SAMPLES, dtype=np.int64)
+
+    def make_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for d in pdf[id_col]:
+                seed = int(d) % families
+                base = (seed * 7 + n * 13) % 2048 - 1024
+                amp = 1 + 3 * ((seed >> (n // _AF_FRAME)) & 1)
+                out.append(_encode_wav_pcm16(
+                    (base * amp).astype(np.int16)))
+            yield pd.DataFrame({"media_id": pdf[id_col], "content": out})
+
+    return ids.mapInPandas(make_wav, "media_id long, content binary")
+
+
+def _audio_index_oracle() -> str:
+    def fp(fam: int) -> str:
+        sample = (f"(((doc_id % {fam}) * 7 + n * 13) % 2048 - 1024)"
+                  f" * (1 + 3 * (((doc_id % {fam}) >> (n // {_AF_FRAME}))"
+                  f" & 1))")
+        energy = (lambda lo, hi:
+                  f"list_sum(list_transform(range({lo}, {hi}),"
+                  f" n -> pow({sample}, 2)))")
+        nbits = 600 // _AF_FRAME - 1
+        return (f"CAST(list_sum(list_transform(range(0, {nbits}), f ->"
+                f" CASE WHEN {energy(f'f * {_AF_FRAME}', f'f * {_AF_FRAME} + {_AF_FRAME}')}"
+                f" < {energy(f'(f + 1) * {_AF_FRAME}', f'(f + 1) * {_AF_FRAME} + {_AF_FRAME}')}"
+                f" THEN (CAST(1 AS BIGINT) << f) ELSE 0 END))"
+                f" AS BIGINT)")
+
+    return f"""
+    WITH idx AS (
+      SELECT {fp(_AI_FAM_OLD)} AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM documents WHERE doc_id < {_AI_CORPUS_HI} GROUP BY 1
+    ),
+    didx AS (
+      SELECT {fp(_AI_FAM_NEW)} AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM documents
+      WHERE doc_id >= {_AI_CORPUS_HI} AND doc_id < {_AI_DELTA_HI}
+      GROUP BY 1
+    )
+    SELECT * FROM idx
+    UNION ALL
+    SELECT d.* FROM didx d
+    WHERE NOT EXISTS (SELECT 1 FROM idx i
+                      WHERE i.fingerprint = d.fingerprint)
+    """
+
+
+@query("q225_audio_index_update", oracle=_audio_index_oracle())
+def q225_audio_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll the audio fingerprint index forward by one crawl batch:
+    corpus clips (doc_id < 160, 20 acoustic families) own their
+    canonicals; the delta batch ([160, 200), 25 seed-modulated
+    families) re-encounters most fingerprints and appends the novel
+    ones. Delta-only decode; both branches value-hash-checked against
+    the arithmetic energy-gradient oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus_ids = docs.filter(F.col("doc_id") < _AI_CORPUS_HI)
+    delta_ids = docs.filter((F.col("doc_id") >= _AI_CORPUS_HI) &
+                            (F.col("doc_id") < _AI_DELTA_HI))
+    index = (audio_fingerprint(synth_wav_media_mod(corpus_ids,
+                                                   families=_AI_FAM_OLD))
+             .groupBy("fingerprint")
+             .agg(F.min("media_id").alias("canonical_id")))
+    delta_fp = audio_fingerprint(synth_wav_media_mod(delta_ids,
+                                                     families=_AI_FAM_NEW))
+    return fingerprint_index_update(index, delta_fp)
+
+
+def _video_index_oracle() -> str:
+    def fp(fam: int) -> str:
+        def px(jexpr: str) -> str:
+            return (f"(((doc_id % {fam}) * 31 + f * 97"
+                    f" + ((k // 8) // 2) * 6 + (6 * ({jexpr})) // 9)"
+                    f" % 256)")
+        bit = (f"CASE WHEN {px('k % 8')} < {px('(k % 8) + 1')}"
+               f" THEN 1 ELSE 0 END")
+        lo = (f"list_sum(list_transform(range(0, 32), k -> {bit}"
+              f" * (CAST(1 AS BIGINT) << k)))")
+        hi = (f"list_sum(list_transform(range(32, 64), k -> {bit}"
+              f" * (CAST(1 AS BIGINT) << (k - 32))))")
+        return (f"CAST(list_sum(list_transform(range(0, {_Q152_FRAMES}),"
+                f" f -> ({lo}) * (f * 2 + 1) + ({hi}) * (f * 2 + 2)))"
+                f" AS BIGINT)")
+
+    return f"""
+    WITH idx AS (
+      SELECT {fp(_VI_FAM_OLD)} AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM documents WHERE doc_id < {_VI_CORPUS_HI} GROUP BY 1
+    ),
+    didx AS (
+      SELECT {fp(_VI_FAM_NEW)} AS fingerprint,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id
+      FROM documents
+      WHERE doc_id >= {_VI_CORPUS_HI} AND doc_id < {_VI_DELTA_HI}
+      GROUP BY 1
+    )
+    SELECT * FROM idx
+    UNION ALL
+    SELECT d.* FROM didx d
+    WHERE NOT EXISTS (SELECT 1 FROM idx i
+                      WHERE i.fingerprint = d.fingerprint)
+    """
+
+
+@query("q226_video_index_update", oracle=_video_index_oracle())
+def q226_video_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll the video fingerprint index forward by one crawl batch:
+    corpus clips (doc_id < 80, 16 clip families) own their canonicals;
+    the delta batch ([80, 100), 20 families) re-encounters 16 frame
+    sequences and appends the novel ones. Delta-only demux+decode;
+    both branches value-hash-checked against the arithmetic
+    frame-sequence oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    corpus_ids = docs.filter(F.col("doc_id") < _VI_CORPUS_HI)
+    delta_ids = docs.filter((F.col("doc_id") >= _VI_CORPUS_HI) &
+                            (F.col("doc_id") < _VI_DELTA_HI))
+    index = (video_fingerprint(synth_avi_media(corpus_ids,
+                                               families=_VI_FAM_OLD))
+             .groupBy("fingerprint")
+             .agg(F.min("media_id").alias("canonical_id")))
+    delta_fp = video_fingerprint(synth_avi_media(delta_ids,
+                                                 families=_VI_FAM_NEW))
+    return fingerprint_index_update(index, delta_fp)

@@ -99,6 +99,8 @@ HEADLINE = [
     "q222_schema_evolution",
     "q223_table_digest",
     "q224_image_index_update",
+    "q225_audio_index_update",
+    "q226_video_index_update",
 ]
 
 
