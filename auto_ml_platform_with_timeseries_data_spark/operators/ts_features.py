@@ -720,3 +720,159 @@ def q213_moment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull())
     return moment_features(ev, "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# q227/q228 — robust trend analytics: Theil–Sen slope (median of
+# pairwise slopes — the estimator that shrugs off outliers OLS q124
+# chases) and the Mann–Kendall trend test (the standard nonparametric
+# "is there a monotone trend" significance check, tie-corrected).
+# Both are per-entity pairwise operators: work is Σ C(n_g, 2) over
+# group sizes — bounded by the retention window per entity, never
+# corpus²; for very long series the documented scale path is the
+# standard k-sample Theil–Sen (random pair subsampling).
+# ---------------------------------------------------------------------------
+
+
+def _event_series(ev: DataFrame, group_col: str) -> DataFrame:
+    """(group, event_id, sec, cents): the exact-integer series every
+    pairwise trend operator joins on — epoch seconds and value cents,
+    so every downstream slope/sign is one double op over exact ints."""
+    return ev.select(
+        F.col(group_col).alias("__g"), "event_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("__s"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        .alias("__c"))
+
+
+def theil_sen_slopes(ev: DataFrame, group_col: str) -> DataFrame:
+    """Per-group Theil–Sen estimator: median over all pairs of
+    (Δcents)/(Δseconds). Pairs enumerate once by event_id (the slope
+    is symmetric); simultaneous observations (Δt = 0) contribute no
+    slope. The median interpolates the middle two on even counts —
+    Spark's `median` and DuckDB's agree on doubles, and every slope is
+    the same single division of exact integers in both engines."""
+    s = _event_series(ev, group_col)
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (a.join(b, (F.col("a.__g") == F.col("b.__g")) &
+                    (F.col("a.event_id") < F.col("b.event_id")) &
+                    (F.col("a.__s") != F.col("b.__s")))
+             .select(F.col("a.__g").alias("__g"),
+                     ((F.col("b.__c") - F.col("a.__c")) /
+                      (F.col("b.__s") - F.col("a.__s"))).alias("__m")))
+    return (pairs.groupBy("__g")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                 F.median("__m").alias("__med"))
+            .select(F.col("__g"), "n_pairs",
+                    (F.floor(F.col("__med") * 1e6 + F.lit(0.5)) / 1e6)
+                    .alias("slope")))
+
+
+_TS_DUCK_SERIES = """
+      SELECT user_id AS g, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+"""
+
+
+@query(
+    "q227_theil_sen",
+    oracle=f"""
+    WITH e AS ({_TS_DUCK_SERIES}),
+    p AS (
+      SELECT a.g, (b.c - a.c) / CAST(b.s - a.s AS DOUBLE) AS m
+      FROM e a JOIN e b
+        ON a.g = b.g AND a.event_id < b.event_id AND a.s != b.s
+    )
+    SELECT g AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(median(m) * 1e6 + 0.5) / 1e6 AS slope
+    FROM p GROUP BY g
+    """,
+)
+def q227_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil–Sen trend slope over the events value series —
+    every (user, pair count, median slope) row value-hash-checked at
+    1e-6 against the oracle's identical pairwise formulation."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return theil_sen_slopes(ev, "user_id").withColumnRenamed(
+        "__g", "user_id")
+
+
+def mann_kendall(ev: DataFrame, group_col: str) -> DataFrame:
+    """Per-group Mann–Kendall trend test: S = Σ_{i<j} sign(v_j − v_i)
+    over the time-ordered series (time ties broken by event id — a
+    deterministic total order both engines share), the tie-corrected
+    variance numerator n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) as an EXACT
+    integer, and z = (S − sign(S))/√(var/18). S and the variance are
+    pure BIGINT arithmetic; z is one double expression pinned at 1e-6.
+    Groups with zero variance (constant series or n < 2) report z
+    NULL-by-contract."""
+    s = _event_series(ev, group_col)
+    a, b = s.alias("a"), s.alias("b")
+    sgn = (a.join(b, (F.col("a.__g") == F.col("b.__g")) &
+                  ((F.col("a.__s") < F.col("b.__s")) |
+                   ((F.col("a.__s") == F.col("b.__s")) &
+                    (F.col("a.event_id") < F.col("b.event_id")))))
+           .groupBy(F.col("a.__g").alias("__g"))
+           .agg(F.sum(F.signum(F.col("b.__c") - F.col("a.__c"))
+                      .cast("long")).alias("s_stat")))
+    n_g = s.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+    ties = (s.groupBy("__g", "__c").agg(F.count(F.lit(1)).alias("__t"))
+            .groupBy("__g")
+            .agg(F.sum(F.col("__t") * (F.col("__t") - 1) *
+                       (2 * F.col("__t") + 5)).alias("__tc")))
+    out = (n_g.join(ties, "__g").join(sgn, "__g", "left")
+           .select(
+               "__g", F.col("__n").cast("long").alias("n"),
+               F.coalesce("s_stat", F.lit(0)).cast("long")
+               .alias("s_stat"),
+               (F.col("__n") * (F.col("__n") - 1) * (2 * F.col("__n") + 5)
+                - F.col("__tc")).cast("long").alias("var18")))
+    z = F.when(
+        F.col("var18") > 0,
+        (F.col("s_stat") - F.signum("s_stat")) /
+        F.sqrt(F.col("var18") / F.lit(18.0)))
+    return out.select(
+        "__g", "n", "s_stat", "var18",
+        (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("z"))
+
+
+@query(
+    "q228_mann_kendall",
+    oracle=f"""
+    WITH e AS ({_TS_DUCK_SERIES}),
+    sg AS (
+      SELECT a.g, CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
+      FROM e a JOIN e b
+        ON a.g = b.g AND (a.s < b.s OR (a.s = b.s
+                                        AND a.event_id < b.event_id))
+      GROUP BY a.g
+    ),
+    n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g),
+    tc AS (
+      SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tc
+      FROM (SELECT g, c, count(*) AS t FROM e GROUP BY g, c)
+      GROUP BY g
+    )
+    SELECT n.g AS user_id, n.n,
+           CAST(coalesce(sg.s_stat, 0) AS BIGINT) AS s_stat,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - tc.tc AS BIGINT)
+             AS var18,
+           CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - tc.tc > 0 THEN
+             floor((coalesce(sg.s_stat, 0)
+                    - sign(coalesce(sg.s_stat, 0)))
+                   / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - tc.tc)
+                          / 18.0) * 1e6 + 0.5) / 1e6
+           END AS z
+    FROM n JOIN tc ON n.g = tc.g LEFT JOIN sg ON n.g = sg.g
+    """,
+)
+def q228_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Mann–Kendall monotone-trend test over the events value
+    series — exact integer S and tie-corrected variance, z pinned at
+    1e-6, every row value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return mann_kendall(ev, "user_id").withColumnRenamed("__g", "user_id")

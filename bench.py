@@ -101,6 +101,8 @@ HEADLINE = [
     "q224_image_index_update",
     "q225_audio_index_update",
     "q226_video_index_update",
+    "q227_theil_sen",
+    "q228_mann_kendall",
 ]
 
 

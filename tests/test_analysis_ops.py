@@ -249,3 +249,50 @@ def test_ks_missing_group_is_null(spark):
                                "grp string, v double")
     r = ks_two_sample(df, "v", "grp", "a", "b").first()
     assert r["ks"] is None and r["n_b"] == 0
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Planted line v = 2t with ONE wild outlier: the median-of-slopes
+    estimator recovers slope 2 where OLS would be dragged away."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        theil_sen_slopes,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20):
+        v = 2.0 * i if i != 10 else 1000.0   # outlier at t=10
+        rows.append((i, t0 + dt.timedelta(seconds=i), 1, v))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = theil_sen_slopes(ev, "user_id").collect()
+    assert len(got) == 1
+    # slopes are cents/second: true slope 2.0 → 200 cents/s
+    assert abs(got[0]["slope"] - 200.0) < 1e-6
+    assert got[0]["n_pairs"] == 190
+
+
+def test_mann_kendall_trend_and_degenerate(spark):
+    """Strictly increasing series → S = C(n,2) and a large positive z;
+    constant series → zero variance, z NULL-by-contract."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        mann_kendall,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(12):
+        rows.append((i, t0 + dt.timedelta(seconds=i), 1, float(i)))
+        rows.append((100 + i, t0 + dt.timedelta(seconds=i), 2, 7.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r["__g"]: r for r in mann_kendall(ev, "user_id").collect()}
+    inc, const = got[1], got[2]
+    assert inc["s_stat"] == 66            # C(12,2), every pair ascends
+    assert inc["z"] is not None and inc["z"] > 1.96
+    assert const["s_stat"] == 0
+    assert const["var18"] == 0 and const["z"] is None
