@@ -781,6 +781,51 @@ def main() -> int:
 
     run("zorder_pruning", lambda: zprune(False), lambda: zprune(True))
 
+    # perceptual-index maintenance (q224): corpus index FIXED at the
+    # 1x size, the delta grows — the maintenance claim is delta-linear
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        multimodal as mm,
+    )
+
+    base_ids = docs1().select("doc_id").filter(F.col("doc_id") < 160)
+    img_index = (mm.image_dhash(mm.synth_bmp_media(base_ids, families=40))
+                 .groupBy("dhash_lo", "dhash_hi")
+                 .agg(F.min("media_id").alias("canonical_id"))
+                 .localCheckpoint(eager=True))
+
+    def img_iu(d):
+        delta_ids = d.select("doc_id").filter(
+            (F.col("doc_id") % 10_000_000 >= 160) &
+            (F.col("doc_id") % 10_000_000 < 200))
+        return mm.image_index_update(
+            img_index,
+            mm.synth_bmp_media(delta_ids, families=50)).count()
+
+    run("image_index_update", lambda: img_iu(docs1()),
+        lambda: img_iu(docsN()))
+
+    # Theil-Sen / Mann-Kendall (q227/q228): pairwise PER ENTITY —
+    # staged copies add users, not longer series, so work is linear
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features as tsf,
+    )
+
+    def tsen(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return tsf.theil_sen_slopes(
+            ev.filter(F.col("value").isNotNull()), "user_id").count()
+
+    run("theil_sen", lambda: tsen(False), lambda: tsen(True))
+
+    def mk(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return tsf.mann_kendall(
+            ev.filter(F.col("value").isNotNull()), "user_id").count()
+
+    run("mann_kendall", lambda: mk(False), lambda: mk(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0
