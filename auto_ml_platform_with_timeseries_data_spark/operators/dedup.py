@@ -1461,3 +1461,50 @@ def q183_neardup_leakfree_split(spark: SparkSession,
     ).localCheckpoint(eager=True)   # ≤3 rows; lets s release immediately
     s.unpersist()
     return out
+
+
+def hamming_band_pairs_delta(delta_sigs: DataFrame, corpus_sigs: DataFrame,
+                             id_col: str,
+                             sig_cols: Sequence[tuple[str, int]],
+                             max_hamming: int = 3) -> DataFrame:
+    """Delta-vs-corpus variant of ``hamming_band_pairs``: the new
+    batch's 16-bit bands join the corpus's STORED band index (persisted
+    state in production — nbands small ints per item — recomputed here
+    from the signatures), survivors verify the exact popcount. Same
+    pigeonhole recall bound (d ≤ B−1 ⇒ at least one shared band); work
+    is the delta's band rows plus true candidates — the corpus is
+    never self-paired and never rescanned. Returns (delta_id,
+    corpus_id, hamming)."""
+    names = [c for c, _ in sig_cols]
+
+    def bands(df: DataFrame, out_id: str) -> DataFrame:
+        cols = []
+        for col, nbits in sig_cols:
+            for off in range(0, nbits, 16):
+                cols.append(F.struct(
+                    F.lit(len(cols)).alias("band_id"),
+                    F.shiftright(F.col(col), off)
+                    .bitwiseAND(F.lit(0xFFFF)).alias("band")))
+        return (df.select(F.col(id_col).alias(out_id),
+                          F.explode(F.array(*cols)).alias("bb"))
+                .select(out_id, "bb.band_id", "bb.band"))
+
+    cand = (bands(delta_sigs, "delta_id")
+            .join(bands(corpus_sigs, "corpus_id"), ["band_id", "band"])
+            .select("delta_id", "corpus_id").distinct())
+    d = delta_sigs.select(
+        F.col(id_col).alias("delta_id"),
+        *[F.col(c).alias(f"__d_{c}") for c in names])
+    c = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(c).alias(f"__c_{c}") for c in names])
+    ham = reduce(
+        lambda acc, n: acc + F.bit_count(
+            F.col(f"__d_{n}").bitwiseXOR(F.col(f"__c_{n}"))),
+        names[1:],
+        F.bit_count(F.col(f"__d_{names[0]}")
+                    .bitwiseXOR(F.col(f"__c_{names[0]}"))))
+    return (cand.join(d, "delta_id").join(c, "corpus_id")
+            .select("delta_id", "corpus_id",
+                    ham.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))

@@ -1895,3 +1895,54 @@ def q226_video_index_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta_fp = video_fingerprint(synth_avi_media(delta_ids,
                                                  families=_VI_FAM_NEW))
     return fingerprint_index_update(index, delta_fp)
+
+
+# ---------------------------------------------------------------------------
+# q230 — image NEAR-dup screening of a crawl batch against the corpus
+# band index: the q162 incremental-near-dup contract applied to
+# perceptual fingerprints (q224 maintains the EXACT index; re-encodes
+# that flip a gradient bit need the banded Hamming match)
+# ---------------------------------------------------------------------------
+
+_NI_DELTA_LO = 160           # delta = doc_id in [160, 200); corpus below
+# family {s, s+50, s+100, s+150}: the s+150 member lands in the delta,
+# so every family with seed ≥ 10 plants 3 delta↔corpus near-pairs
+# (pert↔pert at distance 0, pert↔unpert at 1-2 bits)
+
+
+def _image_near_index_oracle() -> str:
+    return f"""
+    WITH h AS ({_mixed_dhash_cte()})
+    SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+           CAST(bit_count(xor(d.dhash_lo, c.dhash_lo))
+                + bit_count(xor(d.dhash_hi, c.dhash_hi)) AS INT)
+             AS hamming
+    FROM h d JOIN h c
+      ON d.doc_id >= {_NI_DELTA_LO} AND c.doc_id < {_NI_DELTA_LO}
+    WHERE bit_count(xor(d.dhash_lo, c.dhash_lo))
+          + bit_count(xor(d.dhash_hi, c.dhash_hi)) <= {_NP_MAXH}
+    """
+
+
+@query("q230_image_near_index", oracle=_image_near_index_oracle())
+def q230_image_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen the crawl batch (doc_id ∈ [160, 200)) against the corpus
+    dHash band index: delta bands join the stored index, survivors
+    verify the exact popcount — every (delta, corpus, hamming) pair
+    value-hash-checked against the oracle's brute-force over the
+    arithmetic fingerprints. The pigeonhole bound holds per pair (4
+    bands, d ≤ 3), so recall is EXACT; work is delta band rows + true
+    candidates, never corpus²."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _NP_DOCS).select("doc_id")
+    media = synth_bmp_media_mixed(docs)
+    fp = image_dhash(media).localCheckpoint(eager=True)
+    delta = fp.filter(F.col("media_id") >= _NI_DELTA_LO)
+    corpus = fp.filter(F.col("media_id") < _NI_DELTA_LO)
+    return hamming_band_pairs_delta(
+        delta, corpus, "media_id",
+        [("dhash_lo", 32), ("dhash_hi", 32)], _NP_MAXH)

@@ -726,3 +726,105 @@ def q217_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 against the oracle's window-rank formulation."""
     li = load_table(spark, sf_dir, "lineitem")
     return spearman_matrix(li, list(_CORR_COLS))
+
+
+# ---------------------------------------------------------------------------
+# q229 — mutual-information feature ranking: MI(X; label) per feature
+# from exact contingency counts — the information-theoretic sibling of
+# q135's chi-square and the model-free cousin of q13's impurity
+# importances; what an AutoML feature-selection stage runs before
+# committing to a training grid.
+# ---------------------------------------------------------------------------
+
+
+def mutual_information(df: DataFrame, features: dict[str, Column],
+                       label: Column) -> DataFrame:
+    """(feature, n_cells, mi_nats) for each feature expression against
+    a label expression. ALL features melt into one (feature, bin,
+    label) long frame via posexplode, so the contingency counting is a
+    single shuffle regardless of k; marginals come from two further
+    group-bys of the (already tiny) cell table, joined back. MI =
+    Σ (c_xy/N)·ln(c_xy·N/(c_x·c_y)) over exact BIGINT counts — the
+    only doubles are the final per-cell terms, pinned at 1e-6. Cells
+    are (feature cardinality × label cardinality) rows — bounded by
+    the bin design, never by data."""
+    names = list(features)
+    melted = df.select(
+        label.cast("string").alias("__y"),
+        F.posexplode(F.array(*[
+            features[c].cast("string") for c in names])).alias("__fi",
+                                                               "__x"))
+    cells = (melted.groupBy("__fi", "__x", "__y")
+             .agg(F.count(F.lit(1)).alias("__cxy")))
+    fx = cells.groupBy("__fi", "__x").agg(F.sum("__cxy").alias("__cx"))
+    fy = cells.groupBy("__fi", "__y").agg(F.sum("__cxy").alias("__cy"))
+    n = cells.groupBy("__fi").agg(F.sum("__cxy").alias("__n"))
+    term = ((F.col("__cxy") / F.col("__n")) *
+            F.log((F.col("__cxy") * F.col("__n")) /
+                  (F.col("__cx") * F.col("__cy"))))
+    mi = (cells.join(fx, ["__fi", "__x"]).join(fy, ["__fi", "__y"])
+          .join(n, "__fi")
+          .groupBy("__fi")
+          .agg(F.count(F.lit(1)).cast("long").alias("n_cells"),
+               F.sum(term).alias("__mi")))
+    name_map = F.array(*[F.lit(c) for c in names])
+    return mi.select(
+        F.element_at(name_map, F.col("__fi") + 1).alias("feature"),
+        "n_cells",
+        (F.floor(F.col("__mi") * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("mi_nats"))
+
+
+_MI_FEATURES_SQL = {
+    "quantity": "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)",
+    "discount_pct": "CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+                    " AS VARCHAR)",
+    "tax_pct": "CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT)"
+               " AS VARCHAR)",
+    "linestatus": "l_linestatus",
+}
+
+
+def _mi_oracle() -> str:
+    per_feature = "\n    UNION ALL\n".join(f"""
+    SELECT '{name}' AS feature, {expr} AS x,
+           CAST(l_returnflag = 'R' AS VARCHAR) AS y
+    FROM lineitem""" for name, expr in _MI_FEATURES_SQL.items())
+    return f"""
+    WITH m AS ({per_feature}),
+    cells AS (
+      SELECT feature, x, y, CAST(count(*) AS BIGINT) AS cxy
+      FROM m GROUP BY 1, 2, 3
+    ),
+    fx AS (SELECT feature, x, sum(cxy) AS cx FROM cells GROUP BY 1, 2),
+    fy AS (SELECT feature, y, sum(cxy) AS cy FROM cells GROUP BY 1, 2),
+    n AS (SELECT feature, sum(cxy) AS n FROM cells GROUP BY 1)
+    SELECT cells.feature, CAST(count(*) AS BIGINT) AS n_cells,
+           floor(sum((cxy / CAST(n AS DOUBLE))
+                     * ln((cxy * CAST(n AS DOUBLE)) / (cx * CAST(cy AS DOUBLE))))
+                 * 1e6 + 0.5) / 1e6 AS mi_nats
+    FROM cells
+    JOIN fx ON cells.feature = fx.feature AND cells.x = fx.x
+    JOIN fy ON cells.feature = fy.feature AND cells.y = fy.y
+    JOIN n ON cells.feature = n.feature
+    GROUP BY cells.feature
+    """
+
+
+@query("q229_mutual_info", oracle=_mi_oracle())
+def q229_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI of four lineitem features (integer quantity, discount and
+    tax percent bins, linestatus) against the returned-flag label —
+    every (feature, cell count, MI nats) row value-hash-checked at
+    1e-6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = {
+        "quantity": F.col("l_quantity").cast("long"),
+        "discount_pct": F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+        .cast("long"),
+        "tax_pct": F.floor(F.col("l_tax") * 100 + F.lit(0.5))
+        .cast("long"),
+        "linestatus": F.col("l_linestatus"),
+    }
+    return mutual_information(li, feats,
+                              (F.col("l_returnflag") == "R"))

@@ -103,6 +103,8 @@ HEADLINE = [
     "q226_video_index_update",
     "q227_theil_sen",
     "q228_mann_kendall",
+    "q229_mutual_info",
+    "q230_image_near_index",
 ]
 
 

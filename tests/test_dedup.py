@@ -273,3 +273,40 @@ def test_hamming_band_pairs_exact_recall(spark):
     assert got[(1, 3)] == 1 and got[(3, 5)] == 1
     assert got[(2, 3)] == 3
     assert not any(4 in p for p in got)
+
+
+def test_hamming_band_pairs_delta_recall_is_exact(spark):
+    """Pigeonhole recall for the delta-vs-corpus band join: every pair
+    within max_hamming ≤ bands−1 is found (checked against the brute
+    force), and nothing outside the bound is emitted."""
+    import itertools
+    import random
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs_delta,
+    )
+
+    rnd = random.Random(9)
+    base = [rnd.getrandbits(63) for _ in range(12)]
+    corpus = [(i, v & 0xFFFFFFFF, v >> 32) for i, v in enumerate(base)]
+    delta = []
+    for i, v in enumerate(base):
+        flips = rnd.sample(range(64), rnd.choice([0, 1, 2, 3, 5]))
+        w = v
+        for b in flips:
+            w ^= 1 << b
+        delta.append((100 + i, w & 0xFFFFFFFF, w >> 32))
+    cdf = spark.createDataFrame(
+        corpus, "media_id long, dhash_lo long, dhash_hi long")
+    ddf = spark.createDataFrame(
+        delta, "media_id long, dhash_lo long, dhash_hi long")
+    got = {(r["delta_id"], r["corpus_id"]): r["hamming"]
+           for r in hamming_band_pairs_delta(
+               ddf, cdf, "media_id",
+               [("dhash_lo", 32), ("dhash_hi", 32)], 3).collect()}
+    want = {}
+    for (di, dl, dh), (ci, cl, ch) in itertools.product(delta, corpus):
+        hamming = bin((dl ^ cl) | ((dh ^ ch) << 32)).count("1")
+        if hamming <= 3:
+            want[(di, ci)] = hamming
+    assert got == want and len(want) > 0
