@@ -1663,3 +1663,86 @@ def q206_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("/?utm_source=feed&id="), F.col("doc_id").cast("string"),
             F.lit("&utm_campaign=x#Frag")).alias("url"))
     return normalize_urls(raw, "doc_id", "url")
+
+
+# ---------------------------------------------------------------------------
+# q232 — positional phrase search: the inverted-index capability BM25
+# (q121) lacks — "these words ADJACENT, in this order" — built from
+# (doc, position, word) postings and a position-adjacency join, the
+# way search engines execute quoted queries over positional postings
+# lists.
+# ---------------------------------------------------------------------------
+
+
+def phrase_occurrences(df: DataFrame, id_col: str, text_col: str,
+                       top_docs: int = 50) -> DataFrame:
+    """Find the corpus's most frequent word bigram (ties break
+    lexicographically) and return the ``top_docs`` documents with the
+    most ADJACENT occurrences of it: (w1, w2, doc, n_occurrences).
+
+    One positional-postings explode, ONE adjacency self-join keyed on
+    (doc, position+1) — at scale the join is executed against the
+    postings of the PHRASE words only (a selective word-keyed fetch
+    from the inverted index); here the per-doc bigram table doubles as
+    the phrase-frequency source, so the adjacency join runs once and
+    both the global top-1 and the per-doc counts reduce from it. The
+    driver never sees more than the broadcast 1-row top phrase."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(normalize_text(text_col))).alias("__p", "__w"))
+    adj = (toks.alias("x").join(
+        toks.alias("y"),
+        (F.col("x.__id") == F.col("y.__id")) &
+        (F.col("y.__p") == F.col("x.__p") + 1))
+        .select(F.col("x.__id").alias("__id"),
+                F.col("x.__w").alias("w1"), F.col("y.__w").alias("w2")))
+    perdoc = (adj.groupBy("__id", "w1", "w2")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences")))
+    top = (perdoc.groupBy("w1", "w2")
+           .agg(F.sum("n_occurrences").alias("__t"))
+           .orderBy(F.desc("__t"), F.asc("w1"), F.asc("w2")).limit(1)
+           .select("w1", "w2"))
+    return (perdoc.join(F.broadcast(top), ["w1", "w2"])
+            .select("w1", "w2", F.col("__id").alias("doc_id"),
+                    "n_occurrences")
+            .orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+            .limit(top_docs))
+
+
+@query(
+    "q232_phrase_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, p - 1 AS p, w
+      FROM (SELECT doc_id,
+                   unnest(string_split({_NORM}, ' ')) AS w,
+                   generate_subscripts(string_split({_NORM}, ' '), 1)
+                     AS p
+            FROM documents)
+    ),
+    adj AS (
+      SELECT x.doc_id, x.w AS w1, y.w AS w2
+      FROM tok x JOIN tok y
+        ON x.doc_id = y.doc_id AND y.p = x.p + 1
+    ),
+    perdoc AS (
+      SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM adj GROUP BY 1, 2, 3
+    ),
+    top AS (
+      SELECT w1, w2 FROM perdoc
+      GROUP BY w1, w2
+      ORDER BY sum(n_occurrences) DESC, w1 ASC, w2 ASC LIMIT 1
+    )
+    SELECT p.w1, p.w2, p.doc_id, p.n_occurrences
+    FROM perdoc p JOIN top USING (w1, w2)
+    ORDER BY p.n_occurrences DESC, p.doc_id ASC LIMIT 50
+    """,
+)
+def q232_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase search over positional postings: the corpus's top
+    bigram phrase and the 50 documents containing it most often as an
+    ADJACENT pair — every row value-hash-checked against the oracle's
+    position-subscript formulation."""
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_occurrences(docs, "doc_id", "text")

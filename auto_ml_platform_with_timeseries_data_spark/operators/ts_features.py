@@ -876,3 +876,97 @@ def q228_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull())
     return mann_kendall(ev, "user_id").withColumnRenamed("__g", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# q231 — SAMPLED Theil–Sen: the scale path q227's docstring promises.
+# Full Theil–Sen is Σ C(n_g, 2) pairs; for long per-entity series the
+# standard remedy is pair subsampling (the k-sample estimator). The
+# sampler here is a DETERMINISTIC portable hash over the pair's ids —
+# reproducible across runs, partitionings, and engines, so the whole
+# path stays value-hash-checkable — and the query emits the sampled
+# estimate NEXT TO the full one with the error, turning the accuracy
+# claim into a measured certificate instead of a citation.
+# ---------------------------------------------------------------------------
+
+_TS_SAMPLE_P = 1_000_003        # prime modulus (bounded products)
+_TS_SAMPLE_A = 2_654_435_761 % 1_000_003   # Knuth multiplier, pre-mod
+_TS_SAMPLE_RATE = 4             # keep ~1/4 of the pairs
+
+
+def theil_sen_sampled(ev: DataFrame, group_col: str,
+                      rate: int = _TS_SAMPLE_RATE) -> DataFrame:
+    """Per-group sampled AND full Theil–Sen estimates with the ppm
+    error between them: pair (i, j) is kept iff
+    ((id_i·A + id_j) mod P) mod rate == 0 — affine-mod arithmetic on
+    BIGINTs both engines reproduce exactly (the q141/q201 portable-
+    hash discipline; ids pre-reduce mod P so products stay < 2^63).
+    Production runs only the sampled branch (work ∝ pairs/rate); the
+    full branch here is the certificate. Groups whose sample comes up
+    empty report slope_sampled NULL-by-contract."""
+    s = _event_series(ev, group_col)
+    a, b = s.alias("a"), s.alias("b")
+    keep = (((F.col("a.event_id") % _TS_SAMPLE_P) * _TS_SAMPLE_A
+             + F.col("b.event_id")) % _TS_SAMPLE_P) % rate == 0
+    pairs = (a.join(b, (F.col("a.__g") == F.col("b.__g")) &
+                    (F.col("a.event_id") < F.col("b.event_id")) &
+                    (F.col("a.__s") != F.col("b.__s")))
+             .select(F.col("a.__g").alias("__g"), keep.alias("__keep"),
+                     ((F.col("b.__c") - F.col("a.__c")) /
+                      (F.col("b.__s") - F.col("a.__s"))).alias("__m")))
+    agg = (pairs.groupBy("__g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.median("__m").alias("__full"),
+                F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+                .cast("long").alias("n_sampled"),
+                F.median(F.when(F.col("__keep"), F.col("__m")))
+                .alias("__samp")))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    pinned = agg.select(
+        "__g", "n_pairs", "n_sampled",
+        pin(F.col("__full")).alias("slope_full"),
+        pin(F.col("__samp")).alias("slope_sampled"))
+    # err pins the difference of the ALREADY-pinned estimates (both
+    # sides quantize before comparing — same value in both engines)
+    return pinned.withColumn(
+        "err",
+        F.when(F.col("n_sampled") > 0,
+               pin(F.abs(F.col("slope_sampled") - F.col("slope_full")))))
+
+
+@query(
+    "q231_theil_sen_sampled",
+    oracle=f"""
+    WITH e AS ({_TS_DUCK_SERIES}),
+    p AS (
+      SELECT a.g,
+             ((a.event_id % {_TS_SAMPLE_P}) * {_TS_SAMPLE_A}
+              + b.event_id) % {_TS_SAMPLE_P} % {_TS_SAMPLE_RATE} = 0
+               AS keep,
+             (b.c - a.c) / CAST(b.s - a.s AS DOUBLE) AS m
+      FROM e a JOIN e b
+        ON a.g = b.g AND a.event_id < b.event_id AND a.s != b.s
+    )
+    SELECT g AS user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           floor(median(m) * 1e6 + 0.5) / 1e6 AS slope_full,
+           floor(median(CASE WHEN keep THEN m END) * 1e6 + 0.5) / 1e6
+             AS slope_sampled,
+           CASE WHEN sum(CASE WHEN keep THEN 1 ELSE 0 END) > 0 THEN
+             floor(abs(floor(median(CASE WHEN keep THEN m END) * 1e6
+                             + 0.5) / 1e6
+                       - floor(median(m) * 1e6 + 0.5) / 1e6)
+                   * 1e6 + 0.5) / 1e6
+           END AS err
+    FROM p GROUP BY g
+    """,
+)
+def q231_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-sample Theil–Sen scale path with its accuracy certificate:
+    per user, the hash-sampled (1/4 of pairs) and full median slopes
+    side by side with the ppm error — every row value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return theil_sen_sampled(ev, "user_id").withColumnRenamed(
+        "__g", "user_id")

@@ -66,7 +66,7 @@ _loaded = False
 # round" #3):
 #   1-6   canary slots — one long-green query per module family, so a
 #         regression in shared infrastructure still gets witnessed
-#   7-22  the round-7 additions (never witnessed): q215/q216
+#   7-24  the round-7 additions (never witnessed): q215/q216
 #         incremental ANN maintenance certificates, q217 Spearman
 #         rank-correlation matrix, q218 join-view IVM, q219
 #         l-diversity audit, q220 DSIR importance selection, q221
@@ -75,7 +75,9 @@ _loaded = False
 #         q224/q225/q226 perceptual-index maintenance
 #         (image/audio/video), q227 Theil-Sen slopes, q228
 #         Mann-Kendall trend test, q229 mutual-information feature
-#         ranking, q230 banded near-dup index screening
+#         ranking, q230 banded near-dup index screening, q231
+#         sampled Theil-Sen (the q227 scale path), q232 positional
+#         phrase search
 #   11-33 the 23 queries whose last green driver row is rounds 1-2
 #         (the stalest evidence in the repo: q27/q31/q32/q40/q41/q43/
 #         q46/q54/q61/q62-q67/q91/q97-q99/q101-q103/q126)
@@ -98,6 +100,7 @@ _PRIORITY: tuple[str, ...] = (
     "q225_audio_index_update", "q226_video_index_update",
     "q227_theil_sen", "q228_mann_kendall",
     "q229_mutual_info", "q230_image_near_index",
+    "q231_theil_sen_sampled", "q232_phrase_search",
     "q101_market_share", "q102_important_parts",
     "q103_order_count_distribution", "q126_copurchase_pairs",
     "q27_revenue_by_nation", "q31_set_ops",

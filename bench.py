@@ -105,6 +105,8 @@ HEADLINE = [
     "q228_mann_kendall",
     "q229_mutual_info",
     "q230_image_near_index",
+    "q231_theil_sen_sampled",
+    "q232_phrase_search",
 ]
 
 

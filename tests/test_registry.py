@@ -38,7 +38,7 @@ def test_canaries_and_round7_rotation_keep_their_slots():
     last green driver row is rounds 1-2, then the oldest round-3
     block."""
     head = set(registry._PRIORITY[:50])
-    first_block = set(registry._PRIORITY[:22])
+    first_block = set(registry._PRIORITY[:24])
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
@@ -52,6 +52,7 @@ def test_canaries_and_round7_rotation_keep_their_slots():
         "q225_audio_index_update", "q226_video_index_update",
         "q227_theil_sen", "q228_mann_kendall",
         "q229_mutual_info", "q230_image_near_index",
+        "q231_theil_sen_sampled", "q232_phrase_search",
     }
     stale_r1_r2 = {
         "q101_market_share", "q102_important_parts",
