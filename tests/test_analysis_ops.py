@@ -296,3 +296,51 @@ def test_mann_kendall_trend_and_degenerate(spark):
     assert inc["z"] is not None and inc["z"] > 1.96
     assert const["s_stat"] == 0
     assert const["var18"] == 0 and const["z"] is None
+
+
+def test_theil_sen_sampled_tracks_full_and_guards_empty_sample(spark):
+    """The hash-sampled estimate sits near the full one on a clean
+    trend, and a group whose sample comes up empty reports
+    NULL-by-contract instead of crashing."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        theil_sen_sampled,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, 3.0 * i)
+            for i in range(30)]
+    # a 2-event group: exactly one pair — sampled away w.p. 3/4 under
+    # rate=4; force the empty-sample branch with a huge rate
+    rows += [(500, t0, 2, 1.0), (501, t0 + dt.timedelta(seconds=1), 2, 2.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r["__g"]: r for r in
+           theil_sen_sampled(ev, "user_id", rate=1_000_000).collect()}
+    g1 = got[1]
+    assert g1["slope_full"] == 300.0          # 3 units/s = 300 cents/s
+    assert g1["n_sampled"] < g1["n_pairs"]    # rate hides most pairs
+    if g1["n_sampled"] > 0:
+        assert abs(g1["slope_sampled"] - 300.0) < 1e-6
+    assert got[2]["slope_sampled"] is None and got[2]["err"] is None
+
+
+def test_phrase_occurrences_counts_adjacent_only(spark):
+    """Only ADJACENT, in-order occurrences count: the top phrase is
+    the planted bigram, reversed or gapped mentions do not count."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.text import (
+        phrase_occurrences,
+    )
+
+    rows = [
+        (0, "red fox red fox red fox"),     # 3 adjacent occurrences
+        (1, "red fox jumps red fox"),       # 2
+        (2, "fox red gap red nothing fox"), # reversed/gapped: 0
+        (3, "red fox"),                     # 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = phrase_occurrences(df, "doc_id", "text").collect()
+    assert all((r["w1"], r["w2"]) == ("red", "fox") for r in got)
+    counts = {r["doc_id"]: r["n_occurrences"] for r in got}
+    assert counts == {0: 3, 1: 2, 3: 1}
