@@ -187,3 +187,22 @@ def test_round7_plan_contracts(spark, sf_dir):
     plan = explain.final_plan(df)
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan, "global-window rank regression"
+
+
+def test_round7_late_additions_plan_contracts(spark, sf_dir):
+    """The late round-7 queries keep their priced plans: no cartesian
+    product anywhere; the digest/maintenance/trend/search operators
+    join only on keys or broadcast bounded sides. q227/q228/q231's
+    pairwise self-joins are keyed on the group column (the inequality
+    is a post-join filter, not a cartesian); q232's adjacency join is
+    keyed on (doc, position)."""
+    for name in ("q223_table_digest", "q224_image_index_update",
+                 "q225_audio_index_update", "q226_video_index_update",
+                 "q227_theil_sen", "q228_mann_kendall",
+                 "q229_mutual_info", "q230_image_near_index",
+                 "q231_theil_sen_sampled", "q232_phrase_search"):
+        df = queries()[name](spark, sf_dir)
+        df.collect()
+        plan = explain.final_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
