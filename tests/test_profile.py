@@ -153,3 +153,14 @@ def test_spearman_constant_column_null_by_contract(spark):
     got = {(r["col_a"], r["col_b"]): r["corr"]
            for r in prof.spearman_matrix(df, ["x", "k"]).collect()}
     assert got[("x", "k")] is None
+
+
+def test_mutual_information_constant_label_is_zero(spark):
+    """A constant label carries no information: MI must be exactly 0
+    for every feature (all log terms are ln(1)), not an ANSI error."""
+    rows = [(float(i % 7), "x") for i in range(100)]
+    df = spark.createDataFrame(rows, "f double, y string")
+    got = prof.mutual_information(
+        df, {"f": F.col("f").cast("long")}, F.col("y")).collect()
+    assert len(got) == 1
+    assert got[0]["mi_nats"] == 0.0
