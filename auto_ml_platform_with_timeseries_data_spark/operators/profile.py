@@ -759,9 +759,13 @@ def mutual_information(df: DataFrame, features: dict[str, Column],
     fx = cells.groupBy("__fi", "__x").agg(F.sum("__cxy").alias("__cx"))
     fy = cells.groupBy("__fi", "__y").agg(F.sum("__cxy").alias("__cy"))
     n = cells.groupBy("__fi").agg(F.sum("__cxy").alias("__n"))
+    # __n / __cy promote to DOUBLE before multiplying — token-mirror of
+    # the oracle's cxy * CAST(n AS DOUBLE): at corpus scale the BIGINT
+    # products would silently wrap in non-ANSI Spark while DuckDB errors,
+    # so both engines must do the multiplication in double space.
     term = ((F.col("__cxy") / F.col("__n")) *
-            F.log((F.col("__cxy") * F.col("__n")) /
-                  (F.col("__cx") * F.col("__cy"))))
+            F.log((F.col("__cxy") * F.col("__n").cast("double")) /
+                  (F.col("__cx") * F.col("__cy").cast("double"))))
     mi = (cells.join(fx, ["__fi", "__x"]).join(fy, ["__fi", "__y"])
           .join(n, "__fi")
           .groupBy("__fi")

@@ -801,39 +801,71 @@ def q227_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mann_kendall(ev: DataFrame, group_col: str) -> DataFrame:
-    """Per-group Mann–Kendall trend test: S = Σ_{i<j} sign(v_j − v_i)
-    over the time-ordered series (time ties broken by event id — a
-    deterministic total order both engines share), the tie-corrected
-    variance numerator n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) as an EXACT
-    integer, and z = (S − sign(S))/√(var/18). S and the variance are
-    pure BIGINT arithmetic; z is one double expression pinned at 1e-6.
-    Groups with zero variance (constant series or n < 2) report z
-    NULL-by-contract."""
+    """Per-group Mann–Kendall trend test, textbook tie-corrected
+    (Kendall 1975 §4; the Hirsch–Slack formulation): S = Σ sign(v_j −
+    v_i) over STRICTLY time-ordered pairs — same-timestamp pairs
+    contribute nothing, exactly as sign(Δt) = 0 makes them vanish in
+    the tau-b statistic — and the variance carries BOTH tie families
+    plus their cross terms:
+
+        var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) − Σ_u u(u−1)(2u+5)]/18
+               + T2·U2/(9n(n−1)(n−2)) + T3·U3/(2n(n−1))
+
+    with t ranging over tied-VALUE run lengths, u over tied-TIME run
+    lengths, T2/U2 = Σ x(x−1)(x−2), T3/U3 = Σ x(x−1). Every tie sum is
+    exact BIGINT; the exposed ``var18`` column is the bracketed
+    numerator (an exact integer — 18·var when no cross terms fire);
+    z = (S − sign(S))/√var is one double expression with the cross-term
+    products promoted to double before multiplying, token-identical in
+    the oracle and pinned at 1e-6. Groups with var ≤ 0 (constant series
+    or n < 2) report z NULL-by-contract."""
     s = _event_series(ev, group_col)
     a, b = s.alias("a"), s.alias("b")
     sgn = (a.join(b, (F.col("a.__g") == F.col("b.__g")) &
-                  ((F.col("a.__s") < F.col("b.__s")) |
-                   ((F.col("a.__s") == F.col("b.__s")) &
-                    (F.col("a.event_id") < F.col("b.event_id")))))
+                  (F.col("a.__s") < F.col("b.__s")))
            .groupBy(F.col("a.__g").alias("__g"))
            .agg(F.sum(F.signum(F.col("b.__c") - F.col("a.__c"))
                       .cast("long")).alias("s_stat")))
     n_g = s.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
-    ties = (s.groupBy("__g", "__c").agg(F.count(F.lit(1)).alias("__t"))
-            .groupBy("__g")
-            .agg(F.sum(F.col("__t") * (F.col("__t") - 1) *
-                       (2 * F.col("__t") + 5)).alias("__tc")))
-    out = (n_g.join(ties, "__g").join(sgn, "__g", "left")
+    vties = (s.groupBy("__g", "__c").agg(F.count(F.lit(1)).alias("__t"))
+             .groupBy("__g")
+             .agg(F.sum(F.col("__t") * (F.col("__t") - 1) *
+                        (2 * F.col("__t") + 5)).alias("__t1"),
+                  F.sum(F.col("__t") * (F.col("__t") - 1) *
+                        (F.col("__t") - 2)).alias("__t2"),
+                  F.sum(F.col("__t") * (F.col("__t") - 1)).alias("__t3")))
+    tties = (s.groupBy("__g", "__s").agg(F.count(F.lit(1)).alias("__u"))
+             .groupBy("__g")
+             .agg(F.sum(F.col("__u") * (F.col("__u") - 1) *
+                        (2 * F.col("__u") + 5)).alias("__u1"),
+                  F.sum(F.col("__u") * (F.col("__u") - 1) *
+                        (F.col("__u") - 2)).alias("__u2"),
+                  F.sum(F.col("__u") * (F.col("__u") - 1)).alias("__u3")))
+    out = (n_g.join(vties, "__g").join(tties, "__g")
+           .join(sgn, "__g", "left")
            .select(
                "__g", F.col("__n").cast("long").alias("n"),
                F.coalesce("s_stat", F.lit(0)).cast("long")
                .alias("s_stat"),
                (F.col("__n") * (F.col("__n") - 1) * (2 * F.col("__n") + 5)
-                - F.col("__tc")).cast("long").alias("var18")))
-    z = F.when(
-        F.col("var18") > 0,
-        (F.col("s_stat") - F.signum("s_stat")) /
-        F.sqrt(F.col("var18") / F.lit(18.0)))
+                - F.col("__t1") - F.col("__u1")).cast("long")
+               .alias("var18"),
+               F.col("__t2").cast("long").alias("__t2"),
+               F.col("__u2").cast("long").alias("__u2"),
+               F.col("__t3").cast("long").alias("__t3"),
+               F.col("__u3").cast("long").alias("__u3")))
+    n = F.col("n")
+    var = (F.col("var18") / F.lit(18.0)
+           + F.when(n > 2,
+                    (F.col("__t2").cast("double") * F.col("__u2"))
+                    / (F.lit(9.0) * n * (n - 1) * (n - 2)))
+           .otherwise(F.lit(0.0))
+           + F.when(n > 1,
+                    (F.col("__t3").cast("double") * F.col("__u3"))
+                    / (F.lit(2.0) * n * (n - 1)))
+           .otherwise(F.lit(0.0)))
+    z = F.when(var > 0,
+               (F.col("s_stat") - F.signum("s_stat")) / F.sqrt(var))
     return out.select(
         "__g", "n", "s_stat", "var18",
         (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("z"))
@@ -845,28 +877,47 @@ def mann_kendall(ev: DataFrame, group_col: str) -> DataFrame:
     WITH e AS ({_TS_DUCK_SERIES}),
     sg AS (
       SELECT a.g, CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
-      FROM e a JOIN e b
-        ON a.g = b.g AND (a.s < b.s OR (a.s = b.s
-                                        AND a.event_id < b.event_id))
+      FROM e a JOIN e b ON a.g = b.g AND a.s < b.s
       GROUP BY a.g
     ),
     n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY g),
-    tc AS (
-      SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tc
+    vt AS (
+      SELECT g, CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS t1,
+             CAST(sum(t * (t - 1) * (t - 2)) AS BIGINT) AS t2,
+             CAST(sum(t * (t - 1)) AS BIGINT) AS t3
       FROM (SELECT g, c, count(*) AS t FROM e GROUP BY g, c)
       GROUP BY g
+    ),
+    tt AS (
+      SELECT g, CAST(sum(u * (u - 1) * (2 * u + 5)) AS BIGINT) AS u1,
+             CAST(sum(u * (u - 1) * (u - 2)) AS BIGINT) AS u2,
+             CAST(sum(u * (u - 1)) AS BIGINT) AS u3
+      FROM (SELECT g, s, count(*) AS u FROM e GROUP BY g, s)
+      GROUP BY g
+    ),
+    j AS (
+      SELECT n.g, n.n,
+             CAST(coalesce(sg.s_stat, 0) AS BIGINT) AS s_stat,
+             CAST(n.n * (n.n - 1) * (2 * n.n + 5) - vt.t1 - tt.u1
+                  AS BIGINT) AS var18,
+             vt.t2, vt.t3, tt.u2, tt.u3
+      FROM n JOIN vt ON n.g = vt.g JOIN tt ON n.g = tt.g
+      LEFT JOIN sg ON n.g = sg.g
+    ),
+    v AS (
+      SELECT g, n, s_stat, var18,
+             var18 / 18.0
+             + CASE WHEN n > 2 THEN (CAST(t2 AS DOUBLE) * u2)
+                    / (9.0 * n * (n - 1) * (n - 2)) ELSE 0.0 END
+             + CASE WHEN n > 1 THEN (CAST(t3 AS DOUBLE) * u3)
+                    / (2.0 * n * (n - 1)) ELSE 0.0 END AS var
+      FROM j
     )
-    SELECT n.g AS user_id, n.n,
-           CAST(coalesce(sg.s_stat, 0) AS BIGINT) AS s_stat,
-           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - tc.tc AS BIGINT)
-             AS var18,
-           CASE WHEN n.n * (n.n - 1) * (2 * n.n + 5) - tc.tc > 0 THEN
-             floor((coalesce(sg.s_stat, 0)
-                    - sign(coalesce(sg.s_stat, 0)))
-                   / sqrt((n.n * (n.n - 1) * (2 * n.n + 5) - tc.tc)
-                          / 18.0) * 1e6 + 0.5) / 1e6
+    SELECT g AS user_id, n, s_stat, var18,
+           CASE WHEN var > 0 THEN
+             floor((s_stat - sign(s_stat)) / sqrt(var) * 1e6 + 0.5) / 1e6
            END AS z
-    FROM n JOIN tc ON n.g = tc.g LEFT JOIN sg ON n.g = sg.g
+    FROM v
     """,
 )
 def q228_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,7 +958,8 @@ def theil_sen_sampled(ev: DataFrame, group_col: str,
     s = _event_series(ev, group_col)
     a, b = s.alias("a"), s.alias("b")
     keep = (((F.col("a.event_id") % _TS_SAMPLE_P) * _TS_SAMPLE_A
-             + F.col("b.event_id")) % _TS_SAMPLE_P) % rate == 0
+             + (F.col("b.event_id") % _TS_SAMPLE_P))
+            % _TS_SAMPLE_P) % rate == 0
     pairs = (a.join(b, (F.col("a.__g") == F.col("b.__g")) &
                     (F.col("a.event_id") < F.col("b.event_id")) &
                     (F.col("a.__s") != F.col("b.__s")))
@@ -941,8 +993,8 @@ def theil_sen_sampled(ev: DataFrame, group_col: str,
     p AS (
       SELECT a.g,
              ((a.event_id % {_TS_SAMPLE_P}) * {_TS_SAMPLE_A}
-              + b.event_id) % {_TS_SAMPLE_P} % {_TS_SAMPLE_RATE} = 0
-               AS keep,
+              + (b.event_id % {_TS_SAMPLE_P}))
+              % {_TS_SAMPLE_P} % {_TS_SAMPLE_RATE} = 0 AS keep,
              (b.c - a.c) / CAST(b.s - a.s AS DOUBLE) AS m
       FROM e a JOIN e b
         ON a.g = b.g AND a.event_id < b.event_id AND a.s != b.s

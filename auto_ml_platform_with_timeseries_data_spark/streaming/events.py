@@ -822,10 +822,35 @@ def rollup_versions(state_root: str) -> dict[int, str]:
     mid-write leaves a directory without ``_SUCCESS``, which a replay
     then overwrites atomically-enough (mode=overwrite clears it first).
     The listing is O(#epochs) driver-side names — bounded by the
-    retention policy, never by data size."""
+    retention policy, never by data size.
+
+    Listing goes through the Hadoop FileSystem API when a SparkSession
+    is live, so ``state_root`` may carry any scheme the cluster's
+    Hadoop conf resolves (HDFS, s3a, file) — the production deployments
+    this guarantee targets. The ``os.listdir`` fallback covers plain
+    local paths with no active session (unit tests, offline tooling)."""
     import os
 
     versions: dict[int, str] = {}
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_root)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return versions
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith("epoch=")):
+                continue
+            try:
+                eid = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(
+                    st.getPath(), "_SUCCESS")):
+                versions[eid] = st.getPath().toString()
+        return versions
     try:
         names = os.listdir(state_root)
     except OSError:
