@@ -60,68 +60,38 @@ _loaded = False
 
 # Driver-sweep priority. The correctness driver verifies queries in the
 # order ``queries()`` yields them, under a 50-query budget per round.
-# After round 6 every oracle-backed query has a green driver row in
-# SOME round and the never-witnessed tier is empty (VERDICT r6), so
-# round 7 spends the budget on evidence CURRENCY (VERDICT r6 "Next
-# round" #3):
+# After round 7 every oracle-backed query has a green driver row in
+# some round, the r1-r2 stale tier is ZERO, and the oldest evidence is
+# the 36-query round-3 block (VERDICT r7 "Next round" #3) — so round 8
+# spends the budget on rotating that block back under a fresh witness:
 #   1-6   canary slots — one long-green query per module family, so a
 #         regression in shared infrastructure still gets witnessed
-#   7-24  the round-7 additions (never witnessed): q215/q216
-#         incremental ANN maintenance certificates, q217 Spearman
-#         rank-correlation matrix, q218 join-view IVM, q219
-#         l-diversity audit, q220 DSIR importance selection, q221
-#         Z-order data-skipping certificate, q222 schema-evolution
-#         round-trip, q223 replica-reconciliation table digest,
-#         q224/q225/q226 perceptual-index maintenance
-#         (image/audio/video), q227 Theil-Sen slopes, q228
-#         Mann-Kendall trend test, q229 mutual-information feature
-#         ranking, q230 banded near-dup index screening, q231
-#         sampled Theil-Sen (the q227 scale path), q232 positional
-#         phrase search
-#   11-33 the 23 queries whose last green driver row is rounds 1-2
-#         (the stalest evidence in the repo: q27/q31/q32/q40/q41/q43/
-#         q46/q54/q61/q62-q67/q91/q97-q99/q101-q103/q126)
-#   35-50 the oldest of the round-3 block (parity core q02-q14 and
-#         the q16-q21 operator families; q22/q24 overflow to 51+)
-# Slots 51+ are the ranked overflow the driver reaches only if its
-# budget stretches: the rest of round-3, then the round-4, round-5,
-# and round-6 blocks (newest evidence last). Rows-only queries sit
-# outside _PRIORITY entirely — a budget slot spent on a weaker check
-# is a slot wasted (their machinery is witnessed via exact twins).
+#   7+    the round-8 additions (never witnessed) as they land, then
+#         q231/q228 — witnessed r7 but their SEMANTICS changed this
+#         round (portable pair hash reduces both ids mod P; textbook
+#         Mann-Kendall tie correction), so the old witness no longer
+#         covers the current code
+#   then  the full round-3 block (36 queries, the stalest evidence in
+#         the repo), §2.13 parity tier (q05/q07-q11/q13/q14/q29) first
+# Slots past 50 are the ranked overflow the driver reaches only if its
+# budget stretches, ordered stalest-evidence-first: the round-4 block,
+# then round-5, round-6, and the freshly-witnessed round-7 block last.
+# Rows-only queries sit outside _PRIORITY entirely — a budget slot
+# spent on a weaker check is a slot wasted (their machinery is
+# witnessed via exact twins).
 _PRIORITY: tuple[str, ...] = (
     "q01_head", "q06_acf",
     "q12_f1_confusion", "q18_jaccard_pairs",
     "q35_embedding_neardup", "q125_key_skew",
-    "q215_ivf_append", "q216_pq_append",
-    "q217_spearman_matrix", "q218_ivm_join",
-    "q219_l_diversity", "q220_dsir_select",
-    "q221_zorder_pruning", "q222_schema_evolution",
-    "q223_table_digest", "q224_image_index_update",
-    "q225_audio_index_update", "q226_video_index_update",
-    "q227_theil_sen", "q228_mann_kendall",
-    "q229_mutual_info", "q230_image_near_index",
-    "q231_theil_sen_sampled", "q232_phrase_search",
-    "q101_market_share", "q102_important_parts",
-    "q103_order_count_distribution", "q126_copurchase_pairs",
-    "q27_revenue_by_nation", "q31_set_ops",
-    "q32_rollup", "q40_cube",
-    "q41_topk_per_group", "q43_percentiles",
-    "q46_distinct_counts", "q54_json_props",
-    "q61_forecast_revenue", "q62_returned_items",
-    "q63_promo_revenue", "q64_large_orders",
-    "q65_brand_revenue_bands", "q66_supplier_breadth",
-    "q67_dormant_customers", "q91_equidepth_hist",
-    "q97_sole_late_supplier", "q98_min_cost_supplier",
-    "q99_local_supplier_volume", "q02_null_profile",
-    "q03_histogram", "q04_corr_with_label",
+    "q231_theil_sen_sampled", "q228_mann_kendall",
     "q05_groups", "q07_ts_split",
     "q08_ts_windows", "q09_scale_params",
     "q10_rmse", "q11_binarize",
     "q13_importance_rank", "q14_min_max",
-    "q16_dedup_exact", "q19_cosine_topk",
-    "q20_token_stats", "q21_quality_score",
-    "q22_langid", "q24_window_agg",
-    "q25_sessionize", "q29_minmax_scaled",
+    "q29_minmax_scaled", "q16_dedup_exact",
+    "q19_cosine_topk", "q20_token_stats",
+    "q21_quality_score", "q22_langid",
+    "q24_window_agg", "q25_sessionize",
     "q33_fingerprint", "q37_media_stats",
     "q38_media_features", "q48_histogram_auto",
     "q51_winnow_fingerprints", "q55_dedup_components",
@@ -198,6 +168,27 @@ _PRIORITY: tuple[str, ...] = (
     "q49_range_join", "q50_shipping_priority",
     "q68_grouping_sets", "q82_pivot_unpivot",
     "q95_late_order_priority", "q96_top_supplier",
+    "q215_ivf_append", "q216_pq_append",
+    "q217_spearman_matrix", "q218_ivm_join",
+    "q219_l_diversity", "q220_dsir_select",
+    "q221_zorder_pruning", "q222_schema_evolution",
+    "q223_table_digest", "q224_image_index_update",
+    "q225_audio_index_update", "q226_video_index_update",
+    "q227_theil_sen", "q229_mutual_info",
+    "q230_image_near_index", "q232_phrase_search",
+    "q101_market_share", "q102_important_parts",
+    "q103_order_count_distribution", "q126_copurchase_pairs",
+    "q27_revenue_by_nation", "q31_set_ops",
+    "q32_rollup", "q40_cube",
+    "q41_topk_per_group", "q43_percentiles",
+    "q46_distinct_counts", "q54_json_props",
+    "q61_forecast_revenue", "q62_returned_items",
+    "q63_promo_revenue", "q64_large_orders",
+    "q65_brand_revenue_bands", "q66_supplier_breadth",
+    "q67_dormant_customers", "q91_equidepth_hist",
+    "q97_sole_late_supplier", "q98_min_cost_supplier",
+    "q99_local_supplier_volume", "q02_null_profile",
+    "q03_histogram", "q04_corr_with_label",
 )
 
 

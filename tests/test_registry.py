@@ -29,47 +29,38 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round7_rotation_keep_their_slots():
+def test_canaries_and_round8_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-7
-    rotation (VERDICT r6 #3) puts this round's never-witnessed
-    additions (q215-q218) right after the canaries, then spends the
-    whole remaining budget on evidence currency: the 23 queries whose
-    last green driver row is rounds 1-2, then the oldest round-3
-    block."""
+    shared-infrastructure regression is still witnessed; the round-8
+    rotation (VERDICT r7 #3) puts this round's never-witnessed
+    additions and the two queries whose SEMANTICS changed this round
+    (q231 portable pair hash, q228 textbook tie correction) right
+    after the canaries, then spends the whole remaining budget on the
+    round-3 block — the stalest driver evidence left in the repo."""
     head = set(registry._PRIORITY[:50])
-    first_block = set(registry._PRIORITY[:24])
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    never_witnessed = {
-        "q215_ivf_append", "q216_pq_append",
-        "q217_spearman_matrix", "q218_ivm_join",
-        "q219_l_diversity", "q220_dsir_select",
-        "q221_zorder_pruning", "q222_schema_evolution",
-        "q223_table_digest", "q224_image_index_update",
-        "q225_audio_index_update", "q226_video_index_update",
-        "q227_theil_sen", "q228_mann_kendall",
-        "q229_mutual_info", "q230_image_near_index",
-        "q231_theil_sen_sampled", "q232_phrase_search",
-    }
-    stale_r1_r2 = {
-        "q101_market_share", "q102_important_parts",
-        "q103_order_count_distribution", "q126_copurchase_pairs",
-        "q27_revenue_by_nation", "q31_set_ops", "q32_rollup",
-        "q40_cube", "q41_topk_per_group", "q43_percentiles",
-        "q46_distinct_counts", "q54_json_props",
-        "q61_forecast_revenue", "q62_returned_items",
-        "q63_promo_revenue", "q64_large_orders",
-        "q65_brand_revenue_bands", "q66_supplier_breadth",
-        "q67_dormant_customers", "q91_equidepth_hist",
-        "q97_sole_late_supplier", "q98_min_cost_supplier",
-        "q99_local_supplier_volume",
+    semantics_changed = {"q228_mann_kendall", "q231_theil_sen_sampled"}
+    round3_block = {
+        "q05_groups", "q07_ts_split", "q08_ts_windows",
+        "q09_scale_params", "q10_rmse", "q11_binarize",
+        "q13_importance_rank", "q14_min_max", "q16_dedup_exact",
+        "q19_cosine_topk", "q20_token_stats", "q21_quality_score",
+        "q22_langid", "q24_window_agg", "q25_sessionize",
+        "q29_minmax_scaled", "q33_fingerprint", "q37_media_stats",
+        "q38_media_features", "q48_histogram_auto",
+        "q51_winnow_fingerprints", "q55_dedup_components",
+        "q56_jsonl_roundtrip", "q57_bpe_tokens", "q59_resample_ffill",
+        "q60_zscore_outliers", "q69_ewma", "q70_ohlc",
+        "q71_lag_features", "q72_interpolate", "q73_stratified_sample",
+        "q74_hash_split", "q75_class_balance", "q76_pack_sequences",
+        "q77_decontaminate", "q78_uniform_sample",
     }
     assert canaries <= head
-    assert never_witnessed <= first_block
-    assert stale_r1_r2 <= head
+    assert semantics_changed <= head
+    assert round3_block <= head
 
 
 def test_oracles_follow_query_order():
