@@ -1680,22 +1680,28 @@ def phrase_occurrences(df: DataFrame, id_col: str, text_col: str,
     lexicographically) and return the ``top_docs`` documents with the
     most ADJACENT occurrences of it: (w1, w2, doc, n_occurrences).
 
-    One positional-postings explode, ONE adjacency self-join keyed on
-    (doc, position+1) — at scale the join is executed against the
-    postings of the PHRASE words only (a selective word-keyed fetch
-    from the inverted index); here the per-doc bigram table doubles as
-    the phrase-frequency source, so the adjacency join runs once and
-    both the global top-1 and the per-doc counts reduce from it. The
-    driver never sees more than the broadcast 1-row top phrase."""
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(tokens(normalize_text(text_col))).alias("__p", "__w"))
-    adj = (toks.alias("x").join(
-        toks.alias("y"),
-        (F.col("x.__id") == F.col("y.__id")) &
-        (F.col("y.__p") == F.col("x.__p") + 1))
-        .select(F.col("x.__id").alias("__id"),
-                F.col("x.__w").alias("w1"), F.col("y.__w").alias("w2")))
+    Adjacency needs NO exchange at all: each document's token array is
+    already co-located in its row, so the (w_i, w_{i+1}) stream comes
+    from zipping the array with its own 1-shifted slice map-side
+    (whole-stage codegen; an earlier revision self-joined the exploded
+    postings on (doc, position+1), shuffling the full postings twice —
+    at corpus scale that is pure overhead for the same pair multiset).
+    At serving scale the same adjacency check runs against the postings
+    of the PHRASE words only (a selective word-keyed fetch from the
+    inverted index); here the per-doc bigram table doubles as the
+    phrase-frequency source, so both the global top-1 and the per-doc
+    counts reduce from one map-side pair stream. The driver never sees
+    more than the broadcast 1-row top phrase."""
+    arr = tokens(normalize_text(text_col))
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.zip_with(F.slice(arr, 1, F.size(arr) - 1),
+                   F.slice(arr, 2, F.size(arr) - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+    adj = (df.select(F.col(id_col).alias("__id"),
+                     F.explode(pairs).alias("__bg"))
+           .select("__id", F.col("__bg.w1").alias("w1"),
+                   F.col("__bg.w2").alias("w2")))
     perdoc = (adj.groupBy("__id", "w1", "w2")
               .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences")))
     top = (perdoc.groupBy("w1", "w2")

@@ -194,8 +194,8 @@ def test_round7_late_additions_plan_contracts(spark, sf_dir):
     product anywhere; the digest/maintenance/trend/search operators
     join only on keys or broadcast bounded sides. q227/q228/q231's
     pairwise self-joins are keyed on the group column (the inequality
-    is a post-join filter, not a cartesian); q232's adjacency join is
-    keyed on (doc, position)."""
+    is a post-join filter, not a cartesian); q232's adjacency comes
+    from a map-side array zip (no postings self-join at all)."""
     for name in ("q223_table_digest", "q224_image_index_update",
                  "q225_audio_index_update", "q226_video_index_update",
                  "q227_theil_sen", "q228_mann_kendall",
@@ -206,3 +206,15 @@ def test_round7_late_additions_plan_contracts(spark, sf_dir):
         plan = explain.final_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_phrase_search_adjacency_is_map_side(spark, sf_dir):
+    """q232's bigram stream must come from the map-side array zip —
+    NO join on the exploded postings (the round-7 self-join shuffled
+    the full positional postings twice for the same pair multiset).
+    Legal shuffles: the per-doc bigram aggregation, the phrase-total
+    aggregation, and AQE's final-ordering exchange; the top-phrase
+    filter is a broadcast join."""
+    ex, smj = _exchanges(spark, sf_dir, "q232_phrase_search")
+    assert smj == 0, "postings self-join regression"
+    assert ex <= 3, ex
