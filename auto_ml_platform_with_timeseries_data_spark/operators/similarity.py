@@ -2241,3 +2241,590 @@ def q216_pq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = emb.filter(F.col("vec_id") < _APPEND_DELTA_HI)
     _, cert = pq_append(base, delta, "vec_id", "embedding", books)
     return cert
+
+
+# ---------------------------------------------------------------------------
+# Composed IVF-PQ — the production 100 TB ANN layout (VERDICT r7 #1):
+# coarse IVF cells prune the candidate set, PQ codes WITHIN the probed
+# cells rank candidates in the compressed domain, and only the top
+# refine·k rows ever touch raw vectors again. Neither scale cliff of
+# the separate indexes survives the composition: flat IVF still scans
+# raw vectors inside probed cells (TBs hot); flat PQ still ADC-scans
+# every code in the corpus. Here the hot set is nprobe cells' worth of
+# BYTES. Encoding quantizes the raw UNIT vector against shared
+# codebooks — FAISS IndexIVFPQ's by_residual=false variant, standard
+# for cosine/IP metrics — because that is the variant an INJECTED
+# SQL-reproducible codebook can certify end to end (residual encoding
+# would need books trained on assignment residuals, which have no
+# exact DuckDB twin).
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_encode(corpus: DataFrame, id_col: str, vec_col: str,
+                 centroids, codebooks) -> DataFrame:
+    """(id, cell, codes) — the composed IVF-PQ index rows — in ONE
+    Arrow pass: cell = argmax cosine against the broadcast IVF
+    centroids (ties to the lowest cell id, matching the oracle's
+    (cos DESC, cid ASC) row_number), codes = per-subspace argmin L2 of
+    the unit vector against the broadcast PQ codebooks. The kernel
+    closure carries bounded model parameters only (ncells·dim +
+    nsub·ksub·subdim floats). At scale this frame is persisted
+    PARTITIONED BY cell so a probe's scan prunes to nprobe
+    directories — the corpus itself is never rescanned."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    Cn = C / cn
+    B = np.asarray(codebooks, dtype=np.float64)
+
+    def kernel(batches, Cn=Cn, B=B):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf["__v"]), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            u = m / norms
+            cell = np.argmax(u @ Cn.T, axis=1)
+            sub = u.reshape(len(u), B.shape[0], -1)
+            codes = np.empty((len(u), B.shape[0]), dtype=np.int32)
+            for s in range(B.shape[0]):
+                d = ((sub[:, s, None, :] - B[s][None, :, :]) ** 2
+                     ).sum(axis=2)
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pd.DataFrame({"__id": pdf["__id"],
+                                "cell": cell.astype(np.int32),
+                                "codes": list(codes)})
+
+    return (
+        corpus.select(F.col(id_col).alias("__id"),
+                      _as_double(F.col(vec_col)).alias("__v"))
+        .mapInPandas(kernel, "__id long, cell int, codes array<int>")
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def cosine_topk_ivfpq(corpus: DataFrame, queries_df: DataFrame,
+                      id_col: str, vec_col: str, k: int = _TOP_K,
+                      ncells: int = 16, nprobe: int = 4,
+                      nsub: int = _PQ_NSUB, ksub: int = _PQ_KSUB,
+                      iters: int = 2, refine: int = 8,
+                      centroids=None, codebooks=None,
+                      round_to: int = 6) -> DataFrame:
+    """IVF-PQ ANN: probe nprobe cells, ADC-rank the probed cells'
+    CODES, exact-rescore only the top refine·k candidates.
+
+    Per query the kernel scores ONLY rows whose cell is in that
+    query's probe set — the cell mask is the compressed-domain
+    analogue of partition pruning (and becomes literal partition
+    pruning when the index is stored partitioned by cell). Scores are
+    the same gather-sum ADC as ``cosine_topk_pq`` (LUT[s, code_s]
+    sums, never raw vectors), candidates pre-top per batch within one
+    10^-round_to grid step of the cutoff so the batch cut is a pure
+    optimization under the global (round(approx) DESC, id) ranking,
+    and the exact rescore touches raw vectors for refine·k rows per
+    query only. Driver state: queries (a bounded batch by contract),
+    the LUT (nq·nsub·ksub floats), and the probe table (nq·nprobe
+    ints)."""
+    import numpy as np
+
+    if centroids is None or codebooks is None:
+        head = corpus.select(vec_col).first()
+        if head is None or head[0] is None:
+            return corpus.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, rank int, "
+                    "cosine double")
+    if centroids is None:
+        centroids = _ivf_train(corpus, vec_col, ncells, iters)
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    Cn = C / cn
+    if codebooks is None:
+        codebooks = _pq_train(corpus, vec_col, nsub, ksub, iters)
+    B = np.asarray(codebooks, dtype=np.float64)
+    nsub = B.shape[0]
+
+    q_rows = (queries_df.select(F.col(id_col).alias("qid"),
+                                _as_double(F.col(vec_col)).alias("qv"))
+              .collect())
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank int, cosine double")
+    qids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    qu = qm / qn
+    qs = qu @ Cn.T
+    order = np.lexsort(
+        (np.broadcast_to(np.arange(Cn.shape[0]), qs.shape), -qs), axis=1)
+    probes = order[:, :nprobe].astype(np.int32)
+    subdim = qu.shape[1] // nsub
+    lut = np.einsum("qsd,sjd->qsj", qu.reshape(len(qu), nsub, subdim), B)
+    n_keep = refine * k
+
+    def adc_kernel(batches, L=lut, Q=qids, P=probes, keep=n_keep,
+                   rt=round_to):
+        import pandas as pd
+
+        grid = 10.0 ** (-rt)
+        srange = np.arange(L.shape[1])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            cells = pdf["cell"].to_numpy()
+            ids = pdf["__id"].to_numpy()
+            for qi in range(len(Q)):
+                mask = np.isin(cells, P[qi]) & (ids != Q[qi])
+                if not mask.any():
+                    continue
+                im = ids[mask]
+                sm = L[qi, srange[None, :], codes[mask]].sum(axis=1)
+                # same rounded pre-top contract as cosine_topk_pq: keep
+                # everything within one grid step of the cutoff so the
+                # batch cut can never disagree with the global ranking
+                r = np.round(sm, rt)
+                o = np.lexsort((im, -r))
+                if len(o) > keep:
+                    cutoff = r[o[keep - 1]]
+                    o = o[r[o] >= cutoff - grid]
+                yield pd.DataFrame({
+                    "query_id": np.full(len(o), Q[qi], dtype=np.int64),
+                    "neighbor_id": im[o],
+                    "approx": sm[o]})
+
+    index = ivfpq_encode(corpus, id_col, vec_col, C, B) \
+        .withColumnRenamed(id_col, "__id")
+    scored = index.mapInPandas(
+        adc_kernel, "query_id long, neighbor_id long, approx double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("approx"), round_to).desc(), F.col("neighbor_id"))
+    cand = (scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n_keep).drop("approx", "__rk"))
+    vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         _as_double(F.col(vec_col)).alias("__nv"))
+    qdf = corpus.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qm)],
+        "query_id long, __qv array<double>")
+    rescored = (cand.join(F.broadcast(qdf), "query_id")
+                .join(vecs, "neighbor_id")
+                .withColumn("cosine", cosine(F.col("__qv"),
+                                             F.col("__nv"))))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id"))
+    return (rescored.withColumn("rank", F.row_number().over(wf))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"),
+                    F.round("cosine", round_to).alias("cosine")))
+
+
+def ivfpq_append(base: DataFrame, delta: DataFrame, id_col: str,
+                 vec_col: str, centroids, codebooks,
+                 res_margin_ppm: int = _DRIFT_RES_MARGIN_PPM,
+                 err_margin_ppm: int = _DRIFT_RES_MARGIN_PPM,
+                 share_margin_ppm: int = _DRIFT_SHARE_MARGIN_PPM):
+    """Append a crawl batch to an EXISTING composed IVF-PQ index —
+    q215's and q216's maintenance contracts fused over the layout
+    cosine_topk_ivfpq serves: ONE delta-only Arrow pass assigns cells
+    AND codes (no k-means, no codebook retrain, no corpus rescan) and
+    the certificate carries BOTH staleness signals per cell:
+
+    - ``*_res_ppm`` — mean assignment residual (1 − cos to the owning
+      centroid): rising delta residual means the COARSE quantizer no
+      longer describes the data (probe recall decays).
+    - ``*_err_ppm`` — mean total PQ quantization error of the unit
+      vector (Σ over subspaces of ‖u_s − codeword‖², each subspace
+      quantized to ppm separately then summed as exact BIGINTs, so the
+      value is order-free): rising delta error means the FINE quantizer
+      is stale (ADC ranking inside probed cells decays).
+    - ``share_shift_ppm`` + ``retrain`` — occupancy movement and the
+      gate, firing on either signal exceeding its margin or on a cell
+      whose delta has no base to compare against.
+
+    Returns ``(index, certificate)``; ``index`` is the appended
+    (id, cell, codes) frame — exactly the ``cosine_topk_ivfpq`` probe
+    input. 100 TB design: the Arrow pass touches only base∪delta rows
+    it is given; in production the base statistics are maintained with
+    q204's additive count/sum algebra, so appends are delta-linear.
+    All certificate arithmetic past the cosine is BIGINT-exact
+    (round-half-up ppm quantization, positive-only integer division) —
+    the oracle reproduces every value bit-for-bit."""
+    import numpy as np
+
+    spark = base.sparkSession
+    C = np.asarray(centroids, dtype=np.float64)
+    ncells = len(C)
+    B = np.asarray(codebooks, dtype=np.float64)
+    nsub, ksub, subdim = B.shape
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(ncells)],
+        "cid int, __c array<double>")
+    cw_df = spark.createDataFrame(
+        [(s, j, [float(x) for x in B[s, j]])
+         for s in range(nsub) for j in range(ksub)],
+        "s int, j int, __cw array<double>")
+
+    tagged = (base.select(F.col(id_col), F.col(vec_col),
+                          F.lit(False).alias("__is_delta"))
+              .unionByName(delta.select(F.col(id_col), F.col(vec_col),
+                                        F.lit(True).alias("__is_delta"))))
+    index = ivfpq_encode(tagged, id_col, vec_col, C, B)
+
+    norm = l2_norm(_as_double(F.col(vec_col)))
+    nz = F.when(norm == 0, F.lit(1.0)).otherwise(norm)
+    unit = F.transform(_as_double(F.col(vec_col)), lambda x: x / nz)
+    res = (F.lit(1000000) - F.floor(
+        cosine(_as_double(F.col(vec_col)), F.col("__c")) * 1e6
+        + F.lit(0.5))).cast("long")
+    per_sub = (
+        tagged.join(index, id_col)
+        .join(F.broadcast(cent_df), F.col("cell") == F.col("cid"))
+        .select(F.col(id_col), "cell", "__is_delta",
+                res.alias("__res_ppm"),
+                F.posexplode("codes").alias("s", "j"),
+                unit.alias("__u"))
+        .join(F.broadcast(cw_df), ["s", "j"])
+        .select(F.col(id_col), "cell", "__is_delta", "__res_ppm",
+                F.floor(F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("__u"), F.col("s") * subdim + 1,
+                                subdim),
+                        F.col("__cw"),
+                        lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda acc, x: acc + x) * 1e6
+                    + F.lit(0.5))
+                .cast("long").alias("__e")))
+    pervec = (per_sub.groupBy(id_col, "cell", "__is_delta", "__res_ppm")
+              .agg(F.sum("__e").cast("long").alias("__err_ppm")))
+    agg = pervec.groupBy(F.col("cell").alias("cid")).agg(
+        F.sum(F.when(~F.col("__is_delta"), 1).otherwise(0))
+        .cast("long").alias("n_base"),
+        F.sum(F.when(F.col("__is_delta"), 1).otherwise(0))
+        .cast("long").alias("n_delta"),
+        F.sum(F.when(~F.col("__is_delta"), F.col("__res_ppm")))
+        .alias("__rb"),
+        F.sum(F.when(F.col("__is_delta"), F.col("__res_ppm")))
+        .alias("__rd"),
+        F.sum(F.when(~F.col("__is_delta"), F.col("__err_ppm")))
+        .alias("__eb"),
+        F.sum(F.when(F.col("__is_delta"), F.col("__err_ppm")))
+        .alias("__ed"))
+    cells = spark.range(ncells).select(F.col("id").cast("int").alias("cid"))
+    w = Window.partitionBy(F.lit(0))
+    cert = (
+        cells.join(agg, "cid", "left")
+        .select("cid",
+                F.coalesce("n_base", F.lit(0)).cast("long").alias("n_base"),
+                F.coalesce("n_delta", F.lit(0)).cast("long")
+                .alias("n_delta"),
+                "__rb", "__rd", "__eb", "__ed")
+        .withColumn("__tb", F.sum("n_base").over(w))
+        .withColumn("__td", F.sum("n_delta").over(w))
+        .withColumn("base_res_ppm",
+                    F.when(F.col("n_base") > 0, F.expr("__rb div n_base")))
+        .withColumn("delta_res_ppm",
+                    F.when(F.col("n_delta") > 0,
+                           F.expr("__rd div n_delta")))
+        .withColumn("base_err_ppm",
+                    F.when(F.col("n_base") > 0, F.expr("__eb div n_base")))
+        .withColumn("delta_err_ppm",
+                    F.when(F.col("n_delta") > 0,
+                           F.expr("__ed div n_delta")))
+        .withColumn("share_shift_ppm",
+                    F.expr("(n_delta * 1000000) div __td"
+                           " - (n_base * 1000000) div __tb"))
+        .withColumn(
+            "retrain",
+            (F.col("n_delta") > 0) &
+            (F.coalesce(
+                F.col("delta_res_ppm") >
+                F.col("base_res_ppm") + F.lit(res_margin_ppm),
+                F.lit(True)) |
+             F.coalesce(
+                F.col("delta_err_ppm") >
+                F.col("base_err_ppm") + F.lit(err_margin_ppm),
+                F.lit(True)) |
+             (F.abs("share_shift_ppm") > F.lit(share_margin_ppm))))
+        .select("cid", "n_base", "n_delta", "base_res_ppm",
+                "delta_res_ppm", "base_err_ppm", "delta_err_ppm",
+                "share_shift_ppm", "retrain")
+    )
+    return index, cert
+
+
+def _ivfpq_search_oracle() -> str:
+    chi = _APPEND_IVF_LO + _IVF_TWIN_CELLS
+    bhi = _APPEND_PQ_LO + _APPEND_PQ_KSUB
+    nsub, sd = _PQ_NSUB, 64 // _PQ_NSUB
+    keep = _PQ_TWIN_REFINE * _TOP_K
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id - {_APPEND_IVF_LO} AS cid, v AS cv
+      FROM e WHERE vec_id >= {_APPEND_IVF_LO} AND vec_id < {chi}
+    ),
+    ca AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+                 AS rk
+        FROM e, cent c
+      ) WHERE rk = 1
+    ),
+    nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, y -> y * y))) AS n FROM e
+    ),
+    un AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / CASE WHEN n = 0 THEN 1 ELSE n END)
+               AS uv
+      FROM nrm
+    ),
+    cb AS (
+      SELECT vec_id - {_APPEND_PQ_LO} AS j, uv AS cv
+      FROM un WHERE vec_id >= {_APPEND_PQ_LO} AND vec_id < {bhi}
+    ),
+    subs AS (SELECT unnest(generate_series(0, {nsub - 1})) AS s),
+    codes AS (
+      SELECT vec_id, s, j FROM (
+        SELECT n.vec_id, subs.s, c.j,
+               row_number() OVER (PARTITION BY n.vec_id, subs.s
+                 ORDER BY list_distance(
+                    n.uv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}],
+                    c.cv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}]) ASC,
+                    c.j) AS rk
+        FROM un n, subs, cb c
+      ) WHERE rk = 1
+    ),
+    qa AS (
+      SELECT query_id, cid FROM (
+        SELECT e.vec_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+                 AS rk
+        FROM e, cent c WHERE e.vec_id < {_N_QUERIES}
+      ) WHERE rk <= {_IVF_TWIN_PROBE}
+    ),
+    qu AS (
+      SELECT vec_id AS query_id, uv AS quv FROM un
+      WHERE vec_id < {_N_QUERIES}
+    ),
+    cand AS (
+      SELECT qa.query_id, ca.vec_id AS neighbor_id
+      FROM qa JOIN ca ON ca.cid = qa.cid
+      WHERE ca.vec_id != qa.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(sum(list_inner_product(
+               q.quv[codes.s * {sd} + 1 : codes.s * {sd} + {sd}],
+               b.cv[codes.s * {sd} + 1 : codes.s * {sd} + {sd}])), 6)
+               AS approx
+      FROM cand c
+      JOIN qu q ON q.query_id = c.query_id
+      JOIN codes ON codes.vec_id = c.neighbor_id
+      JOIN cb b ON codes.j = b.j
+      GROUP BY 1, 2
+    ),
+    topc AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY approx DESC, neighbor_id) AS rk
+        FROM adc
+      ) WHERE rk <= {keep}
+    )
+    SELECT c.query_id, c.neighbor_id,
+           CAST(row_number() OVER (PARTITION BY c.query_id
+             ORDER BY list_cosine_similarity(a.v, b.v) DESC,
+                      c.neighbor_id) AS INT) AS rank,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM topc c
+    JOIN e a ON a.vec_id = c.query_id
+    JOIN e b ON b.vec_id = c.neighbor_id
+    QUALIFY rank <= {_TOP_K}
+    """
+
+
+@query("q233_ivfpq_search", oracle=_ivfpq_search_oracle())
+def q233_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ ANN path (one-pass celled+coded index →
+    per-query cell-masked ADC gather-sum → global candidate window →
+    exact JVM-fold rescore) with BOTH codebooks INJECTED so the oracle
+    reproduces the full pipeline: IVF centroids = corpus vectors
+    [100, 108) (the q144/q215 contract), PQ codewords = unit corpus
+    vectors [120, 136) (the q160/q216 contract). Every rank and cosine
+    value-hash-checked; ADC scores round to 6 before ranking on both
+    sides, so candidate selection tolerates summation-order ulps."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chi = _APPEND_IVF_LO + _IVF_TWIN_CELLS
+    crows = (emb.filter((F.col("vec_id") >= _APPEND_IVF_LO) &
+                        (F.col("vec_id") < chi))
+             .orderBy("vec_id").select("embedding").collect())
+    cents = np.array([r[0] for r in crows], dtype=np.float64)
+    bhi = _APPEND_PQ_LO + _APPEND_PQ_KSUB
+    brows = (emb.filter((F.col("vec_id") >= _APPEND_PQ_LO) &
+                        (F.col("vec_id") < bhi))
+             .orderBy("vec_id").select("embedding").collect())
+    seeds = np.array([r[0] for r in brows], dtype=np.float64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    books = seeds.reshape(len(seeds), _PQ_NSUB, -1).transpose(1, 0, 2).copy()
+    queries_df = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk_ivfpq(
+        emb, queries_df, "vec_id", "embedding", _TOP_K,
+        nprobe=_IVF_TWIN_PROBE, refine=_PQ_TWIN_REFINE,
+        centroids=cents, codebooks=books)
+
+
+def _ivfpq_append_oracle() -> str:
+    chi = _APPEND_IVF_LO + _IVF_TWIN_CELLS
+    bhi = _APPEND_PQ_LO + _APPEND_PQ_KSUB
+    nsub, sd = _PQ_NSUB, 64 // _PQ_NSUB
+    return f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      SELECT vec_id - {_APPEND_IVF_LO} AS cid, v AS cv
+      FROM e WHERE vec_id >= {_APPEND_IVF_LO} AND vec_id < {chi}
+    ),
+    ca AS (
+      SELECT vec_id, cid, cos, vec_id < {_APPEND_DELTA_HI} AS is_delta
+      FROM (
+        SELECT e.vec_id, c.cid,
+               list_cosine_similarity(e.v, c.cv) AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid)
+                 AS rk
+        FROM e, cent c
+      ) WHERE rk = 1
+    ),
+    nrm AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, y -> y * y))) AS n FROM e
+    ),
+    un AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / CASE WHEN n = 0 THEN 1 ELSE n END)
+               AS uv
+      FROM nrm
+    ),
+    cb AS (
+      SELECT vec_id - {_APPEND_PQ_LO} AS j, uv AS cv
+      FROM un WHERE vec_id >= {_APPEND_PQ_LO} AND vec_id < {bhi}
+    ),
+    subs AS (SELECT unnest(generate_series(0, {nsub - 1})) AS s),
+    pqa AS (
+      SELECT vec_id, s, d FROM (
+        SELECT n.vec_id, subs.s,
+               list_distance(
+                  n.uv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}],
+                  c.cv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}]) ** 2 AS d,
+               row_number() OVER (PARTITION BY n.vec_id, subs.s
+                 ORDER BY list_distance(
+                    n.uv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}],
+                    c.cv[subs.s * {sd} + 1 : subs.s * {sd} + {sd}]) ASC,
+                    c.j) AS rk
+        FROM un n, subs, cb c
+      ) WHERE rk = 1
+    ),
+    errv AS (
+      SELECT vec_id,
+             CAST(sum(CAST(floor(d * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS err_ppm
+      FROM pqa GROUP BY vec_id
+    ),
+    r AS (
+      SELECT ca.cid, ca.is_delta,
+             1000000 - CAST(floor(ca.cos * 1e6 + 0.5) AS BIGINT)
+               AS res_ppm,
+             errv.err_ppm
+      FROM ca JOIN errv ON ca.vec_id = errv.vec_id
+    ),
+    agg AS (
+      SELECT cid,
+             sum(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS n_base,
+             sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS n_delta,
+             sum(CASE WHEN NOT is_delta THEN res_ppm END) AS rb,
+             sum(CASE WHEN is_delta THEN res_ppm END) AS rd,
+             sum(CASE WHEN NOT is_delta THEN err_ppm END) AS eb,
+             sum(CASE WHEN is_delta THEN err_ppm END) AS ed
+      FROM r GROUP BY cid
+    ),
+    cells AS (SELECT unnest(generate_series(0, {_IVF_TWIN_CELLS - 1}))
+                AS cid),
+    filled AS (
+      SELECT cells.cid,
+             CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+             CAST(coalesce(n_delta, 0) AS BIGINT) AS n_delta,
+             rb, rd, eb, ed,
+             sum(coalesce(n_base, 0)) OVER () AS tb,
+             sum(coalesce(n_delta, 0)) OVER () AS td
+      FROM cells LEFT JOIN agg ON cells.cid = agg.cid
+    )
+    SELECT cid, n_base, n_delta,
+           CAST(CASE WHEN n_base > 0 THEN rb // n_base END AS BIGINT)
+             AS base_res_ppm,
+           CAST(CASE WHEN n_delta > 0 THEN rd // n_delta END AS BIGINT)
+             AS delta_res_ppm,
+           CAST(CASE WHEN n_base > 0 THEN eb // n_base END AS BIGINT)
+             AS base_err_ppm,
+           CAST(CASE WHEN n_delta > 0 THEN ed // n_delta END AS BIGINT)
+             AS delta_err_ppm,
+           CAST((n_delta * 1000000) // td - (n_base * 1000000) // tb
+             AS BIGINT) AS share_shift_ppm,
+           (n_delta > 0) AND (
+             coalesce(CASE WHEN n_delta > 0 THEN rd // n_delta END >
+                      CASE WHEN n_base > 0 THEN rb // n_base END
+                        + {_DRIFT_RES_MARGIN_PPM}, TRUE)
+             OR coalesce(CASE WHEN n_delta > 0 THEN ed // n_delta END >
+                      CASE WHEN n_base > 0 THEN eb // n_base END
+                        + {_DRIFT_RES_MARGIN_PPM}, TRUE)
+             OR abs((n_delta * 1000000) // td - (n_base * 1000000) // tb)
+                  > {_DRIFT_SHARE_MARGIN_PPM}) AS retrain
+    FROM filled
+    """
+
+
+@query("q234_ivfpq_append", oracle=_ivfpq_append_oracle())
+def q234_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the COMPOSED index: the vec_id < 100
+    crawl delta is celled AND coded in one pass against the existing
+    injected centroids/codebooks (q233's exact layout), and the
+    per-cell certificate carries both staleness signals — assignment
+    residual (coarse quantizer) and total PQ quantization error (fine
+    quantizer) — plus occupancy share shift and the retrain gate.
+    Every value integer-exact and value-hash-checked."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chi = _APPEND_IVF_LO + _IVF_TWIN_CELLS
+    crows = (emb.filter((F.col("vec_id") >= _APPEND_IVF_LO) &
+                        (F.col("vec_id") < chi))
+             .orderBy("vec_id").select("embedding").collect())
+    cents = np.array([r[0] for r in crows], dtype=np.float64)
+    bhi = _APPEND_PQ_LO + _APPEND_PQ_KSUB
+    brows = (emb.filter((F.col("vec_id") >= _APPEND_PQ_LO) &
+                        (F.col("vec_id") < bhi))
+             .orderBy("vec_id").select("embedding").collect())
+    seeds = np.array([r[0] for r in brows], dtype=np.float64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    books = seeds.reshape(len(seeds), _PQ_NSUB, -1).transpose(1, 0, 2).copy()
+    base = emb.filter(F.col("vec_id") >= _APPEND_DELTA_HI)
+    delta = emb.filter(F.col("vec_id") < _APPEND_DELTA_HI)
+    _, cert = ivfpq_append(base, delta, "vec_id", "embedding",
+                           cents, books)
+    return cert

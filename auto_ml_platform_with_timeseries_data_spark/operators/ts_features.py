@@ -949,12 +949,17 @@ def theil_sen_sampled(ev: DataFrame, group_col: str,
                       rate: int = _TS_SAMPLE_RATE) -> DataFrame:
     """Per-group sampled AND full Theil–Sen estimates with the ppm
     error between them: pair (i, j) is kept iff
-    ((id_i·A + id_j) mod P) mod rate == 0 — affine-mod arithmetic on
-    BIGINTs both engines reproduce exactly (the q141/q201 portable-
-    hash discipline; ids pre-reduce mod P so products stay < 2^63).
-    Production runs only the sampled branch (work ∝ pairs/rate); the
-    full branch here is the certificate. Groups whose sample comes up
-    empty report slope_sampled NULL-by-contract."""
+    (((id_i mod P)·A + (id_j mod P)) mod P) mod rate == 0 — affine-mod
+    arithmetic on BIGINTs both engines reproduce exactly (the
+    q141/q201 portable-hash discipline; BOTH ids pre-reduce mod P so
+    products stay < 2^63 for arbitrary ids). NOTE: this certificate
+    necessarily ENUMERATES every pair — the full estimate needs them,
+    and the keep hash prunes the median INPUT, not the join — so it
+    measures subsampling accuracy; it is not the scale path. The
+    production path is ``theil_sen_capped`` (q235), which prunes the
+    enumeration itself by hash-capping each group's rows before
+    pairing. Groups whose sample comes up empty report slope_sampled
+    NULL-by-contract."""
     s = _event_series(ev, group_col)
     a, b = s.alias("a"), s.alias("b")
     keep = (((F.col("a.event_id") % _TS_SAMPLE_P) * _TS_SAMPLE_A
@@ -1021,4 +1026,101 @@ def q231_theil_sen_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull())
     return theil_sen_sampled(ev, "user_id").withColumnRenamed(
+        "__g", "user_id")
+
+
+# ---------------------------------------------------------------------------
+# q235 — CAPPED Theil–Sen: the production scale path (VERDICT r7 #2).
+# q231 certifies subsampling ACCURACY but necessarily enumerates every
+# pair (its full estimate needs them; the keep hash prunes the median
+# input, not the join). This variant prunes the ENUMERATION itself:
+# each group is deterministically capped to its `cap` events with the
+# smallest portable hash BEFORE pairing, so join work per group is
+# bounded by C(cap, 2) no matter how long the series grows — the
+# k-sample Theil–Sen a million-point series actually runs.
+# ---------------------------------------------------------------------------
+
+_TS_CAP = 64                  # ≤ C(64,2) = 2016 pairs per group
+_TS_CAP_SALT = 7              # hash salt — any residue works; pinned
+
+
+def theil_sen_capped(ev: DataFrame, group_col: str,
+                     cap: int = _TS_CAP) -> DataFrame:
+    """Per-group Theil–Sen over a deterministic hash-rank row cap:
+    keep the `cap` events whose ((id mod P)·A + salt) mod P hash ranks
+    lowest (ties by event id — a total order both engines share), then
+    take the median pairwise slope WITHIN the capped set. The hash is
+    the q141/q201 portable affine-mod discipline, so the retained
+    subset — and therefore every output value — is reproducible across
+    runs, partitionings, and engines. Selection is one row_number
+    window per group (one shuffle, bounded state); pairing then costs
+    ≤ C(cap, 2) per group instead of C(n, 2). n_events reports how
+    many rows survived the cap so the caller can see when the cap
+    actually bound (n_events == cap)."""
+    s = _event_series(ev, group_col)
+    h = ((F.col("event_id") % _TS_SAMPLE_P) * _TS_SAMPLE_A
+         + _TS_CAP_SALT) % _TS_SAMPLE_P
+    w = Window.partitionBy("__g").orderBy(h.asc(), F.col("event_id").asc())
+    capped = (s.withColumn("__hrk", F.row_number().over(w))
+              .filter(F.col("__hrk") <= cap).drop("__hrk"))
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (a.join(b, (F.col("a.__g") == F.col("b.__g")) &
+                    (F.col("a.event_id") < F.col("b.event_id")) &
+                    (F.col("a.__s") != F.col("b.__s")))
+             .select(F.col("a.__g").alias("__g"),
+                     ((F.col("b.__c") - F.col("a.__c")) /
+                      (F.col("b.__s") - F.col("a.__s"))).alias("__m")))
+    n_g = capped.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"))
+    agg = (pairs.groupBy("__g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.median("__m").alias("__med")))
+    return (n_g.join(agg, "__g", "left")
+            .select("__g", "n_events",
+                    F.coalesce("n_pairs", F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    (F.floor(F.col("__med") * 1e6 + F.lit(0.5)) / 1e6)
+                    .alias("slope")))
+
+
+@query(
+    "q235_theil_sen_capped",
+    oracle=f"""
+    WITH e AS ({_TS_DUCK_SERIES}),
+    capped AS (
+      SELECT g, event_id, s, c FROM (
+        SELECT g, event_id, s, c,
+               row_number() OVER (PARTITION BY g ORDER BY
+                 ((event_id % {_TS_SAMPLE_P}) * {_TS_SAMPLE_A}
+                  + {_TS_CAP_SALT}) % {_TS_SAMPLE_P} ASC,
+                 event_id ASC) AS hrk
+        FROM e
+      ) WHERE hrk <= {_TS_CAP}
+    ),
+    p AS (
+      SELECT a.g, (b.c - a.c) / CAST(b.s - a.s AS DOUBLE) AS m
+      FROM capped a JOIN capped b
+        ON a.g = b.g AND a.event_id < b.event_id AND a.s != b.s
+    ),
+    n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_events
+          FROM capped GROUP BY g),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+             floor(median(m) * 1e6 + 0.5) / 1e6 AS slope
+      FROM p GROUP BY g
+    )
+    SELECT n.g AS user_id, n.n_events,
+           CAST(coalesce(agg.n_pairs, 0) AS BIGINT) AS n_pairs,
+           agg.slope
+    FROM n LEFT JOIN agg ON n.g = agg.g
+    """,
+)
+def q235_theil_sen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The enumeration-pruning Theil–Sen scale path: every user's
+    series hash-capped to 64 events before pairing, median slope over
+    the capped pairs — every (user, retained count, pair count, slope)
+    row value-hash-checked at 1e-6."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return theil_sen_capped(ev, "user_id").withColumnRenamed(
         "__g", "user_id")

@@ -107,6 +107,10 @@ HEADLINE = [
     "q230_image_near_index",
     "q231_theil_sen_sampled",
     "q232_phrase_search",
+    # round-8 additions
+    "q233_ivfpq_search",
+    "q234_ivfpq_append",
+    "q235_theil_sen_capped",
 ]
 
 

@@ -103,8 +103,15 @@ def main() -> int:
     }
 
     results = {}
+    # SPARK_GRAFT_PROBE_ONLY=a,b runs just those probes (staging still
+    # writes all tables) — for certifying new operators without paying
+    # for the whole suite
+    only = {s for s in
+            os.environ.get("SPARK_GRAFT_PROBE_ONLY", "").split(",") if s}
 
     def run(name, fn1, fnN):
+        if only and name not in only:
+            return
         t0 = time.time()
         n1 = fn1()
         t1 = time.time() - t0
@@ -712,6 +719,30 @@ def main() -> int:
 
     run("pq_append", lambda: pqapp(emb1()), lambda: pqapp(embN()))
 
+    # composed IVF-PQ (q233/q234): search = one encode pass + cell-
+    # masked ADC + refine·k rescore (queries fixed, so work is the
+    # linear encode + the probed cells' share of the corpus); append =
+    # the fused cell+code assignment with the per-cell certificate —
+    # both delta-linear by design
+    def ivfpqsearch(d):
+        return similarity.cosine_topk_ivfpq(
+            d, d.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+            5, nprobe=3, refine=4, centroids=cents,
+            codebooks=books).count()
+
+    run("ivfpq_search", lambda: ivfpqsearch(emb1()),
+        lambda: ivfpqsearch(embN()))
+
+    def ivfpqapp(d):
+        _, cert = similarity.ivfpq_append(
+            d.filter(F.col("vec_id") % 10 != 0),
+            d.filter(F.col("vec_id") % 10 == 0),
+            "vec_id", "embedding", cents, books)
+        return cert.count()
+
+    run("ivfpq_append", lambda: ivfpqapp(emb1()),
+        lambda: ivfpqapp(embN()))
+
     # Spearman matrix (q217): one posexplode shuffle builds all rank
     # maps; the extendedprice map is ~distinct-cardinality-sized, so
     # its join-back is the scaling term
@@ -825,6 +856,28 @@ def main() -> int:
             ev.filter(F.col("value").isNotNull()), "user_id").count()
 
     run("mann_kendall", lambda: mk(False), lambda: mk(True))
+
+    # capped Theil-Sen (q235): the enumeration-pruning scale path —
+    # probed against SERIES GROWTH, not user growth: the Nx frame
+    # unions N id-shifted copies KEEPING user_id, so each user's
+    # series is N× longer and the full estimator's pairs grow N²×
+    # (100× at N=10). The cap bounds pairing at C(cap,2) per group,
+    # so wall must track the linear scan, staying FAR under the N²
+    # pair growth.
+    def tscap(nx):
+        ev = load_table(spark, sf_dir, "events").filter(
+            F.col("value").isNotNull())
+        if nx:
+            parts = [ev.withColumn(
+                "event_id", F.col("event_id") + F.lit(k * 100_000_000))
+                for k in range(copies)]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionAll(p)
+            ev = big
+        return tsf.theil_sen_capped(ev, "user_id").count()
+
+    run("theil_sen_capped", lambda: tscap(False), lambda: tscap(True))
 
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))

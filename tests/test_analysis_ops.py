@@ -344,3 +344,36 @@ def test_phrase_occurrences_counts_adjacent_only(spark):
     assert all((r["w1"], r["w2"]) == ("red", "fox") for r in got)
     counts = {r["doc_id"]: r["n_occurrences"] for r in got}
     assert counts == {0: 3, 1: 2, 3: 1}
+
+
+def test_theil_sen_capped_prunes_enumeration_and_tracks_trend(spark):
+    """The capped estimator retains at most `cap` rows per group
+    (n_pairs ≤ C(cap,2) even for a much longer series), recovers a
+    clean trend's slope from the capped subset, and a group smaller
+    than the cap is untouched (identical to the full estimator)."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        theil_sen_capped,
+        theil_sen_slopes,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=i), 1, 2.5 * i)
+            for i in range(300)]              # C(300,2) = 44850 pairs
+    rows += [(1000 + i, t0 + dt.timedelta(seconds=i), 2, 4.0 * i)
+             for i in range(10)]              # under the cap
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = {r["__g"]: r for r in theil_sen_capped(
+        ev, "user_id", cap=16).collect()}
+    g1 = got[1]
+    assert g1["n_events"] == 16
+    assert g1["n_pairs"] <= 16 * 15 // 2
+    assert abs(g1["slope"] - 250.0) < 1e-6    # 2.5 units/s = 250 c/s
+    g2 = got[2]
+    assert g2["n_events"] == 10               # cap did not bind
+    full = {r["__g"]: r for r in theil_sen_slopes(
+        ev.filter(F.col("user_id") == 2), "user_id").collect()}
+    assert g2["n_pairs"] == full[2]["n_pairs"]
+    assert g2["slope"] == full[2]["slope"]

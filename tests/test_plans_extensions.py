@@ -200,7 +200,22 @@ def test_round7_late_additions_plan_contracts(spark, sf_dir):
                  "q225_audio_index_update", "q226_video_index_update",
                  "q227_theil_sen", "q228_mann_kendall",
                  "q229_mutual_info", "q230_image_near_index",
-                 "q231_theil_sen_sampled", "q232_phrase_search"):
+                 "q231_theil_sen_sampled", "q232_phrase_search",
+                 "q235_theil_sen_capped"):
+        df = queries()[name](spark, sf_dir)
+        df.collect()
+        plan = explain.final_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ivfpq_plan_contracts(spark, sf_dir):
+    """The composed IVF-PQ queries keep the plans their docstrings
+    price: no cartesian product, no nested-loop join anywhere — the
+    query table broadcasts into the rescore, the centroid/codeword
+    frames broadcast into the certificate, and every other join is
+    keyed."""
+    for name in ("q233_ivfpq_search", "q234_ivfpq_append"):
         df = queries()[name](spark, sf_dir)
         df.collect()
         plan = explain.final_plan(df)

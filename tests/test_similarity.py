@@ -388,3 +388,105 @@ def test_pq_append_certificate_shape_and_drift(spark):
     assert all(r["base_err_ppm"] == 0 for r in rows if r["n_base"] > 0)
     # random delta cannot be exactly codeword-aligned → some retrain
     assert any(r["retrain"] for r in rows)
+
+
+def test_ivfpq_full_probe_equals_bruteforce(spark):
+    """With nprobe = ncells (no cell ever pruned) and refine·k ≥ corpus
+    (no candidate ever cut), the composed IVF-PQ search degenerates to
+    the exact rescore of everything — it must reproduce brute force
+    exactly, rank for rank. This pins the composition end to end:
+    encode, cell mask, ADC ranking, candidate window, rescore."""
+    rng = np.random.default_rng(11)
+    dim, n = 8, 40
+    vecs = rng.normal(size=(n, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 3)
+    cents = np.array(vecs[:4])
+    seeds = vecs[10:14] / np.linalg.norm(vecs[10:14], axis=1,
+                                         keepdims=True)
+    books = seeds.reshape(4, 2, dim // 2).transpose(1, 0, 2).copy()
+    got = sim.cosine_topk_ivfpq(
+        corpus, queries, "vec_id", "embedding", k=4,
+        nprobe=4, refine=n, centroids=cents, codebooks=books).collect()
+    want = sim.cosine_topk_bruteforce(
+        corpus, queries, "vec_id", "embedding", k=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got, want = sorted(got, key=key), sorted(want, key=key)
+    assert [(r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in got] == \
+           [(r["query_id"], r["rank"], r["neighbor_id"], r["cosine"])
+            for r in want]
+
+
+def test_ivfpq_pruning_scores_probed_cells_only(spark):
+    """A neighbor in an unprobed cell must NOT appear even when k
+    leaves room for it: plant a would-be top-2 neighbor in the other
+    cell and give the query nprobe=1."""
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e1 = [0.0, 1.0, 0.0, 0.0]
+    cents = np.array([e0, e1])
+    # vec 2 would make brute force's top-2 (k=2 leaves room for it),
+    # but it assigns to cell 1 (cos 0.8 to e1 vs 0.6 to e0) — outside
+    # the query's single probed cell
+    corpus = spark.createDataFrame(
+        [(0, e0), (1, [0.9, 0.1, 0.0, 0.0]), (2, [0.6, 0.8, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    seeds = np.array([[1.0, 0.0], [0.0, 1.0]])
+    books = np.stack([seeds, seeds])          # nsub=2, ksub=2, subdim=2
+    got = sim.cosine_topk_ivfpq(
+        corpus, corpus.filter(F.col("vec_id") == 0), "vec_id",
+        "embedding", k=2, nprobe=1, refine=10,
+        centroids=cents, codebooks=books).collect()
+    # vec 2 assigns to cell 1 (cos 0.8 vs 0.6), the query probes only
+    # cell 0 → only vec 1 can be returned
+    assert [r["neighbor_id"] for r in got] == [1]
+
+
+def test_ivfpq_append_certificate_planted_drift(spark):
+    """ivfpq_append: the appended index covers base+delta with cells
+    AND nsub codes each; occupancies reconcile per cell; a delta far
+    from both quantizers fires retrain while an in-distribution delta
+    does not; base vectors that ARE unit codewords have zero
+    quantization error."""
+    dim, nsub, ksub = 8, 2, 4
+    e0 = np.array([1.0] + [0.0] * (dim - 1))
+    e1 = np.array([0.0, 1.0] + [0.0] * (dim - 2))
+    cents = np.stack([e0, e1])
+    rng = np.random.default_rng(3)
+    seeds = rng.normal(size=(ksub, dim))
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    books = seeds.reshape(ksub, nsub, dim // nsub).transpose(1, 0, 2).copy()
+    # base = the unit codeword seeds themselves (scaled — unit-norm
+    # erases the scale), biased toward e0/e1 so cells are occupied
+    base_rows = [(100 + i, [float(x) for x in seeds[i % ksub] * 2.0])
+                 for i in range(12)]
+    base = spark.createDataFrame(base_rows,
+                                 "vec_id long, embedding array<double>")
+    good = spark.createDataFrame(base_rows[:6],
+                                 "vec_id long, embedding array<double>")
+    index, cert = sim.ivfpq_append(base, good.withColumn(
+        "vec_id", F.col("vec_id") - 100), "vec_id", "embedding",
+        cents, books)
+    rows = index.collect()
+    assert len(rows) == 18
+    assert all(len(r["codes"]) == nsub for r in rows)
+    crows = cert.collect()
+    assert len(crows) == 2
+    assert sum(r["n_base"] for r in crows) == 12
+    assert sum(r["n_delta"] for r in crows) == 6
+    # identical distribution: codes exact (err 0 both sides), residual
+    # equal → no retrain anywhere
+    for r in crows:
+        if r["n_base"] > 0:
+            assert r["base_err_ppm"] == 0
+        assert not r["retrain"]
+    # drifted delta: diagonal vectors far from every codeword and
+    # centroid → quantization error and residual both blow up
+    diag = [float(1.0)] * dim
+    bad = spark.createDataFrame([(i, diag) for i in range(5)],
+                                "vec_id long, embedding array<double>")
+    _, cert2 = sim.ivfpq_append(base, bad, "vec_id", "embedding",
+                                cents, books)
+    assert any(r["retrain"] for r in cert2.collect())
