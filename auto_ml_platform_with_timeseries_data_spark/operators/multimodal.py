@@ -1641,6 +1641,17 @@ _II_DELTA_HI = 200        # delta batch: doc_id in [160, 200), 50 families
 _II_FAM_OLD = 40          # delta seeds 10..49 → 30 already-indexed
 _II_FAM_NEW = 50          # patterns + 10 genuinely novel ones
 
+# q236 (streaming loop over this index, streaming/events.py): 200 media
+# ids in 4 id-ordered micro-batches of 50, ONE generation rule with 120
+# pattern families. Families collide in dHash space (34 distinct
+# fingerprints at sf0.01 — the gradient comparison quantizes away most
+# of the family offset), so every epoch past the first re-encounters
+# known fingerprints AND the early epochs append novels: both branches
+# of the maintenance loop fire across the stream, and colliding
+# families exercise the min-id canonical rule across batches
+_SPIDX_HI = 200
+_SPIDX_FAM = 120
+
 
 def image_index_update(index: DataFrame, delta_media: DataFrame) -> DataFrame:
     """Merge a delta batch's NOVEL dHash fingerprints into the corpus
@@ -1658,17 +1669,26 @@ def image_index_update(index: DataFrame, delta_media: DataFrame) -> DataFrame:
     return index.unionByName(novel)
 
 
-def _image_index_oracle() -> str:
-    def px(fam: int, jexpr: str) -> str:
-        return (f"(((doc_id % {fam}) * 31 + 13 * (k // 8)"
-                f" + (13 * ({jexpr})) // 9) % 256)")
+def _dhash_px_sql(fam: int, jexpr: str) -> str:
+    return (f"(((doc_id % {fam}) * 31 + 13 * (k // 8)"
+            f" + (13 * ({jexpr})) // 9) % 256)")
 
-    def half(fam: int, k0: int, k1: int) -> str:
-        bit = (f"CASE WHEN {px(fam, 'k % 8')} < {px(fam, '(k % 8) + 1')}"
-               f" THEN 1 ELSE 0 END")
-        return (f"CAST(list_sum(list_transform(range({k0}, {k1}),"
-                f" k -> {bit} * (CAST(1 AS BIGINT) << (k - {k0}))))"
-                f" AS BIGINT)")
+
+def dhash_half_sql(fam: int, k0: int, k1: int) -> str:
+    """DuckDB expression recomputing one 32-bit half of the synthetic
+    corpus's dHash ARITHMETICALLY from the BMP generation rule (never
+    parsing bytes) — the q186 certification contract, shared by every
+    oracle that checks a dHash-derived index."""
+    px = _dhash_px_sql
+    bit = (f"CASE WHEN {px(fam, 'k % 8')} < {px(fam, '(k % 8) + 1')}"
+           f" THEN 1 ELSE 0 END")
+    return (f"CAST(list_sum(list_transform(range({k0}, {k1}),"
+            f" k -> {bit} * (CAST(1 AS BIGINT) << (k - {k0}))))"
+            f" AS BIGINT)")
+
+
+def _image_index_oracle() -> str:
+    half = dhash_half_sql
 
     return f"""
     WITH hc AS (

@@ -961,3 +961,149 @@ def q204_stream_continuous_aggregate(spark: SparkSession,
         F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
         F.col("n_events").cast("long").alias("n_events"),
         F.col("sum_cents").cast("long").alias("sum_cents"))
+
+
+# ---------------------------------------------------------------------------
+# q236 — the perceptual-index loop AS A STREAM (VERDICT r7 #7): q224's
+# image-dHash maintenance inside foreachBatch, with q204's
+# epoch-versioned on-disk state so the loop survives a driver restart
+# — the hardening q182 documents as its replay caveat, applied to the
+# perceptual tier.
+# ---------------------------------------------------------------------------
+
+
+def _staged_media_id_batches(spark: SparkSession, sf_dir: str,
+                             hi: int) -> str:
+    """doc_id < hi as 4 sequential id-ordered files — four crawl 'days'
+    of media arriving in order (ids only; the media bytes synthesize
+    map-side per batch, so the stream source stays tiny)."""
+    key = ("media_id_batches4", sf_dir, hi)
+    if key not in _STAGE_CACHE:
+        import time as _time
+
+        from pyspark.sql.window import Window
+
+        from auto_ml_platform_with_timeseries_data_spark.staging import (
+            staging_dir,
+        )
+
+        ids = (load_table(spark, sf_dir, "documents").select("doc_id")
+               .filter(F.col("doc_id") < hi))
+        d = staging_dir("stream_media_ids", fresh=True)
+        sliced = ids.withColumn(
+            "__slice", F.ntile(4).over(Window.orderBy("doc_id")))
+        for i in range(1, 5):
+            (sliced.filter(F.col("__slice") == i).drop("__slice")
+             .coalesce(1).write.mode("append").parquet(d))
+            _time.sleep(0.05)
+        _STAGE_CACHE[key] = d
+    return _STAGE_CACHE[key]
+
+
+def perceptual_index_epoch(sp: SparkSession, bdf: DataFrame,
+                           epoch_id: int, state_root: str,
+                           families: int) -> str:
+    """One micro-batch of the maintained dHash index: synthesize +
+    fingerprint ONLY the batch's media (delta-linear decode), reduce to
+    one (fingerprint → min id) row per distinct value, anti-join the
+    union of COMPLETE epochs STRICTLY BELOW this one, and overwrite
+    ``epoch={epoch_id}`` with exactly the novel fingerprints.
+
+    Restart-safe by the q204 discipline: the known-fingerprint set
+    comes from the ``_SUCCESS``-gated on-disk ``epoch=*`` listing
+    (``rollup_versions`` — the listing is index-agnostic), never from
+    driver memory, and a replayed epoch anti-joins its PREDECESSORS
+    only before overwriting its OWN directory — idempotent per epoch,
+    and its own torn first attempt is invisible (no ``_SUCCESS``).
+    State per epoch is that epoch's novel fingerprints; the union of
+    epoch directories IS the index, so canonical ids never change once
+    assigned (the q165/q224 contract)."""
+    import os
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+        image_dhash,
+        synth_bmp_media,
+    )
+
+    delta_idx = (image_dhash(synth_bmp_media(bdf, families=families))
+                 .groupBy("dhash_lo", "dhash_hi")
+                 .agg(F.min("media_id").alias("canonical_id")))
+    versions = rollup_versions(state_root)
+    prev = [p for e, p in versions.items() if e < epoch_id]
+    if prev:
+        known = sp.read.parquet(*prev).select("dhash_lo", "dhash_hi")
+        delta_idx = delta_idx.join(known, ["dhash_lo", "dhash_hi"],
+                                   "left_anti")
+    out = os.path.join(state_root, f"epoch={epoch_id}")
+    delta_idx.write.mode("overwrite").parquet(out)
+    return out
+
+
+def _stream_pidx_oracle() -> str:
+    from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+        _SPIDX_FAM,
+        _SPIDX_HI,
+        dhash_half_sql,
+    )
+
+    return f"""
+    WITH hc AS (
+      SELECT doc_id, {dhash_half_sql(_SPIDX_FAM, 0, 32)} AS dhash_lo,
+             {dhash_half_sql(_SPIDX_FAM, 32, 64)} AS dhash_hi
+      FROM documents WHERE doc_id < {_SPIDX_HI}
+    )
+    SELECT dhash_lo, dhash_hi, CAST(min(doc_id) AS BIGINT)
+             AS canonical_id
+    FROM hc GROUP BY 1, 2
+    """
+
+
+@query("q236_stream_perceptual_index", oracle=_stream_pidx_oracle())
+def q236_stream_perceptual_index(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The image-dHash index maintained END TO END as a stream: four
+    doc_id-ordered micro-batches of media ids each synthesize and
+    fingerprint ONLY their own media, anti-join the epochs already on
+    disk, and write their novel fingerprints to an epoch={id}
+    directory (overwrite — idempotent under foreachBatch's
+    at-least-once replay, restart-safe via the _SUCCESS-gated epoch
+    listing). After the stream drains, the UNION of epoch directories
+    must equal the one-shot batch index over all the media: every
+    distinct fingerprint exactly once, canonicalized to its global min
+    id (batches partition the id range in order, so first-sighting
+    min == global min). Every (fingerprint pair, canonical) row
+    value-hash-checked against the oracle's arithmetic recomputation
+    of the dHash from the generation rule."""
+    import uuid
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+        _SPIDX_FAM,
+        _SPIDX_HI,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.staging import (
+        staging_dir,
+    )
+
+    stage_dir = _staged_media_id_batches(spark, sf_dir, _SPIDX_HI)
+    state_root = staging_dir("stream_pidx")      # wiped per invocation
+    ckpt = staging_dir("stream_pidx_ckpt")
+
+    def step(bdf: DataFrame, epoch_id: int) -> None:
+        perceptual_index_epoch(bdf.sparkSession, bdf, epoch_id,
+                               state_root, _SPIDX_FAM)
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (stream.writeStream.foreachBatch(step)
+         .option("checkpointLocation", ckpt)
+         .queryName(f"q236pidx{uuid.uuid4().hex[:8]}")
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    versions = rollup_versions(state_root)
+    return spark.read.parquet(*versions.values()).select(
+        "dhash_lo", "dhash_hi", F.col("canonical_id").cast("long")
+        .alias("canonical_id"))

@@ -274,3 +274,54 @@ def test_rollup_survives_driver_restart_and_replay(spark, tmp_path):
     want = {str(r["bucket"]): (r["n_events"], r["sum_cents"])
             for r in rollup_partial(ev).collect()}
     assert got == want and len(got) == 3
+
+
+def test_perceptual_index_survives_driver_restart_and_replay(
+        spark, tmp_path):
+    """q236's restart contract: the known-fingerprint set is discovered
+    from the _SUCCESS-gated on-disk epoch=* listing, so a driver
+    restart followed by an at-least-once REPLAY of the in-flight epoch
+    still converges to the one-shot batch index — no fingerprint
+    duplicated, no canonical changed. Torn writes are invisible."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+        image_dhash,
+        synth_bmp_media,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.streaming.events import (
+        perceptual_index_epoch,
+        rollup_versions,
+    )
+
+    fam = 7
+    root = str(tmp_path / "pidx_state")
+    os.makedirs(root)
+    batches = [
+        spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        for ids in ([0, 1, 2], [3, 4, 8], [9, 10, 20])
+    ]
+
+    # first driver lifetime: epochs 0 and 1 land
+    perceptual_index_epoch(spark, batches[0], 0, root, fam)
+    perceptual_index_epoch(spark, batches[1], 1, root, fam)
+
+    # driver restart: no Python state survives; checkpoint recovery
+    # replays the in-flight epoch 1 before moving on
+    perceptual_index_epoch(spark, batches[1], 1, root, fam)
+    perceptual_index_epoch(spark, batches[2], 2, root, fam)
+
+    # a torn write from a crash must not be served or anti-joined
+    os.makedirs(os.path.join(root, "epoch=9"))
+    versions = rollup_versions(root)
+    assert set(versions) == {0, 1, 2}
+
+    got = {(r["dhash_lo"], r["dhash_hi"]): r["canonical_id"]
+           for r in spark.read.parquet(*versions.values()).collect()}
+    all_ids = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    want = {(r["dhash_lo"], r["dhash_hi"]): r["canonical_id"]
+            for r in image_dhash(synth_bmp_media(all_ids, families=fam))
+            .groupBy("dhash_lo", "dhash_hi")
+            .agg(F.min("media_id").alias("canonical_id")).collect()}
+    assert got == want
+    # replay did not duplicate: one index row per distinct fingerprint
+    n_rows = spark.read.parquet(*versions.values()).count()
+    assert n_rows == len(want)
