@@ -1966,3 +1966,166 @@ def q230_image_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_band_pairs_delta(
         delta, corpus, "media_id",
         [("dhash_lo", 32), ("dhash_hi", 32)], _NP_MAXH)
+
+
+# ---------------------------------------------------------------------------
+# q237/q238 — audio and video NEAR-dup screening of a crawl batch
+# against the corpus band index: q230's delta-vs-corpus contract for
+# the remaining modalities, completing the near-INDEX matrix
+# (image/audio/video exact maintenance = q224/q225/q226; near
+# screening = q230/q237/q238). The banded index is the state a rolling
+# crawl persists; a delta batch joins it instead of self-pairing the
+# corpus.
+# ---------------------------------------------------------------------------
+
+_ANI_DELTA_LO = 150          # audio delta = doc_id in [150, 200)
+# ids 150..199 have doc_id // 50 == 3 (odd) → every delta clip is a
+# PERTURBED family member: it pairs with its family's unperturbed
+# corpus members at ≤2 bits and its perturbed corpus twin at 0
+
+_VNI_DELTA_LO = 75           # video delta = doc_id in [75, 100)
+
+
+def _audio_near_index_oracle() -> str:
+    sample = (f"((((doc_id % {_AN_FAMILIES}) * 7 + n * 13)"
+              f" * (2 * (doc_id % {_AN_FAMILIES}) + 31)) % 2048 - 1024"
+              f" + CASE WHEN (doc_id // {_AN_FAMILIES}) % 2 = 1"
+              f" AND n >= {_AN_PERT_LO} AND n < {_AN_PERT_HI}"
+              f" THEN {_AN_PERT_AMP} ELSE 0 END)")
+
+    def energy(lo: str, hi: str) -> str:
+        return (f"list_sum(list_transform(range({lo}, {hi}),"
+                f" n -> pow({sample}, 2)))")
+
+    nbits = _Q150_SAMPLES // _AN_FRAME - 1
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, {nbits}), f ->
+               CASE WHEN {energy(f'f * {_AN_FRAME}',
+                                 f'f * {_AN_FRAME} + {_AN_FRAME}')}
+                         < {energy(f'(f + 1) * {_AN_FRAME}',
+                                   f'(f + 1) * {_AN_FRAME} + {_AN_FRAME}')}
+                    THEN (CAST(1 AS BIGINT) << f) ELSE 0 END))
+               AS BIGINT) AS fingerprint
+      FROM documents WHERE doc_id < {_AN_DOCS}
+    )
+    SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+           CAST(bit_count(xor(d.fingerprint, c.fingerprint)) AS INT)
+             AS hamming
+    FROM h d JOIN h c
+      ON d.doc_id >= {_ANI_DELTA_LO} AND c.doc_id < {_ANI_DELTA_LO}
+    WHERE bit_count(xor(d.fingerprint, c.fingerprint)) <= {_AN_MAXH}
+    """
+
+
+@query("q237_audio_near_index", oracle=_audio_near_index_oracle())
+def q237_audio_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen the audio crawl batch (doc_id ∈ [150, 200) — all
+    perturbed family members) against the corpus energy-gradient band
+    index: delta bands join the stored index, survivors verify the
+    exact popcount — every (delta, corpus, hamming) pair
+    value-hash-checked against the oracle's brute force over the
+    synthesis-arithmetic fingerprints. Pigeonhole recall is exact (4
+    bands, d ≤ 3 ≥ the ≤2 threshold); work is delta band rows + true
+    candidates, never corpus²."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _AN_DOCS).select("doc_id")
+    media = synth_wav_media_perturbed(docs)
+    fp = audio_fingerprint(media, frame_samples=_AN_FRAME) \
+        .localCheckpoint(eager=True)
+    delta = fp.filter(F.col("media_id") >= _ANI_DELTA_LO)
+    corpus = fp.filter(F.col("media_id") < _ANI_DELTA_LO)
+    return hamming_band_pairs_delta(
+        delta, corpus, "media_id", [("fingerprint", 64)], _AN_MAXH)
+
+
+def _video_near_index_oracle() -> str:
+    def px(f: int, jexpr: str) -> str:
+        return (
+            f"((((doc_id % {_VN_FAMILIES}) * 31 + {f} * 41"
+            f" + ((k // 8) // 2) * 6 + (6 * ({jexpr})) // 9) * 97"
+            f" + CASE WHEN (doc_id // {_VN_FAMILIES}) % 2 = 1"
+            f" AND {f} = {_VN_PERT_F}"
+            f" AND ((k // 8) // 2) = {_VN_PERT_R}"
+            f" AND (6 * ({jexpr})) // 9 = {_VN_PERT_C}"
+            f" THEN 128 ELSE 0 END) % 256)"
+        )
+
+    cols = []
+    for f in range(_Q152_FRAMES):
+        bit = (f"CASE WHEN {px(f, 'k % 8')} < {px(f, '(k % 8) + 1')}"
+               f" THEN 1 ELSE 0 END")
+        cols.append(
+            f"CAST(list_sum(list_transform(range(0, 32), k -> {bit}"
+            f" * (CAST(1 AS BIGINT) << k))) AS BIGINT) AS f{f}_lo")
+        cols.append(
+            f"CAST(list_sum(list_transform(range(32, 64), k -> {bit}"
+            f" * (CAST(1 AS BIGINT) << (k - 32)))) AS BIGINT) AS f{f}_hi")
+    colsql = ",\n             ".join(cols)
+    ham = " + ".join(
+        f"CAST(bit_count(xor(d.f{f}_{p}, c.f{f}_{p})) AS INT)"
+        for f in range(_Q152_FRAMES) for p in ("lo", "hi"))
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             {colsql}
+      FROM documents WHERE doc_id < {_VN_DOCS}
+    )
+    SELECT d.doc_id AS delta_id, c.doc_id AS corpus_id,
+           CAST({ham} AS INT) AS hamming
+    FROM h d JOIN h c
+      ON d.doc_id >= {_VNI_DELTA_LO} AND c.doc_id < {_VNI_DELTA_LO}
+    WHERE {ham} <= {_VN_MAXH}
+    """
+
+
+def _video_wide_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip 10-column (frame × half) dHash signature frame over the
+    q194 mixed corpus — the persisted state the banded video index
+    serves from."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _VN_DOCS).select("doc_id")
+    media = synth_avi_media_mixed(docs)
+    frames = demux_video_frames(media, every=1)
+    keyed = frames.select(
+        (F.shiftleft(F.col("media_id"), 32) + F.col("frame_idx"))
+        .alias("media_id"),
+        F.col("frame").alias("content"))
+    fps = image_dhash(keyed).select(
+        F.shiftright(F.col("media_id"), 32).alias("doc_id"),
+        F.col("media_id").bitwiseAND(F.lit(0xFFFFFFFF)).alias("__f"),
+        "dhash_lo", "dhash_hi")
+    return fps.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("__f") == f, F.col(f"dhash_{p}")))
+        .alias(f"f{f}_{p}")
+        for f in range(_Q152_FRAMES) for p in ("lo", "hi")
+    ])
+
+
+@query("q238_video_near_index", oracle=_video_near_index_oracle())
+def q238_video_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen the video crawl batch (doc_id ∈ [75, 100) — all perturbed
+    family members) against the corpus frame-sequence band index: the
+    q194 ten-column 320-bit signature, delta bands joining the stored
+    40-band index, survivors popcount-verified — every (delta, corpus,
+    hamming) pair value-hash-checked against the oracle's arithmetic
+    brute force. Frame position lives in the column identity, so
+    re-cut clips stay apart; work is delta band rows + true
+    candidates."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs_delta,
+    )
+
+    wide = _video_wide_dhash(spark, sf_dir).localCheckpoint(eager=True)
+    delta = wide.filter(F.col("doc_id") >= _VNI_DELTA_LO)
+    corpus = wide.filter(F.col("doc_id") < _VNI_DELTA_LO)
+    return hamming_band_pairs_delta(
+        delta, corpus, "doc_id",
+        [(f"f{f}_{p}", 32)
+         for f in range(_Q152_FRAMES) for p in ("lo", "hi")],
+        _VN_MAXH)

@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "q35_embedding_neardup", "q125_key_skew",
     "q233_ivfpq_search", "q234_ivfpq_append",
     "q235_theil_sen_capped", "q236_stream_perceptual_index",
+    "q237_audio_near_index", "q238_video_near_index",
     "q231_theil_sen_sampled", "q228_mann_kendall",
     "q05_groups", "q07_ts_split",
     "q08_ts_windows", "q09_scale_params",
