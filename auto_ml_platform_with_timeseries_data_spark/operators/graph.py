@@ -523,3 +523,100 @@ def q202_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= 2).drop("__n"))
     return triangle_counts(edges)
+
+
+# ---------------------------------------------------------------------------
+# q240 — k-core peeling: the density filter graph curation runs before
+# expensive per-node work (PageRank q130 ranks, triangles q202 count;
+# k-core DISCARDS the sparse fringe first — spam tails, one-off
+# co-occurrences). Synchronized peel rounds, the Pregel superstep
+# schedule.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def k_core_peel(edges: DataFrame, a_col: str = "a", b_col: str = "b",
+                k: int = _KCORE_K,
+                rounds: int = _KCORE_ROUNDS) -> DataFrame:
+    """`rounds` synchronized peeling rounds toward the k-core: each
+    round keeps exactly the vertices with ≥ k neighbors among the
+    previous round's survivors, and the output is every survivor with
+    its degree among survivors — a well-defined quantity at ANY data
+    size regardless of whether the fixpoint has been reached (the q130
+    fixed-iteration contract; production loops the same per-round plan
+    until the survivor count stabilizes, which is the true k-core).
+
+    Scale shape: one symmetrized edge frame scanned per round, joined
+    against the vertex-sized survivor set on each endpoint, then a
+    map-side-combined degree count — the Pregel superstep cost, linear
+    in edges per round with rounds a fixed schedule. Survivor sets are
+    eagerly checkpointed so the plan stays bounded across rounds
+    instead of nesting `rounds` joins into one tree."""
+    sym = (edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+           .unionAll(edges.select(F.col(b_col).alias("u"),
+                                  F.col(a_col).alias("v")))
+           .localCheckpoint(eager=True))
+    alive = sym.select("u").distinct()
+    for _ in range(rounds):
+        alive = (sym.join(alive, "u")
+                 .join(alive.withColumnRenamed("u", "v"), "v")
+                 .groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+                 .filter(F.col("__d") >= k).select("u")
+                 .localCheckpoint(eager=True))
+    return (sym.join(alive, "u")
+            .join(alive.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .select(F.col("u").alias("vertex"), "degree"))
+
+
+def _kcore_oracle() -> str:
+    # every stage MUST be MATERIALIZED: each aN is referenced twice by
+    # aN+1, so DuckDB's default CTE inlining would expand the chain to
+    # 2^rounds copies of the edge scan (observed: a disk-spilling plan
+    # at sf0.1); materialization makes the oracle evaluate each round
+    # once, like the Spark loop's per-round checkpoint
+    stages = []
+    prev = "a0"
+    for t in range(1, _KCORE_ROUNDS + 1):
+        stages.append(
+            f"    a{t} AS MATERIALIZED (\n"
+            f"      SELECT s.u FROM sym s\n"
+            f"      JOIN {prev} x ON s.u = x.u\n"
+            f"      JOIN {prev} y ON s.v = y.u\n"
+            f"      GROUP BY s.u HAVING count(*) >= {_KCORE_K}\n"
+            f"    )")
+        prev = f"a{t}"
+    return f"""
+    WITH e AS MATERIALIZED ({_COPURCHASE_EDGES}),
+    sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e
+            UNION ALL SELECT pb, pa FROM e),
+    a0 AS MATERIALIZED (SELECT DISTINCT u FROM sym),
+{",".join(stages)}
+    SELECT s.u AS vertex, CAST(count(*) AS BIGINT) AS degree
+    FROM sym s
+    JOIN {prev} x ON s.u = x.u
+    JOIN {prev} y ON s.v = y.u
+    GROUP BY s.u
+    """
+
+
+@query("q240_k_core", oracle=_kcore_oracle())
+def q240_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six synchronized 3-core peeling rounds over the ≥2-shared-orders
+    co-purchase graph (q202's edge set): every surviving part with its
+    within-core degree, value-hash-checked against the oracle's
+    unrolled six-stage peel."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    edges = (li.alias("x").join(
+        li.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey")) &
+        (F.col("x.l_partkey") < F.col("y.l_partkey")))
+        .groupBy(F.col("x.l_partkey").alias("a"),
+                 F.col("y.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2).drop("__n"))
+    return k_core_peel(edges)

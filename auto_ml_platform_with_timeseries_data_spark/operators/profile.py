@@ -599,28 +599,19 @@ def q207_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _rank2_maps(df: DataFrame, cols: list[str]) -> DataFrame:
-    """(col_idx, value → 2×average rank) long map for EVERY column
-    from ONE corpus scan, fully distributed.
-
-    Average ranks handle ties exactly (Spearman's standard treatment)
-    and doubling keeps them INTEGER: for a value v with c occurrences
-    and s strictly-smaller rows, avg rank = s + (c+1)/2, so
-    2·avg = 2s + c + 1 — BIGINT end to end, no float ranks.
-
-    All k columns posexplode into one (col_idx, value) long frame, so
-    the distinct-value counting is a single shuffle instead of k
-    corpus scans. The strictly-smaller count is then the q128 two-pass
-    prefix sum over the DISTINCT-value frame: range-partition on
-    (col_idx, value) — partitions may span column boundaries, which
-    the per-(col_idx, pid) offsets absorb — cumulative-sum per
-    partition in parallel, collect one (k·P)-row partial-total table,
-    broadcast the exact offsets back. No global single-task window
-    anywhere; each map's size is its column's distinct cardinality,
-    and the corpus only ever joins it by value."""
-    spark = df.sparkSession
-    lv = df.select(F.posexplode(F.array(
-        *[F.col(c).cast("double") for c in cols])).alias("__ci", "__v"))
+def _ordinal_spans(lv: DataFrame) -> DataFrame:
+    """From a melted (__ci, __v) long frame: one row per distinct
+    (column, value) carrying its occurrence count ``__c`` and
+    strictly-smaller row count ``__s`` — i.e. the value's ordinal span
+    [__s+1, __s+__c] in its column's sorted order. Fully distributed:
+    the distinct-value counting is a single shuffle regardless of k,
+    and the strictly-smaller count is the q128 two-pass prefix sum
+    over the DISTINCT-value frame: range-partition on (col_idx, value)
+    — partitions may span column boundaries, which the per-(col_idx,
+    pid) offsets absorb — cumulative-sum per partition in parallel,
+    collect one (k·P)-row partial-total table, broadcast the exact
+    offsets back. No global single-task window anywhere."""
+    spark = lv.sparkSession
     dv = lv.groupBy("__ci", "__v").agg(F.count(F.lit(1)).alias("__c"))
     nparts = spark.sparkContext.defaultParallelism
     ranged = (dv.repartitionByRange(nparts, F.asc("__ci"), F.asc("__v"))
@@ -638,13 +629,32 @@ def _rank2_maps(df: DataFrame, cols: list[str]) -> DataFrame:
     wcum = (Window.partitionBy("__ci", "__pid").orderBy("__v")
             .rowsBetween(Window.unboundedPreceding, -1))
     smaller = F.coalesce(F.sum("__c").over(wcum), F.lit(0)) + F.col("__off")
-    allmaps = (ranged.join(F.broadcast(off), ["__ci", "__pid"])
-               .select("__ci", "__v",
-                       (F.lit(2) * smaller + F.col("__c") + 1)
-                       .alias("__r2"))
-               .localCheckpoint(eager=True))
+    spans = (ranged.join(F.broadcast(off), ["__ci", "__pid"])
+             .select("__ci", "__v", F.col("__c").cast("long").alias("__c"),
+                     smaller.cast("long").alias("__s"))
+             .localCheckpoint(eager=True))
     ranged.unpersist()
-    return allmaps
+    return spans
+
+
+def _rank2_maps(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(col_idx, value → 2×average rank) long map for EVERY column
+    from ONE corpus scan, fully distributed.
+
+    Average ranks handle ties exactly (Spearman's standard treatment)
+    and doubling keeps them INTEGER: for a value v with c occurrences
+    and s strictly-smaller rows, avg rank = s + (c+1)/2, so
+    2·avg = 2s + c + 1 — BIGINT end to end, no float ranks. All k
+    columns posexplode into one (col_idx, value) long frame; the span
+    machinery (``_ordinal_spans``) does the distributed counting.
+    Each map's size is its column's distinct cardinality, and the
+    corpus only ever joins it by value."""
+    lv = df.select(F.posexplode(F.array(
+        *[F.col(c).cast("double") for c in cols])).alias("__ci", "__v"))
+    spans = _ordinal_spans(lv)
+    return spans.select(
+        "__ci", "__v",
+        (F.lit(2) * F.col("__s") + F.col("__c") + 1).alias("__r2"))
 
 
 def spearman_matrix(df: DataFrame, cols: list[str]) -> DataFrame:

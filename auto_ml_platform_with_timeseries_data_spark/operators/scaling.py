@@ -131,3 +131,121 @@ def q29_minmax_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber",
         F.round(F.col("l_quantity_scaled"), 6).alias("l_quantity_scaled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q239 — quantile normalization: force every feature onto the SAME
+# distribution (the mean of the per-column sorted profiles) — the
+# batch-effect remover of bioinformatics (Bolstad et al. 2003) and the
+# cross-feature calibration step ML preprocessing uses when models
+# need rank-comparable features. Completes the scaling family:
+# standard (F1), min-max (F2), and now distribution-level.
+# ---------------------------------------------------------------------------
+
+_QN_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_QN_CHUNK = 4096   # tie-block ordinal expansion chunk width
+
+
+def quantile_normalize_map(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(feature, value_cents, n, norm_micro): the quantile-normalization
+    MAPPING table — each distinct value of each column mapped to the
+    mean of the cross-column sorted profile over its ordinal span,
+    with ties averaged (the standard policy: tied values share the
+    mean of the reference values their positions cover).
+
+    All arithmetic is exact integers end to end: values quantize to
+    cents once, the reference profile at ordinal i is
+    (Σ_col cents_col(i) · 10000) div k micro-units, and a tie block
+    averages by one more positive integer division — both engines
+    reproduce every output bit-for-bit (the q215 div discipline).
+
+    Scale shape: columns melt into ONE long frame; distinct-value
+    ordinal spans come from the distributed two-pass prefix sum
+    (``_ordinal_spans`` — no global sort, no single-task window);
+    ordinal expansion is linear in total ROWS (k·N) and chunks each
+    tie block's span into ≤4096-wide sequences so no single row ever
+    materializes a giant array (a billion-row tie block at 100 TB
+    expands through 250k chunk rows, not one array); the profile
+    group-by keys on ordinal (≤N groups); the final mapping table is
+    Σ distinct-cardinality rows — the thing you persist and
+    broadcast-join onto serving data. Output is the mapping, not the
+    transformed corpus: applying it is one value-keyed join, and the
+    mapping IS the model artifact."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        _ordinal_spans,
+    )
+
+    k = len(cols)
+    lv = df.na.drop(subset=list(cols)).select(
+        F.posexplode(F.array(
+            *[F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+              for c in cols])).alias("__ci", "__v"))
+    spans = _ordinal_spans(lv)
+    chunks = spans.select(
+        "__ci", "__v", "__s", "__c",
+        F.explode(F.sequence(
+            F.col("__s") + 1, F.col("__s") + F.col("__c"),
+            F.lit(_QN_CHUNK))).alias("__cs"))
+    ordinals = chunks.select(
+        "__ci", "__v",
+        F.explode(F.sequence(
+            F.col("__cs"),
+            F.least(F.col("__cs") + _QN_CHUNK - 1,
+                    F.col("__s") + F.col("__c")))).alias("__i"))
+    prof = (ordinals.groupBy("__i")
+            .agg(F.sum("__v").alias("__sv"))
+            .select("__i", F.expr(f"(__sv * 10000) div {k}")
+                    .alias("__rm")))
+    blk = (ordinals.join(prof, "__i")
+           .groupBy("__ci", "__v")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__rm").alias("__sm")))
+    names = F.array(*[F.lit(c) for c in cols])
+    return blk.select(
+        F.element_at(names, F.col("__ci") + 1).alias("feature"),
+        F.col("__v").alias("value_cents"), "n",
+        F.expr("__sm div n").cast("long").alias("norm_micro"))
+
+
+def _qn_oracle(cols=_QN_COLS) -> str:
+    k = len(cols)
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    melt = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS ci,"
+        f" CAST(floor({c} * 100 + 0.5) AS BIGINT) AS vc"
+        f" FROM lineitem WHERE {notnull}"
+        for i, c in enumerate(cols))
+    case = " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(cols))
+    return f"""
+    WITH m AS (
+{melt}
+    ),
+    ranked AS (
+      SELECT ci, vc, row_number() OVER (PARTITION BY ci ORDER BY vc)
+               AS i
+      FROM m
+    ),
+    prof AS (
+      SELECT i, CAST((sum(vc) * 10000) // {k} AS BIGINT) AS rm
+      FROM ranked GROUP BY i
+    ),
+    blk AS (
+      SELECT ci, vc, CAST(count(*) AS BIGINT) AS n,
+             sum(rm) AS sm
+      FROM ranked JOIN prof USING (i)
+      GROUP BY 1, 2
+    )
+    SELECT CASE ci {case} END AS feature,
+           vc AS value_cents, n, CAST(sm // n AS BIGINT) AS norm_micro
+    FROM blk
+    """
+
+
+@query("q239_quantile_normalize", oracle=_qn_oracle())
+def q239_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize lineitem's four numeric measures onto their
+    shared sorted-profile mean: the full (feature, value, n, mapped
+    micro-value) mapping table, every row integer-exact and
+    value-hash-checked against the oracle's window-rank formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return quantile_normalize_map(li, list(_QN_COLS))

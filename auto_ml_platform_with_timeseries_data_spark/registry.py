@@ -71,8 +71,11 @@ _loaded = False
 #         round (portable pair hash reduces both ids mod P; textbook
 #         Mann-Kendall tie correction), so the old witness no longer
 #         covers the current code
-#   then  the full round-3 block (36 queries, the stalest evidence in
-#         the repo), §2.13 parity tier (q05/q07-q11/q13/q14/q29) first
+#   then  the round-3 block (36 queries, the stalest evidence in the
+#         repo), §2.13 parity tier (q05/q07-q11/q13/q14/q29) first —
+#         with 6 canaries + 8 round-8 additions + 2 semantics-changed
+#         pinned ahead, its last two members (q77/q78) sit at slots
+#         51-52, the head of the overflow
 # Slots past 50 are the ranked overflow the driver reaches only if its
 # budget stretches, ordered stalest-evidence-first: the round-4 block,
 # then round-5, round-6, and the freshly-witnessed round-7 block last.
@@ -86,6 +89,7 @@ _PRIORITY: tuple[str, ...] = (
     "q233_ivfpq_search", "q234_ivfpq_append",
     "q235_theil_sen_capped", "q236_stream_perceptual_index",
     "q237_audio_near_index", "q238_video_near_index",
+    "q239_quantile_normalize", "q240_k_core",
     "q231_theil_sen_sampled", "q228_mann_kendall",
     "q05_groups", "q07_ts_split",
     "q08_ts_windows", "q09_scale_params",

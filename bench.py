@@ -111,6 +111,10 @@ HEADLINE = [
     "q233_ivfpq_search",
     "q234_ivfpq_append",
     "q235_theil_sen_capped",
+    "q237_audio_near_index",
+    "q238_video_near_index",
+    "q239_quantile_normalize",
+    "q240_k_core",
 ]
 
 

@@ -121,3 +121,27 @@ def test_triangle_counts_known_graph(spark):
     star = spark.createDataFrame(
         [(0, i) for i in range(1, 8)], "a long, b long")
     assert triangle_counts(star).count() == 0
+
+
+def test_k_core_peel_cascades_and_keeps_clique(spark):
+    """A 4-clique survives 2-core peeling with within-core degree 3;
+    a pendant chain hanging off it peels CASCADING — one vertex per
+    round — so one round is not enough and three rounds clear it."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.graph import (
+        k_core_peel,
+    )
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]      # pendant path
+    edges = spark.createDataFrame(clique + chain, "a long, b long")
+
+    got = {r["vertex"]: r["degree"]
+           for r in k_core_peel(edges, k=2, rounds=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    # one round only removes the chain's tip: 12 goes, 11 stays
+    one = {r["vertex"] for r in
+           k_core_peel(edges, k=2, rounds=1).collect()}
+    assert 12 not in one and 11 in one and 10 in one

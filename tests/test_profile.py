@@ -164,3 +164,25 @@ def test_mutual_information_constant_label_is_zero(spark):
         df, {"f": F.col("f").cast("long")}, F.col("y")).collect()
     assert len(got) == 1
     assert got[0]["mi_nats"] == 0.0
+
+
+def test_quantile_normalize_textbook_with_ties(spark):
+    """Hand-checked two-column example with a tie block: profiles
+    [1,2,2] and [3,4,5] (dollars) give the reference profile
+    [2.0, 3.0, 3.5]; the tied value 2 in column A averages ordinals
+    2 and 3 -> 3.25. All values exact micro-integers."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.scaling import (
+        quantile_normalize_map,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 3.0), (2.0, 4.0), (2.0, 5.0)], "a double, b double")
+    got = {(r["feature"], r["value_cents"]): (r["n"], r["norm_micro"])
+           for r in quantile_normalize_map(df, ["a", "b"]).collect()}
+    assert got == {
+        ("a", 100): (1, 2_000_000),
+        ("a", 200): (2, 3_250_000),
+        ("b", 300): (1, 2_000_000),
+        ("b", 400): (1, 3_000_000),
+        ("b", 500): (1, 3_500_000),
+    }
