@@ -249,3 +249,136 @@ def q239_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-checked against the oracle's window-rank formulation."""
     li = load_table(spark, sf_dir, "lineitem")
     return quantile_normalize_map(li, list(_QN_COLS))
+
+
+# ---------------------------------------------------------------------------
+# q241 — robust scaling parameters (median / IQR) via EXACT
+# interpolated quantiles computed WITHOUT any per-group sort: q43
+# documents that Spark's exact `percentile` buffers the whole column;
+# this is the distributed alternative — quantiles read off the
+# distinct-value ordinal spans (one shuffle, the _ordinal_spans
+# two-pass prefix sum), so the plan survives a column that does not
+# fit one task. The robust (median, IQR) pair is the outlier-immune
+# sibling of standard scaling (F1) — what you fit when q60's z-scores
+# would be dragged by the tails.
+# ---------------------------------------------------------------------------
+
+_RQ_QS = (0.25, 0.5, 0.75)
+
+
+def robust_quantile_params(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(feature, p25, p50, p75, iqr) with linear-interpolation
+    quantiles (the percentile_cont definition: position (n−1)·q,
+    value v1 + (v2 − v1)·frac) — but evaluated from the distinct-value
+    span table instead of a sort: the ordinal k's value is the span
+    row with s < k ≤ s+c, so each quantile is TWO bounded lookups
+    against a frame the prefix machinery already built. The lookup
+    join's build side is the (k·|qs|·2)-row target table — a bounds
+    broadcast, the audited BNLJ pattern. frac is exact in binary for
+    quartiles, the interpolation expression is token-identical in the
+    oracle, and every output pins at 1e-6; iqr subtracts the PINNED
+    quartiles, so it is exact given them."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        _ordinal_spans,
+    )
+
+    lv = df.na.drop(subset=list(cols)).select(
+        F.posexplode(F.array(
+            *[F.col(c).cast("double") for c in cols])).alias("__ci",
+                                                             "__v"))
+    spans = _ordinal_spans(lv)
+    ns = spans.groupBy("__ci").agg(F.sum("__c").alias("__n"))
+    pos = {qi: (F.col("__n") - 1) * F.lit(q)
+           for qi, q in enumerate(_RQ_QS)}
+    tgt = ns.select(F.col("__ci").alias("__tci"), F.explode(F.array(*[
+        F.struct(F.lit(qi).alias("__qi"),
+                 (F.floor(pos[qi]) + 1).cast("long").alias("__k1"),
+                 (pos[qi] - F.floor(pos[qi])).alias("__frac"))
+        for qi in range(len(_RQ_QS))])).alias("t")).select("__tci", "t.*")
+    # span (s, s+c] holds ordinal k1 or k1+1 ⟺ s ≤ k1 ∧ k1 ≤ s+c
+    hits = (spans.join(
+        F.broadcast(tgt),
+        (F.col("__ci") == F.col("__tci")) &
+        (F.col("__s") < F.col("__k1") + 1) &
+        (F.col("__k1") + 1 <= F.col("__s") + F.col("__c") + 1))
+        .select("__ci", "__qi", "__frac",
+                F.when(F.col("__k1") > F.col("__s"), F.col("__v"))
+                .alias("__v1"),
+                F.when(F.col("__k1") + 1 <= F.col("__s") + F.col("__c"),
+                       F.col("__v")).alias("__v2")))
+    vv = (hits.groupBy("__ci", "__qi", "__frac")
+          .agg(F.max("__v1").alias("__v1"), F.max("__v2").alias("__v2")))
+    val = F.floor(
+        (F.col("__v1") + (F.coalesce("__v2", "__v1") - F.col("__v1"))
+         * F.col("__frac")) * 1e6 + F.lit(0.5)) / 1e6
+    qcols = vv.groupBy("__ci").agg(*[
+        F.max(F.when(F.col("__qi") == qi, val)).alias(f"__q{qi}")
+        for qi in range(len(_RQ_QS))])
+    names = F.array(*[F.lit(c) for c in cols])
+    return qcols.select(
+        F.element_at(names, F.col("__ci") + 1).alias("feature"),
+        F.col("__q0").alias("p25"), F.col("__q1").alias("p50"),
+        F.col("__q2").alias("p75"),
+        (F.col("__q2") - F.col("__q0")).alias("iqr"))
+
+
+def _rq_oracle(cols=_QN_COLS) -> str:
+    notnull = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    melt = "\n      UNION ALL\n".join(
+        f"      SELECT {i} AS ci, CAST({c} AS DOUBLE) AS v"
+        f" FROM lineitem WHERE {notnull}"
+        for i, c in enumerate(cols))
+    tsel = "\n      UNION ALL\n".join(
+        f"      SELECT ci, {qi} AS qi,"
+        f" CAST(floor((n - 1) * {q}) AS BIGINT) + 1 AS k1,"
+        f" (n - 1) * {q} - floor((n - 1) * {q}) AS frac FROM n"
+        for qi, q in enumerate(_RQ_QS))
+    case = " ".join(f"WHEN {i} THEN '{c}'" for i, c in enumerate(cols))
+    return f"""
+    WITH m AS (
+{melt}
+    ),
+    ranked AS (
+      SELECT ci, v, row_number() OVER (PARTITION BY ci ORDER BY v) AS i
+      FROM m
+    ),
+    n AS (SELECT ci, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY ci),
+    t AS (
+{tsel}
+    ),
+    vv AS (
+      SELECT t.ci, t.qi, t.frac,
+             max(CASE WHEN r.i = t.k1 THEN r.v END) AS v1,
+             max(CASE WHEN r.i = t.k1 + 1 THEN r.v END) AS v2
+      FROM t JOIN ranked r
+        ON r.ci = t.ci AND (r.i = t.k1 OR r.i = t.k1 + 1)
+      GROUP BY 1, 2, 3
+    ),
+    q AS (
+      SELECT ci, qi,
+             floor((v1 + (coalesce(v2, v1) - v1) * frac) * 1e6 + 0.5)
+               / 1e6 AS val
+      FROM vv
+    ),
+    piv AS (
+      SELECT ci,
+             max(CASE WHEN qi = 0 THEN val END) AS p25,
+             max(CASE WHEN qi = 1 THEN val END) AS p50,
+             max(CASE WHEN qi = 2 THEN val END) AS p75
+      FROM q GROUP BY ci
+    )
+    SELECT CASE ci {case} END AS feature,
+           p25, p50, p75, p75 - p25 AS iqr
+    FROM piv
+    """
+
+
+@query("q241_robust_quantiles", oracle=_rq_oracle())
+def q241_robust_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-scaling parameters (quartiles + IQR) for lineitem's four
+    numeric measures, exact interpolated quantiles from the
+    distributed span machinery (no per-column sort) — every value
+    pinned at 1e-6 and value-hash-checked against the oracle's
+    window-rank interpolation with the token-identical expression."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return robust_quantile_params(li, list(_QN_COLS))

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from auto_ml_platform_with_timeseries_data_spark.registry import query
 from auto_ml_platform_with_timeseries_data_spark.tables import load_table
@@ -382,3 +383,87 @@ def q223_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ((F.col("xor_src") == F.col("xor_rep")) &
                      (F.col("sum_src") == F.col("sum_rep")))
                     .alias("consistent")))
+
+
+# ---------------------------------------------------------------------------
+# q242 — Benford first-digit audit: the classic fabricated-data /
+# broken-feed detector finance and fraud pipelines run over monetary
+# columns. One map-side digit extraction + one 9-group aggregate —
+# the cheapest drift alarm in the suite.
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6 + 0.5), precomputed so NEITHER engine's
+# libm is in the result path (log10 at ulp differs across builds)
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+                6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_audit(df: DataFrame, col: str) -> DataFrame:
+    """(digit, n, observed_ppm, expected_ppm, dev_ppm) over the
+    column's first significant digit. The digit comes from the STRING
+    form of the integer cents value — exact in both engines, no
+    log10/pow on doubles anywhere near the result; shares are ppm
+    integers by positive division, expectation constants are inlined
+    literals, and dev_ppm = observed − expected is the audit signal
+    (a broken generator or fabricated feed shows |dev| far above the
+    sampling noise for the column's n). One scan, 9 groups — run it on
+    every monetary column of a 100 TB table for the cost of the
+    scans."""
+    spark = df.sparkSession
+    cents = F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+    first = F.substring(F.abs(cents).cast("string"), 1, 1).cast("int")
+    counts = (df.filter(F.col(col).isNotNull())
+              .select(first.alias("digit"))
+              .filter(F.col("digit") > 0)      # cents == 0 has no digit
+              .groupBy("digit")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    digits = spark.createDataFrame(
+        [(d, e) for d, e in _BENFORD_PPM.items()],
+        "digit int, expected_ppm long")
+    w = Window.partitionBy(F.lit(0))
+    return (digits.join(counts, "digit", "left")
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    "expected_ppm")
+            .withColumn("__t", F.sum("n").over(w))
+            .withColumn("observed_ppm",
+                        F.expr("(n * 1000000) div __t"))
+            .select("digit", "n", "observed_ppm", "expected_ppm",
+                    (F.col("observed_ppm") - F.col("expected_ppm"))
+                    .alias("dev_ppm")))
+
+
+def _benford_oracle() -> str:
+    dig = ", ".join(f"({d}, {e})" for d, e in _BENFORD_PPM.items())
+    return f"""
+    WITH counts AS (
+      SELECT CAST(substr(CAST(abs(CAST(floor(l_extendedprice * 100
+                                             + 0.5) AS BIGINT))
+                              AS VARCHAR), 1, 1) AS INT) AS digit,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1 HAVING digit > 0
+    ),
+    digits(digit, expected_ppm) AS (VALUES {dig}),
+    filled AS (
+      SELECT d.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+             CAST(d.expected_ppm AS BIGINT) AS expected_ppm,
+             sum(coalesce(c.n, 0)) OVER () AS t
+      FROM digits d LEFT JOIN counts c ON d.digit = c.digit
+    )
+    SELECT digit, n,
+           CAST((n * 1000000) // t AS BIGINT) AS observed_ppm,
+           expected_ppm,
+           CAST((n * 1000000) // t - expected_ppm AS BIGINT) AS dev_ppm
+    FROM filled
+    """
+
+
+@query("q242_benford_audit", oracle=_benford_oracle())
+def q242_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution of l_extendedprice: observed
+    vs expected ppm per digit with the deviation — every row
+    integer-exact and value-hash-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice")

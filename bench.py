@@ -115,6 +115,8 @@ HEADLINE = [
     "q238_video_near_index",
     "q239_quantile_normalize",
     "q240_k_core",
+    "q241_robust_quantiles",
+    "q242_benford_audit",
 ]
 
 

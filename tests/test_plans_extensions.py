@@ -203,7 +203,7 @@ def test_round7_late_additions_plan_contracts(spark, sf_dir):
                  "q231_theil_sen_sampled", "q232_phrase_search",
                  "q235_theil_sen_capped", "q237_audio_near_index",
                  "q238_video_near_index", "q239_quantile_normalize",
-                 "q240_k_core"):
+                 "q240_k_core", "q242_benford_audit"):
         df = queries()[name](spark, sf_dir)
         df.collect()
         plan = explain.final_plan(df)
@@ -223,6 +223,18 @@ def test_ivfpq_plan_contracts(spark, sf_dir):
         plan = explain.final_plan(df)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_robust_quantiles_lookup_is_bounds_broadcast(spark, sf_dir):
+    """q241's ordinal lookup is a range-condition join whose build side
+    is the (k·|qs|·2)-row target table — the audited bounds-broadcast
+    BNLJ pattern is the ONLY nested loop allowed, and no cartesian
+    product may appear."""
+    df = queries()["q241_robust_quantiles"](spark, sf_dir)
+    df.collect()
+    plan = explain.final_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_phrase_search_adjacency_is_map_side(spark, sf_dir):

@@ -186,3 +186,50 @@ def test_quantile_normalize_textbook_with_ties(spark):
         ("b", 400): (1, 3_000_000),
         ("b", 500): (1, 3_500_000),
     }
+
+
+def test_robust_quantiles_interpolates_and_matches_numpy(spark):
+    """Planted 5-value column: quartile positions land between
+    ordinals, so the linear interpolation actually fires; values match
+    numpy's percentile(..., method='linear') exactly. A tied column
+    exercises span blocks wider than one."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.scaling import (
+        robust_quantile_params,
+    )
+
+    a = [10.0, 20.0, 40.0, 80.0, 160.0]
+    b = [5.0, 5.0, 5.0, 7.0, 9.0]
+    df = spark.createDataFrame(list(zip(a, b)), "a double, b double")
+    got = {r["feature"]: r for r in
+           robust_quantile_params(df, ["a", "b"]).collect()}
+    for name, vals in (("a", a), ("b", b)):
+        for col, q in (("p25", 25), ("p50", 50), ("p75", 75)):
+            want = float(np.percentile(vals, q))
+            assert abs(got[name][col] - want) < 1e-6, (name, col)
+        assert abs(got[name]["iqr"]
+                   - (got[name]["p75"] - got[name]["p25"])) < 1e-12
+
+
+def test_benford_audit_flags_constant_feed(spark):
+    """A genuinely log-uniform sample tracks Benford (small |dev|);
+    a constant-digit feed concentrates everything on one digit."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.validation import (
+        benford_audit,
+    )
+
+    rng = np.random.default_rng(5)
+    vals = 10.0 ** rng.uniform(0, 4, size=4000)
+    good = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    rows = {r["digit"]: r for r in benford_audit(good, "x").collect()}
+    assert sum(r["n"] for r in rows.values()) == 4000
+    assert abs(rows[1]["dev_ppm"]) < 40_000        # ~ sampling noise
+    assert rows[1]["observed_ppm"] > rows[9]["observed_ppm"]
+
+    flat = spark.createDataFrame([(7.77,)] * 100, "x double")
+    frows = {r["digit"]: r for r in benford_audit(flat, "x").collect()}
+    assert frows[7]["observed_ppm"] == 1_000_000
+    assert frows[1]["n"] == 0 and frows[1]["observed_ppm"] == 0
