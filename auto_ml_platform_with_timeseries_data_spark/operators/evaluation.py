@@ -153,3 +153,181 @@ def q12_f1_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         binarize(F.expr(_PRED), _THRESHOLD).alias("pred_bin"),
     )
     return confusion_and_f1(li, "truth_bin", "pred_bin")
+
+
+# ---------------------------------------------------------------------------
+# q243 — ROC AUC (Mann–Whitney U with tie-corrected average ranks):
+# the threshold-free ranking metric the evaluation tier lacked next to
+# RMSE (A11) and F1 (A10) — what model selection actually compares
+# when classes are imbalanced. Exact integers end to end through the
+# 2×average-rank identity (the q217 discipline).
+# ---------------------------------------------------------------------------
+
+
+def roc_auc(df: DataFrame, score: Column, label: Column) -> DataFrame:
+    """One-row (n, n_pos, n_neg, auc): AUC = (Σ_pos avgrank −
+    n_pos(n_pos+1)/2) / (n_pos·n_neg), ties handled by average ranks —
+    the exact Mann–Whitney estimator. Doubled average ranks are exact
+    BIGINTs (2·avg = 2s + c + 1 for a value with s strictly-smaller
+    rows and c occurrences), accumulated per DISTINCT score value, so
+    the only shuffles are the distinct-value count and the
+    ``_ordinal_spans`` two-pass prefix — no global sort, no per-row
+    rank window. The final ratio is one token-identical double
+    expression over exact integers, pinned at 1e-6; degenerate inputs
+    (no positives or no negatives) report auc NULL-by-contract."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        _ordinal_spans,
+    )
+
+    lv = df.select(F.lit(0).alias("__ci"),
+                   score.cast("double").alias("__v"),
+                   label.cast("int").alias("__y")).filter(
+        F.col("__v").isNotNull() & F.col("__y").isNotNull())
+    spans = _ordinal_spans(lv.select("__ci", "__v"))
+    dv = lv.groupBy("__v").agg(
+        F.sum("__y").cast("long").alias("__npos_v"))
+    joined = spans.join(dv, "__v")
+    agg = joined.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum("__npos_v").cast("long").alias("n_pos"),
+        F.sum(F.col("__npos_v") *
+              (F.lit(2) * F.col("__s") + F.col("__c") + 1))
+        .cast("long").alias("__s2p"))
+    auc = ((F.col("__s2p").cast("double")
+            - F.col("n_pos") * (F.col("n_pos") + 1))
+           / (F.lit(2.0) * F.col("n_pos")
+              * (F.col("n") - F.col("n_pos"))))
+    return agg.select(
+        "n", "n_pos", (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.when((F.col("n_pos") > 0) & (F.col("n") > F.col("n_pos")),
+               F.floor(auc * 1e6 + F.lit(0.5)) / 1e6).alias("auc"))
+
+
+@query(
+    "q243_roc_auc",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_discount AS DOUBLE) AS v,
+             CAST(l_returnflag = 'R' AS INT) AS y
+      FROM lineitem
+      WHERE l_discount IS NOT NULL
+    ),
+    r AS (
+      SELECT y, 2 * rank() OVER (ORDER BY v)
+               + count(*) OVER (PARTITION BY v) - 1 AS r2
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS s2p
+      FROM r
+    )
+    SELECT n, n_pos, n - n_pos AS n_neg,
+           CASE WHEN n_pos > 0 AND n > n_pos THEN
+             floor((CAST(s2p AS DOUBLE) - n_pos * (n_pos + 1))
+                   / (2.0 * n_pos * (n - n_pos)) * 1e6 + 0.5) / 1e6
+           END AS auc
+    FROM agg
+    """,
+)
+def q243_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of the discount 'score' ranking the returned flag — one
+    exact-integer Mann–Whitney row, value-hash-checked against the
+    oracle's window-rank formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return roc_auc(li, F.col("l_discount"),
+                   (F.col("l_returnflag") == "R").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# q244 — Cohen's kappa: chance-corrected agreement between two
+# annotators — what a labeling pipeline reports before trusting its
+# raters (raw agreement overstates quality whenever the label
+# distribution is skewed). One contingency aggregate; κ is a single
+# pinned double over exact integers.
+# ---------------------------------------------------------------------------
+
+
+def cohens_kappa(df: DataFrame, rater_a: Column,
+                 rater_b: Column) -> DataFrame:
+    """One-row (n, agree, chance_cross, kappa):
+    κ = (p_o − p_e)/(1 − p_e) = (agree·n − Σ_i row_i·col_i)
+    / (n² − Σ_i row_i·col_i) with row/col the raters' marginal counts
+    — all exact BIGINTs from one (a, b) contingency group-by (cells
+    bounded by the label-space product, never by data), the marginal
+    cross term from the tiny cell table. Degenerate p_e = 1 (both
+    raters constant and equal) reports κ NULL-by-contract."""
+    cells = (df.select(rater_a.cast("string").alias("__a"),
+                       rater_b.cast("string").alias("__b"))
+             .groupBy("__a", "__b")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    ra = cells.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    rb = cells.groupBy("__b").agg(F.sum("__c").alias("__rb"))
+    cross = (ra.join(rb, F.col("__a") == F.col("__b"))
+             .agg(F.sum(F.col("__ra") * F.col("__rb"))
+                  .cast("long").alias("chance_cross")))
+    tot = cells.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+              .otherwise(0)).cast("long").alias("agree"))
+    out = tot.join(F.broadcast(cross), how="cross")
+    kappa = ((F.col("agree").cast("double") * F.col("n")
+              - F.col("chance_cross"))
+             / (F.col("n").cast("double") * F.col("n")
+                - F.col("chance_cross")))
+    return out.select(
+        "n", "agree", "chance_cross",
+        F.when(F.col("n") * F.col("n") > F.col("chance_cross"),
+               F.floor(kappa * 1e6 + F.lit(0.5)) / 1e6).alias("kappa"))
+
+
+@query(
+    "q244_cohens_kappa",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN n_chars < 200 THEN 'short'
+                  WHEN n_chars < 1000 THEN 'mid' ELSE 'long' END AS a,
+             CASE WHEN length(text) < 220 THEN 'short'
+                  WHEN length(text) < 900 THEN 'mid' ELSE 'long' END
+               AS b
+      FROM documents
+    ),
+    cells AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, sum(c) AS ra FROM cells GROUP BY a),
+    rb AS (SELECT b, sum(c) AS rb FROM cells GROUP BY b),
+    cross_t AS (
+      SELECT CAST(sum(ra.ra * rb.rb) AS BIGINT) AS chance_cross
+      FROM ra JOIN rb ON ra.a = rb.b
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+               AS agree
+      FROM cells
+    )
+    SELECT n, agree, chance_cross,
+           CASE WHEN n * n > chance_cross THEN
+             floor((CAST(agree AS DOUBLE) * n - chance_cross)
+                   / (CAST(n AS DOUBLE) * n - chance_cross)
+                   * 1e6 + 0.5) / 1e6
+           END AS kappa
+    FROM tot, cross_t
+    """,
+)
+def q244_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """κ between two synthetic document raters (char-count buckets vs
+    raw-length buckets — correlated but not identical, so κ lands
+    strictly between 0 and 1) — every value exact-integer-derived and
+    value-hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket_a = (F.when(F.col("n_chars") < 200, "short")
+                .when(F.col("n_chars") < 1000, "mid")
+                .otherwise("long"))
+    bucket_b = (F.when(F.length("text") < 220, "short")
+                .when(F.length("text") < 900, "mid")
+                .otherwise("long"))
+    return cohens_kappa(docs, bucket_a, bucket_b)

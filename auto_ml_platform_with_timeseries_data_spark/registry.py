@@ -73,9 +73,10 @@ _loaded = False
 #         covers the current code
 #   then  the round-3 block (36 queries, the stalest evidence in the
 #         repo), §2.13 parity tier (q05/q07-q11/q13/q14/q29) first —
-#         with 6 canaries + 10 round-8 additions + 2 semantics-changed
-#         pinned ahead, its last four members sit at slots 51-54, the
-#         head of the overflow
+#         with 6 canaries + 12 round-8 additions + 2 semantics-changed
+#         pinned ahead, exactly 30 of its members fit the budget (the
+#         VERDICT r7 #3 floor — saturated; additions stop at q244) and
+#         the last six sit at slots 51-56, the head of the overflow
 # Slots past 50 are the ranked overflow the driver reaches only if its
 # budget stretches, ordered stalest-evidence-first: the round-4 block,
 # then round-5, round-6, and the freshly-witnessed round-7 block last.
@@ -91,6 +92,7 @@ _PRIORITY: tuple[str, ...] = (
     "q237_audio_near_index", "q238_video_near_index",
     "q239_quantile_normalize", "q240_k_core",
     "q241_robust_quantiles", "q242_benford_audit",
+    "q243_roc_auc", "q244_cohens_kappa",
     "q231_theil_sen_sampled", "q228_mann_kendall",
     "q05_groups", "q07_ts_split",
     "q08_ts_windows", "q09_scale_params",

@@ -117,6 +117,8 @@ HEADLINE = [
     "q240_k_core",
     "q241_robust_quantiles",
     "q242_benford_audit",
+    "q243_roc_auc",
+    "q244_cohens_kappa",
 ]
 
 

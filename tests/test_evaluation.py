@@ -78,3 +78,49 @@ def test_scale_params_pop_vs_samp(spark):
     got = sc.scale_params(df, ["x"]).collect()[0]
     assert math.isclose(got["std_pop"], float(x.std(ddof=0)), abs_tol=1e-6)
     assert math.isclose(got["std_samp"], float(x.std(ddof=1)), abs_tol=1e-6)
+
+
+def test_roc_auc_perfect_ties_and_degenerate(spark):
+    """Perfectly separating scores give AUC 1; a constant score gives
+    exactly 0.5 through the average-rank tie handling; a single-class
+    label reports NULL-by-contract."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.evaluation import (
+        roc_auc,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int")
+    assert roc_auc(df, F.col("s"), F.col("y")).first()["auc"] == 1.0
+
+    tied = spark.createDataFrame(
+        [(5.0, 0), (5.0, 0), (5.0, 1), (5.0, 1)], "s double, y int")
+    assert roc_auc(tied, F.col("s"), F.col("y")).first()["auc"] == 0.5
+
+    onecls = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1)], "s double, y int")
+    assert roc_auc(onecls, F.col("s"), F.col("y")).first()["auc"] is None
+
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    """Identical raters give kappa 1; a rater that ignores the other
+    (one constant, one varying) gives kappa 0 (p_o == p_e exactly);
+    both-constant-and-equal is the NULL-by-contract degenerate."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.evaluation import (
+        cohens_kappa,
+    )
+
+    same = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("x", "x"), ("z", "z")],
+        "a string, b string")
+    assert cohens_kappa(same, F.col("a"), F.col("b")).first()["kappa"] == 1.0
+
+    const = spark.createDataFrame(
+        [("x", "x"), ("y", "x"), ("x", "x"), ("y", "x")],
+        "a string, b string")
+    assert cohens_kappa(const, F.col("a"),
+                        F.col("b")).first()["kappa"] == 0.0
+
+    degen = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "a string, b string")
+    assert cohens_kappa(degen, F.col("a"),
+                        F.col("b")).first()["kappa"] is None

@@ -203,7 +203,8 @@ def test_round7_late_additions_plan_contracts(spark, sf_dir):
                  "q231_theil_sen_sampled", "q232_phrase_search",
                  "q235_theil_sen_capped", "q237_audio_near_index",
                  "q238_video_near_index", "q239_quantile_normalize",
-                 "q240_k_core", "q242_benford_audit"):
+                 "q240_k_core", "q242_benford_audit",
+                 "q243_roc_auc"):
         df = queries()[name](spark, sf_dir)
         df.collect()
         plan = explain.final_plan(df)
