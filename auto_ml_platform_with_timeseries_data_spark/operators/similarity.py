@@ -2308,12 +2308,29 @@ def ivfpq_encode(corpus: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def ivfpq_store(index: DataFrame, path: str) -> None:
+    """Persist the composed index PARTITIONED BY CELL — the layout the
+    search path's probe-cell filter turns into literal partition
+    pruning: a query batch probing nprobe of ncells reads nprobe
+    directories of code bytes and nothing else (the q221 data-skipping
+    claim, realized for ANN; tests/test_similarity.py measures it on
+    the physical plan)."""
+    index.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def ivfpq_load(spark: SparkSession, path: str) -> DataFrame:
+    """Read a stored composed index back; `cell` is the partition
+    column, so downstream isin filters prune directories at plan
+    time."""
+    return spark.read.parquet(path)
+
+
 def cosine_topk_ivfpq(corpus: DataFrame, queries_df: DataFrame,
                       id_col: str, vec_col: str, k: int = _TOP_K,
                       ncells: int = 16, nprobe: int = 4,
                       nsub: int = _PQ_NSUB, ksub: int = _PQ_KSUB,
                       iters: int = 2, refine: int = 8,
-                      centroids=None, codebooks=None,
+                      centroids=None, codebooks=None, index=None,
                       round_to: int = 6) -> DataFrame:
     """IVF-PQ ANN: probe nprobe cells, ADC-rank the probed cells'
     CODES, exact-rescore only the top refine·k candidates.
@@ -2399,8 +2416,15 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries_df: DataFrame,
                     "neighbor_id": im[o],
                     "approx": sm[o]})
 
-    index = ivfpq_encode(corpus, id_col, vec_col, C, B) \
-        .withColumnRenamed(id_col, "__id")
+    if index is None:
+        index = ivfpq_encode(corpus, id_col, vec_col, C, B)
+    index = index.withColumnRenamed(id_col, "__id")
+    # plan-level probe filter: the kernel masks per query anyway, but
+    # pushing the UNION of probe cells into the scan turns a stored
+    # partitionBy("cell") index into literal partition pruning — only
+    # nprobe-ish directories are ever read
+    cells_needed = sorted({int(c) for c in probes.reshape(-1)})
+    index = index.filter(F.col("cell").isin(cells_needed))
     scored = index.mapInPandas(
         adc_kernel, "query_id long, neighbor_id long, approx double")
     w = Window.partitionBy("query_id").orderBy(

@@ -490,3 +490,47 @@ def test_ivfpq_append_certificate_planted_drift(spark):
     _, cert2 = sim.ivfpq_append(base, bad, "vec_id", "embedding",
                                 cents, books)
     assert any(r["retrain"] for r in cert2.collect())
+
+
+def test_ivfpq_stored_index_partition_pruning(spark, tmp_path):
+    """The stored composed index is partitioned by cell, and the
+    search's probe-cell filter becomes literal partition pruning: the
+    physical scan carries PartitionFilters on `cell`, and a search over
+    the stored index returns exactly what the in-memory path returns."""
+    rng = np.random.default_rng(23)
+    dim, n = 8, 48
+    vecs = rng.normal(size=(n, dim))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 2)
+    cents = np.array(vecs[:4])
+    seeds = vecs[10:14] / np.linalg.norm(vecs[10:14], axis=1,
+                                         keepdims=True)
+    books = seeds.reshape(4, 2, dim // 2).transpose(1, 0, 2).copy()
+
+    index = sim.ivfpq_encode(corpus, "vec_id", "embedding", cents, books)
+    path = str(tmp_path / "ivfpq_index")
+    sim.ivfpq_store(index, path)
+    loaded = sim.ivfpq_load(spark, path)
+
+    kwargs = dict(k=3, nprobe=2, refine=8,
+                  centroids=cents, codebooks=books)
+    from_store = sim.cosine_topk_ivfpq(
+        corpus, queries, "vec_id", "embedding",
+        index=loaded, **kwargs)
+    rows_store = from_store.collect()
+    rows_mem = sim.cosine_topk_ivfpq(
+        corpus, queries, "vec_id", "embedding", **kwargs).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, rows_store), key=lambda t: (t[0], t[2])) \
+        == sorted(map(tuple, rows_mem), key=lambda t: (t[0], t[2]))
+
+    # the probe filter must reach the file source as a partition
+    # filter (directory pruning), not a post-scan row filter — the
+    # detail sections live in the full formatted plan
+    from auto_ml_platform_with_timeseries_data_spark.plans import explain
+    plan = explain.formatted_plan(from_store)
+    pf_lines = [ln for ln in plan.splitlines()
+                if "PartitionFilters" in ln]
+    assert pf_lines and any("cell" in ln for ln in pf_lines), pf_lines
