@@ -323,3 +323,98 @@ def test_blocking_best_match_equals_bruteforce_within_blocks(texts):
             s, nj = max(cands)
             expect[i] = (-nj, s)
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(xs=st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                             allow_nan=False, allow_infinity=False),
+                   min_size=4, max_size=16),
+       ys=st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                             allow_nan=False, allow_infinity=False),
+                   min_size=4, max_size=16))
+def test_quantile_normalize_matches_python_reference(xs, ys):
+    """The engine's quantile-normalization mapping equals a direct
+    pure-python evaluation of the definition (same integer algebra):
+    profile(i) = (Σ_col cents_col(i) · 10000) div 2, tied values
+    average their span's profile entries. Implies the defining
+    property — both columns transform onto the same profile."""
+    n = min(len(xs), len(ys))
+    xs, ys = xs[:n], ys[:n]
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(list(zip(xs, ys)), "a double, b double")
+    got = {(r["feature"], r["value_cents"]): (r["n"], r["norm_micro"])
+           for r in scaling.quantile_normalize_map(
+               df, ["a", "b"]).collect()}
+
+    def cents(v):
+        return math.floor(v * 100 + 0.5)
+
+    ca = sorted(cents(v) for v in xs)
+    cb = sorted(cents(v) for v in ys)
+    prof = [((ca[i] + cb[i]) * 10000) // 2 for i in range(n)]
+    want = {}
+    for name, col in (("a", ca), ("b", cb)):
+        for v in set(col):
+            span = [i for i, c in enumerate(col) if c == v]
+            rm = sum(prof[i] for i in span)
+            want[(name, v)] = (len(span), rm // len(span))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(
+    st.floats(min_value=-100, max_value=100,
+              allow_nan=False, allow_infinity=False),
+    st.integers(min_value=0, max_value=1)),
+    min_size=4, max_size=30))
+def test_roc_auc_matches_python_reference(rows):
+    """AUC equals the direct pairwise probability
+    P(score_pos > score_neg) + 0.5·P(tie) computed in pure python."""
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(rows, "s double, y int")
+    got = evaluation.roc_auc(df, F.col("s"), F.col("y")).first()
+    pos = [s for s, y in rows if y == 1]
+    neg = [s for s, y in rows if y == 0]
+    if not pos or not neg:
+        assert got["auc"] is None
+        return
+    wins = sum(1.0 if p > q else 0.5 if p == q else 0.0
+               for p in pos for q in neg)
+    want = wins / (len(pos) * len(neg))
+    assert abs(got["auc"] - want) < 2e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=st.sets(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                     min_size=1, max_size=25),
+       k=st.integers(min_value=1, max_value=3))
+def test_k_core_peel_matches_python_fixpoint(edges, k):
+    """With enough rounds the synchronized peel reaches the true
+    k-core: survivors and degrees equal a pure-python peel run to
+    fixpoint."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.graph import (
+        k_core_peel,
+    )
+
+    simple = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not simple:
+        return
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(simple, "a long, b long")
+    # 10 nodes -> at most 10 peel rounds to fixpoint
+    got = {r["vertex"]: r["degree"]
+           for r in k_core_peel(df, k=k, rounds=10).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        dead = {u for u in alive
+                if sum(1 for v in adj[u] if v in alive) < k}
+        if not dead:
+            break
+        alive -= dead
+    want = {u: sum(1 for v in adj[u] if v in alive)
+            for u in alive}
+    assert got == want
