@@ -879,6 +879,61 @@ def main() -> int:
 
     run("theil_sen_capped", lambda: tscap(False), lambda: tscap(True))
 
+    # round-8 statistical/preprocessing families over lineitem — all
+    # linear by design: quantile normalization (k·N ordinal rows +
+    # ordinal-keyed profile groupBy), robust quantiles (span build +
+    # bounded lookups), k-core (fixed peel schedule × edge scans;
+    # edges grow linearly since staged copies replicate orders),
+    # Benford (map-only digit + 9 groups), AUC (span build + one
+    # distinct-value join). q237/q238's media corpus is a FIXED
+    # 100-200-doc synthesis at every SF, so a 10× row probe is
+    # meaningless for them — their scaling story is the banded delta
+    # machinery probed via q162/q230's families.
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        evaluation,
+        graph,
+        scaling,
+        validation,
+    )
+
+    def li(path_based):
+        return (spark.read.parquet(staged["lineitem"]) if path_based
+                else load_table(spark, sf_dir, "lineitem"))
+
+    qn_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    run("quantile_normalize",
+        lambda: scaling.quantile_normalize_map(li(False), qn_cols).count(),
+        lambda: scaling.quantile_normalize_map(li(True), qn_cols).count())
+    run("robust_quantiles",
+        lambda: scaling.robust_quantile_params(li(False), qn_cols).count(),
+        lambda: scaling.robust_quantile_params(li(True), qn_cols).count())
+    run("benford_audit",
+        lambda: validation.benford_audit(li(False),
+                                         "l_extendedprice").count(),
+        lambda: validation.benford_audit(li(True),
+                                         "l_extendedprice").count())
+    run("roc_auc",
+        lambda: evaluation.roc_auc(
+            li(False), F.col("l_discount"),
+            (F.col("l_returnflag") == "R").cast("int")).count(),
+        lambda: evaluation.roc_auc(
+            li(True), F.col("l_discount"),
+            (F.col("l_returnflag") == "R").cast("int")).count())
+
+    def kcore(path_based):
+        df = li(path_based).select("l_orderkey", "l_partkey").distinct()
+        edges = (df.alias("x").join(
+            df.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey")) &
+            (F.col("x.l_partkey") < F.col("y.l_partkey")))
+            .groupBy(F.col("x.l_partkey").alias("a"),
+                     F.col("y.l_partkey").alias("b"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2).drop("__n"))
+        return graph.k_core_peel(edges).count()
+
+    run("k_core", lambda: kcore(False), lambda: kcore(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0
