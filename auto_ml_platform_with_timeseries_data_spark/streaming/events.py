@@ -1107,3 +1107,36 @@ def q236_stream_perceptual_index(spark: SparkSession,
     return spark.read.parquet(*versions.values()).select(
         "dhash_lo", "dhash_hi", F.col("canonical_id").cast("long")
         .alias("canonical_id"))
+
+
+def ivfpq_index_epoch(sp: SparkSession, bdf: DataFrame, epoch_id: int,
+                      state_root: str, id_col: str, vec_col: str,
+                      centroids, codebooks) -> str:
+    """One micro-batch of the maintained COMPOSED ANN index: cell+code
+    the batch's vectors against the EXISTING centroids/codebooks (the
+    q234 append contract — one Arrow pass, no retrain), drop ids whose
+    rows already live in a COMPLETE epoch strictly below this one
+    (idempotent under at-least-once replay of ingestion overlap), and
+    overwrite ``epoch={epoch_id}`` with the batch's index rows. The
+    union of epoch directories IS the (id, cell, codes) index
+    ``cosine_topk_ivfpq`` probes — and because each epoch is written
+    partitioned by nothing (epoch dirs are the version axis), a
+    serving compaction can repartition the union by cell for the
+    q233 pruning layout. Same restart discipline as q204/q236: the
+    known-id set comes from the ``_SUCCESS``-gated on-disk listing,
+    never driver memory."""
+    import os
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        ivfpq_encode,
+    )
+
+    enc = ivfpq_encode(bdf, id_col, vec_col, centroids, codebooks)
+    versions = rollup_versions(state_root)
+    prev = [p for e, p in versions.items() if e < epoch_id]
+    if prev:
+        known = sp.read.parquet(*prev).select(id_col)
+        enc = enc.join(known, id_col, "left_anti")
+    out = os.path.join(state_root, f"epoch={epoch_id}")
+    enc.write.mode("overwrite").parquet(out)
+    return out

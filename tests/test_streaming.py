@@ -325,3 +325,73 @@ def test_perceptual_index_survives_driver_restart_and_replay(
     # replay did not duplicate: one index row per distinct fingerprint
     n_rows = spark.read.parquet(*versions.values()).count()
     assert n_rows == len(want)
+
+
+def test_stream_ivfpq_index_converges_and_survives_restart(
+        spark, sf_dir, tmp_path):
+    """The composed ANN index maintained as a stream: three id-ordered
+    micro-batches of embeddings each cell+code themselves against the
+    injected codebooks and append their novel ids to an epoch
+    directory. After a simulated driver restart with an at-least-once
+    replay of the in-flight epoch, the union of complete epochs equals
+    the one-shot batch ivfpq_encode of all the vectors — no id
+    duplicated, no code changed — and a search over the drained index
+    equals the in-memory path."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        similarity as sim,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.streaming.events import (
+        ivfpq_index_epoch,
+        rollup_versions,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    crows = (emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 108))
+             .orderBy("vec_id").select("embedding").collect())
+    cents = np.array([r[0] for r in crows], dtype=np.float64)
+    brows = (emb.filter((F.col("vec_id") >= 120) & (F.col("vec_id") < 136))
+             .orderBy("vec_id").select("embedding").collect())
+    seeds = np.array([r[0] for r in brows], dtype=np.float64)
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+    books = seeds.reshape(len(seeds), 8, -1).transpose(1, 0, 2).copy()
+
+    root = str(tmp_path / "ivfpq_stream")
+    os.makedirs(root)
+    batches = [emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+               for lo, hi in ((0, 60), (60, 140), (140, 10 ** 9))]
+
+    ivfpq_index_epoch(spark, batches[0], 0, root, "vec_id", "embedding",
+                      cents, books)
+    ivfpq_index_epoch(spark, batches[1], 1, root, "vec_id", "embedding",
+                      cents, books)
+    # driver restart + at-least-once replay of the in-flight epoch
+    ivfpq_index_epoch(spark, batches[1], 1, root, "vec_id", "embedding",
+                      cents, books)
+    ivfpq_index_epoch(spark, batches[2], 2, root, "vec_id", "embedding",
+                      cents, books)
+    os.makedirs(os.path.join(root, "epoch=9"))   # torn write: invisible
+
+    versions = rollup_versions(root)
+    assert set(versions) == {0, 1, 2}
+    drained = spark.read.parquet(*versions.values())
+    want = sim.ivfpq_encode(emb, "vec_id", "embedding", cents, books)
+    d = {r["vec_id"]: (r["cell"], tuple(r["codes"]))
+         for r in drained.collect()}
+    w = {r["vec_id"]: (r["cell"], tuple(r["codes"]))
+         for r in want.collect()}
+    assert d == w
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    kwargs = dict(k=5, nprobe=3, refine=4,
+                  centroids=cents, codebooks=books)
+    from_stream = sim.cosine_topk_ivfpq(
+        emb, queries, "vec_id", "embedding",
+        index=drained, **kwargs).collect()
+    from_mem = sim.cosine_topk_ivfpq(
+        emb, queries, "vec_id", "embedding", **kwargs).collect()
+    key = lambda t: (t[0], t[2])  # (query_id, rank)  # noqa: E731
+    assert sorted(map(tuple, from_stream), key=key) \
+        == sorted(map(tuple, from_mem), key=key)
