@@ -155,9 +155,15 @@ def quantile_normalize_map(df: DataFrame, cols: list[str]) -> DataFrame:
 
     All arithmetic is exact integers end to end: values quantize to
     cents once, the reference profile at ordinal i is
-    (Σ_col cents_col(i) · 10000) div k micro-units, and a tie block
-    averages by one more positive integer division — both engines
-    reproduce every output bit-for-bit (the q215 div discipline).
+    floordiv(Σ_col cents_col(i) · 10000, k) micro-units, and a tie
+    block averages by one more floored integer division. Division is
+    FLOORED explicitly — `(a − pymod(a, b)) div b` with
+    pymod = ((a % b) + b) % b, identical text in both engines — not
+    the bare `div`/`//` operators, because those truncate toward zero
+    on negative dividends in Spark while Python floors (the property
+    test caught the one-unit divergence on negative-valued columns;
+    the q215 positive-only `div` discipline is insufficient here since
+    arbitrary feature columns can be negative).
 
     Scale shape: columns melt into ONE long frame; distinct-value
     ordinal spans come from the distributed two-pass prefix sum
@@ -192,10 +198,13 @@ def quantile_normalize_map(df: DataFrame, cols: list[str]) -> DataFrame:
             F.col("__cs"),
             F.least(F.col("__cs") + _QN_CHUNK - 1,
                     F.col("__s") + F.col("__c")))).alias("__i"))
+    # floored division, sign-safe: numerator minus python-mod is an
+    # exact multiple of the divisor, so the truncating `div` is exact
     prof = (ordinals.groupBy("__i")
             .agg(F.sum("__v").alias("__sv"))
-            .select("__i", F.expr(f"(__sv * 10000) div {k}")
-                    .alias("__rm")))
+            .select("__i", F.expr(
+                f"(__sv * 10000 - (((__sv * 10000) % {k} + {k}) % {k}))"
+                f" div {k}").alias("__rm")))
     blk = (ordinals.join(prof, "__i")
            .groupBy("__ci", "__v")
            .agg(F.count(F.lit(1)).cast("long").alias("n"),
@@ -204,7 +213,8 @@ def quantile_normalize_map(df: DataFrame, cols: list[str]) -> DataFrame:
     return blk.select(
         F.element_at(names, F.col("__ci") + 1).alias("feature"),
         F.col("__v").alias("value_cents"), "n",
-        F.expr("__sm div n").cast("long").alias("norm_micro"))
+        F.expr("(__sm - ((__sm % n + n) % n)) div n")
+        .cast("long").alias("norm_micro"))
 
 
 def _qn_oracle(cols=_QN_COLS) -> str:
@@ -226,8 +236,9 @@ def _qn_oracle(cols=_QN_COLS) -> str:
       FROM m
     ),
     prof AS (
-      SELECT i, CAST((sum(vc) * 10000) // {k} AS BIGINT) AS rm
-      FROM ranked GROUP BY i
+      SELECT i, CAST((sv - ((sv % {k} + {k}) % {k})) // {k} AS BIGINT)
+               AS rm
+      FROM (SELECT i, sum(vc) * 10000 AS sv FROM ranked GROUP BY i)
     ),
     blk AS (
       SELECT ci, vc, CAST(count(*) AS BIGINT) AS n,
@@ -236,7 +247,8 @@ def _qn_oracle(cols=_QN_COLS) -> str:
       GROUP BY 1, 2
     )
     SELECT CASE ci {case} END AS feature,
-           vc AS value_cents, n, CAST(sm // n AS BIGINT) AS norm_micro
+           vc AS value_cents, n,
+           CAST((sm - ((sm % n + n) % n)) // n AS BIGINT) AS norm_micro
     FROM blk
     """
 
