@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from auto_ml_platform_with_timeseries_data_spark.registry import query
 from auto_ml_platform_with_timeseries_data_spark.tables import load_table
@@ -331,3 +332,124 @@ def q244_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .when(F.length("text") < 900, "mid")
                 .otherwise("long"))
     return cohens_kappa(docs, bucket_a, bucket_b)
+
+
+# ---------------------------------------------------------------------------
+# Round-9 registration candidates — implemented and tested now, kept
+# OUT of the registry because round 8's driver budget is saturated
+# (see registry._PRIORITY): registering them this round would evict
+# round-3 rotation slots below the VERDICT floor. Each gets its
+# @query + DuckDB oracle at the next rotation.
+# ---------------------------------------------------------------------------
+
+
+def conformal_quantile(df: DataFrame, score: Column,
+                       alpha: float = 0.1) -> DataFrame:
+    """One-row (n, k, qhat): the split-conformal calibration threshold
+    — the ⌈(n+1)(1−α)⌉-th smallest nonconformity score (Vovk et al.;
+    the finite-sample-coverage quantile every conformal predictor
+    computes on its calibration split). An EXACT order statistic, read
+    off the distributed ordinal spans like q241's quartiles — no sort,
+    no interpolation (the ceil index IS the guarantee; interpolating
+    would break coverage). k > n (α too small for the sample) reports
+    qhat NULL-by-contract: no finite threshold gives the requested
+    coverage."""
+    import math
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        _ordinal_spans,
+    )
+
+    lv = df.select(F.lit(0).alias("__ci"),
+                   score.cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    spans = _ordinal_spans(lv)
+    n_df = spans.agg(F.sum("__c").cast("long").alias("n"))
+    k = F.ceil((F.col("n") + 1) * F.lit(1.0 - alpha)).cast("long")
+    tgt = n_df.select("n", k.alias("k"))
+    hit = (spans.join(
+        F.broadcast(tgt),
+        (F.col("__s") < F.col("k")) &
+        (F.col("k") <= F.col("__s") + F.col("__c")))
+        .select("n", "k", F.col("__v").alias("qhat")))
+    return (tgt.join(hit.select("k", "qhat"), "k", "left")
+            .select("n", "k", "qhat"))
+
+
+def brier_decomposition(df: DataFrame, prob: Column, label: Column,
+                        bins: int = 10) -> DataFrame:
+    """One-row (n, reliability, resolution, uncertainty, brier) — the
+    Murphy (1973) decomposition over `bins` equal-width probability
+    bins: REL = Σ n_b(p̄_b − ō_b)²/N (calibration error — the term a
+    recalibration removes), RES = Σ n_b(ō_b − ō)²/N (discrimination),
+    UNC = ō(1 − ō), Brier = REL − RES + UNC. Counts and sums are exact
+    integers from one bin-keyed aggregate (probabilities quantize to
+    ppm once); the four outputs are single double expressions over
+    those integers, pinned at 1e-6. NOTE: with binned p̄_b this is the
+    standard binned estimate — Brier here equals the decomposition
+    identity, not the per-sample mean squared error (they differ by
+    within-bin variance; the docstringed identity is what the three
+    terms reconcile to exactly)."""
+    p_ppm = F.floor(prob * 1e6 + F.lit(0.5)).cast("long")
+    b = F.least(F.floor(prob * bins).cast("int"), F.lit(bins - 1))
+    src = df.select(p_ppm.alias("__p"), b.alias("__b"),
+                    label.cast("long").alias("__y")).filter(
+        F.col("__p").isNotNull() & F.col("__y").isNotNull())
+    cells = (src.groupBy("__b")
+             .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                  F.sum("__p").cast("long").alias("__sp"),
+                  F.sum("__y").cast("long").alias("__sy")))
+    tot = cells.agg(F.sum("__n").cast("long").alias("n"),
+                    F.sum("__sy").cast("long").alias("__ty"))
+    j = cells.crossJoin(F.broadcast(tot))
+    nb = F.col("__n").cast("double")
+    pbar = F.col("__sp").cast("double") / F.lit(1e6) / nb
+    obar_b = F.col("__sy").cast("double") / nb
+    obar = F.col("__ty").cast("double") / F.col("n")
+    terms = j.agg(
+        F.max("n").alias("n"),
+        F.max(F.col("__ty").cast("double") / F.col("n")).alias("__ob"),
+        F.sum(nb * (pbar - obar_b) * (pbar - obar_b)).alias("__rel"),
+        F.sum(nb * (obar_b - obar) * (obar_b - obar)).alias("__res"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    rel = F.col("__rel") / F.col("n")
+    res = F.col("__res") / F.col("n")
+    unc = F.col("__ob") * (1 - F.col("__ob"))
+    return terms.select(
+        "n", pin(rel).alias("reliability"), pin(res).alias("resolution"),
+        pin(unc).alias("uncertainty"),
+        pin(rel - res + unc).alias("brier"))
+
+
+def roc_auc_by_group(df: DataFrame, group_col: str, score: Column,
+                     label: Column) -> DataFrame:
+    """(group, n, n_pos, n_neg, auc) — q243's tie-corrected
+    Mann–Whitney AUC per group. Groups are numerous and small (the
+    per-entity evaluation shape), so per-group rank windows are the
+    canonical Spark plan here: ONE shuffle keyed by group, then
+    per-partition sorted streaming — 2×average ranks stay exact
+    BIGINTs via 2·rank + tiecount − 1 (the q217/q243 identity).
+    Degenerate groups (single-class) report auc NULL-by-contract."""
+    src = df.select(F.col(group_col).alias("__g"),
+                    score.cast("double").alias("__v"),
+                    label.cast("int").alias("__y")).filter(
+        F.col("__v").isNotNull() & F.col("__y").isNotNull())
+    wr = Window.partitionBy("__g").orderBy("__v")
+    wt = Window.partitionBy("__g", "__v")
+    r2 = (F.lit(2) * F.rank().over(wr)
+          + F.count(F.lit(1)).over(wt) - 1).cast("long")
+    agg = (src.withColumn("__r2", r2)
+           .groupBy("__g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__y").cast("long").alias("n_pos"),
+                F.sum(F.when(F.col("__y") == 1, F.col("__r2"))
+                      .otherwise(0)).cast("long").alias("__s2p")))
+    auc = ((F.col("__s2p").cast("double")
+            - F.col("n_pos") * (F.col("n_pos") + 1))
+           / (F.lit(2.0) * F.col("n_pos")
+              * (F.col("n") - F.col("n_pos"))))
+    return agg.select(
+        F.col("__g").alias(group_col), "n", "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.when((F.col("n_pos") > 0) & (F.col("n") > F.col("n_pos")),
+               F.floor(auc * 1e6 + F.lit(0.5)) / 1e6).alias("auc"))

@@ -124,3 +124,72 @@ def test_cohens_kappa_perfect_and_chance(spark):
         [("x", "x"), ("x", "x")], "a string, b string")
     assert cohens_kappa(degen, F.col("a"),
                         F.col("b")).first()["kappa"] is None
+
+
+def test_conformal_quantile_is_exact_order_statistic(spark):
+    """q̂ is the ⌈(n+1)(1−α)⌉-th smallest score exactly (no
+    interpolation — coverage needs the ceil), and an α too small for
+    the sample reports NULL-by-contract."""
+    import math
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.evaluation import (
+        conformal_quantile,
+    )
+
+    scores = [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0]  # n=9
+    df = spark.createDataFrame([(s,) for s in scores], "s double")
+    r = conformal_quantile(df, F.col("s"), alpha=0.2).first()
+    k = math.ceil((9 + 1) * 0.8)                  # = 8
+    assert (r["n"], r["k"]) == (9, k)
+    assert r["qhat"] == sorted(scores)[k - 1]     # 8th smallest = 8.0
+
+    tiny = conformal_quantile(df, F.col("s"), alpha=0.01).first()
+    assert tiny["k"] == 10 and tiny["qhat"] is None
+
+
+def test_brier_decomposition_identity_and_calibrated_case(spark):
+    """Terms reconcile (brier == rel − res + unc within pin), a
+    perfectly calibrated-by-bin forecast has reliability 0, and a
+    constant base-rate forecast has resolution 0."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.evaluation import (
+        brier_decomposition,
+    )
+
+    # bin-calibrated: in bin [0.2,0.3) prob .25 with 1-in-4 positives
+    rows = [(0.25, 1)] + [(0.25, 0)] * 3 + [(0.75, 1)] * 3 + [(0.75, 0)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    r = brier_decomposition(df, F.col("p"), F.col("y"), bins=4).first()
+    assert r["reliability"] == 0.0
+    assert abs(r["brier"] - (r["reliability"] - r["resolution"]
+                             + r["uncertainty"])) <= 2e-6
+
+    const = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "p double, y int")
+    rc = brier_decomposition(const, F.col("p"), F.col("y"),
+                             bins=4).first()
+    assert rc["resolution"] == 0.0
+    assert rc["uncertainty"] == 0.25
+
+
+def test_roc_auc_by_group_matches_global_per_group(spark):
+    """Each group's AUC equals the single-group roc_auc on that
+    group's rows (ties and degenerates included)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.evaluation import (
+        roc_auc,
+        roc_auc_by_group,
+    )
+
+    rows = []
+    rows += [(1, float(i), 1 if i >= 3 else 0) for i in range(6)]
+    rows += [(2, 5.0, y) for y in (0, 1, 0, 1)]         # all tied
+    rows += [(3, float(i), 1) for i in range(4)]        # single-class
+    df = spark.createDataFrame(rows, "g long, s double, y int")
+    got = {r["g"]: r for r in
+           roc_auc_by_group(df, "g", F.col("s"), F.col("y")).collect()}
+    for g in (1, 2, 3):
+        want = roc_auc(df.filter(F.col("g") == g), F.col("s"),
+                       F.col("y")).first()
+        assert (got[g]["n"], got[g]["n_pos"], got[g]["auc"]) == \
+            (want["n"], want["n_pos"], want["auc"]), g
+    assert got[1]["auc"] == 1.0 and got[2]["auc"] == 0.5
+    assert got[3]["auc"] is None
