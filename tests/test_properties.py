@@ -418,3 +418,108 @@ def test_k_core_peel_matches_python_fixpoint(edges, k):
     want = {u: sum(1 for v in adj[u] if v in alive)
             for u in alive}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=4),     # second-resolution ts (ties!)
+    st.integers(min_value=-3, max_value=3)),   # cents-scale values (ties!)
+    min_size=2, max_size=14))
+def test_mann_kendall_matches_python_textbook(vals):
+    """The engine's S, tie-corrected variance, and z equal a direct
+    pure-python evaluation of the textbook formulas (Kendall 1975 with
+    BOTH tie families and the cross terms) on data dense with value
+    AND time ties."""
+    import datetime as dt
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        mann_kendall,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(seconds=s), 1, float(v) / 100)
+            for i, (s, v) in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = mann_kendall(df, "user_id").first()
+
+    pts = [(s, v) for s, v in vals]   # (time, cents) — engine's c = v
+    n = len(pts)
+    # strictly time-ordered pairs only: same-timestamp pairs contribute
+    # nothing (the tau-b convention the engine implements)
+    S = sum((1 if b[1] > a[1] else -1 if b[1] < a[1] else 0)
+            for a in pts for b in pts if a[0] < b[0])
+
+    def tie_sums(keys):
+        from collections import Counter
+        cnt = Counter(keys)
+        t1 = sum(t * (t - 1) * (2 * t + 5) for t in cnt.values())
+        t2 = sum(t * (t - 1) * (t - 2) for t in cnt.values())
+        t3 = sum(t * (t - 1) for t in cnt.values())
+        return t1, t2, t3
+
+    T1, T2, T3 = tie_sums([v for _, v in pts])
+    U1, U2, U3 = tie_sums([s for s, _ in pts])
+    var18 = n * (n - 1) * (2 * n + 5) - T1 - U1
+    assert got["s_stat"] == S
+    assert got["var18"] == var18
+    var = var18 / 18.0
+    if n > 2:
+        var += (T2 * U2) / (9.0 * n * (n - 1) * (n - 2))
+    if n > 1:
+        var += (T3 * U3) / (2.0 * n * (n - 1))
+    if var > 0:
+        import math as m
+        z = (S - (1 if S > 0 else -1 if S < 0 else 0)) / m.sqrt(var)
+        assert abs(got["z"] - z) < 2e-6
+    else:
+        assert got["z"] is None
+
+
+@settings(max_examples=6, deadline=None)
+@given(cols=st.lists(st.tuples(
+    st.integers(min_value=-5, max_value=5),
+    st.integers(min_value=-5, max_value=5)),
+    min_size=3, max_size=20))
+def test_spearman_matches_python_reference(cols):
+    """spearman_matrix equals the average-rank Pearson computed in pure
+    python on tie-heavy integer data."""
+    import math as m
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        spearman_matrix,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in cols], "x double, y double")
+    got = spearman_matrix(df, ["x", "y"]).first()
+
+    def avg_ranks(vs):
+        order = sorted(range(len(vs)), key=lambda i: vs[i])
+        r = [0.0] * len(vs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vs[order[j]] == vs[order[i]]:
+                j += 1
+            avg = (i + 1 + j) / 2.0
+            for t in range(i, j):
+                r[order[t]] = avg
+            i = j
+        return r
+
+    xs = [a for a, _ in cols]
+    ys = [b for _, b in cols]
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    n = len(cols)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = sum((a - mx) ** 2 for a in rx)
+    dy = sum((b - my) ** 2 for b in ry)
+    if dx == 0 or dy == 0:
+        assert got["corr"] is None
+    else:
+        rho = num / m.sqrt(dx * dy)
+        assert abs(got["corr"] - rho) < 2e-6
