@@ -523,3 +523,74 @@ def test_spearman_matches_python_reference(cols):
     else:
         rho = num / m.sqrt(dx * dy)
         assert abs(got["corr"] - rho) < 2e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(vals=st.lists(st.floats(min_value=-1e3, max_value=1e3,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=4, max_size=18),
+       ids=st.lists(st.integers(min_value=0, max_value=2**61),
+                    min_size=18, max_size=18, unique=True))
+def test_theil_sen_sampled_hash_matches_python(vals, ids):
+    """The portable affine-mod pair sampler keeps exactly the pairs
+    python says it keeps — including with event ids near 2^61, the
+    overflow regime the round-8 both-ids-mod-P fix addressed — and
+    the sampled/full medians match a pure-python evaluation."""
+    import datetime as dt
+    import statistics
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        _TS_SAMPLE_A,
+        _TS_SAMPLE_P,
+        _TS_SAMPLE_RATE,
+        theil_sen_sampled,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(ids[i], t0 + dt.timedelta(seconds=7 * i), 1, float(v))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = theil_sen_sampled(df, "user_id").first()
+
+    pts = sorted(((ids[i], 7 * i, math.floor(v * 100 + 0.5))
+                  for i, v in enumerate(vals)))
+    slopes, kept = [], []
+    for i, (ia, sa, ca) in enumerate(pts):
+        for ib, sb, cb in pts:
+            if ia < ib and sa != sb:
+                m = (cb - ca) / (sb - sa)
+                slopes.append(m)
+                if ((ia % _TS_SAMPLE_P) * _TS_SAMPLE_A
+                        + (ib % _TS_SAMPLE_P)) \
+                        % _TS_SAMPLE_P % _TS_SAMPLE_RATE == 0:
+                    kept.append(m)
+    assert got["n_pairs"] == len(slopes)
+    assert got["n_sampled"] == len(kept)
+
+    def pin(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert got["slope_full"] == pin(statistics.median(slopes))
+    if kept:
+        assert got["slope_sampled"] == pin(statistics.median(kept))
+    else:
+        assert got["slope_sampled"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(xs=st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                             allow_nan=False, allow_infinity=False),
+                   min_size=2, max_size=25))
+def test_robust_quantiles_match_numpy_with_negatives(xs):
+    """Quartiles from the span machinery equal numpy's linear-method
+    percentiles on arbitrary (including negative) data."""
+    import numpy as np
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame([(float(v),) for v in xs], "x double")
+    got = scaling.robust_quantile_params(df, ["x"]).first()
+    for col, q in (("p25", 25), ("p50", 50), ("p75", 75)):
+        want = float(np.percentile(xs, q))
+        assert abs(got[col] - want) < 2e-6, (col, got[col], want)
