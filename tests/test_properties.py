@@ -594,3 +594,79 @@ def test_robust_quantiles_match_numpy_with_negatives(xs):
     for col, q in (("p25", 25), ("p50", 50), ("p75", 75)):
         want = float(np.percentile(xs, q))
         assert abs(got[col] - want) < 2e-6, (col, got[col], want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(vals=st.lists(st.floats(min_value=-1e3, max_value=1e3,
+                               allow_nan=False, allow_infinity=False),
+                     min_size=3, max_size=20),
+       ids=st.lists(st.integers(min_value=0, max_value=2**61),
+                    min_size=20, max_size=20, unique=True),
+       cap=st.integers(min_value=2, max_value=8))
+def test_theil_sen_capped_selection_matches_python(vals, ids, cap):
+    """The hash-rank row cap retains exactly the rows python says it
+    retains (portable affine-mod hash, id tie-break) — including ids
+    near 2^61 — and the capped median matches a pure-python evaluation
+    of the same pair set."""
+    import datetime as dt
+    import statistics
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        _TS_CAP_SALT,
+        _TS_SAMPLE_A,
+        _TS_SAMPLE_P,
+        theil_sen_capped,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(ids[i], t0 + dt.timedelta(seconds=3 * i), 1, float(v))
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    got = theil_sen_capped(df, "user_id", cap=cap).first()
+
+    def h(i):
+        return ((i % _TS_SAMPLE_P) * _TS_SAMPLE_A
+                + _TS_CAP_SALT) % _TS_SAMPLE_P
+
+    pts = [(ids[i], 3 * i, math.floor(v * 100 + 0.5))
+           for i, v in enumerate(vals)]
+    keep = sorted(pts, key=lambda p: (h(p[0]), p[0]))[:cap]
+    slopes = [(cb - ca) / (sb - sa)
+              for ia, sa, ca in keep for ib, sb, cb in keep
+              if ia < ib and sa != sb]
+    assert got["n_events"] == min(cap, len(pts))
+    assert got["n_pairs"] == len(slopes)
+    if slopes:
+        want = math.floor(statistics.median(slopes) * 1e6 + 0.5) / 1e6
+        assert got["slope"] == want
+    else:
+        assert got["slope"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1)),
+                     min_size=2, max_size=40))
+def test_mutual_information_matches_python(rows):
+    """MI from the melted contingency pass equals the direct
+    Σ (c_xy/N)·ln(c_xy·N/(c_x·c_y)) evaluation, and a constant label
+    yields exactly zero."""
+    from collections import Counter
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        mutual_information,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = mutual_information(df, {"x": F.col("x")}, F.col("y")).first()
+    n = len(rows)
+    cxy = Counter(rows)
+    cx = Counter(x for x, _ in rows)
+    cy = Counter(y for _, y in rows)
+    mi = sum((c / n) * math.log((c * n) / (cx[x] * cy[y]))
+             for (x, y), c in cxy.items())
+    want = math.floor(mi * 1e6 + 0.5) / 1e6
+    assert got["n_cells"] == len(cxy)
+    assert abs(got["mi_nats"] - want) <= 1e-6
