@@ -145,3 +145,26 @@ def test_k_core_peel_cascades_and_keeps_clique(spark):
     one = {r["vertex"] for r in
            k_core_peel(edges, k=2, rounds=1).collect()}
     assert 12 not in one and 11 in one and 10 in one
+
+
+def test_coreness_planted_and_consistent_with_k_core(spark):
+    """A 4-clique with a pendant chain: clique vertices have coreness
+    3, the chain decays 1 — and the set {coreness >= k} equals the
+    fixpoint k-core for every k."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.graph import (
+        coreness,
+        k_core_peel,
+    )
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(clique + chain, "a long, b long")
+    got = {r["vertex"]: r["coreness"]
+           for r in coreness(edges, rounds=10).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1, 12: 1}
+    for k in (1, 2, 3, 4):
+        core = {r["vertex"] for r in
+                k_core_peel(edges, k=k, rounds=10).collect()}
+        assert core == {v for v, c in got.items() if c >= k}, k

@@ -670,3 +670,40 @@ def test_mutual_information_matches_python(rows):
     want = math.floor(mi * 1e6 + 0.5) / 1e6
     assert got["n_cells"] == len(cxy)
     assert abs(got["mi_nats"] - want) <= 1e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=st.sets(st.tuples(st.integers(0, 8), st.integers(0, 8)),
+                     min_size=1, max_size=22))
+def test_coreness_matches_python_peeling(edges):
+    """The H-index iteration converges to the classic peeling-defined
+    core numbers on arbitrary small graphs."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.graph import (
+        coreness,
+    )
+
+    simple = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not simple:
+        return
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(simple, "a long, b long")
+    got = {r["vertex"]: r["coreness"]
+           for r in coreness(df, rounds=10).collect()}
+    adj: dict[int, set[int]] = {}
+    for a, b in simple:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    alive = set(adj)
+    k = 0
+    while alive:
+        while True:
+            dead = {u for u in alive
+                    if sum(1 for v in adj[u] if v in alive) <= k}
+            if not dead:
+                break
+            for u in dead:
+                want[u] = k
+            alive -= dead
+        k += 1
+    assert got == want
