@@ -2050,3 +2050,71 @@ def q220_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dsir_select(docs, "doc_id", "text",
                        F.col("source").isin("src0", "src1"))
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling for contrastive training (round-9 registration
+# candidate — library-only this round, see registry._PRIORITY): every
+# (anchor, positive) pair in an embedding/reranker training set needs
+# k in-batch-independent negatives drawn reproducibly from the corpus,
+# excluding the anchor's known positives. Deterministic portable-hash
+# bucketing keeps the draw reproducible across runs, partitionings,
+# and engines — the q141/q231 discipline applied to sampling.
+# ---------------------------------------------------------------------------
+
+_NS_P = 1_000_003
+_NS_A = 2_654_435_761 % 1_000_003
+_NS_C = 12_289
+
+
+def _ns_hash(x, salt: int):
+    return ((x % _NS_P) * _NS_A + (salt % _NS_P)) % _NS_P
+
+
+def negative_samples(anchors: DataFrame, corpus: DataFrame,
+                     positives: DataFrame, anchor_col: str,
+                     item_col: str, k: int = 4,
+                     nbuckets: int = 32) -> DataFrame:
+    """(anchor, slot, neg_id) — k deterministic negatives per anchor:
+    corpus items bucket by the portable affine-mod hash; anchor a's
+    slot j targets bucket hash(a·(j+1)+C) mod B and takes the bucket's
+    minimum-hash item among those NOT a known positive of a (the
+    exclusion happens BEFORE the argmin, so a positive can never
+    silently eat a slot — the slot falls through to the next item in
+    the same bucket). Slots whose bucket holds only positives (or is
+    empty) report neg_id NULL-by-contract rather than re-drawing —
+    re-draw policies belong to the caller, and NULL keeps the output
+    shape fixed at anchors×k.
+
+    Scale shape: candidates = anchors·k joined to ONE bucket each —
+    work ∝ anchors·k·(corpus/B), never anchors×corpus; the bucket
+    index is the persisted artifact (one small-int per item) and the
+    argmin is a map-side-combined min_by. All hashes are BIGINT-exact
+    and SQL-portable, so the draw is oracle-checkable."""
+    items = corpus.select(
+        F.col(item_col).alias("__item"),
+        (((F.col(item_col) % _NS_P) * _NS_A + _NS_C) % _NS_P)
+        .alias("__ih"))
+    items = items.withColumn("__bucket", F.col("__ih") % nbuckets)
+    slots = anchors.select(F.col(anchor_col).alias("__a")).distinct() \
+        .select("__a", F.explode(F.array(
+            *[F.lit(j) for j in range(k)])).alias("slot"))
+    # anchor id pre-reduces mod P BEFORE the slot multiply so products
+    # stay < 2^63 for arbitrary ids (the q231 lesson)
+    slots = slots.withColumn(
+        "__bucket",
+        ((((F.col("__a") % _NS_P) * (F.col("slot") + 1) + _NS_C)
+          % _NS_P) * _NS_A + _NS_C) % _NS_P % nbuckets)
+    pos = positives.select(F.col(anchor_col).alias("__a"),
+                           F.col(item_col).alias("__item"))
+    cand = (slots.join(items, "__bucket")
+            .join(pos, ["__a", "__item"], "left_anti")
+            .filter(F.col("__item") != F.col("__a")))
+    picked = (cand.groupBy("__a", "slot")
+              .agg(F.min_by("__item", F.struct(F.col("__ih"),
+                                               F.col("__item")))
+                   .alias("neg_id")))
+    return (slots.select("__a", "slot")
+            .join(picked, ["__a", "slot"], "left")
+            .select(F.col("__a").alias(anchor_col), "slot",
+                    F.col("neg_id").cast("long").alias("neg_id")))

@@ -577,3 +577,45 @@ def test_dsir_select_prefers_target_like_docs(spark):
     empty = dsir_select(df, "doc_id", "text", F.lit(False), top_n=5)
     vals = empty.collect()
     assert len(vals) == 5  # no crash, smoothed floor everywhere
+
+
+
+def test_negative_samples_deterministic_excludes_positives(spark):
+    """Fixed anchors×k shape; no negative is the anchor itself or one
+    of its known positives; the draw is identical across runs and
+    partitionings; and a bucket emptied by exclusions reports
+    NULL-by-contract."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        negative_samples,
+    )
+
+    corpus = spark.createDataFrame([(i,) for i in range(40)],
+                                   "item long")
+    anchors = spark.createDataFrame([(a,) for a in range(5)],
+                                    "qid long")
+    positives = spark.createDataFrame(
+        [(a, (a + 1) % 40) for a in range(5)], "qid long, item long")
+
+    out = negative_samples(anchors, corpus, positives, "qid", "item",
+                           k=4, nbuckets=8)
+    rows = out.collect()
+    assert len(rows) == 5 * 4
+    posset = {(a, (a + 1) % 40) for a in range(5)}
+    for r in rows:
+        if r["neg_id"] is not None:
+            assert r["neg_id"] != r["qid"]
+            assert (r["qid"], r["neg_id"]) not in posset
+    # deterministic across partitionings
+    again = negative_samples(anchors.repartition(7), corpus.repartition(5),
+                             positives, "qid", "item",
+                             k=4, nbuckets=8).collect()
+    key = lambda r: (r["qid"], r["slot"])  # noqa: E731
+    assert sorted(map(tuple, rows), key=lambda t: (t[0], t[1])) == \
+        sorted(map(tuple, again), key=lambda t: (t[0], t[1]))
+    # a corpus whose every item is a positive of the anchor -> NULLs
+    tiny = spark.createDataFrame([(100,)], "item long")
+    allpos = spark.createDataFrame([(0, 100)], "qid long, item long")
+    one = negative_samples(
+        spark.createDataFrame([(0,)], "qid long"), tiny, allpos,
+        "qid", "item", k=2, nbuckets=2).collect()
+    assert len(one) == 2 and all(r["neg_id"] is None for r in one)

@@ -24,7 +24,7 @@ from auto_ml_platform_with_timeseries_data_spark.operators import (  # noqa: E40
     graph,
 )
 
-_TABLES = ("lineitem", "events")
+_TABLES = ("lineitem", "events", "documents")
 
 
 def _duck(sf_dir: str, sql: str):
@@ -199,5 +199,65 @@ def test_coreness_oracle_draft(spark, sf_dir):
         .filter(F.col("__n") >= 2).drop("__n"))
     got = graph.coreness(edges, rounds=6).toPandas()
     want = _duck(sf_dir, _coreness_oracle(6))
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+_NS_SQL_P = 1_000_003
+_NS_SQL_A = 2_654_435_761 % 1_000_003
+_NS_SQL_C = 12_289
+
+_NEG_SAMPLES_ORACLE = f"""
+    WITH ib AS (
+      SELECT doc_id AS item,
+             ((doc_id % {_NS_SQL_P}) * {_NS_SQL_A} + {_NS_SQL_C})
+               % {_NS_SQL_P} AS ih
+      FROM documents
+    ),
+    ibb AS (SELECT item, ih, ih % 32 AS bucket FROM ib),
+    anchors AS (SELECT DISTINCT doc_id AS a FROM documents
+                WHERE doc_id < 20),
+    slots AS (
+      SELECT a, s.slot,
+             ((((a % {_NS_SQL_P}) * (s.slot + 1) + {_NS_SQL_C})
+               % {_NS_SQL_P}) * {_NS_SQL_A} + {_NS_SQL_C})
+               % {_NS_SQL_P} % 32 AS bucket
+      FROM anchors, (SELECT unnest(generate_series(0, 3)) AS slot) s
+    ),
+    pos AS (SELECT a, a + 1 AS item FROM anchors),
+    cand AS (
+      SELECT sl.a, sl.slot, b.item, b.ih
+      FROM slots sl JOIN ibb b USING (bucket)
+      WHERE b.item != sl.a
+        AND NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.a = sl.a AND p.item = b.item)
+    ),
+    picked AS (
+      SELECT a, slot, item FROM (
+        SELECT a, slot, item,
+               row_number() OVER (PARTITION BY a, slot
+                                  ORDER BY ih, item) AS rk
+        FROM cand) WHERE rk = 1
+    )
+    SELECT s.a AS qid, CAST(s.slot AS INT) AS slot,
+           CAST(p.item AS BIGINT) AS neg_id
+    FROM slots s LEFT JOIN picked p ON s.a = p.a AND s.slot = p.slot
+"""
+
+
+def test_negative_samples_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        negative_samples,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"))
+    positives = anchors.select(
+        "qid", (F.col("qid") + 1).alias("doc_id"))
+    got = negative_samples(anchors, docs, positives, "qid", "doc_id",
+                           k=4, nbuckets=32).toPandas()
+    want = _duck(sf_dir, _NEG_SAMPLES_ORACLE)
     ok, msg = compare(got, want)
     assert ok, msg
