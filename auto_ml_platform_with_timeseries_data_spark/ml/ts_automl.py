@@ -152,7 +152,12 @@ def _lstm_kernel(pdf: pd.DataFrame, feats: list[str], hidden: int = 30,
     reference applies MinMaxScaler before windowing,
     auto_machine_learning.py:101-102); predictions unscale before the
     RMSE. `coef` carries the output-layer weights, `intercept` its
-    bias (scaled space) — same schema as the ridge kernel."""
+    bias (scaled space) — same schema as the ridge kernel.
+
+    Parity caveat: this kernel is architecture/loss/optimizer-faithful
+    to the reference but has never been diffed against real torch
+    numerics (torch is absent from this image) — gate ordering, init
+    distributions, and Adam epsilon placement may differ bit-wise."""
     gkey = int(pdf["__g"].iloc[0])
     x = pdf[feats].to_numpy(dtype=np.float64)          # (n, T)
     y = pdf["__label"].to_numpy(dtype=np.float64)

@@ -2053,8 +2053,8 @@ def q220_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Negative sampling for contrastive training (round-9 registration
-# candidate — library-only this round, see registry._PRIORITY): every
+# Negative sampling for contrastive training (registered as q249 after
+# a one-round oracle-draft gate, tests/test_round9_candidates.py): every
 # (anchor, positive) pair in an embedding/reranker training set needs
 # k in-batch-independent negatives drawn reproducibly from the corpus,
 # excluding the anchor's known positives. Deterministic portable-hash
@@ -2068,6 +2068,12 @@ _NS_C = 12_289
 
 
 def _ns_hash(x, salt: int):
+    """The one affine-mod draw both sampling hashes compose from:
+    ((x mod P)·A + salt) mod P. `x` may be a Column or int; the mod-P
+    pre-reduction keeps every product < 2^63 for arbitrary ids (the
+    q231 lesson). Items hash as _ns_hash(item, C); anchor slot j hashes
+    as _ns_hash((a mod P)·(j+1) + C, C) — the inner affine step
+    decorrelates slots of the same anchor before the shared draw."""
     return ((x % _NS_P) * _NS_A + (salt % _NS_P)) % _NS_P
 
 
@@ -2093,18 +2099,15 @@ def negative_samples(anchors: DataFrame, corpus: DataFrame,
     and SQL-portable, so the draw is oracle-checkable."""
     items = corpus.select(
         F.col(item_col).alias("__item"),
-        (((F.col(item_col) % _NS_P) * _NS_A + _NS_C) % _NS_P)
-        .alias("__ih"))
+        _ns_hash(F.col(item_col), _NS_C).alias("__ih"))
     items = items.withColumn("__bucket", F.col("__ih") % nbuckets)
     slots = anchors.select(F.col(anchor_col).alias("__a")).distinct() \
         .select("__a", F.explode(F.array(
             *[F.lit(j) for j in range(k)])).alias("slot"))
-    # anchor id pre-reduces mod P BEFORE the slot multiply so products
-    # stay < 2^63 for arbitrary ids (the q231 lesson)
     slots = slots.withColumn(
         "__bucket",
-        ((((F.col("__a") % _NS_P) * (F.col("slot") + 1) + _NS_C)
-          % _NS_P) * _NS_A + _NS_C) % _NS_P % nbuckets)
+        _ns_hash((F.col("__a") % _NS_P) * (F.col("slot") + 1) + _NS_C,
+                 _NS_C) % nbuckets)
     pos = positives.select(F.col(anchor_col).alias("__a"),
                            F.col(item_col).alias("__item"))
     cand = (slots.join(items, "__bucket")
@@ -2118,3 +2121,57 @@ def negative_samples(anchors: DataFrame, corpus: DataFrame,
             .join(picked, ["__a", "slot"], "left")
             .select(F.col("__a").alias(anchor_col), "slot",
                     F.col("neg_id").cast("long").alias("neg_id")))
+
+
+@query(
+    "q249_negative_samples",
+    oracle=f"""
+    WITH ib AS (
+      SELECT doc_id AS item,
+             ((doc_id % {_NS_P}) * {_NS_A} + {_NS_C})
+               % {_NS_P} AS ih
+      FROM documents
+    ),
+    ibb AS (SELECT item, ih, ih % 32 AS bucket FROM ib),
+    anchors AS (SELECT DISTINCT doc_id AS a FROM documents
+                WHERE doc_id < 20),
+    slots AS (
+      SELECT a, s.slot,
+             ((((a % {_NS_P}) * (s.slot + 1) + {_NS_C})
+               % {_NS_P}) * {_NS_A} + {_NS_C})
+               % {_NS_P} % 32 AS bucket
+      FROM anchors, (SELECT unnest(generate_series(0, 3)) AS slot) s
+    ),
+    pos AS (SELECT a, a + 1 AS item FROM anchors),
+    cand AS (
+      SELECT sl.a, sl.slot, b.item, b.ih
+      FROM slots sl JOIN ibb b USING (bucket)
+      WHERE b.item != sl.a
+        AND NOT EXISTS (SELECT 1 FROM pos p
+                        WHERE p.a = sl.a AND p.item = b.item)
+    ),
+    picked AS (
+      SELECT a, slot, item FROM (
+        SELECT a, slot, item,
+               row_number() OVER (PARTITION BY a, slot
+                                  ORDER BY ih, item) AS rk
+        FROM cand) WHERE rk = 1
+    )
+    SELECT s.a AS qid, CAST(s.slot AS INT) AS slot,
+           CAST(p.item AS BIGINT) AS neg_id
+    FROM slots s LEFT JOIN picked p ON s.a = p.a AND s.slot = p.slot
+    """,
+)
+def q249_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four deterministic contrastive negatives for each doc_id < 20
+    anchor (its doc_id + 1 treated as the known positive): every
+    (anchor, slot, neg_id) draw reproduced by the oracle's identical
+    affine-mod bucket walk — the sampling itself is what the hash
+    check certifies."""
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("qid"))
+    positives = anchors.select(
+        "qid", (F.col("qid") + 1).alias("doc_id"))
+    return negative_samples(anchors, docs, positives, "qid", "doc_id",
+                            k=4, nbuckets=32)

@@ -335,11 +335,10 @@ def q244_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-9 registration candidates — implemented and tested now, kept
-# OUT of the registry because round 8's driver budget is saturated
-# (see registry._PRIORITY): registering them this round would evict
-# round-3 rotation slots below the VERDICT floor. Each gets its
-# @query + DuckDB oracle at the next rotation.
+# Round-8 pre-built candidates, registered in round 9 (q245-q247):
+# their DuckDB oracles were drafted and driver-gate-compared at two SFs
+# in tests/test_round9_candidates.py a round BEFORE registration, so
+# the registry edit below carries zero new exactness risk.
 # ---------------------------------------------------------------------------
 
 
@@ -453,3 +452,121 @@ def roc_auc_by_group(df: DataFrame, group_col: str, score: Column,
         (F.col("n") - F.col("n_pos")).alias("n_neg"),
         F.when((F.col("n_pos") > 0) & (F.col("n") > F.col("n_pos")),
                F.floor(auc * 1e6 + F.lit(0.5)) / 1e6).alias("auc"))
+
+
+@query(
+    "q245_conformal_quantile",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem
+      WHERE l_extendedprice IS NOT NULL
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+    t AS (SELECT n, CAST(ceil((n + 1) * 0.9) AS BIGINT) AS k FROM nn),
+    r AS (SELECT v, row_number() OVER (ORDER BY v) AS i FROM s)
+    SELECT t.n, t.k, (SELECT v FROM r WHERE r.i = t.k) AS qhat FROM t
+    """,
+)
+def q245_conformal_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration threshold at α = 0.1 over the
+    extended-price nonconformity scores: the exact ⌈(n+1)·0.9⌉-th order
+    statistic read off distributed ordinal spans (no sort, no
+    interpolation — interpolating would break the coverage guarantee),
+    vs the oracle's row_number formulation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return conformal_quantile(li, F.col("l_extendedprice"), alpha=0.1)
+
+
+@query(
+    "q246_brier_decomposition",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_discount * 10 * 1e6 + 0.5) AS BIGINT) AS p,
+             least(CAST(floor(l_discount * 10 * 10) AS INT), 9) AS b,
+             CAST(l_returnflag = 'R' AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_discount IS NOT NULL
+    ),
+    cells AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(p) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy
+      FROM s GROUP BY b
+    ),
+    tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+                   CAST(sum(sy) AS BIGINT) AS ty FROM cells),
+    terms AS (
+      SELECT max(n) AS n,
+             max(CAST(ty AS DOUBLE) / n) AS ob,
+             sum(CAST(nb AS DOUBLE)
+                 * (CAST(sp AS DOUBLE) / 1e6 / CAST(nb AS DOUBLE)
+                    - CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE))
+                 * (CAST(sp AS DOUBLE) / 1e6 / CAST(nb AS DOUBLE)
+                    - CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE))) AS rel,
+             sum(CAST(nb AS DOUBLE)
+                 * (CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE)
+                    - CAST(ty AS DOUBLE) / n)
+                 * (CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE)
+                    - CAST(ty AS DOUBLE) / n)) AS res
+      FROM cells, tot
+    )
+    SELECT n,
+           floor(rel / n * 1e6 + 0.5) / 1e6 AS reliability,
+           floor(res / n * 1e6 + 0.5) / 1e6 AS resolution,
+           floor(ob * (1 - ob) * 1e6 + 0.5) / 1e6 AS uncertainty,
+           floor((rel / n - res / n + ob * (1 - ob)) * 1e6 + 0.5) / 1e6
+             AS brier
+    FROM terms
+    """,
+)
+def q246_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the 10×-discount 'probability' against
+    the returned flag over 10 equal-width bins — reliability,
+    resolution, uncertainty, and their Brier identity, all derived from
+    exact bin-keyed integer sums and pinned at 1e-6."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull())
+    return brier_decomposition(
+        li, F.col("l_discount") * 10,
+        (F.col("l_returnflag") == "R").cast("int"), bins=10)
+
+
+@query(
+    "q247_group_auc",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS g, CAST(value AS DOUBLE) AS v,
+             CAST(event_id % 3 = 0 AS INT) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT g, y,
+             2 * rank() OVER (PARTITION BY g ORDER BY v)
+             + count(*) OVER (PARTITION BY g, v) - 1 AS r2
+      FROM s
+    ),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN y = 1 THEN r2 ELSE 0 END) AS BIGINT)
+               AS s2p
+      FROM r GROUP BY g
+    )
+    SELECT g AS user_id, n, n_pos, n - n_pos AS n_neg,
+           CASE WHEN n_pos > 0 AND n > n_pos THEN
+             floor((CAST(s2p AS DOUBLE) - n_pos * (n_pos + 1))
+                   / (2.0 * n_pos * (n - n_pos)) * 1e6 + 0.5) / 1e6
+           END AS auc
+    FROM agg
+    """,
+)
+def q247_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user tie-corrected Mann-Whitney AUC of event value ranking
+    the (event_id % 3 == 0) label — the numerous-small-groups
+    evaluation shape (one group-keyed shuffle, per-partition rank
+    windows); every (user, n, n_pos, n_neg, auc) row
+    value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return roc_auc_by_group(
+        ev, "user_id", F.col("value"),
+        (F.col("event_id") % 3 == 0).cast("int"))

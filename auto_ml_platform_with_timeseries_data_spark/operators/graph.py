@@ -634,10 +634,9 @@ def coreness(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     largest h such that ≥ h neighbors hold value ≥ h). The sequence is
     monotone non-increasing and converges to coreness exactly; on a
     graph with n vertices it converges in at most n rounds and in
-    practice in a handful. Round-9 registration candidate — the oracle
-    is the same unrolled-stage shape as q240's (each stage one
-    window-rank pass), kept library-only this round for the saturated
-    driver budget.
+    practice in a handful. Registered as q248 after a one-round
+    oracle-draft gate — the oracle is the same unrolled-stage shape as
+    q240's (each stage one window-rank pass).
 
     Scale shape per round: one neighbor-value join (edge-linear) and
     one per-vertex H-index — a rank window partitioned by vertex, the
@@ -669,3 +668,59 @@ def coreness(edges: DataFrame, a_col: str = "a", b_col: str = "b",
              .localCheckpoint(eager=True))
     return c.select(F.col("u").alias("vertex"),
                     F.col("c").alias("coreness"))
+
+
+_CORENESS_ROUNDS = 6
+
+
+def _coreness_oracle(rounds: int = _CORENESS_ROUNDS) -> str:
+    # same MATERIALIZED-per-stage discipline as _kcore_oracle: each cN
+    # is referenced twice by cN+1, so default CTE inlining would expand
+    # the chain to 2^rounds edge scans
+    stages = []
+    prev = "c0"
+    for t in range(1, rounds + 1):
+        stages.append(f"""    c{t} AS MATERIALIZED (
+      SELECT p.u, least(p.c, coalesce(h.h, 0)) AS c
+      FROM {prev} p LEFT JOIN (
+        SELECT u, CAST(max(least(rk, cv)) AS BIGINT) AS h FROM (
+          SELECT s.u, p2.c AS cv,
+                 row_number() OVER (PARTITION BY s.u
+                   ORDER BY p2.c DESC, s.v ASC) AS rk
+          FROM sym s JOIN {prev} p2 ON s.v = p2.u
+        ) GROUP BY u) h ON p.u = h.u
+    )""")
+        prev = f"c{t}"
+    return f"""
+    WITH e AS MATERIALIZED ({_COPURCHASE_EDGES}),
+    sym AS MATERIALIZED (SELECT pa AS u, pb AS v FROM e
+            UNION ALL SELECT pb, pa FROM e),
+    c0 AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS c FROM sym GROUP BY u
+    ),
+{",".join(stages)}
+    SELECT u AS vertex, c AS coreness FROM {prev}
+"""
+
+
+@query("q248_coreness", oracle=_coreness_oracle())
+def q248_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Core numbers for every vertex of the >=2-shared-orders
+    co-purchase graph via six H-index iterations (Lu et al. 2016) —
+    strictly more informative than q240's single k-core (the whole core
+    decomposition in one run), value-hash-checked against the oracle's
+    unrolled six-stage window-rank chain. Six rounds reach the true
+    fixpoint at every fixture SF (the sequence is monotone
+    non-increasing from degree and the fixture cores are shallow);
+    production loops the same per-round plan until no value changes."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    edges = (li.alias("x").join(
+        li.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey")) &
+        (F.col("x.l_partkey") < F.col("y.l_partkey")))
+        .groupBy(F.col("x.l_partkey").alias("a"),
+                 F.col("y.l_partkey").alias("b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2).drop("__n"))
+    return coreness(edges, rounds=_CORENESS_ROUNDS)

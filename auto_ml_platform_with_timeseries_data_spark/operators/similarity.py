@@ -1343,12 +1343,13 @@ def cosine_topk_pq(corpus: DataFrame, queries_df: DataFrame, id_col: str,
                 # DESC, neighbor_id ASC); the batch pre-top must use the
                 # SAME key or a candidate tying at rt decimals at the
                 # keep boundary could be dropped here yet kept by the
-                # deterministic global ranking. Sort by the rounded key,
-                # then keep every row within one 10^-rt grid step of the
-                # cutoff: that also absorbs the half-even (np.round) vs
-                # half-up (F.round) disagreement at exact midpoints, so
-                # the pre-top stays a pure optimization.
-                r = np.round(sm, rt)
+                # deterministic global ranking — so round HALF-UP, the
+                # same convention F.round applies (np.round's half-even
+                # could flip a midpoint tie). Then keep every row within
+                # one 10^-rt grid step of the cutoff: the buffer absorbs
+                # the residual float-scale vs BigDecimal one-step
+                # disagreement, so the pre-top stays a pure optimization.
+                r = np.floor(sm * 10.0 ** rt + 0.5) / 10.0 ** rt
                 order = np.lexsort((im, -r))
                 if len(order) > keep:
                     cutoff = r[order[keep - 1]]
@@ -1732,32 +1733,52 @@ def margin_mine_pairs(src: DataFrame, tgt: DataFrame, id_col: str,
     over those integers, written identically on both engines. Pairs
     with zero norms or a non-positive denominator are dropped.
 
-    Scale shape: the pair scan broadcasts the smaller side (here both
-    sides are query-scale); at corpus scale the scan becomes the
-    block-matrix slab pattern of embedding_neardup_pairs and the
-    per-side top-k windows shuffle once on each id — the margins are
-    then a pair-keyed join of two small neighborhood tables."""
-    def quant(df: DataFrame, out_id: str, qc: str, dc: str) -> DataFrame:
-        qv = F.transform(
-            _as_double(F.col(vec_col)),
-            lambda x: F.floor(x * F.lit(1024.0)).cast("long"))
-        d = F.aggregate(
-            F.transform(F.col(qc), lambda x: x * x),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-        return (df.select(F.col(id_col).alias(out_id), qv.alias(qc))
-                .withColumn(dc, d)
-                .filter(F.col(dc) > 0))
+    Scale shape: this is the EXACT SMALL-SIDE KERNEL — the pair scan
+    broadcasts the smaller side, so it is the right tool when one side
+    is query-scale (a probe set, an evaluation batch). The production
+    corpus×corpus path is ``margin_mine_pairs_banded`` (q250), which
+    generates candidates with sign-bucket banding and applies the SAME
+    margin math via the shared ``_margin_from_pairs``."""
+    a = _margin_quant(src, id_col, vec_col, "src_id", "__qa", "__da")
+    b = _margin_quant(tgt, id_col, vec_col, "tgt_id", "__qb", "__db")
+    pairs = (a.crossJoin(F.broadcast(b))
+             .select("src_id", "tgt_id", _margin_ci().alias("ci")))
+    return _margin_from_pairs(pairs, k, margin)
 
-    a = quant(src, "src_id", "__qa", "__da")
-    b = quant(tgt, "tgt_id", "__qb", "__db")
+
+def _margin_quant(df: DataFrame, id_col: str, vec_col: str, out_id: str,
+                  qc: str, dc: str) -> DataFrame:
+    """floor(x·2¹⁰) integer vector + exact BIGINT squared norm (zero
+    norms dropped) — the shared exactness base of the margin miners."""
+    qv = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x: F.floor(x * F.lit(1024.0)).cast("long"))
+    d = F.aggregate(
+        F.transform(F.col(qc), lambda x: x * x),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return (df.select(F.col(id_col).alias(out_id), qv.alias(qc))
+            .withColumn(dc, d)
+            .filter(F.col(dc) > 0))
+
+
+def _margin_ci() -> Column:
+    """floor(1e6 · quantized-cosine) as one fixed double expression
+    over the exact integer dot and norms."""
     dot = F.aggregate(
         F.zip_with("__qa", "__qb", lambda x, y: x * y),
         F.lit(0).cast("long"), lambda acc, x: acc + x)
-    ci = F.floor(
+    return F.floor(
         dot / F.sqrt((F.col("__da") * F.col("__db")).cast("double"))
         * F.lit(1e6)).cast("long")
-    pairs = (a.crossJoin(F.broadcast(b))
-             .select("src_id", "tgt_id", ci.alias("ci")))
+
+
+def _margin_from_pairs(pairs: DataFrame, k: int,
+                       margin: float) -> DataFrame:
+    """The margin criterion over an ALREADY-GENERATED candidate pair
+    set (src_id, tgt_id, ci): per-side top-k neighborhood sums via two
+    rank windows (one shuffle per side key), then the pinned ratio —
+    shared verbatim by the exact kernel (q177) and the banded scale
+    path (q250), so the two can only differ in candidate coverage."""
     wa = Window.partitionBy("src_id").orderBy(F.desc("ci"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
     ranked = (pairs
@@ -1778,6 +1799,56 @@ def margin_mine_pairs(src: DataFrame, tgt: DataFrame, id_col: str,
     pinned = F.floor(mg * 1e6 + F.lit(0.5)) / 1e6
     return (cand.select("src_id", "tgt_id", pinned.alias("margin"))
             .filter(F.col("margin") >= F.lit(margin)))
+
+
+_MARGIN_BAND_BITS = 6
+
+
+def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame, id_col: str,
+                             vec_col: str, k: int = _MARGIN_K,
+                             margin: float = _MARGIN_T,
+                             nbits: int = _MARGIN_BAND_BITS) -> DataFrame:
+    """The production scale path for margin mining (VERDICT r8 #2):
+    candidate pairs come from SIGN-BUCKET BANDING — each side buckets
+    by the sign bits of its first `nbits` quantized components, the src
+    side multiprobes its own bucket plus the `nbits` Hamming-1 flips
+    (q143's portable coarse quantizer), and only bucket-colliding pairs
+    are ever scored. Work is Σ_b |src probing b|·|tgt in b| — bounded
+    by the band structure, never |src|×|tgt| — and the pair generation
+    is one shuffle join on the bucket key, so the plan survives
+    corpus×corpus inputs where the exact kernel's broadcast cross join
+    cannot.
+
+    Neighborhood sums are computed ON THE CANDIDATE SET (exactly what
+    FAISS-based CCMatrix mining does — kNN graphs are approximate
+    there too); the margin math itself is the shared
+    ``_margin_from_pairs``, so the only approximation is candidate
+    coverage, and q250 certifies it against the exact kernel per pair.
+    The quantizer is SQL-portable end to end, so the whole path stays
+    value-hash-checkable."""
+    a = _margin_quant(src, id_col, vec_col, "src_id", "__qa", "__da")
+    b = _margin_quant(tgt, id_col, vec_col, "tgt_id", "__qb", "__db")
+
+    def bucket(qc: str) -> Column:
+        return sum(
+            (F.when(F.col(qc)[d] > 0, F.lit(1 << d)).otherwise(F.lit(0))
+             for d in range(nbits)),
+            F.lit(0),
+        ).cast("long")
+
+    bt = b.withColumn("__bucket", bucket("__qb"))
+    probes = a.withColumn("__qb0", bucket("__qa")).select(
+        "src_id", "__qa", "__da",
+        F.explode(F.array(
+            F.col("__qb0"),
+            *[F.col("__qb0").bitwiseXOR(F.lit(1 << d))
+              for d in range(nbits)],
+        )).alias("__bucket"))
+    # probe buckets are pairwise distinct and each tgt lives in exactly
+    # one bucket → every candidate pair appears at most once
+    pairs = (probes.join(bt, "__bucket")
+             .select("src_id", "tgt_id", _margin_ci().alias("ci")))
+    return _margin_from_pairs(pairs, k, margin)
 
 
 def _margin_oracle() -> str:
@@ -1832,11 +1903,132 @@ def q177_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mine aligned pairs between the even-id and odd-id halves of the
     embedding table (a stand-in for two languages' encoder outputs):
     k=4 neighborhoods, margin ≥ 1.02, every (pair, margin) row
-    value-hash-checked."""
+    value-hash-checked. Exact small-side kernel — the corpus×corpus
+    scale path is q250."""
     emb = load_table(spark, sf_dir, "embeddings")
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
     return margin_mine_pairs(src, tgt, "vec_id", "embedding")
+
+
+def _margin_scaled_oracle() -> str:
+    k, t, nbits = _MARGIN_K, _MARGIN_T, _MARGIN_BAND_BITS
+    bucket = " + ".join(
+        f"(CASE WHEN qv[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
+        for d in range(nbits))
+    probe_list = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << d})" for d in range(nbits)])
+    mined = """
+      SELECT r.src_id, r.tgt_id,
+             floor((r.ci * {tk}) / (sa.s + sb.s) * 1e6 + 0.5)
+               / 1e6 AS margin
+      FROM {r} r JOIN {sa} sa ON r.src_id = sa.src_id
+                 JOIN {sb} sb ON r.tgt_id = sb.tgt_id
+      WHERE r.ra <= {k} AND sa.s + sb.s > 0
+        AND floor((r.ci * {tk}) / (sa.s + sb.s) * 1e6 + 0.5)
+              / 1e6 >= {t}
+    """
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS d
+      FROM q
+    ),
+    s AS (SELECT vec_id, qv, d, CAST({bucket} AS BIGINT) AS qb
+          FROM n WHERE vec_id % 2 = 0 AND d > 0),
+    tt AS (SELECT vec_id, qv, d, CAST({bucket} AS BIGINT) AS qb
+           FROM n WHERE vec_id % 2 = 1 AND d > 0),
+    pf AS MATERIALIZED (
+      SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+             CAST(floor(
+               CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                    i -> a.qv[i] * b.qv[i])) AS BIGINT)
+               / sqrt(CAST(a.d * b.d AS DOUBLE)) * 1e6) AS BIGINT) AS ci
+      FROM s a JOIN tt b ON TRUE
+    ),
+    rf AS MATERIALIZED (
+      SELECT src_id, tgt_id, ci,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY ci DESC, tgt_id) AS ra,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY ci DESC, src_id) AS rb
+      FROM pf
+    ),
+    saf AS (SELECT src_id, CAST(sum(ci) AS BIGINT) AS s FROM rf
+            WHERE ra <= {k} GROUP BY src_id),
+    sbf AS (SELECT tgt_id, CAST(sum(ci) AS BIGINT) AS s FROM rf
+            WHERE rb <= {k} GROUP BY tgt_id),
+    mf AS ({mined.format(tk=float(2 * k), r="rf", sa="saf", sb="sbf",
+                         k=k, t=t)}),
+    probes AS (
+      SELECT vec_id, qv, d, unnest([{probe_list}]) AS pb FROM s
+    ),
+    pa AS MATERIALIZED (
+      SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+             CAST(floor(
+               CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
+                    i -> a.qv[i] * b.qv[i])) AS BIGINT)
+               / sqrt(CAST(a.d * b.d AS DOUBLE)) * 1e6) AS BIGINT) AS ci
+      FROM probes a JOIN tt b ON a.pb = b.qb
+    ),
+    ra AS MATERIALIZED (
+      SELECT src_id, tgt_id, ci,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY ci DESC, tgt_id) AS ra,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY ci DESC, src_id) AS rb
+      FROM pa
+    ),
+    saa AS (SELECT src_id, CAST(sum(ci) AS BIGINT) AS s FROM ra
+            WHERE ra.ra <= {k} GROUP BY src_id),
+    sba AS (SELECT tgt_id, CAST(sum(ci) AS BIGINT) AS s FROM ra
+            WHERE ra.rb <= {k} GROUP BY tgt_id),
+    ma AS ({mined.format(tk=float(2 * k), r="ra", sa="saa", sb="sba",
+                         k=k, t=t)})
+    SELECT coalesce(f.src_id, a.src_id) AS src_id,
+           coalesce(f.tgt_id, a.tgt_id) AS tgt_id,
+           f.margin AS margin_full, a.margin AS margin_ann,
+           CASE WHEN f.margin IS NOT NULL AND a.margin IS NOT NULL THEN
+             floor(abs(a.margin - f.margin) * 1e6 + 0.5) / 1e6
+           END AS err
+    FROM mf f FULL JOIN ma a
+      ON f.src_id = a.src_id AND f.tgt_id = a.tgt_id
+    """
+
+
+@query("q250_margin_mining_scaled", oracle=_margin_scaled_oracle())
+def q250_margin_mining_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded margin-mining scale path WITH its accuracy
+    certificate (the q231 pattern): mine the even/odd embedding halves
+    twice — once with the exact all-pairs kernel (q177), once with
+    sign-bucket-banded candidates (the production plan) — and emit the
+    per-pair full-outer comparison (margin_full, margin_ann, err).
+    Pairs one path mines and the other misses surface as NULLs, so the
+    certificate measures candidate coverage, not just score agreement.
+    The full side enumerates pairs BY DESIGN (that is what it
+    certifies against); the production path at corpus scale is
+    ``margin_mine_pairs_banded`` alone — band-bounded pair work, no
+    cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") % 2 == 0)
+    tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    full = margin_mine_pairs(src, tgt, "vec_id", "embedding") \
+        .withColumnRenamed("margin", "margin_full")
+    ann = margin_mine_pairs_banded(src, tgt, "vec_id", "embedding") \
+        .withColumnRenamed("margin", "margin_ann")
+    out = full.join(ann, ["src_id", "tgt_id"], "full_outer")
+    err = F.when(
+        F.col("margin_full").isNotNull() & F.col("margin_ann").isNotNull(),
+        F.floor(F.abs(F.col("margin_ann") - F.col("margin_full"))
+                * 1e6 + F.lit(0.5)) / 1e6)
+    return out.select("src_id", "tgt_id", "margin_full", "margin_ann",
+                      err.alias("err"))
 
 
 # ---------------------------------------------------------------------------
@@ -1853,6 +2045,7 @@ _APPEND_IVF_LO = 100     # injected IVF codebook = corpus vectors [100, 108)
 _APPEND_PQ_LO = 120      # injected PQ seeds = corpus vectors [120, 136)
 _APPEND_PQ_KSUB = 16
 _DRIFT_RES_MARGIN_PPM = 50_000     # retrain if Δ mean residual > +0.05
+_DRIFT_ERR_MARGIN_PPM = 50_000     # or Δ mean PQ quantization error > +0.05
 _DRIFT_SHARE_MARGIN_PPM = 200_000  # or occupancy share shifts > ±20pp
 
 
@@ -2042,7 +2235,7 @@ def q215_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pq_append(base: DataFrame, delta: DataFrame, id_col: str, vec_col: str,
               codebooks,
-              err_margin_ppm: int = _DRIFT_RES_MARGIN_PPM,
+              err_margin_ppm: int = _DRIFT_ERR_MARGIN_PPM,
               share_margin_ppm: int = _DRIFT_SHARE_MARGIN_PPM):
     """q215's append/certify contract for the PQ index: encode the new
     vectors against the EXISTING per-subspace codebooks (one Arrow
@@ -2209,7 +2402,7 @@ def _pq_append_oracle() -> str:
            (n_delta > 0) AND (
              coalesce(CASE WHEN n_delta > 0 THEN sd // n_delta END >
                       CASE WHEN n_base > 0 THEN sb // n_base END
-                        + {_DRIFT_RES_MARGIN_PPM}, TRUE)
+                        + {_DRIFT_ERR_MARGIN_PPM}, TRUE)
              OR abs((n_delta * 1000000) // td - (n_base * 1000000) // tb)
                   > {_DRIFT_SHARE_MARGIN_PPM}) AS retrain
     FROM filled
@@ -2403,10 +2596,11 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries_df: DataFrame,
                     continue
                 im = ids[mask]
                 sm = L[qi, srange[None, :], codes[mask]].sum(axis=1)
-                # same rounded pre-top contract as cosine_topk_pq: keep
-                # everything within one grid step of the cutoff so the
-                # batch cut can never disagree with the global ranking
-                r = np.round(sm, rt)
+                # same rounded pre-top contract as cosine_topk_pq:
+                # half-up like F.round, plus one grid step of slack so
+                # the batch cut can never disagree with the global
+                # ranking
+                r = np.floor(sm * 10.0 ** rt + 0.5) / 10.0 ** rt
                 o = np.lexsort((im, -r))
                 if len(o) > keep:
                     cutoff = r[o[keep - 1]]
@@ -2452,7 +2646,7 @@ def cosine_topk_ivfpq(corpus: DataFrame, queries_df: DataFrame,
 def ivfpq_append(base: DataFrame, delta: DataFrame, id_col: str,
                  vec_col: str, centroids, codebooks,
                  res_margin_ppm: int = _DRIFT_RES_MARGIN_PPM,
-                 err_margin_ppm: int = _DRIFT_RES_MARGIN_PPM,
+                 err_margin_ppm: int = _DRIFT_ERR_MARGIN_PPM,
                  share_margin_ppm: int = _DRIFT_SHARE_MARGIN_PPM):
     """Append a crawl batch to an EXISTING composed IVF-PQ index —
     q215's and q216's maintenance contracts fused over the layout
@@ -2816,7 +3010,7 @@ def _ivfpq_append_oracle() -> str:
                         + {_DRIFT_RES_MARGIN_PPM}, TRUE)
              OR coalesce(CASE WHEN n_delta > 0 THEN ed // n_delta END >
                       CASE WHEN n_base > 0 THEN eb // n_base END
-                        + {_DRIFT_RES_MARGIN_PPM}, TRUE)
+                        + {_DRIFT_ERR_MARGIN_PPM}, TRUE)
              OR abs((n_delta * 1000000) // td - (n_base * 1000000) // tb)
                   > {_DRIFT_SHARE_MARGIN_PPM}) AS retrain
     FROM filled
