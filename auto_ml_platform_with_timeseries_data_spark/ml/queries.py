@@ -505,3 +505,31 @@ def q208_ts_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("test_rmse"),
         F.col("b").alias("coef_0"), F.col("c0").alias("intercept"),
     )
+
+
+def automl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL end-to-end workload as one benchmarkable
+    unit (VERDICT r8 #3): Task.ingest → pre_analyze →
+    set_supervised_options → train(fast CV over the M2 grid) →
+    evaluate-on-test, over lineitem's numeric features predicting
+    l_extendedprice with a deterministic 80/20 hash split. NOT
+    registered as a correctness query — CV internals are pinned by
+    q166's planted optimum; this exists so bench.py's 2× wall gate
+    covers the M1-M9 surface, not just the per-operator queries.
+    Returns the one-row test RMSE frame (training already ran eagerly
+    inside train())."""
+    from auto_ml_platform_with_timeseries_data_spark.catalog import Task
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice",
+        (F.crc32(F.concat_ws("|", "l_orderkey", "l_linenumber")) % 5)
+        .alias("__fold"))
+    train = li.filter(F.col("__fold") != 0).drop("__fold")
+    test = li.filter(F.col("__fold") == 0).drop("__fold")
+    task = Task(spark, "bench_automl_e2e",
+                storage_dir="/tmp/sparkgraft_bench_automl")
+    task.ingest(train).ingest_test(test)
+    task.pre_analyze()
+    task.set_supervised_options(label="l_extendedprice")
+    task.train(mode="regression", fast=True)
+    return task.evaluate()["rmse"]

@@ -633,8 +633,9 @@ def coreness(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     vertex's value with the H-index of its neighbors' values (the
     largest h such that ≥ h neighbors hold value ≥ h). The sequence is
     monotone non-increasing and converges to coreness exactly; on a
-    graph with n vertices it converges in at most n rounds and in
-    practice in a handful. Registered as q248 after a one-round
+    graph with n vertices it converges in at most n rounds (fixture
+    measurements: 5 rounds at sf0.1, 10 at sf0.01, >14 on sf0.001's
+    thin chains — see q248). Registered as q248 after a one-round
     oracle-draft gate — the oracle is the same unrolled-stage shape as
     q240's (each stage one window-rank pass).
 
@@ -709,10 +710,15 @@ def q248_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-purchase graph via six H-index iterations (Lu et al. 2016) —
     strictly more informative than q240's single k-core (the whole core
     decomposition in one run), value-hash-checked against the oracle's
-    unrolled six-stage window-rank chain. Six rounds reach the true
-    fixpoint at every fixture SF (the sequence is monotone
-    non-increasing from degree and the fixture cores are shallow);
-    production loops the same per-round plan until no value changes."""
+    unrolled six-stage window-rank chain. Six rounds is the FIXED
+    SCHEDULE contract (q130/q240): the monotone non-increasing 6-round
+    value is well-defined at any size and both engines compute exactly
+    it. Measured descent (round-9 session): sf0.1 reaches the true
+    fixpoint at round 5; sf0.01 at round 10; sf0.001 still sheds 1-5
+    vertices/round past round 14 (long thin chains — H-index descent
+    is worst-case O(n) rounds). Production loops the same per-round
+    plan until no value changes; per-round wall is edge-linear
+    (measured 1.7x at 10x edges, BASELINE.md)."""
     li = (load_table(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_partkey").distinct())
     edges = (li.alias("x").join(

@@ -1778,7 +1778,15 @@ def _margin_from_pairs(pairs: DataFrame, k: int,
     set (src_id, tgt_id, ci): per-side top-k neighborhood sums via two
     rank windows (one shuffle per side key), then the pinned ratio —
     shared verbatim by the exact kernel (q177) and the banded scale
-    path (q250), so the two can only differ in candidate coverage."""
+    path (q250), so the two can only differ in candidate coverage.
+
+    The ranked frame feeds three consumers (cand/sa/sb), so the pair
+    generation recomputes 3x. Persisting it was MEASURED and rejected
+    (round 9, sf0.1 full+banded: warm 14.8 s unpersisted vs 16.7-17.4 s
+    persisted — cache write/read costs more than the recompute, and
+    Spark 4's WindowGroupLimit already prunes each recompute to top-k
+    per group before the final window). At corpus scale the candidate
+    frame is band-bounded, so the same tradeoff holds per cell."""
     wa = Window.partitionBy("src_id").orderBy(F.desc("ci"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
     ranked = (pairs
@@ -1801,52 +1809,79 @@ def _margin_from_pairs(pairs: DataFrame, k: int,
             .filter(F.col("margin") >= F.lit(margin)))
 
 
-_MARGIN_BAND_BITS = 6
+_MARGIN_IVF_LO = 10      # injected centroids = embeddings [10, 18)
+_MARGIN_IVF_CELLS = 8
+_MARGIN_IVF_PROBE = 4
+# Fixture-dial accuracy, measured via the q250 certificate (sf0.01 /
+# sf0.1): pair-agreement with exact mining 0.70 / 0.74, mean |Δmargin|
+# on common pairs 0.041 / 0.022 at half the pair work (probe 4 of 8
+# untrained injected cells). The synthetic embeddings are near-uniform
+# (no cluster structure — the hardest case for IVF); production dials
+# (trained k-means codebook, 2^10+ cells, nprobe ~32) recover
+# CCMatrix-grade neighborhoods at ~3% of the pair work. The dial
+# sweep is recorded in BASELINE.md §q250.
 
 
-def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame, id_col: str,
+def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame,
+                             centroids: DataFrame, id_col: str,
                              vec_col: str, k: int = _MARGIN_K,
                              margin: float = _MARGIN_T,
-                             nbits: int = _MARGIN_BAND_BITS) -> DataFrame:
+                             nprobe: int = _MARGIN_IVF_PROBE) -> DataFrame:
     """The production scale path for margin mining (VERDICT r8 #2):
-    candidate pairs come from SIGN-BUCKET BANDING — each side buckets
-    by the sign bits of its first `nbits` quantized components, the src
-    side multiprobes its own bucket plus the `nbits` Hamming-1 flips
-    (q143's portable coarse quantizer), and only bucket-colliding pairs
-    are ever scored. Work is Σ_b |src probing b|·|tgt in b| — bounded
-    by the band structure, never |src|×|tgt| — and the pair generation
-    is one shuffle join on the bucket key, so the plan survives
-    corpus×corpus inputs where the exact kernel's broadcast cross join
-    cannot.
+    candidate pairs come from IVF CELLS instead of an all-pairs cross
+    join — every tgt is assigned to its nearest centroid, every src
+    probes its `nprobe` nearest cells (q144's injected-codebook
+    machinery), and only cell-colliding pairs are ever scored. Work is
+    Σ_c |src probing c|·|tgt in c| ≈ nprobe/cells of the pair matrix
+    with locality-CORRELATED candidates (the cells are
+    nearest-centroid regions, so a src's true neighbors concentrate in
+    its probed cells — the reason FAISS-based CCMatrix mining probes
+    IVF cells too). Pair generation is one shuffle join on the cell
+    key; nothing corpus-sized is broadcast or crossed.
 
-    Neighborhood sums are computed ON THE CANDIDATE SET (exactly what
-    FAISS-based CCMatrix mining does — kNN graphs are approximate
-    there too); the margin math itself is the shared
-    ``_margin_from_pairs``, so the only approximation is candidate
-    coverage, and q250 certifies it against the exact kernel per pair.
-    The quantizer is SQL-portable end to end, so the whole path stays
-    value-hash-checkable."""
+    Cell assignment uses the SAME quantized-integer cosine as the
+    margin itself (one fixed double expression over exact BIGINTs,
+    ranked with a cid tiebreak), so the partition is bit-reproducible
+    in SQL and the whole path stays value-hash-checkable. Neighborhood
+    sums are computed ON THE CANDIDATE SET (as in CCMatrix — its kNN
+    graphs are approximate too); the margin math is the shared
+    ``_margin_from_pairs``, so the paths can only differ in candidate
+    coverage, which q250 certifies per pair against the exact
+    kernel."""
     a = _margin_quant(src, id_col, vec_col, "src_id", "__qa", "__da")
     b = _margin_quant(tgt, id_col, vec_col, "tgt_id", "__qb", "__db")
-
-    def bucket(qc: str) -> Column:
-        return sum(
-            (F.when(F.col(qc)[d] > 0, F.lit(1 << d)).otherwise(F.lit(0))
-             for d in range(nbits)),
-            F.lit(0),
-        ).cast("long")
-
-    bt = b.withColumn("__bucket", bucket("__qb"))
-    probes = a.withColumn("__qb0", bucket("__qa")).select(
-        "src_id", "__qa", "__da",
-        F.explode(F.array(
-            F.col("__qb0"),
-            *[F.col("__qb0").bitwiseXOR(F.lit(1 << d))
-              for d in range(nbits)],
-        )).alias("__bucket"))
-    # probe buckets are pairwise distinct and each tgt lives in exactly
-    # one bucket → every candidate pair appears at most once
-    pairs = (probes.join(bt, "__bucket")
+    c = _margin_quant(centroids, id_col, vec_col, "__cid", "__qb", "__db")
+    c = c.withColumn(
+        "__cid", F.row_number().over(
+            Window.orderBy("__cid")) - 1)  # dense 0-based cell ids
+    asg = (a.crossJoin(F.broadcast(c))
+           .select("src_id", "__qa", "__da", "__cid",
+                   _margin_ci().alias("__cci")))
+    wc = Window.partitionBy("src_id").orderBy(F.desc("__cci"),
+                                              F.asc("__cid"))
+    probes = (asg.withColumn("__rk", F.row_number().over(wc))
+              .filter(F.col("__rk") <= nprobe)
+              .select("src_id", "__qa", "__da", "__cid"))
+    tasg = (b.withColumnRenamed("__qb", "__qt")
+            .withColumnRenamed("__db", "__dt")
+            .crossJoin(F.broadcast(
+                c.select(F.col("__cid"),
+                         F.col("__qb").alias("__qc"),
+                         F.col("__db").alias("__dc")))))
+    tdot = F.aggregate(
+        F.zip_with("__qt", "__qc", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    tci = F.floor(
+        tdot / F.sqrt((F.col("__dt") * F.col("__dc")).cast("double"))
+        * F.lit(1e6)).cast("long")
+    wt = Window.partitionBy("tgt_id").orderBy(F.desc(tci), F.asc("__cid"))
+    cells = (tasg.withColumn("__rk", F.row_number().over(wt))
+             .filter(F.col("__rk") == 1)
+             .select("tgt_id", F.col("__qt").alias("__qb"),
+                     F.col("__dt").alias("__db"), "__cid"))
+    # each tgt lives in exactly one cell and probe cells are distinct
+    # → every candidate pair appears at most once
+    pairs = (probes.join(cells, "__cid")
              .select("src_id", "tgt_id", _margin_ci().alias("ci")))
     return _margin_from_pairs(pairs, k, margin)
 
@@ -1912,12 +1947,13 @@ def q177_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _margin_scaled_oracle() -> str:
-    k, t, nbits = _MARGIN_K, _MARGIN_T, _MARGIN_BAND_BITS
-    bucket = " + ".join(
-        f"(CASE WHEN qv[{d + 1}] > 0 THEN {1 << d} ELSE 0 END)"
-        for d in range(nbits))
-    probe_list = ", ".join(
-        ["qb"] + [f"xor(qb, {1 << d})" for d in range(nbits)])
+    k, t = _MARGIN_K, _MARGIN_T
+    lo, hi = _MARGIN_IVF_LO, _MARGIN_IVF_LO + _MARGIN_IVF_CELLS
+    nprobe = _MARGIN_IVF_PROBE
+    cci = """CAST(floor(
+               CAST(list_sum(list_transform(range(1, len({v}.qv) + 1),
+                    i -> {v}.qv[i] * c.cqv[i])) AS BIGINT)
+               / sqrt(CAST({v}.d * c.cd AS DOUBLE)) * 1e6) AS BIGINT)"""
     mined = """
       SELECT r.src_id, r.tgt_id,
              floor((r.ci * {tk}) / (sa.s + sb.s) * 1e6 + 0.5)
@@ -1940,10 +1976,13 @@ def _margin_scaled_oracle() -> str:
              CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS d
       FROM q
     ),
-    s AS (SELECT vec_id, qv, d, CAST({bucket} AS BIGINT) AS qb
-          FROM n WHERE vec_id % 2 = 0 AND d > 0),
-    tt AS (SELECT vec_id, qv, d, CAST({bucket} AS BIGINT) AS qb
-           FROM n WHERE vec_id % 2 = 1 AND d > 0),
+    s AS (SELECT vec_id, qv, d FROM n WHERE vec_id % 2 = 0 AND d > 0),
+    tt AS (SELECT vec_id, qv, d FROM n WHERE vec_id % 2 = 1 AND d > 0),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             qv AS cqv, d AS cd
+      FROM n WHERE vec_id >= {lo} AND vec_id < {hi} AND d > 0
+    ),
     pf AS MATERIALIZED (
       SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
              CAST(floor(
@@ -1966,16 +2005,29 @@ def _margin_scaled_oracle() -> str:
             WHERE rb <= {k} GROUP BY tgt_id),
     mf AS ({mined.format(tk=float(2 * k), r="rf", sa="saf", sb="sbf",
                          k=k, t=t)}),
-    probes AS (
-      SELECT vec_id, qv, d, unnest([{probe_list}]) AS pb FROM s
+    sasg AS (
+      SELECT a.vec_id, a.qv, a.d, c.cid,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {cci.format(v="a")} DESC,
+                                         c.cid) AS rk
+      FROM s a, cent c
     ),
+    sprobes AS (SELECT vec_id, qv, d, cid FROM sasg WHERE rk <= {nprobe}),
+    tasg AS (
+      SELECT b.vec_id, b.qv, b.d, c.cid,
+             row_number() OVER (PARTITION BY b.vec_id
+                                ORDER BY {cci.format(v="b")} DESC,
+                                         c.cid) AS rk
+      FROM tt b, cent c
+    ),
+    tcells AS (SELECT vec_id, qv, d, cid FROM tasg WHERE rk = 1),
     pa AS MATERIALIZED (
       SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
              CAST(floor(
                CAST(list_sum(list_transform(range(1, len(a.qv) + 1),
                     i -> a.qv[i] * b.qv[i])) AS BIGINT)
                / sqrt(CAST(a.d * b.d AS DOUBLE)) * 1e6) AS BIGINT) AS ci
-      FROM probes a JOIN tt b ON a.pb = b.qb
+      FROM sprobes a JOIN tcells b ON a.cid = b.cid
     ),
     ra AS MATERIALIZED (
       SELECT src_id, tgt_id, ci,
@@ -2004,23 +2056,27 @@ def _margin_scaled_oracle() -> str:
 
 @query("q250_margin_mining_scaled", oracle=_margin_scaled_oracle())
 def q250_margin_mining_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The banded margin-mining scale path WITH its accuracy
+    """The IVF-banded margin-mining scale path WITH its accuracy
     certificate (the q231 pattern): mine the even/odd embedding halves
     twice — once with the exact all-pairs kernel (q177), once with
-    sign-bucket-banded candidates (the production plan) — and emit the
-    per-pair full-outer comparison (margin_full, margin_ann, err).
-    Pairs one path mines and the other misses surface as NULLs, so the
-    certificate measures candidate coverage, not just score agreement.
-    The full side enumerates pairs BY DESIGN (that is what it
-    certifies against); the production path at corpus scale is
-    ``margin_mine_pairs_banded`` alone — band-bounded pair work, no
-    cross join."""
+    cell-banded candidates over the injected [10, 18) codebook (the
+    production plan) — and emit the per-pair full-outer comparison
+    (margin_full, margin_ann, err). Pairs one path mines and the other
+    misses surface as NULLs, so the certificate measures candidate
+    coverage, not just score agreement. The full side enumerates pairs
+    BY DESIGN (that is what it certifies against); the production path
+    at corpus scale is ``margin_mine_pairs_banded`` alone —
+    cell-bounded pair work, no cross join."""
     emb = load_table(spark, sf_dir, "embeddings")
     src = emb.filter(F.col("vec_id") % 2 == 0)
     tgt = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = emb.filter((F.col("vec_id") >= _MARGIN_IVF_LO) &
+                       (F.col("vec_id") < _MARGIN_IVF_LO
+                        + _MARGIN_IVF_CELLS))
     full = margin_mine_pairs(src, tgt, "vec_id", "embedding") \
         .withColumnRenamed("margin", "margin_full")
-    ann = margin_mine_pairs_banded(src, tgt, "vec_id", "embedding") \
+    ann = margin_mine_pairs_banded(src, tgt, cents, "vec_id",
+                                   "embedding") \
         .withColumnRenamed("margin", "margin_ann")
     out = full.join(ann, ["src_id", "tgt_id"], "full_outer")
     err = F.when(

@@ -1148,3 +1148,143 @@ def ivfpq_index_epoch(sp: SparkSession, bdf: DataFrame, epoch_id: int,
     out = os.path.join(state_root, f"epoch={epoch_id}")
     enc.write.mode("overwrite").parquet(out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q251 — streaming NEAR-dup screening (VERDICT r8 #4): q236's
+# epoch-versioned index loop composed with q230's banded near screen.
+# Per micro-batch: fingerprint ONLY the batch's media, near-screen the
+# batch against the union of COMPLETE prior epochs' index (banded
+# Hamming join — delta band rows + true candidates, never corpus²),
+# write the pairs to screen/epoch={id}, THEN append the batch's novel
+# exact fingerprints to the index. This closes the incremental-
+# multimodal matrix: exact maintenance (q224-q226), batch near screens
+# (q230/q237/q238), streaming exact (q236), streaming near (here).
+# ---------------------------------------------------------------------------
+
+
+def perceptual_screen_epoch(sp: SparkSession, bdf: DataFrame,
+                            epoch_id: int, state_root: str,
+                            screen_root: str) -> None:
+    """One micro-batch of screen-then-append: both the screen output
+    and the index delta anti-join/band-join ONLY epochs STRICTLY BELOW
+    this one, so an at-least-once replay of the in-flight epoch
+    regenerates byte-identical outputs and overwrites its own two
+    directories — idempotent regardless of which write a crash tore
+    (the q204/q236 restart discipline, now over paired state)."""
+    import os
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs_delta,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+        _NP_MAXH,
+        image_dhash,
+        synth_bmp_media_mixed,
+    )
+
+    fp = (image_dhash(synth_bmp_media_mixed(bdf))
+          .localCheckpoint(eager=True))
+    versions = rollup_versions(state_root)
+    prev = [p for e, p in versions.items() if e < epoch_id]
+    delta_idx = (fp.groupBy("dhash_lo", "dhash_hi")
+                 .agg(F.min("media_id").alias("canonical_id")))
+    if prev:
+        known = sp.read.parquet(*prev)
+        pairs = hamming_band_pairs_delta(
+            fp,
+            known.select(F.col("canonical_id").alias("media_id"),
+                         "dhash_lo", "dhash_hi"),
+            "media_id", [("dhash_lo", 32), ("dhash_hi", 32)], _NP_MAXH)
+        delta_idx = delta_idx.join(
+            known.select("dhash_lo", "dhash_hi"),
+            ["dhash_lo", "dhash_hi"], "left_anti")
+    else:
+        pairs = sp.createDataFrame(
+            [], "delta_id long, corpus_id long, hamming int")
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(screen_root, f"epoch={epoch_id}"))
+    delta_idx.write.mode("overwrite").parquet(
+        os.path.join(state_root, f"epoch={epoch_id}"))
+
+
+def _stream_near_screen_oracle() -> str:
+    from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+        _NP_DOCS,
+        _NP_MAXH,
+        _mixed_dhash_cte,
+    )
+
+    return f"""
+    WITH ids AS (
+      SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS b
+      FROM documents WHERE doc_id < {_NP_DOCS}
+    ),
+    h0 AS ({_mixed_dhash_cte()}),
+    h AS (
+      SELECT h0.doc_id, ids.b, h0.dhash_lo, h0.dhash_hi
+      FROM h0 JOIN ids ON h0.doc_id = ids.doc_id
+    ),
+    canon AS (
+      SELECT dhash_lo, dhash_hi,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id,
+             min(b) AS b0
+      FROM h GROUP BY 1, 2
+    )
+    SELECT d.doc_id AS delta_id, c.canonical_id AS corpus_id,
+           CAST(bit_count(xor(d.dhash_lo, c.dhash_lo))
+                + bit_count(xor(d.dhash_hi, c.dhash_hi)) AS INT)
+             AS hamming
+    FROM h d JOIN canon c ON c.b0 < d.b
+    WHERE bit_count(xor(d.dhash_lo, c.dhash_lo))
+          + bit_count(xor(d.dhash_hi, c.dhash_hi)) <= {_NP_MAXH}
+    """
+
+
+@query("q251_stream_near_screen", oracle=_stream_near_screen_oracle())
+def q251_stream_near_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling near-dup screening END TO END as a stream: four
+    doc_id-ordered micro-batches of mixed-family media each fingerprint
+    their own images, band-join the on-disk index of every COMPLETE
+    earlier epoch (near pairs at Hamming ≤ 2 land in
+    screen/epoch={id}), then append their novel fingerprints. After
+    the drain, the union of screen epochs must equal the batch
+    semantics the oracle states directly: every (batch doc, earlier-
+    batch canonical) pair within the Hamming bound — the q230 screen
+    run incrementally, with the pigeonhole recall bound per pair.
+    Every (delta, corpus, hamming) row value-hash-checked against the
+    arithmetic dHash recomputation."""
+    import uuid
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+        _NP_DOCS,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.staging import (
+        staging_dir,
+    )
+
+    stage_dir = _staged_media_id_batches(spark, sf_dir, _NP_DOCS)
+    state_root = staging_dir("stream_nscreen_idx")   # wiped per call
+    screen_root = staging_dir("stream_nscreen_out")
+    ckpt = staging_dir("stream_nscreen_ckpt")
+
+    def step(bdf: DataFrame, epoch_id: int) -> None:
+        perceptual_screen_epoch(bdf.sparkSession, bdf, epoch_id,
+                                state_root, screen_root)
+
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+    q = (stream.writeStream.foreachBatch(step)
+         .option("checkpointLocation", ckpt)
+         .queryName(f"q251nscreen{uuid.uuid4().hex[:8]}")
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    screens = rollup_versions(screen_root)
+    return spark.read.parquet(*screens.values()).select(
+        F.col("delta_id").cast("long").alias("delta_id"),
+        F.col("corpus_id").cast("long").alias("corpus_id"),
+        F.col("hamming").cast("int").alias("hamming"))

@@ -119,6 +119,17 @@ HEADLINE = [
     "q242_benford_audit",
     "q243_roc_auc",
     "q244_cohens_kappa",
+    # round-9 additions; automl_e2e is the reference's actual workload
+    # (Task.ingest→train(fast CV)→evaluate, M1-M9) timed end to end so
+    # AutoML regressions hit the 2x gate, not just pytest — it is a
+    # bench-only entry (CV selection semantics are pinned by q166)
+    "q245_conformal_quantile",
+    "q246_brier_decomposition",
+    "q247_group_auc",
+    "q248_coreness",
+    "q249_negative_samples",
+    "q250_margin_mining_scaled",
+    "automl_e2e",
 ]
 
 
@@ -137,7 +148,13 @@ def main() -> int:
     from auto_ml_platform_with_timeseries_data_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
-    qs = registry.queries()
+    qs = dict(registry.queries())
+    # bench-only entries: timed under the same gate, not in the
+    # correctness registry (no SQL oracle; see their docstrings)
+    from auto_ml_platform_with_timeseries_data_spark.ml.queries import (
+        automl_e2e,
+    )
+    qs["automl_e2e"] = automl_e2e
 
     names = only or (sorted(qs) if run_all else [n for n in HEADLINE if n in qs])
 

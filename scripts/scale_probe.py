@@ -934,6 +934,75 @@ def main() -> int:
 
     run("k_core", lambda: kcore(False), lambda: kcore(True))
 
+    # round-9 additions. coreness (q248): fixed 6-round H-index
+    # schedule — per round one edge-linear neighbor join + per-vertex
+    # rank window; staged copies replicate orders so edges grow
+    # linearly and wall should track edges × rounds
+    def corene(path_based):
+        df = li(path_based).select("l_orderkey", "l_partkey").distinct()
+        edges = (df.alias("x").join(
+            df.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey")) &
+            (F.col("x.l_partkey") < F.col("y.l_partkey")))
+            .groupBy(F.col("x.l_partkey").alias("a"),
+                     F.col("y.l_partkey").alias("b"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2).drop("__n"))
+        return graph.coreness(edges, rounds=6).count()
+
+    run("coreness", lambda: corene(False), lambda: corene(True))
+
+    # banded margin mining (q250's production path): cells GROW with
+    # the corpus (8 injected centroids per staged copy — the honest
+    # IVF contract), nprobe fixed at 4, so candidate pairs grow
+    # ~linearly (src×tgt grows copies², the probed fraction shrinks
+    # 1/copies) — unlike the exact kernel's pure copies² cross join
+    def margin_banded(path_based):
+        d = embN() if path_based else emb1()
+        cents = d.filter((F.col("vec_id") % 10_000_000 >= 10) &
+                         (F.col("vec_id") % 10_000_000 < 18))
+        return similarity.margin_mine_pairs_banded(
+            d.filter(F.col("vec_id") % 2 == 0),
+            d.filter(F.col("vec_id") % 2 == 1),
+            cents, "vec_id", "embedding").count()
+
+    run("margin_mining_banded", lambda: margin_banded(False),
+        lambda: margin_banded(True))
+
+    # negative sampling (q249): fixed anchor set, corpus 10× → each
+    # probed bucket holds 10× items; candidates = anchors·k·(corpus/B)
+    # — linear (production also raises nbuckets to hold this flat)
+    def nsamp(d):
+        anchors = docs1().filter(F.col("doc_id") < 20).select(
+            F.col("doc_id").alias("qid"))
+        pos = anchors.select("qid", (F.col("qid") + 1).alias("doc_id"))
+        return curation.negative_samples(
+            anchors, d, pos, "qid", "doc_id", k=4, nbuckets=32).count()
+
+    run("negative_samples", lambda: nsamp(docs1()),
+        lambda: nsamp(docsN()))
+
+    # per-group AUC (q247): one group-keyed shuffle + per-partition
+    # rank windows; staged copies add users, so linear
+    def gauc(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return evaluation.roc_auc_by_group(
+            ev.filter(F.col("value").isNotNull()), "user_id",
+            F.col("value"),
+            (F.col("event_id") % 3 == 0).cast("int")).count()
+
+    run("group_auc", lambda: gauc(False), lambda: gauc(True))
+
+    # conformal quantile (q245): ordinal-span build + one broadcast
+    # span lookup — scan-speed (q241's shape); Brier (q246) is a
+    # 10-cell groupBy — both share q241/q243's probed machinery
+    run("conformal_quantile",
+        lambda: evaluation.conformal_quantile(
+            li(False), F.col("l_extendedprice")).count(),
+        lambda: evaluation.conformal_quantile(
+            li(True), F.col("l_extendedprice")).count())
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

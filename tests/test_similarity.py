@@ -534,3 +534,43 @@ def test_ivfpq_stored_index_partition_pruning(spark, tmp_path):
     pf_lines = [ln for ln in plan.splitlines()
                 if "PartitionFilters" in ln]
     assert pf_lines and any("cell" in ln for ln in pf_lines), pf_lines
+
+
+def test_margin_mining_banded_equals_full_on_clustered_data(spark):
+    """With well-separated planted clusters and in-cell true
+    neighborhoods, the IVF-banded scale path must mine EXACTLY the
+    all-pairs kernel's result — banding may only differ through
+    candidate coverage, and here every true neighbor shares the src's
+    own cell."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        margin_mine_pairs,
+        margin_mine_pairs_banded,
+    )
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    centers = np.eye(4, dim) * 10.0          # 4 orthogonal clusters
+    rows, cent_rows = [], []
+    nid = 0
+    for c in range(4):
+        cent_rows.append((100 + c, [float(x) for x in centers[c]]))
+        for _ in range(3):                    # 3 src + 3 tgt per cluster
+            for parity in (0, 1):
+                v = centers[c] + 0.1 * rng.randn(dim)
+                rows.append((2 * nid + parity, [float(x) for x in v]))
+            nid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = spark.createDataFrame(
+        cent_rows, "vec_id long, embedding array<double>")
+    src = df.filter("vec_id % 2 = 0")
+    tgt = df.filter("vec_id % 2 = 1")
+    full = {(r["src_id"], r["tgt_id"]): r["margin"] for r in
+            margin_mine_pairs(src, tgt, "vec_id", "embedding",
+                              k=2, margin=1.0).collect()}
+    ann = {(r["src_id"], r["tgt_id"]): r["margin"] for r in
+           margin_mine_pairs_banded(src, tgt, cents, "vec_id",
+                                    "embedding", k=2, margin=1.0,
+                                    nprobe=2).collect()}
+    assert full == ann and len(full) > 0

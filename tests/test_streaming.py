@@ -395,3 +395,64 @@ def test_stream_ivfpq_index_converges_and_survives_restart(
     key = lambda t: (t[0], t[2])  # (query_id, rank)  # noqa: E731
     assert sorted(map(tuple, from_stream), key=key) \
         == sorted(map(tuple, from_mem), key=key)
+
+
+def test_stream_near_screen_survives_restart_and_matches_bruteforce(
+        spark, tmp_path):
+    """q251's restart contract: both the screen output and the index
+    delta derive from the _SUCCESS-gated epoch=* listings strictly
+    below the running epoch, so a driver restart + at-least-once
+    replay regenerates identical outputs; the drained screen union
+    must equal a python brute-force of 'batch doc vs earlier-batch
+    canonical within Hamming 2'."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.multimodal import (
+        _NP_MAXH,
+        image_dhash,
+        synth_bmp_media_mixed,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.streaming.events import (
+        perceptual_screen_epoch,
+        rollup_versions,
+    )
+
+    idx_root = str(tmp_path / "nscreen_idx")
+    scr_root = str(tmp_path / "nscreen_out")
+    os.makedirs(idx_root)
+    os.makedirs(scr_root)
+    # mixed synthesis: ids i and i+50 are same-family (i<10 unperturbed
+    # vs perturbed copy) → cross-batch near pairs at distance ≤ 2
+    batch_ids = ([0, 1, 2], [50, 51, 3], [100, 52, 4])
+    batches = [spark.createDataFrame([(i,) for i in ids], "doc_id long")
+               for ids in batch_ids]
+
+    perceptual_screen_epoch(spark, batches[0], 0, idx_root, scr_root)
+    perceptual_screen_epoch(spark, batches[1], 1, idx_root, scr_root)
+    # driver restart: replay the in-flight epoch 1, then continue
+    perceptual_screen_epoch(spark, batches[1], 1, idx_root, scr_root)
+    perceptual_screen_epoch(spark, batches[2], 2, idx_root, scr_root)
+
+    all_ids = [i for ids in batch_ids for i in ids]
+    all_df = spark.createDataFrame([(i,) for i in all_ids],
+                                   "doc_id long")
+    fps = {r["media_id"]: (r["dhash_lo"], r["dhash_hi"]) for r in
+           image_dhash(synth_bmp_media_mixed(all_df)).collect()}
+    batch_of = {i: b for b, ids in enumerate(batch_ids) for i in ids}
+    canon = {}
+    for i in sorted(all_ids):
+        canon.setdefault(fps[i], i)           # min id per fingerprint
+    want = set()
+    for d in all_ids:
+        for fp, cid in canon.items():
+            if batch_of[cid] >= batch_of[d]:
+                continue
+            h = (bin(fps[d][0] ^ fp[0]).count("1")
+                 + bin(fps[d][1] ^ fp[1]).count("1"))
+            if h <= _NP_MAXH:
+                want.add((d, cid, h))
+    got = {(r["delta_id"], r["corpus_id"], r["hamming"]) for r in
+           spark.read.parquet(
+               *rollup_versions(scr_root).values()).collect()}
+    assert got == want and len(want) > 0
+    # replay did not duplicate index rows
+    n_idx = spark.read.parquet(*rollup_versions(idx_root).values()).count()
+    assert n_idx == len(canon)
