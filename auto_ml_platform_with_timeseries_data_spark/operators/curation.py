@@ -2175,3 +2175,85 @@ def q249_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", (F.col("qid") + 1).alias("doc_id"))
     return negative_samples(anchors, docs, positives, "qid", "doc_id",
                             k=4, nbuckets=32)
+
+
+def js_divergence_sources(df: DataFrame, text_col: str,
+                          is_p: Column) -> DataFrame:
+    """One-row (vocab, n_p_tokens, n_q_tokens, jsd_nats): Jensen-
+    Shannon divergence between the unigram distributions of two
+    document populations (is_p vs the rest) — the number a mixture
+    designer reads before blending sources (symmetric, bounded by
+    ln 2, defined even where KL is infinite). Both distributions are
+    add-one smoothed over the JOINT vocabulary, so every word
+    contributes to both sides and the mid-point M is never zero.
+
+    Counts are exact word-keyed BIGINTs (the only corpus-sized shuffle
+    is the token explode — the q220 LM shape); the per-word
+    P·ln(P/M) + Q·ln(Q/M) terms are single double expressions over
+    those integers written token-identically in the oracle, summed and
+    pinned at 1e-6 (the q229 MI discipline — term magnitude ~1e-4 and
+    vocabulary ~1e4 keep float-order drift ~8 orders below the pin)."""
+    toks = df.select(
+        is_p.alias("__t"),
+        F.explode(tokens(normalize_text(text_col))).alias("__w"))
+    cnt = toks.groupBy("__w").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).cast("long")
+        .alias("__cp"),
+        F.sum(F.when(F.col("__t"), 0).otherwise(1)).cast("long")
+        .alias("__cq"))
+    tot = cnt.agg(F.count(F.lit(1)).cast("long").alias("vocab"),
+                  F.sum("__cp").cast("long").alias("n_p_tokens"),
+                  F.sum("__cq").cast("long").alias("n_q_tokens"))
+    j = cnt.crossJoin(F.broadcast(tot))
+    p = (F.col("__cp") + 1).cast("double") / (F.col("n_p_tokens")
+                                              + F.col("vocab"))
+    q = (F.col("__cq") + 1).cast("double") / (F.col("n_q_tokens")
+                                              + F.col("vocab"))
+    m = (p + q) / 2
+    term = (p * F.log(p / m) + q * F.log(q / m)) / 2
+    agg = j.groupBy("vocab", "n_p_tokens", "n_q_tokens").agg(
+        F.sum(term).alias("__jsd"))
+    return agg.select(
+        "vocab", "n_p_tokens", "n_q_tokens",
+        (F.floor(F.col("__jsd") * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("jsd_nats"))
+
+
+@query(
+    "q257_js_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source IN ('src0', 'src1') AS t,
+             unnest(string_split({_DSIR_NORM}, ' ')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT w,
+             CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+             CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cq
+      FROM tok GROUP BY w
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+                   CAST(sum(cp) AS BIGINT) AS n_p_tokens,
+                   CAST(sum(cq) AS BIGINT) AS n_q_tokens FROM cnt),
+    terms AS (
+      SELECT vocab, n_p_tokens, n_q_tokens,
+             (CAST(cp + 1 AS DOUBLE) / (n_p_tokens + vocab)) AS p,
+             (CAST(cq + 1 AS DOUBLE) / (n_q_tokens + vocab)) AS q
+      FROM cnt, tot
+    )
+    SELECT vocab, n_p_tokens, n_q_tokens,
+           floor(sum((p * ln(p / ((p + q) / 2))
+                      + q * ln(q / ((p + q) / 2))) / 2) * 1e6 + 0.5)
+             / 1e6 AS jsd_nats
+    FROM terms GROUP BY vocab, n_p_tokens, n_q_tokens
+    """,
+)
+def q257_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSD between the src0/src1 population's unigram LM and the rest
+    of the corpus (q220's target split) — one value-hash-checked row
+    quantifying how far the mixture designer's target domain sits from
+    the remainder."""
+    docs = load_table(spark, sf_dir, "documents")
+    return js_divergence_sources(
+        docs, "text", F.col("source").isin("src0", "src1"))

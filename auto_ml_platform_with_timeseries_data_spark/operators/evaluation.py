@@ -570,3 +570,424 @@ def q247_group_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roc_auc_by_group(
         ev, "user_id", F.col("value"),
         (F.col("event_id") % 3 == 0).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Round-9 extensions of the evaluation tier: calibration error (the
+# number a recalibration pass actually reports), and the ranking
+# metrics every retrieval / reranker training pipeline evaluates with
+# (NDCG@k, MRR, average precision) — all exact-integer-derived with
+# deterministic tiebreaks so the driver value hash covers them.
+# ---------------------------------------------------------------------------
+
+
+def calibration_error(df: DataFrame, prob: Column, label: Column,
+                      bins: int = 10) -> DataFrame:
+    """One-row (n, n_bins, ece, max_ce): expected calibration error
+    ECE = Σ_b (n_b/N)·|p̄_b − ō_b| and the worst single bin, over
+    `bins` equal-width probability bins (q246's cell table — counts
+    and ppm-quantized probability sums are exact BIGINTs; the per-bin
+    |gap| is one double expression over them, and the weighted sum
+    spans ≤ `bins` cells). Pinned at 1e-6."""
+    p_ppm = F.floor(prob * 1e6 + F.lit(0.5)).cast("long")
+    b = F.least(F.floor(prob * bins).cast("int"), F.lit(bins - 1))
+    src = df.select(p_ppm.alias("__p"), b.alias("__b"),
+                    label.cast("long").alias("__y")).filter(
+        F.col("__p").isNotNull() & F.col("__y").isNotNull())
+    cells = (src.groupBy("__b")
+             .agg(F.count(F.lit(1)).cast("long").alias("__n"),
+                  F.sum("__p").cast("long").alias("__sp"),
+                  F.sum("__y").cast("long").alias("__sy")))
+    nb = F.col("__n").cast("double")
+    gap = F.abs(F.col("__sp").cast("double") / F.lit(1e6) / nb
+                - F.col("__sy").cast("double") / nb)
+    agg = cells.agg(F.sum("__n").cast("long").alias("n"),
+                    F.count(F.lit(1)).cast("long").alias("n_bins"),
+                    F.sum(nb * gap).alias("__wce"),
+                    F.max(gap).alias("__mce"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        "n", "n_bins",
+        pin(F.col("__wce") / F.col("n")).alias("ece"),
+        pin(F.col("__mce")).alias("max_ce"))
+
+
+@query(
+    "q252_calibration_error",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_discount * 10 * 1e6 + 0.5) AS BIGINT) AS p,
+             least(CAST(floor(l_discount * 10 * 10) AS INT), 9) AS b,
+             CAST(l_returnflag = 'R' AS BIGINT) AS y
+      FROM lineitem
+      WHERE l_discount IS NOT NULL
+    ),
+    cells AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(p) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy
+      FROM s GROUP BY b
+    ),
+    agg AS (
+      SELECT CAST(sum(nb) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             sum(CAST(nb AS DOUBLE)
+                 * abs(CAST(sp AS DOUBLE) / 1e6 / CAST(nb AS DOUBLE)
+                       - CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE)))
+               AS wce,
+             max(abs(CAST(sp AS DOUBLE) / 1e6 / CAST(nb AS DOUBLE)
+                     - CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE)))
+               AS mce
+      FROM cells
+    )
+    SELECT n, n_bins,
+           floor(wce / n * 1e6 + 0.5) / 1e6 AS ece,
+           floor(mce * 1e6 + 0.5) / 1e6 AS max_ce
+    FROM agg
+    """,
+)
+def q252_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE + max per-bin gap of the 10×-discount 'probability' against
+    the returned flag (q246's fixture — the two queries together give
+    the full calibration report: decomposition + the headline error
+    number)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_discount").isNotNull())
+    return calibration_error(
+        li, F.col("l_discount") * 10,
+        (F.col("l_returnflag") == "R").cast("int"), bins=10)
+
+
+# NDCG position weights: W[i] = floor(1e9 / log2(i + 1)) precomputed in
+# PYTHON and inlined as integer literals in BOTH engines — the q242
+# discipline that keeps libm out of the result path entirely. DCG then
+# accumulates as an exact BIGINT (gain · W[i]), order-free.
+import math as _math  # noqa: E402
+
+_NDCG_K = 5
+_NDCG_W = [int(_math.floor(1e9 / _math.log2(i + 1)))
+           for i in range(1, _NDCG_K + 1)]
+
+
+def ndcg_at_k(df: DataFrame, group_col: str, score: Column,
+              relevance: Column, k: int = _NDCG_K,
+              id_col: str = "event_id") -> DataFrame:
+    """(group, n, dcg_scaled, idcg_scaled, ndcg): NDCG@k per query
+    group with gain 2^rel − 1, the ranking under (score DESC, id ASC)
+    and the ideal ranking under (rel DESC, id ASC) — both total orders,
+    so every rank is deterministic. Position weights are the
+    precomputed integer constants _NDCG_W, so dcg/idcg are exact
+    BIGINT sums (≤ k terms each) and ndcg is ONE pinned double ratio;
+    groups with zero ideal gain report ndcg NULL-by-contract.
+
+    Scale shape: one shuffle keyed by group feeds both rank windows
+    (same partition key — two sorts, one exchange), the numerous-
+    small-groups evaluation shape (q247)."""
+    src = df.select(F.col(group_col).alias("__g"),
+                    score.cast("double").alias("__v"),
+                    relevance.cast("long").alias("__r"),
+                    F.col(id_col).alias("__id")).filter(
+        F.col("__v").isNotNull() & F.col("__r").isNotNull())
+    gain = F.expr("cast(shiftleft(1, cast(__r as int)) as bigint) - 1")
+    wr = Window.partitionBy("__g").orderBy(F.desc("__v"), F.asc("__id"))
+    wi = Window.partitionBy("__g").orderBy(F.desc("__r"), F.asc("__id"))
+    ranked = src.select(
+        "__g", gain.alias("__gain"),
+        F.row_number().over(wr).alias("__rk"),
+        F.row_number().over(wi).alias("__ik"))
+
+    def w_of(c: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for i, w in enumerate(_NDCG_W):
+            out = F.when(c == i + 1, F.lit(w).cast("long")).otherwise(out)
+        return out
+
+    dcg = F.sum(F.when(F.col("__rk") <= k,
+                       F.col("__gain") * w_of(F.col("__rk")))
+                .otherwise(0)).cast("long")
+    idcg = F.sum(F.when(F.col("__ik") <= k,
+                        F.col("__gain") * w_of(F.col("__ik")))
+                 .otherwise(0)).cast("long")
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dcg.alias("dcg_scaled"), idcg.alias("idcg_scaled"))
+    ndcg = F.col("dcg_scaled").cast("double") / F.col("idcg_scaled")
+    return agg.select(
+        F.col("__g").alias(group_col), "n", "dcg_scaled", "idcg_scaled",
+        F.when(F.col("idcg_scaled") > 0,
+               F.floor(ndcg * 1e6 + F.lit(0.5)) / 1e6).alias("ndcg"))
+
+
+def _ndcg_oracle() -> str:
+    k = _NDCG_K
+    w_case = " ".join(f"WHEN {i + 1} THEN {w}"
+                      for i, w in enumerate(_NDCG_W))
+    return f"""
+    WITH s AS (
+      SELECT user_id AS g, CAST(value AS DOUBLE) AS v,
+             CAST(event_id % 4 AS BIGINT) AS r, event_id AS id
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, (CAST(1 AS BIGINT) << r) - 1 AS gain,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY v DESC, id ASC) AS rk,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY r DESC, id ASC) AS ik
+      FROM s
+    ),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN rk <= {k} THEN gain *
+                  (CASE rk {w_case} END) ELSE 0 END) AS BIGINT)
+               AS dcg_scaled,
+             CAST(sum(CASE WHEN ik <= {k} THEN gain *
+                  (CASE ik {w_case} END) ELSE 0 END) AS BIGINT)
+               AS idcg_scaled
+      FROM ranked GROUP BY g
+    )
+    SELECT g AS user_id, n, dcg_scaled, idcg_scaled,
+           CASE WHEN idcg_scaled > 0 THEN
+             floor(CAST(dcg_scaled AS DOUBLE) / idcg_scaled * 1e6
+                   + 0.5) / 1e6
+           END AS ndcg
+    FROM agg
+    """
+
+
+@query("q253_ndcg_at_k", oracle=_ndcg_oracle())
+def q253_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 per user over events: value ranks, event_id % 4 is the
+    graded relevance (0-3). Integer-weight DCG — every
+    (user, n, dcg, idcg, ndcg) row value-hash-checked with zero libm
+    in the result path."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return ndcg_at_k(ev, "user_id", F.col("value"),
+                     F.col("event_id") % 4)
+
+
+def mrr(df: DataFrame, group_col: str, score: Column,
+        label: Column, id_col: str = "event_id") -> DataFrame:
+    """(group, n, first_pos_rank, rr): reciprocal rank of the first
+    positive under the (score DESC, id ASC) total order — groups with
+    no positive report NULL-by-contract. One group-keyed shuffle, one
+    rank window, a min aggregate."""
+    src = df.select(F.col(group_col).alias("__g"),
+                    score.cast("double").alias("__v"),
+                    label.cast("int").alias("__y"),
+                    F.col(id_col).alias("__id")).filter(
+        F.col("__v").isNotNull() & F.col("__y").isNotNull())
+    wr = Window.partitionBy("__g").orderBy(F.desc("__v"), F.asc("__id"))
+    ranked = src.select("__g", "__y",
+                        F.row_number().over(wr).alias("__rk"))
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min(F.when(F.col("__y") == 1, F.col("__rk")))
+        .cast("long").alias("first_pos_rank"))
+    rr = F.lit(1.0) / F.col("first_pos_rank")
+    return agg.select(
+        F.col("__g").alias(group_col), "n", "first_pos_rank",
+        F.when(F.col("first_pos_rank").isNotNull(),
+               F.floor(rr * 1e6 + F.lit(0.5)) / 1e6).alias("rr"))
+
+
+@query(
+    "q254_mrr",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS g, CAST(value AS DOUBLE) AS v,
+             CAST(event_id % 3 = 0 AS INT) AS y, event_id AS id
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, y, row_number() OVER (PARTITION BY g
+                                      ORDER BY v DESC, id ASC) AS rk
+      FROM s
+    ),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(min(CASE WHEN y = 1 THEN rk END) AS BIGINT)
+               AS first_pos_rank
+      FROM ranked GROUP BY g
+    )
+    SELECT g AS user_id, n, first_pos_rank,
+           CASE WHEN first_pos_rank IS NOT NULL THEN
+             floor(1.0 / first_pos_rank * 1e6 + 0.5) / 1e6
+           END AS rr
+    FROM agg
+    """,
+)
+def q254_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank inputs per user (the per-group rr rows a
+    global MRR averages): first (event_id % 3 == 0) positive under the
+    value ranking — every row value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return mrr(ev, "user_id", F.col("value"),
+               (F.col("event_id") % 3 == 0).cast("int"))
+
+
+def average_precision_by_group(df: DataFrame, group_col: str,
+                               score: Column, label: Column,
+                               id_col: str = "event_id") -> DataFrame:
+    """(group, n, n_pos, ap): average precision per group under the
+    (score DESC, id ASC) total order. Each positive's precision@rank
+    quantizes to an exact BIGINT ((cum_pos·1e9) div rank — both
+    operands non-negative, so Spark's div and DuckDB's // agree), and
+    AP sums those integers ORDER-FREE before one final pinned divide —
+    no float accumulation anywhere (the per-subspace-ppm lesson from
+    the IVF-PQ certificates). Groups with no positive report
+    NULL-by-contract."""
+    src = df.select(F.col(group_col).alias("__g"),
+                    score.cast("double").alias("__v"),
+                    label.cast("long").alias("__y"),
+                    F.col(id_col).alias("__id")).filter(
+        F.col("__v").isNotNull() & F.col("__y").isNotNull())
+    wr = Window.partitionBy("__g").orderBy(F.desc("__v"), F.asc("__id"))
+    ranked = src.select(
+        "__g", "__y",
+        F.row_number().over(wr).alias("__rk"),
+        F.sum("__y").over(
+            wr.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("__cum"))
+    term = F.expr("(__cum * 1000000000) div __rk")
+    agg = (ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("__y") == 1, term).otherwise(0))
+        .cast("long").alias("__s")))
+    ap = F.col("__s").cast("double") / F.lit(1e9) / F.col("n_pos")
+    return agg.select(
+        F.col("__g").alias(group_col), "n", "n_pos",
+        F.when(F.col("n_pos") > 0,
+               F.floor(ap * 1e6 + F.lit(0.5)) / 1e6).alias("ap"))
+
+
+@query(
+    "q255_average_precision",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS g, CAST(value AS DOUBLE) AS v,
+             CAST(event_id % 3 = 0 AS BIGINT) AS y, event_id AS id
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, y,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY v DESC, id ASC) AS rk,
+             sum(y) OVER (PARTITION BY g ORDER BY v DESC, id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM s
+    ),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN y = 1
+                  THEN (cum * 1000000000) // rk ELSE 0 END) AS BIGINT)
+               AS s
+      FROM ranked GROUP BY g
+    )
+    SELECT g AS user_id, n, n_pos,
+           CASE WHEN n_pos > 0 THEN
+             floor(CAST(s AS DOUBLE) / 1e9 / n_pos * 1e6 + 0.5) / 1e6
+           END AS ap
+    FROM agg
+    """,
+)
+def q255_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision per user (value ranking the event_id % 3 == 0
+    positives): precision-at-each-positive quantized to exact integers
+    before the order-free sum — every row value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return average_precision_by_group(
+        ev, "user_id", F.col("value"),
+        (F.col("event_id") % 3 == 0).cast("long"))
+
+
+def decile_lift(df: DataFrame, score: Column, label: Column,
+                nbins: int = 10) -> DataFrame:
+    """(decile, n, n_pos, pos_rate, lift): the gains/lift table model
+    validation reads before setting a targeting cutoff. Deciles are
+    VALUE-KEYED: every row of one distinct score value lands in the
+    decile of the value's START ordinal ((s·nbins) div N over the
+    distributed ordinal spans) — deterministic under ties, unlike
+    ntile's arbitrary tie splitting, and computed without any global
+    sort (the q241/q245 span machinery; bin sizes deviate from N/10
+    only at value boundaries). Counts are exact BIGINTs; pos_rate and
+    lift = (pos_b/n_b)/(pos/N) are single pinned doubles; an
+    all-negative input reports lift NULL-by-contract."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.profile import (
+        _ordinal_spans,
+    )
+
+    lv = df.select(F.lit(0).alias("__ci"),
+                   score.cast("double").alias("__v"),
+                   label.cast("long").alias("__y")).filter(
+        F.col("__v").isNotNull() & F.col("__y").isNotNull())
+    spans = _ordinal_spans(lv.select("__ci", "__v"))
+    pos_v = lv.groupBy("__v").agg(F.sum("__y").cast("long").alias("__pv"))
+    j = spans.join(pos_v, "__v")
+    tot = j.agg(F.sum("__c").cast("long").alias("__tn"),
+                F.sum("__pv").cast("long").alias("__tp"))
+    binned = (j.crossJoin(F.broadcast(tot))
+              .withColumn("decile",
+                          F.expr(f"cast((__s * {nbins}) div __tn as int)")))
+    agg = (binned.groupBy("decile")
+           .agg(F.sum("__c").cast("long").alias("n"),
+                F.sum("__pv").cast("long").alias("n_pos"),
+                F.max("__tn").alias("__tn"), F.max("__tp").alias("__tp")))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    rate = F.col("n_pos").cast("double") / F.col("n")
+    lift = rate / (F.col("__tp").cast("double") / F.col("__tn"))
+    return agg.select(
+        "decile", "n", "n_pos", pin(rate).alias("pos_rate"),
+        F.when(F.col("__tp") > 0, pin(lift)).alias("lift"))
+
+
+@query(
+    "q256_decile_lift",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+             CAST(l_returnflag = 'R' AS BIGINT) AS y
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    vv AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(y) AS BIGINT) AS pv
+      FROM s GROUP BY v
+    ),
+    sp AS (
+      SELECT v, c, pv,
+             CAST(coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS st
+      FROM vv
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS tn,
+                   CAST(sum(pv) AS BIGINT) AS tp FROM vv),
+    agg AS (
+      SELECT CAST((st * 10) // tn AS INT) AS decile,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(pv) AS BIGINT) AS n_pos
+      FROM sp, tot GROUP BY 1
+    )
+    SELECT decile, n, n_pos,
+           floor(CAST(n_pos AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+             AS pos_rate,
+           CASE WHEN tp > 0 THEN
+             floor((CAST(n_pos AS DOUBLE) / n)
+                   / (CAST(tp AS DOUBLE) / tn) * 1e6 + 0.5) / 1e6
+           END AS lift
+    FROM agg, tot
+    """,
+)
+def q256_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift table over price deciles: does extended price 'score' the
+    returned flag? Ten value-keyed decile rows, counts exact,
+    rate/lift pinned — each value-hash-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return decile_lift(li, F.col("l_extendedprice"),
+                       (F.col("l_returnflag") == "R").cast("long"))

@@ -865,3 +865,83 @@ def q221_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("ts").cast("double")).cast("long").alias("__epoch"),
     )
     return zorder_pruning_certificate(ev, "event_id", "user_id", "__epoch")
+
+
+# ---------------------------------------------------------------------------
+# q258 — bucketed co-located join: the lakehouse layout decision that
+# removes the shuffle from the workload's dominant big-big join. Both
+# fact tables persist bucketed (and sorted) by the join key with the
+# same bucket count; the join then reads bucket i against bucket i
+# with NO Exchange on either side — at 100 TB this converts the
+# largest network step of every downstream query into local disk
+# reads, paid once at write time. The zero-exchange claim is pinned by
+# a plan contract test (tests/test_layout.py), not just prose.
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def write_bucketed(df: DataFrame, key: str, table: str, path: str,
+                   nbuckets: int = _BUCKETS) -> None:
+    """Persist `df` bucketed AND sorted by `key` into `nbuckets`
+    buckets at `path`, registered as `table`. bucketBy requires the
+    table API (plain .parquet() drops bucket metadata); the explicit
+    path keeps the data under the caller's staging root while the
+    in-memory catalog carries the bucket spec the planner needs."""
+    (df.write.bucketBy(nbuckets, key).sortBy(key)
+     .option("path", path).mode("overwrite")
+     .format("parquet").saveAsTable(table))
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  left_key: str, right_key: str) -> DataFrame:
+    """Join two same-bucket-count tables on their bucket keys — the
+    planner serves this bucket-to-bucket (SortMergeJoin with zero
+    Exchange; the write-side sort even removes the Sort)."""
+    return spark.table(left_table).join(
+        spark.table(right_table),
+        F.col(left_key) == F.col(right_key))
+
+
+@query(
+    "q258_bucketed_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(ROUND(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(1 - l_discount AS DECIMAL(8,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q258_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority over the bucketed lineitem⋈orders
+    join: both facts persist bucketed by orderkey (8 buckets, sorted),
+    then join WITHOUT any Exchange — only the final priority group-by
+    shuffles, and its input is the co-located join output. Values are
+    identical to the plain parquet join (the oracle); what the layout
+    changes is the plan, pinned by the exchange-count contract in
+    tests/test_layout.py. The bucket write is the amortized cost the
+    lakehouse pays once; the query pays it per call here because the
+    staging root is process-scoped."""
+    from auto_ml_platform_with_timeseries_data_spark.staging import (
+        staging_dir,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    write_bucketed(li, "l_orderkey", "sparkgraft_bkt_lineitem",
+                   staging_dir("bkt_lineitem"))
+    write_bucketed(o, "o_orderkey", "sparkgraft_bkt_orders",
+                   staging_dir("bkt_orders"))
+    joined = bucketed_join(spark, "sparkgraft_bkt_lineitem",
+                           "sparkgraft_bkt_orders",
+                           "l_orderkey", "o_orderkey")
+    rev = F.sum(F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)"))
+    return (joined.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
+                 F.round(rev, 2).cast("double").alias("revenue")))

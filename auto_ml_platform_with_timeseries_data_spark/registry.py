@@ -67,11 +67,12 @@ _loaded = False
 # that stalest tier (VERDICT r8 "Next round" #1/#5):
 #   1-6   canary slots — one long-green query per module family, so a
 #         regression in shared infrastructure still gets witnessed
-#   7-13  the round-9 registrations: q245-q249 (pre-built last round,
+#   7-20  the round-9 registrations: q245-q249 (pre-built last round,
 #         oracles gate-compared in tests/test_round9_candidates.py)
-#         and the new q250/q251
-#   14-19 the six round-3 leftovers — the oldest evidence in the repo
-#   20-50 the head of the round-4 block (q105-q144), 31 members
+#         and the new q250-q258
+#   21-26 the six round-3 leftovers — the oldest evidence in the repo
+#   27-50 the head of the round-4 block, 24 members (rotation slots
+#         21-50 = 30, exactly the VERDICT floor)
 # Slots past 50 are the ranked overflow the driver reaches only if its
 # budget stretches, ordered stalest-evidence-first: the rest of the
 # round-4 block, then round-5, round-6, round-7, and the freshly
@@ -86,7 +87,11 @@ _PRIORITY: tuple[str, ...] = (
     "q245_conformal_quantile", "q246_brier_decomposition",
     "q247_group_auc", "q248_coreness",
     "q249_negative_samples", "q250_margin_mining_scaled",
-    "q251_stream_near_screen", "q73_stratified_sample",
+    "q251_stream_near_screen", "q252_calibration_error",
+    "q253_ndcg_at_k", "q254_mrr",
+    "q255_average_precision", "q256_decile_lift",
+    "q257_js_divergence", "q258_bucketed_join",
+    "q73_stratified_sample",
     "q74_hash_split", "q75_class_balance",
     "q76_pack_sequences", "q77_decontaminate",
     "q78_uniform_sample", "q105_dominant_suppliers",

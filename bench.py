@@ -129,6 +129,13 @@ HEADLINE = [
     "q248_coreness",
     "q249_negative_samples",
     "q250_margin_mining_scaled",
+    "q252_calibration_error",
+    "q253_ndcg_at_k",
+    "q254_mrr",
+    "q255_average_precision",
+    "q256_decile_lift",
+    "q257_js_divergence",
+    "q258_bucketed_join",
     "automl_e2e",
 ]
 

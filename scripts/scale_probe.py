@@ -1003,6 +1003,32 @@ def main() -> int:
         lambda: evaluation.conformal_quantile(
             li(True), F.col("l_extendedprice")).count())
 
+    # bucketed co-located join (q258): write both facts bucketed by
+    # the join key, then join — write cost is data-linear, join cost
+    # is bucket-local merge (no exchange; the plan contract is pinned
+    # in tests/test_layout.py, this probes the wall). NDCG/MRR/AP
+    # reuse group_auc's probed shape; decile lift reuses
+    # conformal_quantile's span shape; JSD reuses dsir_select's LM
+    # shape — no separate rows.
+    def bktjoin(path_based, tag):
+        from auto_ml_platform_with_timeseries_data_spark.staging import (
+            staging_dir,
+        )
+        l = li(path_based).select("l_orderkey", "l_extendedprice")
+        o = (spark.read.parquet(staged["orders"]) if path_based
+             else load_table(spark, sf_dir, "orders")).select(
+            "o_orderkey", "o_orderpriority")
+        layout.write_bucketed(l, "l_orderkey", f"probe_bkt_li_{tag}",
+                              staging_dir(f"probe_bkt_li_{tag}"))
+        layout.write_bucketed(o, "o_orderkey", f"probe_bkt_o_{tag}",
+                              staging_dir(f"probe_bkt_o_{tag}"))
+        return layout.bucketed_join(
+            spark, f"probe_bkt_li_{tag}", f"probe_bkt_o_{tag}",
+            "l_orderkey", "o_orderkey").count()
+
+    run("bucketed_join", lambda: bktjoin(False, "1x"),
+        lambda: bktjoin(True, "Nx"))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

@@ -237,3 +237,51 @@ def test_zorder_pruning_certificate_bounds_both_dimensions(spark, sf_dir):
     # the baseline reads ~all files for the uncorrelated dimension
     assert got[("id_ordered", "x_band")]["files_hit"] > \
         got[("zorder", "x_band")]["files_hit"]
+
+
+def test_bucketed_join_plan_has_zero_exchanges(spark, sf_dir):
+    """q258's layout contract: the bucketed lineitem⋈orders join plans
+    with NO Exchange on either side (bucket i reads against bucket i),
+    while the same join over plain parquet shuffles both sides — the
+    bucketing, not the data size, removes the shuffle."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+        bucketed_join,
+        write_bucketed,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.staging import (
+        staging_dir,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    write_bucketed(li, "l_orderkey", "t_bkt_li",
+                   staging_dir("t_bkt_li"))
+    write_bucketed(o, "o_orderkey", "t_bkt_o", staging_dir("t_bkt_o"))
+    # the contract is about the BIG-BIG path: at fixture scale the
+    # planner would broadcast the small side (bypassing bucketed
+    # reads entirely), so disable auto-broadcast to plan the join the
+    # way a 100 TB fact-fact join plans
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = bucketed_join(spark, "t_bkt_li", "t_bkt_o",
+                                 "l_orderkey", "o_orderkey")
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 0, plan
+        # the join itself must still be there (not optimized away)
+        assert ("SortMergeJoin" in plan
+                or "ShuffledHashJoin" in plan), plan
+        assert "Bucketed: true" in plan, plan
+
+        # control: the identical join over non-bucketed inputs
+        # shuffles both sides
+        plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+        assert pplan.count("Exchange") >= 2, pplan
+        # and the bucketed values match the plain join
+        assert bucketed.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -29,45 +29,44 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round8_rotation_keep_their_slots():
+def test_canaries_and_round9_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-8
-    rotation (VERDICT r7 #3) puts this round's never-witnessed
-    additions and the two queries whose SEMANTICS changed this round
-    (q231 portable pair hash, q228 textbook tie correction) right
+    shared-infrastructure regression is still witnessed; the round-9
+    rotation puts the never-witnessed registrations (q245-q258) right
     after the canaries, then spends the whole remaining budget on the
-    round-3 block — the stalest driver evidence left in the repo."""
-    head = set(registry._PRIORITY[:50])
+    stalest driver evidence — the six round-3 leftovers and the head
+    of the round-4 block (≥30 rotation slots, the VERDICT floor)."""
+    head = registry._PRIORITY[:50]
+    head_set = set(head)
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    semantics_changed = {"q228_mann_kendall", "q231_theil_sen_sampled"}
-    round3_block = {
-        "q05_groups", "q07_ts_split", "q08_ts_windows",
-        "q09_scale_params", "q10_rmse", "q11_binarize",
-        "q13_importance_rank", "q14_min_max", "q16_dedup_exact",
-        "q19_cosine_topk", "q20_token_stats", "q21_quality_score",
-        "q22_langid", "q24_window_agg", "q25_sessionize",
-        "q29_minmax_scaled", "q33_fingerprint", "q37_media_stats",
-        "q38_media_features", "q48_histogram_auto",
-        "q51_winnow_fingerprints", "q55_dedup_components",
-        "q56_jsonl_roundtrip", "q57_bpe_tokens", "q59_resample_ffill",
-        "q60_zscore_outliers", "q69_ewma", "q70_ohlc",
-        "q71_lag_features", "q72_interpolate", "q73_stratified_sample",
-        "q74_hash_split", "q75_class_balance", "q76_pack_sequences",
-        "q77_decontaminate", "q78_uniform_sample",
+    round9_new = {
+        "q245_conformal_quantile", "q246_brier_decomposition",
+        "q247_group_auc", "q248_coreness", "q249_negative_samples",
+        "q250_margin_mining_scaled", "q251_stream_near_screen",
+        "q252_calibration_error", "q253_ndcg_at_k", "q254_mrr",
+        "q255_average_precision", "q256_decile_lift",
+        "q257_js_divergence", "q258_bucketed_join",
     }
-    assert canaries <= head
-    assert semantics_changed <= head
-    # 6 canaries + 12 round-8 additions + 2 semantics-changed = 20
-    # pinned slots, so exactly 30 of the 36-query round-3 block fit the
-    # 50-slot budget (the VERDICT r7 #3 floor); the remaining six ride
-    # the head of the overflow and get re-witnessed next rotation. This
-    # is saturated: one more pinned addition would drop the block below
-    # the floor, so round-8 registered additions stop at q244.
-    assert round3_block <= set(registry._PRIORITY[:56])
-    assert len(round3_block & head) >= 30
+    round3_leftovers = {
+        "q73_stratified_sample", "q74_hash_split", "q75_class_balance",
+        "q76_pack_sequences", "q77_decontaminate", "q78_uniform_sample",
+    }
+    assert canaries <= head_set
+    assert round9_new <= head_set
+    assert round3_leftovers <= head_set
+    # everything in the head that is neither a canary nor a round-9
+    # addition is a stale-evidence rotation slot; the floor is 30
+    rotation = head_set - canaries - round9_new
+    assert len(rotation) >= 30
+    # rotation slots go to the stalest tier: the r3 leftovers first,
+    # then round-4-block members (the r4 block registered before q145)
+    assert rotation - round3_leftovers <= {
+        n for n in rotation
+        if n.startswith("q1") and n < "q145" or n in round3_leftovers
+    } | round3_leftovers
 
 
 def test_oracles_follow_query_order():
