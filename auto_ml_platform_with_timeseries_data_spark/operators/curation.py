@@ -2257,3 +2257,219 @@ def q257_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return js_divergence_sources(
         docs, "text", F.col("source").isin("src0", "src1"))
+
+
+def wasserstein1(df: DataFrame, value_col: str, group_col: str,
+                 a: str, b: str) -> DataFrame:
+    """One-row (w1, n_a, n_b): the 1-Wasserstein (earth-mover)
+    distance between groups `a` and `b` of `value_col` — KS (q136)
+    reports the WORST CDF gap, W1 integrates ALL of it (∫|F_a − F_b|),
+    so a broad small shift that KS shrugs at still moves W1. Same
+    scale shape as KS: the corpus reduces to per-distinct-value counts
+    in one map-side-combined group-by; the CDF walk runs on that
+    value-domain-sized table. Each |F_a − F_b|·gap term quantizes to
+    an exact BIGINT (floor(·1e12) — identical double expression in
+    both engines, so identical integer), making the sum ORDER-FREE;
+    the quantization bias is ≤ |values|·1e-12, far under the 1e-6
+    pin. Empty group → NULL-by-contract."""
+    cells = (
+        df.filter(F.col(group_col).isin(a, b))
+        .groupBy(F.col(value_col).cast("double").alias("__v"))
+        .agg(
+            F.sum((F.col(group_col) == a).cast("long")).alias("__ca"),
+            F.sum((F.col(group_col) == b).cast("long")).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    wl = Window.orderBy("__v")
+    m = cells.select(
+        "__v",
+        F.lead("__v").over(wl).alias("__vn"),
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wt).alias("__na"),
+        F.sum("__cb").over(wt).alias("__nb"),
+    ).filter(F.col("__vn").isNotNull())
+    term = F.floor(
+        F.abs(F.col("__cuma").cast("double") / F.col("__na")
+              - F.col("__cumb").cast("double") / F.col("__nb"))
+        * (F.col("__vn") - F.col("__v")) * F.lit(1e12)).cast("long")
+    gated = F.when((F.col("__na") > 0) & (F.col("__nb") > 0), term)
+    return m.agg(
+        (F.floor(F.sum(gated) / F.lit(1e12) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("w1"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+
+
+@query(
+    "q260_wasserstein_drift",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v,
+             CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80 THEN 'train'
+                  WHEN {_hash_u32_sql('doc_id')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    c AS (
+      SELECT v,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS cb
+      FROM s WHERE split IN ('train', 'test') GROUP BY v
+    ),
+    m AS (
+      SELECT v, lead(v) OVER (ORDER BY v) AS vn,
+             sum(ca) OVER (ORDER BY v) AS cuma,
+             sum(cb) OVER (ORDER BY v) AS cumb,
+             sum(ca) OVER () AS na,
+             sum(cb) OVER () AS nb
+      FROM c
+    ),
+    t AS (
+      SELECT na, nb,
+             CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(floor(abs(CAST(cuma AS DOUBLE) / na
+                              - CAST(cumb AS DOUBLE) / nb)
+                          * (vn - v) * 1e12) AS BIGINT)
+             END AS term
+      FROM m WHERE vn IS NOT NULL
+    )
+    SELECT floor(sum(term) / 1e12 * 1e6 + 0.5) / 1e6 AS w1,
+           CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b
+    FROM t
+    """,
+)
+def q260_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 distance between the train and test splits' document-length
+    distributions (q136's fixture — KS and W1 together are the
+    standard drift pair: worst gap + integrated gap), one
+    value-hash-checked row."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id")
+    return wasserstein1(split, "n_chars", "split", "train", "test")
+
+
+def t_closeness(df: DataFrame, quasi_cols: list[str],
+                sensitive: Column) -> DataFrame:
+    """(quasi..., n, emd): per-equivalence-class t-closeness — the
+    ordered-attribute earth-mover distance between each class's
+    sensitive-value distribution and the global one,
+    EMD = Σ_i |cum_g(i)/n_g − cum(i)/N| / (k−1) over the k-value
+    domain (Li et al. 2007; a release is t-close iff max(emd) ≤ t).
+    Completes the privacy-audit trio: k-anonymity (q203) bounds class
+    SIZE, l-diversity (q219) bounds sensitive CARDINALITY, t-closeness
+    bounds sensitive DISTRIBUTION distance — the strongest of the
+    three.
+
+    Scale shape: one (quasi × value) cell group-by; the dense grid is
+    classes × the bounded value domain (the per-class CDF needs zero
+    cells, so values broadcast onto the class frame); per-class CDFs
+    are numerous-small-group windows. Per-step gaps quantize to exact
+    BIGINTs (floor(·1e12), identical text both engines) so the
+    per-class sum is order-free; emd pins at 1e-6."""
+    sv = sensitive.cast("long").alias("__s")
+    cells = (df.select(*quasi_cols, sv)
+             .groupBy(*quasi_cols, "__s")
+             .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    values = (cells.groupBy("__s")
+              .agg(F.sum("__c").cast("long").alias("__cg")))
+    wv = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, 0)
+    gdist = values.select(
+        "__s", F.sum("__cg").over(wv).alias("__gcum"),
+        F.sum("__cg").over(Window.partitionBy()).alias("__n"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__k"))
+    groups = cells.select(*quasi_cols).distinct()
+    grid = (groups.join(F.broadcast(gdist.select("__s", "__gcum",
+                                                 "__n", "__k")),
+                        how="cross")
+            .join(cells, [*quasi_cols, "__s"], "left")
+            .na.fill({"__c": 0}))
+    wg = (Window.partitionBy(*quasi_cols).orderBy("__s")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wgt = Window.partitionBy(*quasi_cols)
+    stepped = grid.select(
+        *quasi_cols, "__gcum", "__n", "__k",
+        F.sum("__c").over(wg).alias("__cum"),
+        F.sum("__c").over(wgt).alias("__ng"))
+    term = F.floor(
+        F.abs(F.col("__cum").cast("double") / F.col("__ng")
+              - F.col("__gcum").cast("double") / F.col("__n"))
+        * F.lit(1e12)).cast("long")
+    agg = (stepped.groupBy(*quasi_cols)
+           .agg(F.max("__ng").alias("n"),
+                F.max("__k").alias("__k"),
+                F.sum(term).alias("__t")))
+    emd = F.col("__t") / F.lit(1e12) / (F.col("__k") - 1)
+    return agg.select(
+        *quasi_cols, "n",
+        F.when(F.col("__k") > 1,
+               F.floor(emd * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("emd"))
+
+
+@query(
+    "q259_t_closeness",
+    oracle="""
+    WITH src AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS s
+      FROM customer
+    ),
+    cells AS (
+      SELECT c_nationkey, c_mktsegment, s,
+             CAST(count(*) AS BIGINT) AS c
+      FROM src GROUP BY 1, 2, 3
+    ),
+    vals AS (
+      SELECT s, CAST(sum(c) AS BIGINT) AS cg FROM cells GROUP BY s
+    ),
+    gdist AS (
+      SELECT s, sum(cg) OVER (ORDER BY s) AS gcum,
+             sum(cg) OVER () AS n,
+             count(*) OVER () AS k
+      FROM vals
+    ),
+    grid AS (
+      SELECT g.c_nationkey, g.c_mktsegment, d.s, d.gcum, d.n, d.k,
+             coalesce(c.c, 0) AS c
+      FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM cells) g
+      CROSS JOIN gdist d
+      LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+                       AND c.c_mktsegment = g.c_mktsegment
+                       AND c.s = d.s
+    ),
+    stepped AS (
+      SELECT c_nationkey, c_mktsegment, gcum, n, k,
+             sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment
+                          ORDER BY s) AS cum,
+             sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment)
+               AS ng
+      FROM grid
+    ),
+    agg AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(max(ng) AS BIGINT) AS n, max(k) AS k,
+             CAST(sum(CAST(floor(abs(CAST(cum AS DOUBLE) / ng
+                                     - CAST(gcum AS DOUBLE) / n)
+                                 * 1e12) AS BIGINT)) AS BIGINT) AS t
+      FROM stepped GROUP BY 1, 2
+    )
+    SELECT c_nationkey, c_mktsegment, n,
+           CASE WHEN k > 1 THEN
+             floor(t / 1e12 / (k - 1) * 1e6 + 0.5) / 1e6
+           END AS emd
+    FROM agg
+    """,
+)
+def q259_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit of the q203/q219 release shape: per
+    (nation, segment) class, the EMD between its account-balance-
+    bucket distribution and the global one — every (class, n, emd) row
+    value-hash-checked. max(emd) over the output IS the release's t."""
+    c = load_table(spark, sf_dir, "customer")
+    return t_closeness(c, ["c_nationkey", "c_mktsegment"],
+                       F.floor(F.col("c_acctbal") / 1000))

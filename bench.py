@@ -136,6 +136,8 @@ HEADLINE = [
     "q256_decile_lift",
     "q257_js_divergence",
     "q258_bucketed_join",
+    "q259_t_closeness",
+    "q260_wasserstein_drift",
     "automl_e2e",
 ]
 
