@@ -2473,3 +2473,44 @@ def q259_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     return t_closeness(c, ["c_nationkey", "c_mktsegment"],
                        F.floor(F.col("c_acctbal") / 1000))
+
+
+def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """One-row (chi2, dof, n, v): Cramér's V — chi-square (q135's
+    exact machinery, zero-cell correction included) normalized to
+    [0, 1] so association strengths are comparable ACROSS tables:
+    V = sqrt(chi2 / (n·(min(|A|,|B|)−1))). Same single cell group-by;
+    v derives from the ALREADY-PINNED chi2 (sqrt is IEEE-exact), so
+    both engines compute the identical double. Degenerate domains
+    (|A| or |B| = 1) report v NULL-by-contract. Round-10 registration
+    candidate."""
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wt = Window.partitionBy()
+    m = cells.select(
+        "__a", "__b", "__n",
+        F.sum("__n").over(wa).alias("__ra"),
+        F.sum("__n").over(wb).alias("__cb"),
+        F.sum("__n").over(wt).alias("__tot"),
+    )
+    e = (F.col("__ra").cast("double") * F.col("__cb")) / F.col("__tot")
+    term = (F.col("__n") - e) * (F.col("__n") - e) / e
+    agg = m.agg(
+        (F.floor((F.sum(term) + F.max("__tot") - F.sum(e))
+                 * 1e6 + F.lit(0.5)) / 1e6).alias("chi2"),
+        ((F.countDistinct("__a") - 1)
+         * (F.countDistinct("__b") - 1)).alias("dof"),
+        F.max("__tot").alias("n"),
+        F.least(F.countDistinct("__a"), F.countDistinct("__b"))
+        .alias("__mink"))
+    v = F.sqrt(F.col("chi2")
+               / (F.col("n").cast("double") * (F.col("__mink") - 1)))
+    return agg.select(
+        "chi2", "dof", "n",
+        F.when(F.col("__mink") > 1,
+               F.floor(v * 1e6 + F.lit(0.5)) / 1e6).alias("v"))

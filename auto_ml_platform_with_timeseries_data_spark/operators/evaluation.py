@@ -991,3 +991,51 @@ def q256_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return decile_lift(li, F.col("l_extendedprice"),
                        (F.col("l_returnflag") == "R").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 registration candidates — implemented and oracle-drafted now
+# (tests/test_round10_candidates.py), kept OUT of the registry because
+# the round-9 head is at the 30-rotation floor and q259/q260 already
+# hold the overflow head. Registering next round is a pure registry
+# edit.
+# ---------------------------------------------------------------------------
+
+
+def threshold_sweep(df: DataFrame, score: Column,
+                    label: Column) -> DataFrame:
+    """(threshold, tp, fp, fn, tn, f1, youden_j) at EVERY distinct
+    score value (predict positive iff score ≥ threshold) — the exact
+    sweep a deployment reads to pick an operating point, and the full
+    ROC/PR curve's raw points in one pass. The corpus reduces to
+    per-distinct-value (pos, neg) counts in one map-side-combined
+    group-by; cumulative TP/FP walk the value table top-down (the KS
+    window shape — bounded by the score domain, not the data). Counts
+    exact BIGINTs; f1/J single pinned doubles; an all-one-class input
+    reports the undefined metric NULL-by-contract."""
+    src = df.select(score.cast("double").alias("__v"),
+                    label.cast("long").alias("__y")).filter(
+        F.col("__v").isNotNull() & F.col("__y").isNotNull())
+    cells = src.groupBy("__v").agg(
+        F.sum("__y").cast("long").alias("__cp"),
+        F.sum(F.lit(1) - F.col("__y")).cast("long").alias("__cn"))
+    w = Window.orderBy(F.desc("__v")).rowsBetween(
+        Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    m = cells.select(
+        F.col("__v").alias("threshold"),
+        F.sum("__cp").over(w).alias("tp"),
+        F.sum("__cn").over(w).alias("fp"),
+        F.sum("__cp").over(wt).alias("__p"),
+        F.sum("__cn").over(wt).alias("__n"))
+    fn = F.col("__p") - F.col("tp")
+    tn = F.col("__n") - F.col("fp")
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    f1d = 2 * F.col("tp") + F.col("fp") + fn
+    f1 = F.when(f1d > 0, pin(2 * F.col("tp") / f1d))
+    j = F.when((F.col("__p") > 0) & (F.col("__n") > 0),
+               pin(F.col("tp").cast("double") / F.col("__p")
+                   - F.col("fp").cast("double") / F.col("__n")))
+    return m.select("threshold", "tp", "fp", fn.alias("fn"),
+                    tn.alias("tn"), f1.alias("f1"),
+                    j.alias("youden_j"))

@@ -853,3 +853,40 @@ def q229_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return mutual_information(li, feats,
                               (F.col("l_returnflag") == "R"))
+
+
+def gini_coefficient(df: DataFrame, value: Column) -> DataFrame:
+    """One-row (n, total, gini): the Gini concentration coefficient of
+    a non-negative INTEGER quantity (pass cents, tokens, counts) —
+    the inequality audit a mixture designer runs on per-source token
+    budgets or per-customer revenue. G = (2·Σ i·x_(i) − (n+1)·Σx)
+    / (n·Σx) with ranks over the ascending sort; the rank-weighted sum
+    reads off the distributed ordinal spans EXACTLY (a distinct value
+    v spanning ordinals [s+1, s+c] contributes v·(c·s + c(c+1)/2) — an
+    exact BIGINT), so there is no sort and no float accumulation; the
+    coefficient is one pinned double. Ties take consecutive ranks and
+    the formula is tie-invariant (equal values commute). Zero total
+    reports gini NULL-by-contract. Round-10 registration candidate."""
+    lv = df.select(F.lit(0).alias("__ci"),
+                   value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull() & (F.col("__v") >= 0))
+    spans = _ordinal_spans(lv.select("__ci",
+                                     F.col("__v").cast("double")
+                                     .alias("__v")))
+    # pure BIGINT arithmetic: c·(c+1) is even so the div is exact, and
+    # nothing ever passes through a double before the final ratio
+    contrib = (F.col("__v").cast("long")
+               * (F.col("__c") * F.col("__s")
+                  + F.expr("(__c * (__c + 1)) div 2")))
+    agg = spans.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.col("__v").cast("long") * F.col("__c")).cast("long")
+        .alias("total"),
+        F.sum(contrib).cast("long").alias("__rs"))
+    g = ((2.0 * F.col("__rs") - (F.col("n") + 1).cast("double")
+          * F.col("total"))
+         / (F.col("n").cast("double") * F.col("total")))
+    return agg.select(
+        "n", "total",
+        F.when(F.col("total") > 0,
+               F.floor(g * 1e6 + F.lit(0.5)) / 1e6).alias("gini"))

@@ -1124,3 +1124,55 @@ def q235_theil_sen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull())
     return theil_sen_capped(ev, "user_id").withColumnRenamed(
         "__g", "user_id")
+
+
+def kaplan_meier(df: DataFrame, cohort_col: str, duration: Column,
+                 event: Column) -> DataFrame:
+    """(cohort, t, n_risk, d, c, survival): the Kaplan–Meier
+    product-limit survival curve per cohort — churn/retention/time-to-
+    failure's standard estimator, with right-censoring (event = 0 rows
+    leave the risk set without counting as deaths).
+    S(t_i) = Π_{j ≤ i} (1 − d_j/n_j) over event times.
+
+    Scale shape: one (cohort, t) cell group-by (the corpus scans
+    once); the risk-set walk and the product run as windows over the
+    per-cohort cell table — numerous-small-groups, never data-sized
+    windows. The product is computed as the cumulative sum of
+    PER-TERM-QUANTIZED logs (floor(ln(1 − d/n)·1e12) — identical
+    expression both engines, so identical BIGINT; summed order-free by
+    the window) and exponentiated once, pinned at 1e-6. A time where
+    d = n extinguishes the cohort: survival is exactly 0.0 there and
+    after (no ln(0) anywhere). Round-10 registration candidate."""
+    src = df.select(F.col(cohort_col).alias("__g"),
+                    duration.cast("long").alias("__t"),
+                    event.cast("int").alias("__e")).filter(
+        F.col("__t").isNotNull() & F.col("__e").isNotNull())
+    cells = (src.groupBy("__g", "__t")
+             .agg(F.sum("__e").cast("long").alias("d"),
+                  F.sum(F.lit(1) - F.col("__e")).cast("long")
+                  .alias("c")))
+    wg = Window.partitionBy("__g")
+    wp = (Window.partitionBy("__g").orderBy("__t")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wc = (Window.partitionBy("__g").orderBy("__t")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    stepped = cells.select(
+        "__g", "__t", "d", "c",
+        (F.sum(F.col("d") + F.col("c")).over(wg)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wp),
+                      F.lit(0))).alias("n_risk"))
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.floor(F.log(F.lit(1.0) - F.col("d").cast("double")
+                      / F.col("n_risk")) * F.lit(1e12)).cast("long"))
+    walked = stepped.select(
+        "__g", "__t", "n_risk", "d", "c",
+        F.sum(term).over(wc).alias("__ls"),
+        F.max((F.col("d") == F.col("n_risk")).cast("int")).over(wc)
+        .alias("__dead"))
+    surv = F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+        F.floor(F.exp(F.col("__ls") / F.lit(1e12)) * 1e6 + F.lit(0.5))
+        / 1e6)
+    return walked.select(
+        F.col("__g").alias(cohort_col), F.col("__t").alias("t"),
+        "n_risk", "d", "c", surv.alias("survival"))

@@ -467,3 +467,41 @@ def q242_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact and value-hash-checked."""
     li = load_table(spark, sf_dir, "lineitem")
     return benford_audit(li, "l_extendedprice")
+
+
+def two_proportion_z(df: DataFrame, group_col: str, a: str, b: str,
+                     success: "Column") -> DataFrame:
+    """One-row (n_a, x_a, n_b, x_b, p_a, p_b, z): the pooled
+    two-proportion z-test — the A/B readout (did cohort a convert
+    differently from cohort b?). One map-side-combined aggregate;
+    rates and z are single pinned doubles over exact integers (sqrt
+    is IEEE-correctly-rounded, so the expression is bit-identical
+    cross-engine). Degenerate pools (empty group, pooled rate 0 or 1)
+    report z NULL-by-contract. Round-10 registration candidate."""
+    src = df.filter(F.col(group_col).isin(a, b)).select(
+        (F.col(group_col) == a).alias("__a"),
+        success.cast("long").alias("__y"))
+    agg = src.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__a"), F.col("__y")).otherwise(0))
+        .cast("long").alias("x_a"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(F.col("__y")))
+        .cast("long").alias("x_b"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    pa = F.col("x_a").cast("double") / F.col("n_a")
+    pb = F.col("x_b").cast("double") / F.col("n_b")
+    pp = (F.col("x_a") + F.col("x_b")).cast("double") \
+        / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a")
+                                 + 1.0 / F.col("n_b")))
+    ok = ((F.col("n_a") > 0) & (F.col("n_b") > 0)
+          & (F.col("x_a") + F.col("x_b") > 0)
+          & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")))
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        F.when(F.col("n_a") > 0, pin(pa)).alias("p_a"),
+        F.when(F.col("n_b") > 0, pin(pb)).alias("p_b"),
+        F.when(ok, pin((pa - pb) / se)).alias("z"))
