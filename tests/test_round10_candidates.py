@@ -270,3 +270,91 @@ def test_kaplan_meier_oracle_draft(spark, sf_dir):
     want = _duck(sf_dir, _KM_ORACLE)
     ok, msg = compare(got, want)
     assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# Property pins: each candidate against a direct pure-python
+# computation of its textbook definition (the test_round9_properties
+# pattern — the oracle drafts above certify engine-vs-engine, these
+# certify the math).
+# ---------------------------------------------------------------------------
+
+import math  # noqa: E402
+
+pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from auto_ml_platform_with_timeseries_data_spark.session import get_spark  # noqa: E402
+
+_PIN = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.integers(min_value=0, max_value=10_000),
+                     min_size=2, max_size=30))
+def test_gini_matches_python_reference(vals):
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    row = profile.gini_coefficient(df, F.col("x")).collect()[0]
+    n, total = len(vals), sum(vals)
+    xs = sorted(vals)
+    rs = sum((i + 1) * x for i, x in enumerate(xs))
+    want = (_PIN((2.0 * rs - float(n + 1) * total) / (float(n) * total))
+            if total > 0 else None)
+    assert (row["n"], row["total"], row["gini"]) == (n, total, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=1, max_value=8),      # duration
+    st.booleans()),                             # event (vs censored)
+    min_size=2, max_size=25))
+def test_kaplan_meier_matches_python_reference(rows):
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(0, int(t), 1 if e else 0) for t, e in rows],
+        "cohort int, t long, e int")
+    got = {r["t"]: (r["n_risk"], r["d"], r["c"], r["survival"])
+           for r in ts_features.kaplan_meier(
+               df, "cohort", F.col("t"), F.col("e")).collect()}
+    times = sorted({t for t, _ in rows})
+    remaining = len(rows)
+    log_q = 0
+    dead = False
+    for t in times:
+        d = sum(1 for tt, e in rows if tt == t and e)
+        c = sum(1 for tt, e in rows if tt == t and not e)
+        n_risk = remaining
+        if d < n_risk:
+            log_q += math.floor(math.log(1.0 - d / n_risk) * 1e12)
+        else:
+            dead = True
+        want = 0.0 if dead else _PIN(math.exp(log_q / 1e12))
+        assert got[t] == (n_risk, d, c, want)
+        remaining -= d + c
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=5),      # score (ties likely)
+    st.booleans()),                             # label
+    min_size=2, max_size=30))
+def test_threshold_sweep_matches_python_reference(rows):
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(float(v), 1 if y else 0) for v, y in rows],
+        "v double, y long")
+    got = {r["threshold"]: (r["tp"], r["fp"], r["fn"], r["tn"],
+                            r["f1"], r["youden_j"])
+           for r in evaluation.threshold_sweep(
+               df, F.col("v"), F.col("y")).collect()}
+    p = sum(1 for _, y in rows if y)
+    nn = len(rows) - p
+    for th in sorted({v for v, _ in rows}):
+        tp = sum(1 for v, y in rows if y and v >= th)
+        fp = sum(1 for v, y in rows if not y and v >= th)
+        fn, tn = p - tp, nn - fp
+        f1 = _PIN(2 * tp / (2 * tp + fp + fn)) if 2 * tp + fp + fn else None
+        j = _PIN(tp / p - fp / nn) if p and nn else None
+        assert got[float(th)] == (tp, fp, fn, tn, f1, j)
