@@ -1737,8 +1737,9 @@ def margin_mine_pairs(src: DataFrame, tgt: DataFrame, id_col: str,
     broadcasts the smaller side, so it is the right tool when one side
     is query-scale (a probe set, an evaluation batch). The production
     corpus×corpus path is ``margin_mine_pairs_banded`` (q250), which
-    generates candidates with sign-bucket banding and applies the SAME
-    margin math via the shared ``_margin_from_pairs``."""
+    generates candidates from IVF cells over an injected codebook and
+    applies the SAME margin math via the shared
+    ``_margin_from_pairs``."""
     a = _margin_quant(src, id_col, vec_col, "src_id", "__qa", "__da")
     b = _margin_quant(tgt, id_col, vec_col, "tgt_id", "__qb", "__db")
     pairs = (a.crossJoin(F.broadcast(b))
