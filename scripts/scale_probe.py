@@ -125,6 +125,14 @@ def main() -> int:
         }
         print(f"{name}: 1x {t1:.2f}s ({n1} rows) -> {copies}x {tN:.2f}s "
               f"({nN} rows), ratio {tN / max(t1, 1e-9):.1f}")
+        # bench.py's per-query hygiene, without which a full sequential
+        # pass taxes late probes with accumulated cache/broadcast state
+        # (measured: quantile_normalize 5.9x in a full pass vs 1.2x
+        # targeted) — dropped AFTER timing so probes stay comparable
+        import gc
+
+        spark.catalog.clearCache()
+        gc.collect()
 
     for name, fn in probes.items():
         run(name, lambda fn=fn: fn(docs1()), lambda fn=fn: fn(docsN()))
@@ -1028,6 +1036,36 @@ def main() -> int:
 
     run("bucketed_join", lambda: bktjoin(False, "1x"),
         lambda: bktjoin(True, "Nx"))
+
+    # round-10 candidates (library-only until registration): KM is one
+    # (cohort, t) cell group-by + per-cohort windows — staged copies
+    # add users (cohort keys derive from user_id), so linear; the
+    # threshold sweep is the KS value-table walk — value domain fixed,
+    # wall tracks the scan. gini/cramers/two-prop reuse the probed
+    # span/cell shapes.
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features as tsf10,
+    )
+
+    def km(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        ev = ev.filter(F.col("value").isNotNull()).select(
+            (F.col("user_id") % 1_000_003).alias("cohort"),
+            "value", "event_id")
+        return tsf10.kaplan_meier(
+            ev, "cohort", F.floor(F.abs(F.col("value"))),
+            (F.col("event_id") % 4 != 0).cast("int")).count()
+
+    run("kaplan_meier", lambda: km(False), lambda: km(True))
+
+    def thsw(path_based):
+        l2 = li(path_based)
+        return evaluation.threshold_sweep(
+            l2, F.col("l_discount"),
+            (F.col("l_returnflag") == "R").cast("long")).count()
+
+    run("threshold_sweep", lambda: thsw(False), lambda: thsw(True))
 
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
