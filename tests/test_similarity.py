@@ -574,3 +574,46 @@ def test_margin_mining_banded_equals_full_on_clustered_data(spark):
                                     "embedding", k=2, margin=1.0,
                                     nprobe=2).collect()}
     assert full == ann and len(full) > 0
+
+
+def test_margin_mining_banded_with_trained_centroids(spark):
+    """The production configuration of q250's scale path: centroids
+    come from _ivf_train's spherical k-means (not an injected slice),
+    and on clustered data the trained cells recover the exact kernel's
+    mining verbatim — the operator is codebook-agnostic, so the
+    SQL-exact injected-cell oracle certifies the same code the trained
+    path runs."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        _ivf_train,
+        margin_mine_pairs,
+        margin_mine_pairs_banded,
+    )
+
+    rng = np.random.RandomState(23)
+    dim = 8
+    centers = np.eye(4, dim) * 10.0
+    rows = []
+    nid = 0
+    for c in range(4):
+        for _ in range(4):                    # 4 src + 4 tgt per cluster
+            for parity in (0, 1):
+                v = centers[c] + 0.1 * rng.randn(dim)
+                rows.append((2 * nid + parity, [float(x) for x in v]))
+            nid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    src = df.filter("vec_id % 2 = 0")
+    tgt = df.filter("vec_id % 2 = 1")
+    cent_mat = _ivf_train(df, "embedding", ncells=4, iters=3)
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(cent_mat)],
+        "vec_id long, embedding array<double>")
+    full = {(r["src_id"], r["tgt_id"]): r["margin"] for r in
+            margin_mine_pairs(src, tgt, "vec_id", "embedding",
+                              k=2, margin=1.0).collect()}
+    ann = {(r["src_id"], r["tgt_id"]): r["margin"] for r in
+           margin_mine_pairs_banded(src, tgt, cents, "vec_id",
+                                    "embedding", k=2, margin=1.0,
+                                    nprobe=2).collect()}
+    assert full == ann and len(full) > 0
