@@ -456,3 +456,32 @@ def test_stream_near_screen_survives_restart_and_matches_bruteforce(
     # replay did not duplicate index rows
     n_idx = spark.read.parquet(*rollup_versions(idx_root).values()).count()
     assert n_idx == len(canon)
+
+
+def test_write_ordered_slices_forces_strict_mtime_order(spark, tmp_path):
+    """The ADVICE-r8 hardening: staged slices must carry strictly
+    increasing per-slice mtimes (FileStreamSource's tie order is
+    listing-hash dependent, so equal timestamps would make staged
+    batch order nondeterministic on coarse-timestamp filesystems)."""
+    from pyspark.sql.window import Window
+
+    from auto_ml_platform_with_timeseries_data_spark.streaming.events import (
+        _write_ordered_slices,
+    )
+
+    d = str(tmp_path / "slices")
+    os.makedirs(d)
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    sliced = df.withColumn(
+        "__slice", F.ntile(4).over(Window.orderBy("doc_id")))
+    _write_ordered_slices(sliced, d)
+    parts = sorted(
+        (os.path.getmtime(os.path.join(d, f)), f)
+        for f in os.listdir(d) if f.endswith(".parquet"))
+    assert len(parts) == 4
+    mtimes = [m for m, _ in parts]
+    assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:])), mtimes
+    # the slice content follows the mtime order: earliest file holds
+    # the smallest ids
+    first = spark.read.parquet(os.path.join(d, parts[0][1]))
+    assert first.agg(F.max("doc_id")).first()[0] == 9
