@@ -232,3 +232,28 @@ def q08_ts_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[2][0].alias("f3"),
         "label",
     )
+
+
+def dominant_acf_lag(df: DataFrame, group: str, order: str, value: str,
+                     max_lag: int = 10,
+                     tie_break: str | None = None) -> DataFrame:
+    """(group, best_lag, best_acf): the lag in 1..max_lag with the
+    highest autocorrelation per series — the data-driven prior for the
+    reference's look-back sweep (W3, ml/ts_automl.py): instead of
+    grid-searching look_back blindly, seed the sweep at each series'
+    dominant lag. Ranks the ALREADY-1e-6-ROUNDED acf values (q06's
+    operator), so the argmax is deterministic cross-engine, with the
+    smallest lag breaking ties. Constant series (every acf NULL)
+    report NULL-by-contract. One extra numerous-small-groups rank
+    window over q06's (group × max_lag)-sized output. Round-10
+    registration candidate."""
+    a = acf(df, group, order, value, max_lag, tie_break=tie_break)
+    w = Window.partitionBy(group).orderBy(
+        F.desc_nulls_last("acf"), F.asc("lag"))
+    return (a.filter(F.col("lag") >= 1)
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(group,
+                    F.when(F.col("acf").isNotNull(), F.col("lag"))
+                    .cast("int").alias("best_lag"),
+                    F.col("acf").alias("best_acf")))

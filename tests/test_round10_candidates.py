@@ -358,3 +358,40 @@ def test_threshold_sweep_matches_python_reference(rows):
         f1 = _PIN(2 * tp / (2 * tp + fp + fn)) if 2 * tp + fp + fn else None
         j = _PIN(tp / p - fp / nn) if p and nn else None
         assert got[float(th)] == (tp, fp, fn, tn, f1, j)
+
+
+def _dominant_lag_oracle(max_lag: int = 10) -> str:
+    from auto_ml_platform_with_timeseries_data_spark.operators.timeseries import (
+        _acf_oracle,
+    )
+
+    return f"""
+    WITH acf_rows AS ({_acf_oracle()}),
+    ranked AS (
+      SELECT user_id, lag, acf,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY acf DESC NULLS LAST,
+                                         lag ASC) AS rk
+      FROM acf_rows WHERE lag >= 1
+    )
+    SELECT user_id,
+           CAST(CASE WHEN acf IS NOT NULL THEN lag END AS INT)
+             AS best_lag,
+           acf AS best_acf
+    FROM ranked WHERE rk = 1
+    """
+
+
+def test_dominant_acf_lag_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.operators.timeseries import (
+        _ACF_LAGS,
+        dominant_acf_lag,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = dominant_acf_lag(ev, "user_id", "ts", "value", _ACF_LAGS,
+                           tie_break="event_id").toPandas()
+    want = _duck(sf_dir, _dominant_lag_oracle(_ACF_LAGS))
+    ok, msg = compare(got, want)
+    assert ok, msg
