@@ -526,8 +526,12 @@ def automl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("__fold"))
     train = li.filter(F.col("__fold") != 0).drop("__fold")
     test = li.filter(F.col("__fold") == 0).drop("__fold")
+    from auto_ml_platform_with_timeseries_data_spark.staging import staging_dir
+
+    # per-process staging (not a fixed /tmp path): two concurrent bench
+    # processes on one host must not share a Task storage root
     task = Task(spark, "bench_automl_e2e",
-                storage_dir="/tmp/sparkgraft_bench_automl")
+                storage_dir=staging_dir("bench_automl"))
     task.ingest(train).ingest_test(test)
     task.pre_analyze()
     task.set_supervised_options(label="l_extendedprice")

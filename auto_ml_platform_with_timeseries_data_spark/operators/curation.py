@@ -2188,11 +2188,17 @@ def js_divergence_sources(df: DataFrame, text_col: str,
     contributes to both sides and the mid-point M is never zero.
 
     Counts are exact word-keyed BIGINTs (the only corpus-sized shuffle
-    is the token explode — the q220 LM shape); the per-word
-    P·ln(P/M) + Q·ln(Q/M) terms are single double expressions over
-    those integers written token-identically in the oracle, summed and
-    pinned at 1e-6 (the q229 MI discipline — term magnitude ~1e-4 and
-    vocabulary ~1e4 keep float-order drift ~8 orders below the pin)."""
+    is the token explode — the q220 LM shape); each per-word
+    P·ln(P/M) + Q·ln(Q/M) term is a single double expression over
+    those integers written token-identically in the oracle, then
+    QUANTIZED to floor(term·1e12) BIGINT before summing (the W1 /
+    t-closeness discipline) — the sum is an identical integer in both
+    engines regardless of accumulation order, so a value landing near
+    the 1e-6 pin boundary can never flip on one side only. Terms are
+    non-negative (log-sum inequality), so the floor is sign-safe; the
+    quantization bias is ≤ vocab·1e-12, ~6 orders under the pin, and
+    the integer sum stays ≤ vocab·ln2·1e12 < 2^53 up to ~10¹² distinct
+    words — double-exact far past any corpus."""
     toks = df.select(
         is_p.alias("__t"),
         F.explode(tokens(normalize_text(text_col))).alias("__w"))
@@ -2212,10 +2218,10 @@ def js_divergence_sources(df: DataFrame, text_col: str,
     m = (p + q) / 2
     term = (p * F.log(p / m) + q * F.log(q / m)) / 2
     agg = j.groupBy("vocab", "n_p_tokens", "n_q_tokens").agg(
-        F.sum(term).alias("__jsd"))
+        F.sum(F.floor(term * 1e12).cast("long")).alias("__jsd"))
     return agg.select(
         "vocab", "n_p_tokens", "n_q_tokens",
-        (F.floor(F.col("__jsd") * 1e6 + F.lit(0.5)) / 1e6)
+        (F.floor(F.col("__jsd") / 1e12 * 1e6 + F.lit(0.5)) / 1e6)
         .alias("jsd_nats"))
 
 
@@ -2243,8 +2249,9 @@ def js_divergence_sources(df: DataFrame, text_col: str,
       FROM cnt, tot
     )
     SELECT vocab, n_p_tokens, n_q_tokens,
-           floor(sum((p * ln(p / ((p + q) / 2))
-                      + q * ln(q / ((p + q) / 2))) / 2) * 1e6 + 0.5)
+           floor(sum(CAST(floor((p * ln(p / ((p + q) / 2))
+                                 + q * ln(q / ((p + q) / 2))) / 2 * 1e12)
+                          AS BIGINT)) / 1e12 * 1e6 + 0.5)
              / 1e6 AS jsd_nats
     FROM terms GROUP BY vocab, n_p_tokens, n_q_tokens
     """,
@@ -2482,8 +2489,7 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     V = sqrt(chi2 / (n·(min(|A|,|B|)−1))). Same single cell group-by;
     v derives from the ALREADY-PINNED chi2 (sqrt is IEEE-exact), so
     both engines compute the identical double. Degenerate domains
-    (|A| or |B| = 1) report v NULL-by-contract. Round-10 registration
-    candidate."""
+    (|A| or |B| = 1) report v NULL-by-contract."""
     cells = (
         df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
         .groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
@@ -2514,3 +2520,49 @@ def cramers_v(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         "chi2", "dof", "n",
         F.when(F.col("__mink") > 1,
                F.floor(v * 1e6 + F.lit(0.5)) / 1e6).alias("v"))
+
+
+@query(
+    "q264_cramers_v",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, count(*) AS n FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT n,
+             sum(n) OVER (PARTITION BY lang) AS ra,
+             sum(n) OVER (PARTITION BY source) AS cb,
+             sum(n) OVER () AS tot
+      FROM c
+    ),
+    agg AS (
+      SELECT floor((sum((n - CAST(ra AS DOUBLE) * cb / tot)
+                        * (n - CAST(ra AS DOUBLE) * cb / tot)
+                        / (CAST(ra AS DOUBLE) * cb / tot))
+                    + max(tot)
+                    - sum(CAST(ra AS DOUBLE) * cb / tot))
+                   * 1e6 + 0.5) / 1e6 AS chi2,
+             CAST(max(tot) AS BIGINT) AS n
+      FROM m
+    ),
+    ks AS (
+      SELECT count(DISTINCT lang) AS ka, count(DISTINCT source) AS kb
+      FROM c
+    )
+    SELECT chi2,
+           CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof, n,
+           CASE WHEN least(ka, kb) > 1 THEN
+             floor(sqrt(chi2 / (CAST(n AS DOUBLE) * (least(ka, kb) - 1)))
+                   * 1e6 + 0.5) / 1e6
+           END AS v
+    FROM agg, ks
+    """,
+)
+def q264_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between document language and source — the
+    normalized lang×source association a mixture designer compares
+    across tables. One hash-checked row: pinned chi2, exact dof/n,
+    pinned v."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cramers_v(docs, "lang", "source")

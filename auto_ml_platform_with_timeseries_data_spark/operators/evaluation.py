@@ -993,15 +993,6 @@ def q256_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("l_returnflag") == "R").cast("long"))
 
 
-# ---------------------------------------------------------------------------
-# Round-10 registration candidates — implemented and oracle-drafted now
-# (tests/test_round10_candidates.py), kept OUT of the registry because
-# the round-9 head is at the 30-rotation floor and q259/q260 already
-# hold the overflow head. Registering next round is a pure registry
-# edit.
-# ---------------------------------------------------------------------------
-
-
 def threshold_sweep(df: DataFrame, score: Column,
                     label: Column) -> DataFrame:
     """(threshold, tp, fp, fn, tn, f1, youden_j) at EVERY distinct
@@ -1039,3 +1030,48 @@ def threshold_sweep(df: DataFrame, score: Column,
     return m.select("threshold", "tp", "fp", fn.alias("fn"),
                     tn.alias("tn"), f1.alias("f1"),
                     j.alias("youden_j"))
+
+
+@query(
+    "q261_threshold_sweep",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_discount AS DOUBLE) AS v,
+             CAST(l_returnflag = 'R' AS BIGINT) AS y
+      FROM lineitem WHERE l_discount IS NOT NULL
+    ),
+    c AS (
+      SELECT v, CAST(sum(y) AS BIGINT) AS cp,
+             CAST(sum(1 - y) AS BIGINT) AS cn
+      FROM s GROUP BY v
+    ),
+    m AS (
+      SELECT v AS threshold,
+             sum(cp) OVER (ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(cn) OVER (ORDER BY v DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             sum(cp) OVER () AS p, sum(cn) OVER () AS nn
+      FROM c
+    )
+    SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(p - tp AS BIGINT) AS fn, CAST(nn - fp AS BIGINT) AS tn,
+           CASE WHEN 2 * tp + fp + (p - tp) > 0 THEN
+             floor(2 * tp / CAST(2 * tp + fp + (p - tp) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6
+           END AS f1,
+           CASE WHEN p > 0 AND nn > 0 THEN
+             floor((CAST(tp AS DOUBLE) / p - CAST(fp AS DOUBLE) / nn)
+                   * 1e6 + 0.5) / 1e6
+           END AS youden_j
+    FROM m
+    """,
+)
+def q261_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full operating-point sweep of 'discount predicts returns':
+    one row per distinct l_discount threshold with exact confusion
+    counts plus pinned F1 / Youden's J — every value hash-checked
+    (the curve a deployment reads to pick its cutoff)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return threshold_sweep(li, F.col("l_discount"),
+                           (F.col("l_returnflag") == "R").cast("long"))

@@ -866,23 +866,32 @@ def gini_coefficient(df: DataFrame, value: Column) -> DataFrame:
     exact BIGINT), so there is no sort and no float accumulation; the
     coefficient is one pinned double. Ties take consecutive ranks and
     the formula is tie-invariant (equal values commute). Zero total
-    reports gini NULL-by-contract. Round-10 registration candidate."""
+    reports gini NULL-by-contract.
+
+    Width contract: the rank-weighted sum tops out near v_max·n², which
+    crosses int64 already at sf1 lineitem cents (~1.9e20), so it runs
+    at DECIMAL(38,0) here and HUGEINT (int128) in the oracle — exact to
+    1e38, i.e. any realistic scale. Inputs must still satisfy
+    Σv < 2^63 (the `total` output column is a BIGINT — for cents that
+    is $9.2e16, far past 100 TB) and no single distinct value may
+    repeat > 3e9 times (c·(c+1)/2 stays in int64)."""
     lv = df.select(F.lit(0).alias("__ci"),
                    value.cast("long").alias("__v")).filter(
         F.col("__v").isNotNull() & (F.col("__v") >= 0))
     spans = _ordinal_spans(lv.select("__ci",
                                      F.col("__v").cast("double")
                                      .alias("__v")))
-    # pure BIGINT arithmetic: c·(c+1) is even so the div is exact, and
+    # pure integer arithmetic: c·(c+1) is even so the div is exact, and
     # nothing ever passes through a double before the final ratio
-    contrib = (F.col("__v").cast("long")
-               * (F.col("__c") * F.col("__s")
-                  + F.expr("(__c * (__c + 1)) div 2")))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    contrib = (dec(F.col("__v"))
+               * (dec(F.col("__c")) * dec(F.col("__s"))
+                  + dec(F.expr("(__c * (__c + 1)) div 2"))))
     agg = spans.agg(
         F.sum("__c").cast("long").alias("n"),
         F.sum(F.col("__v").cast("long") * F.col("__c")).cast("long")
         .alias("total"),
-        F.sum(contrib).cast("long").alias("__rs"))
+        F.sum(contrib).alias("__rs"))
     g = ((2.0 * F.col("__rs") - (F.col("n") + 1).cast("double")
           * F.col("total"))
          / (F.col("n").cast("double") * F.col("total")))
@@ -890,3 +899,46 @@ def gini_coefficient(df: DataFrame, value: Column) -> DataFrame:
         "n", "total",
         F.when(F.col("total") > 0,
                F.floor(g * 1e6 + F.lit(0.5)) / 1e6).alias("gini"))
+
+
+@query(
+    "q263_gini_coefficient",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    f AS (SELECT v FROM s WHERE v >= 0),
+    vv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY v),
+    sp AS (
+      SELECT v, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS st
+      FROM vv
+    ),
+    agg AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS total,
+             sum(CAST(v AS HUGEINT)
+                 * (CAST(c AS HUGEINT) * st + (c * (c + 1)) // 2))
+               AS rs
+      FROM sp
+    )
+    SELECT n, total,
+           CASE WHEN total > 0 THEN
+             floor((2.0 * rs - CAST(n + 1 AS DOUBLE) * total)
+                   / (CAST(n AS DOUBLE) * total) * 1e6 + 0.5) / 1e6
+           END AS gini
+    FROM agg
+    """,
+)
+def q263_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of lineitem revenue in exact cents: one
+    (n, total, gini) row, the rank-weighted sum exact at int128 width
+    in both engines (HUGEINT oracle / DECIMAL(38,0) here), the
+    coefficient one pinned hash-checked double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return gini_coefficient(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long"))

@@ -245,8 +245,7 @@ def dominant_acf_lag(df: DataFrame, group: str, order: str, value: str,
     operator), so the argmax is deterministic cross-engine, with the
     smallest lag breaking ties. Constant series (every acf NULL)
     report NULL-by-contract. One extra numerous-small-groups rank
-    window over q06's (group × max_lag)-sized output. Round-10
-    registration candidate."""
+    window over q06's (group × max_lag)-sized output."""
     a = acf(df, group, order, value, max_lag, tie_break=tie_break)
     w = Window.partitionBy(group).orderBy(
         F.desc_nulls_last("acf"), F.asc("lag"))
@@ -257,3 +256,31 @@ def dominant_acf_lag(df: DataFrame, group: str, order: str, value: str,
                     F.when(F.col("acf").isNotNull(), F.col("lag"))
                     .cast("int").alias("best_lag"),
                     F.col("acf").alias("best_acf")))
+
+
+def _dominant_lag_oracle() -> str:
+    return f"""
+    WITH acf_rows AS ({_acf_oracle()}),
+    ranked AS (
+      SELECT user_id, lag, acf,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY acf DESC NULLS LAST,
+                                         lag ASC) AS rk
+      FROM acf_rows WHERE lag >= 1
+    )
+    SELECT user_id,
+           CAST(CASE WHEN acf IS NOT NULL THEN lag END AS INT)
+             AS best_lag,
+           acf AS best_acf
+    FROM ranked WHERE rk = 1
+    """
+
+
+@query("q266_dominant_acf_lag", oracle=_dominant_lag_oracle())
+def q266_dominant_acf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series dominant autocorrelation lag — the argmax over
+    q06's rounded ACF table, the data-driven seed for the reference's
+    look-back sweep (W3). One hash-checked row per user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return dominant_acf_lag(ev, "user_id", "ts", "value", _ACF_LAGS,
+                            tie_break="event_id")

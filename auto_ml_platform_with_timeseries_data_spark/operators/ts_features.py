@@ -1142,7 +1142,7 @@ def kaplan_meier(df: DataFrame, cohort_col: str, duration: Column,
     expression both engines, so identical BIGINT; summed order-free by
     the window) and exponentiated once, pinned at 1e-6. A time where
     d = n extinguishes the cohort: survival is exactly 0.0 there and
-    after (no ln(0) anywhere). Round-10 registration candidate."""
+    after (no ln(0) anywhere)."""
     src = df.select(F.col(cohort_col).alias("__g"),
                     duration.cast("long").alias("__t"),
                     event.cast("int").alias("__e")).filter(
@@ -1176,3 +1176,59 @@ def kaplan_meier(df: DataFrame, cohort_col: str, duration: Column,
     return walked.select(
         F.col("__g").alias(cohort_col), F.col("__t").alias("t"),
         "n_risk", "d", "c", surv.alias("survival"))
+
+
+@query(
+    "q265_kaplan_meier",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 3 AS g,
+             CAST(floor(abs(value)) AS BIGINT) AS t,
+             CAST(event_id % 4 != 0 AS INT) AS e
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT g, t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c
+      FROM s GROUP BY g, t
+    ),
+    stepped AS (
+      SELECT g, t, d, c,
+             sum(d + c) OVER (PARTITION BY g)
+             - coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n_risk
+      FROM cells
+    ),
+    walked AS (
+      SELECT g, t, n_risk, d, c,
+             sum(CASE WHEN d < n_risk THEN
+                 CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                            * 1e12) AS BIGINT) END)
+               OVER (PARTITION BY g ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ls,
+             max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+               OVER (PARTITION BY g ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS dead
+      FROM stepped
+    )
+    SELECT g AS cohort, t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+           CASE WHEN dead = 1 THEN 0.0 ELSE
+             floor(exp(ls / 1e12) * 1e6 + 0.5) / 1e6
+           END AS survival
+    FROM walked
+    """,
+)
+def q265_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival per user_id%3 cohort over event magnitude
+    'durations' (event_id%4 != 0 marking events vs censoring): every
+    (cohort, t) step's risk set, deaths, censors and pinned survival
+    hash-checked — including exact-0.0 extinction steps."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()).select(
+        (F.col("user_id") % 3).alias("cohort"), "value", "event_id")
+    return kaplan_meier(
+        ev, "cohort", F.floor(F.abs(F.col("value"))),
+        (F.col("event_id") % 4 != 0).cast("int"))

@@ -477,7 +477,7 @@ def two_proportion_z(df: DataFrame, group_col: str, a: str, b: str,
     rates and z are single pinned doubles over exact integers (sqrt
     is IEEE-correctly-rounded, so the expression is bit-identical
     cross-engine). Degenerate pools (empty group, pooled rate 0 or 1)
-    report z NULL-by-contract. Round-10 registration candidate."""
+    report z NULL-by-contract."""
     src = df.filter(F.col(group_col).isin(a, b)).select(
         (F.col(group_col) == a).alias("__a"),
         success.cast("long").alias("__y"))
@@ -505,3 +505,46 @@ def two_proportion_z(df: DataFrame, group_col: str, a: str, b: str,
         F.when(F.col("n_a") > 0, pin(pa)).alias("p_a"),
         F.when(F.col("n_b") > 0, pin(pb)).alias("p_b"),
         F.when(ok, pin((pa - pb) / se)).alias("z"))
+
+
+@query(
+    "q262_two_proportion_z",
+    oracle="""
+    WITH s AS (
+      SELECT l_linestatus = 'O' AS a,
+             CAST(l_returnflag = 'R' AS BIGINT) AS y
+      FROM lineitem WHERE l_linestatus IN ('O', 'F')
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN a THEN y ELSE 0 END) AS BIGINT) AS x_a,
+             CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN a THEN 0 ELSE y END) AS BIGINT) AS x_b
+      FROM s
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           CASE WHEN n_a > 0 THEN
+             floor(CAST(x_a AS DOUBLE) / n_a * 1e6 + 0.5) / 1e6
+           END AS p_a,
+           CASE WHEN n_b > 0 THEN
+             floor(CAST(x_b AS DOUBLE) / n_b * 1e6 + 0.5) / 1e6
+           END AS p_b,
+           CASE WHEN n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+                AND x_a + x_b < n_a + n_b THEN
+             floor((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+                   / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                          * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b))
+                   * 1e6 + 0.5) / 1e6
+           END AS z
+    FROM agg
+    """,
+)
+def q262_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout on lineitem: do open (l_linestatus='O') and
+    finished ('F') lines return at different rates? Exact pooled
+    counts plus pinned rates and z statistic in one hash-checked
+    row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return two_proportion_z(li, "l_linestatus", "O", "F",
+                            (F.col("l_returnflag") == "R").cast("long"))

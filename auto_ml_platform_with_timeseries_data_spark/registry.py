@@ -60,26 +60,27 @@ _loaded = False
 
 # Driver-sweep priority. The correctness driver verifies queries in the
 # order ``queries()`` yields them, under a 50-query budget per round.
-# After round 8 every oracle-backed query has a green driver row in
-# some round and the stalest evidence is the six round-3 leftovers
-# (q73-q78, slots 51-56 last round) followed by the round-4 block —
-# so round 9 spends the budget on the never-witnessed additions plus
-# that stalest tier (VERDICT r8 "Next round" #1/#5):
+# After round 9 the cumulative board is fully green (every
+# oracle-backed query hash-green in some round except q259/q260, which
+# were registered past the saturated r9 head); the stalest evidence is
+# the round-4/5 block from q138_span_dedup onward (last green r4-r5).
+# Round 10 spends the budget accordingly (VERDICT r9 "Next round"
+# #1/#2/#4):
 #   1-6   canary slots — one long-green query per module family, so a
 #         regression in shared infrastructure still gets witnessed
-#   7-20  the round-9 registrations: q245-q249 (pre-built last round,
-#         oracles gate-compared in tests/test_round9_candidates.py)
-#         and the new q250-q258
-#   21-26 the six round-3 leftovers — the oldest evidence in the repo
-#   27-50 the head of the round-4 block, 24 members (rotation slots
-#         21-50 = 30, exactly the VERDICT floor)
+#   7-8   q259/q260 — the only oracle-backed queries with no driver
+#         row yet (r9 overflow head)
+#   9-14  the round-10 registrations q261-q266 (pre-built + oracle
+#         gate-compared last round in tests/test_round10_candidates.py)
+#   15    q267 — the new banded-margin-miner agreement floor gate
+#   16-50 the stalest driver evidence: the round-4/5 block from
+#         q138_span_dedup through q156_quantile_sketch (35 members —
+#         rotation ≥ the 30-slot VERDICT floor)
 # Slots past 50 are the ranked overflow the driver reaches only if its
-# budget stretches: first q259/q260 (registered after the head
-# saturated at the 30-rotation floor — they lead the round-10 budget;
-# their exactness is already 3-SF-checked locally), then
-# stalest-evidence-first: the rest of the
-# round-4 block, then round-5, round-6, round-7, and the freshly
-# r8-witnessed block (last round's slots 7-50) at the very end.
+# budget stretches: first q268 (the banded production path, registered
+# this round — leads the round-11 budget), then stalest-evidence-first
+# (the rest of round-5, round-6, round-7), and the freshly
+# r9-witnessed blocks (last round's slots 7-50) at the very end.
 # Rows-only queries sit outside _PRIORITY entirely — a budget slot
 # spent on a weaker check is a slot wasted (their machinery is
 # witnessed via exact twins).
@@ -87,29 +88,11 @@ _PRIORITY: tuple[str, ...] = (
     "q01_head", "q06_acf",
     "q12_f1_confusion", "q18_jaccard_pairs",
     "q35_embedding_neardup", "q125_key_skew",
-    "q245_conformal_quantile", "q246_brier_decomposition",
-    "q247_group_auc", "q248_coreness",
-    "q249_negative_samples", "q250_margin_mining_scaled",
-    "q251_stream_near_screen", "q252_calibration_error",
-    "q253_ndcg_at_k", "q254_mrr",
-    "q255_average_precision", "q256_decile_lift",
-    "q257_js_divergence", "q258_bucketed_join",
-    "q73_stratified_sample", "q74_hash_split",
-    "q75_class_balance", "q76_pack_sequences",
-    "q77_decontaminate", "q78_uniform_sample",
-    "q105_dominant_suppliers", "q106_time_weighted_avg",
-    "q107_cusum_changepoints", "q108_embedding_dim_stats",
-    "q109_bigram_pmi", "q110_seasonal_residuals",
-    "q111_repetition_ratio", "q112_word_entropy",
-    "q113_target_encoding", "q114_funnel",
-    "q115_cohort_retention", "q116_media_resize",
-    "q117_frame_sample", "q118_embedding_quantize",
-    "q119_fuzzy_decontaminate", "q121_bm25",
-    "q122_window_heavy_hitters", "q123_rolling_median",
-    "q124_group_ols", "q127_event_transitions",
-    "q132_exact_agg_twin", "q135_chisq_independence",
-    "q136_ks_drift", "q137_split_leakage",
     "q259_t_closeness", "q260_wasserstein_drift",
+    "q261_threshold_sweep", "q262_two_proportion_z",
+    "q263_gini_coefficient", "q264_cramers_v",
+    "q265_kaplan_meier", "q266_dominant_acf_lag",
+    "q267_margin_agreement_gate",
     "q138_span_dedup", "q139_unigram_logprob",
     "q140_containment_pairs", "q141_minhash_portable",
     "q142_simhash_portable", "q143_ann_signbucket",
@@ -127,7 +110,8 @@ _PRIORITY: tuple[str, ...] = (
     "q150_audio_features", "q151_csv_roundtrip",
     "q152_video_frames", "q153_sharded_export",
     "q154_incremental_dedup", "q155_zorder_keys",
-    "q156_quantile_sketch", "q157_compaction",
+    "q156_quantile_sketch", "q268_margin_banded",
+    "q157_compaction",
     "q158_bloom_decontaminate", "q160_pq_fixed_codebook",
     "q161_temperature_mix", "q162_incremental_neardup",
     "q163_token_budget_head", "q164_ridge_exact_twin",
@@ -207,6 +191,30 @@ _PRIORITY: tuple[str, ...] = (
     "q59_resample_ffill", "q60_zscore_outliers",
     "q69_ewma", "q70_ohlc",
     "q71_lag_features", "q72_interpolate",
+    # freshest evidence last: the round-9-witnessed head (r9 slots
+    # 7-50 — all hash-green in CORRECTNESS_r09.json)
+    "q245_conformal_quantile", "q246_brier_decomposition",
+    "q247_group_auc", "q248_coreness",
+    "q249_negative_samples", "q250_margin_mining_scaled",
+    "q251_stream_near_screen", "q252_calibration_error",
+    "q253_ndcg_at_k", "q254_mrr",
+    "q255_average_precision", "q256_decile_lift",
+    "q257_js_divergence", "q258_bucketed_join",
+    "q73_stratified_sample", "q74_hash_split",
+    "q75_class_balance", "q76_pack_sequences",
+    "q77_decontaminate", "q78_uniform_sample",
+    "q105_dominant_suppliers", "q106_time_weighted_avg",
+    "q107_cusum_changepoints", "q108_embedding_dim_stats",
+    "q109_bigram_pmi", "q110_seasonal_residuals",
+    "q111_repetition_ratio", "q112_word_entropy",
+    "q113_target_encoding", "q114_funnel",
+    "q115_cohort_retention", "q116_media_resize",
+    "q117_frame_sample", "q118_embedding_quantize",
+    "q119_fuzzy_decontaminate", "q121_bm25",
+    "q122_window_heavy_hitters", "q123_rolling_median",
+    "q124_group_ols", "q127_event_transitions",
+    "q132_exact_agg_twin", "q135_chisq_independence",
+    "q136_ks_drift", "q137_split_leakage",
 )
 
 

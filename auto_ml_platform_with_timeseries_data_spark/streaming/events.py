@@ -132,10 +132,20 @@ def _write_ordered_slices(sliced: DataFrame, d: str, n: int = 4) -> None:
          .coalesce(1).write.mode("append").parquet(d))
         now = {f for f in _os.listdir(d) if f.endswith(".parquet")}
         added = sorted(now - seen)
-        assert len(added) == 1, f"slice {i}: expected 1 part, {added}"
+        if len(added) != 1:
+            # a real exception, not an assert (stripped under -O): an
+            # empty slice writing zero part files would silently
+            # mis-order staging for every downstream arrival-order test
+            raise RuntimeError(
+                f"slice {i}: expected exactly 1 new part file under "
+                f"{d}, got {added!r} — source has fewer rows than "
+                f"slices, or the writer emitted multiple parts")
         groups.append(added)
         seen = now
-    base = float(int(_time.time()))
+    # anchor so even the LAST slice's stamp sits in the past — a stamp
+    # in the future could tie with (or trail) a later real write on a
+    # 1 s-granularity filesystem and reorder arrival
+    base = float(int(_time.time())) - n
     for i, files in enumerate(groups):
         for f in files:
             _os.utime(_os.path.join(d, f), (base + i, base + i))

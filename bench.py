@@ -138,6 +138,17 @@ HEADLINE = [
     "q258_bucketed_join",
     "q259_t_closeness",
     "q260_wasserstein_drift",
+    # round-10 additions; q268 is the banded margin miner ALONE — the
+    # production plan's wall (q250's row deliberately pays for the
+    # full-vs-banded certificate on top)
+    "q261_threshold_sweep",
+    "q262_two_proportion_z",
+    "q263_gini_coefficient",
+    "q264_cramers_v",
+    "q265_kaplan_meier",
+    "q266_dominant_acf_lag",
+    "q267_margin_agreement_gate",
+    "q268_margin_banded",
     "automl_e2e",
 ]
 

@@ -29,44 +29,51 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round9_rotation_keep_their_slots():
+def test_canaries_and_round10_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-9
-    rotation puts the never-witnessed registrations (q245-q258) right
-    after the canaries, then spends the whole remaining budget on the
-    stalest driver evidence — the six round-3 leftovers and the head
-    of the round-4 block (≥30 rotation slots, the VERDICT floor)."""
+    shared-infrastructure regression is still witnessed; the round-10
+    rotation puts the never-driver-witnessed queries (q259/q260, the
+    new q261-q267) right after the canaries, then spends the whole
+    remaining budget on the stalest driver evidence — the round-4/5
+    block from q138_span_dedup onward (≥30 rotation slots, the VERDICT
+    floor). The freshly r9-witnessed block (q245-q258, q73-q78,
+    q105-q137) sits at the very END of the overflow."""
     head = registry._PRIORITY[:50]
     head_set = set(head)
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    round9_new = {
+    round10_new = {
+        "q259_t_closeness", "q260_wasserstein_drift",
+        "q261_threshold_sweep", "q262_two_proportion_z",
+        "q263_gini_coefficient", "q264_cramers_v",
+        "q265_kaplan_meier", "q266_dominant_acf_lag",
+        "q267_margin_agreement_gate",
+    }
+    assert canaries <= head_set
+    assert round10_new <= head_set
+    # everything in the head that is neither a canary nor a round-10
+    # addition is a stale-evidence rotation slot; the floor is 30
+    rotation = head_set - canaries - round10_new
+    assert len(rotation) >= 30
+    # rotation slots go to the stalest tier (last green r4-r5): none of
+    # the freshly r9-witnessed names may occupy a budget slot
+    r9_witnessed = {
         "q245_conformal_quantile", "q246_brier_decomposition",
         "q247_group_auc", "q248_coreness", "q249_negative_samples",
         "q250_margin_mining_scaled", "q251_stream_near_screen",
         "q252_calibration_error", "q253_ndcg_at_k", "q254_mrr",
         "q255_average_precision", "q256_decile_lift",
         "q257_js_divergence", "q258_bucketed_join",
-    }
-    round3_leftovers = {
         "q73_stratified_sample", "q74_hash_split", "q75_class_balance",
         "q76_pack_sequences", "q77_decontaminate", "q78_uniform_sample",
     }
-    assert canaries <= head_set
-    assert round9_new <= head_set
-    assert round3_leftovers <= head_set
-    # everything in the head that is neither a canary nor a round-9
-    # addition is a stale-evidence rotation slot; the floor is 30
-    rotation = head_set - canaries - round9_new
-    assert len(rotation) >= 30
-    # rotation slots go to the stalest tier: the r3 leftovers first,
-    # then round-4-block members (the r4 block registered before q145)
-    assert rotation - round3_leftovers <= {
-        n for n in rotation
-        if n.startswith("q1") and n < "q145" or n in round3_leftovers
-    } | round3_leftovers
+    assert rotation & r9_witnessed == set()
+    # and the r9-witnessed block leads from the BACK: it may only
+    # appear in the overflow tail
+    tail = set(registry._PRIORITY[50:])
+    assert r9_witnessed <= tail
 
 
 def test_oracles_follow_query_order():

@@ -145,7 +145,8 @@ _GINI_ORACLE = """
     agg AS (
       SELECT CAST(sum(c) AS BIGINT) AS n,
              CAST(sum(v * c) AS BIGINT) AS total,
-             CAST(sum(v * (c * st + (c * (c + 1)) // 2)) AS BIGINT)
+             sum(CAST(v AS HUGEINT)
+                 * (CAST(c AS HUGEINT) * st + (c * (c + 1)) // 2))
                AS rs
       FROM sp
     )

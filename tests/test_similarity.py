@@ -617,3 +617,82 @@ def test_margin_mining_banded_with_trained_centroids(spark):
                                     "embedding", k=2, margin=1.0,
                                     nprobe=2).collect()}
     assert full == ann and len(full) > 0
+
+
+def test_margin_gate_fixture_clusters_hold_both_parities(spark, sf_dir):
+    """The q267 fixture's structural contract: cluster key (vec_id div
+    2) mod 8 is independent of the even/odd src-tgt split, so every
+    cluster holds both sides (vec_id mod 8 would give src and tgt
+    DISJOINT clusters — the bug the div-2 exists to avoid), and the
+    blended vectors are cosine-tight around their anchor."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        _MARGIN_IVF_CELLS,
+        _MARGIN_IVF_LO,
+        _gate_clustered,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cl = _gate_clustered(emb)
+    par = (cl.groupBy(F.expr(f"(vec_id div 2) % {_MARGIN_IVF_CELLS}")
+                      .alias("g"))
+           .agg(F.countDistinct(F.col("vec_id") % 2).alias("np"))
+           .collect())
+    assert len(par) == _MARGIN_IVF_CELLS
+    assert all(r["np"] == 2 for r in par)
+    # in-cluster tightness: every member's cosine to its anchor beats
+    # its cosine to every other anchor (so the IVF assignment is the
+    # generative cluster, not noise)
+    anchors = {
+        r["vec_id"] - _MARGIN_IVF_LO: np.asarray(r["embedding"], float)
+        for r in emb.filter(
+            (F.col("vec_id") >= _MARGIN_IVF_LO)
+            & (F.col("vec_id") < _MARGIN_IVF_LO + _MARGIN_IVF_CELLS))
+        .collect()
+    }
+    for r in cl.limit(64).collect():
+        v = np.asarray(r["embedding"], float)
+        g = (r["vec_id"] // 2) % _MARGIN_IVF_CELLS
+        cos = {c: float(v @ a / (np.linalg.norm(v) * np.linalg.norm(a)))
+               for c, a in anchors.items()}
+        assert max(cos, key=cos.get) == g, (r["vec_id"], g, cos)
+
+
+def test_margin_gate_banded_matches_full_on_clustered_fixture(spark, sf_dir):
+    """On the clustered fixture the banded miner's top-k pair set must
+    equal the exact kernel's (measured agreement 1.0 — the number the
+    q267 floor gate holds above 0.9)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        _MARGIN_IVF_CELLS,
+        _MARGIN_IVF_LO,
+        _gate_clustered,
+        margin_mine_pairs,
+        margin_mine_pairs_banded,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cl = _gate_clustered(emb)
+    src = cl.filter(F.col("vec_id") % 2 == 0)
+    tgt = cl.filter(F.col("vec_id") % 2 == 1)
+    cents = emb.filter(
+        (F.col("vec_id") >= _MARGIN_IVF_LO)
+        & (F.col("vec_id") < _MARGIN_IVF_LO + _MARGIN_IVF_CELLS))
+    full = {(r["src_id"], r["tgt_id"]) for r in margin_mine_pairs(
+        src, tgt, "vec_id", "embedding", margin=0.0).collect()}
+    ann = {(r["src_id"], r["tgt_id"]) for r in margin_mine_pairs_banded(
+        src, tgt, cents, "vec_id", "embedding", margin=0.0).collect()}
+    assert len(full) > 0
+    assert full == ann
+
+
+def test_margin_gate_query_reports_floor_ok(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        q267_margin_agreement_gate,
+    )
+
+    row = q267_margin_agreement_gate(spark, sf_dir).collect()[0]
+    assert row["floor_ok"] is True
+    assert row["floor_agreement"] == 0.9

@@ -11,6 +11,7 @@ forward. Sentinel users are filtered out of assertions.
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import functions as F
 
@@ -481,6 +482,10 @@ def test_write_ordered_slices_forces_strict_mtime_order(spark, tmp_path):
     assert len(parts) == 4
     mtimes = [m for m, _ in parts]
     assert all(b - a >= 1.0 for a, b in zip(mtimes, mtimes[1:])), mtimes
+    # ADVICE-r9 hardening: every stamp sits in the PAST — a stamp in
+    # the future could tie with or trail a later real write on a
+    # 1 s-granularity filesystem and reorder arrival
+    assert mtimes[-1] <= time.time(), (mtimes[-1], time.time())
     # the slice content follows the mtime order: earliest file holds
     # the smallest ids
     first = spark.read.parquet(os.path.join(d, parts[0][1]))
