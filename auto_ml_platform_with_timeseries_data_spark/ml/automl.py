@@ -169,7 +169,15 @@ def automl(train: DataFrame, features: list[str], label: str,
            fast: bool = False) -> AutoMLResult:
     """Cross-validated model search. Returns the refit best model per the
     reference's argmax-then-refit contract (CrossValidator's bestModel
-    IS the full-train refit of the winning grid point)."""
+    IS the full-train refit of the winning grid point).
+
+    parallelism=4 was MEASURED against 8 and 16 on the automl_e2e
+    workload (round 10, sf0.1 lineitem, 32-core local, fast grids —
+    2 families × 10 fold-grid fits each): warm walls 46.9-49.1 s for
+    BOTH 4 and 16, i.e. equal within host noise, because the two
+    family threads × parallelism 4 already keep 8 distributed fits
+    in flight and the 32 cores saturated. Raising the dial buys
+    nothing here; revisit only if the family count or grid shrinks."""
     families = families or default_families(mode, fast=fast)
     # cache: every family's CrossValidator re-reads the train set per
     # fold split and refit (k folds × grid points × families scans) —

@@ -136,6 +136,72 @@ def _ridge_kernel(pdf: pd.DataFrame, feats: list[str], alpha: float) -> pd.DataF
     })
 
 
+def _lstm_forward(params: list, seq: "np.ndarray", hidden: int):
+    """Full-batch LSTM forward: seq (n, T) of scalars → (final hidden
+    state (n, hidden), per-step caches). Gate layout along the 4H axis
+    is [input, forget, cell-candidate, output]; c' = f·c + i·g,
+    h = o·tanh(c'). Split out of ``_lstm_kernel`` so the golden test
+    (tests/test_ts_automl.py) can pin the numerics against a
+    hand-unrolled scalar derivation."""
+    wx, wh, b, wy, by = params
+    n, T = seq.shape
+    h = np.zeros((n, hidden))
+    c = np.zeros((n, hidden))
+    caches = []
+    for t in range(T):
+        xt = seq[:, t:t + 1]                           # (n, 1)
+        z = xt @ wx + h @ wh + b                       # (n, 4H)
+        i = _sigmoid(z[:, :hidden])
+        f = _sigmoid(z[:, hidden:2 * hidden])
+        g = np.tanh(z[:, 2 * hidden:3 * hidden])
+        o = _sigmoid(z[:, 3 * hidden:])
+        c_new = f * c + i * g
+        tc = np.tanh(c_new)
+        caches.append((xt, h, c, i, f, g, o, tc))
+        h, c = o * tc, c_new
+    return h, caches
+
+
+def _sigmoid(z):
+    return 1.0 / (1.0 + np.exp(-z))
+
+
+def _lstm_grads(params: list, seq: "np.ndarray", y: "np.ndarray",
+                hidden: int):
+    """One full-batch forward + BPTT backward pass under MSE loss
+    L = mean((h_T·wy + by − y)²). Returns (pred (n, 1), grads — one
+    array per param in ``params`` order [wx, wh, b, wy, by]). The
+    golden test asserts these gradients against hand-derived constants
+    at 1e-9."""
+    wx, wh, b, wy, by = params
+    n = len(seq)
+    h_last, caches = _lstm_forward(params, seq, hidden)
+    pred = h_last @ wy + by                            # (n, 1)
+    dy = 2.0 * (pred - y[:, None]) / n
+    grads = [np.zeros_like(p) for p in params]
+    grads[3] = h_last.T @ dy
+    grads[4] = dy.sum(axis=0)
+    dh = dy @ wy.T
+    dc = np.zeros((n, hidden))
+    for t in range(len(caches) - 1, -1, -1):
+        xt, h_prev, c_prev, i, f, g, o, tc = caches[t]
+        do = dh * tc
+        dc = dc + dh * o * (1.0 - tc * tc)
+        di, df, dg = dc * g, dc * c_prev, dc * i
+        dz = np.concatenate([
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ], axis=1)
+        grads[0] += xt.T @ dz
+        grads[1] += h_prev.T @ dz
+        grads[2] += dz.sum(axis=0)
+        dh = dz @ wh.T
+        dc = dc * f
+    return pred, grads
+
+
 def _lstm_kernel(pdf: pd.DataFrame, feats: list[str], hidden: int = 30,
                  lr: float = 0.01, epochs: int = 50,
                  seed: int = SEED) -> pd.DataFrame:
@@ -157,7 +223,11 @@ def _lstm_kernel(pdf: pd.DataFrame, feats: list[str], hidden: int = 30,
     Parity caveat: this kernel is architecture/loss/optimizer-faithful
     to the reference but has never been diffed against real torch
     numerics (torch is absent from this image) — gate ordering, init
-    distributions, and Adam epsilon placement may differ bit-wise."""
+    distributions, and Adam epsilon placement may differ bit-wise.
+    The forward+BPTT math itself IS numerics-pinned: a hand-unrolled
+    1-hidden-unit/2-step chain-rule derivation with its constants is
+    asserted against ``_lstm_grads`` at 1e-9
+    (tests/test_ts_automl.py::test_lstm_bptt_golden_numerics)."""
     gkey = int(pdf["__g"].iloc[0])
     x = pdf[feats].to_numpy(dtype=np.float64)          # (n, T)
     y = pdf["__label"].to_numpy(dtype=np.float64)
@@ -184,56 +254,10 @@ def _lstm_kernel(pdf: pd.DataFrame, feats: list[str], hidden: int = 30,
     adam_v = [np.zeros_like(p) for p in params]
     b1, b2, eps = 0.9, 0.999, 1e-8
 
-    def sigmoid(z):
-        return 1.0 / (1.0 + np.exp(-z))
-
-    def forward(seq):
-        """seq (n, T) of scalars → per-step caches + final hidden."""
-        n, T = seq.shape
-        h = np.zeros((n, hidden))
-        c = np.zeros((n, hidden))
-        caches = []
-        for t in range(T):
-            xt = seq[:, t:t + 1]                       # (n, 1)
-            z = xt @ wx + h @ wh + b                   # (n, 4H)
-            i = sigmoid(z[:, :hidden])
-            f = sigmoid(z[:, hidden:2 * hidden])
-            g = np.tanh(z[:, 2 * hidden:3 * hidden])
-            o = sigmoid(z[:, 3 * hidden:])
-            c_new = f * c + i * g
-            tc = np.tanh(c_new)
-            caches.append((xt, h, c, i, f, g, o, tc))
-            h, c = o * tc, c_new
-        return h, caches
-
     x_tr, y_tr = xs[tr], ys[tr]
-    n = len(x_tr)
     step = 0
     for _ in range(epochs):
-        h_last, caches = forward(x_tr)
-        pred = h_last @ wy + by                        # (n, 1)
-        dy = 2.0 * (pred - y_tr[:, None]) / n
-        grads = [np.zeros_like(p) for p in params]
-        grads[3] = h_last.T @ dy
-        grads[4] = dy.sum(axis=0)
-        dh = dy @ wy.T
-        dc = np.zeros((n, hidden))
-        for t in range(len(caches) - 1, -1, -1):
-            xt, h_prev, c_prev, i, f, g, o, tc = caches[t]
-            do = dh * tc
-            dc = dc + dh * o * (1.0 - tc * tc)
-            di, df, dg = dc * g, dc * c_prev, dc * i
-            dz = np.concatenate([
-                di * i * (1.0 - i),
-                df * f * (1.0 - f),
-                dg * (1.0 - g * g),
-                do * o * (1.0 - o),
-            ], axis=1)
-            grads[0] += xt.T @ dz
-            grads[1] += h_prev.T @ dz
-            grads[2] += dz.sum(axis=0)
-            dh = dz @ wh.T
-            dc = dc * f
+        _, grads = _lstm_grads(params, x_tr, y_tr, hidden)
         step += 1
         for p, gr, m, v in zip(params, grads, adam_m, adam_v):
             m[...] = b1 * m + (1 - b1) * gr
@@ -241,7 +265,7 @@ def _lstm_kernel(pdf: pd.DataFrame, feats: list[str], hidden: int = 30,
             p -= lr * (m / (1 - b1 ** step)) / (
                 np.sqrt(v / (1 - b2 ** step)) + eps)
 
-    h_te, _ = forward(xs[te])
+    h_te, _ = _lstm_forward(params, xs[te], hidden)
     pred_te = (h_te @ wy + by)[:, 0] * span + lo
     rmse = (float(np.sqrt(np.mean((pred_te - y[te]) ** 2)))
             if te.sum() else float("nan"))

@@ -1067,6 +1067,89 @@ def main() -> int:
 
     run("threshold_sweep", lambda: thsw(False), lambda: thsw(True))
 
+    # calibration / ranking tier (q252-q257, q259/q260 — VERDICT r9
+    # #5: one-pass aggs and numerous-small-group windows, so every row
+    # should probe ~scan-linear; these rows ARE that contract).
+    # ECE (q252): 10-bin groupBy — pure map-side combine
+    run("calibration_error",
+        lambda: evaluation.calibration_error(
+            li(False).filter(F.col("l_discount").isNotNull()),
+            F.col("l_discount") * 10,
+            (F.col("l_returnflag") == "R").cast("int"), bins=10).count(),
+        lambda: evaluation.calibration_error(
+            li(True).filter(F.col("l_discount").isNotNull()),
+            F.col("l_discount") * 10,
+            (F.col("l_returnflag") == "R").cast("int"), bins=10).count())
+
+    # NDCG@5 / MRR / AP (q253-q255): per-user rank windows — staged
+    # copies add users, so numerous-small-groups linear
+    def ev_src(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return ev.filter(F.col("value").isNotNull())
+
+    run("ndcg_at_k",
+        lambda: evaluation.ndcg_at_k(
+            ev_src(False), "user_id", F.col("value"),
+            F.col("event_id") % 4).count(),
+        lambda: evaluation.ndcg_at_k(
+            ev_src(True), "user_id", F.col("value"),
+            F.col("event_id") % 4).count())
+    run("mrr",
+        lambda: evaluation.mrr(
+            ev_src(False), "user_id", F.col("value"),
+            (F.col("event_id") % 3 == 0).cast("int")).count(),
+        lambda: evaluation.mrr(
+            ev_src(True), "user_id", F.col("value"),
+            (F.col("event_id") % 3 == 0).cast("int")).count())
+    run("average_precision",
+        lambda: evaluation.average_precision_by_group(
+            ev_src(False), "user_id", F.col("value"),
+            (F.col("event_id") % 3 == 0).cast("long")).count(),
+        lambda: evaluation.average_precision_by_group(
+            ev_src(True), "user_id", F.col("value"),
+            (F.col("event_id") % 3 == 0).cast("long")).count())
+
+    # decile lift (q256): value-keyed ordinal spans (conformal's
+    # shape) + a 10-row final agg
+    run("decile_lift",
+        lambda: evaluation.decile_lift(
+            li(False), F.col("l_extendedprice"),
+            (F.col("l_returnflag") == "R").cast("long")).count(),
+        lambda: evaluation.decile_lift(
+            li(True), F.col("l_extendedprice"),
+            (F.col("l_returnflag") == "R").cast("long")).count())
+
+    # JSD (q257): the token-explode LM shape (q220) — corpus-linear
+    run("js_divergence",
+        lambda: curation.js_divergence_sources(
+            docs1(), "text", F.col("source").isin("src0", "src1"))
+        .count(),
+        lambda: curation.js_divergence_sources(
+            docsN(), "text", F.col("source").isin("src0", "src1"))
+        .count())
+
+    # t-closeness (q259): classes × value-bucket grid group-by;
+    # staged copies add customers, the grid stays fixed
+    def tclose(path_based):
+        c = (spark.read.parquet(staged["customer"]) if path_based
+             else load_table(spark, sf_dir, "customer"))
+        return curation.t_closeness(
+            c, ["c_nationkey", "c_mktsegment"],
+            F.floor(F.col("c_acctbal") / 1000)).count()
+
+    run("t_closeness", lambda: tclose(False), lambda: tclose(True))
+
+    # Wasserstein-1 drift (q260): per-distinct-value counts then a
+    # value-domain-sized CDF walk (the KS shape)
+    def w1(path_based):
+        d = docsN() if path_based else docs1()
+        split = curation.hash_split(d, "doc_id")
+        return curation.wasserstein1(
+            split, "n_chars", "split", "train", "test").count()
+
+    run("wasserstein_drift", lambda: w1(False), lambda: w1(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

@@ -112,3 +112,92 @@ def test_zero_train_group_yields_nan_row_not_crash(spark):
         # pandas NaN crosses Arrow as SQL NULL
         rmse = out[1]["test_rmse"]
         assert rmse is None or math.isnan(rmse)
+
+
+def test_lstm_bptt_golden_numerics():
+    """VERDICT r9 #6 — pin the BPTT kernel's NUMERICS, not just its
+    architecture: a 1-hidden-unit, 2-step, 1-sample LSTM whose forward
+    value and all five gradients were derived BY HAND (the textbook
+    chain rule unrolled step by step — the scalar walk below is that
+    derivation, committed alongside its pinned results). torch stays
+    out of the image; this anchors the vectorized kernel to fixed
+    constants so a silent gate-order / sign / caching regression can't
+    hide behind 'architecture-faithful'."""
+    import math
+
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.ml.ts_automl import (
+        _lstm_grads,
+    )
+
+    # fixture: gate layout [i, f, g, o] along the 4H axis
+    wx = np.array([[0.1, 0.2, 0.3, 0.4]])
+    wh = np.array([[0.05, -0.05, 0.1, -0.1]])
+    b = np.array([0.01, 0.02, 0.03, 0.04])
+    wy = np.array([[0.5]])
+    by = np.array([-0.1])
+    seq = np.array([[0.3, 0.7]])
+    y = np.array([0.25])
+
+    pred, grads = _lstm_grads([wx, wh, b, wy, by], seq, y, hidden=1)
+
+    # hand derivation (scalar, unrolled — independent of the kernel's
+    # concatenated/vectorized implementation)
+    sig = lambda z: 1.0 / (1.0 + math.exp(-z))  # noqa: E731
+    x1, x2 = 0.3, 0.7
+    z1 = [x1 * wx[0, j] + 0.0 * wh[0, j] + b[j] for j in range(4)]
+    i1, f1, g1, o1 = sig(z1[0]), sig(z1[1]), math.tanh(z1[2]), sig(z1[3])
+    c1 = f1 * 0.0 + i1 * g1
+    tc1 = math.tanh(c1)
+    h1 = o1 * tc1
+    z2 = [x2 * wx[0, j] + h1 * wh[0, j] + b[j] for j in range(4)]
+    i2, f2, g2, o2 = sig(z2[0]), sig(z2[1]), math.tanh(z2[2]), sig(z2[3])
+    c2 = f2 * c1 + i2 * g2
+    tc2 = math.tanh(c2)
+    h2 = o2 * tc2
+    p_hand = h2 * 0.5 - 0.1
+    dy = 2.0 * (p_hand - 0.25)
+    dwy_h, dby_h = h2 * dy, dy
+    dh2 = dy * 0.5
+    do2 = dh2 * tc2
+    dc2 = dh2 * o2 * (1.0 - tc2 * tc2)
+    di2, df2, dg2 = dc2 * g2, dc2 * c1, dc2 * i2
+    dz2 = [di2 * i2 * (1 - i2), df2 * f2 * (1 - f2),
+           dg2 * (1 - g2 * g2), do2 * o2 * (1 - o2)]
+    dwx_h = [x2 * dz2[j] for j in range(4)]
+    dwh_h = [h1 * dz2[j] for j in range(4)]
+    db_h = list(dz2)
+    dh1 = sum(dz2[j] * wh[0, j] for j in range(4))
+    dc1 = dc2 * f2 + dh1 * o1 * (1.0 - tc1 * tc1)
+    do1 = dh1 * tc1
+    di1, df1, dg1 = dc1 * g1, dc1 * 0.0, dc1 * i1
+    dz1 = [di1 * i1 * (1 - i1), df1 * f1 * (1 - f1),
+           dg1 * (1 - g1 * g1), do1 * o1 * (1 - o1)]
+    for j in range(4):
+        dwx_h[j] += x1 * dz1[j]
+        db_h[j] += dz1[j]
+
+    # the constants the derivation produced, pinned once (2026-08-15)
+    PRED = -0.05494829597908853
+    DWX = [-0.008044092974244648, -0.001823364412582673,
+           -0.07376639167976176, -0.0081413816118735]
+    DWH = [-0.00033668443123794283, -8.555330794857786e-05,
+           -0.0027747609796235483, -0.000380366326123366]
+    DB = [-0.013145787110037948, -0.002604806303689533,
+          -0.13324530047423896, -0.011696796370476445]
+    DWY, DBY = -0.05495376148852482, -0.609896591958177
+
+    # hand derivation reproduces its pinned constants ...
+    assert abs(p_hand - PRED) < 1e-12
+    assert np.allclose(dwx_h, DWX, atol=1e-12, rtol=0)
+    assert np.allclose(dwh_h, DWH, atol=1e-12, rtol=0)
+    assert np.allclose(db_h, DB, atol=1e-12, rtol=0)
+    assert abs(dwy_h - DWY) < 1e-12 and abs(dby_h - DBY) < 1e-12
+    # ... and the vectorized kernel matches them at 1e-9
+    assert abs(float(pred[0, 0]) - PRED) < 1e-9
+    assert np.allclose(grads[0][0], DWX, atol=1e-9, rtol=0)
+    assert np.allclose(grads[1][0], DWH, atol=1e-9, rtol=0)
+    assert np.allclose(grads[2], DB, atol=1e-9, rtol=0)
+    assert abs(float(grads[3][0, 0]) - DWY) < 1e-9
+    assert abs(float(grads[4][0]) - DBY) < 1e-9
