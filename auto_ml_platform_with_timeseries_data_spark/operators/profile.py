@@ -942,3 +942,155 @@ def q263_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_coefficient(
         li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long"))
+
+
+def hhi_concentration(df: DataFrame, dim_col: str) -> DataFrame:
+    """One-row (k, n, hhi, effective_n): the Herfindahl–Hirschman
+    concentration of a categorical dimension — HHI = Σ (n_i/N)² over
+    the category shares, and effective_n = 1/HHI, the 'equivalent
+    number of equal categories'. The number a mixture designer reads
+    next to the Gini: is the token budget spread over many sources or
+    secretly three? One map-side-combined cell group-by, then a
+    k-row aggregate. HHI = Σn_i² / N² with the squared sum carried at
+    DECIMAL(38,0) / HUGEINT (Σn_i² tops int64 once N > ~3e9 rows —
+    gini's width discipline); both ratios are single pinned doubles
+    over exact integers."""
+    cells = (df.filter(F.col(dim_col).isNotNull())
+             .groupBy(dim_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("__n")))
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum(F.col("__n").cast("decimal(38,0)") * F.col("__n"))
+        .alias("__s2"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    nn = F.col("n").cast("double") * F.col("n")
+    return agg.select(
+        "k", "n",
+        F.when(F.col("n") > 0, pin(F.col("__s2") / nn)).alias("hhi"),
+        F.when(F.col("n") > 0,
+               pin(nn / F.col("__s2"))).alias("effective_n"))
+
+
+@query(
+    "q269_hhi_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+      FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY l_suppkey
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n,
+             sum(CAST(n AS HUGEINT) * n) AS s2
+      FROM c
+    )
+    SELECT k, n,
+           CASE WHEN n > 0 THEN
+             floor(s2 / (CAST(n AS DOUBLE) * n) * 1e6 + 0.5) / 1e6
+           END AS hhi,
+           CASE WHEN n > 0 THEN
+             floor((CAST(n AS DOUBLE) * n) / s2 * 1e6 + 0.5) / 1e6
+           END AS effective_n
+    FROM agg
+    """,
+)
+def q269_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration of lineitem volume: one hash-checked
+    (k, n, hhi, effective_n) row — the market-concentration companion
+    to q101's share table and q263's Gini."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return hhi_concentration(li, "l_suppkey")
+
+
+def lorenz_curve(df: DataFrame, value: Column,
+                 nbins: int = 10) -> DataFrame:
+    """(decile, n_rows, bin_value, cum_rows, cum_value, cum_share):
+    the Lorenz curve behind q263's Gini — how much of the total a
+    bottom value-decile holds. Deciles are VALUE-KEYED off the
+    distributed ordinal spans ((s·nbins) div N — q256's contract:
+    deterministic under ties, no global sort; bin sizes deviate from
+    N/nbins only at value boundaries). Per-bin sums are exact BIGINTs
+    under gini's Σv < 2^63 input contract; the cumulative walk is a
+    window over ≤ nbins rows; cum_share is one pinned double per
+    row."""
+    lv = df.select(F.lit(0).alias("__ci"),
+                   value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull() & (F.col("__v") >= 0))
+    spans = _ordinal_spans(lv.select("__ci",
+                                     F.col("__v").cast("double")
+                                     .alias("__v")))
+    tot = spans.agg(F.sum("__c").cast("long").alias("__tn"),
+                    F.sum(F.col("__v").cast("long") * F.col("__c"))
+                    .cast("long").alias("__tv"))
+    binned = (spans.crossJoin(F.broadcast(tot))
+              .withColumn("decile",
+                          F.expr(f"cast((__s * {nbins}) div __tn as int)")))
+    agg = (binned.groupBy("decile")
+           .agg(F.sum("__c").cast("long").alias("n_rows"),
+                F.sum(F.col("__v").cast("long") * F.col("__c"))
+                .cast("long").alias("bin_value"),
+                F.max("__tv").alias("__tv")))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    out = agg.select(
+        "decile", "n_rows", "bin_value",
+        F.sum("n_rows").over(w).cast("long").alias("cum_rows"),
+        F.sum("bin_value").over(w).cast("long").alias("cum_value"),
+        F.col("__tv").alias("__tv"))
+    return out.select(
+        "decile", "n_rows", "bin_value", "cum_rows", "cum_value",
+        F.when(F.col("__tv") > 0,
+               pin(F.col("cum_value").cast("double") / F.col("__tv")))
+        .alias("cum_share"))
+
+
+@query(
+    "q270_lorenz_curve",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ),
+    f AS (SELECT v FROM s WHERE v >= 0),
+    vv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY v),
+    sp AS (
+      SELECT v, c,
+             CAST(coalesce(sum(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS st
+      FROM vv
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS tn,
+                   CAST(sum(v * c) AS BIGINT) AS tv FROM vv),
+    agg AS (
+      SELECT CAST((st * 10) // tn AS INT) AS decile,
+             CAST(sum(c) AS BIGINT) AS n_rows,
+             CAST(sum(v * c) AS BIGINT) AS bin_value
+      FROM sp, tot GROUP BY 1
+    )
+    SELECT decile, n_rows, bin_value,
+           CAST(sum(n_rows) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_rows,
+           CAST(sum(bin_value) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_value,
+           CASE WHEN tv > 0 THEN
+             floor(CAST(sum(bin_value) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) / tv * 1e6 + 0.5) / 1e6
+           END AS cum_share
+    FROM agg, tot
+    """,
+)
+def q270_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of lineitem revenue in exact cents (q263's Gini,
+    point by point): ten value-keyed decile rows with exact integer
+    cumulative rows/value and a pinned cumulative share — every value
+    hash-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return lorenz_curve(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long"))

@@ -1752,3 +1752,115 @@ def q232_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     position-subscript formulation."""
     docs = load_table(spark, sf_dir, "documents")
     return phrase_occurrences(docs, "doc_id", "text")
+
+
+def zipf_slope(df: DataFrame, group_col: str, text_col: str,
+               top_ranks: int = 100) -> DataFrame:
+    """(group, n_ranks, total_tokens, slope, intercept): the Zipf
+    power-law fit per corpus slice — OLS of ln(freq) on ln(rank) over
+    the top `top_ranks` word frequencies. Natural text runs slope
+    ≈ −1; a slice whose slope collapses toward 0 (flat frequencies —
+    boilerplate, tables, spam farms) or dives steep (tiny effective
+    vocabulary) is the classic corpus-pathology smell test next to
+    q112's entropy.
+
+    Scale shape: word counts are one map-side-combined group-by (the
+    LM shape); ranking is a numerous-small-groups window; the fit
+    reduces each group to four sums. Exactness: ln(rank) and ln(cnt)
+    are single libm calls on integers (bit-identical cross-engine —
+    the q265 evidence), each x/y/xy/x² term quantizes to
+    floor(·1e12) BIGINT so every sum is order-free; slope and
+    intercept derive from those integers and pin once. A group with
+    one distinct frequency rank reports NULL-by-contract."""
+    toks = df.select(F.col(group_col).alias("__g"),
+                     F.explode(tokens(normalize_text(text_col)))
+                     .alias("__w"))
+    cnt = toks.groupBy("__g", "__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    w = Window.partitionBy("__g").orderBy(F.desc("__c"), F.asc("__w"))
+    ranked = (cnt.withColumn("__r", F.row_number().over(w))
+              .filter(F.col("__r") <= top_ranks))
+    q12 = lambda c: F.floor(c * F.lit(1e12)).cast("long")  # noqa: E731
+    x = F.log(F.col("__r").cast("double"))
+    y = F.log(F.col("__c").cast("double"))
+    agg = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.sum("__c").cast("long").alias("total_tokens"),
+        F.sum(q12(x)).alias("__qx"),
+        F.sum(q12(y)).alias("__qy"),
+        F.sum(q12(x * y)).alias("__qxy"),
+        F.sum(q12(x * x)).alias("__qxx"))
+    sx = F.col("__qx") / F.lit(1e12)
+    sy = F.col("__qy") / F.lit(1e12)
+    sxy = F.col("__qxy") / F.lit(1e12)
+    sxx = F.col("__qxx") / F.lit(1e12)
+    r = F.col("n_ranks").cast("double")
+    den = r * sxx - sx * sx
+    fitted = agg.withColumn(
+        "__slope", F.when(den > 0, (r * sxy - sx * sy) / den))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return fitted.select(
+        F.col("__g").alias(group_col), "n_ranks", "total_tokens",
+        pin(F.col("__slope")).alias("slope"),
+        pin((sy - F.col("__slope") * sx) / r).alias("intercept"))
+
+
+@query(
+    "q273_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source AS g, unnest(string_split({_NORM}, ' ')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT g, w, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY g, w
+    ),
+    ranked AS (
+      SELECT g, c,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY c DESC, w ASC) AS r
+      FROM cnt
+    ),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_ranks,
+             CAST(sum(c) AS BIGINT) AS total_tokens,
+             sum(CAST(floor(ln(CAST(r AS DOUBLE)) * 1e12) AS BIGINT))
+               AS qx,
+             sum(CAST(floor(ln(CAST(c AS DOUBLE)) * 1e12) AS BIGINT))
+               AS qy,
+             sum(CAST(floor(ln(CAST(r AS DOUBLE))
+                            * ln(CAST(c AS DOUBLE)) * 1e12) AS BIGINT))
+               AS qxy,
+             sum(CAST(floor(ln(CAST(r AS DOUBLE))
+                            * ln(CAST(r AS DOUBLE)) * 1e12) AS BIGINT))
+               AS qxx
+      FROM ranked WHERE r <= 100
+      GROUP BY g
+    ),
+    fitted AS (
+      SELECT g, n_ranks, total_tokens, qx, qy,
+             CASE WHEN CAST(n_ranks AS DOUBLE) * (qxx / 1e12)
+                       - (qx / 1e12) * (qx / 1e12) > 0 THEN
+               (CAST(n_ranks AS DOUBLE) * (qxy / 1e12)
+                - (qx / 1e12) * (qy / 1e12))
+               / (CAST(n_ranks AS DOUBLE) * (qxx / 1e12)
+                  - (qx / 1e12) * (qx / 1e12))
+             END AS slope_raw
+      FROM agg
+    )
+    SELECT g AS source, n_ranks, total_tokens,
+           floor(slope_raw * 1e6 + 0.5) / 1e6 AS slope,
+           floor((qy / 1e12 - slope_raw * (qx / 1e12))
+                 / CAST(n_ranks AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS intercept
+    FROM fitted
+    """,
+)
+def q273_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf slope of each document source's top-100 word frequencies —
+    one hash-checked (source, n_ranks, total_tokens, slope, intercept)
+    row per slice, the power-law pathology check a corpus audit runs
+    next to entropy (q112) and repetition (q111)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_slope(docs, "source", "text")

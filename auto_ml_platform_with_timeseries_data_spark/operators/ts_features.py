@@ -1232,3 +1232,221 @@ def q265_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(
         ev, "cohort", F.floor(F.abs(F.col("value"))),
         (F.col("event_id") % 4 != 0).cast("int"))
+
+
+def nelson_aalen(df: DataFrame, cohort_col: str, duration: Column,
+                 event: Column) -> DataFrame:
+    """(cohort, t, n_risk, d, c, cum_hazard): the Nelson–Aalen
+    cumulative-hazard estimator H(t) = Σ_{t_j ≤ t} d_j/n_j — the
+    additive sibling of Kaplan–Meier's product (KM answers 'what
+    fraction survives', NA answers 'how much hazard has accumulated';
+    at low event rates S ≈ e^−H). Identical scale shape to
+    ``kaplan_meier``: one (cohort, t) cell group-by, per-cohort
+    windows over the cell table. Each d/n term quantizes to
+    floor(d/n·1e12) BIGINT (identical expression both engines), the
+    window sum is order-free, and H pins once at 1e-6. No extinction
+    special case — d = n contributes exactly 1.0 to the sum (never a
+    log of zero)."""
+    src = df.select(F.col(cohort_col).alias("__g"),
+                    duration.cast("long").alias("__t"),
+                    event.cast("int").alias("__e")).filter(
+        F.col("__t").isNotNull() & F.col("__e").isNotNull())
+    cells = (src.groupBy("__g", "__t")
+             .agg(F.sum("__e").cast("long").alias("d"),
+                  F.sum(F.lit(1) - F.col("__e")).cast("long")
+                  .alias("c")))
+    wg = Window.partitionBy("__g")
+    wp = (Window.partitionBy("__g").orderBy("__t")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wc = (Window.partitionBy("__g").orderBy("__t")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    stepped = cells.select(
+        "__g", "__t", "d", "c",
+        (F.sum(F.col("d") + F.col("c")).over(wg)
+         - F.coalesce(F.sum(F.col("d") + F.col("c")).over(wp),
+                      F.lit(0))).alias("n_risk"))
+    term = F.floor(F.col("d").cast("double") / F.col("n_risk")
+                   * F.lit(1e12)).cast("long")
+    walked = stepped.select(
+        "__g", "__t", "n_risk", "d", "c",
+        F.sum(term).over(wc).alias("__hs"))
+    return walked.select(
+        F.col("__g").alias(cohort_col), F.col("__t").alias("t"),
+        "n_risk", "d", "c",
+        (F.floor(F.col("__hs") / F.lit(1e12) * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("cum_hazard"))
+
+
+@query(
+    "q271_nelson_aalen",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 3 AS g,
+             CAST(floor(abs(value)) AS BIGINT) AS t,
+             CAST(event_id % 4 != 0 AS INT) AS e
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT g, t, CAST(sum(e) AS BIGINT) AS d,
+             CAST(sum(1 - e) AS BIGINT) AS c
+      FROM s GROUP BY g, t
+    ),
+    stepped AS (
+      SELECT g, t, d, c,
+             sum(d + c) OVER (PARTITION BY g)
+             - coalesce(sum(d + c) OVER (PARTITION BY g ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS n_risk
+      FROM cells
+    )
+    SELECT g AS cohort, t, CAST(n_risk AS BIGINT) AS n_risk, d, c,
+           floor(sum(CAST(floor(CAST(d AS DOUBLE) / n_risk * 1e12)
+                          AS BIGINT))
+                   OVER (PARTITION BY g ORDER BY t
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+                 / 1e12 * 1e6 + 0.5) / 1e6 AS cum_hazard
+    FROM stepped
+    """,
+)
+def q271_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson–Aalen cumulative hazard on q265's exact fixture (same
+    cohorts, durations, censoring) so the two survival estimators are
+    directly comparable row for row — every (cohort, t) step
+    hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()).select(
+        (F.col("user_id") % 3).alias("cohort"), "value", "event_id")
+    return nelson_aalen(
+        ev, "cohort", F.floor(F.abs(F.col("value"))),
+        (F.col("event_id") % 4 != 0).cast("int"))
+
+
+def logrank_test(df: DataFrame, duration: Column, event: Column,
+                 is_a: Column) -> DataFrame:
+    """One-row (n_a, n_b, d_a, d_total, z, chi2): the log-rank test —
+    THE standard comparison of two survival curves (did cohort a churn
+    on a different schedule than cohort b?), censoring-aware where a
+    naive mean-duration compare is not. At each event time t:
+    observed deaths in a vs hypergeometric expectation
+    E = d·n_a/n and variance V = d·(n_a/n)·(n_b/n)·(n−d)/(n−1);
+    z = (Σd_a − ΣE)/sqrt(ΣV).
+
+    Scale shape: the corpus reduces to per-(t) integer cells in one
+    map-side-combined group-by; the risk-set walk is a window over the
+    DURATION-DOMAIN-sized cell table (the threshold_sweep/KS contract
+    — bounded by distinct durations, not rows). Σd_a is an exact
+    BIGINT; the E and V terms quantize to floor(x·1e12) BIGINT
+    (identical expressions both engines, order-free sums); z and chi2
+    pin once. ΣV = 0 (no comparable event times) reports
+    NULL-by-contract."""
+    src = df.select(duration.cast("long").alias("__t"),
+                    event.cast("int").alias("__e"),
+                    is_a.cast("int").alias("__a")).filter(
+        F.col("__t").isNotNull() & F.col("__e").isNotNull()
+        & F.col("__a").isNotNull())
+    cells = src.groupBy("__t").agg(
+        F.sum(F.col("__a") * F.col("__e")).cast("long").alias("__da"),
+        F.sum((1 - F.col("__a")) * F.col("__e")).cast("long")
+        .alias("__db"),
+        F.sum("__a").cast("long").alias("__ra"),
+        F.sum(1 - F.col("__a")).cast("long").alias("__rb"))
+    wt = Window.partitionBy()
+    wp = (Window.orderBy("__t")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    stepped = cells.select(
+        "__t", "__da", "__db",
+        (F.sum("__ra").over(wt)
+         - F.coalesce(F.sum("__ra").over(wp), F.lit(0))).alias("__na"),
+        (F.sum("__rb").over(wt)
+         - F.coalesce(F.sum("__rb").over(wp), F.lit(0))).alias("__nb"),
+        F.sum("__ra").over(wt).alias("n_a"),
+        F.sum("__rb").over(wt).alias("n_b"))
+    d = F.col("__da") + F.col("__db")
+    n = F.col("__na") + F.col("__nb")
+    e_term = F.floor(d.cast("double") * F.col("__na") / n * F.lit(1e12)) \
+        .cast("long")
+    v_term = F.floor(
+        d.cast("double") * F.col("__na") / n * F.col("__nb") / n
+        * (n - d).cast("double") / (n - 1) * F.lit(1e12)).cast("long")
+    agg = (stepped.filter((d > 0) & (n > 1))
+           .groupBy("n_a", "n_b")
+           .agg(F.sum("__da").cast("long").alias("d_a"),
+                F.sum(d).cast("long").alias("d_total"),
+                F.sum(e_term).alias("__es"),
+                F.sum(v_term).alias("__vs")))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    z = (F.col("d_a").cast("double") - F.col("__es") / F.lit(1e12)) \
+        / F.sqrt(F.col("__vs") / F.lit(1e12))
+    return agg.select(
+        "n_a", "n_b", "d_a", "d_total",
+        F.when(F.col("__vs") > 0, pin(z)).alias("z"),
+        F.when(F.col("__vs") > 0, pin(z * z)).alias("chi2"))
+
+
+@query(
+    "q272_logrank_test",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(abs(value)) AS BIGINT) AS t,
+             CAST(event_id % 4 != 0 AS INT) AS e,
+             CAST(user_id % 2 = 0 AS INT) AS a
+      FROM events WHERE value IS NOT NULL
+    ),
+    cells AS (
+      SELECT t,
+             CAST(sum(a * e) AS BIGINT) AS da,
+             CAST(sum((1 - a) * e) AS BIGINT) AS db,
+             CAST(sum(a) AS BIGINT) AS ra,
+             CAST(sum(1 - a) AS BIGINT) AS rb
+      FROM s GROUP BY t
+    ),
+    stepped AS (
+      SELECT t, da, db,
+             sum(ra) OVER () - coalesce(sum(ra) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS na,
+             sum(rb) OVER () - coalesce(sum(rb) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nb,
+             sum(ra) OVER () AS n_a, sum(rb) OVER () AS n_b
+      FROM cells
+    ),
+    agg AS (
+      SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+             CAST(sum(da) AS BIGINT) AS d_a,
+             CAST(sum(da + db) AS BIGINT) AS d_total,
+             sum(CAST(floor(CAST(da + db AS DOUBLE) * na / (na + nb)
+                            * 1e12) AS BIGINT)) AS es,
+             sum(CAST(floor(CAST(da + db AS DOUBLE) * na / (na + nb)
+                            * nb / (na + nb)
+                            * CAST((na + nb) - (da + db) AS DOUBLE)
+                            / ((na + nb) - 1) * 1e12) AS BIGINT)) AS vs
+      FROM stepped
+      WHERE da + db > 0 AND na + nb > 1
+      GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b, d_a, d_total,
+           CASE WHEN vs > 0 THEN
+             floor((CAST(d_a AS DOUBLE) - es / 1e12)
+                   / sqrt(vs / 1e12) * 1e6 + 0.5) / 1e6
+           END AS z,
+           CASE WHEN vs > 0 THEN
+             floor(((CAST(d_a AS DOUBLE) - es / 1e12)
+                    / sqrt(vs / 1e12))
+                   * ((CAST(d_a AS DOUBLE) - es / 1e12)
+                      / sqrt(vs / 1e12)) * 1e6 + 0.5) / 1e6
+           END AS chi2
+    FROM agg
+    """,
+)
+def q272_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank comparison of even- vs odd-user survival on q265's
+    duration/censoring fixture: one hash-checked row with exact
+    at-risk/death counts and the pinned z and chi-square."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return logrank_test(
+        ev, F.floor(F.abs(F.col("value"))),
+        (F.col("event_id") % 4 != 0).cast("int"),
+        (F.col("user_id") % 2 == 0).cast("int"))

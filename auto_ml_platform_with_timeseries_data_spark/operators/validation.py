@@ -548,3 +548,203 @@ def q262_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return two_proportion_z(li, "l_linestatus", "O", "F",
                             (F.col("l_returnflag") == "R").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — the one-pass, never-materialize-a-resample
+# bootstrap (Chamandy et al., "Estimating Uncertainty for Massive Data
+# Streams", Google 2012): replicate b counts each row with an i.i.d.
+# Poisson(1) multiplicity instead of multinomial resampling, so B
+# replicate statistics come out of ONE scan with B counters — the only
+# bootstrap shape that survives 100 TB. Multiplicities here are
+# DETERMINISTIC: u = hash_u32(affine(id, b)) inverts the Poisson(1)
+# CDF through fixed integer thresholds, so both engines reproduce
+# every draw and the driver can hash the result.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_BOOT_B = 32
+_BOOT_CAP = 5  # P(X > 5) ≈ 6e-5 per draw; capped tail documented
+_POIS_THRESH: list[int] = []
+_acc = 0.0
+for _k in range(_BOOT_CAP):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _POIS_THRESH.append(int(_math.floor(_acc * 2 ** 32)))
+
+_BOOT_KNUTH = 2654435761
+_BOOT_PREMOD = 1000003
+_BOOT_M32 = 4294967296
+
+
+def _boot_u32(id_col: Column, b: int) -> Column:
+    """hash_u32 of the (id, replicate) pair via the q249 affine-salt
+    step: x = (id mod P)·64 + b stays far inside BIGINT before the
+    Knuth multiply (both engines raise/wrap on overflow otherwise)."""
+    x = (id_col % _BOOT_PREMOD) * 64 + F.lit(b)
+    return (x % _BOOT_PREMOD) * _BOOT_KNUTH % _BOOT_M32
+
+
+def _boot_mult(u: Column) -> Column:
+    """Poisson(1) multiplicity by inverse-CDF on the uniform u32."""
+    expr = F.lit(_BOOT_CAP)
+    for k in range(_BOOT_CAP - 1, -1, -1):
+        expr = F.when(u < _POIS_THRESH[k], k).otherwise(expr)
+    return expr
+
+
+def _boot_u32_sql(id_sql: str, b: int) -> str:
+    return (f"((({id_sql} % {_BOOT_PREMOD}) * 64 + {b}) "
+            f"% {_BOOT_PREMOD}) * {_BOOT_KNUTH} % {_BOOT_M32}")
+
+
+def _boot_mult_sql(id_sql: str, b: int) -> str:
+    u = _boot_u32_sql(id_sql, b)
+    arms = " ".join(
+        f"WHEN ({u}) < {_POIS_THRESH[k]} THEN {k}"
+        for k in range(_BOOT_CAP))
+    return f"(CASE {arms} ELSE {_BOOT_CAP} END)"
+
+
+def poisson_bootstrap_mean(df: DataFrame, id_col: str, value: Column,
+                           nboot: int = _BOOT_B) -> DataFrame:
+    """One-row (n, point_mean, boot_se, ci_lo, ci_hi): the mean of
+    `value` with a bootstrap standard error and an order-statistic
+    interval, computed in ONE scan — replicate b's sum/count accumulate
+    behind deterministic Poisson(1) multiplicities, so the plan is a
+    single map-side-combined aggregate with 2·nboot + 2 counters and
+    NO resample is ever materialized (the Poisson-bootstrap contract;
+    at 1000 executors this is exactly as cheap as computing the mean).
+
+    Exactness: values enter as exact BIGINTs (pass cents/counts), so
+    every replicate sum is an exact integer; replicate means pin at
+    1e-6, making the downstream 32-element SE/CI arithmetic identical
+    doubles in both engines (squared deviations re-quantize to
+    floor(·1e12) BIGINT before the order-free sum). ci_lo/ci_hi are
+    the 2nd-smallest / 2nd-largest replicate means (~93.75% central
+    coverage at B = 32 — the order statistics ARE the contract, not a
+    normal approximation). An empty replicate (possible only for tiny
+    n) falls back to the point mean by contract."""
+    src = df.select(F.col(id_col).cast("long").alias("__i"),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__i").isNotNull() & F.col("__v").isNotNull())
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("__v").cast("long").alias("__sv")]
+    for b in range(nboot):
+        m = _boot_mult(_boot_u32(F.col("__i"), b)).cast("long")
+        aggs.append(F.sum(m * F.col("__v")).cast("long")
+                    .alias(f"__mv{b}"))
+        aggs.append(F.sum(m).cast("long").alias(f"__m{b}"))
+    agg = src.agg(*aggs)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    point = pin(F.col("__sv").cast("double") / F.col("n"))
+    means = [
+        F.when(F.col(f"__m{b}") > 0,
+               pin(F.col(f"__mv{b}").cast("double") / F.col(f"__m{b}")))
+        .otherwise(point).alias(f"__bm{b}")
+        for b in range(nboot)
+    ]
+    stage = agg.select(F.col("n"), point.alias("point_mean"), *means)
+    # every __bm is already pinned → floor(bm·1e6 + 0.5) recovers an
+    # exact integer Q_b, and the whole SE computation stays in exact
+    # integer space: Σ(B·Q_b − ΣQ)² at DECIMAL(38,0)/HUGEINT width
+    # (cents-scale means square past int64), order-free by
+    # construction; one sqrt at the end
+    stage = stage.select(
+        "*", *[F.floor(F.col(f"__bm{b}") * 1e6 + F.lit(0.5))
+               .cast("long").alias(f"__q{b}") for b in range(nboot)])
+    qsum = None
+    for b in range(nboot):
+        t = F.col(f"__q{b}")
+        qsum = t if qsum is None else qsum + t
+    stage = stage.withColumn("__qs", qsum)
+    dev = None
+    for b in range(nboot):
+        d = (F.lit(nboot) * F.col(f"__q{b}") - F.col("__qs")) \
+            .cast("decimal(38,0)")
+        t = d * d
+        dev = t if dev is None else dev + t
+    stage = stage.withColumn("__dev", dev)
+    arr = F.array_sort(F.array(*[F.col(f"__bm{b}")
+                                 for b in range(nboot)]))
+    return stage.select(
+        "n", "point_mean",
+        pin(F.sqrt(F.col("__dev").cast("double") / F.lit(nboot - 1))
+            / F.lit(float(nboot) * 1e6)).alias("boot_se"),
+        arr[1].alias("ci_lo"),
+        arr[nboot - 2].alias("ci_hi"))
+
+
+def _bootstrap_oracle() -> str:
+    nboot = _BOOT_B
+    mults = "\n".join(
+        f"      , CAST(sum({_boot_mult_sql('i', b)} * v) AS BIGINT)"
+        f" AS mv{b}\n"
+        f"      , CAST(sum({_boot_mult_sql('i', b)}) AS BIGINT) AS m{b}"
+        for b in range(nboot))
+    bms = ",\n".join(
+        f"      CASE WHEN m{b} > 0 THEN"
+        f" floor(CAST(mv{b} AS DOUBLE) / m{b} * 1e6 + 0.5) / 1e6"
+        f" ELSE point_mean END AS bm{b}"
+        for b in range(nboot))
+    qcols = ",\n".join(
+        f"      CAST(floor(bm{b} * 1e6 + 0.5) AS BIGINT) AS q{b}"
+        for b in range(nboot))
+    qs = " + ".join(f"q{b}" for b in range(nboot))
+    dev = " + ".join(
+        f"CAST({nboot} * q{b} - qs AS HUGEINT)"
+        f" * ({nboot} * q{b} - qs)" for b in range(nboot))
+    lst = ", ".join(f"bm{b}" for b in range(nboot))
+    return f"""
+    WITH s AS (
+      SELECT o_custkey AS i,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS sv
+{mults}
+      FROM s
+    ),
+    pt AS (
+      SELECT *, floor(CAST(sv AS DOUBLE) / n * 1e6 + 0.5) / 1e6
+               AS point_mean
+      FROM agg
+    ),
+    bm AS (
+      SELECT n, point_mean,
+{bms}
+      FROM pt
+    ),
+    qq AS (
+      SELECT *,
+{qcols}
+      FROM bm
+    ),
+    qsum AS (SELECT *, {qs} AS qs FROM qq),
+    fin AS (
+      SELECT n, point_mean,
+             floor(sqrt(CAST({dev} AS DOUBLE) / {nboot - 1})
+                   / {float(nboot) * 1e6} * 1e6 + 0.5)
+               / 1e6 AS boot_se,
+             list_sort(list_value({lst})) AS ms
+      FROM qsum
+    )
+    SELECT n, point_mean, boot_se,
+           ms[2] AS ci_lo, ms[{nboot - 1}] AS ci_hi
+    FROM fin
+    """
+
+
+@query("q274_bootstrap_mean_ci", oracle=_bootstrap_oracle())
+def q274_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap uncertainty for the mean order value in exact
+    cents (32 deterministic replicates, one scan): one hash-checked
+    (n, point_mean, boot_se, ci_lo, ci_hi) row — every replicate draw
+    reproduced by the oracle's identical hash-threshold walk."""
+    o = load_table(spark, sf_dir, "orders")
+    return poisson_bootstrap_mean(
+        o, "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))

@@ -111,6 +111,9 @@ _PRIORITY: tuple[str, ...] = (
     "q152_video_frames", "q153_sharded_export",
     "q154_incremental_dedup", "q155_zorder_keys",
     "q156_quantile_sketch", "q268_margin_banded",
+    "q269_hhi_concentration", "q270_lorenz_curve",
+    "q271_nelson_aalen", "q272_logrank_test",
+    "q273_zipf_slope", "q274_bootstrap_mean_ci",
     "q157_compaction",
     "q158_bloom_decontaminate", "q160_pq_fixed_codebook",
     "q161_temperature_mix", "q162_incremental_neardup",

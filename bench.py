@@ -149,6 +149,12 @@ HEADLINE = [
     "q266_dominant_acf_lag",
     "q267_margin_agreement_gate",
     "q268_margin_banded",
+    "q269_hhi_concentration",
+    "q270_lorenz_curve",
+    "q271_nelson_aalen",
+    "q272_logrank_test",
+    "q273_zipf_slope",
+    "q274_bootstrap_mean_ci",
     "automl_e2e",
 ]
 

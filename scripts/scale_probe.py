@@ -1150,6 +1150,44 @@ def main() -> int:
 
     run("wasserstein_drift", lambda: w1(False), lambda: w1(True))
 
+    # round-10 registrations q269-q274. hhi is one cell group-by +
+    # k-row agg; lorenz reuses the probed span machinery (gini/
+    # conformal family); nelson_aalen is kaplan_meier's exact shape —
+    # no separate rows for those three. The genuinely new shapes:
+    # logrank (duration-domain cell walk, the threshold_sweep family
+    # but two interleaved risk sets), zipf (LM explode + per-group
+    # rank window), and the Poisson bootstrap (one scan, 2B+2
+    # counters — THE flat-by-construction shape).
+    run("hhi_concentration",
+        lambda: profile.hhi_concentration(li(False), "l_suppkey")
+        .count(),
+        lambda: profile.hhi_concentration(li(True), "l_suppkey")
+        .count())
+
+    def lgrk(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        ev = ev.filter(F.col("value").isNotNull())
+        return tsf10.logrank_test(
+            ev, F.floor(F.abs(F.col("value"))),
+            (F.col("event_id") % 4 != 0).cast("int"),
+            (F.col("user_id") % 2 == 0).cast("int")).count()
+
+    run("logrank_test", lambda: lgrk(False), lambda: lgrk(True))
+
+    run("zipf_slope",
+        lambda: text.zipf_slope(docs1(), "source", "text").count(),
+        lambda: text.zipf_slope(docsN(), "source", "text").count())
+
+    def boot(path_based):
+        o = (spark.read.parquet(staged["orders"]) if path_based
+             else load_table(spark, sf_dir, "orders"))
+        return validation.poisson_bootstrap_mean(
+            o, "o_custkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).count()
+
+    run("bootstrap_mean", lambda: boot(False), lambda: boot(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0
