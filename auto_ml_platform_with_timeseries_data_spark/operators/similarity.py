@@ -2158,8 +2158,16 @@ def q267_margin_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                              margin=0.0)
     ann = margin_mine_pairs_banded(src, tgt, cents, "vec_id",
                                    "embedding", margin=0.0)
-    n_full = full.count()
-    n_both = full.join(ann, ["src_id", "tgt_id"]).count()
+    # one pass over each mining run: left-join marks coverage, a single
+    # aggregate reads |full| and |full ∩ banded| together (a separate
+    # full.count() would re-run the exact kernel a second time)
+    j = full.join(
+        ann.select("src_id", "tgt_id", F.lit(1).alias("__hit")),
+        ["src_id", "tgt_id"], "left")
+    row = j.agg(F.count(F.lit(1)).alias("__nf"),
+                F.coalesce(F.sum("__hit"), F.lit(0)).alias("__nb")) \
+        .first()
+    n_full, n_both = int(row["__nf"]), int(row["__nb"])
     ok = n_full > 0 and n_both / n_full >= _GATE_FLOOR
     return spark.createDataFrame(
         [(_GATE_FLOOR, bool(ok))],

@@ -244,13 +244,17 @@ def main() -> int:
     # The driver artifact preserves only a 2000-char tail of stdout,
     # which truncates the per-query dict mid-object once the suite grows
     # past ~65 queries. Persist the complete result to a repo file so
-    # regression analysis never loses the head of the suite.
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_last.json"), "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    # regression analysis never loses the head of the suite. ONLY the
+    # full headline run writes it — a targeted `bench.py q267` run must
+    # not clobber the suite-wide artifact with a one-query dict.
+    if not only and not run_all:
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "bench_last.json"), "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+        except OSError:
+            pass
     print(json.dumps(payload))
     return 0
 
