@@ -2566,3 +2566,54 @@ def q264_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned v."""
     docs = load_table(spark, sf_dir, "documents")
     return cramers_v(docs, "lang", "source")
+
+
+def cramer_von_mises(df: DataFrame, value_col: str, group_col: str,
+                     a: str, b: str) -> DataFrame:
+    """One-row (n_a, n_b, cvm): the two-sample Cramér–von Mises
+    criterion between groups `a` and `b` —
+    T = (n_a·n_b / N²) · Σ_pooled (F_a(x) − F_b(x))², the squared-gap
+    integral over the pooled empirical distribution. Completes the
+    drift trio: KS (q136) reports the WORST CDF gap, W1 (q260) the
+    integrated |gap|, CvM the integrated SQUARED gap (most sensitive
+    to several medium gaps at once). Round-11 registration candidate.
+
+    Same scale shape as both siblings: per-distinct-value counts in one
+    map-side-combined group-by, then a value-domain-sized CDF walk.
+    Each gap²·1e12 quantizes to a BIGINT and multiplies the exact cell
+    count BEFORE the sum (both engines identical integers, so the sum
+    is order-free; carried at DECIMAL(38,0)/HUGEINT since Σ ≤ n·1e12);
+    the quantization itself is the contract — bias ≤ n·1e-12/N²·n_an_b
+    ≪ the 1e-6 pin. Empty group → NULL-by-contract."""
+    cells = (
+        df.filter(F.col(group_col).isin(a, b))
+        .groupBy(F.col(value_col).cast("double").alias("__v"))
+        .agg(
+            F.sum((F.col(group_col) == a).cast("long")).alias("__ca"),
+            F.sum((F.col(group_col) == b).cast("long")).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    m = cells.select(
+        (F.col("__ca") + F.col("__cb")).alias("__c"),
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wt).alias("__na"),
+        F.sum("__cb").over(wt).alias("__nb"),
+    )
+    gap = (F.col("__cuma").cast("double") / F.col("__na")
+           - F.col("__cumb").cast("double") / F.col("__nb"))
+    term = (F.col("__c").cast("decimal(38,0)")
+            * F.floor(gap * gap * F.lit(1e12)).cast("decimal(38,0)"))
+    agg = m.filter((F.col("__na") > 0) & (F.col("__nb") > 0)).agg(
+        F.sum(term).alias("__ts"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"))
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    cvm = (F.col("n_a").cast("double") * F.col("n_b") / (nn * nn)
+           * (F.col("__ts").cast("double") / F.lit(1e12)))
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        (F.floor(cvm * 1e6 + F.lit(0.5)) / 1e6).alias("cvm"))

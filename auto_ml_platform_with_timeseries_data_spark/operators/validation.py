@@ -748,3 +748,280 @@ def q274_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_mean(
         o, "o_custkey",
         F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+
+
+# ---------------------------------------------------------------------------
+# Round-11 registration candidates — rank/location tests, implemented
+# and oracle-drafted now (tests/test_round11_candidates.py), kept OUT
+# of the registry because the round-10 head is full and q268-q274
+# already hold the overflow lead. Registering next round is a pure
+# registry edit (the q245/q261 pattern, two rounds running).
+# ---------------------------------------------------------------------------
+
+
+def mann_whitney_u(df: DataFrame, value_col: str, group_col: str,
+                   a: str, b: str) -> DataFrame:
+    """One-row (n_a, n_b, u_a, z): the Mann–Whitney U (Wilcoxon
+    rank-sum) test — the nonparametric 'did group a's values come out
+    larger' check that t-tests can't do on skewed data. Tie-aware:
+    tied values take average ranks and the normal-approximation
+    variance carries the Σ(t³−t) correction.
+
+    Exactness: the corpus reduces to per-distinct-value (c_a, c_b)
+    cells; average ranks come off the cumulative span walk in HALF
+    units, so 2·R_a = Σ c_a·(2·s + t + 1) is an exact integer carried
+    at DECIMAL(38,0)/HUGEINT (tops int64 near n² ~ 2^63), as is the
+    tie sum Σ(t³−t); u_a and z are single double expressions over
+    those integers, pinned once. Degenerate inputs (either group
+    empty, all values tied) report z NULL-by-contract."""
+    cells = (df.filter(F.col(group_col).isin(a, b))
+             .groupBy(F.col(value_col).cast("double").alias("__v"))
+             .agg(F.sum((F.col(group_col) == a).cast("long"))
+                  .alias("__ca"),
+                  F.sum((F.col(group_col) == b).cast("long"))
+                  .alias("__cb")))
+    wp = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1)
+    t = F.col("__ca") + F.col("__cb")
+    st = F.coalesce(F.sum(F.col("__ca") + F.col("__cb")).over(wp),
+                    F.lit(0))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = (cells.select("__ca", "__cb", t.alias("__t"),
+                        st.alias("__s"))
+           .agg(F.sum("__ca").cast("long").alias("n_a"),
+                F.sum("__cb").cast("long").alias("n_b"),
+                F.sum(dec(F.col("__ca"))
+                      * dec(2 * F.col("__s") + F.col("__t") + 1))
+                .alias("__tra"),
+                F.sum(dec(F.col("__t")) * dec(F.col("__t"))
+                      * dec(F.col("__t")) - dec(F.col("__t")))
+                .alias("__ties")))
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    two_u = F.col("__tra").cast("double") - na.cast("double") * (na + 1)
+    u_a = two_u / 2
+    var = (na.cast("double") * nb / 12
+           * ((n + 1).cast("double")
+              - F.col("__ties").cast("double")
+              / (n.cast("double") * (n - 1))))
+    z = (two_u - na.cast("double") * nb) / 2 / F.sqrt(var)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (na > 0) & (nb > 0) & (n > 1)
+    return agg.select(
+        "n_a", "n_b",
+        F.when((na > 0) & (nb > 0), u_a).alias("u_a"),
+        F.when(ok & (var > 0), pin(z)).alias("z"))
+
+
+def kruskal_wallis(df: DataFrame, value_col: str,
+                   group_col: str) -> DataFrame:
+    """One-row (k, n, h, h_tie_corrected): the Kruskal–Wallis H test —
+    Mann–Whitney's k-group extension (are ANY of the groups' value
+    distributions shifted?). Rank sums per group come off the same
+    half-unit span walk as ``mann_whitney_u`` (2·R_g exact at
+    DECIMAL(38,0)); H = 12/(n(n+1))·Σ R_g²/n_g − 3(n+1) and the tie
+    correction 1 − Σ(t³−t)/(n³−n).
+
+    The Σ R_g²/n_g sum runs over the k double terms (each an exact
+    two-integer quotient, identical cross-engine); k is the GROUP
+    cardinality, and per-term magnitude ≤ n³ gives accumulation-order
+    drift ≤ k·ulp(n³) — after the 12/(n(n+1)) scaling that is
+    ~k·n·2⁻⁵² ≈ 1e-9 at n = 10⁶, three orders under the 1e-6 pin (the
+    accepted q135/q229 analysis; an absolute-scale integer
+    quantization is structurally unavailable here because the term
+    magnitude grows with n³). Degenerate inputs (k < 2, all tied)
+    report NULL-by-contract."""
+    cells = (df.filter(F.col(group_col).isNotNull())
+             .groupBy(F.col(group_col).alias("__g"),
+                      F.col(value_col).cast("double").alias("__v"))
+             .agg(F.count(F.lit(1)).cast("long").alias("__c")))
+    vt = cells.groupBy("__v").agg(F.sum("__c").cast("long")
+                                  .alias("__t"))
+    wp = Window.orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, -1)
+    spans = vt.select(
+        "__v", "__t",
+        F.coalesce(F.sum("__t").over(wp), F.lit(0)).alias("__s"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = (cells.join(spans, "__v")
+             .groupBy("__g")
+             .agg(F.sum("__c").cast("long").alias("__ng"),
+                  F.sum(dec(F.col("__c"))
+                        * dec(2 * F.col("__s") + F.col("__t") + 1))
+                  .alias("__tr")))
+    ties = spans.agg(
+        F.sum(dec(F.col("__t")) * dec(F.col("__t")) * dec(F.col("__t"))
+              - dec(F.col("__t"))).alias("__ties"))
+    term = (F.col("__tr").cast("double") * F.col("__tr")
+            / (4 * F.col("__ng")))
+    agg = (per_g.agg(F.count(F.lit(1)).cast("long").alias("k"),
+                     F.sum("__ng").cast("long").alias("n"),
+                     F.sum(term).alias("__rr"))
+           .crossJoin(F.broadcast(ties)))
+    n = F.col("n").cast("double")
+    h = 12 / (n * (F.col("n") + 1)) * F.col("__rr") - 3 * (n + 1)
+    corr = 1 - F.col("__ties").cast("double") / (n * n * n - n)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("k") > 1) & (F.col("n") > 1)
+    return agg.select(
+        "k", "n",
+        F.when(ok, pin(h)).alias("h"),
+        F.when(ok & (corr > 0), pin(h / corr))
+        .alias("h_tie_corrected"))
+
+
+def anova_f(df: DataFrame, value: Column,
+            group_col: str) -> DataFrame:
+    """One-row (k, n, df_between, df_within, f): one-way ANOVA over an
+    INTEGER-valued measure (pass cents/counts — the parametric
+    companion to ``kruskal_wallis``). Per-group S_g = Σv and
+    SS_g = Σv² are exact integers at DECIMAL(38,0)/HUGEINT width;
+    SSB = Σ S_g²/n_g − S²/n and SSW = ΣSS − Σ S_g²/n_g come from k
+    exact-quotient double terms (same accumulation-order margin
+    analysis as kruskal_wallis — drift orders under the pin);
+    F = (SSB/(k−1))/(SSW/(n−k)) pins once. SSW = 0 (all values equal
+    within groups) reports f NULL-by-contract."""
+    src = df.select(F.col(group_col).alias("__g"),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_g = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum(dec(F.col("__v"))).alias("__sg"),
+        F.sum(dec(F.col("__v")) * dec(F.col("__v"))).alias("__ssg"))
+    term = (F.col("__sg").cast("double") * F.col("__sg")
+            / F.col("__ng"))
+    agg = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__ng").cast("long").alias("n"),
+        F.sum("__sg").alias("__s"),
+        F.sum("__ssg").alias("__ss"),
+        F.sum(term).alias("__sgn"))
+    n = F.col("n").cast("double")
+    ssb = F.col("__sgn") - F.col("__s").cast("double") * F.col("__s") / n
+    ssw = F.col("__ss").cast("double") - F.col("__sgn")
+    kk = F.col("k").cast("double")
+    f = (ssb / (kk - 1)) / (ssw / (n - kk))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0)
+    return agg.select(
+        "k", "n",
+        (F.col("k") - 1).cast("long").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("df_within"),
+        F.when(ok, pin(f)).alias("f"))
+
+
+def cohens_d(df: DataFrame, value: Column, group_col: str,
+             a: str, b: str) -> DataFrame:
+    """One-row (n_a, n_b, mean_a, mean_b, d): Cohen's d standardized
+    mean difference over an INTEGER-valued measure — the effect SIZE
+    companion to q262's z (significance says 'not noise'; d says 'big
+    enough to matter'). Pooled SD uses the (n−1) sample variances.
+    Everything reduces to six exact integers (counts, sums, sums of
+    squares at DECIMAL(38,0)/HUGEINT width); means and d are single
+    pinned doubles. Zero pooled variance reports d NULL-by-contract."""
+    src = df.filter(F.col(group_col).isin(a, b)).select(
+        (F.col(group_col) == a).alias("__isa"),
+        value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.col("__v")
+    agg = src.agg(
+        F.sum(F.when(F.col("__isa"), 1).otherwise(0)).cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__isa"), 0).otherwise(1)).cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__isa"), dec(v)).otherwise(F.lit(0)))
+        .alias("__sa"),
+        F.sum(F.when(F.col("__isa"), F.lit(0)).otherwise(dec(v)))
+        .alias("__sb"),
+        F.sum(F.when(F.col("__isa"), dec(v) * dec(v))
+              .otherwise(F.lit(0))).alias("__ssa"),
+        F.sum(F.when(F.col("__isa"), F.lit(0))
+              .otherwise(dec(v) * dec(v))).alias("__ssb"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("__sa").cast("double") / na
+    mb = F.col("__sb").cast("double") / nb
+    ssa = F.col("__ssa").cast("double") \
+        - F.col("__sa").cast("double") * F.col("__sa") / na
+    ssb = F.col("__ssb").cast("double") \
+        - F.col("__sb").cast("double") * F.col("__sb") / nb
+    sp = F.sqrt((ssa + ssb) / (na + nb - 2).cast("double"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (na > 1) & (nb > 1)
+    return agg.select(
+        "n_a", "n_b",
+        F.when(na > 0, pin(ma)).alias("mean_a"),
+        F.when(nb > 0, pin(mb)).alias("mean_b"),
+        F.when(ok & (ssa + ssb > 0), pin((ma - mb) / sp)).alias("d"))
+
+
+_RELABEL_P = 64
+
+
+def relabeling_test_mean(df: DataFrame, id_col: str, value: Column,
+                         is_a: Column,
+                         nperm: int = _RELABEL_P) -> DataFrame:
+    """One-row (n_a, n_b, diff_obs, n_extreme, p_value): a Monte-Carlo
+    RANDOM-RELABELING significance test for the difference of means —
+    the assumption-free cousin of q262's z, and q274's machinery
+    turned into a hypothesis test: under H₀ (exchangeable labels) each
+    of `nperm` pseudo-labelings splits rows 50/50 by a deterministic
+    hash bit, and the p-value is the fraction of relabeled
+    |mean_a − mean_b| at least as extreme as observed, with the
+    (1 + extreme)/(1 + P) finite-sample correction. This is the
+    RELABELING (binomial-split) variant, not the fixed-margin exact
+    permutation test — the one-pass form that survives 100 TB: ONE
+    scan, 2·nperm + 4 counters, no shuffle of labels ever
+    materialized.
+
+    Exactness: values enter as exact BIGINTs; every per-relabeling
+    sum/count is an exact integer behind the same hash_u32 walk as
+    q274 (salt nperm+b keeps the draws independent of the bootstrap's);
+    diffs are identical doubles cross-engine, the extreme-count
+    compares PINNED magnitudes, and p_value pins once."""
+    src = df.select(F.col(id_col).cast("long").alias("__i"),
+                    value.cast("long").alias("__v"),
+                    is_a.cast("int").alias("__a")).filter(
+        F.col("__i").isNotNull() & F.col("__v").isNotNull()
+        & F.col("__a").isNotNull())
+    half = 2 ** 31
+    aggs = [
+        F.sum("__a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("n_b"),
+        F.sum(F.col("__a") * F.col("__v")).cast("long").alias("__sa"),
+        F.sum((1 - F.col("__a")) * F.col("__v")).cast("long")
+        .alias("__sb"),
+    ]
+    for b in range(nperm):
+        u = _boot_u32(F.col("__i"), nperm + b)
+        bit = (u < half).cast("long")
+        aggs.append(F.sum(bit * F.col("__v")).cast("long")
+                    .alias(f"__pva{b}"))
+        aggs.append(F.sum(bit).cast("long").alias(f"__pna{b}"))
+    agg = src.agg(*aggs)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    tot_s = F.col("__sa") + F.col("__sb")
+    tot_n = F.col("n_a") + F.col("n_b")
+    diff_obs = (F.col("__sa").cast("double") / F.col("n_a")
+                - F.col("__sb").cast("double") / F.col("n_b"))
+    # |diff| compares on PINNED magnitudes so the >= boundary is the
+    # same exact double in both engines
+    obs_mag = pin(F.abs(diff_obs))
+    extreme = None
+    for b in range(nperm):
+        pa_s, pa_n = F.col(f"__pva{b}"), F.col(f"__pna{b}")
+        pd = F.when(
+            (pa_n > 0) & (pa_n < tot_n),
+            pin(F.abs(pa_s.cast("double") / pa_n
+                      - (tot_s - pa_s).cast("double")
+                      / (tot_n - pa_n))))
+        hit = F.when(pd >= obs_mag, 1).otherwise(0)
+        extreme = hit if extreme is None else extreme + hit
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return agg.select(
+        "n_a", "n_b",
+        F.when(ok, pin(diff_obs)).alias("diff_obs"),
+        F.when(ok, extreme.cast("long")).alias("n_extreme"),
+        F.when(ok, pin((1 + extreme).cast("double") / (1 + nperm)))
+        .alias("p_value"))

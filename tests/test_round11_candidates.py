@@ -1,0 +1,571 @@
+"""Round-11 registration de-risking (the q245/q261 pattern, three
+rounds running): the rank/location-test tier built this round — Mann-
+Whitney U, Kruskal-Wallis H, one-way ANOVA F, Cohen's d, Cramér-von
+Mises, and the hash-relabeling significance test — gets its DuckDB
+oracles DRAFTED and driver-gate-compared here, so registering next
+rotation is a pure registry edit."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts"))
+
+from check_oracle import compare  # noqa: E402
+
+from auto_ml_platform_with_timeseries_data_spark.operators import (  # noqa: E402
+    curation,
+    validation,
+)
+
+_TABLES = ("lineitem", "orders", "documents")
+
+
+def _duck(sf_dir: str, sql: str):
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+_MWU_ORACLE = """
+    WITH s AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS v, l_linestatus = 'O' AS ia
+      FROM lineitem WHERE l_linestatus IN ('O', 'F')
+    ),
+    cells AS (
+      SELECT v,
+             CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM s GROUP BY v
+    ),
+    sp AS (
+      SELECT ca, cb, ca + cb AS t,
+             CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS s
+      FROM cells
+    ),
+    agg AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(ca AS HUGEINT) * (2 * s + t + 1)) AS tra,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+      FROM sp
+    ),
+    ex AS (
+      SELECT n_a, n_b,
+             (CAST(tra AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * (n_a + 1)) AS two_u,
+             CAST(n_a AS DOUBLE) * n_b / 12
+             * (CAST(n_a + n_b + 1 AS DOUBLE)
+                - CAST(ties AS DOUBLE)
+                / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+               AS var
+      FROM agg
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN two_u / 2 END AS u_a,
+           CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+                AND var > 0 THEN
+             floor((two_u - CAST(n_a AS DOUBLE) * n_b) / 2 / sqrt(var)
+                   * 1e6 + 0.5) / 1e6
+           END AS z
+    FROM ex
+"""
+
+
+def test_mann_whitney_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = validation.mann_whitney_u(
+        li, "l_quantity", "l_linestatus", "O", "F").toPandas()
+    want = _duck(sf_dir, _MWU_ORACLE)
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+_KW_ORACLE = """
+    WITH cells AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v),
+    sp AS (
+      SELECT v, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS s
+      FROM vt
+    ),
+    perg AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+             sum(CAST(c AS HUGEINT) * (2 * sp.s + sp.t + 1)) AS tr
+      FROM cells JOIN sp USING (v) GROUP BY g
+    ),
+    tie AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS ties FROM sp),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(CAST(tr AS DOUBLE) * tr / (4 * ng)) AS rr
+      FROM perg
+    ),
+    ex AS (
+      SELECT k, n,
+             12 / (CAST(n AS DOUBLE) * (n + 1)) * rr
+             - 3 * (CAST(n AS DOUBLE) + 1) AS h_raw,
+             1 - CAST(ties AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE)) AS corr
+      FROM agg, tie
+    )
+    SELECT k, n,
+           CASE WHEN k > 1 AND n > 1 THEN
+             floor(h_raw * 1e6 + 0.5) / 1e6 END AS h,
+           CASE WHEN k > 1 AND n > 1 AND corr > 0 THEN
+             floor(h_raw / corr * 1e6 + 0.5) / 1e6
+           END AS h_tie_corrected
+    FROM ex
+"""
+
+
+def test_kruskal_wallis_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = validation.kruskal_wallis(
+        li, "l_quantity", "l_returnflag").toPandas()
+    want = _duck(sf_dir, _KW_ORACLE)
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+_ANOVA_ORACLE = """
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    perg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             sum(CAST(v AS HUGEINT)) AS sg,
+             sum(CAST(v AS HUGEINT) * v) AS ssg
+      FROM s GROUP BY g
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(sg) AS sx, sum(ssg) AS ss,
+             sum(CAST(sg AS DOUBLE) * sg / ng) AS sgn
+      FROM perg
+    ),
+    ex AS (
+      SELECT k, n,
+             sgn - CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE) AS ssb,
+             CAST(ss AS DOUBLE) - sgn AS ssw
+      FROM agg
+    )
+    SELECT k, n,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+             floor((ssb / (CAST(k AS DOUBLE) - 1))
+                   / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6
+           END AS f
+    FROM ex
+"""
+
+
+def test_anova_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = validation.anova_f(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long"), "l_returnflag").toPandas()
+    want = _duck(sf_dir, _ANOVA_ORACLE)
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+_COHEN_ORACLE = """
+    WITH s AS (
+      SELECT l_linestatus = 'O' AS ia,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_linestatus IN ('O', 'F') AND l_extendedprice IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             sum(CASE WHEN ia THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+             sum(CASE WHEN ia THEN 0 ELSE CAST(v AS HUGEINT) END) AS sb,
+             sum(CASE WHEN ia THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+               AS ssa,
+             sum(CASE WHEN ia THEN 0 ELSE CAST(v AS HUGEINT) * v END)
+               AS ssb
+      FROM s
+    ),
+    ex AS (
+      SELECT n_a, n_b,
+             CAST(sa AS DOUBLE) / n_a AS ma,
+             CAST(sb AS DOUBLE) / n_b AS mb,
+             CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a AS da,
+             CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b AS db
+      FROM agg
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 THEN floor(ma * 1e6 + 0.5) / 1e6 END
+             AS mean_a,
+           CASE WHEN n_b > 0 THEN floor(mb * 1e6 + 0.5) / 1e6 END
+             AS mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND da + db > 0 THEN
+             floor((ma - mb)
+                   / sqrt((da + db) / CAST(n_a + n_b - 2 AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6
+           END AS d
+    FROM ex
+"""
+
+
+def test_cohens_d_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = validation.cohens_d(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long"), "l_linestatus", "O", "F").toPandas()
+    want = _duck(sf_dir, _COHEN_ORACLE)
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+def _cvm_oracle() -> str:
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        _hash_u32_sql,
+    )
+
+    gap = ("(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)")
+    return f"""
+    WITH s AS (
+      SELECT n_chars,
+             CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80 THEN 'train'
+                  WHEN {_hash_u32_sql('doc_id')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM s WHERE split IN ('train', 'test') GROUP BY 1
+    ),
+    m AS (
+      SELECT ca + cb AS c,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cuma,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumb,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM c
+    ),
+    agg AS (
+      SELECT sum(CAST(c AS HUGEINT)
+                 * CAST(floor({gap} * {gap} * 1e12) AS HUGEINT)) AS ts,
+             CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b
+      FROM m WHERE na > 0 AND nb > 0
+    )
+    SELECT n_a, n_b,
+           floor(CAST(n_a AS DOUBLE) * n_b
+                 / (CAST(n_a + n_b AS DOUBLE)
+                    * CAST(n_a + n_b AS DOUBLE))
+                 * (CAST(ts AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6
+             AS cvm
+    FROM agg
+    """
+
+
+def test_cramer_von_mises_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+        hash_split,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id")
+    got = curation.cramer_von_mises(
+        split, "n_chars", "split", "train", "test").toPandas()
+    want = _duck(sf_dir, _cvm_oracle())
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+def _relabel_oracle() -> str:
+    P = validation._RELABEL_P
+    half = 2 ** 31
+
+    def u(b: int) -> str:
+        return validation._boot_u32_sql("o_orderkey", P + b)
+
+    perms = "\n".join(
+        f"      , CAST(sum(CASE WHEN ({u(b)}) < {half} THEN v ELSE 0 END)"
+        f" AS BIGINT) AS pva{b}\n"
+        f"      , CAST(sum(CASE WHEN ({u(b)}) < {half} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS pna{b}"
+        for b in range(P))
+    pds = ",\n".join(
+        f"      CASE WHEN pna{b} > 0 AND pna{b} < n_a + n_b THEN"
+        f" floor(abs(CAST(pva{b} AS DOUBLE) / pna{b}"
+        f" - CAST(sa + sb - pva{b} AS DOUBLE)"
+        f" / (n_a + n_b - pna{b})) * 1e6 + 0.5) / 1e6 END AS pd{b}"
+        for b in range(P))
+    hits = " + ".join(
+        f"(CASE WHEN pd{b} >= obs_mag THEN 1 ELSE 0 END)"
+        for b in range(P))
+    return f"""
+    WITH s AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(o_orderstatus = 'O' AS INT) AS a
+      FROM orders
+      WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(sum(1 - a) AS BIGINT) AS n_b,
+             CAST(sum(a * v) AS BIGINT) AS sa,
+             CAST(sum((1 - a) * v) AS BIGINT) AS sb
+{perms}
+      FROM s
+    ),
+    obs AS (
+      SELECT *,
+             (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+               AS diff_raw,
+             floor(abs(CAST(sa AS DOUBLE) / n_a
+                       - CAST(sb AS DOUBLE) / n_b) * 1e6 + 0.5) / 1e6
+               AS obs_mag
+      FROM agg
+    ),
+    pd AS (
+      SELECT *,
+{pds}
+      FROM obs
+    ),
+    ex AS (SELECT *, {hits} AS extreme FROM pd)
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             floor(diff_raw * 1e6 + 0.5) / 1e6 END AS diff_obs,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST(extreme AS BIGINT) END AS n_extreme,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             floor(CAST(1 + extreme AS DOUBLE) / {1 + P} * 1e6 + 0.5)
+               / 1e6 END AS p_value
+    FROM ex
+    """
+
+
+def test_relabeling_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F"))
+    got = validation.relabeling_test_mean(
+        o, "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+        (F.col("o_orderstatus") == "O").cast("int")).toPandas()
+    want = _duck(sf_dir, _relabel_oracle())
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# Property pins against pure-python textbook computations
+# ---------------------------------------------------------------------------
+
+pytest.importorskip("hypothesis")
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from auto_ml_platform_with_timeseries_data_spark.session import get_spark  # noqa: E402
+
+_PIN = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=6),       # value (ties likely)
+    st.booleans()),                              # group a
+    min_size=4, max_size=30))
+def test_mann_whitney_matches_python_reference(rows):
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(float(v), "O" if a else "F") for v, a in rows],
+        "q double, g string")
+    row = validation.mann_whitney_u(df, "q", "g", "O", "F").collect()[0]
+    na = sum(1 for _, a in rows if a)
+    nb = len(rows) - na
+    n = na + nb
+    # average ranks over the sorted pool
+    vals = sorted(v for v, _ in rows)
+    avg_rank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        avg_rank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    ra = sum(avg_rank[v] for v, a in rows if a)
+    u_a = ra - na * (na + 1) / 2
+    ties = sum((j - i) ** 3 - (j - i)
+               for i, j in _tie_runs(vals))
+    assert (row["n_a"], row["n_b"]) == (na, nb)
+    if na > 0 and nb > 0:
+        assert row["u_a"] == u_a
+        var = na * nb / 12 * ((n + 1) - ties / (n * (n - 1)))
+        if n > 1 and var > 0:
+            z = (u_a - na * nb / 2) / math.sqrt(var)
+            assert row["z"] == _PIN(z)
+        else:
+            assert row["z"] is None
+
+
+def _tie_runs(sorted_vals):
+    i = 0
+    while i < len(sorted_vals):
+        j = i
+        while j < len(sorted_vals) and sorted_vals[j] == sorted_vals[i]:
+            j += 1
+        yield i, j
+        i = j
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=5),       # value
+    st.integers(min_value=0, max_value=2)),      # group 0/1/2
+    min_size=5, max_size=30))
+def test_kruskal_wallis_matches_python_reference(rows):
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(float(v), f"g{g}") for v, g in rows], "q double, g string")
+    row = validation.kruskal_wallis(df, "q", "g").collect()[0]
+    n = len(rows)
+    vals = sorted(v for v, _ in rows)
+    avg_rank = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        avg_rank[vals[i]] = (i + 1 + j) / 2
+        i = j
+    groups = sorted({g for _, g in rows})
+    k = len(groups)
+    assert (row["k"], row["n"]) == (k, n)
+    rr = 0.0
+    for g in groups:
+        rg = sum(avg_rank[v] for v, gg in rows if gg == g)
+        ng = sum(1 for _, gg in rows if gg == g)
+        rr += rg * rg / ng
+    h = 12 / (n * (n + 1)) * rr - 3 * (n + 1)
+    ties = sum((j - i) ** 3 - (j - i) for i, j in _tie_runs(vals))
+    corr = 1 - ties / (n ** 3 - n)
+    if k > 1 and n > 1:
+        assert row["h"] == pytest.approx(_PIN(h), abs=2e-6)
+        if corr > 0:
+            assert row["h_tie_corrected"] == pytest.approx(
+                _PIN(h / corr), abs=2e-6)
+    else:
+        assert row["h"] is None
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=st.lists(st.tuples(
+    st.integers(min_value=0, max_value=100),
+    st.integers(min_value=0, max_value=2)),
+    min_size=5, max_size=30))
+def test_anova_matches_python_reference(rows):
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(int(v), f"g{g}") for v, g in rows], "v long, g string")
+    row = validation.anova_f(df, F.col("v"), "g").collect()[0]
+    groups = sorted({g for _, g in rows})
+    k, n = len(groups), len(rows)
+    assert (row["k"], row["n"]) == (k, n)
+    assert (row["df_between"], row["df_within"]) == (k - 1, n - k)
+    s = sum(v for v, _ in rows)
+    ss = sum(v * v for v, _ in rows)
+    sgn = sum(
+        (sum(v for v, gg in rows if gg == g)) ** 2
+        / sum(1 for _, gg in rows if gg == g)
+        for g in groups)
+    ssb = sgn - s * s / n
+    ssw = ss - sgn
+    if k > 1 and n > k and ssw > 0:
+        f = (ssb / (k - 1)) / (ssw / (n - k))
+        assert row["f"] == pytest.approx(_PIN(f), abs=2e-6)
+    else:
+        assert row["f"] is None
+
+
+def test_cohens_d_planted_effect(spark):
+    """Two unit-variance-ish groups exactly 2 apart → d ≈ 2/σ."""
+    rows = ([(i, 100 + (i % 3), "O") for i in range(60)]
+            + [(i + 100, 102 + (i % 3), "F") for i in range(60)])
+    df = spark.createDataFrame(rows, "i long, v long, g string")
+    row = validation.cohens_d(df, F.col("v"), "g", "O", "F").collect()[0]
+    assert row["mean_a"] == 101.0 and row["mean_b"] == 103.0
+    # per-group squared deviations = 20·(1+0+1) = 40 around mean 101;
+    # pooled (n−1) variance = (40+40)/118
+    assert row["d"] == pytest.approx(-2 / math.sqrt(80 / 118), abs=1e-6)
+
+
+def test_cvm_zero_on_identical_distributions(spark):
+    rows = [(float(v), g) for v in range(10) for g in ("a", "b")]
+    df = spark.createDataFrame(rows, "v double, g string")
+    row = curation.cramer_von_mises(df, "v", "g", "a", "b").collect()[0]
+    assert row["cvm"] == 0.0
+    # and a fully separated pair is near the criterion's maximum
+    rows2 = ([(float(v), "a") for v in range(10)]
+             + [(float(v + 100), "b") for v in range(10)])
+    df2 = spark.createDataFrame(rows2, "v double, g string")
+    row2 = curation.cramer_von_mises(df2, "v", "g", "a", "b").collect()[0]
+    # sum over pooled points of gap² at full separation: 10 points at
+    # gap 1 (between the samples) + ascending/descending ramps
+    assert row2["cvm"] > 0.15
+
+
+def test_relabeling_detects_planted_shift(spark):
+    """A huge planted group gap must be more extreme than every random
+    relabeling (p = 1/(P+1)); a null dataset must not be."""
+    rows = ([(i, 1000, "O") for i in range(200)]
+            + [(i + 1000, 2000, "F") for i in range(200)])
+    df = spark.createDataFrame(rows, "i long, v long, g string")
+    row = validation.relabeling_test_mean(
+        df, "i", F.col("v"), (F.col("g") == "O").cast("int")).collect()[0]
+    assert row["n_extreme"] == 0
+    assert row["p_value"] == _PIN(1 / (validation._RELABEL_P + 1))
+    # null: identical values → every relabeled diff ties the observed 0
+    null_rows = [(i, 500, "O" if i % 2 else "F") for i in range(100)]
+    df0 = spark.createDataFrame(null_rows, "i long, v long, g string")
+    r0 = validation.relabeling_test_mean(
+        df0, "i", F.col("v"), (F.col("g") == "O").cast("int")).collect()[0]
+    assert r0["p_value"] == 1.0
