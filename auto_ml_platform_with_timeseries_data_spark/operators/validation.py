@@ -577,20 +577,30 @@ _BOOT_PREMOD = 1000003
 _BOOT_M32 = 4294967296
 
 
-def _boot_u32(id_col: Column, b: int) -> Column:
+def _boot_u32(id_col: Column, b) -> Column:
     """hash_u32 of the (id, replicate) pair via the q249 affine-salt
     step: x = (id mod P)·64 + b stays far inside BIGINT before the
-    Knuth multiply (both engines raise/wrap on overflow otherwise)."""
-    x = (id_col % _BOOT_PREMOD) * 64 + F.lit(b)
+    Knuth multiply (both engines raise/wrap on overflow otherwise).
+    `b` may be an int literal or a Column (the exploded replicate
+    index)."""
+    bb = F.lit(b) if isinstance(b, int) else b
+    x = (id_col % _BOOT_PREMOD) * 64 + bb
     return (x % _BOOT_PREMOD) * _BOOT_KNUTH % _BOOT_M32
 
 
 def _boot_mult(u: Column) -> Column:
-    """Poisson(1) multiplicity by inverse-CDF on the uniform u32."""
-    expr = F.lit(_BOOT_CAP)
-    for k in range(_BOOT_CAP - 1, -1, -1):
-        expr = F.when(u < _POIS_THRESH[k], k).otherwise(expr)
-    return expr
+    """Poisson(1) multiplicity by inverse-CDF on the uniform u32,
+    BRANCH-FREE: the thresholds are monotone, so the multiplicity is
+    simply how many of them sit at or below u — five comparisons
+    summed as integers. (The first draft's 6-arm CASE chain × 64
+    aggregate expressions exceeded Janino's method limits, silently
+    disabling whole-stage codegen for the entire aggregate — measured
+    3.3 s vs 0.6 s for the same scan.)"""
+    m = None
+    for t in _POIS_THRESH:
+        term = (u >= t).cast("long")
+        m = term if m is None else m + term
+    return m
 
 
 def _boot_u32_sql(id_sql: str, b: int) -> str:
@@ -600,10 +610,10 @@ def _boot_u32_sql(id_sql: str, b: int) -> str:
 
 def _boot_mult_sql(id_sql: str, b: int) -> str:
     u = _boot_u32_sql(id_sql, b)
-    arms = " ".join(
-        f"WHEN ({u}) < {_POIS_THRESH[k]} THEN {k}"
-        for k in range(_BOOT_CAP))
-    return f"(CASE {arms} ELSE {_BOOT_CAP} END)"
+    terms = " + ".join(
+        f"CASE WHEN ({u}) >= {t} THEN 1 ELSE 0 END"
+        for t in _POIS_THRESH)
+    return f"({terms})"
 
 
 def poisson_bootstrap_mean(df: DataFrame, id_col: str, value: Column,
@@ -628,51 +638,65 @@ def poisson_bootstrap_mean(df: DataFrame, id_col: str, value: Column,
     src = df.select(F.col(id_col).cast("long").alias("__i"),
                     value.cast("long").alias("__v")).filter(
         F.col("__i").isNotNull() & F.col("__v").isNotNull())
-    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("__v").cast("long").alias("__sv")]
+    # PLAN SHAPE (measured, round 10): anything that inlines nboot
+    # copies of the hash chain — 2·nboot aggregate sums, or a
+    # posexplode over an nboot-element array of multiplicity
+    # expressions — blows Janino's method limits ("Failed to compile"
+    # → whole stages fall back to interpreted expression walking:
+    # 8-9 s for a 150k-row scan). Explode the REPLICATE INDEX first
+    # and compute ONE hash expression with b as a column instead:
+    # the per-row code is ~20 ops, codegen compiles, and the groupBy
+    # map-side-combines into nboot groups (per-group count/sum(v)
+    # reproduce n and Σv, so one pass still yields everything).
+    pairs = src.select(
+        "__i", "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(nboot - 1)))
+        .alias("__b"))
+    pairs = pairs.select(
+        "__v", "__b",
+        _boot_mult(_boot_u32(F.col("__i"), F.col("__b")))
+        .alias("__m"))
+    agg = pairs.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__v").cast("long").alias("sv"),
+        F.sum(F.col("__m") * F.col("__v")).cast("long").alias("mv"),
+        F.sum("__m").cast("long").alias("m"))
+    # the distributed work ends at the nboot-row aggregate; the
+    # remaining arithmetic is 2·nboot + 2 SCALARS, computed on the
+    # driver in plain Python (an expression-tree tail of ~500 columns
+    # measured ~2.3 s of Catalyst planning per call — driver-side
+    # floats are the same IEEE doubles, with explicit float() casts
+    # mirroring the oracle's CAST-then-divide sequence exactly).
+    # Every bm is pinned → floor(bm·1e6 + 0.5) recovers an exact
+    # integer Q_b, and the SE runs in exact integer space:
+    # Σ(B·Q_b − ΣQ)² (Python ints are arbitrary-precision — the
+    # cents-scale squares that top int64 cost nothing), one sqrt at
+    # the end.
+    import math
+
+    rows = {int(r["__b"]): r for r in agg.collect()}
+    spark = df.sparkSession
+    schema = ("n long, point_mean double, boot_se double, "
+              "ci_lo double, ci_hi double")
+    if not rows:
+        return spark.createDataFrame(
+            [(0, None, None, None, None)], schema)
+    n = int(next(iter(rows.values()))["n"])
+    sv = int(next(iter(rows.values()))["sv"])
+    pin = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    point = pin(float(sv) / n)
+    bms = []
     for b in range(nboot):
-        m = _boot_mult(_boot_u32(F.col("__i"), b)).cast("long")
-        aggs.append(F.sum(m * F.col("__v")).cast("long")
-                    .alias(f"__mv{b}"))
-        aggs.append(F.sum(m).cast("long").alias(f"__m{b}"))
-    agg = src.agg(*aggs)
-    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    point = pin(F.col("__sv").cast("double") / F.col("n"))
-    means = [
-        F.when(F.col(f"__m{b}") > 0,
-               pin(F.col(f"__mv{b}").cast("double") / F.col(f"__m{b}")))
-        .otherwise(point).alias(f"__bm{b}")
-        for b in range(nboot)
-    ]
-    stage = agg.select(F.col("n"), point.alias("point_mean"), *means)
-    # every __bm is already pinned → floor(bm·1e6 + 0.5) recovers an
-    # exact integer Q_b, and the whole SE computation stays in exact
-    # integer space: Σ(B·Q_b − ΣQ)² at DECIMAL(38,0)/HUGEINT width
-    # (cents-scale means square past int64), order-free by
-    # construction; one sqrt at the end
-    stage = stage.select(
-        "*", *[F.floor(F.col(f"__bm{b}") * 1e6 + F.lit(0.5))
-               .cast("long").alias(f"__q{b}") for b in range(nboot)])
-    qsum = None
-    for b in range(nboot):
-        t = F.col(f"__q{b}")
-        qsum = t if qsum is None else qsum + t
-    stage = stage.withColumn("__qs", qsum)
-    dev = None
-    for b in range(nboot):
-        d = (F.lit(nboot) * F.col(f"__q{b}") - F.col("__qs")) \
-            .cast("decimal(38,0)")
-        t = d * d
-        dev = t if dev is None else dev + t
-    stage = stage.withColumn("__dev", dev)
-    arr = F.array_sort(F.array(*[F.col(f"__bm{b}")
-                                 for b in range(nboot)]))
-    return stage.select(
-        "n", "point_mean",
-        pin(F.sqrt(F.col("__dev").cast("double") / F.lit(nboot - 1))
-            / F.lit(float(nboot) * 1e6)).alias("boot_se"),
-        arr[1].alias("ci_lo"),
-        arr[nboot - 2].alias("ci_hi"))
+        m = int(rows[b]["m"])
+        bms.append(pin(float(int(rows[b]["mv"])) / m) if m > 0
+                   else point)
+    qs = [math.floor(bm * 1e6 + 0.5) for bm in bms]
+    qsum = sum(qs)
+    dev = sum((nboot * q - qsum) ** 2 for q in qs)
+    se = pin(math.sqrt(float(dev) / (nboot - 1)) / (nboot * 1e6))
+    ms = sorted(bms)
+    return spark.createDataFrame(
+        [(n, point, se, ms[1], ms[nboot - 2])], schema)
 
 
 def _bootstrap_oracle() -> str:
@@ -986,42 +1010,56 @@ def relabeling_test_mean(df: DataFrame, id_col: str, value: Column,
         F.col("__i").isNotNull() & F.col("__v").isNotNull()
         & F.col("__a").isNotNull())
     half = 2 ** 31
-    aggs = [
-        F.sum("__a").cast("long").alias("n_a"),
-        F.sum(1 - F.col("__a")).cast("long").alias("n_b"),
-        F.sum(F.col("__a") * F.col("__v")).cast("long").alias("__sa"),
+    # q274's measured plan shape: explode the PERMUTATION INDEX first,
+    # then one hash expression with the index as a column — any form
+    # that inlines nperm hash chains (2·nperm aggregate sums, an
+    # nperm-element array) fails Janino compilation and runs the scan
+    # interpreted (see poisson_bootstrap_mean)
+    pairs = src.select(
+        "__i", "__v", "__a",
+        F.explode(F.sequence(F.lit(0), F.lit(nperm - 1)))
+        .alias("__b"))
+    pairs = pairs.select(
+        "__v", "__a", "__b",
+        (_boot_u32(F.col("__i"), F.col("__b") + nperm) < half)
+        .cast("long").alias("__bit"))
+    agg = pairs.groupBy("__b").agg(
+        F.sum("__a").cast("long").alias("na"),
+        F.sum(1 - F.col("__a")).cast("long").alias("nb"),
+        F.sum(F.col("__a") * F.col("__v")).cast("long").alias("sa"),
         F.sum((1 - F.col("__a")) * F.col("__v")).cast("long")
-        .alias("__sb"),
-    ]
+        .alias("sb"),
+        F.sum(F.col("__bit") * F.col("__v")).cast("long").alias("pva"),
+        F.sum("__bit").cast("long").alias("pna"))
+    # driver-side scalar tail (the q274 pattern): identical IEEE
+    # doubles, pinned magnitudes compared on exact equality
+    import math
+
+    rows = {int(r["__b"]): r for r in agg.collect()}
+    spark = df.sparkSession
+    schema = ("n_a long, n_b long, diff_obs double, n_extreme long, "
+              "p_value double")
+    if not rows:
+        return spark.createDataFrame(
+            [(0, 0, None, None, None)], schema)
+    any_r = next(iter(rows.values()))
+    n_a, n_b = int(any_r["na"]), int(any_r["nb"])
+    sa, sb = int(any_r["sa"]), int(any_r["sb"])
+    if n_a == 0 or n_b == 0:
+        return spark.createDataFrame(
+            [(n_a, n_b, None, None, None)], schema)
+    pin = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    tot_s, tot_n = sa + sb, n_a + n_b
+    diff_obs = float(sa) / n_a - float(sb) / n_b
+    obs_mag = pin(abs(diff_obs))
+    extreme = 0
     for b in range(nperm):
-        u = _boot_u32(F.col("__i"), nperm + b)
-        bit = (u < half).cast("long")
-        aggs.append(F.sum(bit * F.col("__v")).cast("long")
-                    .alias(f"__pva{b}"))
-        aggs.append(F.sum(bit).cast("long").alias(f"__pna{b}"))
-    agg = src.agg(*aggs)
-    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    tot_s = F.col("__sa") + F.col("__sb")
-    tot_n = F.col("n_a") + F.col("n_b")
-    diff_obs = (F.col("__sa").cast("double") / F.col("n_a")
-                - F.col("__sb").cast("double") / F.col("n_b"))
-    # |diff| compares on PINNED magnitudes so the >= boundary is the
-    # same exact double in both engines
-    obs_mag = pin(F.abs(diff_obs))
-    extreme = None
-    for b in range(nperm):
-        pa_s, pa_n = F.col(f"__pva{b}"), F.col(f"__pna{b}")
-        pd = F.when(
-            (pa_n > 0) & (pa_n < tot_n),
-            pin(F.abs(pa_s.cast("double") / pa_n
-                      - (tot_s - pa_s).cast("double")
-                      / (tot_n - pa_n))))
-        hit = F.when(pd >= obs_mag, 1).otherwise(0)
-        extreme = hit if extreme is None else extreme + hit
-    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
-    return agg.select(
-        "n_a", "n_b",
-        F.when(ok, pin(diff_obs)).alias("diff_obs"),
-        F.when(ok, extreme.cast("long")).alias("n_extreme"),
-        F.when(ok, pin((1 + extreme).cast("double") / (1 + nperm)))
-        .alias("p_value"))
+        pna, pva = int(rows[b]["pna"]), int(rows[b]["pva"])
+        if 0 < pna < tot_n:
+            pd = pin(abs(float(pva) / pna
+                         - float(tot_s - pva) / (tot_n - pna)))
+            if pd >= obs_mag:
+                extreme += 1
+    return spark.createDataFrame(
+        [(n_a, n_b, pin(diff_obs), extreme,
+          pin(float(1 + extreme) / (1 + nperm)))], schema)

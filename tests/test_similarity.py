@@ -696,3 +696,26 @@ def test_margin_gate_query_reports_floor_ok(spark, sf_dir):
     row = q267_margin_agreement_gate(spark, sf_dir).collect()[0]
     assert row["floor_ok"] is True
     assert row["floor_agreement"] == 0.9
+
+
+def test_margin_banded_plan_contract(spark, sf_dir):
+    """q268's 100 TB shape, pinned on the executed plan: candidate
+    generation is a KEYED shuffle join on the cell id — never a
+    cartesian product — and the only nested-loop joins are the
+    broadcasts of the 8-row centroid table (each paired with its
+    BroadcastExchange build side)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.similarity import (
+        q268_margin_banded,
+    )
+
+    df = q268_margin_banded(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # every nested-loop join is a broadcast of the tiny centroid frame
+    assert (plan.count("BroadcastNestedLoopJoin")
+            == plan.count("IdentityBroadcastMode"))
+    # the corpus-sized candidate join is keyed on the cell id
+    assert "SortMergeJoin [__cid" in plan or "ShuffledHashJoin [__cid" in plan
+    # rank windows prune to top-k BEFORE the final window (Spark 4's
+    # WindowGroupLimit) — the reason recompute beats persist here
+    assert "WindowGroupLimit" in plan
