@@ -871,9 +871,10 @@ def mann_kendall(ev: DataFrame, group_col: str) -> DataFrame:
         (F.floor(z * 1e6 + F.lit(0.5)) / 1e6).alias("z"))
 
 
-@query(
-    "q228_mann_kendall",
-    oracle=f"""
+def _mk_oracle() -> str:
+    """q228's oracle as a composable CTE body (the _acf_oracle
+    pattern) — the BH-FDR candidate's draft builds on it."""
+    return f"""
     WITH e AS ({_TS_DUCK_SERIES}),
     sg AS (
       SELECT a.g, CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_stat
@@ -918,8 +919,10 @@ def mann_kendall(ev: DataFrame, group_col: str) -> DataFrame:
              floor((s_stat - sign(s_stat)) / sqrt(var) * 1e6 + 0.5) / 1e6
            END AS z
     FROM v
-    """,
-)
+    """
+
+
+@query("q228_mann_kendall", oracle=_mk_oracle())
 def q228_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user Mann–Kendall monotone-trend test over the events value
     series — exact integer S and tie-corrected variance, z pinned at

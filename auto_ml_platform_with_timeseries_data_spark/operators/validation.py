@@ -1063,3 +1063,75 @@ def relabeling_test_mean(df: DataFrame, id_col: str, value: Column,
     return spark.createDataFrame(
         [(n_a, n_b, pin(diff_obs), extreme,
           pin(float(1 + extreme) / (1 + nperm)))], schema)
+
+
+# Round-11 candidate #7: multiple-testing control. A platform that
+# emits one test statistic PER GROUP (q228's per-series Mann-Kendall z,
+# q247's per-group AUC...) needs the step that keeps 1500 simultaneous
+# tests honest — Benjamini-Hochberg FDR. Normal tail probabilities use
+# the Abramowitz & Stegun 26.2.17 polynomial (|error| < 7.5e-8, far
+# under the 1e-6 pin) written token-identically in both engines: the
+# only transcendental is exp(), whose cross-engine bit-identity q265's
+# green floor(exp·1e6) hash established.
+
+_AS_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+_AS_P = 0.2316419
+_INV_SQRT_2PI = 0.3989422804014327
+
+
+def _normal_sf(z: Column) -> Column:
+    """Upper-tail P(Z > z) for z ≥ 0 — A&S 26.2.17."""
+    t = 1.0 / (1.0 + _AS_P * z)
+    poly = (_AS_B[0] * t + _AS_B[1] * t * t
+            + _AS_B[2] * t * t * t
+            + _AS_B[3] * t * t * t * t
+            + _AS_B[4] * t * t * t * t * t)
+    pdf = _INV_SQRT_2PI * F.exp(-z * z / 2)
+    return pdf * poly
+
+
+def _normal_sf_sql(z: str) -> str:
+    t = f"(1.0 / (1.0 + {_AS_P} * {z}))"
+    poly = (f"({_AS_B[0]} * {t} + {_AS_B[1]} * {t} * {t}"
+            f" + {_AS_B[2]} * {t} * {t} * {t}"
+            f" + {_AS_B[3]} * {t} * {t} * {t} * {t}"
+            f" + {_AS_B[4]} * {t} * {t} * {t} * {t} * {t})")
+    return f"({_INV_SQRT_2PI} * exp(-{z} * {z} / 2) * {poly})"
+
+
+def bh_fdr(df: DataFrame, key_col: str, p_col: str,
+           alpha: float = 0.1) -> DataFrame:
+    """(key, p_value, rk, m, rejected): the Benjamini–Hochberg step-up
+    procedure at FDR level `alpha` over a (key, p_value) table — NULL
+    p-values are excluded from m (untestable groups don't dilute the
+    correction). rejected ⇔ rank ≤ max{k : p_(k) ≤ k·α/m}, realized as
+    a running max over the ordered flag so one window pass decides
+    every row.
+
+    Scale shape: the input is already one row per GROUP (model scores,
+    per-series trends), orders of magnitude smaller than the corpus —
+    the rank window over it is |groups|-sized by construction. The
+    p ≤ k·α/m compare runs on PINNED p-values against an
+    exact-integer-derived double, identical cross-engine."""
+    src = df.select(F.col(key_col).alias("__k"),
+                    F.col(p_col).alias("__p")).filter(
+        F.col("__p").isNotNull())
+    w = Window.orderBy(F.asc("__p"), F.asc("__k"))
+    wall = Window.partitionBy()
+    ranked = src.select(
+        "__k", "__p",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("m"))
+    ok_rank = F.when(
+        F.col("__p") <= F.col("rk") * F.lit(alpha) / F.col("m"),
+        F.col("rk")).otherwise(F.lit(0))
+    wcum = (Window.orderBy(F.asc("rk"))
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    cutoff = F.max(ok_rank).over(wcum)
+    return ranked.select(
+        F.col("__k").alias(key_col), F.col("__p").alias(p_col),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("m").cast("long").alias("m"),
+        (F.col("rk") <= cutoff).cast("int").alias("rejected"))

@@ -1188,6 +1188,50 @@ def main() -> int:
 
     run("bootstrap_mean", lambda: boot(False), lambda: boot(True))
 
+    # round-11 candidates (library-only until registration): the rank
+    # tests reduce to the KS value-domain walk (l_quantity: 50 distinct
+    # values at every SF), ANOVA/CvM to cell group-bys, and the
+    # relabeling test to q274's exploded-index scan — all expected
+    # ~scan-linear or flat
+    run("mann_whitney",
+        lambda: validation.mann_whitney_u(
+            li(False), "l_quantity", "l_linestatus", "O", "F").count(),
+        lambda: validation.mann_whitney_u(
+            li(True), "l_quantity", "l_linestatus", "O", "F").count())
+    run("kruskal_wallis",
+        lambda: validation.kruskal_wallis(
+            li(False), "l_quantity", "l_returnflag").count(),
+        lambda: validation.kruskal_wallis(
+            li(True), "l_quantity", "l_returnflag").count())
+    run("anova_f",
+        lambda: validation.anova_f(
+            li(False), F.floor(F.col("l_extendedprice") * 100
+                               + F.lit(0.5)).cast("long"),
+            "l_returnflag").count(),
+        lambda: validation.anova_f(
+            li(True), F.floor(F.col("l_extendedprice") * 100
+                              + F.lit(0.5)).cast("long"),
+            "l_returnflag").count())
+
+    def cvm(path_based):
+        d = docsN() if path_based else docs1()
+        split = curation.hash_split(d, "doc_id")
+        return curation.cramer_von_mises(
+            split, "n_chars", "split", "train", "test").count()
+
+    run("cramer_von_mises", lambda: cvm(False), lambda: cvm(True))
+
+    def relab(path_based):
+        o = (spark.read.parquet(staged["orders"]) if path_based
+             else load_table(spark, sf_dir, "orders")).filter(
+            F.col("o_orderstatus").isin("O", "F"))
+        return validation.relabeling_test_mean(
+            o, "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+            (F.col("o_orderstatus") == "O").cast("int")).count()
+
+    run("relabeling_test", lambda: relab(False), lambda: relab(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

@@ -1,9 +1,10 @@
 """Round-11 registration de-risking (the q245/q261 pattern, three
 rounds running): the rank/location-test tier built this round — Mann-
 Whitney U, Kruskal-Wallis H, one-way ANOVA F, Cohen's d, Cramér-von
-Mises, and the hash-relabeling significance test — gets its DuckDB
-oracles DRAFTED and driver-gate-compared here, so registering next
-rotation is a pure registry edit."""
+Mises, the hash-relabeling significance test, and Benjamini-Hochberg
+FDR over q228's per-series trend z-scores — gets its DuckDB oracles
+DRAFTED and driver-gate-compared here, so registering next rotation
+is a pure registry edit."""
 
 from __future__ import annotations
 
@@ -569,3 +570,109 @@ def test_relabeling_detects_planted_shift(spark):
     r0 = validation.relabeling_test_mean(
         df0, "i", F.col("v"), (F.col("g") == "O").cast("int")).collect()[0]
     assert r0["p_value"] == 1.0
+
+
+def _bh_oracle() -> str:
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        _mk_oracle,
+    )
+
+    sf = validation._normal_sf_sql("abs(z)")
+    return f"""
+    WITH mk AS ({_mk_oracle()}),
+    pv AS (
+      SELECT user_id AS k,
+             CASE WHEN z IS NOT NULL THEN
+               floor(2 * {sf} * 1e9 + 0.5) / 1e9 END AS p_value
+      FROM mk
+    ),
+    f AS (SELECT k, p_value FROM pv WHERE p_value IS NOT NULL),
+    r AS (
+      SELECT k, p_value,
+             row_number() OVER (ORDER BY p_value ASC, k ASC) AS rk,
+             count(*) OVER () AS m
+      FROM f
+    ),
+    c AS (
+      SELECT *, max(CASE WHEN p_value <= rk * 0.1 / m THEN rk
+                         ELSE 0 END) OVER () AS cut
+      FROM r
+    )
+    SELECT k AS user_id, p_value, CAST(rk AS BIGINT) AS rk,
+           CAST(m AS BIGINT) AS m,
+           CAST(rk <= cut AS INT) AS rejected
+    FROM c
+    """
+
+
+def test_bh_fdr_oracle_draft(spark, sf_dir):
+    """The composition the registered query would run: per-series
+    Mann-Kendall z (q228) -> two-sided p via the A&S normal tail ->
+    Benjamini-Hochberg at FDR 0.1."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        mann_kendall,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    _TABLES_EV = ("lineitem", "orders", "documents", "events")
+    con = duckdb.connect()
+    for t in _TABLES_EV:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    mk = mann_kendall(ev, "user_id").withColumnRenamed("__g", "user_id")
+    p = mk.select(
+        "user_id",
+        F.when(F.col("z").isNotNull(),
+               F.floor(2 * validation._normal_sf(F.abs(F.col("z")))
+                       * 1e9 + F.lit(0.5)) / 1e9).alias("p_value"))
+    got = validation.bh_fdr(p, "user_id", "p_value",
+                            alpha=0.1).toPandas()
+    want = con.sql(_bh_oracle()).df()
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+def test_normal_sf_matches_erfc_reference():
+    """A&S 26.2.17 must track the exact normal tail within its
+    documented 7.5e-8 bound (we pin p-values at 1e-9 AFTER doubling,
+    so cross-engine identity comes from expression identity, and
+    ACCURACY comes from this bound)."""
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.session import (
+        get_spark,
+    )
+
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    zs = [0.0, 0.1, 0.5, 1.0, 1.645, 1.96, 2.5, 3.0, 4.0, 6.0]
+    df = spark.createDataFrame([(z,) for z in zs], "z double")
+    got = {r["z"]: r["sf"] for r in df.select(
+        "z", validation._normal_sf(F.col("z")).alias("sf")).collect()}
+    for z in zs:
+        exact = 0.5 * math.erfc(z / math.sqrt(2))
+        assert abs(got[z] - exact) < 7.5e-8, (z, got[z], exact)
+    # numpy cross-check of one interior point
+    assert got[1.96] == pytest.approx(0.024998, abs=1e-5)
+    del np
+
+
+@settings(max_examples=10, deadline=None)
+@given(ps=st.lists(st.floats(min_value=0.0, max_value=1.0,
+                             allow_nan=False, width=32),
+                   min_size=1, max_size=25))
+def test_bh_fdr_matches_python_reference(ps):
+    spark = get_spark("tests", cores=8, shuffle_partitions=8)
+    df = spark.createDataFrame(
+        [(i, float(p)) for i, p in enumerate(ps)], "k long, p double")
+    got = {r["k"]: (r["rk"], r["m"], r["rejected"]) for r in
+           validation.bh_fdr(df, "k", "p", alpha=0.1).collect()}
+    m = len(ps)
+    order = sorted(range(m), key=lambda i: (ps[i], i))
+    cut = 0
+    for pos, i in enumerate(order, start=1):
+        if ps[i] <= pos * 0.1 / m:
+            cut = max(cut, pos)
+    for pos, i in enumerate(order, start=1):
+        assert got[i] == (pos, m, 1 if pos <= cut else 0)
