@@ -2617,3 +2617,59 @@ def cramer_von_mises(df: DataFrame, value_col: str, group_col: str,
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         (F.floor(cvm * 1e6 + F.lit(0.5)) / 1e6).alias("cvm"))
+
+
+def _cvm_oracle() -> str:
+    gap = "(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb)"
+    return f"""
+    WITH s AS (
+      SELECT n_chars,
+             CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80 THEN 'train'
+                  WHEN {_hash_u32_sql('doc_id')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM s WHERE split IN ('train', 'test') GROUP BY 1
+    ),
+    m AS (
+      SELECT ca + cb AS c,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cuma,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumb,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM c
+    ),
+    agg AS (
+      SELECT sum(CAST(c AS HUGEINT)
+                 * CAST(floor({gap} * {gap} * 1e12) AS HUGEINT)) AS ts,
+             CAST(max(na) AS BIGINT) AS n_a,
+             CAST(max(nb) AS BIGINT) AS n_b
+      FROM m WHERE na > 0 AND nb > 0
+    )
+    SELECT n_a, n_b,
+           floor(CAST(n_a AS DOUBLE) * n_b
+                 / (CAST(n_a + n_b AS DOUBLE)
+                    * CAST(n_a + n_b AS DOUBLE))
+                 * (CAST(ts AS DOUBLE) / 1e12) * 1e6 + 0.5) / 1e6
+             AS cvm
+    FROM agg
+    """
+
+
+@query("q279_cramer_von_mises", oracle=_cvm_oracle())
+def q279_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér–von Mises between the train and test splits' document
+    lengths — the squared-gap integral completing q136 KS (worst gap)
+    and q260 W1 (integrated |gap|). One hash-checked row."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id")
+    return cramer_von_mises(split, "n_chars", "split", "train", "test")

@@ -1135,3 +1135,350 @@ def bh_fdr(df: DataFrame, key_col: str, p_col: str,
         F.col("rk").cast("long").alias("rk"),
         F.col("m").cast("long").alias("m"),
         (F.col("rk") <= cutoff).cast("int").alias("rejected"))
+
+
+# ---------------------------------------------------------------------------
+# Round-10 second-wave registrations of the tier above (the q259/q260
+# precedent: registered past the saturated head, locally 3-SF-green,
+# leading the round-11 driver budget). Oracles mirror the gate drafts
+# in tests/test_round11_candidates.py, which stay as an independent
+# second witness.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q275_mann_whitney_u",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_quantity AS DOUBLE) AS v, l_linestatus = 'O' AS ia
+      FROM lineitem WHERE l_linestatus IN ('O', 'F')
+    ),
+    cells AS (
+      SELECT v,
+             CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM s GROUP BY v
+    ),
+    sp AS (
+      SELECT ca, cb, ca + cb AS t,
+             CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS s
+      FROM cells
+    ),
+    agg AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+             CAST(sum(cb) AS BIGINT) AS n_b,
+             sum(CAST(ca AS HUGEINT) * (2 * s + t + 1)) AS tra,
+             sum(CAST(t AS HUGEINT) * t * t - t) AS ties
+      FROM sp
+    ),
+    ex AS (
+      SELECT n_a, n_b,
+             (CAST(tra AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * (n_a + 1)) AS two_u,
+             CAST(n_a AS DOUBLE) * n_b / 12
+             * (CAST(n_a + n_b + 1 AS DOUBLE)
+                - CAST(ties AS DOUBLE)
+                / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+               AS var
+      FROM agg
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN two_u / 2 END AS u_a,
+           CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1
+                AND var > 0 THEN
+             floor((two_u - CAST(n_a AS DOUBLE) * n_b) / 2 / sqrt(var)
+                   * 1e6 + 0.5) / 1e6
+           END AS z
+    FROM ex
+    """,
+)
+def q275_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum test of 'do open lines ship different quantities than
+    finished ones' — exact tie-aware U and pinned z in one
+    hash-checked row (q262's fixture, nonparametric edition)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return mann_whitney_u(li, "l_quantity", "l_linestatus", "O", "F")
+
+
+@query(
+    "q276_kruskal_wallis",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS DOUBLE) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_returnflag IS NOT NULL GROUP BY 1, 2
+    ),
+    vt AS (SELECT v, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY v),
+    sp AS (
+      SELECT v, t,
+             CAST(coalesce(sum(t) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS s
+      FROM vt
+    ),
+    perg AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+             sum(CAST(c AS HUGEINT) * (2 * sp.s + sp.t + 1)) AS tr
+      FROM cells JOIN sp USING (v) GROUP BY g
+    ),
+    tie AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS ties FROM sp),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(CAST(tr AS DOUBLE) * tr / (4 * ng)) AS rr
+      FROM perg
+    ),
+    ex AS (
+      SELECT k, n,
+             12 / (CAST(n AS DOUBLE) * (n + 1)) * rr
+             - 3 * (CAST(n AS DOUBLE) + 1) AS h_raw,
+             1 - CAST(ties AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                - CAST(n AS DOUBLE)) AS corr
+      FROM agg, tie
+    )
+    SELECT k, n,
+           CASE WHEN k > 1 AND n > 1 THEN
+             floor(h_raw * 1e6 + 0.5) / 1e6 END AS h,
+           CASE WHEN k > 1 AND n > 1 AND corr > 0 THEN
+             floor(h_raw / corr * 1e6 + 0.5) / 1e6
+           END AS h_tie_corrected
+    FROM ex
+    """,
+)
+def q276_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis across the three return-flag cohorts' quantity
+    distributions: one hash-checked (k, n, h, h_tie_corrected) row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return kruskal_wallis(li, "l_quantity", "l_returnflag")
+
+
+@query(
+    "q277_anova_f",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    perg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             sum(CAST(v AS HUGEINT)) AS sg,
+             sum(CAST(v AS HUGEINT) * v) AS ssg
+      FROM s GROUP BY g
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(sg) AS sx, sum(ssg) AS ss,
+             sum(CAST(sg AS DOUBLE) * sg / ng) AS sgn
+      FROM perg
+    ),
+    ex AS (
+      SELECT k, n,
+             sgn - CAST(sx AS DOUBLE) * sx / CAST(n AS DOUBLE) AS ssb,
+             CAST(ss AS DOUBLE) - sgn AS ssw
+      FROM agg
+    )
+    SELECT k, n,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+             floor((ssb / (CAST(k AS DOUBLE) - 1))
+                   / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6
+           END AS f
+    FROM ex
+    """,
+)
+def q277_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of revenue cents across return-flag cohorts —
+    exact integer sums of squares, one pinned hash-checked F row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return anova_f(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long"), "l_returnflag")
+
+
+@query(
+    "q278_cohens_d",
+    oracle="""
+    WITH s AS (
+      SELECT l_linestatus = 'O' AS ia,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_linestatus IN ('O', 'F') AND l_extendedprice IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN ia THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN ia THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+             sum(CASE WHEN ia THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+             sum(CASE WHEN ia THEN 0 ELSE CAST(v AS HUGEINT) END) AS sb,
+             sum(CASE WHEN ia THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+               AS ssa,
+             sum(CASE WHEN ia THEN 0 ELSE CAST(v AS HUGEINT) * v END)
+               AS ssb
+      FROM s
+    ),
+    ex AS (
+      SELECT n_a, n_b,
+             CAST(sa AS DOUBLE) / n_a AS ma,
+             CAST(sb AS DOUBLE) / n_b AS mb,
+             CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a AS da,
+             CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b AS db
+      FROM agg
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 THEN floor(ma * 1e6 + 0.5) / 1e6 END
+             AS mean_a,
+           CASE WHEN n_b > 0 THEN floor(mb * 1e6 + 0.5) / 1e6 END
+             AS mean_b,
+           CASE WHEN n_a > 1 AND n_b > 1 AND da + db > 0 THEN
+             floor((ma - mb)
+                   / sqrt((da + db) / CAST(n_a + n_b - 2 AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6
+           END AS d
+    FROM ex
+    """,
+)
+def q278_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effect size of the open-vs-finished revenue gap (q262 says
+    whether it's noise; this says whether it's big) — one hash-checked
+    (n_a, n_b, mean_a, mean_b, d) row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return cohens_d(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long"), "l_linestatus", "O", "F")
+
+
+def _relabel_oracle() -> str:
+    P = _RELABEL_P
+    half = 2 ** 31
+    perms = "\n".join(
+        f"      , CAST(sum(CASE WHEN ({_boot_u32_sql('o_orderkey', P + b)})"
+        f" < {half} THEN v ELSE 0 END) AS BIGINT) AS pva{b}\n"
+        f"      , CAST(sum(CASE WHEN ({_boot_u32_sql('o_orderkey', P + b)})"
+        f" < {half} THEN 1 ELSE 0 END) AS BIGINT) AS pna{b}"
+        for b in range(P))
+    pds = ",\n".join(
+        f"      CASE WHEN pna{b} > 0 AND pna{b} < n_a + n_b THEN"
+        f" floor(abs(CAST(pva{b} AS DOUBLE) / pna{b}"
+        f" - CAST(sa + sb - pva{b} AS DOUBLE)"
+        f" / (n_a + n_b - pna{b})) * 1e6 + 0.5) / 1e6 END AS pd{b}"
+        for b in range(P))
+    hits = " + ".join(
+        f"(CASE WHEN pd{b} >= obs_mag THEN 1 ELSE 0 END)"
+        for b in range(P))
+    return f"""
+    WITH s AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(o_orderstatus = 'O' AS INT) AS a
+      FROM orders
+      WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(sum(1 - a) AS BIGINT) AS n_b,
+             CAST(sum(a * v) AS BIGINT) AS sa,
+             CAST(sum((1 - a) * v) AS BIGINT) AS sb
+{perms}
+      FROM s
+    ),
+    obs AS (
+      SELECT *,
+             (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+               AS diff_raw,
+             floor(abs(CAST(sa AS DOUBLE) / n_a
+                       - CAST(sb AS DOUBLE) / n_b) * 1e6 + 0.5) / 1e6
+               AS obs_mag
+      FROM agg
+    ),
+    pd AS (
+      SELECT *,
+{pds}
+      FROM obs
+    ),
+    ex AS (SELECT *, {hits} AS extreme FROM pd)
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             floor(diff_raw * 1e6 + 0.5) / 1e6 END AS diff_obs,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             CAST(extreme AS BIGINT) END AS n_extreme,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             floor(CAST(1 + extreme AS DOUBLE) / {1 + P} * 1e6 + 0.5)
+               / 1e6 END AS p_value
+    FROM ex
+    """
+
+
+@query("q280_relabeling_test", oracle=_relabel_oracle())
+def q280_relabeling_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is the open-vs-finished order-value gap more extreme than 64
+    deterministic hash relabelings? One hash-checked row with the
+    observed diff, the extreme count, and the finite-sample-corrected
+    p — every pseudo-labeling reproduced by the oracle's identical
+    hash walk."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("O", "F"))
+    return relabeling_test_mean(
+        o, "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+        (F.col("o_orderstatus") == "O").cast("int"))
+
+
+def _bh_fdr_oracle() -> str:
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        _mk_oracle,
+    )
+
+    sf = _normal_sf_sql("abs(z)")
+    return f"""
+    WITH mk AS ({_mk_oracle()}),
+    pv AS (
+      SELECT user_id AS k,
+             CASE WHEN z IS NOT NULL THEN
+               floor(2 * {sf} * 1e9 + 0.5) / 1e9 END AS p_value
+      FROM mk
+    ),
+    f AS (SELECT k, p_value FROM pv WHERE p_value IS NOT NULL),
+    r AS (
+      SELECT k, p_value,
+             row_number() OVER (ORDER BY p_value ASC, k ASC) AS rk,
+             count(*) OVER () AS m
+      FROM f
+    ),
+    c AS (
+      SELECT *, max(CASE WHEN p_value <= rk * 0.1 / m THEN rk
+                         ELSE 0 END) OVER () AS cut
+      FROM r
+    )
+    SELECT k AS user_id, p_value, CAST(rk AS BIGINT) AS rk,
+           CAST(m AS BIGINT) AS m,
+           CAST(rk <= cut AS INT) AS rejected
+    FROM c
+    """
+
+
+@query("q281_bh_fdr", oracle=_bh_fdr_oracle())
+def q281_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multiple-testing step over q228's per-series trend tests:
+    two-sided p from the A&S normal tail, then Benjamini–Hochberg at
+    FDR 0.1 — every (user, p, rank, rejected) row hash-checked, so the
+    driver certifies the step-up cutoff itself."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
+        mann_kendall,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    mk = mann_kendall(ev, "user_id").withColumnRenamed("__g", "user_id")
+    p = mk.select(
+        "user_id",
+        F.when(F.col("z").isNotNull(),
+               F.floor(2 * _normal_sf(F.abs(F.col("z")))
+                       * 1e9 + F.lit(0.5)) / 1e9).alias("p_value"))
+    return bh_fdr(p, "user_id", "p_value", alpha=0.1)

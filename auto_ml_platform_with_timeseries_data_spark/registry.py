@@ -77,10 +77,12 @@ _loaded = False
 #         q138_span_dedup through q156_quantile_sketch (35 members —
 #         rotation ≥ the 30-slot VERDICT floor)
 # Slots past 50 are the ranked overflow the driver reaches only if its
-# budget stretches: first q268 (the banded production path, registered
-# this round — leads the round-11 budget), then stalest-evidence-first
-# (the rest of round-5, round-6, round-7), and the freshly
-# r9-witnessed blocks (last round's slots 7-50) at the very end.
+# budget stretches: first the round-10 registrations past the head —
+# q268 (banded production path), q269-q274 (concentration/survival/
+# bootstrap wave), q275-q281 (rank-test/FDR wave) — which lead the
+# round-11 budget; then stalest-evidence-first (the rest of round-5,
+# round-6, round-7), and the freshly r9-witnessed blocks (last round's
+# slots 7-50) at the very end.
 # Rows-only queries sit outside _PRIORITY entirely — a budget slot
 # spent on a weaker check is a slot wasted (their machinery is
 # witnessed via exact twins).
@@ -114,6 +116,10 @@ _PRIORITY: tuple[str, ...] = (
     "q269_hhi_concentration", "q270_lorenz_curve",
     "q271_nelson_aalen", "q272_logrank_test",
     "q273_zipf_slope", "q274_bootstrap_mean_ci",
+    "q275_mann_whitney_u", "q276_kruskal_wallis",
+    "q277_anova_f", "q278_cohens_d",
+    "q279_cramer_von_mises", "q280_relabeling_test",
+    "q281_bh_fdr",
     "q157_compaction",
     "q158_bloom_decontaminate", "q160_pq_fixed_codebook",
     "q161_temperature_mix", "q162_incremental_neardup",

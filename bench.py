@@ -155,6 +155,13 @@ HEADLINE = [
     "q272_logrank_test",
     "q273_zipf_slope",
     "q274_bootstrap_mean_ci",
+    "q275_mann_whitney_u",
+    "q276_kruskal_wallis",
+    "q277_anova_f",
+    "q278_cohens_d",
+    "q279_cramer_von_mises",
+    "q280_relabeling_test",
+    "q281_bh_fdr",
     "automl_e2e",
 ]
 

@@ -1,10 +1,8 @@
-"""Round-11 registration de-risking (the q245/q261 pattern, three
-rounds running): the rank/location-test tier built this round — Mann-
-Whitney U, Kruskal-Wallis H, one-way ANOVA F, Cohen's d, Cramér-von
-Mises, the hash-relabeling significance test, and Benjamini-Hochberg
-FDR over q228's per-series trend z-scores — gets its DuckDB oracles
-DRAFTED and driver-gate-compared here, so registering next rotation
-is a pure registry edit."""
+"""Independent second witness for the rank/location-test tier
+(q275-q281): each operator's DuckDB oracle is DUPLICATED here (drafted
+before registration, kept afterward — the round-9/round-10 candidate
+pattern) and driver-gate-compared, alongside hypothesis property pins
+against pure-python textbook computations."""
 
 from __future__ import annotations
 
