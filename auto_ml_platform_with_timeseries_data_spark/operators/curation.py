@@ -2673,3 +2673,111 @@ def q279_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     split = hash_split(docs, "doc_id")
     return cramer_von_mises(split, "n_chars", "split", "train", "test")
+
+
+def mixture_conformance(df: DataFrame, dim_col: str,
+                        expected_ppm: dict[str, int]) -> DataFrame:
+    """(category, n, expected_ppm, observed_ppm, deviation_ppm,
+    chi2_term): does the ACTUAL corpus mix match the DECLARED mixture
+    spec (the dataset card's weights, q169/q185's contract)? One row
+    per declared category plus one '__other__' row for anything
+    undeclared — so both drift WITHIN the spec and contamination
+    OUTSIDE it surface. Round-11 registration candidate.
+
+    One map-side-combined category group-by joined against the
+    broadcast spec; counts and ppm values are exact integers
+    (observed_ppm = n·1e6 div N — floored integer division, identical
+    both engines); each chi-square term (o−e)²/e is a single pinned
+    double over exact integers. Σ chi2_term is the audit statistic;
+    emitting per-category terms keeps every row hash-checkable AND
+    points at the offending source directly."""
+    spark = df.sparkSession
+    spec = spark.createDataFrame(
+        sorted(expected_ppm.items()),
+        "category string, expected_ppm long")
+    cells = (df.select(
+        F.coalesce(
+            F.when(F.col(dim_col).isin(*expected_ppm.keys()),
+                   F.col(dim_col)),
+            F.lit("__other__")).alias("category"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = cells.agg(F.sum("n").cast("long").alias("__tot"))
+    full = (spec.unionByName(spark.createDataFrame(
+        [("__other__", 0)], "category string, expected_ppm long"))
+        .join(cells, "category", "full_outer")
+        .crossJoin(F.broadcast(tot))
+        .select("category",
+                F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                F.coalesce("expected_ppm", F.lit(0)).cast("long")
+                .alias("expected_ppm"),
+                "__tot"))
+    obs_ppm = F.expr("(n * 1000000) div __tot")
+    e = (F.col("expected_ppm").cast("double") / 1e6
+         * F.col("__tot"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    chi = F.when(F.col("expected_ppm") > 0,
+                 pin((F.col("n") - e) * (F.col("n") - e) / e))
+    return full.select(
+        "category", "n", "expected_ppm",
+        obs_ppm.alias("observed_ppm"),
+        (obs_ppm - F.col("expected_ppm")).alias("deviation_ppm"),
+        chi.alias("chi2_term"))
+
+
+def anderson_darling_2s(df: DataFrame, value_col: str, group_col: str,
+                        a: str, b: str) -> DataFrame:
+    """One-row (n_a, n_b, a2): the two-sample Anderson–Darling
+    statistic (Scholz–Stephens k-sample form at k = 2, ties handled by
+    distinct-value cells) — the TAIL-SENSITIVE member of the drift
+    family: KS (q136) sees the worst gap, W1 (q260) the integrated
+    gap, CvM (q279) the integrated squared gap, AD reweights that
+    integral by 1/(F(1−F)) so divergence in the tails — where a
+    quality filter actually bites — dominates. Round-11 registration
+    candidate.
+
+    A² = Σ_j ℓ_j·[(N·M_aj − n_a·B_j)²/(n_a) + (N·M_bj − n_b·B_j)²/
+    (n_b)] / (N·B_j·(N−B_j)) over non-final distinct values (ℓ = tie
+    count, B = pooled cum, M = per-group cum). Same value-domain walk
+    as its siblings; each bracket is exact int128 integers
+    ((N·M − n·B)² tops int64), the per-value term is one
+    exact-integer-derived double quantized to floor(·1e12) BIGINT —
+    order-free sum — and A² pins once. Empty group →
+    NULL-by-contract."""
+    cells = (
+        df.filter(F.col(group_col).isin(a, b))
+        .groupBy(F.col(value_col).cast("double").alias("__v"))
+        .agg(
+            F.sum((F.col(group_col) == a).cast("long")).alias("__ca"),
+            F.sum((F.col(group_col) == b).cast("long")).alias("__cb"),
+        )
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    m = cells.select(
+        (F.col("__ca") + F.col("__cb")).alias("__l"),
+        F.sum("__ca").over(w).alias("__ma"),
+        F.sum("__cb").over(w).alias("__mb"),
+        F.sum("__ca").over(wt).alias("__na"),
+        F.sum("__cb").over(wt).alias("__nb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nn = F.col("__na") + F.col("__nb")
+    bb = F.col("__ma") + F.col("__mb")
+    da = dec(nn * F.col("__ma") - F.col("__na") * bb)
+    db = dec(nn * F.col("__mb") - F.col("__nb") * bb)
+    bracket = (da * da).cast("double") / F.col("__na") \
+        + (db * db).cast("double") / F.col("__nb")
+    term = (F.col("__l").cast("double") * bracket
+            / (nn.cast("double") * bb * (nn - bb)))
+    qterm = F.floor(term * F.lit(1e12)).cast("long")
+    agg = (m.filter((F.col("__na") > 0) & (F.col("__nb") > 0)
+                    & (bb < nn))
+           .agg(F.sum(qterm).alias("__ts"),
+                F.max("__na").alias("n_a"),
+                F.max("__nb").alias("n_b")))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        pin(F.col("__ts") / F.lit(1e12)).alias("a2"))

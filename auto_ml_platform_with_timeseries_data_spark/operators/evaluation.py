@@ -1075,3 +1075,99 @@ def q261_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return threshold_sweep(li, F.col("l_discount"),
                            (F.col("l_returnflag") == "R").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Round-11 registration candidates, fresh batch — agreement tier
+# (tests/test_round11_prebuilt.py): Fleiss' kappa (q244's Cohen kappa
+# generalized past two raters) and quadratic-weighted kappa (ordinal
+# categories where near-misses shouldn't count as full disagreement).
+# ---------------------------------------------------------------------------
+
+
+def fleiss_kappa(df: DataFrame, item_col: str, rating: Column,
+                 nraters: int) -> DataFrame:
+    """One-row (n_items, n_raters, k_categories, p_bar, p_e, kappa):
+    Fleiss' kappa — chance-corrected agreement when EVERY item gets
+    `nraters` categorical ratings (annotator pools, label triplets).
+    Items without exactly `nraters` rows are dropped by contract.
+
+    P_i per item = (Σ_j c_ij² − n)/(n(n−1)); the corpus reduces to
+    (item, category) count cells, so Σ_i Σ_j c_ij² is one exact
+    integer and P̄ = (S₂ − N·n)/(N·n·(n−1)) one division. P̄_e = Σ_j
+    (m_j/(N·n))² comes from the exact category marginals at
+    DECIMAL(38,0)/HUGEINT width (m_j² tops int64 past ~3e9 ratings).
+    kappa = (P̄−P̄e)/(1−P̄e); P̄e = 1 (all ratings one category)
+    reports kappa NULL-by-contract."""
+    src = df.select(F.col(item_col).alias("__i"),
+                    rating.alias("__r")).filter(
+        F.col("__i").isNotNull() & F.col("__r").isNotNull())
+    counts = src.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
+    full = src.join(counts.filter(F.col("__cnt") == nraters)
+                    .select("__i"), "__i")
+    cells = full.groupBy("__i", "__r").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    marg = cells.groupBy("__r").agg(
+        F.sum("__c").cast("long").alias("__m"))
+    magg = marg.agg(
+        F.count(F.lit(1)).cast("long").alias("k_categories"),
+        F.sum(dec(F.col("__m")) * dec(F.col("__m"))).alias("__m2"),
+        F.sum("__m").cast("long").alias("__tot"))
+    iagg = cells.agg(
+        F.countDistinct("__i").cast("long").alias("n_items"),
+        F.sum(dec(F.col("__c")) * dec(F.col("__c"))).alias("__s2"))
+    j = iagg.crossJoin(F.broadcast(magg))
+    ni = F.col("n_items").cast("double")
+    nn = float(nraters)
+    p_bar = ((F.col("__s2").cast("double") - ni * nn)
+             / (ni * nn * (nn - 1)))
+    p_e = (F.col("__m2").cast("double")
+           / (F.col("__tot").cast("double") * F.col("__tot")))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("n_items") > 0) & (p_e < 1)
+    return j.select(
+        "n_items", F.lit(nraters).cast("long").alias("n_raters"),
+        "k_categories",
+        F.when(F.col("n_items") > 0, pin(p_bar)).alias("p_bar"),
+        F.when(F.col("n_items") > 0, pin(p_e)).alias("p_e"),
+        F.when(ok, pin((p_bar - p_e) / (1 - p_e))).alias("kappa"))
+
+
+def weighted_kappa(df: DataFrame, rater_a: Column,
+                   rater_b: Column) -> DataFrame:
+    """One-row (n, k_a, k_b, kappa_w): quadratic-weighted kappa over
+    two INTEGER ordinal ratings — q244's Cohen kappa with near-misses
+    penalized by (i−j)² instead of all-or-nothing (the standard for
+    ordinal grading agreement). Exactness is total: with w_ij = (i−j)²,
+    Σw·O (observed) and Σ_ij (i−j)²·r_i·c_j (N·expected) are both
+    exact integers at DECIMAL(38,0)/HUGEINT width, so
+    kappa_w = 1 − Σw·O·N / Σ(i−j)²·r_i·c_j is ONE double division of
+    two exact integers, pinned once. A diagonal-only expectation
+    (either rater constant) reports NULL-by-contract."""
+    src = df.select(rater_a.cast("long").alias("__a"),
+                    rater_b.cast("long").alias("__b")).filter(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = src.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__o"))
+    d = F.col("__a") - F.col("__b")
+    obs = cells.agg(
+        F.sum("__o").cast("long").alias("n"),
+        F.countDistinct("__a").cast("long").alias("k_a"),
+        F.countDistinct("__b").cast("long").alias("k_b"),
+        F.sum(dec(d * d) * dec(F.col("__o"))).alias("__wo"))
+    ra = cells.groupBy("__a").agg(F.sum("__o").cast("long").alias("__r"))
+    cb = cells.groupBy("__b").agg(F.sum("__o").cast("long").alias("__c"))
+    dd = F.col("__a") - F.col("__b")
+    we = (ra.crossJoin(cb)
+          .agg(F.sum(dec(dd * dd) * dec(F.col("__r")) * dec(F.col("__c")))
+               .alias("__we")))
+    j = obs.crossJoin(F.broadcast(we))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ratio = (F.col("__wo").cast("double") * F.col("n")
+             / F.col("__we").cast("double"))
+    return j.select(
+        "n", "k_a", "k_b",
+        F.when((F.col("n") > 0) & (F.col("__we") > 0),
+               pin(1 - ratio)).alias("kappa_w"))

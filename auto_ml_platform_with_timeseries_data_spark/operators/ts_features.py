@@ -1453,3 +1453,43 @@ def q272_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, F.floor(F.abs(F.col("value"))),
         (F.col("event_id") % 4 != 0).cast("int"),
         (F.col("user_id") % 2 == 0).cast("int"))
+
+
+def turning_points(df: DataFrame, group_col: str, order: str,
+                   value: str, tie_break: str | None = None) -> DataFrame:
+    """(group, n, n_turns, expected, z): the turning-point randomness
+    test per series — an i.i.d. sequence has E = 2(n−2)/3 strict local
+    extrema; a trending or oscillating series departs in opposite
+    directions, so this is the cheap 'is there any structure at all'
+    screen BEFORE fitting q228's trend or q06's ACF. Strictness
+    contract: only strict extrema count (prev < x > next or
+    prev > x < next) — plateau edges are not turns. Round-11
+    registration candidate.
+
+    One lag/lead window per series (numerous-small-groups, q06's
+    shape); the count is an exact integer, E and Var = (16n−29)/90 are
+    rational in n, and z pins once. Series with n < 3 (or zero
+    variance, n ≤ 2) report z NULL-by-contract."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy(group_col).orderBy(*ob)
+    lagv = F.lag(value, 1).over(w)
+    leadv = F.lead(value, 1).over(w)
+    vv = F.col(value)
+    is_turn = (
+        lagv.isNotNull() & leadv.isNotNull()
+        & (((lagv < vv) & (leadv < vv)) | ((lagv > vv) & (leadv > vv)))
+    ).cast("long")
+    per = (df.select(F.col(group_col).alias("__g"),
+                     is_turn.alias("__t"))
+           .groupBy("__g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("__t").cast("long").alias("n_turns")))
+    n = F.col("n").cast("double")
+    e = 2 * (n - 2) / 3
+    var = (16 * n - 29) / 90
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return per.select(
+        F.col("__g").alias(group_col), "n", "n_turns",
+        F.when(F.col("n") >= 3, pin(e)).alias("expected"),
+        F.when((F.col("n") >= 3) & (var > 0),
+               pin((F.col("n_turns") - e) / F.sqrt(var))).alias("z"))

@@ -1482,3 +1482,52 @@ def q281_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.floor(2 * _normal_sf(F.abs(F.col("z")))
                        * 1e9 + F.lit(0.5)) / 1e9).alias("p_value"))
     return bh_fdr(p, "user_id", "p_value", alpha=0.1)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 registration candidates, fresh batch (the three-round-old
+# de-risking pattern): implemented + oracle-drafted now
+# (tests/test_round11_prebuilt.py), registered next rotation.
+# ---------------------------------------------------------------------------
+
+
+def cochran_armitage(df: DataFrame, score: Column,
+                     success: Column) -> DataFrame:
+    """One-row (k, n, x, z): the Cochran–Armitage trend test — does a
+    binary rate RISE OR FALL monotonically with an ordered integer
+    score (dose, bucket, tier)? The chi-square independence test
+    (q135) sees ANY deviation; this one spends all its power on the
+    trend, which is usually the question. T = Σx_i·w_i − p̄·Σn_i·w_i,
+    Var = p̄(1−p̄)(Σn_i w_i² − (Σn_i w_i)²/N), z = T/√Var.
+
+    One map-side-combined cell group-by; Σxw / Σnw / Σnw² are exact
+    BIGINTs (DECIMAL(38,0) for the w² sum — scores × N² tops int64 at
+    scale); z is a single pinned double over those integers.
+    Degenerate inputs (one score level, all-success/all-failure)
+    report z NULL-by-contract."""
+    src = df.select(score.cast("long").alias("__w"),
+                    success.cast("long").alias("__y")).filter(
+        F.col("__w").isNotNull() & F.col("__y").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = src.groupBy("__w").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__y").cast("long").alias("__x"))
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__x").cast("long").alias("x"),
+        F.sum(dec(F.col("__x")) * dec(F.col("__w"))).alias("__xw"),
+        F.sum(dec(F.col("__n")) * dec(F.col("__w"))).alias("__nw"),
+        F.sum(dec(F.col("__n")) * dec(F.col("__w")) * dec(F.col("__w")))
+        .alias("__nww"))
+    n = F.col("n").cast("double")
+    pbar = F.col("x").cast("double") / n
+    t = F.col("__xw").cast("double") - pbar * F.col("__nw")
+    var = (pbar * (1 - pbar)
+           * (F.col("__nww").cast("double")
+              - F.col("__nw").cast("double") * F.col("__nw") / n))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("k") > 1) & (F.col("x") > 0) & (F.col("x") < F.col("n"))
+    return agg.select(
+        "k", "n", "x",
+        F.when(ok & (var > 0), pin(t / F.sqrt(var))).alias("z"))

@@ -1232,6 +1232,66 @@ def main() -> int:
 
     run("relabeling_test", lambda: relab(False), lambda: relab(True))
 
+    # round-11 fresh candidate batch (library-only until registration):
+    # trend/agreement are cell group-bys; AD is the KS-family walk;
+    # turning points is one lag/lead window per series
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        evaluation as ev11,
+    )
+
+    run("cochran_armitage",
+        lambda: validation.cochran_armitage(
+            li(False).filter(F.col("l_quantity").isNotNull()),
+            F.expr("cast(floor(l_quantity) as bigint) div 10"),
+            (F.col("l_returnflag") == "R").cast("long")).count(),
+        lambda: validation.cochran_armitage(
+            li(True).filter(F.col("l_quantity").isNotNull()),
+            F.expr("cast(floor(l_quantity) as bigint) div 10"),
+            (F.col("l_returnflag") == "R").cast("long")).count())
+
+    def fleiss(path_based):
+        src = li(path_based).filter(F.col("l_linenumber") <= 3).select(
+            F.col("l_orderkey").alias("item"),
+            F.col("l_returnflag").alias("rating"))
+        return ev11.fleiss_kappa(src, "item", F.col("rating"),
+                                 nraters=3).count()
+
+    run("fleiss_kappa", lambda: fleiss(False), lambda: fleiss(True))
+    run("weighted_kappa",
+        lambda: ev11.weighted_kappa(
+            li(False), F.floor(F.col("l_quantity") / 10).cast("long"),
+            F.least(F.floor(F.col("l_extendedprice") / 20000),
+                    F.lit(5.0)).cast("long")).count(),
+        lambda: ev11.weighted_kappa(
+            li(True), F.floor(F.col("l_quantity") / 10).cast("long"),
+            F.least(F.floor(F.col("l_extendedprice") / 20000),
+                    F.lit(5.0)).cast("long")).count())
+
+    _spec = {f"src{i}": 50_000 for i in range(16)}
+    _spec["src16"] = 200_000
+    run("mixture_conformance",
+        lambda: curation.mixture_conformance(
+            docs1(), "source", _spec).count(),
+        lambda: curation.mixture_conformance(
+            docsN(), "source", _spec).count())
+
+    def ad2(path_based):
+        d = docsN() if path_based else docs1()
+        split = curation.hash_split(d, "doc_id")
+        return curation.anderson_darling_2s(
+            split, "n_chars", "split", "train", "test").count()
+
+    run("anderson_darling", lambda: ad2(False), lambda: ad2(True))
+
+    def tps(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return tsf10.turning_points(
+            ev.filter(F.col("value").isNotNull()),
+            "user_id", "ts", "value", tie_break="event_id").count()
+
+    run("turning_points", lambda: tps(False), lambda: tps(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0
