@@ -2740,7 +2740,9 @@ def anderson_darling_2s(df: DataFrame, value_col: str, group_col: str,
     (n_b)] / (N·B_j·(N−B_j)) over non-final distinct values (ℓ = tie
     count, B = pooled cum, M = per-group cum). Same value-domain walk
     as its siblings; each bracket is exact int128 integers
-    ((N·M − n·B)² tops int64), the per-value term is one
+    ((N·M − n·B)² tops int64; the inner N·M product itself stays in
+    int64 up to N < 3e9 rows — the documented bound, same class as
+    gini's c·(c+1)/2), the per-value term is one
     exact-integer-derived double quantized to floor(·1e12) BIGINT —
     order-free sum — and A² pins once. Empty group →
     NULL-by-contract."""

@@ -1160,7 +1160,9 @@ def weighted_kappa(df: DataFrame, rater_a: Column,
     ra = cells.groupBy("__a").agg(F.sum("__o").cast("long").alias("__r"))
     cb = cells.groupBy("__b").agg(F.sum("__o").cast("long").alias("__c"))
     dd = F.col("__a") - F.col("__b")
-    we = (ra.crossJoin(cb)
+    # k_a × k_b marginal grid — bounded by the ordinal category count
+    # by contract, so the small side broadcasts explicitly
+    we = (ra.crossJoin(F.broadcast(cb))
           .agg(F.sum(dec(dd * dd) * dec(F.col("__r")) * dec(F.col("__c")))
                .alias("__we")))
     j = obs.crossJoin(F.broadcast(we))
