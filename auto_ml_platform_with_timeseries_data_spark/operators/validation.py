@@ -1531,3 +1531,128 @@ def cochran_armitage(df: DataFrame, score: Column,
     return agg.select(
         "k", "n", "x",
         F.when(ok & (var > 0), pin(t / F.sqrt(var))).alias("z"))
+
+
+def diff_in_diff(df: DataFrame, value: Column, is_treat: Column,
+                 is_post: Column) -> DataFrame:
+    """One-row (n_t0, n_t1, n_c0, n_c1, mean_t0, mean_t1, mean_c0,
+    mean_c1, did, se, z): the difference-in-differences estimator —
+    (treated post − pre) minus (control post − pre), the standard
+    quasi-experimental read when treatment wasn't randomized but both
+    arms share a trend. SE is the unpooled four-cell Welch form
+    √(Σ s²_g/n_g) over (n−1) sample variances. Round-11 registration
+    candidate.
+
+    The corpus reduces to FOUR cells of exact integers (n, Σv, Σv² at
+    DECIMAL(38,0)/HUGEINT width — pass cents/counts); every mean, the
+    estimate, its SE and z are single pinned doubles over those
+    integers. Any empty cell (or zero variance everywhere) reports
+    did/se/z NULL-by-contract."""
+    src = df.select(value.cast("long").alias("__v"),
+                    is_treat.cast("int").alias("__t"),
+                    is_post.cast("int").alias("__p")).filter(
+        F.col("__v").isNotNull() & F.col("__t").isNotNull()
+        & F.col("__p").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.col("__v")
+
+    def cell(t: int, p: int, what: str):
+        m = ((F.col("__t") == t) & (F.col("__p") == p))
+        if what == "n":
+            return F.sum(m.cast("long")).cast("long")
+        if what == "s":
+            return F.sum(F.when(m, dec(v)).otherwise(F.lit(0)))
+        return F.sum(F.when(m, dec(v) * dec(v)).otherwise(F.lit(0)))
+
+    agg = src.agg(
+        *[cell(t, p, "n").alias(f"n_{g}{p}")
+          for t, g in ((1, "t"), (0, "c")) for p in (0, 1)],
+        *[cell(t, p, "s").alias(f"__s_{g}{p}")
+          for t, g in ((1, "t"), (0, "c")) for p in (0, 1)],
+        *[cell(t, p, "q").alias(f"__q_{g}{p}")
+          for t, g in ((1, "t"), (0, "c")) for p in (0, 1)])
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+
+    def mean(g):
+        return F.col(f"__s_{g}").cast("double") / F.col(f"n_{g}")
+
+    def var(g):
+        n = F.col(f"n_{g}")
+        return ((F.col(f"__q_{g}").cast("double")
+                 - F.col(f"__s_{g}").cast("double")
+                 * F.col(f"__s_{g}") / n)
+                / (n - 1).cast("double"))
+
+    cells = ["t0", "t1", "c0", "c1"]
+    did = (mean("t1") - mean("t0")) - (mean("c1") - mean("c0"))
+    se2 = sum((var(g) / F.col(f"n_{g}") for g in cells[1:]),
+              var(cells[0]) / F.col(f"n_{cells[0]}"))
+    nonempty = None
+    for g in cells:
+        c = F.col(f"n_{g}") > 1
+        nonempty = c if nonempty is None else (nonempty & c)
+    return agg.select(
+        *[F.col(f"n_{g}") for g in cells],
+        *[F.when(F.col(f"n_{g}") > 0, pin(mean(g))).alias(f"mean_{g}")
+          for g in cells],
+        F.when(nonempty, pin(did)).alias("did"),
+        F.when(nonempty & (se2 > 0), pin(F.sqrt(se2))).alias("se"),
+        F.when(nonempty & (se2 > 0), pin(did / F.sqrt(se2)))
+        .alias("z"))
+
+
+def covariate_balance(df: DataFrame, is_a: Column,
+                      features: dict[str, Column]) -> DataFrame:
+    """(feature, n_a, n_b, mean_a, mean_b, smd, var_ratio): the
+    covariate balance table an A/B or observational analysis reads
+    BEFORE trusting an effect estimate — standardized mean difference
+    (m_a − m_b)/√((s²_a + s²_b)/2) and the variance ratio per feature;
+    |SMD| < 0.1 is the usual 'balanced' rule of thumb. Round-11
+    registration candidate.
+
+    Features melt into (feature, value) rows in ONE projection (pass
+    INTEGER-valued expressions — cents, counts, bucket ids), so the
+    whole table is one map-side-combined group-by producing six exact
+    integers per feature; SMD and the ratio are single pinned doubles.
+    Degenerate features (an empty arm, zero pooled variance) report
+    NULL-by-contract."""
+    pairs = []
+    for name, col in sorted(features.items()):
+        pairs.append(F.struct(F.lit(name).alias("f"),
+                              col.cast("long").alias("v")))
+    src = df.select(is_a.cast("int").alias("__a"),
+                    F.explode(F.array(*pairs)).alias("__fv")).select(
+        "__a", F.col("__fv.f").alias("__f"), F.col("__fv.v").alias("__v")
+    ).filter(F.col("__a").isNotNull() & F.col("__v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    v = F.col("__v")
+    agg = src.groupBy("__f").agg(
+        F.sum("__a").cast("long").alias("n_a"),
+        F.sum(1 - F.col("__a")).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("__a") == 1, dec(v)).otherwise(F.lit(0)))
+        .alias("__sa"),
+        F.sum(F.when(F.col("__a") == 0, dec(v)).otherwise(F.lit(0)))
+        .alias("__sb"),
+        F.sum(F.when(F.col("__a") == 1, dec(v) * dec(v))
+              .otherwise(F.lit(0))).alias("__qa"),
+        F.sum(F.when(F.col("__a") == 0, dec(v) * dec(v))
+              .otherwise(F.lit(0))).alias("__qb"))
+    na, nb = F.col("n_a"), F.col("n_b")
+    ma = F.col("__sa").cast("double") / na
+    mb = F.col("__sb").cast("double") / nb
+    va = ((F.col("__qa").cast("double")
+           - F.col("__sa").cast("double") * F.col("__sa") / na)
+          / (na - 1).cast("double"))
+    vb = ((F.col("__qb").cast("double")
+           - F.col("__sb").cast("double") * F.col("__sb") / nb)
+          / (nb - 1).cast("double"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (na > 1) & (nb > 1)
+    pooled = (va + vb) / 2
+    return agg.select(
+        F.col("__f").alias("feature"), "n_a", "n_b",
+        F.when(na > 0, pin(ma)).alias("mean_a"),
+        F.when(nb > 0, pin(mb)).alias("mean_b"),
+        F.when(ok & (pooled > 0),
+               pin((ma - mb) / F.sqrt(pooled))).alias("smd"),
+        F.when(ok & (vb > 0), pin(va / vb)).alias("var_ratio"))

@@ -1292,6 +1292,33 @@ def main() -> int:
 
     run("turning_points", lambda: tps(False), lambda: tps(True))
 
+    def did(path_based):
+        o = (spark.read.parquet(staged["orders"]) if path_based
+             else load_table(spark, sf_dir, "orders")).filter(
+            F.col("o_totalprice").isNotNull())
+        return validation.diff_in_diff(
+            o, F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            F.col("o_orderdate")
+            >= F.lit("1995-01-01").cast("date")).count()
+
+    run("diff_in_diff", lambda: did(False), lambda: did(True))
+
+    def bal(path_based):
+        feats = {
+            "quantity": F.floor(F.col("l_quantity")),
+            "price_cents": F.floor(F.col("l_extendedprice") * 100
+                                   + F.lit(0.5)),
+            "discount_pct": F.floor(F.col("l_discount") * 100
+                                    + F.lit(0.5)),
+            "tax_pct": F.floor(F.col("l_tax") * 100 + F.lit(0.5)),
+        }
+        return validation.covariate_balance(
+            li(path_based), (F.col("l_returnflag") == "R").cast("int"),
+            feats).count()
+
+    run("covariate_balance", lambda: bal(False), lambda: bal(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

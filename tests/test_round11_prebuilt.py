@@ -1,7 +1,8 @@
 """Round-11 registration de-risking, fresh batch (the pattern's fourth
 round): Cochran-Armitage trend, Fleiss' kappa, quadratic-weighted
-kappa, mixture-conformance audit, two-sample Anderson-Darling, and the
-turning-point randomness test — DuckDB oracles DRAFTED and
+kappa, mixture-conformance audit, two-sample Anderson-Darling, the
+turning-point randomness test, difference-in-differences, and the
+covariate balance table — DuckDB oracles DRAFTED and
 driver-gate-compared here, so registering next rotation is a pure
 registry edit."""
 
@@ -478,3 +479,210 @@ def test_turning_points_known_sequences(spark):
     assert out[0]["n_turns"] == 0 and out[0]["z"] < -3
     assert out[1]["n_turns"] == 18 and out[1]["z"] > 3
     assert out[0]["expected"] == _PIN(2 * 18 / 3)
+
+
+_DID_ORACLE = """
+    WITH s AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT)
+               AS t,
+             CAST(o_orderdate >= DATE '1995-01-01' AS INT) AS p
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_t0,
+        CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_t1,
+        CAST(sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_c0,
+        CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_c1,
+        sum(CASE WHEN t = 1 AND p = 0 THEN CAST(v AS HUGEINT)
+            ELSE 0 END) AS s_t0,
+        sum(CASE WHEN t = 1 AND p = 1 THEN CAST(v AS HUGEINT)
+            ELSE 0 END) AS s_t1,
+        sum(CASE WHEN t = 0 AND p = 0 THEN CAST(v AS HUGEINT)
+            ELSE 0 END) AS s_c0,
+        sum(CASE WHEN t = 0 AND p = 1 THEN CAST(v AS HUGEINT)
+            ELSE 0 END) AS s_c1,
+        sum(CASE WHEN t = 1 AND p = 0 THEN CAST(v AS HUGEINT) * v
+            ELSE 0 END) AS q_t0,
+        sum(CASE WHEN t = 1 AND p = 1 THEN CAST(v AS HUGEINT) * v
+            ELSE 0 END) AS q_t1,
+        sum(CASE WHEN t = 0 AND p = 0 THEN CAST(v AS HUGEINT) * v
+            ELSE 0 END) AS q_c0,
+        sum(CASE WHEN t = 0 AND p = 1 THEN CAST(v AS HUGEINT) * v
+            ELSE 0 END) AS q_c1
+      FROM s
+    ),
+    ex AS (
+      SELECT *,
+        CAST(s_t0 AS DOUBLE) / n_t0 AS m_t0,
+        CAST(s_t1 AS DOUBLE) / n_t1 AS m_t1,
+        CAST(s_c0 AS DOUBLE) / n_c0 AS m_c0,
+        CAST(s_c1 AS DOUBLE) / n_c1 AS m_c1,
+        (CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * s_t0 / n_t0)
+          / CAST(n_t0 - 1 AS DOUBLE) AS v_t0,
+        (CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * s_t1 / n_t1)
+          / CAST(n_t1 - 1 AS DOUBLE) AS v_t1,
+        (CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * s_c0 / n_c0)
+          / CAST(n_c0 - 1 AS DOUBLE) AS v_c0,
+        (CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * s_c1 / n_c1)
+          / CAST(n_c1 - 1 AS DOUBLE) AS v_c1
+      FROM agg
+    ),
+    fin AS (
+      SELECT *,
+        (m_t1 - m_t0) - (m_c1 - m_c0) AS did_raw,
+        v_t0 / n_t0 + v_t1 / n_t1 + v_c0 / n_c0 + v_c1 / n_c1 AS se2,
+        (n_t0 > 1 AND n_t1 > 1 AND n_c0 > 1 AND n_c1 > 1) AS ok
+      FROM ex
+    )
+    SELECT n_t0, n_t1, n_c0, n_c1,
+      CASE WHEN n_t0 > 0 THEN floor(m_t0 * 1e6 + 0.5) / 1e6 END
+        AS mean_t0,
+      CASE WHEN n_t1 > 0 THEN floor(m_t1 * 1e6 + 0.5) / 1e6 END
+        AS mean_t1,
+      CASE WHEN n_c0 > 0 THEN floor(m_c0 * 1e6 + 0.5) / 1e6 END
+        AS mean_c0,
+      CASE WHEN n_c1 > 0 THEN floor(m_c1 * 1e6 + 0.5) / 1e6 END
+        AS mean_c1,
+      CASE WHEN ok THEN floor(did_raw * 1e6 + 0.5) / 1e6 END AS did,
+      CASE WHEN ok AND se2 > 0 THEN
+        floor(sqrt(se2) * 1e6 + 0.5) / 1e6 END AS se,
+      CASE WHEN ok AND se2 > 0 THEN
+        floor(did_raw / sqrt(se2) * 1e6 + 0.5) / 1e6 END AS z
+    FROM fin
+"""
+
+
+def test_diff_in_diff_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull())
+    got = validation.diff_in_diff(
+        o, F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))\
+        .toPandas()
+    want = con.sql(_DID_ORACLE).df()
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+_BAL_ORACLE = """
+    WITH m AS (
+      SELECT 'discount_pct' AS f,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS v,
+             CAST(l_returnflag = 'R' AS INT) AS a
+      FROM lineitem WHERE l_discount IS NOT NULL
+      UNION ALL
+      SELECT 'price_cents',
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+             CAST(l_returnflag = 'R' AS INT)
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      UNION ALL
+      SELECT 'quantity', CAST(floor(l_quantity) AS BIGINT),
+             CAST(l_returnflag = 'R' AS INT)
+      FROM lineitem WHERE l_quantity IS NOT NULL
+      UNION ALL
+      SELECT 'tax_pct', CAST(floor(l_tax * 100 + 0.5) AS BIGINT),
+             CAST(l_returnflag = 'R' AS INT)
+      FROM lineitem WHERE l_tax IS NOT NULL
+    ),
+    agg AS (
+      SELECT f,
+             CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(sum(1 - a) AS BIGINT) AS n_b,
+             sum(CASE WHEN a = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+               AS sa,
+             sum(CASE WHEN a = 0 THEN CAST(v AS HUGEINT) ELSE 0 END)
+               AS sb,
+             sum(CASE WHEN a = 1 THEN CAST(v AS HUGEINT) * v
+                 ELSE 0 END) AS qa,
+             sum(CASE WHEN a = 0 THEN CAST(v AS HUGEINT) * v
+                 ELSE 0 END) AS qb
+      FROM m GROUP BY f
+    ),
+    ex AS (
+      SELECT f, n_a, n_b,
+             CAST(sa AS DOUBLE) / n_a AS ma,
+             CAST(sb AS DOUBLE) / n_b AS mb,
+             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a)
+               / CAST(n_a - 1 AS DOUBLE) AS va,
+             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b)
+               / CAST(n_b - 1 AS DOUBLE) AS vb
+      FROM agg
+    )
+    SELECT f AS feature, n_a, n_b,
+      CASE WHEN n_a > 0 THEN floor(ma * 1e6 + 0.5) / 1e6 END
+        AS mean_a,
+      CASE WHEN n_b > 0 THEN floor(mb * 1e6 + 0.5) / 1e6 END
+        AS mean_b,
+      CASE WHEN n_a > 1 AND n_b > 1 AND (va + vb) / 2 > 0 THEN
+        floor((ma - mb) / sqrt((va + vb) / 2) * 1e6 + 0.5) / 1e6
+      END AS smd,
+      CASE WHEN n_a > 1 AND n_b > 1 AND vb > 0 THEN
+        floor(va / vb * 1e6 + 0.5) / 1e6
+      END AS var_ratio
+    FROM ex
+"""
+
+
+def test_covariate_balance_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = {
+        "quantity": F.floor(F.col("l_quantity")),
+        "price_cents": F.floor(F.col("l_extendedprice") * 100
+                               + F.lit(0.5)),
+        "discount_pct": F.floor(F.col("l_discount") * 100 + F.lit(0.5)),
+        "tax_pct": F.floor(F.col("l_tax") * 100 + F.lit(0.5)),
+    }
+    got = validation.covariate_balance(
+        li, (F.col("l_returnflag") == "R").cast("int"), feats).toPandas()
+    want = _duck(sf_dir, _BAL_ORACLE)
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+def test_diff_in_diff_planted_effect(spark):
+    """Control rises by 10 pre→post; treated rises by 10 PLUS a
+    planted +50 effect — DID must recover exactly 50."""
+    rows = []
+    i = 0
+    for t in (0, 1):
+        for p in (0, 1):
+            base = 100 + 10 * p + 7 * t + (50 if (t and p) else 0)
+            for j in range(40):
+                rows.append((t, p, base + (j % 5)))
+                i += 1
+    df = spark.createDataFrame(rows, "t int, p int, v long")
+    r = validation.diff_in_diff(
+        df, F.col("v"), F.col("t"), F.col("p")).collect()[0]
+    assert r["did"] == 50.0
+    assert r["z"] > 100  # tiny within-cell variance
+    assert (r["n_t0"], r["n_t1"], r["n_c0"], r["n_c1"]) == (40,) * 4
+
+
+def test_covariate_balance_detects_planted_imbalance(spark):
+    """One balanced and one shifted feature: the balanced one's |SMD|
+    sits near 0, the shifted one's far above the 0.1 rule."""
+    rows = [(i % 2, 100 + (i % 7), 100 + (i % 7) + 40 * (i % 2))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "a int, bal long, shifted long")
+    out = {r["feature"]: r for r in validation.covariate_balance(
+        df, F.col("a"),
+        {"bal": F.col("bal"), "shifted": F.col("shifted")}).collect()}
+    assert abs(out["bal"]["smd"]) < 0.05
+    assert abs(out["shifted"]["smd"]) > 5
+    # 400 rows split odd/even against mod-7 values: variances match to
+    # ~0.4% (not exactly — 400/7 is not integral)
+    assert out["bal"]["var_ratio"] == pytest.approx(1.0, abs=0.01)
