@@ -284,3 +284,87 @@ def q266_dominant_acf_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return dominant_acf_lag(ev, "user_id", "ts", "value", _ACF_LAGS,
                             tie_break="event_id")
+
+
+_PACF_LAGS = 5
+
+
+def _dl_steps(max_lag: int) -> list[tuple[str, str]]:
+    """Durbin–Levinson unrolled to `max_lag` as (column, expression)
+    pairs over the PINNED ACF columns r1..r{max_lag}. The SAME strings
+    feed Spark's F.expr and the DuckDB oracle's CTE chain, so the two
+    engines evaluate literally identical arithmetic on identical
+    doubles — the strongest form of the token-identity discipline. A
+    zero reflection denominator (degenerate/near-deterministic series)
+    propagates NULL via nullif."""
+    steps = [("phi_1_1", "r1")]
+    for k in range(2, max_lag + 1):
+        num = " - ".join(
+            [f"r{k}"] + [f"phi_{k - 1}_{j} * r{k - j}"
+                         for j in range(1, k)])
+        den = " - ".join(
+            ["1"] + [f"phi_{k - 1}_{j} * r{j}" for j in range(1, k)])
+        steps.append((f"phi_{k}_{k}",
+                      f"({num}) / nullif({den}, 0.0)"))
+        for j in range(1, k):
+            steps.append((f"phi_{k}_{j}",
+                          f"phi_{k - 1}_{j} - phi_{k}_{k}"
+                          f" * phi_{k - 1}_{k - j}"))
+    return steps
+
+
+def pacf(df: DataFrame, group: str, order: str, value: str,
+         max_lag: int = _PACF_LAGS,
+         tie_break: str | None = None) -> DataFrame:
+    """(group, lag, pacf): the partial autocorrelation function per
+    series for lags 1..max_lag — ACF's standard partner (ACF tails off
+    for AR processes; PACF CUTS OFF at the AR order, which is exactly
+    the look-back the reference's W3 sweep hunts for, so this is the
+    model-identification read behind q266's dominant-lag prior).
+    Durbin–Levinson over the ALREADY-PINNED per-series ACF values
+    (q06's operator), unrolled to fixed expressions shared verbatim
+    with the oracle. Round-11 registration candidate.
+
+    Scale shape: q06's lag-window pass, then a (group × max_lag)
+    pivot and a fixed chain of scalar expressions per group — nothing
+    beyond the ACF's own cost. Constant series (ACF NULL) and zero
+    reflection denominators report NULL-by-contract."""
+    a = acf(df, group, order, value, max_lag, tie_break=tie_break)
+    wide = a.groupBy(group).agg(
+        *[F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+          for k in range(1, max_lag + 1)])
+    cur = wide
+    for name, expr in _dl_steps(max_lag):
+        cur = cur.withColumn(name, F.expr(expr))
+    pairs = ", ".join(f"{k}, phi_{k}_{k}"
+                      for k in range(1, max_lag + 1))
+    out = cur.selectExpr(group,
+                         f"stack({max_lag}, {pairs}) as (lag, __p)")
+    return out.select(
+        group, F.col("lag").cast("int").alias("lag"),
+        (F.floor(F.col("__p") * 1e6 + F.lit(0.5)) / 1e6).alias("pacf"))
+
+
+def _pacf_oracle(max_lag: int = _PACF_LAGS) -> str:
+    rs = ",\n             ".join(
+        f"max(CASE WHEN lag = {k} THEN acf END) AS r{k}"
+        for k in range(1, max_lag + 1))
+    ctes = []
+    prev = "wide"
+    for i, (name, expr) in enumerate(_dl_steps(max_lag)):
+        ctes.append(f"s{i} AS (SELECT *, {expr} AS {name} FROM {prev})")
+        prev = f"s{i}"
+    unions = "\n    UNION ALL ".join(
+        f"SELECT user_id, {k} AS lag,"
+        f" floor(phi_{k}_{k} * 1e6 + 0.5) / 1e6 AS pacf FROM {prev}"
+        for k in range(1, max_lag + 1))
+    return f"""
+    WITH acf_rows AS ({_acf_oracle()}),
+    wide AS (
+      SELECT user_id,
+             {rs}
+      FROM acf_rows GROUP BY user_id
+    ),
+    {", ".join(ctes)}
+    {unions}
+    """

@@ -1319,6 +1319,18 @@ def main() -> int:
 
     run("covariate_balance", lambda: bal(False), lambda: bal(True))
 
+    def pacf_probe(path_based):
+        from auto_ml_platform_with_timeseries_data_spark.operators.timeseries import (
+            pacf,
+        )
+
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return pacf(ev, "user_id", "ts", "value",
+                    tie_break="event_id").count()
+
+    run("pacf", lambda: pacf_probe(False), lambda: pacf_probe(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

@@ -686,3 +686,65 @@ def test_covariate_balance_detects_planted_imbalance(spark):
     # 400 rows split odd/even against mod-7 values: variances match to
     # ~0.4% (not exactly — 400/7 is not integral)
     assert out["bal"]["var_ratio"] == pytest.approx(1.0, abs=0.01)
+
+
+def test_pacf_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.operators.timeseries import (
+        _pacf_oracle,
+        pacf,
+    )
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = pacf(ev, "user_id", "ts", "value",
+               tie_break="event_id").toPandas()
+    want = _duck(sf_dir, _pacf_oracle())
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+def test_pacf_matches_python_durbin_levinson(spark):
+    """The operator's unrolled Durbin-Levinson against a direct
+    recursive python implementation over the same pinned ACF values,
+    on a series with real autocorrelation structure."""
+    import math
+
+    vals = [math.sin(t / 3.0) + 0.3 * math.sin(t / 1.1) + t * 0.01
+            for t in range(60)]
+    rows = [(0, t, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, ts long, v double")
+
+    from auto_ml_platform_with_timeseries_data_spark.operators.timeseries import (
+        acf,
+        pacf,
+    )
+
+    r = {row["lag"]: row["acf"]
+         for row in acf(df, "g", "ts", "v", 5).collect()}
+    got = {row["lag"]: row["pacf"]
+           for row in pacf(df, "g", "ts", "v").collect()}
+    # recursive DL on the pinned r values
+    phi = {1: {1: r[1]}}
+    for k in range(2, 6):
+        num = r[k] - sum(phi[k - 1][j] * r[k - j]
+                         for j in range(1, k))
+        den = 1 - sum(phi[k - 1][j] * r[j] for j in range(1, k))
+        phi[k] = {k: num / den}
+        for j in range(1, k):
+            phi[k][j] = phi[k - 1][j] - phi[k][k] * phi[k - 1][k - j]
+    for k in range(1, 6):
+        assert got[k] == pytest.approx(_PIN(phi[k][k]), abs=2e-6), k
+    # AR-identification sanity: a smooth sinusoid mix is strongly
+    # lag-1 autocorrelated (measured 0.8977 on this fixture)
+    assert abs(got[1]) > 0.85
+
+
+def test_pacf_constant_series_null_by_contract(spark):
+    rows = [(0, t, 5.0) for t in range(20)]
+    df = spark.createDataFrame(rows, "g int, ts long, v double")
+    from auto_ml_platform_with_timeseries_data_spark.operators.timeseries import (
+        pacf,
+    )
+
+    out = pacf(df, "g", "ts", "v").collect()
+    assert len(out) == 5 and all(r["pacf"] is None for r in out)
