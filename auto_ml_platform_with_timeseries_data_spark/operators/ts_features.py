@@ -1493,3 +1493,66 @@ def turning_points(df: DataFrame, group_col: str, order: str,
         F.when(F.col("n") >= 3, pin(e)).alias("expected"),
         F.when((F.col("n") >= 3) & (var > 0),
                pin((F.col("n_turns") - e) / F.sqrt(var))).alias("z"))
+
+
+def trend_seasonal_strength(df: DataFrame, group_col: str, order: str,
+                            value: str, season: Column,
+                            half_window: int = 3,
+                            tie_break: str | None = None) -> DataFrame:
+    """(group, n, trend_strength, seasonal_strength): Hyndman's STL
+    strength measures per series — F_T = max(0, 1 − Var(R)/Var(x−S))
+    and F_S = max(0, 1 − Var(R)/Var(x−T)) where T is a centered
+    (±half_window)-row moving average, S the per-(group, season-key)
+    mean of the detrended series, R the remainder. The two numbers a
+    forecaster reads FIRST: is there a trend worth modeling, is the
+    seasonality real (they directly arbitrate q228-trend vs
+    q06/q266-seasonality vs q284-style noise). Edge rows use the
+    partial centered window — the contract, not an approximation.
+    Round-11 registration candidate.
+
+    Scale shape: one ordered window pass per series (q06's shape), a
+    (group × season-key) profile join, then per-series single-pass
+    variance sums. Variances run as Σx²/Σx doubles pinned at 1e-6 (the
+    q06/q135 accumulation-margin analysis — remainders are O(1), so
+    order drift sits ~9 orders below the pin). Series with zero
+    denominator variance report that strength NULL-by-contract."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = (Window.partitionBy(group_col).orderBy(*ob)
+         .rowsBetween(-half_window, half_window))
+    base = df.select(F.col(group_col).alias("__g"),
+                     F.col(value).cast("double").alias("__v"),
+                     F.col(order).alias("__o"),
+                     *( [F.col(tie_break).alias("__tb")]
+                        if tie_break else []),
+                     season.alias("__s")).filter(
+        F.col("__v").isNotNull())
+    ob2 = [F.asc("__o")] + ([F.asc("__tb")] if tie_break else [])
+    w = (Window.partitionBy("__g").orderBy(*ob2)
+         .rowsBetween(-half_window, half_window))
+    t = base.withColumn("__trend", F.avg("__v").over(w)) \
+        .withColumn("__d", F.col("__v") - F.col("__trend"))
+    prof = t.groupBy("__g", "__s").agg(
+        F.avg("__d").alias("__seas"))
+    j = (t.join(prof, ["__g", "__s"])
+         .withColumn("__r", F.col("__d") - F.col("__seas"))
+         .withColumn("__deseason", F.col("__v") - F.col("__seas")))
+    agg = j.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__r").alias("__sr"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__qr"),
+        F.sum("__d").alias("__sd"),
+        F.sum(F.col("__d") * F.col("__d")).alias("__qd"),
+        F.sum("__deseason").alias("__su"),
+        F.sum(F.col("__deseason") * F.col("__deseason")).alias("__qu"))
+    n = F.col("n").cast("double")
+    var = lambda s, q: (F.col(q) - F.col(s) * F.col(s) / n) / n  # noqa: E731
+    vr = var("__sr", "__qr")
+    vd = var("__sd", "__qd")
+    vu = var("__su", "__qu")
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        F.col("__g").alias(group_col), "n",
+        F.when(vu > 0, pin(F.greatest(F.lit(0.0), 1 - vr / vu)))
+        .alias("trend_strength"),
+        F.when(vd > 0, pin(F.greatest(F.lit(0.0), 1 - vr / vd)))
+        .alias("seasonal_strength"))

@@ -1,8 +1,9 @@
 """Round-11 registration de-risking, fresh batch (the pattern's fourth
 round): Cochran-Armitage trend, Fleiss' kappa, quadratic-weighted
 kappa, mixture-conformance audit, two-sample Anderson-Darling, the
-turning-point randomness test, difference-in-differences, and the
-covariate balance table — DuckDB oracles DRAFTED and
+turning-point randomness test, difference-in-differences, the
+covariate balance table, PACF (Durbin-Levinson), and the STL
+trend/seasonal strength pair — DuckDB oracles DRAFTED and
 driver-gate-compared here, so registering next rotation is a pure
 registry edit."""
 
@@ -748,3 +749,81 @@ def test_pacf_constant_series_null_by_contract(spark):
 
     out = pacf(df, "g", "ts", "v").collect()
     assert len(out) == 5 and all(r["pacf"] is None for r in out)
+
+
+_TSS_ORACLE = """
+    WITH base AS (
+      SELECT user_id AS g, CAST(value AS DOUBLE) AS v, ts, event_id,
+             CAST(hour(ts) AS INT) AS s
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (
+      SELECT g, v, s,
+             avg(v) OVER (PARTITION BY g ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM base
+    ),
+    d AS (SELECT g, v, s, v - trend AS dd FROM t),
+    prof AS (SELECT g, s, avg(dd) AS seas FROM d GROUP BY g, s),
+    j AS (
+      SELECT d.g, d.v, d.dd, d.dd - p.seas AS r,
+             d.v - p.seas AS deseason
+      FROM d JOIN prof p ON d.g = p.g AND d.s = p.s
+    ),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(r) AS sr, sum(r * r) AS qr,
+             sum(dd) AS sd, sum(dd * dd) AS qd,
+             sum(deseason) AS su, sum(deseason * deseason) AS qu
+      FROM j GROUP BY g
+    ),
+    ex AS (
+      SELECT g, n,
+             (qr - sr * sr / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS vr,
+             (qd - sd * sd / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS vd,
+             (qu - su * su / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS vu
+      FROM agg
+    )
+    SELECT g AS user_id, n,
+           CASE WHEN vu > 0 THEN
+             floor(greatest(0.0, 1 - vr / vu) * 1e6 + 0.5) / 1e6
+           END AS trend_strength,
+           CASE WHEN vd > 0 THEN
+             floor(greatest(0.0, 1 - vr / vd) * 1e6 + 0.5) / 1e6
+           END AS seasonal_strength
+    FROM ex
+"""
+
+
+def test_trend_seasonal_strength_oracle_draft(spark, sf_dir):
+    from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = ts_features.trend_seasonal_strength(
+        ev, "user_id", "ts", "value", F.hour("ts").cast("int"),
+        tie_break="event_id").toPandas()
+    want = _duck(sf_dir, _TSS_ORACLE)
+    ok, msg = compare(got, want)
+    assert ok, msg
+
+
+def test_trend_seasonal_strength_planted_components(spark):
+    """A pure-trend series scores trend_strength ~1; a pure
+    2-period oscillation scores seasonal_strength ~1 with season key
+    t % 2; white-ish structure scores both low-ish."""
+    import math
+
+    rows = []
+    for t in range(120):
+        rows.append((0, t, t % 2, 10.0 * t))              # pure trend
+        rows.append((1, t, t % 2, 5.0 if t % 2 else -5.0))  # pure season
+        rows.append((2, t, t % 2, math.sin(t * 2.17) * 3))  # mush
+    df = spark.createDataFrame(rows, "g int, ts long, s int, v double")
+    out = {r["g"]: r for r in ts_features.trend_seasonal_strength(
+        df, "g", "ts", "v", F.col("s")).collect()}
+    assert out[0]["trend_strength"] > 0.99
+    assert out[1]["seasonal_strength"] > 0.99
+    assert out[2]["trend_strength"] < 0.9
