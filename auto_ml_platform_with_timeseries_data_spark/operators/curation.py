@@ -2690,7 +2690,16 @@ def mixture_conformance(df: DataFrame, dim_col: str,
     both engines); each chi-square term (o−e)²/e is a single pinned
     double over exact integers. Σ chi2_term is the audit statistic;
     emitting per-category terms keeps every row hash-checkable AND
-    points at the offending source directly."""
+    points at the offending source directly.
+
+    '__other__' is RESERVED for the undeclared-mass row this operator
+    adds itself; a spec that declares it would collide with that row
+    in the full_outer join and double-report the category, so it is
+    rejected up front."""
+    if "__other__" in expected_ppm:
+        raise ValueError(
+            "expected_ppm must not declare '__other__' — it is the "
+            "reserved catch-all row mixture_conformance itself emits")
     spark = df.sparkSession
     spec = spark.createDataFrame(
         sorted(expected_ppm.items()),

@@ -1341,8 +1341,11 @@ def logrank_test(df: DataFrame, duration: Column, event: Column,
     — bounded by distinct durations, not rows). Σd_a is an exact
     BIGINT; the E and V terms quantize to floor(x·1e12) BIGINT
     (identical expressions both engines, order-free sums); z and chi2
-    pin once. ΣV = 0 (no comparable event times) reports
-    NULL-by-contract."""
+    pin once. ΣV = 0 with at least one cell surviving the
+    (d > 0, n > 1) filter reports z/chi2 NULL-by-contract; an input
+    with NO event times at all (all-censored) yields ZERO rows — the
+    filtered cell table is empty, so no (n_a, n_b) group exists to
+    report."""
     src = df.select(duration.cast("long").alias("__t"),
                     event.cast("int").alias("__e"),
                     is_a.cast("int").alias("__a")).filter(
@@ -1469,7 +1472,10 @@ def turning_points(df: DataFrame, group_col: str, order: str,
     One lag/lead window per series (numerous-small-groups, q06's
     shape); the count is an exact integer, E and Var = (16n−29)/90 are
     rational in n, and z pins once. Series with n < 3 (or zero
-    variance, n ≤ 2) report z NULL-by-contract."""
+    variance, n ≤ 2) report z NULL-by-contract. NULL values are
+    dropped BEFORE windowing (the sibling-operator contract): a NULL
+    row neither counts toward n nor breaks the adjacency of its
+    neighbors — mirror `WHERE value IS NOT NULL` in any oracle."""
     ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
     w = Window.partitionBy(group_col).orderBy(*ob)
     lagv = F.lag(value, 1).over(w)
@@ -1479,8 +1485,9 @@ def turning_points(df: DataFrame, group_col: str, order: str,
         lagv.isNotNull() & leadv.isNotNull()
         & (((lagv < vv) & (leadv < vv)) | ((lagv > vv) & (leadv > vv)))
     ).cast("long")
-    per = (df.select(F.col(group_col).alias("__g"),
-                     is_turn.alias("__t"))
+    per = (df.filter(vv.isNotNull())
+           .select(F.col(group_col).alias("__g"),
+                   is_turn.alias("__t"))
            .groupBy("__g")
            .agg(F.count(F.lit(1)).cast("long").alias("n"),
                 F.sum("__t").cast("long").alias("n_turns")))

@@ -608,6 +608,29 @@ def _boot_u32_sql(id_sql: str, b: int) -> str:
             f"% {_BOOT_PREMOD}) * {_BOOT_KNUTH} % {_BOOT_M32}")
 
 
+# Relabeling (q280) uses its OWN multiplier (xxHash32's PRIME32_2 —
+# public constant), not _BOOT_KNUTH: any affine salt shift inside the
+# same multiplier collapses after the % PREMOD step to a neighboring
+# id-residue's bootstrap draw (salt b+64 for id i IS salt b for
+# residue (i%P)+1), so true cross-query independence needs a second
+# multiplier, not a second offset.
+_RELABEL_KNUTH = 2246822519
+
+
+def _relabel_u32(id_col: Column, b) -> Column:
+    """q280's permutation hash: the _boot_u32 affine walk under the
+    distinct _RELABEL_KNUTH multiplier, so relabeling draws share no
+    structure with the bootstrap's for ANY (id, salt) pair."""
+    bb = F.lit(b) if isinstance(b, int) else b
+    x = (id_col % _BOOT_PREMOD) * 64 + bb
+    return (x % _BOOT_PREMOD) * _RELABEL_KNUTH % _BOOT_M32
+
+
+def _relabel_u32_sql(id_sql: str, b: int) -> str:
+    return (f"((({id_sql} % {_BOOT_PREMOD}) * 64 + {b}) "
+            f"% {_BOOT_PREMOD}) * {_RELABEL_KNUTH} % {_BOOT_M32}")
+
+
 def _boot_mult_sql(id_sql: str, b: int) -> str:
     u = _boot_u32_sql(id_sql, b)
     terms = " + ".join(
@@ -1000,8 +1023,10 @@ def relabeling_test_mean(df: DataFrame, id_col: str, value: Column,
     materialized.
 
     Exactness: values enter as exact BIGINTs; every per-relabeling
-    sum/count is an exact integer behind the same hash_u32 walk as
-    q274 (salt nperm+b keeps the draws independent of the bootstrap's);
+    sum/count is an exact integer behind q274's affine salt walk under
+    the DISTINCT _RELABEL_KNUTH multiplier (a mere salt offset inside
+    the same multiplier collapses to a neighboring id-residue's
+    bootstrap draw — see _relabel_u32);
     diffs are identical doubles cross-engine, the extreme-count
     compares PINNED magnitudes, and p_value pins once."""
     src = df.select(F.col(id_col).cast("long").alias("__i"),
@@ -1021,7 +1046,7 @@ def relabeling_test_mean(df: DataFrame, id_col: str, value: Column,
         .alias("__b"))
     pairs = pairs.select(
         "__v", "__a", "__b",
-        (_boot_u32(F.col("__i"), F.col("__b") + nperm) < half)
+        (_relabel_u32(F.col("__i"), F.col("__b")) < half)
         .cast("long").alias("__bit"))
     agg = pairs.groupBy("__b").agg(
         F.sum("__a").cast("long").alias("na"),
@@ -1358,9 +1383,9 @@ def _relabel_oracle() -> str:
     P = _RELABEL_P
     half = 2 ** 31
     perms = "\n".join(
-        f"      , CAST(sum(CASE WHEN ({_boot_u32_sql('o_orderkey', P + b)})"
+        f"      , CAST(sum(CASE WHEN ({_relabel_u32_sql('o_orderkey', b)})"
         f" < {half} THEN v ELSE 0 END) AS BIGINT) AS pva{b}\n"
-        f"      , CAST(sum(CASE WHEN ({_boot_u32_sql('o_orderkey', P + b)})"
+        f"      , CAST(sum(CASE WHEN ({_relabel_u32_sql('o_orderkey', b)})"
         f" < {half} THEN 1 ELSE 0 END) AS BIGINT) AS pna{b}"
         for b in range(P))
     pds = ",\n".join(
@@ -1441,7 +1466,8 @@ def _bh_fdr_oracle() -> str:
     pv AS (
       SELECT user_id AS k,
              CASE WHEN z IS NOT NULL THEN
-               floor(2 * {sf} * 1e9 + 0.5) / 1e9 END AS p_value
+               floor(least(1.0, 2 * {sf}) * 1e9 + 0.5) / 1e9
+             END AS p_value
       FROM mk
     ),
     f AS (SELECT k, p_value FROM pv WHERE p_value IS NOT NULL),
@@ -1479,7 +1505,8 @@ def q281_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = mk.select(
         "user_id",
         F.when(F.col("z").isNotNull(),
-               F.floor(2 * _normal_sf(F.abs(F.col("z")))
+               F.floor(F.least(F.lit(1.0),
+                               2 * _normal_sf(F.abs(F.col("z"))))
                        * 1e9 + F.lit(0.5)) / 1e9).alias("p_value"))
     return bh_fdr(p, "user_id", "p_value", alpha=0.1)
 

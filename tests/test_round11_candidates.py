@@ -320,7 +320,7 @@ def _relabel_oracle() -> str:
     half = 2 ** 31
 
     def u(b: int) -> str:
-        return validation._boot_u32_sql("o_orderkey", P + b)
+        return validation._relabel_u32_sql("o_orderkey", b)
 
     perms = "\n".join(
         f"      , CAST(sum(CASE WHEN ({u(b)}) < {half} THEN v ELSE 0 END)"
