@@ -2792,3 +2792,119 @@ def anderson_darling_2s(df: DataFrame, value_col: str, group_col: str,
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
         pin(F.col("__ts") / F.lit(1e12)).alias("a2"))
+
+
+_MIX_SPEC = {f"src{i}": 50_000 for i in range(16)}
+_MIX_SPEC["src16"] = 200_000
+
+
+def _mix_oracle() -> str:
+    declared = ", ".join(f"('{k}', {v})" for k, v in
+                         sorted(_MIX_SPEC.items()))
+    inlist = ", ".join(f"'{k}'" for k in sorted(_MIX_SPEC))
+    return f"""
+    WITH spec AS (
+      SELECT * FROM (VALUES {declared}, ('__other__', 0))
+        AS t(category, expected_ppm)
+    ),
+    cells AS (
+      SELECT CASE WHEN source IN ({inlist}) THEN source
+                  ELSE '__other__' END AS category,
+             CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
+    fl AS (
+      SELECT coalesce(s.category, c.category) AS category,
+             CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+             CAST(coalesce(s.expected_ppm, 0) AS BIGINT)
+               AS expected_ppm,
+             tot
+      FROM spec s FULL JOIN cells c ON s.category = c.category, tot
+    )
+    SELECT category, n, expected_ppm,
+           CAST((n * 1000000) // tot AS BIGINT) AS observed_ppm,
+           CAST((n * 1000000) // tot - expected_ppm AS BIGINT)
+             AS deviation_ppm,
+           CASE WHEN expected_ppm > 0 THEN
+             floor((n - CAST(expected_ppm AS DOUBLE) / 1e6 * tot)
+                   * (n - CAST(expected_ppm AS DOUBLE) / 1e6 * tot)
+                   / (CAST(expected_ppm AS DOUBLE) / 1e6 * tot)
+                   * 1e6 + 0.5) / 1e6
+           END AS chi2_term
+    FROM fl
+    """
+
+
+@query("q287_mixture_conformance", oracle=_mix_oracle())
+def q287_mixture_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the document corpus match its declared source mixture
+    (5% per srcN plus a 20% src16 slice)? Per-category observed/
+    expected ppm, deviation, and chi-square term — drift inside the
+    spec AND contamination outside it (the '__other__' row) in one
+    hash-checked table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_conformance(docs, "source", _MIX_SPEC)
+
+
+def _ad_oracle() -> str:
+    return f"""
+    WITH s AS (
+      SELECT n_chars,
+             CASE WHEN {_hash_u32_sql('doc_id')} % 100 < 80 THEN 'train'
+                  WHEN {_hash_u32_sql('doc_id')} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(n_chars AS DOUBLE) AS v,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cb
+      FROM s WHERE split IN ('train', 'test') GROUP BY 1
+    ),
+    m AS (
+      SELECT ca + cb AS l,
+             sum(ca) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ma,
+             sum(cb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS mb,
+             sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+      FROM c
+    ),
+    t AS (
+      SELECT na, nb,
+             CAST(floor(
+               CAST(l AS DOUBLE)
+               * (CAST(CAST((na + nb) * ma - na * (ma + mb) AS HUGEINT)
+                       * ((na + nb) * ma - na * (ma + mb)) AS DOUBLE)
+                  / na
+                  + CAST(CAST((na + nb) * mb - nb * (ma + mb) AS HUGEINT)
+                         * ((na + nb) * mb - nb * (ma + mb)) AS DOUBLE)
+                    / nb)
+               / (CAST(na + nb AS DOUBLE) * (ma + mb)
+                  * ((na + nb) - (ma + mb)))
+               * 1e12) AS BIGINT) AS q
+      FROM m
+      WHERE na > 0 AND nb > 0 AND ma + mb < na + nb
+    )
+    SELECT CAST(max(na) AS BIGINT) AS n_a,
+           CAST(max(nb) AS BIGINT) AS n_b,
+           floor(sum(q) / 1e12 * 1e6 + 0.5) / 1e6 AS a2
+    FROM t
+    """
+
+
+@query("q288_anderson_darling", oracle=_ad_oracle())
+def q288_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling between the train and test splits'
+    document lengths — the tail-weighted member of the drift family
+    (KS q136 / W1 q260 / CvM q279 complete the set). One hash-checked
+    (n_a, n_b, a2) row."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = hash_split(docs, "doc_id")
+    return anderson_darling_2s(split, "n_chars", "split",
+                               "train", "test")

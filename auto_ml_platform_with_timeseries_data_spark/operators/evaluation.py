@@ -1173,3 +1173,107 @@ def weighted_kappa(df: DataFrame, rater_a: Column,
         "n", "k_a", "k_b",
         F.when((F.col("n") > 0) & (F.col("__we") > 0),
                pin(1 - ratio)).alias("kappa_w"))
+
+
+@query(
+    "q285_fleiss_kappa",
+    oracle="""
+    WITH src AS (
+      SELECT l_orderkey AS i, l_returnflag AS r
+      FROM lineitem WHERE l_linenumber <= 3
+    ),
+    fl AS (
+      SELECT i, r FROM src
+      WHERE i IN (SELECT i FROM src GROUP BY i HAVING count(*) = 3)
+    ),
+    cells AS (
+      SELECT i, r, CAST(count(*) AS BIGINT) AS c FROM fl GROUP BY i, r
+    ),
+    marg AS (SELECT r, CAST(sum(c) AS BIGINT) AS m FROM cells GROUP BY r),
+    magg AS (
+      SELECT CAST(count(*) AS BIGINT) AS kc,
+             sum(CAST(m AS HUGEINT) * m) AS m2,
+             CAST(sum(m) AS BIGINT) AS tot
+      FROM marg
+    ),
+    iagg AS (
+      SELECT CAST(count(DISTINCT i) AS BIGINT) AS ni,
+             sum(CAST(c AS HUGEINT) * c) AS s2
+      FROM cells
+    ),
+    ex AS (
+      SELECT ni, kc,
+             (CAST(s2 AS DOUBLE) - CAST(ni AS DOUBLE) * 3.0)
+             / (CAST(ni AS DOUBLE) * 3.0 * 2.0) AS p_bar,
+             CAST(m2 AS DOUBLE) / (CAST(tot AS DOUBLE) * tot) AS p_e
+      FROM iagg, magg
+    )
+    SELECT ni AS n_items, CAST(3 AS BIGINT) AS n_raters,
+           kc AS k_categories,
+           CASE WHEN ni > 0 THEN floor(p_bar * 1e6 + 0.5) / 1e6 END
+             AS p_bar,
+           CASE WHEN ni > 0 THEN floor(p_e * 1e6 + 0.5) / 1e6 END
+             AS p_e,
+           CASE WHEN ni > 0 AND p_e < 1 THEN
+             floor((p_bar - p_e) / (1 - p_e) * 1e6 + 0.5) / 1e6
+           END AS kappa
+    FROM ex
+    """,
+)
+def q285_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-rater agreement: treat each order's first three line
+    items as three 'raters' labeling the order with a return flag —
+    Fleiss' kappa over orders with a full panel, one hash-checked
+    (n_items, n_raters, k_categories, p_bar, p_e, kappa) row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.filter(F.col("l_linenumber") <= 3).select(
+        F.col("l_orderkey").alias("item"),
+        F.col("l_returnflag").alias("rating"))
+    return fleiss_kappa(src, "item", F.col("rating"), nraters=3)
+
+
+@query(
+    "q286_weighted_kappa",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS a,
+             CAST(least(floor(l_extendedprice / 20000), 5) AS BIGINT)
+               AS b
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS o FROM s GROUP BY a, b
+    ),
+    obs AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT a) AS BIGINT) AS ka,
+             CAST(count(DISTINCT b) AS BIGINT) AS kb,
+             sum(CAST((a - b) * (a - b) AS HUGEINT) * o) AS wo
+      FROM cells
+    ),
+    ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY a),
+    cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY b),
+    we AS (
+      SELECT sum(CAST((a - b) * (a - b) AS HUGEINT) * r * c) AS we
+      FROM ra, cb
+    )
+    SELECT n, ka AS k_a, kb AS k_b,
+           CASE WHEN n > 0 AND we > 0 THEN
+             floor((1 - CAST(wo AS DOUBLE) * n / CAST(we AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6
+           END AS kappa_w
+    FROM obs, we
+    """,
+)
+def q286_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic-weighted kappa between the quantity decile and the
+    price band — ordinal agreement where near-misses cost less than
+    far misses. One hash-checked (n, k_a, k_b, kappa_w) row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull())
+    return weighted_kappa(
+        li, F.floor(F.col("l_quantity") / 10).cast("long"),
+        F.least(F.floor(F.col("l_extendedprice") / 20000),
+                F.lit(5.0)).cast("long"))

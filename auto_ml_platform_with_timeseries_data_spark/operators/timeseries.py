@@ -368,3 +368,13 @@ def _pacf_oracle(max_lag: int = _PACF_LAGS) -> str:
     {", ".join(ctes)}
     {unions}
     """
+
+
+@query("q291_pacf", oracle=_pacf_oracle())
+def q291_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACF lags 1..5 per user series — Durbin-Levinson unrolled over
+    q06's pinned ACF with the SAME generated expression strings
+    feeding F.expr and the oracle CTEs (literal token identity), so
+    every (user, lag, pacf) row hash-checks."""
+    ev = load_table(spark, sf_dir, "events")
+    return pacf(ev, "user_id", "ts", "value", tie_break="event_id")

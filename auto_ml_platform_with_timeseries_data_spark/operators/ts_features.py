@@ -1563,3 +1563,102 @@ def trend_seasonal_strength(df: DataFrame, group_col: str, order: str,
         .alias("trend_strength"),
         F.when(vd > 0, pin(F.greatest(F.lit(0.0), 1 - vr / vd)))
         .alias("seasonal_strength"))
+
+
+@query(
+    "q289_turning_points",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS g, value AS v,
+             lag(value) OVER w AS pv, lead(value) OVER w AS nv
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       AND ((pv < v AND nv < v) OR (pv > v AND nv > v))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_turns
+      FROM s GROUP BY g
+    )
+    SELECT g AS user_id, n, n_turns,
+           CASE WHEN n >= 3 THEN
+             floor(2 * (CAST(n AS DOUBLE) - 2) / 3 * 1e6 + 0.5) / 1e6
+           END AS expected,
+           CASE WHEN n >= 3
+                AND (16 * CAST(n AS DOUBLE) - 29) / 90 > 0 THEN
+             floor((n_turns - 2 * (CAST(n AS DOUBLE) - 2) / 3)
+                   / sqrt((16 * CAST(n AS DOUBLE) - 29) / 90)
+                   * 1e6 + 0.5) / 1e6
+           END AS z
+    FROM per
+    """,
+)
+def q289_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The turning-point randomness screen per user series — strict
+    local extrema counted against the i.i.d. expectation 2(n-2)/3,
+    every (user, n, n_turns, expected, z) row hash-checked. NULL
+    values are dropped by the operator itself (the documented
+    contract), so the raw events table goes in unfiltered."""
+    ev = load_table(spark, sf_dir, "events")
+    return turning_points(ev, "user_id", "ts", "value",
+                          tie_break="event_id")
+
+
+@query(
+    "q290_trend_strength",
+    oracle="""
+    WITH base AS (
+      SELECT user_id AS g, CAST(value AS DOUBLE) AS v, ts, event_id,
+             CAST(hour(ts) AS INT) AS s
+      FROM events WHERE value IS NOT NULL
+    ),
+    t AS (
+      SELECT g, v, s,
+             avg(v) OVER (PARTITION BY g ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+      FROM base
+    ),
+    d AS (SELECT g, v, s, v - trend AS dd FROM t),
+    prof AS (SELECT g, s, avg(dd) AS seas FROM d GROUP BY g, s),
+    j AS (
+      SELECT d.g, d.v, d.dd, d.dd - p.seas AS r,
+             d.v - p.seas AS deseason
+      FROM d JOIN prof p ON d.g = p.g AND d.s = p.s
+    ),
+    agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(r) AS sr, sum(r * r) AS qr,
+             sum(dd) AS sd, sum(dd * dd) AS qd,
+             sum(deseason) AS su, sum(deseason * deseason) AS qu
+      FROM j GROUP BY g
+    ),
+    ex AS (
+      SELECT g, n,
+             (qr - sr * sr / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS vr,
+             (qd - sd * sd / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS vd,
+             (qu - su * su / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS vu
+      FROM agg
+    )
+    SELECT g AS user_id, n,
+           CASE WHEN vu > 0 THEN
+             floor(greatest(0.0, 1 - vr / vu) * 1e6 + 0.5) / 1e6
+           END AS trend_strength,
+           CASE WHEN vd > 0 THEN
+             floor(greatest(0.0, 1 - vr / vd) * 1e6 + 0.5) / 1e6
+           END AS seasonal_strength
+    FROM ex
+    """,
+)
+def q290_trend_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's STL trend/seasonal strength per user series (hour of
+    day as the season key, +/-3-row centered moving average as the
+    trend) — the two numbers that arbitrate q228-trend vs
+    q06/q266-seasonality vs noise, every row hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return trend_seasonal_strength(
+        ev, "user_id", "ts", "value", F.hour("ts").cast("int"),
+        tie_break="event_id")

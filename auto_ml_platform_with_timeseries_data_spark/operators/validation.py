@@ -1683,3 +1683,219 @@ def covariate_balance(df: DataFrame, is_a: Column,
         F.when(ok & (pooled > 0),
                pin((ma - mb) / F.sqrt(pooled))).alias("smd"),
         F.when(ok & (vb > 0), pin(va / vb)).alias("var_ratio"))
+
+
+@query(
+    "q282_cochran_armitage",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_quantity) AS BIGINT) // 10 AS w,
+             CAST(l_returnflag = 'R' AS BIGINT) AS y
+      FROM lineitem WHERE l_quantity IS NOT NULL
+    ),
+    cells AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS x
+      FROM s GROUP BY w
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS x,
+             sum(CAST(x AS HUGEINT) * w) AS xw,
+             sum(CAST(n AS HUGEINT) * w) AS nw,
+             sum(CAST(n AS HUGEINT) * w * w) AS nww
+      FROM cells
+    ),
+    ex AS (
+      SELECT k, n, x,
+             CAST(xw AS DOUBLE)
+             - (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)) * nw AS t,
+             (CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(nww AS DOUBLE)
+                - CAST(nw AS DOUBLE) * nw / CAST(n AS DOUBLE)) AS var
+      FROM agg
+    )
+    SELECT k, n, x,
+           CASE WHEN k > 1 AND x > 0 AND x < n AND var > 0 THEN
+             floor(t / sqrt(var) * 1e6 + 0.5) / 1e6
+           END AS z
+    FROM ex
+    """,
+)
+def q282_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the return rate trend with the quantity decile? q135's
+    chi-square sees any deviation; Cochran-Armitage spends all its
+    power on the monotone trend — one hash-checked (k, n, x, z) row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return cochran_armitage(
+        li.filter(F.col("l_quantity").isNotNull()),
+        F.expr("cast(floor(l_quantity) as bigint) div 10"),
+        (F.col("l_returnflag") == "R").cast("long"))
+
+
+@query(
+    "q283_diff_in_diff",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(o_orderpriority IN ('1-URGENT', '2-HIGH') AS INT)
+               AS t,
+             CAST(o_orderdate >= DATE '1995-01-01' AS INT) AS p
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_t0,
+        CAST(sum(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_t1,
+        CAST(sum(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_c0,
+        CAST(sum(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_c1,
+        sum(CASE WHEN t = 1 AND p = 0 THEN CAST(v AS HUGEINT)
+            ELSE 0 END) AS s_t0,
+        sum(CASE WHEN t = 1 AND p = 1 THEN CAST(v AS HUGEINT)
+            ELSE 0 END) AS s_t1,
+        sum(CASE WHEN t = 0 AND p = 0 THEN CAST(v AS HUGEINT)
+            ELSE 0 END) AS s_c0,
+        sum(CASE WHEN t = 0 AND p = 1 THEN CAST(v AS HUGEINT)
+            ELSE 0 END) AS s_c1,
+        sum(CASE WHEN t = 1 AND p = 0 THEN CAST(v AS HUGEINT) * v
+            ELSE 0 END) AS q_t0,
+        sum(CASE WHEN t = 1 AND p = 1 THEN CAST(v AS HUGEINT) * v
+            ELSE 0 END) AS q_t1,
+        sum(CASE WHEN t = 0 AND p = 0 THEN CAST(v AS HUGEINT) * v
+            ELSE 0 END) AS q_c0,
+        sum(CASE WHEN t = 0 AND p = 1 THEN CAST(v AS HUGEINT) * v
+            ELSE 0 END) AS q_c1
+      FROM s
+    ),
+    ex AS (
+      SELECT *,
+        CAST(s_t0 AS DOUBLE) / n_t0 AS m_t0,
+        CAST(s_t1 AS DOUBLE) / n_t1 AS m_t1,
+        CAST(s_c0 AS DOUBLE) / n_c0 AS m_c0,
+        CAST(s_c1 AS DOUBLE) / n_c1 AS m_c1,
+        (CAST(q_t0 AS DOUBLE) - CAST(s_t0 AS DOUBLE) * s_t0 / n_t0)
+          / CAST(n_t0 - 1 AS DOUBLE) AS v_t0,
+        (CAST(q_t1 AS DOUBLE) - CAST(s_t1 AS DOUBLE) * s_t1 / n_t1)
+          / CAST(n_t1 - 1 AS DOUBLE) AS v_t1,
+        (CAST(q_c0 AS DOUBLE) - CAST(s_c0 AS DOUBLE) * s_c0 / n_c0)
+          / CAST(n_c0 - 1 AS DOUBLE) AS v_c0,
+        (CAST(q_c1 AS DOUBLE) - CAST(s_c1 AS DOUBLE) * s_c1 / n_c1)
+          / CAST(n_c1 - 1 AS DOUBLE) AS v_c1
+      FROM agg
+    ),
+    fin AS (
+      SELECT *,
+        (m_t1 - m_t0) - (m_c1 - m_c0) AS did_raw,
+        v_t0 / n_t0 + v_t1 / n_t1 + v_c0 / n_c0 + v_c1 / n_c1 AS se2,
+        (n_t0 > 1 AND n_t1 > 1 AND n_c0 > 1 AND n_c1 > 1) AS ok
+      FROM ex
+    )
+    SELECT n_t0, n_t1, n_c0, n_c1,
+      CASE WHEN n_t0 > 0 THEN floor(m_t0 * 1e6 + 0.5) / 1e6 END
+        AS mean_t0,
+      CASE WHEN n_t1 > 0 THEN floor(m_t1 * 1e6 + 0.5) / 1e6 END
+        AS mean_t1,
+      CASE WHEN n_c0 > 0 THEN floor(m_c0 * 1e6 + 0.5) / 1e6 END
+        AS mean_c0,
+      CASE WHEN n_c1 > 0 THEN floor(m_c1 * 1e6 + 0.5) / 1e6 END
+        AS mean_c1,
+      CASE WHEN ok THEN floor(did_raw * 1e6 + 0.5) / 1e6 END AS did,
+      CASE WHEN ok AND se2 > 0 THEN
+        floor(sqrt(se2) * 1e6 + 0.5) / 1e6 END AS se,
+      CASE WHEN ok AND se2 > 0 THEN
+        floor(did_raw / sqrt(se2) * 1e6 + 0.5) / 1e6 END AS z
+    FROM fin
+    """,
+)
+def q283_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did urgent-priority orders' prices move differently across the
+    1995 boundary than normal-priority ones? The four-cell DID
+    estimator with Welch SE — one hash-checked row."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull())
+    return diff_in_diff(
+        o, F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)),
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+
+
+@query(
+    "q284_covariate_balance",
+    oracle="""
+    WITH m AS (
+      SELECT 'discount_pct' AS f,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS v,
+             CAST(l_returnflag = 'R' AS INT) AS a
+      FROM lineitem WHERE l_discount IS NOT NULL
+      UNION ALL
+      SELECT 'price_cents',
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+             CAST(l_returnflag = 'R' AS INT)
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+      UNION ALL
+      SELECT 'quantity', CAST(floor(l_quantity) AS BIGINT),
+             CAST(l_returnflag = 'R' AS INT)
+      FROM lineitem WHERE l_quantity IS NOT NULL
+      UNION ALL
+      SELECT 'tax_pct', CAST(floor(l_tax * 100 + 0.5) AS BIGINT),
+             CAST(l_returnflag = 'R' AS INT)
+      FROM lineitem WHERE l_tax IS NOT NULL
+    ),
+    agg AS (
+      SELECT f,
+             CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(sum(1 - a) AS BIGINT) AS n_b,
+             sum(CASE WHEN a = 1 THEN CAST(v AS HUGEINT) ELSE 0 END)
+               AS sa,
+             sum(CASE WHEN a = 0 THEN CAST(v AS HUGEINT) ELSE 0 END)
+               AS sb,
+             sum(CASE WHEN a = 1 THEN CAST(v AS HUGEINT) * v
+                 ELSE 0 END) AS qa,
+             sum(CASE WHEN a = 0 THEN CAST(v AS HUGEINT) * v
+                 ELSE 0 END) AS qb
+      FROM m GROUP BY f
+    ),
+    ex AS (
+      SELECT f, n_a, n_b,
+             CAST(sa AS DOUBLE) / n_a AS ma,
+             CAST(sb AS DOUBLE) / n_b AS mb,
+             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a)
+               / CAST(n_a - 1 AS DOUBLE) AS va,
+             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b)
+               / CAST(n_b - 1 AS DOUBLE) AS vb
+      FROM agg
+    )
+    SELECT f AS feature, n_a, n_b,
+      CASE WHEN n_a > 0 THEN floor(ma * 1e6 + 0.5) / 1e6 END
+        AS mean_a,
+      CASE WHEN n_b > 0 THEN floor(mb * 1e6 + 0.5) / 1e6 END
+        AS mean_b,
+      CASE WHEN n_a > 1 AND n_b > 1 AND (va + vb) / 2 > 0 THEN
+        floor((ma - mb) / sqrt((va + vb) / 2) * 1e6 + 0.5) / 1e6
+      END AS smd,
+      CASE WHEN n_a > 1 AND n_b > 1 AND vb > 0 THEN
+        floor(va / vb * 1e6 + 0.5) / 1e6
+      END AS var_ratio
+    FROM ex
+    """,
+)
+def q284_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are returned and kept line items balanced on quantity, price,
+    discount and tax? The SMD/variance-ratio table read before
+    trusting any returned-vs-kept effect — every feature row
+    hash-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = {
+        "quantity": F.floor(F.col("l_quantity")),
+        "price_cents": F.floor(F.col("l_extendedprice") * 100
+                               + F.lit(0.5)),
+        "discount_pct": F.floor(F.col("l_discount") * 100 + F.lit(0.5)),
+        "tax_pct": F.floor(F.col("l_tax") * 100 + F.lit(0.5)),
+    }
+    return covariate_balance(
+        li, (F.col("l_returnflag") == "R").cast("int"), feats)

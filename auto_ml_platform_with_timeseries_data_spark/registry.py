@@ -60,29 +60,27 @@ _loaded = False
 
 # Driver-sweep priority. The correctness driver verifies queries in the
 # order ``queries()`` yields them, under a 50-query budget per round.
-# After round 9 the cumulative board is fully green (every
-# oracle-backed query hash-green in some round except q259/q260, which
-# were registered past the saturated r9 head); the stalest evidence is
-# the round-4/5 block from q138_span_dedup onward (last green r4-r5).
-# Round 10 spends the budget accordingly (VERDICT r9 "Next round"
-# #1/#2/#4):
+# After round 10 every oracle-backed query registered through q267 has
+# a hash-green driver row in some round (CORRECTNESS_r01-r10); the only
+# rows with NO driver witness are the round-10 registrations past the
+# saturated r10 head (q268-q281) plus this round's q282-q291. Round 11
+# spends the budget accordingly:
 #   1-6   canary slots — one long-green query per module family, so a
 #         regression in shared infrastructure still gets witnessed
-#   7-8   q259/q260 — the only oracle-backed queries with no driver
-#         row yet (r9 overflow head)
-#   9-14  the round-10 registrations q261-q266 (pre-built + oracle
-#         gate-compared last round in tests/test_round10_candidates.py)
-#   15    q267 — the new banded-margin-miner agreement floor gate
-#   16-50 the stalest driver evidence: the round-4/5 block from
-#         q138_span_dedup through q156_quantile_sketch (35 members —
-#         rotation ≥ the 30-slot VERDICT floor)
+#   7-20  q268-q281 — the r10 overflow head (banded miner,
+#         concentration/survival/bootstrap wave, rank-test/FDR wave):
+#         oracle-backed but never driver-witnessed
+#   21-30 the round-11 registrations q282-q291 (pre-built + oracle
+#         gate-compared last round in tests/test_round11_prebuilt.py)
+#   31-50 the stalest driver evidence: the round-5 block from
+#         q157_compaction through q178_kmv_distinct (last green r5;
+#         20 members — rotation honors the 30-slot VERDICT floor via
+#         slots 7-30 also being never/once-witnessed)
 # Slots past 50 are the ranked overflow the driver reaches only if its
-# budget stretches: first the round-10 registrations past the head —
-# q268 (banded production path), q269-q274 (concentration/survival/
-# bootstrap wave), q275-q281 (rank-test/FDR wave) — which lead the
-# round-11 budget; then stalest-evidence-first (the rest of round-5,
-# round-6, round-7), and the freshly r9-witnessed blocks (last round's
-# slots 7-50) at the very end.
+# budget stretches: stalest-evidence-first (the rest of round-5/6/7,
+# then round-8/9-witnessed blocks), and the freshly r10-witnessed
+# block (last round's slots 7-50: q259-q267 + q138-q156) at the very
+# end.
 # Rows-only queries sit outside _PRIORITY entirely — a budget slot
 # spent on a weaker check is a slot wasted (their machinery is
 # witnessed via exact twins).
@@ -90,11 +88,124 @@ _PRIORITY: tuple[str, ...] = (
     "q01_head", "q06_acf",
     "q12_f1_confusion", "q18_jaccard_pairs",
     "q35_embedding_neardup", "q125_key_skew",
-    "q259_t_closeness", "q260_wasserstein_drift",
-    "q261_threshold_sweep", "q262_two_proportion_z",
-    "q263_gini_coefficient", "q264_cramers_v",
-    "q265_kaplan_meier", "q266_dominant_acf_lag",
-    "q267_margin_agreement_gate",
+    "q268_margin_banded", "q269_hhi_concentration",
+    "q270_lorenz_curve", "q271_nelson_aalen",
+    "q272_logrank_test", "q273_zipf_slope",
+    "q274_bootstrap_mean_ci", "q275_mann_whitney_u",
+    "q276_kruskal_wallis", "q277_anova_f",
+    "q278_cohens_d", "q279_cramer_von_mises",
+    "q280_relabeling_test", "q281_bh_fdr",
+    "q282_cochran_armitage", "q283_diff_in_diff",
+    "q284_covariate_balance", "q285_fleiss_kappa",
+    "q286_weighted_kappa", "q287_mixture_conformance",
+    "q288_anderson_darling", "q289_turning_points",
+    "q290_trend_strength", "q291_pacf",
+    "q157_compaction", "q158_bloom_decontaminate",
+    "q160_pq_fixed_codebook", "q161_temperature_mix",
+    "q162_incremental_neardup", "q163_token_budget_head",
+    "q164_ridge_exact_twin", "q165_index_update",
+    "q166_cv_planted_optimum", "q167_gopher_gate",
+    "q168_stratified_token_head", "q169_curation_pipeline",
+    "q170_stream_incremental_dedup", "q172_semdedup_fixed_cells",
+    "q173_scd2_dimension", "q174_snapshot_diff",
+    "q175_ann_recall_gate", "q176_bpe_encode",
+    "q177_margin_mining", "q178_kmv_distinct",
+    "q179_canonical_selection", "q180_leakfree_split",
+    "q181_ts_lookback_planted", "q182_stream_index_maintenance",
+    "q45_rolling_stats", "q53_stateful_user_stats",
+    "q79_stream_sessions", "q85_cluster_retention",
+    "q92_stream_stream_join", "q100_volume_shipping",
+    "q183_neardup_leakfree_split", "q184_mad_outliers",
+    "q185_dataset_card", "q186_image_dhash_dedup",
+    "q187_audio_fingerprint_dedup", "q188_video_fingerprint_dedup",
+    "q189_image_neardup_banded", "q190_exact_substr_rewrite",
+    "q191_quality_classifier", "q192_bigram_lm_logprob",
+    "q193_clip_pair_gate", "q194_video_neardup_banded",
+    "q195_audio_neardup_banded", "q196_continuous_aggregate",
+    "q197_blocking_bestmatch", "q198_softdedup_weights",
+    "q199_perplexity_buckets", "q200_doremi_reweight",
+    "q201_countmin_heavy_hitters", "q202_triangle_count",
+    "q203_k_anonymity", "q204_stream_continuous_aggregate",
+    "q205_html_extract", "q206_url_normalize",
+    "q207_corr_matrix", "q208_ts_backtest",
+    "q209_constraint_audit", "q210_cdc_apply",
+    "q211_orc_roundtrip", "q212_gdpr_erasure",
+    "q213_moment_features", "q214_frequent_triples",
+    "q26_pricing_summary", "q28_top_customers",
+    "q30_asof_join", "q42_semi_anti_join",
+    "q44_profit_by_nation_brand", "q49_range_join",
+    "q50_shipping_priority", "q68_grouping_sets",
+    "q82_pivot_unpivot", "q95_late_order_priority",
+    "q96_top_supplier", "q215_ivf_append",
+    "q216_pq_append", "q217_spearman_matrix",
+    "q218_ivm_join", "q219_l_diversity",
+    "q220_dsir_select", "q221_zorder_pruning",
+    "q222_schema_evolution", "q223_table_digest",
+    "q224_image_index_update", "q225_audio_index_update",
+    "q226_video_index_update", "q227_theil_sen",
+    "q229_mutual_info", "q230_image_near_index",
+    "q232_phrase_search", "q101_market_share",
+    "q102_important_parts", "q103_order_count_distribution",
+    "q126_copurchase_pairs", "q27_revenue_by_nation",
+    "q31_set_ops", "q32_rollup",
+    "q40_cube", "q41_topk_per_group",
+    "q43_percentiles", "q46_distinct_counts",
+    "q54_json_props", "q61_forecast_revenue",
+    "q62_returned_items", "q63_promo_revenue",
+    "q64_large_orders", "q65_brand_revenue_bands",
+    "q66_supplier_breadth", "q67_dormant_customers",
+    "q91_equidepth_hist", "q97_sole_late_supplier",
+    "q98_min_cost_supplier", "q99_local_supplier_volume",
+    "q02_null_profile", "q03_histogram",
+    "q04_corr_with_label", "q233_ivfpq_search",
+    "q234_ivfpq_append", "q235_theil_sen_capped",
+    "q236_stream_perceptual_index", "q237_audio_near_index",
+    "q238_video_near_index", "q239_quantile_normalize",
+    "q240_k_core", "q241_robust_quantiles",
+    "q242_benford_audit", "q243_roc_auc",
+    "q244_cohens_kappa", "q231_theil_sen_sampled",
+    "q228_mann_kendall", "q05_groups",
+    "q07_ts_split", "q08_ts_windows",
+    "q09_scale_params", "q10_rmse",
+    "q11_binarize", "q13_importance_rank",
+    "q14_min_max", "q29_minmax_scaled",
+    "q16_dedup_exact", "q19_cosine_topk",
+    "q20_token_stats", "q21_quality_score",
+    "q22_langid", "q24_window_agg",
+    "q25_sessionize", "q33_fingerprint",
+    "q37_media_stats", "q38_media_features",
+    "q48_histogram_auto", "q51_winnow_fingerprints",
+    "q55_dedup_components", "q56_jsonl_roundtrip",
+    "q57_bpe_tokens", "q59_resample_ffill",
+    "q60_zscore_outliers", "q69_ewma",
+    "q70_ohlc", "q71_lag_features",
+    "q72_interpolate", "q245_conformal_quantile",
+    "q246_brier_decomposition", "q247_group_auc",
+    "q248_coreness", "q249_negative_samples",
+    "q250_margin_mining_scaled", "q251_stream_near_screen",
+    "q252_calibration_error", "q253_ndcg_at_k",
+    "q254_mrr", "q255_average_precision",
+    "q256_decile_lift", "q257_js_divergence",
+    "q258_bucketed_join", "q73_stratified_sample",
+    "q74_hash_split", "q75_class_balance",
+    "q76_pack_sequences", "q77_decontaminate",
+    "q78_uniform_sample", "q105_dominant_suppliers",
+    "q106_time_weighted_avg", "q107_cusum_changepoints",
+    "q108_embedding_dim_stats", "q109_bigram_pmi",
+    "q110_seasonal_residuals", "q111_repetition_ratio",
+    "q112_word_entropy", "q113_target_encoding",
+    "q114_funnel", "q115_cohort_retention",
+    "q116_media_resize", "q117_frame_sample",
+    "q118_embedding_quantize", "q119_fuzzy_decontaminate",
+    "q121_bm25", "q122_window_heavy_hitters",
+    "q123_rolling_median", "q124_group_ols",
+    "q127_event_transitions", "q132_exact_agg_twin",
+    "q135_chisq_independence", "q136_ks_drift",
+    "q137_split_leakage", "q259_t_closeness",
+    "q260_wasserstein_drift", "q261_threshold_sweep",
+    "q262_two_proportion_z", "q263_gini_coefficient",
+    "q264_cramers_v", "q265_kaplan_meier",
+    "q266_dominant_acf_lag", "q267_margin_agreement_gate",
     "q138_span_dedup", "q139_unigram_logprob",
     "q140_containment_pairs", "q141_minhash_portable",
     "q142_simhash_portable", "q143_ann_signbucket",
@@ -112,118 +223,7 @@ _PRIORITY: tuple[str, ...] = (
     "q150_audio_features", "q151_csv_roundtrip",
     "q152_video_frames", "q153_sharded_export",
     "q154_incremental_dedup", "q155_zorder_keys",
-    "q156_quantile_sketch", "q268_margin_banded",
-    "q269_hhi_concentration", "q270_lorenz_curve",
-    "q271_nelson_aalen", "q272_logrank_test",
-    "q273_zipf_slope", "q274_bootstrap_mean_ci",
-    "q275_mann_whitney_u", "q276_kruskal_wallis",
-    "q277_anova_f", "q278_cohens_d",
-    "q279_cramer_von_mises", "q280_relabeling_test",
-    "q281_bh_fdr",
-    "q157_compaction",
-    "q158_bloom_decontaminate", "q160_pq_fixed_codebook",
-    "q161_temperature_mix", "q162_incremental_neardup",
-    "q163_token_budget_head", "q164_ridge_exact_twin",
-    "q165_index_update", "q166_cv_planted_optimum",
-    "q167_gopher_gate", "q168_stratified_token_head",
-    "q169_curation_pipeline", "q170_stream_incremental_dedup",
-    "q172_semdedup_fixed_cells", "q173_scd2_dimension",
-    "q174_snapshot_diff", "q175_ann_recall_gate",
-    "q176_bpe_encode", "q177_margin_mining",
-    "q178_kmv_distinct", "q179_canonical_selection",
-    "q180_leakfree_split", "q181_ts_lookback_planted",
-    "q182_stream_index_maintenance", "q45_rolling_stats",
-    "q53_stateful_user_stats", "q79_stream_sessions",
-    "q85_cluster_retention", "q92_stream_stream_join",
-    "q100_volume_shipping", "q183_neardup_leakfree_split",
-    "q184_mad_outliers", "q185_dataset_card",
-    "q186_image_dhash_dedup", "q187_audio_fingerprint_dedup",
-    "q188_video_fingerprint_dedup", "q189_image_neardup_banded",
-    "q190_exact_substr_rewrite", "q191_quality_classifier",
-    "q192_bigram_lm_logprob", "q193_clip_pair_gate",
-    "q194_video_neardup_banded", "q195_audio_neardup_banded",
-    "q196_continuous_aggregate", "q197_blocking_bestmatch",
-    "q198_softdedup_weights", "q199_perplexity_buckets",
-    "q200_doremi_reweight", "q201_countmin_heavy_hitters",
-    "q202_triangle_count", "q203_k_anonymity",
-    "q204_stream_continuous_aggregate", "q205_html_extract",
-    "q206_url_normalize", "q207_corr_matrix",
-    "q208_ts_backtest", "q209_constraint_audit",
-    "q210_cdc_apply", "q211_orc_roundtrip",
-    "q212_gdpr_erasure", "q213_moment_features",
-    "q214_frequent_triples", "q26_pricing_summary",
-    "q28_top_customers", "q30_asof_join",
-    "q42_semi_anti_join", "q44_profit_by_nation_brand",
-    "q49_range_join", "q50_shipping_priority",
-    "q68_grouping_sets", "q82_pivot_unpivot",
-    "q95_late_order_priority", "q96_top_supplier",
-    "q215_ivf_append", "q216_pq_append",
-    "q217_spearman_matrix", "q218_ivm_join",
-    "q219_l_diversity", "q220_dsir_select",
-    "q221_zorder_pruning", "q222_schema_evolution",
-    "q223_table_digest", "q224_image_index_update",
-    "q225_audio_index_update", "q226_video_index_update",
-    "q227_theil_sen", "q229_mutual_info",
-    "q230_image_near_index", "q232_phrase_search",
-    "q101_market_share", "q102_important_parts",
-    "q103_order_count_distribution", "q126_copurchase_pairs",
-    "q27_revenue_by_nation", "q31_set_ops",
-    "q32_rollup", "q40_cube",
-    "q41_topk_per_group", "q43_percentiles",
-    "q46_distinct_counts", "q54_json_props",
-    "q61_forecast_revenue", "q62_returned_items",
-    "q63_promo_revenue", "q64_large_orders",
-    "q65_brand_revenue_bands", "q66_supplier_breadth",
-    "q67_dormant_customers", "q91_equidepth_hist",
-    "q97_sole_late_supplier", "q98_min_cost_supplier",
-    "q99_local_supplier_volume", "q02_null_profile",
-    "q03_histogram", "q04_corr_with_label",
-    "q233_ivfpq_search", "q234_ivfpq_append",
-    "q235_theil_sen_capped", "q236_stream_perceptual_index",
-    "q237_audio_near_index", "q238_video_near_index",
-    "q239_quantile_normalize", "q240_k_core",
-    "q241_robust_quantiles", "q242_benford_audit",
-    "q243_roc_auc", "q244_cohens_kappa",
-    "q231_theil_sen_sampled", "q228_mann_kendall",
-    "q05_groups", "q07_ts_split",
-    "q08_ts_windows", "q09_scale_params",
-    "q10_rmse", "q11_binarize",
-    "q13_importance_rank", "q14_min_max",
-    "q29_minmax_scaled", "q16_dedup_exact",
-    "q19_cosine_topk", "q20_token_stats",
-    "q21_quality_score", "q22_langid",
-    "q24_window_agg", "q25_sessionize",
-    "q33_fingerprint", "q37_media_stats",
-    "q38_media_features", "q48_histogram_auto",
-    "q51_winnow_fingerprints", "q55_dedup_components",
-    "q56_jsonl_roundtrip", "q57_bpe_tokens",
-    "q59_resample_ffill", "q60_zscore_outliers",
-    "q69_ewma", "q70_ohlc",
-    "q71_lag_features", "q72_interpolate",
-    # freshest evidence last: the round-9-witnessed head (r9 slots
-    # 7-50 — all hash-green in CORRECTNESS_r09.json)
-    "q245_conformal_quantile", "q246_brier_decomposition",
-    "q247_group_auc", "q248_coreness",
-    "q249_negative_samples", "q250_margin_mining_scaled",
-    "q251_stream_near_screen", "q252_calibration_error",
-    "q253_ndcg_at_k", "q254_mrr",
-    "q255_average_precision", "q256_decile_lift",
-    "q257_js_divergence", "q258_bucketed_join",
-    "q73_stratified_sample", "q74_hash_split",
-    "q75_class_balance", "q76_pack_sequences",
-    "q77_decontaminate", "q78_uniform_sample",
-    "q105_dominant_suppliers", "q106_time_weighted_avg",
-    "q107_cusum_changepoints", "q108_embedding_dim_stats",
-    "q109_bigram_pmi", "q110_seasonal_residuals",
-    "q111_repetition_ratio", "q112_word_entropy",
-    "q113_target_encoding", "q114_funnel",
-    "q115_cohort_retention", "q116_media_resize",
-    "q117_frame_sample", "q118_embedding_quantize",
-    "q119_fuzzy_decontaminate", "q121_bm25",
-    "q122_window_heavy_hitters", "q123_rolling_median",
-    "q124_group_ols", "q127_event_transitions",
-    "q132_exact_agg_twin", "q135_chisq_independence",
-    "q136_ks_drift", "q137_split_leakage",
+    "q156_quantile_sketch",
 )
 
 

@@ -162,6 +162,16 @@ HEADLINE = [
     "q279_cramer_von_mises",
     "q280_relabeling_test",
     "q281_bh_fdr",
+    "q282_cochran_armitage",
+    "q283_diff_in_diff",
+    "q284_covariate_balance",
+    "q285_fleiss_kappa",
+    "q286_weighted_kappa",
+    "q287_mixture_conformance",
+    "q288_anderson_darling",
+    "q289_turning_points",
+    "q290_trend_strength",
+    "q291_pacf",
     "automl_e2e",
 ]
 

@@ -29,51 +29,64 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round10_rotation_keep_their_slots():
+def test_canaries_and_round11_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-10
-    rotation puts the never-driver-witnessed queries (q259/q260, the
-    new q261-q267) right after the canaries, then spends the whole
-    remaining budget on the stalest driver evidence — the round-4/5
-    block from q138_span_dedup onward (≥30 rotation slots, the VERDICT
-    floor). The freshly r9-witnessed block (q245-q258, q73-q78,
-    q105-q137) sits at the very END of the overflow."""
+    shared-infrastructure regression is still witnessed; the round-11
+    rotation puts the never-driver-witnessed queries (the r10 overflow
+    head q268-q281, then the fresh registrations q282-q291) right
+    after the canaries, then spends the remaining budget on the
+    stalest driver evidence — the round-5 block q157-q178. The freshly
+    r10-witnessed block (q259-q267 + q138-q156) sits at the very END
+    of the overflow."""
     head = registry._PRIORITY[:50]
     head_set = set(head)
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    round10_new = {
+    unwitnessed = {f"q{n}" for n in range(268, 282)}
+    fresh = {f"q{n}" for n in range(282, 292)}
+    prefixes = {name.split("_")[0] for name in head_set}
+    assert canaries <= head_set
+    assert unwitnessed <= prefixes
+    assert fresh <= prefixes
+    # everything else in the head is a stale-evidence rotation slot
+    # drawn from the round-5 block; with the 24 never-witnessed slots
+    # the rotation comfortably clears the 30-slot VERDICT floor
+    rotation = {n for n in head_set
+                if n.split("_")[0] not in canaries
+                and n.split("_")[0] not in unwitnessed | fresh
+                and n not in canaries}
+    assert len(rotation | unwitnessed | fresh) >= 30
+    # the freshly r10-witnessed names (CORRECTNESS_r10 slots 7-50) may
+    # not occupy a budget slot, and they sit at the very end of the
+    # overflow
+    r10_witnessed = {
         "q259_t_closeness", "q260_wasserstein_drift",
         "q261_threshold_sweep", "q262_two_proportion_z",
         "q263_gini_coefficient", "q264_cramers_v",
         "q265_kaplan_meier", "q266_dominant_acf_lag",
-        "q267_margin_agreement_gate",
+        "q267_margin_agreement_gate", "q138_span_dedup",
+        "q139_unigram_logprob", "q140_containment_pairs",
+        "q141_minhash_portable", "q142_simhash_portable",
+        "q143_ann_signbucket", "q144_ivf_fixed_centroids",
+        "q39_stream_window_counts", "q52_stream_dedup",
+        "q58_stream_static_join", "q80_partitioned_sink",
+        "q83_merge_upsert", "q84_walkforward_splits",
+        "q86_weighted_sample", "q87_label_centroids",
+        "q88_centroid_assign", "q89_tfidf_topk", "q90_drift_psi",
+        "q93_chunk_documents", "q94_redact_tokens",
+        "q104_small_quantity_revenue", "q120_sliding_window",
+        "q128_pareto_abc", "q130_pagerank", "q145_image_decode",
+        "q146_xls_roundtrip", "q148_bpe_pair_counts",
+        "q149_stream_sink_exactly_once", "q150_audio_features",
+        "q151_csv_roundtrip", "q152_video_frames",
+        "q153_sharded_export", "q154_incremental_dedup",
+        "q155_zorder_keys", "q156_quantile_sketch",
     }
-    assert canaries <= head_set
-    assert round10_new <= head_set
-    # everything in the head that is neither a canary nor a round-10
-    # addition is a stale-evidence rotation slot; the floor is 30
-    rotation = head_set - canaries - round10_new
-    assert len(rotation) >= 30
-    # rotation slots go to the stalest tier (last green r4-r5): none of
-    # the freshly r9-witnessed names may occupy a budget slot
-    r9_witnessed = {
-        "q245_conformal_quantile", "q246_brier_decomposition",
-        "q247_group_auc", "q248_coreness", "q249_negative_samples",
-        "q250_margin_mining_scaled", "q251_stream_near_screen",
-        "q252_calibration_error", "q253_ndcg_at_k", "q254_mrr",
-        "q255_average_precision", "q256_decile_lift",
-        "q257_js_divergence", "q258_bucketed_join",
-        "q73_stratified_sample", "q74_hash_split", "q75_class_balance",
-        "q76_pack_sequences", "q77_decontaminate", "q78_uniform_sample",
-    }
-    assert rotation & r9_witnessed == set()
-    # and the r9-witnessed block leads from the BACK: it may only
-    # appear in the overflow tail
-    tail = set(registry._PRIORITY[50:])
-    assert r9_witnessed <= tail
+    assert rotation & r10_witnessed == set()
+    tail = registry._PRIORITY[-len(r10_witnessed):]
+    assert set(tail) == r10_witnessed
 
 
 def test_oracles_follow_query_order():
