@@ -2908,3 +2908,74 @@ def q288_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = hash_split(docs, "doc_id")
     return anderson_darling_2s(split, "n_chars", "split",
                                "train", "test")
+
+
+_DP_SALT = 777
+
+
+def dp_noisy_counts(df: DataFrame, dim: Column, epsilon: float = 1.0,
+                    salt: int = _DP_SALT) -> DataFrame:
+    """(cohort, n, noise, noisy_n, epsilon): ε-differentially-private
+    release of per-cohort counts via the Laplace mechanism —
+    sensitivity of a count under add/remove-one is 1, so noise ~
+    Laplace(1/ε) added to each count gives the textbook ε-DP release.
+    The noise here is SEEDED: inverse-CDF over the portable hash
+    (u = (hash_u32(cohort+salt) + 0.5)/2³², the +0.5 keeping u strictly
+    inside (0,1) so ln never sees 0), which makes the release
+    reproducible cross-engine and hash-checkable — the correctness
+    property under test is the MECHANISM (inverse CDF, scale, clamp),
+    not secrecy; a production release would draw u from a CSPRNG and
+    emit ONLY noisy_n. Truth columns are emitted beside the noisy ones
+    for exactly that audit purpose.
+
+    Scale shape: one map-side-combined group-by; noise is a per-GROUP
+    scalar expression (cohort-count many rows, not corpus rows). ln is
+    bit-identical cross-engine here (the q265 pins)."""
+    cells = (df.select(dim.cast("long").alias("cohort"))
+             .filter(F.col("cohort").isNotNull())
+             .groupBy("cohort")
+             .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    u = (hash_u32(F.col("cohort") + salt) + F.lit(0.5)) \
+        / F.lit(4294967296.0)
+    c = u - F.lit(0.5)
+    noise = (F.lit(-1.0 / epsilon) * F.signum(c)
+             * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c)))
+    pin = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return cells.select(
+        "cohort", "n",
+        pin(noise).alias("noise"),
+        pin(F.col("n") + noise).alias("noisy_n"),
+        F.lit(float(epsilon)).alias("epsilon"))
+
+
+@query(
+    "q298_dp_noisy_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT user_id % 32 AS cohort,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    nz AS (
+      SELECT cohort, n,
+             -1.0 * sign((({_hash_u32_sql('(cohort + 777)')}) + 0.5)
+                         / 4294967296.0 - 0.5)
+             * ln(1.0 - 2.0
+                  * abs((({_hash_u32_sql('(cohort + 777)')}) + 0.5)
+                        / 4294967296.0 - 0.5))
+               AS noise
+      FROM cells
+    )
+    SELECT cohort, n,
+           floor(noise * 1e6 + 0.5) / 1e6 AS noise,
+           floor((n + noise) * 1e6 + 0.5) / 1e6 AS noisy_n,
+           1.0 AS epsilon
+    FROM nz
+    """,
+)
+def q298_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 Laplace-mechanism release of per-cohort event counts
+    (user_id mod 32 cohorts) with the seeded inverse-CDF noise —
+    mechanism arithmetic hash-checked row for row."""
+    ev = load_table(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, F.col("user_id") % 32)

@@ -730,3 +730,177 @@ def q248_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("__n"))
         .filter(F.col("__n") >= 2).drop("__n"))
     return coreness(edges, rounds=_CORENESS_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# q296 — HyperLogLog weekly distinct (register-merge counting sketch)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 128                    # registers (σ ≈ 1.04/√128 ≈ 9%)
+_HLL_WBITS = 25                 # 32 − log2(m): suffix width per register
+# α_m·m²·2^26 precomputed in python — ONE float literal shared with the
+# oracle so the estimator arithmetic is identical bit for bit
+_HLL_A = 786448224348.6399
+# 4-round arithmetic Feistel constants. The bare multiplicative hash
+# (id%P)·K%2³² is fine for bucketing but NOT for a leading-zeros
+# statistic: sequential ids land on continued-fraction-small residues
+# of K/2³² far more often than chance, inflating max-rank registers
+# (measured 1.6× overestimates). Four Feistel rounds over the 16+16
+# bit halves, round function = middle bits of a multiply
+# ((lo·K + 40503) div 2¹⁶) mod 2¹⁶, give estimates inside the
+# true-random envelope at every probed n (150..500k) using ONLY
+# +, *, div, mod — portable to any SQL engine without xor/shift.
+_HLL_ROUNDS = (2654435761, 2246822519, 3266489917, 668265263)
+
+
+def _hll_feistel_steps() -> list[tuple[str, str, str]]:
+    """(name, spark_expr, duck_expr) chain computing the Feistel mix
+    from column __x — ONE python generator feeds both engines (the
+    q291 _dl_steps pattern), differing only in the integer-division
+    token (`div` vs `//`)."""
+    steps = [("__lo0", "__x % 65536", "__x % 65536"),
+             ("__hi0", "(__x div 65536) % 65536",
+              "(__x // 65536) % 65536")]
+    for i, k in enumerate(_HLL_ROUNDS):
+        f_s = f"((__lo{i} * {k} + 40503) div 65536) % 65536"
+        f_d = f"((__lo{i} * {k} + 40503) // 65536) % 65536"
+        steps.append((f"__lo{i + 1}",
+                      f"(__hi{i} + {f_s}) % 65536",
+                      f"(__hi{i} + {f_d}) % 65536"))
+        steps.append((f"__hi{i + 1}", f"__lo{i}", f"__lo{i}"))
+    n = len(_HLL_ROUNDS)
+    steps.append(("__h", f"__hi{n} * 65536 + __lo{n}",
+                  f"__hi{n} * 65536 + __lo{n}"))
+    return steps
+
+
+def hll_weekly_distinct(ev: DataFrame) -> DataFrame:
+    """(week, exact_distinct, registers_zero, approx_distinct,
+    within_bound): weekly distinct users via a 128-register
+    HyperLogLog — the register walk q178's KMV cannot match at scale:
+    max() is DUPLICATE-BLIND, so NO distinct and NO per-key rank
+    window ever runs; the whole sketch is one map-side-combined
+    groupBy(week, register) max, then a 128-row fold per week.
+    Rank = 26 − bit_length(h div 128) is a pure integer comparison
+    chain (no log2 — cross-engine float log on exact powers of two is
+    a ulp trap); the harmonic fold Σ2^(26−M_j) is an exact BIGINT via
+    integer shifts; the estimator α·m²·2^26/S and the small-range
+    linear-counting branch m·ln(m/V) (ln IS bit-identical cross-
+    engine here — the q265 pins) are single pinned doubles. The 0.35
+    within_bound gate is ~3.5σ of the m=128 estimator; the raw
+    (un-bias-corrected) HLL occasionally reaches 27% even under a
+    TRUE random hash at these cardinalities — measured, not assumed."""
+    src = ev.select(F.date_trunc("week", "ts").alias("week"),
+                    F.col("user_id").cast("long").alias("__x"))
+    for name, spark_expr, _ in _hll_feistel_steps():
+        src = src.withColumn(name, F.expr(spark_expr))
+    src = src.select("week", (F.col("__h") % _HLL_M).alias("__j"),
+                     F.expr(f"__h div {_HLL_M}").alias("__w"))
+    bitlen = None
+    for k in range(_HLL_WBITS):
+        term = (F.col("__w") >= (1 << k)).cast("int")
+        bitlen = term if bitlen is None else bitlen + term
+    regs = (src.select("week", "__j",
+                       (_HLL_WBITS + 1 - bitlen).alias("__rank"))
+            .groupBy("week", "__j")
+            .agg(F.max("__rank").alias("__m")))
+    per = regs.groupBy("week").agg(
+        F.count(F.lit(1)).cast("long").alias("__present"),
+        F.sum(F.expr(f"shiftleft(1, {_HLL_WBITS + 1} - __m)")
+              .cast("long")).alias("__s_present"))
+    s = (F.col("__s_present")
+         + (F.lit(_HLL_M) - F.col("__present"))
+         * F.lit(1 << (_HLL_WBITS + 1)))
+    v = (F.lit(_HLL_M) - F.col("__present")).cast("long")
+    raw = F.lit(_HLL_A) / s.cast("double")
+    est = F.when((raw <= 2.5 * _HLL_M) & (v > 0),
+                 F.lit(float(_HLL_M))
+                 * F.log(F.lit(float(_HLL_M)) / v.cast("double"))) \
+        .otherwise(raw)
+    exact = ev.select(F.date_trunc("week", "ts").alias("week"),
+                      "user_id").groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    scored = per.select("week", v.alias("registers_zero"),
+                        est.alias("__est"))
+    return (scored.join(exact, "week")
+            .select(
+                F.date_format("week", "yyyy-MM-dd").alias("week"),
+                "exact_distinct", "registers_zero",
+                (F.floor(F.col("__est") * 100.0 + F.lit(0.5)) / 100.0)
+                .alias("approx_distinct"),
+                (F.abs(F.col("__est") - F.col("exact_distinct"))
+                 / F.col("exact_distinct") <= 0.35)
+                .alias("within_bound")))
+
+
+def _hll_oracle() -> str:
+    steps = _hll_feistel_steps()
+    ctes, prev = [], "base"
+    for i, (name, _, d_expr) in enumerate(steps):
+        ctes.append(f"m{i} AS (SELECT *, {d_expr} AS {name}"
+                    f" FROM {prev})")
+        prev = f"m{i}"
+    cte_block = ",\n    ".join(ctes)
+    bitlen = " + ".join(
+        f"CASE WHEN w >= {1 << k} THEN 1 ELSE 0 END"
+        for k in range(_HLL_WBITS))
+    wb1 = _HLL_WBITS + 1
+    return f"""
+    WITH base AS (
+      SELECT date_trunc('week', ts) AS week,
+             CAST(user_id AS BIGINT) AS __x
+      FROM events
+    ),
+    {cte_block},
+    rw AS (SELECT week, __h % {_HLL_M} AS j, __h // {_HLL_M} AS w
+           FROM {prev}),
+    rk AS (
+      SELECT week, j, {wb1} - ({bitlen}) AS rank
+      FROM rw
+    ),
+    regs AS (SELECT week, j, max(rank) AS m FROM rk GROUP BY week, j),
+    per AS (
+      SELECT week, CAST(count(*) AS BIGINT) AS present,
+             CAST(sum(1 << ({wb1} - m)) AS BIGINT) AS sp
+      FROM regs GROUP BY week
+    ),
+    est AS (
+      SELECT week,
+             CAST({_HLL_M} - present AS BIGINT) AS registers_zero,
+             CASE WHEN {_HLL_A}
+                    / CAST(sp + ({_HLL_M} - present) * {1 << wb1}
+                           AS DOUBLE) <= {2.5 * _HLL_M}
+                   AND {_HLL_M} - present > 0
+                  THEN {float(_HLL_M)}
+                    * ln({float(_HLL_M)}
+                         / CAST({_HLL_M} - present AS DOUBLE))
+                  ELSE {_HLL_A}
+                    / CAST(sp + ({_HLL_M} - present) * {1 << wb1}
+                           AS DOUBLE)
+             END AS e
+      FROM per
+    ),
+    ex AS (
+      SELECT date_trunc('week', ts) AS week,
+             count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(t.week, '%Y-%m-%d') AS week,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+           t.registers_zero,
+           floor(t.e * 100.0 + 0.5) / 100.0 AS approx_distinct,
+           abs(t.e - ex.exact_distinct) / ex.exact_distinct <= 0.35
+             AS within_bound
+    FROM est t JOIN ex ON t.week = ex.week
+    """
+
+
+@query("q296_hll_distinct", oracle=_hll_oracle())
+def q296_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users via a 128-register HyperLogLog beside the
+    exact count — the duplicate-blind counterpart of q178's KMV (no
+    distinct, no rank window; just groupBy-max register state), with
+    the Feistel mix, register walk, harmonic fold, bias constant, and
+    the linear-counting small-range branch ALL value-hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return hll_weekly_distinct(ev)

@@ -945,3 +945,123 @@ def q258_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).cast("long").alias("n_items"),
                  F.round(rev, 2).cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering (q296-wave layout sibling of q155's Morton)
+# ---------------------------------------------------------------------------
+
+_HBITS = 8  # per-dimension resolution: 2 × 8 bits → 16-bit Hilbert key.
+# The Hilbert walk visits every cell of the 2^8 × 2^8 grid through
+# ADJACENT cells only (Morton jumps corners), so a file holding a
+# contiguous key range spans a tighter bounding box in BOTH dimensions
+# — strictly better worst-case min/max pruning than Z-order at the
+# same sort cost. 8 bits keeps the unrolled per-level expression chain
+# small (the key is a FILE-layout dial: 65k cells already exceeds any
+# realistic file count); raise it if files outnumber cells.
+
+
+def _hilbert_steps(bits: int = _HBITS) -> list[tuple[str, str, str]]:
+    """(name, spark_expr, duck_expr) chain computing the Hilbert index
+    from bucket columns __bx/__by — one python generator feeds both
+    engines (the q291/_hll pattern); the dialects differ only in the
+    integer-division token. Uses the mod-reduced variant of the
+    classic xy2d walk (coordinates stay in [0, s) after each level, so
+    div/mod never see negatives — where engine semantics diverge);
+    (3·rx) xor ry is expanded arithmetically as 3·rx + ry − 2·rx·ry
+    (exact on the {0,1} domain, no xor token needed)."""
+    steps: list[tuple[str, str, str]] = [
+        ("__x0", "__bx", "__bx"), ("__y0", "__by", "__by")]
+    dterms = []
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        x, y = f"__x{i}", f"__y{i}"
+        rx_s, rx_d = f"({x} div {s})", f"({x} // {s})"
+        ry_s, ry_d = f"({y} div {s})", f"({y} // {s})"
+        steps.append((f"__rx{i}", rx_s, rx_d))
+        steps.append((f"__ry{i}", ry_s, ry_d))
+        rx, ry = f"__rx{i}", f"__ry{i}"
+        dterms.append(f"{s * s} * (3 * {rx} + {ry} - 2 * {rx} * {ry})")
+        xm, ym = f"__xm{i}", f"__ym{i}"
+        steps.append((xm, f"{x} % {s}", f"{x} % {s}"))
+        steps.append((ym, f"{y} % {s}", f"{y} % {s}"))
+        nx = (f"{ry} * {xm} + (1 - {ry})"
+              f" * ({rx} * ({s - 1} - {ym}) + (1 - {rx}) * {ym})")
+        ny = (f"{ry} * {ym} + (1 - {ry})"
+              f" * ({rx} * ({s - 1} - {xm}) + (1 - {rx}) * {xm})")
+        steps.append((f"__x{i + 1}", nx, nx))
+        steps.append((f"__y{i + 1}", ny, ny))
+    dsum = " + ".join(dterms)
+    steps.append(("hkey", dsum, dsum))
+    return steps
+
+
+def hilbert_keys(df: DataFrame, col_x: str, col_y: str,
+                 bits: int = _HBITS) -> DataFrame:
+    """Append `hkey` (Hilbert index of the two bucketed columns) —
+    drop-in for zorder_keys where locality matters more: sort by hkey
+    → repartitionByRange → sortWithinPartitions exactly like
+    zorder_write. Global min/max via ONE broadcast 1-row aggregate
+    (zorder_keys' shape); the per-level walk is a fixed chain of
+    integer expressions inside whole-stage codegen — no UDF, no
+    shuffle beyond the bounds broadcast."""
+    bounds = df.agg(
+        F.min(col_x).alias("__xmin"), F.max(col_x).alias("__xmax"),
+        F.min(col_y).alias("__ymin"), F.max(col_y).alias("__ymax"),
+    )
+    out = df.join(F.broadcast(bounds))
+    out = out.withColumn(
+        "__bx", _bucket_expr(F.col(col_x), F.col("__xmin"),
+                             F.col("__xmax"), bits))
+    out = out.withColumn(
+        "__by", _bucket_expr(F.col(col_y), F.col("__ymin"),
+                             F.col("__ymax"), bits))
+    for name, spark_expr, _ in _hilbert_steps(bits):
+        out = out.withColumn(name, F.expr(spark_expr))
+    drop = [c for c in out.columns
+            if c.startswith("__")]
+    return out.drop(*drop)
+
+
+def _hilbert_oracle(bits: int = _HBITS) -> str:
+    ctes, prev = [], "k"
+    for i, (name, _, d_expr) in enumerate(_hilbert_steps(bits)):
+        ctes.append(f"h{i} AS (SELECT *, {d_expr} AS {name}"
+                    f" FROM {prev})")
+        prev = f"h{i}"
+    cte_block = ",\n    ".join(ctes)
+    mx = (1 << bits) - 1
+    return f"""
+    WITH b AS (
+      SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+             CAST(min(floor(epoch(ts))) AS BIGINT) AS ymin,
+             CAST(max(floor(epoch(ts))) AS BIGINT) AS ymax
+      FROM events
+    ),
+    k AS (
+      SELECT event_id,
+             CAST(floor(CAST((user_id - xmin) * {mx} AS DOUBLE)
+                        / greatest(xmax - xmin, 1)) AS BIGINT) AS __bx,
+             CAST(floor(CAST((CAST(floor(epoch(ts)) AS BIGINT) - ymin)
+                             * {mx} AS DOUBLE)
+                        / greatest(ymax - ymin, 1)) AS BIGINT) AS __by
+      FROM events, b
+    ),
+    {cte_block}
+    SELECT event_id, CAST(hkey AS BIGINT) AS hkey
+    FROM {prev}
+    """
+
+
+@query("q297_hilbert_keys", oracle=_hilbert_oracle())
+def q297_hilbert_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering keys over (user_id, event time) — the
+    locality-tighter sibling of q155's Morton keys, checked
+    bit-for-bit against the oracle's replay of the same bucketing and
+    per-level curve walk."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.floor(F.col("ts").cast("double")).cast("long").alias("__epoch"),
+    )
+    return (hilbert_keys(ev, "user_id", "__epoch")
+            .select("event_id", F.col("hkey").cast("long").alias("hkey")))

@@ -1662,3 +1662,487 @@ def q290_trend_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend_seasonal_strength(
         ev, "user_id", "ts", "value", F.hour("ts").cast("int"),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: changepoint / serial-correlation / long-run
+# variance tier — the three questions a forecaster asks AFTER q289's
+# "is there structure": WHERE does the level shift, IS the noise
+# serially correlated, and HOW MUCH should autocorrelation inflate the
+# error bars of any mean-based readout.
+# ---------------------------------------------------------------------------
+
+
+def single_changepoint(df: DataFrame, group_col: str, order: str,
+                       value: Column,
+                       tie_break: str | None = None) -> DataFrame:
+    """(group, n, split_at, gain): the best SINGLE level-shift split
+    per series — binary segmentation's first step (and the building
+    block PELT/BinSeg iterate): split k maximizes the SSE reduction
+    gain(k) = S_k²/k + (S_n−S_k)²/(n−k) − S_n²/n over exact integer
+    prefix sums. Ties break to the EARLIEST k (the detection-delay
+    convention). Series with n < 2 yield zero rows by contract.
+
+    Scale shape: one per-series cumulative-sum window pass (the q06
+    numerous-small-groups contract), then a rank-1 filter — the
+    gain is an exact-integer-derived double (prefix sums are exact
+    BIGINTs; squares go through CAST-to-double before multiply,
+    identical both engines) pinned at 1e-6, so the argmax row
+    hash-checks. Nothing is collected; the argmax is a
+    WindowGroupLimit-prunable rank window."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("__g")
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    pre = src.select(
+        "__g",
+        F.row_number().over(w).alias("__k"),
+        F.sum("__v").over(wc).alias("__sk"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum("__v").over(wt).alias("__sn"))
+    k = F.col("__k").cast("double")
+    n = F.col("n").cast("double")
+    sk = F.col("__sk").cast("double")
+    sn = F.col("__sn").cast("double")
+    gain = (sk * sk / k
+            + (sn - sk) * (sn - sk) / (n - k)
+            - sn * sn / n)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    scored = (pre.filter(F.col("__k") < F.col("n"))
+              .select("__g", "n", "__k", pin(gain).alias("gain")))
+    wr = Window.partitionBy("__g").orderBy(F.desc("gain"), F.asc("__k"))
+    return (scored.withColumn("__r", F.row_number().over(wr))
+            .filter(F.col("__r") == 1)
+            .select(F.col("__g").alias(group_col),
+                    F.col("n").cast("long").alias("n"),
+                    F.col("__k").cast("long").alias("split_at"),
+                    "gain"))
+
+
+def von_neumann_ratio(df: DataFrame, group_col: str, order: str,
+                      value: Column,
+                      tie_break: str | None = None) -> DataFrame:
+    """(group, n, vn_ratio, z): the von Neumann ratio per series —
+    Σ(v_t − v_{t−1})² / Σ(v_t − v̄)², the mean-square successive
+    difference over the variance. E = 2 for i.i.d. data; trending
+    series fall below 2, oscillating ones rise above — the SAME
+    screen as q289's turning points but magnitude-aware (it is also
+    the Durbin–Watson statistic computed on mean-residuals).
+    z = (ratio − 2)/√(4(n−2)/(n²−1)). NULL values are dropped before
+    the lag (the q289 contract); n < 3 or zero variance reports
+    ratio/z NULL-by-contract (one row per series either way).
+
+    Scale shape: one lag window per series, then one
+    map-side-combined group-by of exact integers — successive-diff
+    squares and Σv² go through DECIMAL(38,0) (cents² × n tops int64
+    at scale); the ratio and z pin once over exact integers."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    d = F.col("__v") - F.lag("__v", 1).over(w)
+    per = (src.select("__g", "__v", d.alias("__d"))
+           .groupBy("__g")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(dec(F.col("__v"))).alias("__s"),
+                F.sum(dec(F.col("__v")) * dec(F.col("__v")))
+                .alias("__q"),
+                F.sum(dec(F.col("__d")) * dec(F.col("__d")))
+                .alias("__sd2")))
+    n = F.col("n").cast("double")
+    den = F.col("__q").cast("double") - F.col("__s").cast("double") \
+        * F.col("__s") / n
+    ratio = F.col("__sd2").cast("double") / den
+    se = F.sqrt(4 * (n - 2) / (n * n - 1))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("n") >= 3) & (den > 0)
+    return per.select(
+        F.col("__g").alias(group_col), "n",
+        F.when(ok, pin(ratio)).alias("vn_ratio"),
+        F.when(ok, pin((ratio - 2) / se)).alias("z"))
+
+
+_HAC_L = 5  # Bartlett truncation lag
+
+
+def hac_variance(df: DataFrame, group_col: str, order: str,
+                 value: Column, max_lag: int = _HAC_L,
+                 tie_break: str | None = None) -> DataFrame:
+    """(group, n, var_iid, var_hac, inflation): the Newey–West
+    long-run variance of the SERIES MEAN with Bartlett weights —
+    var_hac = (γ₀ + 2·Σ_{l≤L}(1−l/(L+1))·γ̂_l)/n against the i.i.d.
+    var_iid = γ₀/n. `inflation` is the factor autocorrelation
+    multiplies onto naive error bars — the number that says whether a
+    mean-based readout (q274's CI, q262's z) can be trusted on
+    serially correlated data. γ̂_l = (1/n)Σ_{t≤n−l}(v_t−v̄)(v_{t+l}−v̄)
+    (the biased 1/n form — guarantees a PSD weight kernel).
+
+    Exactness: v̄ is an exact-integer-derived double broadcast back by
+    a group join; each lag product quantizes to floor(x·1e6) BIGINT
+    (the JSD/W1 order-free recipe) before ONE map-side-combined sum
+    per (group, lag ≤ L+1 columns); γ, both variances, and the
+    inflation pin once. n ≤ L (no usable lags) or zero γ₀ reports
+    NULL-by-contract. One lead-window pass per series; L is a
+    constant, so the per-row cost is O(L), never O(n)."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    means = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("__v").cast("double")
+         / F.count(F.lit(1))).alias("__mean"))
+    led = src.select(
+        "__g", "__v",
+        *[F.lead("__v", l).over(w).alias(f"__v{l}")
+          for l in range(1, max_lag + 1)])
+    joined = led.join(means, "__g")
+    cent = F.col("__v") - F.col("__mean")
+    qterm = lambda c: F.floor(c * 1e6).cast("long")  # noqa: E731
+    aggs = [F.sum(qterm(cent * cent)).alias("__c0")]
+    for l in range(1, max_lag + 1):
+        lagc = F.col(f"__v{l}") - F.col("__mean")
+        aggs.append(F.sum(F.when(F.col(f"__v{l}").isNotNull(),
+                                 qterm(cent * lagc))
+                          .otherwise(F.lit(0))).alias(f"__c{l}"))
+    per = joined.groupBy("__g", "n").agg(*aggs)
+    n = F.col("n").cast("double")
+    g0 = F.col("__c0").cast("double") / 1e6 / n
+    lrv = g0
+    for l in range(1, max_lag + 1):
+        wgt = 1.0 - l / (max_lag + 1.0)
+        lrv = lrv + 2.0 * wgt * (F.col(f"__c{l}").cast("double")
+                                 / 1e6 / n)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("n") > max_lag) & (F.col("__c0") > 0)
+    return per.select(
+        F.col("__g").alias(group_col), "n",
+        F.when(ok, pin(g0 / n)).alias("var_iid"),
+        F.when(ok, pin(lrv / n)).alias("var_hac"),
+        F.when(ok & (g0 > 0), pin(lrv / g0)).alias("inflation"))
+
+
+@query(
+    "q292_changepoint",
+    oracle="""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    pre AS (
+      SELECT g,
+             row_number() OVER w AS k,
+             sum(v) OVER (PARTITION BY g ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+             count(*) OVER (PARTITION BY g) AS n,
+             sum(v) OVER (PARTITION BY g) AS sn
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    scored AS (
+      SELECT g, n, k,
+             floor((CAST(sk AS DOUBLE) * sk / k
+                    + CAST(sn - sk AS DOUBLE) * (sn - sk) / (n - k)
+                    - CAST(sn AS DOUBLE) * sn / n) * 1e6 + 0.5) / 1e6
+               AS gain
+      FROM pre WHERE k < n
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY g
+                ORDER BY gain DESC, k ASC) AS rr
+      FROM scored
+    )
+    SELECT g AS user_id, CAST(n AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS split_at, gain
+    FROM r WHERE rr = 1
+    """,
+)
+def q292_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single level-shift per user value series (cents) — the
+    binary-segmentation first step, every (user, n, split_at, gain)
+    row hash-checked including the earliest-k tie-break."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return single_changepoint(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+@query(
+    "q293_von_neumann",
+    oracle="""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT g, v,
+             v - lag(v) OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS dd
+      FROM src
+    ),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(v AS HUGEINT)) AS s,
+             sum(CAST(v AS HUGEINT) * v) AS q,
+             sum(CAST(dd AS HUGEINT) * dd) AS sd2
+      FROM d GROUP BY g
+    ),
+    ex AS (
+      SELECT g, n,
+             CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s
+               / CAST(n AS DOUBLE) AS den,
+             CAST(sd2 AS DOUBLE) AS num
+      FROM per
+    )
+    SELECT g AS user_id, n,
+           CASE WHEN n >= 3 AND den > 0 THEN
+             floor(num / den * 1e6 + 0.5) / 1e6
+           END AS vn_ratio,
+           CASE WHEN n >= 3 AND den > 0 THEN
+             floor((num / den - 2)
+                   / sqrt(4 * (CAST(n AS DOUBLE) - 2)
+                          / (CAST(n AS DOUBLE) * n - 1))
+                   * 1e6 + 0.5) / 1e6
+           END AS z
+    FROM ex
+    """,
+)
+def q293_von_neumann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Von Neumann ratio (successive-difference vs variance) per user
+    value series — the magnitude-aware randomness screen beside
+    q289's turning points; every (user, n, vn_ratio, z) row
+    hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return von_neumann_ratio(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+def _hac_oracle(max_lag: int = _HAC_L) -> str:
+    leads = ",\n             ".join(
+        f"lead(v, {l}) OVER w AS v{l}" for l in range(1, max_lag + 1))
+    csums = ",\n             ".join(
+        f"sum(CASE WHEN v{l} IS NOT NULL THEN"
+        f" CAST(floor(((v - m) * (v{l} - m)) * 1e6) AS BIGINT)"
+        f" ELSE 0 END) AS c{l}" for l in range(1, max_lag + 1))
+    lrv = "CAST(c0 AS DOUBLE) / 1e6 / n"
+    for l in range(1, max_lag + 1):
+        wgt = repr(2.0 * (1.0 - l / (max_lag + 1.0)))
+        lrv += (f" + {wgt} * (CAST(c{l} AS DOUBLE) / 1e6"
+                f" / n)")
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    means AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) / count(*) AS m
+      FROM src GROUP BY g
+    ),
+    led AS (
+      SELECT g, v,
+             {leads}
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    per AS (
+      SELECT led.g, n,
+             sum(CAST(floor(((v - m) * (v - m)) * 1e6) AS BIGINT))
+               AS c0,
+             {csums}
+      FROM led JOIN means ON led.g = means.g
+      GROUP BY led.g, n
+    ),
+    ex AS (
+      SELECT g, n,
+             CAST(c0 AS DOUBLE) / 1e6 / n AS g0,
+             {lrv} AS lrv,
+             (n > {max_lag} AND c0 > 0) AS ok
+      FROM per
+    )
+    SELECT g AS user_id, n,
+           CASE WHEN ok THEN
+             floor(g0 / n * 1e6 + 0.5) / 1e6 END AS var_iid,
+           CASE WHEN ok THEN
+             floor(lrv / n * 1e6 + 0.5) / 1e6 END AS var_hac,
+           CASE WHEN ok AND g0 > 0 THEN
+             floor(lrv / g0 * 1e6 + 0.5) / 1e6 END AS inflation
+    FROM ex
+    """
+
+
+@query("q294_hac_variance", oracle=_hac_oracle())
+def q294_hac_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West long-run variance of each user series' mean
+    (Bartlett weights, L=5) against the i.i.d. variance — the error-
+    bar inflation factor autocorrelation forces onto any mean-based
+    readout. Every (user, n, var_iid, var_hac, inflation) row
+    hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return hac_variance(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+_SPEC_MIN_P, _SPEC_MAX_P = 2, 12
+
+
+def _spec_rows() -> list[tuple[int, int, float, float]]:
+    """(period, phase, cos, sin) grid for the phase-folded DFT — ONE
+    python-generated table of float literals feeds both the Spark
+    broadcast side and the oracle's VALUES list, so the trig constants
+    are identical bit patterns in both engines by construction."""
+    import math
+
+    rows = []
+    for p in range(_SPEC_MIN_P, _SPEC_MAX_P + 1):
+        for k in range(p):
+            rows.append((p, k, math.cos(2 * math.pi * k / p),
+                         math.sin(2 * math.pi * k / p)))
+    return rows
+
+
+def spectral_peak(df: DataFrame, group_col: str, order: str,
+                  value: Column,
+                  tie_break: str | None = None) -> DataFrame:
+    """(group, period, n, power, is_peak): the periodogram power at
+    candidate periods 2..12 per series — the DFT bin at frequency 1/p
+    computed by PHASE FOLDING (t mod p indexes a precomputed trig
+    table), so power_p = ((Σv_t·cos_p[t%p])² + (Σv_t·sin_p[t%p])²)/n.
+    The FREQUENCY-domain sibling of q266's dominant ACF lag and
+    q290's strength pair: ACF says "correlated at lag k", this says
+    "periodic at period p" with the energy to rank periods.
+    `is_peak` marks each series' argmax (ties to the SMALLEST
+    period).
+
+    Scale shape: rows explode over the 11 candidate periods (a
+    CONSTANT fan-out) and broadcast-join the 77-row trig grid; each
+    v·cos product quantizes to floor(x·1e6) BIGINT (order-free sums),
+    so one map-side-combined group-by per (series, period) carries
+    everything; powers pin once and the peak flag is a rank window
+    over 11 rows per series."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        _spec_rows(), "period int, phase int, c double, s double")
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    idx = src.select(
+        "__g", "__v", (F.row_number().over(w) - 1).alias("__t"))
+    lo, hi = _SPEC_MIN_P, _SPEC_MAX_P
+    fanned = idx.select(
+        "__g", "__v", "__t",
+        F.explode(F.sequence(F.lit(lo), F.lit(hi))).alias("period"))
+    joined = fanned.join(
+        F.broadcast(grid),
+        (fanned["period"] == grid["period"])
+        & (F.col("__t") % fanned["period"] == grid["phase"])).drop(
+        grid["period"])
+    q = lambda c: F.floor(c * 1e6).cast("long")  # noqa: E731
+    per = joined.groupBy("__g", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q(F.col("__v") * F.col("c"))).alias("__sc"),
+        F.sum(q(F.col("__v") * F.col("s"))).alias("__ss"))
+    e = F.col("__sc").cast("double") / 1e6
+    f = F.col("__ss").cast("double") / 1e6
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    scored = per.select(
+        "__g", "period", "n",
+        pin((e * e + f * f) / F.col("n").cast("double"))
+        .alias("power"))
+    wr = Window.partitionBy("__g").orderBy(F.desc("power"),
+                                           F.asc("period"))
+    return (scored
+            .withColumn("is_peak",
+                        (F.row_number().over(wr) == 1))
+            .select(F.col("__g").alias(group_col),
+                    "period", "n", "power", "is_peak"))
+
+
+def _spec_oracle() -> str:
+    vals = ",\n      ".join(
+        f"({p}, {k}, {c!r}, {s!r})" for p, k, c, s in _spec_rows())
+    return f"""
+    WITH grid(period, phase, c, s) AS (VALUES
+      {vals}
+    ),
+    src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    idx AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               - 1 AS t
+      FROM src
+    ),
+    joined AS (
+      SELECT i.g, i.v, gr.period, gr.c, gr.s
+      FROM idx i JOIN grid gr
+        ON i.t % gr.period = gr.phase
+    ),
+    per AS (
+      SELECT g, period, CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(floor(v * c * 1e6) AS BIGINT)) AS sc,
+             sum(CAST(floor(v * s * 1e6) AS BIGINT)) AS ss
+      FROM joined GROUP BY g, period
+    ),
+    scored AS (
+      SELECT g, period, n,
+             floor(((CAST(sc AS DOUBLE) / 1e6)
+                    * (CAST(sc AS DOUBLE) / 1e6)
+                    + (CAST(ss AS DOUBLE) / 1e6)
+                    * (CAST(ss AS DOUBLE) / 1e6))
+                   / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS power
+      FROM per
+    )
+    SELECT g AS user_id, CAST(period AS INT) AS period, n, power,
+           row_number() OVER (PARTITION BY g
+             ORDER BY power DESC, period ASC) = 1 AS is_peak
+    FROM scored
+    """
+
+
+@query("q295_spectral_peak", oracle=_spec_oracle())
+def q295_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-folded periodogram power at periods 2..12 per user value
+    series with the per-series peak flagged — every (user, period, n,
+    power, is_peak) row hash-checked against the same python-generated
+    trig grid."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return spectral_peak(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

@@ -110,6 +110,10 @@ _PRIORITY: tuple[str, ...] = (
     "q173_scd2_dimension", "q174_snapshot_diff",
     "q175_ann_recall_gate", "q176_bpe_encode",
     "q177_margin_mining", "q178_kmv_distinct",
+    "q292_changepoint", "q293_von_neumann",
+    "q294_hac_variance", "q295_spectral_peak",
+    "q296_hll_distinct", "q297_hilbert_keys",
+    "q298_dp_noisy_counts",
     "q179_canonical_selection", "q180_leakfree_split",
     "q181_ts_lookback_planted", "q182_stream_index_maintenance",
     "q45_rolling_stats", "q53_stateful_user_stats",

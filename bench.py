@@ -172,6 +172,13 @@ HEADLINE = [
     "q289_turning_points",
     "q290_trend_strength",
     "q291_pacf",
+    "q292_changepoint",
+    "q293_von_neumann",
+    "q294_hac_variance",
+    "q295_spectral_peak",
+    "q296_hll_distinct",
+    "q297_hilbert_keys",
+    "q298_dp_noisy_counts",
     "automl_e2e",
 ]
 
