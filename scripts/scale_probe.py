@@ -1331,6 +1331,83 @@ def main() -> int:
 
     run("pacf", lambda: pacf_probe(False), lambda: pacf_probe(True))
 
+    # round-11 operator wave (q292-q298): all designed linear — one
+    # window/group-by pass per series, constant fan-outs, no distinct
+    def ev11(path_based):
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return ev.filter(F.col("value").isNotNull())
+
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5))
+
+    run("changepoint",
+        lambda: tsf10.single_changepoint(
+            ev11(False), "user_id", "ts", cents,
+            tie_break="event_id").count(),
+        lambda: tsf10.single_changepoint(
+            ev11(True), "user_id", "ts", cents,
+            tie_break="event_id").count())
+
+    run("von_neumann",
+        lambda: tsf10.von_neumann_ratio(
+            ev11(False), "user_id", "ts", cents,
+            tie_break="event_id").count(),
+        lambda: tsf10.von_neumann_ratio(
+            ev11(True), "user_id", "ts", cents,
+            tie_break="event_id").count())
+
+    run("hac_variance",
+        lambda: tsf10.hac_variance(
+            ev11(False), "user_id", "ts", cents,
+            tie_break="event_id").count(),
+        lambda: tsf10.hac_variance(
+            ev11(True), "user_id", "ts", cents,
+            tie_break="event_id").count())
+
+    run("spectral_peak",
+        lambda: tsf10.spectral_peak(
+            ev11(False), "user_id", "ts", cents,
+            tie_break="event_id").count(),
+        lambda: tsf10.spectral_peak(
+            ev11(True), "user_id", "ts", cents,
+            tie_break="event_id").count())
+
+    def hll(path_based):
+        from auto_ml_platform_with_timeseries_data_spark.operators.graph import (
+            hll_weekly_distinct,
+        )
+
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return hll_weekly_distinct(ev).count()
+
+    run("hll_distinct", lambda: hll(False), lambda: hll(True))
+
+    def hilb(path_based):
+        from auto_ml_platform_with_timeseries_data_spark.operators.layout import (
+            hilbert_keys,
+        )
+
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events")).select(
+            "event_id", "user_id",
+            F.floor(F.col("ts").cast("double")).cast("long")
+            .alias("__epoch"))
+        return hilbert_keys(ev, "user_id", "__epoch").count()
+
+    run("hilbert_keys", lambda: hilb(False), lambda: hilb(True))
+
+    def dpn(path_based):
+        from auto_ml_platform_with_timeseries_data_spark.operators.curation import (
+            dp_noisy_counts,
+        )
+
+        ev = (spark.read.parquet(staged["events"]) if path_based
+              else load_table(spark, sf_dir, "events"))
+        return dp_noisy_counts(ev, F.col("user_id") % 32).count()
+
+    run("dp_noisy_counts", lambda: dpn(False), lambda: dpn(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0
