@@ -1277,3 +1277,116 @@ def q286_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, F.floor(F.col("l_quantity") / 10).cast("long"),
         F.least(F.floor(F.col("l_extendedprice") / 20000),
                 F.lit(5.0)).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Round-12 registration candidates (implemented + oracle-drafted in
+# tests/test_round12_prebuilt.py, registered next rotation)
+# ---------------------------------------------------------------------------
+
+
+def cronbach_alpha(df: DataFrame,
+                   items: dict[str, Column]) -> DataFrame:
+    """One-row (n, k, alpha): Cronbach's alpha over k INTEGER-valued
+    item columns — the internal-consistency read (do these k signals
+    measure one underlying thing?) behind any composite quality score
+    (q21's document score sums heuristics; alpha says whether summing
+    was defensible). α = k/(k−1)·(1 − Σᵢvarᵢ/var_total) with
+    var_total the variance of the per-row item SUM.
+
+    One map-side-combined aggregate of 2k+3 exact integer sums at
+    DECIMAL(38,0)/HUGEINT width; sample variances and α pin once.
+    n < 2, k < 2, or zero total variance reports NULL-by-contract."""
+    names = sorted(items)
+    k = len(names)
+    src = df.select(*[items[nm].cast("long").alias(f"__i{j}")
+                      for j, nm in enumerate(names)])
+    for j in range(k):
+        src = src.filter(F.col(f"__i{j}").isNotNull())
+    tot = None
+    for j in range(k):
+        tot = F.col(f"__i{j}") if tot is None else tot + F.col(f"__i{j}")
+    src = src.withColumn("__t", tot)
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec(F.col("__t"))).alias("__st"),
+            F.sum(dec(F.col("__t")) * dec(F.col("__t"))).alias("__qt")]
+    for j in range(k):
+        c = F.col(f"__i{j}")
+        aggs.append(F.sum(dec(c)).alias(f"__s{j}"))
+        aggs.append(F.sum(dec(c) * dec(c)).alias(f"__q{j}"))
+    agg = src.agg(*aggs)
+    n = F.col("n").cast("double")
+    sv = lambda s, q: ((F.col(q).cast("double")  # noqa: E731
+                        - F.col(s).cast("double") * F.col(s) / n)
+                       / (n - 1))
+    var_t = sv("__st", "__qt")
+    var_sum = None
+    for j in range(k):
+        v = sv(f"__s{j}", f"__q{j}")
+        var_sum = v if var_sum is None else var_sum + v
+    alpha = (k / (k - 1.0)) * (1 - var_sum / var_t)
+    pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("n") > 1) & (var_t > 0)
+    return agg.select(
+        "n", F.lit(k).cast("long").alias("k"),
+        F.when(ok, pin(alpha)).alias("alpha"))
+
+
+def kendall_tau_b(df: DataFrame, x: Column, y: Column) -> DataFrame:
+    """One-row (n, concordant, discordant, tau_b): Kendall's tau-b
+    between two BOUNDED-DOMAIN ordinal columns — the rank-concordance
+    sibling of q286's weighted kappa (kappa asks 'do they AGREE',
+    tau-b asks 'do they ORDER the same way'), tie-corrected on both
+    margins.
+
+    The corpus reduces to |X|·|Y| cells in one map-side-combined
+    group-by; concordant/discordant counts come from the CELL-PAIR
+    join (x2 > x1 orients each unordered pair once — domain², never
+    row²), marginal tie terms t(t−1)/2 from the cell marginals; all
+    exact integers at DECIMAL(38,0)/HUGEINT width and tau_b pins
+    once. Zero denominator (a constant margin) reports
+    NULL-by-contract."""
+    src = df.select(x.cast("long").alias("__x"),
+                    y.cast("long").alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    cells = src.groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a = cells.select(F.col("__x").alias("__x1"),
+                     F.col("__y").alias("__y1"),
+                     F.col("__c").alias("__c1"))
+    b = cells.select(F.col("__x").alias("__x2"),
+                     F.col("__y").alias("__y2"),
+                     F.col("__c").alias("__c2"))
+    pairs = a.join(b, F.col("__x2") > F.col("__x1"))
+    cd = pairs.agg(
+        F.sum(F.when(F.col("__y2") > F.col("__y1"),
+                     dec(F.col("__c1")) * dec(F.col("__c2")))
+              .otherwise(F.lit(0))).alias("__cc"),
+        F.sum(F.when(F.col("__y2") < F.col("__y1"),
+                     dec(F.col("__c1")) * dec(F.col("__c2")))
+              .otherwise(F.lit(0))).alias("__dd"))
+    nx = (cells.groupBy("__x")
+          .agg(F.sum("__c").cast("long").alias("__r"))
+          .agg(F.sum(dec(F.col("__r")) * (dec(F.col("__r")) - 1))
+               .alias("__tx2"),
+               F.sum(dec(F.col("__r"))).alias("__n1")))
+    ny = (cells.groupBy("__y")
+          .agg(F.sum("__c").cast("long").alias("__r"))
+          .agg(F.sum(dec(F.col("__r")) * (dec(F.col("__r")) - 1))
+               .alias("__ty2")))
+    agg = cd.crossJoin(nx).crossJoin(ny)
+    n = F.col("__n1").cast("double")
+    n0_2 = n * (n - 1)          # 2·n0 — keep everything doubled
+    n1_2 = F.col("__tx2").cast("double")
+    n2_2 = F.col("__ty2").cast("double")
+    diff = F.col("__cc").cast("double") - F.col("__dd").cast("double")
+    den = F.sqrt((n0_2 - n1_2) * (n0_2 - n2_2)) / 2
+    pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (n0_2 > n1_2) & (n0_2 > n2_2)
+    return agg.select(
+        F.col("__n1").cast("long").alias("n"),
+        F.col("__cc").cast("long").alias("concordant"),
+        F.col("__dd").cast("long").alias("discordant"),
+        F.when(ok, pin(diff / den)).alias("tau_b"))

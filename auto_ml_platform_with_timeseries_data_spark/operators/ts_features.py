@@ -2146,3 +2146,110 @@ def q295_spectral_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")
+
+
+def runs_test(df: DataFrame, group_col: str, order: str,
+              value: Column, tie_break: str | None = None) -> DataFrame:
+    """(group, n_above, n_below, runs, z): the Wald–Wolfowitz runs
+    test per series about the series MEAN — too FEW runs means
+    clustering/trend, too many means oscillation; the sign-pattern
+    member of the q289/q293 randomness family. The above/below split
+    is an EXACT integer comparison (v·n vs Σv — no float mean ever
+    compared), rows exactly AT the mean drop by contract (the
+    standard treatment of ties). E(R) = 1 + 2ab/(a+b),
+    Var = 2ab(2ab−a−b)/((a+b)²(a+b−1)), z = (R−E)/√Var.
+
+    One group aggregate broadcast back, one lag window over kept rows
+    (numerous-small-groups contract), one count-up; a, b, R are exact
+    integers and z pins once. a = 0, b = 0, or Var ≤ 0 reports
+    z NULL-by-contract (one row per series with any kept rows)."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    tot = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__v").cast("long").alias("__s"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    kept = (src.join(tot, "__g")
+            .withColumn("__sgn",
+                        F.when(dec(F.col("__v")) * dec(F.col("__n"))
+                               > F.col("__s"), F.lit(1))
+                        .when(dec(F.col("__v")) * dec(F.col("__n"))
+                              < F.col("__s"), F.lit(0)))
+            .filter(F.col("__sgn").isNotNull()))
+    w = Window.partitionBy("__g").orderBy(*ob)
+    flips = kept.select(
+        "__g", "__sgn",
+        (F.lag("__sgn", 1).over(w) != F.col("__sgn")).cast("long")
+        .alias("__flip"))
+    per = flips.groupBy("__g").agg(
+        F.sum("__sgn").cast("long").alias("n_above"),
+        F.sum(1 - F.col("__sgn")).cast("long").alias("n_below"),
+        (F.coalesce(F.sum("__flip"), F.lit(0)) + 1).cast("long")
+        .alias("runs"))
+    a = F.col("n_above").cast("double")
+    b = F.col("n_below").cast("double")
+    m = a + b
+    e = 1 + 2 * a * b / m
+    var = 2 * a * b * (2 * a * b - a - b) / (m * m * (m - 1))
+    pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0)
+    return per.select(
+        F.col("__g").alias(group_col), "n_above", "n_below", "runs",
+        F.when(ok, pin((F.col("runs") - e) / F.sqrt(var))).alias("z"))
+
+
+def cox_stuart(df: DataFrame, group_col: str, order: str,
+               value: Column, tie_break: str | None = None) -> DataFrame:
+    """(group, n, m_pairs, n_pos, z): the Cox–Stuart trend test per
+    series — pair v_t with v_{t+h} (h = n div 2), count strict rises;
+    under H₀ rises are Binomial(m, ½), z = (pos − m/2)/√(m/4). The
+    SIGN-only trend read: q228's Mann–Kendall weighs every pair (n²
+    information, n² cost in the exact form); Cox–Stuart reads n/2
+    pairs in ONE self-join — the linear-cost screen you run first.
+    Tied pairs (v_t = v_{t+h}) drop by contract.
+
+    One row_number window, one equi-join on (group, idx+h) — both on
+    the series key, so the join reuses the window's shuffle; counts
+    are exact integers and z pins once. m = 0 reports
+    z NULL-by-contract."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    wt = Window.partitionBy("__g")
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    idx = src.select(
+        "__g", "__v",
+        F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(wt).alias("__n"))
+    h = F.expr("__n div 2")
+    left = idx.select("__g", "__n",
+                      (F.col("__i") + h).alias("__j"),
+                      F.col("__v").alias("__v1")).filter(
+        F.col("__j") <= F.col("__n"))
+    right = idx.select(F.col("__g").alias("__g2"),
+                       F.col("__i").alias("__j2"),
+                       F.col("__v").alias("__v2"))
+    pairs = left.join(
+        right, (F.col("__g") == F.col("__g2"))
+        & (F.col("__j") == F.col("__j2")))
+    per = pairs.groupBy("__g").agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum((F.col("__v2") != F.col("__v1")).cast("long"))
+        .cast("long").alias("m_pairs"),
+        F.sum((F.col("__v2") > F.col("__v1")).cast("long"))
+        .cast("long").alias("n_pos"))
+    m = F.col("m_pairs").cast("double")
+    z = (F.col("n_pos").cast("double") - m / 2) / F.sqrt(m / 4)
+    pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return per.select(
+        F.col("__g").alias(group_col), "n", "m_pairs", "n_pos",
+        F.when(F.col("m_pairs") > 0, pin(z)).alias("z"))

@@ -1899,3 +1899,311 @@ def q284_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     return covariate_balance(
         li, (F.col("l_returnflag") == "R").cast("int"), feats)
+
+
+# ---------------------------------------------------------------------------
+# Round-12 registration candidates, fresh batch (the de-risking
+# pattern's fifth round): implemented + oracle-drafted now
+# (tests/test_round12_prebuilt.py), registered next rotation.
+# ---------------------------------------------------------------------------
+
+
+def mcnemar_test(df: DataFrame, flag_a: Column,
+                 flag_b: Column) -> DataFrame:
+    """One-row (n00, n01, n10, n11, chi2): McNemar's test for PAIRED
+    binary outcomes — did flag A flip where flag B didn't? Only the
+    discordant cells carry information: chi2 = (n01 − n10)²/(n01 +
+    n10) (no continuity correction — the plain form, documented).
+    The question q262's two-proportion z CANNOT answer when the two
+    flags live on the same row (paired, not independent samples).
+
+    One map-side-combined four-cell aggregate of exact integers; chi2
+    is a single pinned double. n01 + n10 = 0 reports
+    NULL-by-contract."""
+    src = df.select(flag_a.cast("int").alias("__a"),
+                    flag_b.cast("int").alias("__b")).filter(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    cell = lambda a, b: F.sum(  # noqa: E731
+        ((F.col("__a") == a) & (F.col("__b") == b)).cast("long")) \
+        .cast("long")
+    agg = src.agg(cell(0, 0).alias("n00"), cell(0, 1).alias("n01"),
+                  cell(1, 0).alias("n10"), cell(1, 1).alias("n11"))
+    b, c = F.col("n01").cast("double"), F.col("n10").cast("double")
+    pin = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        "n00", "n01", "n10", "n11",
+        F.when(F.col("n01") + F.col("n10") > 0,
+               pin((b - c) * (b - c) / (b + c))).alias("chi2"))
+
+
+def mantel_haenszel(df: DataFrame, stratum: Column, exposed: Column,
+                    outcome: Column) -> DataFrame:
+    """One-row (k_strata, n, or_mh, chi2_cmh): the Mantel–Haenszel
+    pooled odds ratio and Cochran–MH chi-square over per-stratum 2×2
+    tables — THE confounder-adjusted association read (q135's
+    chi-square pools strata and Simpson's paradox eats it; this
+    stratifies first). OR_MH = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ);
+    chi2 = (Σaᵢ − ΣEᵢ)²/ΣVᵢ with E = (a+b)(a+c)/n and
+    V = (a+b)(c+d)(a+c)(b+d)/(n²(n−1)).
+
+    One map-side-combined group-by to stratum cells (exact integers),
+    then the per-stratum ratio terms quantize to floor(x·1e12) BIGINT
+    (order-free sums; the V numerator is promoted to double BEFORE
+    the second product — four marginals each ≤ n keep every
+    intermediate under 2^53 for n < 3e6 per stratum, documented);
+    both statistics pin once. Degenerate inputs (ΣV = 0 or a zero
+    denominator sum) report NULL-by-contract."""
+    src = df.select(stratum.cast("long").alias("__s"),
+                    exposed.cast("int").alias("__e"),
+                    outcome.cast("int").alias("__o")).filter(
+        F.col("__s").isNotNull() & F.col("__e").isNotNull()
+        & F.col("__o").isNotNull())
+    cell = lambda e, o: F.sum(  # noqa: E731
+        ((F.col("__e") == e) & (F.col("__o") == o)).cast("long")) \
+        .cast("long")
+    cells = src.groupBy("__s").agg(
+        cell(1, 1).alias("__a"), cell(1, 0).alias("__b"),
+        cell(0, 1).alias("__c"), cell(0, 0).alias("__d"))
+    a, b = F.col("__a").cast("double"), F.col("__b").cast("double")
+    c, d = F.col("__c").cast("double"), F.col("__d").cast("double")
+    n = a + b + c + d
+    q12 = lambda x: F.floor(x * F.lit(1e12)).cast("long")  # noqa: E731
+    e_t = (a + b) * (a + c) / n
+    v_t = (a + b) * (c + d) * ((a + c) * (b + d)) / (n * n * (n - 1))
+    agg = cells.filter(n > 1).agg(
+        F.count(F.lit(1)).cast("long").alias("k_strata"),
+        F.sum((F.col("__a") + F.col("__b") + F.col("__c")
+               + F.col("__d"))).cast("long").alias("n"),
+        F.sum("__a").cast("long").alias("__sa"),
+        F.sum(q12(a * d / n)).alias("__rn"),
+        F.sum(q12(b * c / n)).alias("__rd"),
+        F.sum(q12(e_t)).alias("__se"),
+        F.sum(q12(v_t)).alias("__sv"))
+    diff = F.col("__sa").cast("double") - F.col("__se") / F.lit(1e12)
+    pin = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return agg.select(
+        "k_strata", "n",
+        F.when(F.col("__rd") > 0,
+               pin(F.col("__rn").cast("double") / F.col("__rd")))
+        .alias("or_mh"),
+        F.when(F.col("__sv") > 0,
+               pin(diff * diff / (F.col("__sv") / F.lit(1e12))))
+        .alias("chi2_cmh"))
+
+
+def partial_correlation(df: DataFrame, x: Column, y: Column,
+                        z: Column) -> DataFrame:
+    """One-row (n, r_xy, r_xz, r_yz, r_partial): the first-order
+    partial correlation of x and y CONTROLLING for z —
+    (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — the one-line answer to
+    'is the q04/q207 correlation just both variables tracking z?'.
+
+    One map-side-combined aggregate of nine exact integer sums at
+    DECIMAL(38,0)/HUGEINT width (pairwise products of cents top int64
+    at corpus scale); each pairwise r and the partial pin once over
+    those integers. Zero variance in any column, or |r| = 1 in a
+    controlling pair, reports NULL-by-contract."""
+    src = df.select(x.cast("long").alias("__x"),
+                    y.cast("long").alias("__y"),
+                    z.cast("long").alias("__z")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+        & F.col("__z").isNotNull())
+    dec = lambda cc: cc.cast("decimal(38,0)")  # noqa: E731
+    cols = {"x": F.col("__x"), "y": F.col("__y"), "z": F.col("__z")}
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for k, cc in cols.items():
+        aggs.append(F.sum(dec(cc)).alias(f"__s{k}"))
+    for i, j in (("x", "y"), ("x", "z"), ("y", "z")):
+        aggs.append(F.sum(dec(cols[i]) * dec(cols[j]))
+                    .alias(f"__s{i}{j}"))
+    for k, cc in cols.items():
+        aggs.append(F.sum(dec(cc) * dec(cc)).alias(f"__s{k}{k}"))
+    agg = src.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def r(i, j):
+        num = (F.col(f"__s{i}{j}").cast("double")
+               - F.col(f"__s{i}").cast("double")
+               * F.col(f"__s{j}") / n)
+        di = (F.col(f"__s{i}{i}").cast("double")
+              - F.col(f"__s{i}").cast("double") * F.col(f"__s{i}") / n)
+        dj = (F.col(f"__s{j}{j}").cast("double")
+              - F.col(f"__s{j}").cast("double") * F.col(f"__s{j}") / n)
+        return num / F.sqrt(di * dj)
+
+    rxy, rxz, ryz = r("x", "y"), r("x", "z"), r("y", "z")
+    part = (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz)
+                                      * (1 - ryz * ryz))
+    pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    vd = lambda k: (F.col(f"__s{k}{k}").cast("double")  # noqa: E731
+                    - F.col(f"__s{k}").cast("double")
+                    * F.col(f"__s{k}") / n)
+    ok = ((F.col("n") > 2) & (vd("x") > 0) & (vd("y") > 0)
+          & (vd("z") > 0))
+    okp = ok & (rxz * rxz < 1) & (ryz * ryz < 1)
+    return agg.select(
+        "n",
+        F.when(ok, pin(rxy)).alias("r_xy"),
+        F.when(ok, pin(rxz)).alias("r_xz"),
+        F.when(ok, pin(ryz)).alias("r_yz"),
+        F.when(okp, pin(part)).alias("r_partial"))
+
+
+def grubbs_test(df: DataFrame, value: Column) -> DataFrame:
+    """One-row (n, max_abs_dev, g): Grubbs' outlier statistic —
+    G = max|v − v̄|/s over the whole corpus, the single-most-extreme-
+    point screen (q60's z-scores flag MANY outliers row-wise; Grubbs
+    asks whether even the WORST one is surprising). The argmax runs on
+    EXACT integers: |v·n − S| at DECIMAL(38,0)/HUGEINT width (cents ×
+    corpus rows tops int64 at scale), so the max is order-free;
+    G = (max/n)/s pins once over exact sums. n < 3 or zero variance
+    reports NULL-by-contract."""
+    src = df.select(value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = src.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dec(F.col("__v"))).alias("__s"),
+        F.sum(dec(F.col("__v")) * dec(F.col("__v"))).alias("__q"))
+    j = src.crossJoin(F.broadcast(stats))
+    agg = (j.select(
+        "n", "__s", "__q",
+        F.abs(dec(F.col("__v")) * dec(F.col("n"))
+              - F.col("__s")).alias("__dev"))
+        .groupBy("n", "__s", "__q")
+        .agg(F.max("__dev").alias("__maxdev")))
+    n = F.col("n").cast("double")
+    var = ((F.col("__q").cast("double")
+            - F.col("__s").cast("double") * F.col("__s") / n)
+           / (n - 1))
+    g = (F.col("__maxdev").cast("double") / n) / F.sqrt(var)
+    pin = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("n") >= 3) & (var > 0)
+    return agg.select(
+        "n",
+        F.when(ok, pin(F.col("__maxdev").cast("double") / n))
+        .alias("max_abs_dev"),
+        F.when(ok, pin(g)).alias("g"))
+
+
+def chow_test(df: DataFrame, x: Column, y: Column,
+              is_second: Column) -> DataFrame:
+    """One-row (n1, n2, sse_pooled, sse_split, f): the Chow test for a
+    STRUCTURAL break at a KNOWN split — fit y ~ a + b·x pooled and per
+    segment, F = ((SSE_p − SSE_1 − SSE_2)/2)/((SSE_1 + SSE_2)/(n−4)).
+    q292 finds WHERE the level shifts; this says whether a known
+    boundary changed the RELATIONSHIP (slope/intercept), which a
+    level-shift test cannot see.
+
+    Each segment reduces to five exact integer sums at
+    DECIMAL(38,0)/HUGEINT width in ONE map-side-combined aggregate
+    (segment id is just a group key); every SSE is
+    SYY − SXY²/SXX over exact-integer-derived doubles and F pins
+    once. A segment with n < 3 or zero x-variance reports
+    NULL-by-contract."""
+    src = df.select(x.cast("long").alias("__x"),
+                    y.cast("long").alias("__y"),
+                    is_second.cast("int").alias("__g2")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+        & F.col("__g2").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+
+    def sums(pred, tag):
+        w = lambda c: F.sum(F.when(pred, c).otherwise(F.lit(0)))  # noqa: E731
+        return [
+            F.sum(F.when(pred, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long").alias(f"n{tag}"),
+            w(dec(F.col("__x"))).alias(f"__sx{tag}"),
+            w(dec(F.col("__y"))).alias(f"__sy{tag}"),
+            w(dec(F.col("__x")) * dec(F.col("__x")))
+            .alias(f"__sxx{tag}"),
+            w(dec(F.col("__x")) * dec(F.col("__y")))
+            .alias(f"__sxy{tag}"),
+            w(dec(F.col("__y")) * dec(F.col("__y")))
+            .alias(f"__syy{tag}"),
+        ]
+
+    agg = src.agg(*(sums(F.col("__g2") == 0, "1")
+                    + sums(F.col("__g2") == 1, "2")
+                    + sums(F.lit(True), "p")))
+
+    def sse(tag):
+        n = F.col(f"n{tag}" if tag != "p" else "np").cast("double")
+        sx = F.col(f"__sx{tag}").cast("double")
+        sy = F.col(f"__sy{tag}").cast("double")
+        sxx = F.col(f"__sxx{tag}").cast("double") - sx * sx / n
+        sxy = F.col(f"__sxy{tag}").cast("double") - sx * sy / n
+        syy = F.col(f"__syy{tag}").cast("double") - sy * sy / n
+        return syy - sxy * sxy / sxx, sxx
+
+    sse1, sxx1 = sse("1")
+    sse2, sxx2 = sse("2")
+    ssep, sxxp = sse("p")
+    n = (F.col("n1") + F.col("n2")).cast("double")
+    fstat = ((ssep - sse1 - sse2) / 2) / ((sse1 + sse2) / (n - 4))
+    pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = ((F.col("n1") > 2) & (F.col("n2") > 2)
+          & (sxx1 > 0) & (sxx2 > 0) & (sxxp > 0))
+    okf = ok & (sse1 + sse2 > 0)
+    return agg.select(
+        "n1", "n2",
+        F.when(ok, pin(ssep)).alias("sse_pooled"),
+        F.when(ok, pin(sse1 + sse2)).alias("sse_split"),
+        F.when(okf, pin(fstat)).alias("f"))
+
+
+def levene_bf(df: DataFrame, value: Column,
+              group_col: str) -> DataFrame:
+    """(k, n, f): the Brown–Forsythe (median-centered Levene) test for
+    VARIANCE homogeneity across groups — the assumption check behind
+    q277's ANOVA (whose F trusts equal variances) and the spread
+    sibling of q278's mean effect. Per-group MEDIANS (lower/type-1,
+    exact via the value-domain cumulative walk — the KS/threshold
+    contract, bounded by distinct values per group, never a sort of
+    raw rows), then one-way ANOVA on the absolute deviations
+    w = |v − med| — still exact integers.
+
+    Two shuffles total: the (group, value) cell group-by and the
+    final group-by; the deviations table reuses the cells (rows never
+    rejoin raw data). Degenerate inputs (k < 2, n ≤ k, zero
+    within-group deviation spread) report f NULL-by-contract."""
+    src = df.select(F.col(group_col).alias("__g"),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    cells = src.groupBy("__g", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c"))
+    wcum = (Window.partitionBy("__g").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("__g")
+    stepped = cells.select(
+        "__g", "__v", "__c",
+        F.sum("__c").over(wcum).alias("__cum"),
+        F.sum("__c").over(wall).alias("__n"))
+    med = (stepped.filter(2 * F.col("__cum") >= F.col("__n"))
+           .groupBy("__g").agg(F.min("__v").alias("__med")))
+    dev = (cells.join(med, "__g")
+           .select("__g", F.abs(F.col("__v") - F.col("__med"))
+                   .alias("__w"), "__c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = dev.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__ng"),
+        F.sum(dec(F.col("__w")) * dec(F.col("__c"))).alias("__sw"),
+        F.sum(dec(F.col("__w")) * dec(F.col("__w"))
+              * dec(F.col("__c"))).alias("__sww"))
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__ng").cast("long").alias("n"),
+        F.sum("__sw").alias("__tw"),
+        F.sum("__sww").alias("__tww"),
+        F.sum((F.col("__sw").cast("double")
+               * F.col("__sw") / F.col("__ng")))
+        .alias("__sgn"))
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("__sgn") - F.col("__tw").cast("double") \
+        * F.col("__tw") / n
+    ssw = F.col("__tww").cast("double") - F.col("__sgn")
+    fstat = (ssb / (k - 1)) / (ssw / (n - k))
+    pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("k") > 1) & (n > k) & (ssw > 0)
+    return agg.select("k", "n", F.when(ok, pin(fstat)).alias("f"))
