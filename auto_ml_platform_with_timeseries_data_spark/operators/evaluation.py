@@ -1280,8 +1280,9 @@ def q286_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-12 registration candidates (implemented + oracle-drafted in
-# tests/test_round12_prebuilt.py, registered next rotation)
+# Round-12 additions: internal-consistency / rank-concordance pair,
+# registered as q299/q300 below and gate-compared (plus planted-
+# fixture property tests) in tests/test_round12_prebuilt.py.
 # ---------------------------------------------------------------------------
 
 
@@ -1296,9 +1297,14 @@ def cronbach_alpha(df: DataFrame,
 
     One map-side-combined aggregate of 2k+3 exact integer sums at
     DECIMAL(38,0)/HUGEINT width; sample variances and α pin once.
-    n < 2, k < 2, or zero total variance reports NULL-by-contract."""
+    n < 2, k = 1, or zero total variance reports NULL-by-contract
+    (the k/(k−1) factor is guarded BEFORE plan build, so k = 1 never
+    divides by zero); k = 0 raises ValueError — there is no row
+    contract without at least one item column."""
     names = sorted(items)
     k = len(names)
+    if k == 0:
+        raise ValueError("cronbach_alpha needs at least one item column")
     src = df.select(*[items[nm].cast("long").alias(f"__i{j}")
                       for j, nm in enumerate(names)])
     for j in range(k):
@@ -1317,16 +1323,25 @@ def cronbach_alpha(df: DataFrame,
         aggs.append(F.sum(dec(c) * dec(c)).alias(f"__q{j}"))
     agg = src.agg(*aggs)
     n = F.col("n").cast("double")
+    # ANSI null-safe divisors (Spark 4 raises on double x/0, and the
+    # `ok` condition evaluates var_t eagerly): n < 2 lands NULL, the
+    # documented contract; values are unchanged when the guard passes.
+    n0 = F.when(n > 0, n)
+    n1 = F.when(n > 1, n - 1)
     sv = lambda s, q: ((F.col(q).cast("double")  # noqa: E731
-                        - F.col(s).cast("double") * F.col(s) / n)
-                       / (n - 1))
+                        - F.col(s).cast("double") * F.col(s) / n0)
+                       / n1)
     var_t = sv("__st", "__qt")
     var_sum = None
     for j in range(k):
         v = sv(f"__s{j}", f"__q{j}")
         var_sum = v if var_sum is None else var_sum + v
-    alpha = (k / (k - 1.0)) * (1 - var_sum / var_t)
     pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    if k < 2:
+        return agg.select(
+            "n", F.lit(k).cast("long").alias("k"),
+            F.lit(None).cast("double").alias("alpha"))
+    alpha = (k / (k - 1.0)) * (1 - var_sum / var_t)
     ok = (F.col("n") > 1) & (var_t > 0)
     return agg.select(
         "n", F.lit(k).cast("long").alias("k"),
@@ -1390,3 +1405,117 @@ def kendall_tau_b(df: DataFrame, x: Column, y: Column) -> DataFrame:
         F.col("__cc").cast("long").alias("concordant"),
         F.col("__dd").cast("long").alias("discordant"),
         F.when(ok, pin(diff / den)).alias("tau_b"))
+
+
+@query(
+    "q299_cronbach_alpha",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS i0,
+             CAST(floor(l_extendedprice / 1000) AS BIGINT) AS i1,
+             CAST(floor(l_quantity) AS BIGINT) AS i2
+      FROM lineitem
+      WHERE l_discount IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_quantity IS NOT NULL
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(i0 + i1 + i2 AS HUGEINT)) AS st,
+             sum(CAST(i0 + i1 + i2 AS HUGEINT) * (i0 + i1 + i2)) AS qt,
+             sum(CAST(i0 AS HUGEINT)) AS s0,
+             sum(CAST(i0 AS HUGEINT) * i0) AS q0,
+             sum(CAST(i1 AS HUGEINT)) AS s1,
+             sum(CAST(i1 AS HUGEINT) * i1) AS q1,
+             sum(CAST(i2 AS HUGEINT)) AS s2,
+             sum(CAST(i2 AS HUGEINT) * i2) AS q2
+      FROM s
+    ),
+    ex AS (
+      SELECT n,
+        (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS vt,
+        (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v0,
+        (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v1,
+        (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS v2
+      FROM a
+    )
+    SELECT n, CAST(3 AS BIGINT) AS k,
+      CASE WHEN n > 1 AND vt > 0 THEN
+        floor(1.5 * (1 - (v0 + v1 + v2) / vt) * 1e6 + 0.5) / 1e6
+      END AS alpha
+    FROM ex
+    """,
+)
+def q299_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do discount points, price bands, and quantity move as ONE
+    underlying 'order size' construct? Cronbach's alpha over the three
+    integer items — one hash-checked (n, k, alpha) row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return cronbach_alpha(li, {
+        "disc": F.floor(F.col("l_discount") * 100 + F.lit(0.5)),
+        "price": F.floor(F.col("l_extendedprice") / 1000),
+        "qty": F.floor(F.col("l_quantity")),
+    })
+
+
+@query(
+    "q300_kendall_tau_b",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS x,
+             CAST(least(floor(l_extendedprice / 20000), 5) AS BIGINT)
+               AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY x, y
+    ),
+    cd AS (
+      SELECT
+        sum(CASE WHEN b.y > a.y THEN CAST(a.c AS HUGEINT) * b.c
+            ELSE 0 END) AS cc,
+        sum(CASE WHEN b.y < a.y THEN CAST(a.c AS HUGEINT) * b.c
+            ELSE 0 END) AS dd
+      FROM cells a JOIN cells b ON b.x > a.x
+    ),
+    nx AS (
+      SELECT sum(CAST(r AS HUGEINT) * (r - 1)) AS tx2,
+             CAST(sum(r) AS BIGINT) AS n1
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY x)
+    ),
+    ny AS (
+      SELECT sum(CAST(r AS HUGEINT) * (r - 1)) AS ty2
+      FROM (SELECT CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY y)
+    ),
+    ex AS (
+      SELECT n1, cc, dd,
+             CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1) AS n0_2,
+             CAST(tx2 AS DOUBLE) AS n1_2,
+             CAST(ty2 AS DOUBLE) AS n2_2,
+             CAST(cc AS DOUBLE) - CAST(dd AS DOUBLE) AS diff
+      FROM cd, nx, ny
+    )
+    SELECT n1 AS n, CAST(cc AS BIGINT) AS concordant,
+           CAST(dd AS BIGINT) AS discordant,
+           CASE WHEN n0_2 > n1_2 AND n0_2 > n2_2 THEN
+             floor(diff / (sqrt((n0_2 - n1_2) * (n0_2 - n2_2)) / 2)
+                   * 1e6 + 0.5) / 1e6
+           END AS tau_b
+    FROM ex
+    """,
+)
+def q300_kendall_tau_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the quantity decile and the price band ORDER lineitems the
+    same way? Kendall's tau-b with both tie corrections, counted on
+    the |X|x|Y| cell matrix (domain^2 pairs, never row^2) — one
+    hash-checked (n, concordant, discordant, tau_b) row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull())
+    return kendall_tau_b(
+        li, F.floor(F.col("l_quantity") / 10),
+        F.least(F.floor(F.col("l_extendedprice") / 20000), F.lit(5.0)))

@@ -1,0 +1,337 @@
+"""Per-series one-step forecasting with a built-in walk-forward
+backtest: truncated simple-exponential-smoothing (SES) over an alpha
+grid with best-alpha selection, and Holt's linear-trend method, both
+expressed as FIXED finite linear filters.
+
+The reference's whole purpose is predicting a future value from a
+per-unit time series (remaining-useful-life, /root/reference/README.md
+:40-47; the grouped-TS AutoML path auto_machine_learning.py:100-107)
+— this module adds the named forecast operator that story was missing:
+q208 backtests an externally supplied prediction column, q69's EWMA
+smooths history; this PRODUCES the forecast, scores it walk-forward,
+and picks the smoothing constant per series.
+
+Design (the q291/q295 unroll pattern): the exponential-smoothing
+recurrences are linear in the observations, so the one-step-ahead
+forecast is a weighted sum of past values.  Truncating at a fixed
+window W and renormalizing to unit DC gain turns both SES and Holt
+into FINITE filters
+
+    yhat_{t+1|t} = sum_{j=1..W} c_j * y_{t+1-j}
+
+whose coefficients are computed ONCE in Python and embedded as float
+literals in BOTH engines (Spark expression and DuckDB oracle), exactly
+like q295's trig grid — identical bit patterns by construction, no
+per-row recurrence, no UDF.  Truncation error decays geometrically
+((1-alpha)^W for SES, |eig|^W for Holt's companion matrix); W = 16
+puts it below the 1e-6 pin for alpha >= 0.3 and the TRUNCATED filter
+itself is the documented contract (same stance as q69's lookback).
+
+Scale shape: ONE shuffle — the per-series window partition (row_number
++ W lags in a single pass); the alpha grid is a CONSTANT fan-out 9
+explode; the per-(series, alpha) aggregate map-side combines; best-
+alpha is a rank window over 9 rows per series.  Exactness: every
+coefficient*lag product quantizes to floor(c*l*1e6) BIGINT before any
+sum, so filter outputs, residuals, and squared-residual sums are exact
+integers (DECIMAL(38,0)/HUGEINT for the squares) — a bare multi-term
+double dot-product diverges cross-engine by one FMA contraction, a
+failure observed, not theorized.  Would hold at 1000 executors: series
+are user-keyed
+(numerous small partitions), no skew, no driver loop, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from auto_ml_platform_with_timeseries_data_spark.registry import query
+from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+
+_FC_W = 16
+_FC_ALPHAS = (0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+_HOLT_ALPHA, _HOLT_BETA = 0.5, 0.3
+
+
+def ses_weights(alpha: float, window: int = _FC_W) -> list[float]:
+    """Truncated-normalized SES filter: w_j = a(1-a)^(j-1) / norm,
+    j = 1..W, norm = 1 - (1-a)^W (the exact real-arithmetic sum, so
+    the weights sum to 1 and a constant series forecasts itself).
+    Plain Python doubles — deterministic, literal-embeddable."""
+    decay = 1.0 - alpha
+    norm = 1.0 - decay ** window
+    return [alpha * decay ** (j - 1) / norm for j in range(1, window + 1)]
+
+
+def holt_weights(alpha: float = _HOLT_ALPHA, beta: float = _HOLT_BETA,
+                 window: int = _FC_W) -> list[float]:
+    """Holt's linear method as a finite filter.  State (l_t, b_t)
+    evolves as s_t = M s_{t-1} + y_t u with
+
+        M = [[1-a, 1-a], [-ab, 1-ab]],   u = (a, ab)
+
+    (substitute the level update into the trend update to see the
+    second row), and the one-step forecast l_t + b_t = sum_j c_j
+    y_{t-j} with c_j = (1,1) . M^j u.  Truncated at W and renormalized
+    to unit sum (level-unbiased); the negative tail weights are what
+    carry the trend response.  Plain Python doubles."""
+    m11 = m12 = 1.0 - alpha
+    m21, m22 = -alpha * beta, 1.0 - alpha * beta
+    vx, vy = alpha, alpha * beta
+    cs = []
+    for _ in range(window):
+        cs.append(vx + vy)
+        vx, vy = m11 * vx + m12 * vy, m21 * vx + m22 * vy
+    s = sum(cs)
+    return [c / s for c in cs]
+
+
+def linear_filter_forecast(df: DataFrame, group_col: str, order: str,
+                           value: Column,
+                           models: list[tuple[float, list[float]]],
+                           tie_break: str | None = None) -> DataFrame:
+    """(group, alpha, n_scored, sse, forecast_next) per (series,
+    model): walk-forward one-step backtest of each fixed linear filter
+    plus the next-step forecast from the series tail.
+
+    Per row t with a full W-lag history, the backtest forecast is
+    sum_j floor(c_j * y_{t-j} * 1e6) (lags 1..W, an exact integer) and
+    e_t = y_t*1e6 - f_t; sse sums the exact integer squares (reported
+    in value^2 units, /1e12, pinned).  `forecast_next` evaluates the same
+    filter over lags 0..W-1 at the LAST row (NULL when the series is
+    shorter than W — by contract).  Series with no scored row (n <= W)
+    emit no output row (documented; the walk-forward score is
+    undefined there).  All models share the one window pass and the
+    constant-fan-out explode."""
+    if not models:
+        raise ValueError("linear_filter_forecast needs at least one model")
+    window = len(models[0][1])
+    if any(len(cs) != window for _, cs in models):
+        raise ValueError("all models must share one window length")
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    lagged = src.select(
+        "__g", F.col("__v").alias("__l0"),
+        F.row_number().over(w).alias("__i"),
+        *[F.lag("__v", j).over(w).alias(f"__l{j}")
+          for j in range(1, window + 1)])
+    last = Window.partitionBy("__g")
+    lagged = lagged.withColumn(
+        "__last", F.col("__i") == F.max("__i").over(last))
+
+    def filt_q(cs: list[float], off: int, quantum: float) -> Column:
+        # Each coefficient*lag product quantizes to floor(c*l*Q)
+        # BEFORE the sum, so the filter output is an exact INTEGER in
+        # both engines — a 16-term double dot-product would be one
+        # FMA-contraction away from a cross-engine ulp (the q295
+        # per-product discipline, learned here the hard way).
+        expr = None
+        for j, c in enumerate(cs):
+            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
+                           * F.lit(quantum)).cast("long")
+            expr = term if expr is None else expr + term
+        return expr
+
+    # Backtest quantum 1e2 (not 1e6): the exact-integer SSE must stay
+    # under 2^53 so its double readout is EXACT in both engines — a
+    # DECIMAL(38,0)->double (Spark) vs HUGEINT->double (DuckDB) cast
+    # of the SAME >2^53 integer can land one ulp apart (observed at
+    # sf0.1 with quantum 1e6).  Contract: sum of (e*1e2)^2 per series
+    # under 2^53, i.e. walk-forward SSE under 9.0e11 value^2 units.
+    structs = []
+    for alpha, cs in models:
+        eq = F.col("__l0") * F.lit(100) - filt_q(cs, 1, 1e2)
+        dec = eq.cast("decimal(38,0)")
+        e2 = F.when(F.col("__i") > window, dec * dec)
+        fn = F.when(F.col("__last"), filt_q(cs, 0, 1e6))
+        structs.append(F.struct(F.lit(alpha).alias("alpha"),
+                                e2.alias("__e2"), fn.alias("__fn")))
+    fanned = lagged.select(
+        "__g", F.explode(F.array(*structs)).alias("__m")).select(
+        "__g", F.col("__m.alpha").alias("alpha"),
+        F.col("__m.__e2").alias("__e2"), F.col("__m.__fn").alias("__fn"))
+    per = fanned.groupBy("__g", "alpha").agg(
+        F.count("__e2").cast("long").alias("n_scored"),
+        F.sum("__e2").alias("__sse"),
+        F.max("__fn").alias("__next"))
+    return (per.filter(F.col("n_scored") > 0)
+            .select(F.col("__g").alias(group_col), "alpha", "n_scored",
+                    (F.col("__sse").cast("double") / F.lit(1e4))
+                    .alias("sse"),
+                    (F.col("__next").cast("double") / F.lit(1e6))
+                    .alias("forecast_next")))
+
+
+def ses_best_forecast(df: DataFrame, group_col: str, order: str,
+                      value: Column,
+                      alphas: tuple[float, ...] = _FC_ALPHAS,
+                      tie_break: str | None = None) -> DataFrame:
+    """(group, best_alpha, n_scored, sse, forecast_next): sweep the
+    truncated-SES filter over the alpha grid, score each walk-forward,
+    keep the per-series argmin (ties to the SMALLEST alpha — the
+    smoother model wins a draw).  The grid is one constant fan-out;
+    selection is a rank window over |grid| rows per series on the
+    PINNED sse, so the pick is deterministic cross-engine."""
+    models = [(a, ses_weights(a)) for a in alphas]
+    per = linear_filter_forecast(df, group_col, order, value, models,
+                                 tie_break=tie_break)
+    wr = Window.partitionBy(group_col).orderBy(F.asc("sse"),
+                                               F.asc("alpha"))
+    return (per.withColumn("__r", F.row_number().over(wr))
+            .filter(F.col("__r") == 1)
+            .select(group_col, F.col("alpha").alias("best_alpha"),
+                    "n_scored", "sse", "forecast_next"))
+
+
+def holt_forecast(df: DataFrame, group_col: str, order: str,
+                  value: Column, alpha: float = _HOLT_ALPHA,
+                  beta: float = _HOLT_BETA,
+                  tie_break: str | None = None) -> DataFrame:
+    """(group, n_scored, sse, forecast_next): Holt's linear-trend
+    one-step forecast at fixed (alpha, beta) as a finite filter, with
+    the same walk-forward SSE contract as the SES sweep — run both and
+    compare sse to learn whether a series carries a trend worth the
+    extra parameter."""
+    per = linear_filter_forecast(
+        df, group_col, order, value,
+        [(alpha, holt_weights(alpha, beta))], tie_break=tie_break)
+    return per.select(group_col, "n_scored", "sse", "forecast_next")
+
+
+def _lag_sql(window: int) -> str:
+    cols = ", ".join(
+        f"lag(v, {j}) OVER (PARTITION BY g ORDER BY ts, event_id)"
+        f" AS l{j}" for j in range(1, window + 1))
+    return cols
+
+
+def _filt_sql(cs: list[float], off: int, quantum: str) -> str:
+    return " + ".join(
+        f"CAST(floor({c!r} * l{j + off} * {quantum}) AS BIGINT)"
+        for j, c in enumerate(cs))
+
+
+def _ses_oracle(alphas: tuple[float, ...] = _FC_ALPHAS,
+                window: int = _FC_W) -> str:
+    models = [(a, ses_weights(a, window)) for a in alphas]
+    branches = []
+    for ai, (a, cs) in enumerate(models):
+        fb, fn = _filt_sql(cs, 1, "1e2"), _filt_sql(cs, 0, "1e6")
+        branches.append(f"""
+      SELECT g, CAST({a!r} AS DOUBLE) AS alpha,
+             CASE WHEN i > {window} THEN
+               CAST(l0 * 100 - ({fb}) AS HUGEINT)
+               * (l0 * 100 - ({fb}))
+             END AS e2,
+             CASE WHEN is_last THEN {fn} END AS fn
+      FROM lagged""")
+    union = "\n      UNION ALL".join(branches)
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               = count(*) OVER (PARTITION BY g) AS is_last,
+             {_lag_sql(window)}
+      FROM src
+    ),
+    fanned AS ({union}
+    ),
+    per AS (
+      SELECT g, alpha, CAST(count(e2) AS BIGINT) AS n_scored,
+             sum(e2) AS sse_q, max(fn) AS fnext
+      FROM fanned GROUP BY g, alpha
+    ),
+    pinned AS (
+      SELECT g, alpha, n_scored,
+             CAST(sse_q AS DOUBLE) / 1e4 AS sse,
+             CAST(fnext AS DOUBLE) / 1e6 AS forecast_next
+      FROM per WHERE n_scored > 0
+    )
+    SELECT g AS user_id, alpha AS best_alpha, n_scored, sse,
+           forecast_next
+    FROM (SELECT *, row_number() OVER (PARTITION BY g
+            ORDER BY sse ASC, alpha ASC) AS r FROM pinned)
+    WHERE r = 1
+    """
+
+
+def _holt_oracle(alpha: float = _HOLT_ALPHA, beta: float = _HOLT_BETA,
+                 window: int = _FC_W) -> str:
+    cs = holt_weights(alpha, beta, window)
+    fb, fn = _filt_sql(cs, 1, "1e2"), _filt_sql(cs, 0, "1e6")
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               = count(*) OVER (PARTITION BY g) AS is_last,
+             {_lag_sql(window)}
+      FROM src
+    ),
+    scored AS (
+      SELECT g,
+             CASE WHEN i > {window} THEN
+               CAST(l0 * 100 - ({fb}) AS HUGEINT)
+               * (l0 * 100 - ({fb}))
+             END AS e2,
+             CASE WHEN is_last THEN {fn} END AS fnext
+      FROM lagged
+    ),
+    per AS (
+      SELECT g, CAST(count(e2) AS BIGINT) AS n_scored,
+             sum(e2) AS sse_q, max(fnext) AS fnext
+      FROM scored GROUP BY g
+    )
+    SELECT g AS user_id, n_scored,
+           CAST(sse_q AS DOUBLE) / 1e4 AS sse,
+           CAST(fnext AS DOUBLE) / 1e6 AS forecast_next
+    FROM per WHERE n_scored > 0
+    """
+
+
+@query("q309_ses_forecast", oracle=_ses_oracle())
+def q309_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user best-alpha truncated-SES one-step forecast with the
+    walk-forward SSE that chose it — the named forecasting read the
+    reference's RUL story implies (/root/reference/README.md:40-47),
+    every (user, best_alpha, n_scored, sse, forecast_next) row
+    hash-checked against the same python-generated filter weights."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return ses_best_forecast(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+@query("q310_holt_forecast", oracle=_holt_oracle())
+def q310_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear-trend one-step forecast at (0.5, 0.3) with
+    its walk-forward SSE — read next to q309: where Holt's sse beats
+    every SES alpha the series carries a trend worth modeling."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return holt_forecast(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

@@ -1016,11 +1016,15 @@ def hilbert_keys(df: DataFrame, col_x: str, col_y: str,
     out = out.withColumn(
         "__by", _bucket_expr(F.col(col_y), F.col("__ymin"),
                              F.col("__ymax"), bits))
+    made = ["__xmin", "__xmax", "__ymin", "__ymax", "__bx", "__by"]
     for name, spark_expr, _ in _hilbert_steps(bits):
         out = out.withColumn(name, F.expr(spark_expr))
-    drop = [c for c in out.columns
-            if c.startswith("__")]
-    return out.drop(*drop)
+        if name != "hkey":
+            made.append(name)
+    # Drop ONLY the columns this function created — caller-supplied
+    # "__"-prefixed columns (q297 passes "__epoch") pass through
+    # untouched, mirroring zorder_keys' bound-column-only drop.
+    return out.drop(*made)
 
 
 def _hilbert_oracle(bits: int = _HBITS) -> str:

@@ -2195,7 +2195,10 @@ def runs_test(df: DataFrame, group_col: str, order: str,
     b = F.col("n_below").cast("double")
     m = a + b
     e = 1 + 2 * a * b / m
-    var = 2 * a * b * (2 * a * b - a - b) / (m * m * (m - 1))
+    # ANSI null-safe m-1 (the `ok` condition evaluates var eagerly;
+    # a 1-kept-row series must land NULL-by-contract, not crash).
+    var = (2 * a * b * (2 * a * b - a - b)
+           / F.when(m > 1, m * m * (m - 1)))
     pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     ok = (F.col("n_above") > 0) & (F.col("n_below") > 0) & (var > 0)
     return per.select(
@@ -2206,12 +2209,14 @@ def runs_test(df: DataFrame, group_col: str, order: str,
 def cox_stuart(df: DataFrame, group_col: str, order: str,
                value: Column, tie_break: str | None = None) -> DataFrame:
     """(group, n, m_pairs, n_pos, z): the Cox–Stuart trend test per
-    series — pair v_t with v_{t+h} (h = n div 2), count strict rises;
-    under H₀ rises are Binomial(m, ½), z = (pos − m/2)/√(m/4). The
-    SIGN-only trend read: q228's Mann–Kendall weighs every pair (n²
-    information, n² cost in the exact form); Cox–Stuart reads n/2
-    pairs in ONE self-join — the linear-cost screen you run first.
-    Tied pairs (v_t = v_{t+h}) drop by contract.
+    series — pair v_t with v_{t+h} (h = ceil(n/2), the standard
+    convention: odd n drops the middle element so the m = floor(n/2)
+    pairs are DISJOINT and the Binomial(m, ½) null holds exactly),
+    count strict rises; z = (pos − m/2)/√(m/4). The SIGN-only trend
+    read: q228's Mann–Kendall weighs every pair (n² information, n²
+    cost in the exact form); Cox–Stuart reads n/2 pairs in ONE
+    self-join — the linear-cost screen you run first. Tied pairs
+    (v_t = v_{t+h}) drop by contract.
 
     One row_number window, one equi-join on (group, idx+h) — both on
     the series key, so the join reuses the window's shuffle; counts
@@ -2230,7 +2235,7 @@ def cox_stuart(df: DataFrame, group_col: str, order: str,
         "__g", "__v",
         F.row_number().over(w).alias("__i"),
         F.count(F.lit(1)).over(wt).alias("__n"))
-    h = F.expr("__n div 2")
+    h = F.expr("(__n + 1) div 2")
     left = idx.select("__g", "__n",
                       (F.col("__i") + h).alias("__j"),
                       F.col("__v").alias("__v1")).filter(
@@ -2253,3 +2258,111 @@ def cox_stuart(df: DataFrame, group_col: str, order: str,
     return per.select(
         F.col("__g").alias(group_col), "n", "m_pairs", "n_pos",
         F.when(F.col("m_pairs") > 0, pin(z)).alias("z"))
+
+
+@query(
+    "q307_runs_test",
+    oracle="""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    tot AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s
+      FROM src GROUP BY g
+    ),
+    kept AS (
+      SELECT src.g, ts, event_id,
+             CASE WHEN CAST(v AS HUGEINT) * n > s THEN 1
+                  WHEN CAST(v AS HUGEINT) * n < s THEN 0 END AS sgn
+      FROM src JOIN tot ON src.g = tot.g
+    ),
+    flips AS (
+      SELECT g, sgn,
+             CAST(lag(sgn) OVER (PARTITION BY g ORDER BY ts, event_id)
+               <> sgn AS BIGINT) AS flip
+      FROM kept WHERE sgn IS NOT NULL
+    ),
+    per AS (
+      SELECT g, CAST(sum(sgn) AS BIGINT) AS n_above,
+             CAST(sum(1 - sgn) AS BIGINT) AS n_below,
+             CAST(coalesce(sum(flip), 0) + 1 AS BIGINT) AS runs
+      FROM flips GROUP BY g
+    ),
+    ex AS (
+      SELECT g, n_above, n_below, runs,
+             CAST(n_above AS DOUBLE) AS a, CAST(n_below AS DOUBLE) AS b
+      FROM per
+    )
+    SELECT g AS user_id, n_above, n_below, runs,
+      CASE WHEN n_above > 0 AND n_below > 0
+           AND 2 * a * b * (2 * a * b - a - b)
+               / ((a + b) * (a + b) * (a + b - 1)) > 0 THEN
+        floor((runs - (1 + 2 * a * b / (a + b)))
+              / sqrt(2 * a * b * (2 * a * b - a - b)
+                     / ((a + b) * (a + b) * (a + b - 1)))
+              * 1e6 + 0.5) / 1e6
+      END AS z
+    FROM ex
+    """,
+)
+def q307_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test about the mean per user value series
+    (exact-integer above/below split, ties-at-mean dropped) — every
+    (user, n_above, n_below, runs, z) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return runs_test(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+@query(
+    "q308_cox_stuart",
+    oracle="""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    idx AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM src
+    ),
+    pairs AS (
+      SELECT a.g, a.n, a.v AS v1, b.v AS v2
+      FROM (SELECT g, n, v, i + (n + 1) // 2 AS j FROM idx
+            WHERE i + (n + 1) // 2 <= n) a
+      JOIN idx b ON a.g = b.g AND a.j = b.i
+    ),
+    per AS (
+      SELECT g, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CAST(v2 <> v1 AS BIGINT)) AS BIGINT) AS m_pairs,
+             CAST(sum(CAST(v2 > v1 AS BIGINT)) AS BIGINT) AS n_pos
+      FROM pairs GROUP BY g
+    )
+    SELECT g AS user_id, n, m_pairs, n_pos,
+      CASE WHEN m_pairs > 0 THEN
+        floor((CAST(n_pos AS DOUBLE) - CAST(m_pairs AS DOUBLE) / 2)
+              / sqrt(CAST(m_pairs AS DOUBLE) / 4) * 1e6 + 0.5) / 1e6
+      END AS z
+    FROM per
+    """,
+)
+def q308_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox-Stuart sign-trend screen per user value series (disjoint
+    v_t vs v_{t+ceil(n/2)} pairs, ties dropped) — the linear-cost
+    trend read you run before q228's Mann-Kendall; every
+    (user, n, m_pairs, n_pos, z) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return cox_stuart(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

@@ -1902,9 +1902,9 @@ def q284_covariate_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Round-12 registration candidates, fresh batch (the de-risking
-# pattern's fifth round): implemented + oracle-drafted now
-# (tests/test_round12_prebuilt.py), registered next rotation.
+# Round-12 additions: paired/stratified/structural statistics tier,
+# registered as q301-q306 below and gate-compared (plus planted-
+# fixture property tests) in tests/test_round12_prebuilt.py.
 # ---------------------------------------------------------------------------
 
 
@@ -2021,19 +2021,27 @@ def partial_correlation(df: DataFrame, x: Column, y: Column,
     agg = src.agg(*aggs)
     n = F.col("n").cast("double")
 
+    # ANSI null-safe divisors: the `ok`/`okp` CONDITIONS evaluate the
+    # r's eagerly, and Spark 4 raises on double x/0 — empty input or a
+    # zero-variance column must land NULL-by-contract, not crash.
+    nsafe = F.when(n > 0, n)
+
     def r(i, j):
         num = (F.col(f"__s{i}{j}").cast("double")
                - F.col(f"__s{i}").cast("double")
-               * F.col(f"__s{j}") / n)
+               * F.col(f"__s{j}") / nsafe)
         di = (F.col(f"__s{i}{i}").cast("double")
-              - F.col(f"__s{i}").cast("double") * F.col(f"__s{i}") / n)
+              - F.col(f"__s{i}").cast("double") * F.col(f"__s{i}")
+              / nsafe)
         dj = (F.col(f"__s{j}{j}").cast("double")
-              - F.col(f"__s{j}").cast("double") * F.col(f"__s{j}") / n)
-        return num / F.sqrt(di * dj)
+              - F.col(f"__s{j}").cast("double") * F.col(f"__s{j}")
+              / nsafe)
+        den = F.sqrt(di * dj)
+        return num / F.when(den != 0, den)
 
     rxy, rxz, ryz = r("x", "y"), r("x", "z"), r("y", "z")
-    part = (rxy - rxz * ryz) / F.sqrt((1 - rxz * rxz)
-                                      * (1 - ryz * ryz))
+    pden = F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+    part = (rxy - rxz * ryz) / F.when(pden != 0, pden)
     pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     vd = lambda k: (F.col(f"__s{k}{k}").cast("double")  # noqa: E731
                     - F.col(f"__s{k}").cast("double")
@@ -2073,9 +2081,11 @@ def grubbs_test(df: DataFrame, value: Column) -> DataFrame:
         .groupBy("n", "__s", "__q")
         .agg(F.max("__dev").alias("__maxdev")))
     n = F.col("n").cast("double")
+    # ANSI null-safe n-1 (the `ok` condition evaluates var eagerly;
+    # a single-row corpus must land NULL-by-contract, not crash).
     var = ((F.col("__q").cast("double")
             - F.col("__s").cast("double") * F.col("__s") / n)
-           / (n - 1))
+           / F.when(n > 1, n - 1))
     g = (F.col("__maxdev").cast("double") / n) / F.sqrt(var)
     pin = lambda x: F.floor(x * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     ok = (F.col("n") >= 3) & (var > 0)
@@ -2088,12 +2098,15 @@ def grubbs_test(df: DataFrame, value: Column) -> DataFrame:
 
 def chow_test(df: DataFrame, x: Column, y: Column,
               is_second: Column) -> DataFrame:
-    """One-row (n1, n2, sse_pooled, sse_split, f): the Chow test for a
-    STRUCTURAL break at a KNOWN split — fit y ~ a + b·x pooled and per
-    segment, F = ((SSE_p − SSE_1 − SSE_2)/2)/((SSE_1 + SSE_2)/(n−4)).
-    q292 finds WHERE the level shifts; this says whether a known
-    boundary changed the RELATIONSHIP (slope/intercept), which a
-    level-shift test cannot see.
+    """One-row (n1, n2, rmse_pooled, rmse_split, f): the Chow test for
+    a STRUCTURAL break at a KNOWN split — fit y ~ a + b·x pooled and
+    per segment, F = ((SSE_p − SSE_1 − SSE_2)/2)/((SSE_1 + SSE_2)/
+    (n−4)).  q292 finds WHERE the level shifts; this says whether a
+    known boundary changed the RELATIONSHIP (slope/intercept), which a
+    level-shift test cannot see.  The fit-quality readouts are RMSEs
+    (√(SSE/n)), not raw SSEs — an SSE grows with corpus size and
+    overflows any fixed 1e6 pin at scale (Spark's floor→long saturates
+    at 2^63); RMSE is scale-stable.
 
     Each segment reduces to five exact integer sums at
     DECIMAL(38,0)/HUGEINT width in ONE map-side-combined aggregate
@@ -2129,12 +2142,18 @@ def chow_test(df: DataFrame, x: Column, y: Column,
 
     def sse(tag):
         n = F.col(f"n{tag}" if tag != "p" else "np").cast("double")
+        # ANSI null-safe divisors: Spark 4 raises DIVIDE_BY_ZERO even
+        # for doubles, and the `ok` CONDITION below evaluates these
+        # eagerly — an empty segment must yield NULL-by-contract (the
+        # docstring's promise), not a crash.  When the guard passes the
+        # value is token-identical to the oracle's unguarded division.
+        nsafe = F.when(n > 0, n)
         sx = F.col(f"__sx{tag}").cast("double")
         sy = F.col(f"__sy{tag}").cast("double")
-        sxx = F.col(f"__sxx{tag}").cast("double") - sx * sx / n
-        sxy = F.col(f"__sxy{tag}").cast("double") - sx * sy / n
-        syy = F.col(f"__syy{tag}").cast("double") - sy * sy / n
-        return syy - sxy * sxy / sxx, sxx
+        sxx = F.col(f"__sxx{tag}").cast("double") - sx * sx / nsafe
+        sxy = F.col(f"__sxy{tag}").cast("double") - sx * sy / nsafe
+        syy = F.col(f"__syy{tag}").cast("double") - sy * sy / nsafe
+        return syy - sxy * sxy / F.when(sxx != 0, sxx), sxx
 
     sse1, sxx1 = sse("1")
     sse2, sxx2 = sse("2")
@@ -2147,8 +2166,8 @@ def chow_test(df: DataFrame, x: Column, y: Column,
     okf = ok & (sse1 + sse2 > 0)
     return agg.select(
         "n1", "n2",
-        F.when(ok, pin(ssep)).alias("sse_pooled"),
-        F.when(ok, pin(sse1 + sse2)).alias("sse_split"),
+        F.when(ok, pin(F.sqrt(ssep / n))).alias("rmse_pooled"),
+        F.when(ok, pin(F.sqrt((sse1 + sse2) / n))).alias("rmse_split"),
         F.when(okf, pin(fstat)).alias("f"))
 
 
@@ -2207,3 +2226,432 @@ def levene_bf(df: DataFrame, value: Column,
     pin = lambda x_: F.floor(x_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     ok = (F.col("k") > 1) & (n > k) & (ssw > 0)
     return agg.select("k", "n", F.when(ok, pin(fstat)).alias("f"))
+
+
+@query(
+    "q301_mcnemar",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_returnflag = 'R' AS INT) AS a,
+             CAST(l_discount >= 0.05 AS INT) AS b
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_discount IS NOT NULL
+    ),
+    agg AS (
+      SELECT
+        CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n00,
+        CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n01,
+        CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n10,
+        CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n11
+      FROM s
+    )
+    SELECT n00, n01, n10, n11,
+      CASE WHEN n01 + n10 > 0 THEN
+        floor((CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE))
+              * (CAST(n01 AS DOUBLE) - CAST(n10 AS DOUBLE))
+              / (CAST(n01 AS DOUBLE) + CAST(n10 AS DOUBLE))
+              * 1e6 + 0.5) / 1e6
+      END AS chi2
+    FROM agg
+    """,
+)
+def q301_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired on the SAME lineitem: does 'returned' flip where 'deep
+    discount' doesn't? McNemar's chi-square from the two discordant
+    cells — one hash-checked (n00, n01, n10, n11, chi2) row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_discount").isNotNull())
+    return mcnemar_test(
+        li, F.col("l_returnflag") == "R", F.col("l_discount") >= 0.05)
+
+
+@query(
+    "q302_mantel_haenszel",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(l_linenumber AS BIGINT) AS st,
+             CAST(l_discount >= 0.05 AS INT) AS e,
+             CAST(l_returnflag = 'R' AS INT) AS o
+      FROM lineitem
+      WHERE l_linenumber IS NOT NULL AND l_discount IS NOT NULL
+        AND l_returnflag IS NOT NULL
+    ),
+    cells AS (
+      SELECT st,
+        CAST(sum(CASE WHEN e = 1 AND o = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS a,
+        CAST(sum(CASE WHEN e = 1 AND o = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS b,
+        CAST(sum(CASE WHEN e = 0 AND o = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS c,
+        CAST(sum(CASE WHEN e = 0 AND o = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS d
+      FROM s GROUP BY st
+    ),
+    t AS (
+      SELECT a, b, c, d,
+             CAST(a AS DOUBLE) AS ad, CAST(b AS DOUBLE) AS bd,
+             CAST(c AS DOUBLE) AS cd, CAST(d AS DOUBLE) AS dd,
+             CAST(a AS DOUBLE) + b + c + d AS n
+      FROM cells
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_strata,
+             CAST(sum(a + b + c + d) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sa,
+             sum(CAST(floor(ad * dd / n * 1e12) AS BIGINT)) AS rn,
+             sum(CAST(floor(bd * cd / n * 1e12) AS BIGINT)) AS rd,
+             sum(CAST(floor((ad + bd) * (ad + cd) / n * 1e12)
+                 AS BIGINT)) AS se,
+             sum(CAST(floor((ad + bd) * (cd + dd) * ((ad + cd)
+                 * (bd + dd)) / (n * n * (n - 1)) * 1e12)
+                 AS BIGINT)) AS sv
+      FROM t WHERE n > 1
+    )
+    SELECT k_strata, n,
+      CASE WHEN rd > 0 THEN
+        floor(CAST(rn AS DOUBLE) / rd * 1e6 + 0.5) / 1e6
+      END AS or_mh,
+      CASE WHEN sv > 0 THEN
+        floor((CAST(sa AS DOUBLE) - se / 1e12)
+              * (CAST(sa AS DOUBLE) - se / 1e12)
+              / (sv / 1e12) * 1e6 + 0.5) / 1e6
+      END AS chi2_cmh
+    FROM agg
+    """,
+)
+def q302_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep-discount vs returned, STRATIFIED by line number — the
+    Mantel-Haenszel pooled odds ratio and CMH chi-square q135's
+    pooled test cannot give (Simpson-proof) — one hash-checked
+    (k_strata, n, or_mh, chi2_cmh) row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_returnflag").isNotNull())
+    return mantel_haenszel(
+        li, F.col("l_linenumber"), F.col("l_discount") >= 0.05,
+        F.col("l_returnflag") == "R")
+
+
+@query(
+    "q303_partial_correlation",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100
+               + 0.5) AS BIGINT) AS y,
+             CAST(floor(l_quantity) AS BIGINT) AS z
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        AND l_quantity IS NOT NULL
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(y AS HUGEINT)) AS sy,
+             sum(CAST(z AS HUGEINT)) AS sz,
+             sum(CAST(x AS HUGEINT) * y) AS sxy,
+             sum(CAST(x AS HUGEINT) * z) AS sxz,
+             sum(CAST(y AS HUGEINT) * z) AS syz,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(y AS HUGEINT) * y) AS syy,
+             sum(CAST(z AS HUGEINT) * z) AS szz
+      FROM s
+    ),
+    ex AS (
+      SELECT n,
+        (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy
+          / CAST(n AS DOUBLE))
+        / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+                / CAST(n AS DOUBLE))
+               * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+                  / CAST(n AS DOUBLE))) AS rxy,
+        (CAST(sxz AS DOUBLE) - CAST(sx AS DOUBLE) * sz
+          / CAST(n AS DOUBLE))
+        / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+                / CAST(n AS DOUBLE))
+               * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz
+                  / CAST(n AS DOUBLE))) AS rxz,
+        (CAST(syz AS DOUBLE) - CAST(sy AS DOUBLE) * sz
+          / CAST(n AS DOUBLE))
+        / sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+                / CAST(n AS DOUBLE))
+               * (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz
+                  / CAST(n AS DOUBLE))) AS ryz,
+        (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+          / CAST(n AS DOUBLE)) AS vx,
+        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy
+          / CAST(n AS DOUBLE)) AS vy,
+        (CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz
+          / CAST(n AS DOUBLE)) AS vz
+      FROM a
+    ),
+    fin AS (
+      SELECT n, rxy, rxz, ryz,
+             (n > 2 AND vx > 0 AND vy > 0 AND vz > 0) AS ok,
+             (rxy - rxz * ryz)
+             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) AS part
+      FROM ex
+    )
+    SELECT n,
+      CASE WHEN ok THEN floor(rxy * 1e6 + 0.5) / 1e6 END AS r_xy,
+      CASE WHEN ok THEN floor(rxz * 1e6 + 0.5) / 1e6 END AS r_xz,
+      CASE WHEN ok THEN floor(ryz * 1e6 + 0.5) / 1e6 END AS r_yz,
+      CASE WHEN ok AND rxz * rxz < 1 AND ryz * ryz < 1 THEN
+        floor(part * 1e6 + 0.5) / 1e6
+      END AS r_partial
+    FROM fin
+    """,
+)
+def q303_partial_correlation(spark: SparkSession, sf_dir: str
+                             ) -> DataFrame:
+    """Is the price~revenue correlation just both tracking quantity?
+    First-order partial correlation of price and discounted revenue
+    controlling for quantity — one hash-checked
+    (n, r_xy, r_xz, r_yz, r_partial) row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_discount").isNotNull()
+        & F.col("l_quantity").isNotNull())
+    return partial_correlation(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                * 100 + F.lit(0.5)),
+        F.floor(F.col("l_quantity")))
+
+
+@query(
+    "q304_grubbs",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ),
+    a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(v AS HUGEINT)) AS sv,
+             sum(CAST(v AS HUGEINT) * v) AS qv
+      FROM s
+    ),
+    m AS (
+      SELECT n, sv, qv,
+             max(abs(CAST(v AS HUGEINT) * n - sv)) AS maxdev
+      FROM s, a GROUP BY n, sv, qv
+    ),
+    ex AS (
+      SELECT n, maxdev,
+        (CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE) * sv
+          / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var
+      FROM m
+    )
+    SELECT n,
+      CASE WHEN n >= 3 AND var > 0 THEN
+        floor(CAST(maxdev AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+          / 1e6
+      END AS max_abs_dev,
+      CASE WHEN n >= 3 AND var > 0 THEN
+        floor(CAST(maxdev AS DOUBLE) / CAST(n AS DOUBLE) / sqrt(var)
+              * 1e6 + 0.5) / 1e6
+      END AS g
+    FROM ex
+    """,
+)
+def q304_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is even the single worst order total surprising? Grubbs' G =
+    max|v - mean|/s with the argmax on exact integers |v*n - S| — one
+    hash-checked (n, max_abs_dev, g) row."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull())
+    return grubbs_test(
+        o, F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+
+
+@query(
+    "q305_chow",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(floor(l_quantity) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+             CAST(l_shipdate >= DATE '1998-01-01' AS INT) AS g2
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_shipdate IS NOT NULL
+    ),
+    a AS (
+      SELECT
+        CAST(sum(CASE WHEN g2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n1,
+        sum(CASE WHEN g2 = 0 THEN CAST(x AS HUGEINT) ELSE 0 END)
+          AS sx1,
+        sum(CASE WHEN g2 = 0 THEN CAST(y AS HUGEINT) ELSE 0 END)
+          AS sy1,
+        sum(CASE WHEN g2 = 0 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+          AS sxx1,
+        sum(CASE WHEN g2 = 0 THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+          AS sxy1,
+        sum(CASE WHEN g2 = 0 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+          AS syy1,
+        CAST(sum(CASE WHEN g2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n2,
+        sum(CASE WHEN g2 = 1 THEN CAST(x AS HUGEINT) ELSE 0 END)
+          AS sx2,
+        sum(CASE WHEN g2 = 1 THEN CAST(y AS HUGEINT) ELSE 0 END)
+          AS sy2,
+        sum(CASE WHEN g2 = 1 THEN CAST(x AS HUGEINT) * x ELSE 0 END)
+          AS sxx2,
+        sum(CASE WHEN g2 = 1 THEN CAST(x AS HUGEINT) * y ELSE 0 END)
+          AS sxy2,
+        sum(CASE WHEN g2 = 1 THEN CAST(y AS HUGEINT) * y ELSE 0 END)
+          AS syy2,
+        CAST(count(*) AS BIGINT) AS np,
+        sum(CAST(x AS HUGEINT)) AS sxp,
+        sum(CAST(y AS HUGEINT)) AS syp,
+        sum(CAST(x AS HUGEINT) * x) AS sxxp,
+        sum(CAST(x AS HUGEINT) * y) AS sxyp,
+        sum(CAST(y AS HUGEINT) * y) AS syyp
+      FROM s
+    ),
+    ex AS (
+      SELECT n1, n2,
+        (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1
+          / CAST(n1 AS DOUBLE)) AS cxx1,
+        (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE) * sy1
+          / CAST(n1 AS DOUBLE))
+        - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy1
+           / CAST(n1 AS DOUBLE))
+          * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sy1
+             / CAST(n1 AS DOUBLE))
+          / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1
+             / CAST(n1 AS DOUBLE)) AS sse1,
+        (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2
+          / CAST(n2 AS DOUBLE)) AS cxx2,
+        (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE) * sy2
+          / CAST(n2 AS DOUBLE))
+        - (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy2
+           / CAST(n2 AS DOUBLE))
+          * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sy2
+             / CAST(n2 AS DOUBLE))
+          / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2
+             / CAST(n2 AS DOUBLE)) AS sse2,
+        (CAST(sxxp AS DOUBLE) - CAST(sxp AS DOUBLE) * sxp
+          / CAST(np AS DOUBLE)) AS cxxp,
+        (CAST(syyp AS DOUBLE) - CAST(syp AS DOUBLE) * syp
+          / CAST(np AS DOUBLE))
+        - (CAST(sxyp AS DOUBLE) - CAST(sxp AS DOUBLE) * syp
+           / CAST(np AS DOUBLE))
+          * (CAST(sxyp AS DOUBLE) - CAST(sxp AS DOUBLE) * syp
+             / CAST(np AS DOUBLE))
+          / (CAST(sxxp AS DOUBLE) - CAST(sxp AS DOUBLE) * sxp
+             / CAST(np AS DOUBLE)) AS ssep
+      FROM a
+    ),
+    fin AS (
+      SELECT n1, n2, sse1, sse2, ssep,
+        (n1 > 2 AND n2 > 2 AND cxx1 > 0 AND cxx2 > 0 AND cxxp > 0)
+          AS ok
+      FROM ex
+    )
+    SELECT n1, n2,
+      CASE WHEN ok THEN
+        floor(sqrt(ssep / CAST(n1 + n2 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+      END AS rmse_pooled,
+      CASE WHEN ok THEN
+        floor(sqrt((sse1 + sse2) / CAST(n1 + n2 AS DOUBLE))
+              * 1e6 + 0.5) / 1e6
+      END AS rmse_split,
+      CASE WHEN ok AND sse1 + sse2 > 0 THEN
+        floor(((ssep - sse1 - sse2) / 2)
+              / ((sse1 + sse2) / (CAST(n1 + n2 AS DOUBLE) - 4))
+              * 1e6 + 0.5) / 1e6
+      END AS f
+    FROM fin
+    """,
+)
+def q305_chow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the price~quantity RELATIONSHIP change at the 1998
+    boundary? The Chow structural-break F over pooled vs per-segment
+    OLS — one hash-checked (n1, n2, rmse_pooled, rmse_split, f) row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & F.col("l_shipdate").isNotNull())
+    return chow_test(
+        li, F.floor(F.col("l_quantity")),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("date"))
+
+
+@query(
+    "q306_levene_bf",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    cells AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY g, v
+    ),
+    stepped AS (
+      SELECT g, v, c,
+             sum(c) OVER (PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(c) OVER (PARTITION BY g) AS n
+      FROM cells
+    ),
+    med AS (
+      SELECT g, min(v) AS med FROM stepped
+      WHERE 2 * cum >= n GROUP BY g
+    ),
+    dev AS (
+      SELECT cells.g, abs(v - med) AS w, c
+      FROM cells JOIN med ON cells.g = med.g
+    ),
+    per AS (
+      SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+             sum(CAST(w AS HUGEINT) * c) AS sw,
+             sum(CAST(w AS HUGEINT) * w * c) AS sww
+      FROM dev GROUP BY g
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum(sw) AS tw, sum(sww) AS tww,
+             sum(CAST(sw AS DOUBLE) * sw / ng) AS sgn
+      FROM per
+    ),
+    ex AS (
+      SELECT k, n,
+        sgn - CAST(tw AS DOUBLE) * tw / CAST(n AS DOUBLE) AS ssb,
+        CAST(tww AS DOUBLE) - sgn AS ssw
+      FROM agg
+    )
+    SELECT k, n,
+      CASE WHEN k > 1 AND CAST(n AS DOUBLE) > CAST(k AS DOUBLE)
+           AND ssw > 0 THEN
+        floor((ssb / (CAST(k AS DOUBLE) - 1))
+              / (ssw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+              * 1e6 + 0.5) / 1e6
+      END AS f
+    FROM ex
+    """,
+)
+def q306_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is price SPREAD homogeneous across return flags? The
+    Brown-Forsythe (median-centered Levene) F — the variance-
+    homogeneity assumption check behind q277's ANOVA — one
+    hash-checked (k, n, f) row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull())
+    return levene_bf(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+        "l_returnflag")

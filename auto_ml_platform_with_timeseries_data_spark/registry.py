@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "auto_ml_platform_with_timeseries_data_spark.operators.linkage",
     "auto_ml_platform_with_timeseries_data_spark.operators.validation",
     "auto_ml_platform_with_timeseries_data_spark.operators.ts_features",
+    "auto_ml_platform_with_timeseries_data_spark.operators.forecast",
     "auto_ml_platform_with_timeseries_data_spark.operators.pipeline_ops",
     "auto_ml_platform_with_timeseries_data_spark.operators.layout",
     "auto_ml_platform_with_timeseries_data_spark.sources.readers",
@@ -60,60 +61,40 @@ _loaded = False
 
 # Driver-sweep priority. The correctness driver verifies queries in the
 # order ``queries()`` yields them, under a 50-query budget per round.
-# After round 10 every oracle-backed query registered through q267 has
-# a hash-green driver row in some round (CORRECTNESS_r01-r10); the only
-# rows with NO driver witness are the round-10 registrations past the
-# saturated r10 head (q268-q281) plus this round's q282-q291. Round 11
-# spends the budget accordingly:
+# After round 11 every oracle-backed query registered through q291 has
+# a hash-green driver row in some round (CORRECTNESS_r01-r11); the
+# never-witnessed oracle-backed rows are q292-q298 (registered past the
+# saturated r11 head) and this round's q299-q310. Round 12 spends the
+# budget accordingly:
 #   1-6   canary slots — one long-green query per module family, so a
 #         regression in shared infrastructure still gets witnessed
-#   7-20  q268-q281 — the r10 overflow head (banded miner,
-#         concentration/survival/bootstrap wave, rank-test/FDR wave):
-#         oracle-backed but never driver-witnessed
-#   21-30 the round-11 registrations q282-q291 (pre-built + oracle
-#         gate-compared last round in tests/test_round11_prebuilt.py)
-#   31-50 the stalest driver evidence: the round-5 block from
-#         q157_compaction through q178_kmv_distinct (last green r5;
-#         20 members — rotation honors the 30-slot VERDICT floor via
-#         slots 7-30 also being never/once-witnessed)
+#   7-13  q292-q298 — oracle-backed, never driver-witnessed
+#   14-25 the round-12 registrations q299-q310 (ten pre-built ops
+#         gate-compared in tests/test_round12_prebuilt.py plus the
+#         forecast pair q309/q310)
+#   26-50 the stalest driver evidence: the round-5/6 block from
+#         q179_canonical_selection onward (last green r5-r6)
 # Slots past 50 are the ranked overflow the driver reaches only if its
-# budget stretches: stalest-evidence-first (the rest of round-5/6/7,
-# then round-8/9-witnessed blocks), and the freshly r10-witnessed
-# block (last round's slots 7-50: q259-q267 + q138-q156) at the very
-# end.
+# budget stretches: stalest-evidence-first (rest of round-5/6, then
+# round-7/8/9-witnessed blocks), with the freshly r11-witnessed blocks
+# (q268-q281, q282-q291, q157-q178) at the very end.
 # Rows-only queries sit outside _PRIORITY entirely — a budget slot
 # spent on a weaker check is a slot wasted (their machinery is
-# witnessed via exact twins).
+# witnessed via exact twins; README "Evidence ledger" records this).
 _PRIORITY: tuple[str, ...] = (
     "q01_head", "q06_acf",
     "q12_f1_confusion", "q18_jaccard_pairs",
     "q35_embedding_neardup", "q125_key_skew",
-    "q268_margin_banded", "q269_hhi_concentration",
-    "q270_lorenz_curve", "q271_nelson_aalen",
-    "q272_logrank_test", "q273_zipf_slope",
-    "q274_bootstrap_mean_ci", "q275_mann_whitney_u",
-    "q276_kruskal_wallis", "q277_anova_f",
-    "q278_cohens_d", "q279_cramer_von_mises",
-    "q280_relabeling_test", "q281_bh_fdr",
-    "q282_cochran_armitage", "q283_diff_in_diff",
-    "q284_covariate_balance", "q285_fleiss_kappa",
-    "q286_weighted_kappa", "q287_mixture_conformance",
-    "q288_anderson_darling", "q289_turning_points",
-    "q290_trend_strength", "q291_pacf",
-    "q157_compaction", "q158_bloom_decontaminate",
-    "q160_pq_fixed_codebook", "q161_temperature_mix",
-    "q162_incremental_neardup", "q163_token_budget_head",
-    "q164_ridge_exact_twin", "q165_index_update",
-    "q166_cv_planted_optimum", "q167_gopher_gate",
-    "q168_stratified_token_head", "q169_curation_pipeline",
-    "q170_stream_incremental_dedup", "q172_semdedup_fixed_cells",
-    "q173_scd2_dimension", "q174_snapshot_diff",
-    "q175_ann_recall_gate", "q176_bpe_encode",
-    "q177_margin_mining", "q178_kmv_distinct",
     "q292_changepoint", "q293_von_neumann",
     "q294_hac_variance", "q295_spectral_peak",
     "q296_hll_distinct", "q297_hilbert_keys",
     "q298_dp_noisy_counts",
+    "q299_cronbach_alpha", "q300_kendall_tau_b",
+    "q301_mcnemar", "q302_mantel_haenszel",
+    "q303_partial_correlation", "q304_grubbs",
+    "q305_chow", "q306_levene_bf",
+    "q307_runs_test", "q308_cox_stuart",
+    "q309_ses_forecast", "q310_holt_forecast",
     "q179_canonical_selection", "q180_leakfree_split",
     "q181_ts_lookback_planted", "q182_stream_index_maintenance",
     "q45_rolling_stats", "q53_stateful_user_stats",
@@ -228,6 +209,28 @@ _PRIORITY: tuple[str, ...] = (
     "q152_video_frames", "q153_sharded_export",
     "q154_incremental_dedup", "q155_zorder_keys",
     "q156_quantile_sketch",
+    "q268_margin_banded", "q269_hhi_concentration",
+    "q270_lorenz_curve", "q271_nelson_aalen",
+    "q272_logrank_test", "q273_zipf_slope",
+    "q274_bootstrap_mean_ci", "q275_mann_whitney_u",
+    "q276_kruskal_wallis", "q277_anova_f",
+    "q278_cohens_d", "q279_cramer_von_mises",
+    "q280_relabeling_test", "q281_bh_fdr",
+    "q282_cochran_armitage", "q283_diff_in_diff",
+    "q284_covariate_balance", "q285_fleiss_kappa",
+    "q286_weighted_kappa", "q287_mixture_conformance",
+    "q288_anderson_darling", "q289_turning_points",
+    "q290_trend_strength", "q291_pacf",
+    "q157_compaction", "q158_bloom_decontaminate",
+    "q160_pq_fixed_codebook", "q161_temperature_mix",
+    "q162_incremental_neardup", "q163_token_budget_head",
+    "q164_ridge_exact_twin", "q165_index_update",
+    "q166_cv_planted_optimum", "q167_gopher_gate",
+    "q168_stratified_token_head", "q169_curation_pipeline",
+    "q170_stream_incremental_dedup", "q172_semdedup_fixed_cells",
+    "q173_scd2_dimension", "q174_snapshot_diff",
+    "q175_ann_recall_gate", "q176_bpe_encode",
+    "q177_margin_mining", "q178_kmv_distinct",
 )
 
 

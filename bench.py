@@ -179,6 +179,18 @@ HEADLINE = [
     "q296_hll_distinct",
     "q297_hilbert_keys",
     "q298_dp_noisy_counts",
+    "q299_cronbach_alpha",
+    "q300_kendall_tau_b",
+    "q301_mcnemar",
+    "q302_mantel_haenszel",
+    "q303_partial_correlation",
+    "q304_grubbs",
+    "q305_chow",
+    "q306_levene_bf",
+    "q307_runs_test",
+    "q308_cox_stuart",
+    "q309_ses_forecast",
+    "q310_holt_forecast",
     "automl_e2e",
 ]
 

