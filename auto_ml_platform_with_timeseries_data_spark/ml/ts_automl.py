@@ -220,14 +220,18 @@ def _lstm_kernel(pdf: pd.DataFrame, feats: list[str], hidden: int = 30,
     RMSE. `coef` carries the output-layer weights, `intercept` its
     bias (scaled space) — same schema as the ridge kernel.
 
-    Parity caveat: this kernel is architecture/loss/optimizer-faithful
-    to the reference but has never been diffed against real torch
-    numerics (torch is absent from this image) — gate ordering, init
-    distributions, and Adam epsilon placement may differ bit-wise.
-    The forward+BPTT math itself IS numerics-pinned: a hand-unrolled
-    1-hidden-unit/2-step chain-rule derivation with its constants is
-    asserted against ``_lstm_grads`` at 1e-9
-    (tests/test_ts_automl.py::test_lstm_bptt_golden_numerics)."""
+    Parity: the forward+backward math is pinned TWO independent ways —
+    (a) a hand-unrolled 1-hidden-unit/2-step chain-rule derivation
+    (tests/test_ts_automl.py::test_lstm_bptt_golden_numerics), and
+    (b) an mpmath 50-digit re-implementation of torch.nn.LSTM's
+    DOCUMENTED equations (gate order i,f,g,o; two-bias form; Linear +
+    MSE) with central finite-difference gradients, matched at 1e-9
+    (test_lstm_matches_torch_equations_via_mpmath_finite_diff) — the
+    strongest torch diff possible in an image without torch. What
+    remains genuinely unpinned vs a real torch run: init
+    distributions and Adam epsilon placement (training-trajectory,
+    not math, differences; the reference never reaches this path —
+    auto_machine_learning.py:19,59 never passes the mode flag)."""
     gkey = int(pdf["__g"].iloc[0])
     x = pdf[feats].to_numpy(dtype=np.float64)          # (n, T)
     y = pdf["__label"].to_numpy(dtype=np.float64)
