@@ -335,3 +335,305 @@ def q310_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# AR(2) one-step forecast — conditional least squares on the CENTERED
+# series.  The reference's RUL story is "predict the next value from
+# recent history" (/root/reference/README.md:40-47); q309/q310 answer
+# it with fixed smoothing filters, this answers it with a FITTED
+# autoregression: the per-series coefficients themselves are the
+# readout (b1/b2 near (2,-1) = near-unit-root trend; near 0 = noise).
+#
+# Design: demean (the hac_variance mean-join shape), then each of the
+# five normal-equation sums quantizes PER PRODUCT to floor(x*1e4)
+# BIGINT before one map-side-combined group-by — the 2x2 system
+#     [sxx sxz][b1]   [sxy]
+#     [sxz szz][b2] = [szy]
+# solves by Cramer's rule with the determinant and numerators as exact
+# DECIMAL(38,0)/HUGEINT integer products (~1e28 at sf0.1 — in range),
+# so b1/b2 are single double ratios of identical integers in both
+# engines, pinned once.  ONE window pass + ONE aggregate; no UDF, no
+# driver math.  Would hold at 1000 executors: series-keyed shuffle,
+# constant per-row cost.
+_AR2_Q = 1e4
+
+
+def ar2_forecast(df: DataFrame, group_col: str, order: str,
+                 value: Column,
+                 tie_break: str | None = None) -> DataFrame:
+    """(group, n, nobs, b1, b2, forecast_next): per-series AR(2) by
+    conditional least squares on centered values; forecast_next =
+    mean + b1*(v_n - mean) + b2*(v_{n-1} - mean) evaluated from the
+    PINNED coefficients (the documented contract — readers reproduce
+    the forecast from the emitted b1/b2).  nobs counts the regression
+    rows (t >= 3); nobs < 5 or a singular/degenerate system reports
+    b1/b2/forecast NULL-by-contract (one row per series either way)."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    means = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("__v").cast("double")
+         / F.count(F.lit(1))).alias("__m"))
+    lagged = src.select(
+        "__g", "__v",
+        F.row_number().over(w).alias("__i"),
+        F.lag("__v", 1).over(w).alias("__x"),
+        F.lag("__v", 2).over(w).alias("__z"))
+    last = Window.partitionBy("__g")
+    lagged = lagged.withColumn(
+        "__last", F.col("__i") == F.max("__i").over(last))
+    j = lagged.join(means, "__g")
+    cy = F.col("__v") - F.col("__m")
+    cx = F.col("__x") - F.col("__m")
+    cz = F.col("__z") - F.col("__m")
+    q = lambda c: F.floor(c * F.lit(_AR2_Q)).cast("long")  # noqa: E731
+    reg = F.col("__z").isNotNull()
+    s = lambda c: F.sum(F.when(reg, c))  # noqa: E731
+    per = j.groupBy("__g").agg(
+        F.max("n").alias("n"),
+        F.max("__m").alias("__m"),
+        F.sum(F.when(reg, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long").alias("nobs"),
+        s(q(cx * cx)).cast("decimal(38,0)").alias("__sxx"),
+        s(q(cz * cz)).cast("decimal(38,0)").alias("__szz"),
+        s(q(cx * cz)).cast("decimal(38,0)").alias("__sxz"),
+        s(q(cx * cy)).cast("decimal(38,0)").alias("__sxy"),
+        s(q(cz * cy)).cast("decimal(38,0)").alias("__szy"),
+        F.max(F.when(F.col("__last"), F.col("__v"))).alias("__vn"),
+        F.max(F.when(F.col("__last"), F.col("__x"))).alias("__vn1"))
+    det = (F.col("__sxx") * F.col("__szz")
+           - F.col("__sxz") * F.col("__sxz"))
+    num1 = (F.col("__szz") * F.col("__sxy")
+            - F.col("__sxz") * F.col("__szy"))
+    num2 = (F.col("__sxx") * F.col("__szy")
+            - F.col("__sxz") * F.col("__sxy"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("nobs") >= 5) & (det.cast("double") > 0) \
+        & F.col("__vn1").isNotNull()
+    b1 = pin(num1.cast("double") / det.cast("double"))
+    b2 = pin(num2.cast("double") / det.cast("double"))
+    fc = (F.col("__m")
+          + b1 * (F.col("__vn") - F.col("__m"))
+          + b2 * (F.col("__vn1") - F.col("__m")))
+    return per.select(
+        F.col("__g").alias(group_col), "n", "nobs",
+        F.when(ok, b1).alias("b1"),
+        F.when(ok, b2).alias("b2"),
+        F.when(ok, pin(fc / F.lit(100.0))).alias("forecast_next"))
+
+
+_AR2_ORACLE = """
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    means AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) / count(*) AS m
+      FROM src GROUP BY g
+    ),
+    lagged AS (
+      SELECT g, v,
+             row_number() OVER w AS i,
+             row_number() OVER w = count(*) OVER (PARTITION BY g)
+               AS is_last,
+             lag(v, 1) OVER w AS x,
+             lag(v, 2) OVER w AS z
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    per AS (
+      SELECT l.g, max(n) AS n, max(m) AS m,
+             CAST(count(z) AS BIGINT) AS nobs,
+             sum(CASE WHEN z IS NOT NULL THEN CAST(floor(
+               (x - m) * (x - m) * 1e4) AS HUGEINT) END) AS sxx,
+             sum(CASE WHEN z IS NOT NULL THEN CAST(floor(
+               (z - m) * (z - m) * 1e4) AS HUGEINT) END) AS szz,
+             sum(CASE WHEN z IS NOT NULL THEN CAST(floor(
+               (x - m) * (z - m) * 1e4) AS HUGEINT) END) AS sxz,
+             sum(CASE WHEN z IS NOT NULL THEN CAST(floor(
+               (x - m) * (v - m) * 1e4) AS HUGEINT) END) AS sxy,
+             sum(CASE WHEN z IS NOT NULL THEN CAST(floor(
+               (z - m) * (v - m) * 1e4) AS HUGEINT) END) AS szy,
+             max(CASE WHEN is_last THEN v END) AS vn,
+             max(CASE WHEN is_last THEN x END) AS vn1
+      FROM lagged l JOIN means USING (g) GROUP BY l.g
+    ),
+    solved AS (
+      SELECT g, n, nobs, m, vn, vn1,
+             sxx * szz - sxz * sxz AS det,
+             szz * sxy - sxz * szy AS num1,
+             sxx * szy - sxz * sxy AS num2
+      FROM per
+    ),
+    pinned AS (
+      SELECT g, n, nobs, m, vn, vn1, det,
+             floor(CAST(num1 AS DOUBLE) / CAST(det AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS b1,
+             floor(CAST(num2 AS DOUBLE) / CAST(det AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS b2
+      FROM solved
+    )
+    SELECT g AS user_id, n, nobs,
+           CASE WHEN nobs >= 5 AND CAST(det AS DOUBLE) > 0
+                AND vn1 IS NOT NULL THEN b1 END AS b1,
+           CASE WHEN nobs >= 5 AND CAST(det AS DOUBLE) > 0
+                AND vn1 IS NOT NULL THEN b2 END AS b2,
+           CASE WHEN nobs >= 5 AND CAST(det AS DOUBLE) > 0
+                AND vn1 IS NOT NULL THEN
+             floor((m + b1 * (vn - m) + b2 * (vn1 - m)) / 100.0
+                   * 1e6 + 0.5) / 1e6
+           END AS forecast_next
+    FROM pinned
+    """
+
+
+@query("q311_ar2_forecast", oracle=_AR2_ORACLE)
+def q311_ar2_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user AR(2) conditional-least-squares fit and one-step
+    forecast — the FITTED autoregression beside q309/q310's fixed
+    filters; every (user, n, nobs, b1, b2, forecast_next) row
+    hash-checked with the 2x2 normal equations solved in exact
+    integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return ar2_forecast(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# MASE — mean absolute SCALED error (Hyndman & Koehler 2006), the
+# scale-free accuracy readout that completes the forecast tier: q309
+# picks alpha by squared error, this scores the fixed alpha=0.5 SES
+# filter against the one-step NAIVE forecast (yhat_t = y_{t-1}), the
+# denominator that makes accuracy comparable ACROSS series of
+# different magnitudes.  MASE < 1 = the model beats naive persistence.
+#
+# Same one-window-pass shape as linear_filter_forecast; both absolute
+# error sums are exact integers (model errors in the 1e2 backtest
+# quantum, naive errors in raw cents), so the two MAEs and their ratio
+# are single double reads over identical integers, pinned once.
+_MASE_ALPHA = 0.5
+
+
+def mase_backtest(df: DataFrame, group_col: str, order: str,
+                  value: Column, alpha: float = _MASE_ALPHA,
+                  window: int = _FC_W,
+                  tie_break: str | None = None) -> DataFrame:
+    """(group, n_model, n_naive, mae_model, mae_naive, mase): walk-
+    forward one-step MAE of the truncated-SES(alpha) filter (rows with
+    a full W-lag history) over the MAE of the naive lag-1 forecast
+    (rows t >= 2), per series.  The two counts differ by contract (the
+    filter needs W rows of history, naive needs one) — MASE uses each
+    mean over its own support, the standard out-of-sample form.
+    Series with no scored model row or zero naive MAE report
+    mase NULL-by-contract; series with no naive row emit nothing."""
+    cs = ses_weights(alpha, window)
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    lagged = src.select(
+        "__g", F.col("__v").alias("__l0"),
+        F.row_number().over(w).alias("__i"),
+        *[F.lag("__v", j).over(w).alias(f"__l{j}")
+          for j in range(1, window + 1)])
+    filt = None
+    for j, c in enumerate(cs):
+        term = F.floor(F.lit(c) * F.col(f"__l{j + 1}")
+                       * F.lit(1e2)).cast("long")
+        filt = term if filt is None else filt + term
+    e_model = F.when(F.col("__i") > window,
+                     F.abs(F.col("__l0") * F.lit(100) - filt))
+    e_naive = F.when(F.col("__i") > 1,
+                     F.abs(F.col("__l0") - F.col("__l1")))
+    per = lagged.groupBy("__g").agg(
+        F.count(e_model).cast("long").alias("n_model"),
+        F.count(e_naive).cast("long").alias("n_naive"),
+        F.sum(e_model.cast("decimal(38,0)")).alias("__sm"),
+        F.sum(e_naive.cast("decimal(38,0)")).alias("__sn"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    mae_m = F.col("__sm").cast("double") / F.lit(1e2) \
+        / F.col("n_model") / F.lit(100.0)
+    mae_n = F.col("__sn").cast("double") / F.col("n_naive") \
+        / F.lit(100.0)
+    ok = (F.col("n_model") > 0) & (F.col("__sn").cast("double") > 0)
+    return (per.filter(F.col("n_naive") > 0)
+            .select(F.col("__g").alias(group_col),
+                    "n_model", "n_naive",
+                    F.when(F.col("n_model") > 0, pin(mae_m))
+                    .alias("mae_model"),
+                    pin(mae_n).alias("mae_naive"),
+                    F.when(ok, pin(mae_m / mae_n)).alias("mase")))
+
+
+def _mase_oracle(alpha: float = _MASE_ALPHA, window: int = _FC_W) -> str:
+    cs = ses_weights(alpha, window)
+    fb = _filt_sql(cs, 1, "1e2")
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             {_lag_sql(window)}
+      FROM src
+    ),
+    scored AS (
+      SELECT g,
+             CASE WHEN i > {window} THEN
+               CAST(abs(l0 * 100 - ({fb})) AS HUGEINT) END AS em,
+             CASE WHEN i > 1 THEN
+               CAST(abs(l0 - l1) AS HUGEINT) END AS en
+      FROM lagged
+    ),
+    per AS (
+      SELECT g, CAST(count(em) AS BIGINT) AS n_model,
+             CAST(count(en) AS BIGINT) AS n_naive,
+             sum(em) AS sm, sum(en) AS sn
+      FROM scored GROUP BY g
+    )
+    SELECT g AS user_id, n_model, n_naive,
+           CASE WHEN n_model > 0 THEN
+             floor(CAST(sm AS DOUBLE) / 1e2 / n_model / 100.0
+                   * 1e6 + 0.5) / 1e6 END AS mae_model,
+           floor(CAST(sn AS DOUBLE) / n_naive / 100.0
+                 * 1e6 + 0.5) / 1e6 AS mae_naive,
+           CASE WHEN n_model > 0 AND CAST(sn AS DOUBLE) > 0 THEN
+             floor((CAST(sm AS DOUBLE) / 1e2 / n_model / 100.0)
+                   / (CAST(sn AS DOUBLE) / n_naive / 100.0)
+                   * 1e6 + 0.5) / 1e6 END AS mase
+    FROM per WHERE n_naive > 0
+    """
+
+
+@query("q312_mase_backtest", oracle=_mase_oracle())
+def q312_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MASE of the SES(0.5) one-step forecast vs naive
+    persistence — the scale-free accuracy score the forecast tier
+    reports across series of different magnitudes; every row
+    hash-checked over exact-integer absolute-error sums."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return mase_backtest(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

@@ -2366,3 +2366,734 @@ def q308_cox_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Dickey–Fuller unit-root test (constant-only regression): the
+# stationarity screen the forecast tier reads FIRST — q311's AR fit
+# and q309/q310's smoothing both assume the series is not a random
+# walk; DF is the textbook test of exactly that null.  Regress
+# Δv_t = a + b·v_{t-1}: under the unit-root null b = 0; the t-ratio
+# of b (compared to the Dickey–Fuller, NOT normal, critical values —
+# -2.86 at 5%, documented, the caller's lookup) is the statistic.
+#
+# All five normal-equation sums are exact integers (x and Δ are raw
+# cents — no quantization needed at all); slope numerator/denominator
+# are exact DECIMAL(38,0)/HUGEINT products; b pins at 1e-6 and the
+# residual read-back (SSR, then the t-ratio) evaluates from the PINNED
+# b — the documented contract, reproducible from the emitted columns.
+# ONE lag window + ONE aggregate per series.
+def dickey_fuller(df: DataFrame, group_col: str, order: str,
+                  value: Column,
+                  tie_break: str | None = None) -> DataFrame:
+    """(group, m, beta, df_t): constant-only Dickey–Fuller per series.
+    m counts regression rows (t >= 2); m < 4, a degenerate regressor
+    (den <= 0), or a perfect fit (ssr <= 0 after pinning) reports
+    beta/df_t NULL-by-contract (one row per series either way)."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    lagged = src.select(
+        "__g", F.col("__v").alias("__l0"),
+        F.lag("__v", 1).over(w).alias("__x"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    x = F.col("__x")
+    y = F.col("__l0") - F.col("__x")
+    per = (lagged.filter(x.isNotNull())
+           .groupBy("__g")
+           .agg(F.count(F.lit(1)).cast("long").alias("m"),
+                F.sum(dec(x)).alias("__sx"),
+                F.sum(dec(y)).alias("__sy"),
+                F.sum(dec(x) * dec(x)).alias("__sxx"),
+                F.sum(dec(x) * dec(y)).alias("__sxy"),
+                F.sum(dec(y) * dec(y)).alias("__syy")))
+    m = F.col("m").cast("decimal(38,0)")
+    den = m * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = m * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    # NULL-guard the denominator: `ok` references ssr (hence beta), so
+    # the division is evaluated OUTSIDE any lazy CASE branch — a
+    # constant regressor (den = 0) must flow NULL, not raise ANSI
+    # DIVIDE_BY_ZERO (the test_series_contracts degenerate sweep).
+    den_d = F.when(den.cast("double") > 0, den.cast("double"))
+    beta = pin(num.cast("double") / den_d)
+    md = F.col("m").cast("double")
+    alpha = (F.col("__sy").cast("double")
+             - beta * F.col("__sx").cast("double")) / md
+    ssr = (F.col("__syy").cast("double")
+           - alpha * F.col("__sy").cast("double")
+           - beta * F.col("__sxy").cast("double"))
+    s2 = ssr / (md - 2)
+    se = F.sqrt(s2 * md / den_d)
+    ok = (F.col("m") >= 4) & (den.cast("double") > 0) & (ssr > 0)
+    return per.select(
+        F.col("__g").alias(group_col), "m",
+        F.when(ok, beta).alias("beta"),
+        F.when(ok, pin(beta / se)).alias("df_t"))
+
+
+_DF_ORACLE = """
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             lag(v, 1) OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS x
+      FROM src
+    ),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS m,
+             sum(CAST(x AS HUGEINT)) AS sx,
+             sum(CAST(l0 - x AS HUGEINT)) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * (l0 - x)) AS sxy,
+             sum(CAST(l0 - x AS HUGEINT) * (l0 - x)) AS syy
+      FROM lagged WHERE x IS NOT NULL GROUP BY g
+    ),
+    solved AS (
+      SELECT g, m, sx, sy, sxx, sxy, syy,
+             CAST(m AS HUGEINT) * sxx - sx * sx AS den,
+             CAST(m AS HUGEINT) * sxy - sx * sy AS num
+      FROM per
+    ),
+    pinned AS (
+      SELECT g, m, sx, sy, sxy, syy, den,
+             floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS beta
+      FROM solved
+    ),
+    resid AS (
+      SELECT g, m, den, beta,
+             CAST(syy AS DOUBLE)
+               - (CAST(sy AS DOUBLE) - beta * CAST(sx AS DOUBLE))
+                 / CAST(m AS DOUBLE) * CAST(sy AS DOUBLE)
+               - beta * CAST(sxy AS DOUBLE) AS ssr
+      FROM pinned
+    )
+    SELECT g AS user_id, m,
+           CASE WHEN m >= 4 AND CAST(den AS DOUBLE) > 0 AND ssr > 0
+             THEN beta END AS beta,
+           CASE WHEN m >= 4 AND CAST(den AS DOUBLE) > 0 AND ssr > 0
+             THEN floor(beta / sqrt(ssr / (CAST(m AS DOUBLE) - 2)
+                                    * CAST(m AS DOUBLE)
+                                    / CAST(den AS DOUBLE))
+                        * 1e6 + 0.5) / 1e6 END AS df_t
+    FROM resid
+    """
+
+
+@query("q313_dickey_fuller", oracle=_DF_ORACLE)
+def q313_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user constant-only Dickey–Fuller unit-root t-ratio over the
+    events value series — the stationarity screen in front of the
+    q309-q312 forecast tier; every (user, m, beta, df_t) row
+    hash-checked over exact-integer normal-equation sums."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return dickey_fuller(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Hurst exponent by the AGGREGATED-VARIANCE method (Beran 1994 §4.4;
+# Taqqu/Teverovsky/Willinger 1995): block-average the series at sizes
+# m = 1,2,4,8,16, read the variance of the block means, and fit
+# log Var(X^(m)) vs log m — self-similar series obey Var ∝ m^(2H-2),
+# so H = 1 + slope/2.  H ≈ 0.5 = short memory, H → 1 = long-range
+# dependence (the q294 HAC inflation made quantitative as one number).
+#
+# Scale shape: the m grid is a CONSTANT 5-way fan-out carrying its
+# exact log2(m) as an INTEGER (never a cross-engine log2 readout);
+# block sums are exact integer aggregates; each per-(series, m)
+# variance pins through floor(ln(var)*1e6) to an exact BIGINT so the
+# final 5-point regression runs entirely on order-free integer sums —
+# one double division at the end.  Two group-bys after the fan-out,
+# both map-side combined; no UDF, no driver math.
+_HURST_GRID = (1, 2, 4, 8, 16)
+
+
+def hurst_aggvar(df: DataFrame, group_col: str, order: str,
+                 value: Column, grid: tuple[int, ...] = _HURST_GRID,
+                 tie_break: str | None = None) -> DataFrame:
+    """(group, p_points, slope, hurst): aggregated-variance Hurst per
+    series.  Only complete blocks count; a grid point needs k >= 2
+    complete blocks and positive variance to enter the regression;
+    fewer than 3 surviving points reports slope/hurst
+    NULL-by-contract (one row per series either way)."""
+    for g in grid:
+        if g & (g - 1):
+            raise ValueError("hurst_aggvar grid must be powers of two")
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    idx = src.select("__g", "__v", F.row_number().over(w).alias("__i"))
+    ms = F.array(*[
+        F.struct(F.lit(m).alias("m"),
+                 F.lit(m.bit_length() - 1).alias("x"))
+        for m in grid])
+    fanned = idx.select(
+        "__g", "__v", "__i", F.explode(ms).alias("__s")).select(
+        "__g", "__v", "__i",
+        F.col("__s.m").alias("__m"), F.col("__s.x").alias("__x"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    blocks = (fanned.groupBy(
+        "__g", "__m", "__x",
+        F.floor((F.col("__i") - 1) / F.col("__m")).alias("__b"))
+        .agg(F.sum(dec(F.col("__v"))).alias("__bs"),
+             F.count(F.lit(1)).cast("long").alias("__bc")))
+    perm = (blocks.filter(F.col("__bc") == F.col("__m"))
+            .groupBy("__g", "__m", "__x")
+            .agg(F.count(F.lit(1)).cast("long").alias("__k"),
+                 F.sum("__bs").alias("__sb"),
+                 F.sum(F.col("__bs") * F.col("__bs")).alias("__sbb")))
+    kd = F.col("__k").cast("double")
+    md = F.col("__m").cast("double")
+    var = ((F.col("__sbb").cast("double")
+            - F.col("__sb").cast("double") * F.col("__sb") / kd)
+           / kd / (md * md))
+    pts = (perm.filter((F.col("__k") >= 2) & (var > 0))
+           .select("__g", F.col("__x").cast("long").alias("__x"),
+                   F.floor(F.log(var) * F.lit(1e6)).cast("long")
+                   .alias("__yq")))
+    reg = pts.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("p_points"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__yq").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__yq")).alias("__sxy"))
+    p = F.col("p_points")
+    den = p * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    num = p * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    # slope in ln units per log2 step -> convert by 1/ln(2); the yq
+    # quantum 1e6 divides back out
+    slope = (num.cast("double") / den.cast("double") / F.lit(1e6)
+             / F.lit(0.6931471805599453))
+    ok = (p >= 3) & (den > 0)
+    return reg.select(
+        F.col("__g").alias(group_col), "p_points",
+        F.when(ok, pin(slope)).alias("slope"),
+        F.when(ok, pin(F.lit(1.0) + slope / 2)).alias("hurst"))
+
+
+def _hurst_oracle(grid: tuple[int, ...] = _HURST_GRID) -> str:
+    ms = ", ".join(f"({m}, {m.bit_length() - 1})" for m in grid)
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    idx AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i
+      FROM src
+    ),
+    grid(m, x) AS (VALUES {ms}),
+    fanned AS (
+      SELECT g, v, i, m, x FROM idx, grid
+    ),
+    blocks AS (
+      SELECT g, m, x, CAST(floor((i - 1.0) / m) AS BIGINT) AS b,
+             sum(CAST(v AS HUGEINT)) AS bs,
+             CAST(count(*) AS BIGINT) AS bc
+      FROM fanned GROUP BY g, m, x, b
+    ),
+    perm AS (
+      SELECT g, m, x, CAST(count(*) AS BIGINT) AS k,
+             sum(bs) AS sb, sum(bs * bs) AS sbb
+      FROM blocks WHERE bc = m GROUP BY g, m, x
+    ),
+    pts AS (
+      SELECT g, CAST(x AS BIGINT) AS x,
+             CAST(floor(ln((CAST(sbb AS DOUBLE)
+                            - CAST(sb AS DOUBLE) * sb / k)
+                           / k / (CAST(m AS DOUBLE) * m)) * 1e6)
+                  AS BIGINT) AS yq
+      FROM perm
+      WHERE k >= 2 AND (CAST(sbb AS DOUBLE)
+                        - CAST(sb AS DOUBLE) * sb / k)
+                       / k / (CAST(m AS DOUBLE) * m) > 0
+    ),
+    reg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS p_points,
+             sum(x) AS sx, sum(yq) AS sy,
+             sum(x * x) AS sxx, sum(x * yq) AS sxy
+      FROM pts GROUP BY g
+    )
+    SELECT g AS user_id, p_points,
+           CASE WHEN p_points >= 3
+                AND p_points * sxx - sx * sx > 0 THEN
+             floor((p_points * sxy - sx * sy)
+                   / CAST(p_points * sxx - sx * sx AS DOUBLE)
+                   / 1e6 / 0.6931471805599453 * 1e6 + 0.5) / 1e6
+           END AS slope,
+           CASE WHEN p_points >= 3
+                AND p_points * sxx - sx * sx > 0 THEN
+             floor((1.0 + (p_points * sxy - sx * sy)
+                    / CAST(p_points * sxx - sx * sx AS DOUBLE)
+                    / 1e6 / 0.6931471805599453 / 2) * 1e6 + 0.5) / 1e6
+           END AS hurst
+    FROM reg
+    """
+
+
+@query("q314_hurst_exponent", oracle=_hurst_oracle())
+def q314_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user aggregated-variance Hurst exponent over the events
+    value series — the long-range-dependence readout beside q294's
+    HAC inflation; every (user, p_points, slope, hurst) row
+    hash-checked over order-free integer sums."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return hurst_aggvar(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation function (CCF) between two aligned series: does
+# metric X at time t predict metric Y at time t+l?  The bivariate
+# sibling of q06's ACF and the screen in front of any "use X as an
+# exogenous regressor for Y" decision (the reference's multi-sensor
+# C-MAPSS frame is exactly this shape — 21 sensor series per engine).
+#
+#     r_l = sum_t (x_t - xbar)(y_{t+l} - ybar)
+#           / sqrt(sum (x - xbar)^2 * sum (y - ybar)^2)
+#
+# Scale shape (the q294 HAC recipe, bivariate): means via ONE exact-
+# integer aggregate broadcast back by a group join; L+1 lead columns
+# in one window pass; every centered product quantizes to
+# floor(x*1e6) BIGINT before ONE map-side-combined group-by; the lag
+# fan-out to rows is a constant L+1 posexplode.  Rows where either
+# side is NULL are dropped BEFORE the window (both series must align
+# — the documented contract).
+_CCF_L = 5
+
+
+def ccf_lags(df: DataFrame, group_col: str, order: str,
+             x_value: Column, y_value: Column, max_lag: int = _CCF_L,
+             tie_break: str | None = None) -> DataFrame:
+    """(group, lag, n_pairs, ccf) for lag = 0..max_lag: cross-
+    correlation of x against y led by `lag` steps, normalized by the
+    FULL-series geometric denominator (the standard CCF convention —
+    one denominator across lags, so r_l are comparable).  Series with
+    zero variance on either side, or fewer than 3 aligned rows,
+    report ccf NULL-by-contract (still one row per lag)."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    x_value.cast("long").alias("__x"),
+                    y_value.cast("long").alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    means = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("__x").cast("double") / F.count(F.lit(1)))
+        .alias("__mx"),
+        (F.sum("__y").cast("double") / F.count(F.lit(1)))
+        .alias("__my"))
+    led = src.select(
+        "__g", "__x", "__y",
+        *[F.lead("__y", lag).over(w).alias(f"__y{lag}")
+          for lag in range(1, max_lag + 1)])
+    j = led.join(means, "__g")
+    cx = F.col("__x") - F.col("__mx")
+    qt = lambda c: F.floor(c * F.lit(1e6)).cast("long")  # noqa: E731
+    aggs = [F.max("n").alias("n"),
+            F.sum(qt(cx * cx)).alias("__sxx"),
+            F.sum(qt((F.col("__y") - F.col("__my"))
+                     * (F.col("__y") - F.col("__my"))))
+            .alias("__syy"),
+            F.sum(qt(cx * (F.col("__y") - F.col("__my"))))
+            .alias("__c0"),
+            F.count(F.lit(1)).cast("long").alias("__n0")]
+    for lag in range(1, max_lag + 1):
+        yl = F.col(f"__y{lag}")
+        aggs.append(F.sum(F.when(yl.isNotNull(),
+                                 qt(cx * (yl - F.col("__my")))))
+                    .alias(f"__c{lag}"))
+        aggs.append(F.count(F.col(f"__y{lag}")).cast("long")
+                    .alias(f"__n{lag}"))
+    per = j.groupBy("__g").agg(*aggs)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    den = F.sqrt(F.col("__sxx").cast("double")
+                 * F.col("__syy").cast("double"))
+    ok = (F.col("n") >= 3) & (F.col("__sxx") > 0) & (F.col("__syy") > 0)
+    rows = F.array(*[
+        F.struct(F.lit(lag).cast("long").alias("lag"),
+                 F.col(f"__n{lag}").alias("n_pairs"),
+                 F.when(ok, pin(F.col(f"__c{lag}").cast("double")
+                                / den)).alias("ccf"))
+        for lag in range(0, max_lag + 1)])
+    return (per.select("__g", F.explode(rows).alias("__r"))
+            .select(F.col("__g").alias(group_col),
+                    F.col("__r.lag").alias("lag"),
+                    F.col("__r.n_pairs").alias("n_pairs"),
+                    F.col("__r.ccf").alias("ccf")))
+
+
+def _ccf_oracle(max_lag: int = _CCF_L) -> str:
+    leads = ",\n             ".join(
+        f"lead(y, {lag}) OVER w AS y{lag}"
+        for lag in range(1, max_lag + 1))
+    csums = ",\n             ".join(
+        f"sum(CASE WHEN y{lag} IS NOT NULL THEN CAST(floor("
+        f"(x - mx) * (y{lag} - my) * 1e6) AS BIGINT) END) AS c{lag},\n"
+        f"             CAST(count(y{lag}) AS BIGINT) AS n{lag}"
+        for lag in range(1, max_lag + 1))
+    unions = "\n      UNION ALL ".join(
+        f"SELECT g, CAST({lag} AS BIGINT) AS lag, n{lag} AS n_pairs,"
+        f" CASE WHEN ok THEN floor(CAST(c{lag} AS DOUBLE) / den"
+        f" * 1e6 + 0.5) / 1e6 END AS ccf FROM per"
+        for lag in range(0, max_lag + 1))
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+      FROM events
+      WHERE value IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    means AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS DOUBLE) / count(*) AS mx,
+             CAST(sum(y) AS DOUBLE) / count(*) AS my
+      FROM src GROUP BY g
+    ),
+    led AS (
+      SELECT g, x, y,
+             {leads}
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    raw AS (
+      SELECT l.g AS g, max(n) AS n,
+             sum(CAST(floor((x - mx) * (x - mx) * 1e6) AS BIGINT))
+               AS sxx,
+             sum(CAST(floor((y - my) * (y - my) * 1e6) AS BIGINT))
+               AS syy,
+             sum(CAST(floor((x - mx) * (y - my) * 1e6) AS BIGINT))
+               AS c0,
+             CAST(count(*) AS BIGINT) AS n0,
+             {csums}
+      FROM led l JOIN means USING (g) GROUP BY l.g
+    ),
+    per AS (
+      SELECT *, sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)) AS den,
+             n >= 3 AND sxx > 0 AND syy > 0 AS ok
+      FROM raw
+    )
+    SELECT g AS user_id, lag, n_pairs, ccf FROM (
+      {unions}
+    )
+    """
+
+
+@query("q315_ccf", oracle=_ccf_oracle())
+def q315_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cross-correlation (lags 0..5) between the value series
+    and the props.k series — the bivariate lead/lag screen beside
+    q06's ACF; every (user, lag, n_pairs, ccf) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.get_json_object("props", "$.k").isNotNull())
+    return ccf_lags(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.get_json_object("props", "$.k").cast("long"),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# SEASONAL Mann–Kendall (Hirsch & Slack 1984): run q228's trend test
+# WITHIN each season (here: calendar month) and sum the per-season S
+# and variances — a trend screen that a seasonal cycle cannot fool,
+# because only same-season observations are ever compared.  The
+# standard operator on environmental/IoT series with periodicity.
+#
+# Per (series, season) the pair join is confined to the season's rows
+# (the q227/q228 pair contract, with the pair population cut by the
+# number of seasons); S is an exact integer sign sum over cents,
+# var18 the exact integer [n(n-1)(2n+5) - SUM t(t-1)(2t+5)] with the
+# value-tie family corrected.  Ordering is the full-resolution
+# (ts, event_id) total order — this variant DOCUMENTS distinct
+# ordering keys per row (the events contract) and so carries no
+# time-tie family; q228 keeps the full both-families machinery for
+# second-resolution data.  z = (S - sign(S)) / sqrt(VAR18/18) pins at
+# 1e-6 over exact integers.
+def seasonal_mann_kendall(df: DataFrame, group_col: str,
+                          ts_col: str = "ts",
+                          value: Column | None = None,
+                          id_col: str = "event_id",
+                          season: Column | None = None) -> DataFrame:
+    """(group, n, n_seasons, s_total, var18_total, z): Hirsch–Slack
+    seasonal Mann–Kendall per series; seasons default to
+    month-of-year (`season` overrides with any integer expression).
+    var18_total <= 0 (every season constant or single-row) reports z
+    NULL-by-contract (one row per series either way)."""
+    if value is None:
+        value = F.floor(F.col("value") * 100 + F.lit(0.5))
+    if season is None:
+        season = F.month(ts_col)
+    s = df.select(
+        F.col(group_col).alias("__g"),
+        season.alias("__season"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        value.cast("long").alias("__c")).filter(
+        F.col("__c").isNotNull())
+    a, b = s.alias("a"), s.alias("b")
+    before = (F.col("a.__ts") < F.col("b.__ts")) | \
+        ((F.col("a.__ts") == F.col("b.__ts"))
+         & (F.col("a.__id") < F.col("b.__id")))
+    sgn = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
+                  & (F.col("a.__season") == F.col("b.__season"))
+                  & before)
+           .groupBy(F.col("a.__g").alias("__g"),
+                    F.col("a.__season").alias("__season"))
+           .agg(F.sum(F.signum(F.col("b.__c") - F.col("a.__c"))
+                      .cast("long")).alias("__s")))
+    n_gs = s.groupBy("__g", "__season").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"))
+    vties = (s.groupBy("__g", "__season", "__c")
+             .agg(F.count(F.lit(1)).cast("long").alias("__t"))
+             .groupBy("__g", "__season")
+             .agg(F.sum(F.col("__t") * (F.col("__t") - 1)
+                        * (2 * F.col("__t") + 5)).alias("__t1")))
+    per = (n_gs.join(vties, ["__g", "__season"])
+           .join(sgn, ["__g", "__season"], "left")
+           .select("__g", "__season", "__n",
+                   F.coalesce("__s", F.lit(0)).alias("__s"),
+                   (F.col("__n") * (F.col("__n") - 1)
+                    * (2 * F.col("__n") + 5) - F.col("__t1"))
+                   .cast("long").alias("__v18")))
+    tot = per.groupBy("__g").agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("__s").cast("long").alias("s_total"),
+        F.sum("__v18").cast("long").alias("var18_total"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    z = ((F.col("s_total") - F.signum(F.col("s_total")))
+         / F.sqrt(F.col("var18_total") / F.lit(18.0)))
+    return tot.select(
+        F.col("__g").alias(group_col), "n", "n_seasons", "s_total",
+        "var18_total",
+        F.when(F.col("var18_total") > 0, pin(z)).alias("z"))
+
+
+_SMK_ORACLE = """
+    WITH s AS (
+      SELECT user_id AS g, CAST(month(ts) AS INTEGER) AS season,
+             ts, event_id AS id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ),
+    sgn AS (
+      SELECT a.g, a.season,
+             sum(CAST(sign(b.c - a.c) AS BIGINT)) AS s
+      FROM s a JOIN s b
+        ON a.g = b.g AND a.season = b.season
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.id < b.id))
+      GROUP BY a.g, a.season
+    ),
+    n_gs AS (
+      SELECT g, season, CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY g, season
+    ),
+    vt AS (
+      SELECT g, season,
+             sum(t * (t - 1) * (2 * t + 5)) AS t1
+      FROM (SELECT g, season, c, CAST(count(*) AS BIGINT) AS t
+            FROM s GROUP BY g, season, c)
+      GROUP BY g, season
+    ),
+    per AS (
+      SELECT n_gs.g, n_gs.season, n_gs.n,
+             COALESCE(sgn.s, 0) AS s,
+             CAST(n_gs.n * (n_gs.n - 1) * (2 * n_gs.n + 5) - vt.t1
+                  AS BIGINT) AS v18
+      FROM n_gs JOIN vt ON n_gs.g = vt.g AND n_gs.season = vt.season
+      LEFT JOIN sgn ON n_gs.g = sgn.g AND n_gs.season = sgn.season
+    ),
+    tot AS (
+      SELECT g, CAST(sum(n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_seasons,
+             CAST(sum(s) AS BIGINT) AS s_total,
+             CAST(sum(v18) AS BIGINT) AS var18_total
+      FROM per GROUP BY g
+    )
+    SELECT g AS user_id, n, n_seasons, s_total, var18_total,
+           CASE WHEN var18_total > 0 THEN
+             floor((s_total - sign(s_total))
+                   / sqrt(var18_total / 18.0) * 1e6 + 0.5) / 1e6
+           END AS z
+    FROM tot
+    """
+
+
+@query("q316_seasonal_mann_kendall", oracle=_SMK_ORACLE)
+def q316_seasonal_mann_kendall(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-user Hirsch–Slack seasonal Mann–Kendall (month seasons)
+    over the events value series — the deseasonalized trend screen
+    beside q228; every row hash-checked over exact integer S and
+    variance sums."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return seasonal_mann_kendall(ev, "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Page–Hinkley drift detector (Page 1954; the streaming-drift test in
+# Gama et al. 2014 §3.2): the sequential changepoint alarm that
+# complements q292's OFFLINE single changepoint — q292 asks "where
+# was the one break, in hindsight"; this asks "walking the series
+# forward, when would a monitor have FIRED", the shape a training-
+# data pipeline uses to cut a corpus at a quality drift.
+#
+#     PH_t = sum_{i<=t} (v_i - mean_i - delta),  mean_i = prefix mean
+#     alarm when PH_t - min_{i<=t} PH_i > lambda
+#
+# Exactness: prefix sums of cents are exact; each increment quantizes
+# to floor((v - S/i - delta_cents) * 1e2) BIGINT, so PH, the running
+# minimum, and every gap are exact integers end-to-end — the alarm
+# comparison is integer vs integer, no float boundary anywhere.  ONE
+# window partition per series (cumsum, running min, and the final
+# aggregate all reuse it); no UDF, no driver state.
+_PH_Q = 1e2
+
+
+def page_hinkley(df: DataFrame, group_col: str, order: str,
+                 value: Column, delta: float = 0.05,
+                 lam: float = 10.0,
+                 tie_break: str | None = None) -> DataFrame:
+    """(group, n, ph_stat, n_alarms, first_alarm): Page–Hinkley over
+    each series; ph_stat = max_t (PH_t - min_{i<=t} PH_i) in ORIGINAL
+    value units, n_alarms counts rows over lambda, first_alarm is the
+    1-based row index of the first crossing (NULL when none).  delta
+    and lambda are in original value units; increments quantize at
+    1e-2 cents — the documented resolution."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    dc = delta * 100.0
+    lam_q = int(round(lam * 100.0 * _PH_Q))
+    stepped = src.select(
+        "__g",
+        F.row_number().over(w).alias("__i"),
+        F.sum("__v").over(wcum).alias("__S"),
+        F.col("__v").alias("__v"))
+    term = F.floor((F.col("__v")
+                    - F.col("__S") / F.col("__i")
+                    - F.lit(dc)) * F.lit(_PH_Q)).cast("long")
+    wi = (Window.partitionBy("__g").orderBy("__i")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    ph = stepped.select(
+        "__g", "__i", term.alias("__t"))
+    ph = ph.select(
+        "__g", "__i",
+        F.sum("__t").over(wi).alias("__ph"))
+    ph = ph.select(
+        "__g", "__i", "__ph",
+        (F.col("__ph") - F.min("__ph").over(wi)).alias("__gap"))
+    out = ph.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("__gap").alias("__maxgap"),
+        F.sum(F.when(F.col("__gap") > F.lit(lam_q), F.lit(1))
+              .otherwise(F.lit(0))).cast("long").alias("n_alarms"),
+        F.min(F.when(F.col("__gap") > F.lit(lam_q), F.col("__i")))
+        .cast("long").alias("first_alarm"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.col("__g").alias(group_col), "n",
+        pin(F.col("__maxgap") / F.lit(_PH_Q) / F.lit(100.0))
+        .alias("ph_stat"),
+        "n_alarms", "first_alarm")
+
+
+def _ph_oracle(delta: float = 0.05, lam: float = 10.0) -> str:
+    dc = delta * 100.0
+    lam_q = int(round(lam * 100.0 * _PH_Q))
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    stepped AS (
+      SELECT g,
+             row_number() OVER w AS i,
+             sum(v) OVER (PARTITION BY g ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS S,
+             v
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    terms AS (
+      SELECT g, i,
+             CAST(floor((v - CAST(S AS DOUBLE) / i - {dc!r})
+                        * {_PH_Q!r}) AS BIGINT) AS t
+      FROM stepped
+    ),
+    ph AS (
+      SELECT g, i,
+             sum(t) OVER (PARTITION BY g ORDER BY i
+                          ROWS UNBOUNDED PRECEDING) AS ph
+      FROM terms
+    ),
+    gaps AS (
+      SELECT g, i,
+             ph - min(ph) OVER (PARTITION BY g ORDER BY i
+                                ROWS UNBOUNDED PRECEDING) AS gap
+      FROM ph
+    )
+    SELECT g AS user_id, CAST(count(*) AS BIGINT) AS n,
+           floor(max(gap) / {_PH_Q!r} / 100.0 * 1e6 + 0.5) / 1e6
+             AS ph_stat,
+           CAST(sum(CASE WHEN gap > {lam_q} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarms,
+           CAST(min(CASE WHEN gap > {lam_q} THEN i END) AS BIGINT)
+             AS first_alarm
+    FROM gaps GROUP BY g
+    """
+
+
+@query("q317_page_hinkley", oracle=_ph_oracle())
+def q317_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Page–Hinkley sequential drift alarm over the events
+    value series — the walking-forward counterpart of q292's offline
+    changepoint; every (user, n, ph_stat, n_alarms, first_alarm) row
+    hash-checked over exact integer cumulative sums."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return page_hinkley(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

@@ -60,6 +60,26 @@ _ROSTER = {
         1),
     "holt_forecast": (
         lambda df: forecast.holt_forecast(df, "g", "t", F.col("v")), 1),
+    "ar2_forecast": (
+        lambda df: forecast.ar2_forecast(df, "g", "t", F.col("v")), 1),
+    "mase_backtest": (
+        lambda df: forecast.mase_backtest(df, "g", "t", F.col("v")), 1),
+    "dickey_fuller": (
+        lambda df: ts_features.dickey_fuller(df, "g", "t", F.col("v")),
+        1),
+    "hurst_aggvar": (
+        lambda df: ts_features.hurst_aggvar(df, "g", "t", F.col("v")),
+        1),
+    "ccf_lags": (
+        lambda df: ts_features.ccf_lags(df, "g", "t", F.col("v"),
+                                        F.col("v")), 6),
+    "page_hinkley": (
+        lambda df: ts_features.page_hinkley(df, "g", "t", F.col("v")),
+        1),
+    "seasonal_mann_kendall": (
+        lambda df: ts_features.seasonal_mann_kendall(
+            df, "g", ts_col="t", value=F.col("v"), id_col="t",
+            season=(F.col("t") % 4).cast("int")), 1),
 }
 
 
