@@ -2655,3 +2655,389 @@ def q306_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levene_bf(
         li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
         "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Welch's heteroscedastic one-way ANOVA (Welch 1951): the mean test
+# you run when q306's Levene/Brown-Forsythe REJECTS variance
+# homogeneity — q277's classic F pools variances and is anti-
+# conservative under unequal spreads; Welch weights each group by
+# n_i/s_i^2 and adjusts the denominator df.  Completes the trio:
+# q277 (equal-variance F) / q306 (is that assumption true?) / q318
+# (the F that doesn't need it).
+#
+# Scale shape (the q277 recipe): ONE group-by produces per-cell exact
+# integer (n, sum, sum-of-squares); everything after runs on a k-row
+# frame (k = #groups) — a 1-row broadcast of the weight totals joins
+# back for the second moment pass.  Cells with n_i < 2 or zero
+# variance cannot carry a weight and are DROPPED (documented; k
+# reports the cells used).
+def welch_anova(df: DataFrame, value: Column,
+                group_col: str) -> DataFrame:
+    """(k, n, f_star, df2): Welch's F* across groups with
+    Satterthwaite-style denominator df.  k < 2 surviving cells
+    reports f_star/df2 NULL-by-contract (one row either way)."""
+    src = df.select(F.col(group_col).alias("__g"),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    perg = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum(dec(F.col("__v"))).alias("__sg"),
+        F.sum(dec(F.col("__v")) * dec(F.col("__v"))).alias("__ssg"))
+    ngd = F.col("__ng").cast("double")
+    s2 = ((F.col("__ssg").cast("double")
+           - F.col("__sg").cast("double") * F.col("__sg") / ngd)
+          / (ngd - 1))
+    cells = (perg.filter(F.col("__ng") >= 2)
+             .select("__ng",
+                     (F.col("__sg").cast("double") / ngd)
+                     .alias("__mean"),
+                     s2.alias("__s2"))
+             .filter(F.col("__s2") > 0)
+             .select("__ng", "__mean",
+                     (F.col("__ng").cast("double") / F.col("__s2"))
+                     .alias("__w")))
+    tot = cells.agg(F.sum("__w").alias("__sw"),
+                    F.sum(F.col("__w") * F.col("__mean"))
+                    .alias("__swm"))
+    j = cells.join(F.broadcast(tot))
+    mw = F.col("__swm") / F.col("__sw")
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__ng").cast("long").alias("n"),
+        F.max("__sw").alias("__sw"),
+        F.sum(F.col("__w") * (F.col("__mean") - mw)
+              * (F.col("__mean") - mw)).alias("__a"),
+        F.sum((F.lit(1.0) - F.col("__w") / F.col("__sw"))
+              * (F.lit(1.0) - F.col("__w") / F.col("__sw"))
+              / (F.col("__ng") - 1)).alias("__lam"))
+    kd = F.col("k").cast("double")
+    a = F.col("__a") / (kd - 1)
+    b = F.lit(2.0) * (kd - 2) / (kd * kd - 1) * F.col("__lam")
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("k") >= 2) & (F.col("__lam") > 0)
+    return agg.select(
+        "k", "n",
+        F.when(ok, pin(a / (F.lit(1.0) + b))).alias("f_star"),
+        F.when(ok, pin((kd * kd - 1) / (F.lit(3.0) * F.col("__lam"))))
+        .alias("df2"))
+
+
+@query(
+    "q318_welch_anova",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    perg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             sum(CAST(v AS HUGEINT)) AS sg,
+             sum(CAST(v AS HUGEINT) * v) AS ssg
+      FROM s GROUP BY g
+    ),
+    cells AS (
+      SELECT ng, CAST(sg AS DOUBLE) / ng AS mean,
+             CAST(ng AS DOUBLE)
+               / ((CAST(ssg AS DOUBLE)
+                   - CAST(sg AS DOUBLE) * sg / ng) / (ng - 1)) AS w
+      FROM perg
+      WHERE ng >= 2
+        AND (CAST(ssg AS DOUBLE)
+             - CAST(sg AS DOUBLE) * sg / ng) / (ng - 1) > 0
+    ),
+    tot AS (
+      SELECT sum(w) AS sw, sum(w * mean) AS swm FROM cells
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             max(sw) AS sw,
+             sum(w * (mean - swm / sw) * (mean - swm / sw)) AS a,
+             sum((1.0 - w / sw) * (1.0 - w / sw) / (ng - 1)) AS lam
+      FROM cells, tot
+    )
+    SELECT k, n,
+           CASE WHEN k >= 2 AND lam > 0 THEN
+             floor(a / (k - 1.0)
+                   / (1.0 + 2.0 * (k - 2.0)
+                      / (CAST(k AS DOUBLE) * k - 1) * lam)
+                   * 1e6 + 0.5) / 1e6 END AS f_star,
+           CASE WHEN k >= 2 AND lam > 0 THEN
+             floor((CAST(k AS DOUBLE) * k - 1) / (3.0 * lam)
+                   * 1e6 + 0.5) / 1e6 END AS df2
+    FROM agg
+    """,
+)
+def q318_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedasticity-robust ANOVA of revenue cents across
+    return-flag cohorts — the mean test that survives q306's Levene
+    rejection; one hash-checked (k, n, f_star, df2) row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull())
+    return welch_anova(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+        "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test for variance homogeneity: the LIKELIHOOD-RATIO
+# sibling of q306's Levene/Brown-Forsythe — more powerful when the
+# data is near-normal, famously sensitive when it is not (which is
+# exactly why both belong in the tier: Levene robust, Bartlett
+# sharp; disagreement between them is itself a normality signal).
+#
+#     M = (N-k) ln(s_p^2) - SUM (n_i-1) ln(s_i^2)
+#     C = 1 + (SUM 1/(n_i-1) - 1/(N-k)) / (3(k-1))
+#     chi2 = M / C   on k-1 df
+#
+# Same one-group-by shape as q277/q318: exact integer (n, sum, sum of
+# squares) per cell, then a k-row frame; ln() over identical pinned
+# double inputs is the q109 PMI precedent.  Cells with n_i < 2 or
+# zero variance cannot enter a log and are DROPPED (documented).
+def bartlett_test(df: DataFrame, value: Column,
+                  group_col: str) -> DataFrame:
+    """(k, n, chi2): Bartlett's statistic across groups; k < 2
+    surviving cells or a zero pooled variance reports chi2
+    NULL-by-contract (one row either way)."""
+    src = df.select(F.col(group_col).alias("__g"),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__g").isNotNull() & F.col("__v").isNotNull())
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    perg = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__ng"),
+        F.sum(dec(F.col("__v"))).alias("__sg"),
+        F.sum(dec(F.col("__v")) * dec(F.col("__v"))).alias("__ssg"))
+    ngd = F.col("__ng").cast("double")
+    s2 = ((F.col("__ssg").cast("double")
+           - F.col("__sg").cast("double") * F.col("__sg") / ngd)
+          / (ngd - 1))
+    cells = (perg.filter(F.col("__ng") >= 2)
+             .select("__ng", s2.alias("__s2"))
+             .filter(F.col("__s2") > 0))
+    agg = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("__ng").cast("long").alias("n"),
+        F.sum((F.col("__ng") - 1) * F.col("__s2")).alias("__pool"),
+        F.sum((F.col("__ng") - 1) * F.log("__s2")).alias("__slog"),
+        F.sum(F.lit(1.0) / (F.col("__ng") - 1)).alias("__sinv"))
+    nd, kd = F.col("n").cast("double"), F.col("k").cast("double")
+    sp2 = F.col("__pool") / (nd - kd)
+    m_stat = (nd - kd) * F.log(sp2) - F.col("__slog")
+    c_corr = (F.lit(1.0)
+              + (F.col("__sinv") - F.lit(1.0) / (nd - kd))
+              / (F.lit(3.0) * (kd - 1)))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("k") >= 2) & (F.col("n") > F.col("k")) \
+        & (F.col("__pool") > 0)
+    return agg.select(
+        "k", "n", F.when(ok, pin(m_stat / c_corr)).alias("chi2"))
+
+
+@query(
+    "q319_bartlett",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    perg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             sum(CAST(v AS HUGEINT)) AS sg,
+             sum(CAST(v AS HUGEINT) * v) AS ssg
+      FROM s GROUP BY g
+    ),
+    cells AS (
+      SELECT ng,
+             (CAST(ssg AS DOUBLE)
+              - CAST(sg AS DOUBLE) * sg / ng) / (ng - 1) AS s2
+      FROM perg
+      WHERE ng >= 2
+        AND (CAST(ssg AS DOUBLE)
+             - CAST(sg AS DOUBLE) * sg / ng) / (ng - 1) > 0
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             sum((ng - 1) * s2) AS pool,
+             sum((ng - 1) * ln(s2)) AS slog,
+             sum(1.0 / (ng - 1)) AS sinv
+      FROM cells
+    )
+    SELECT k, n,
+           CASE WHEN k >= 2 AND n > k AND pool > 0 THEN
+             floor(((CAST(n AS DOUBLE) - k)
+                    * ln(pool / (CAST(n AS DOUBLE) - k)) - slog)
+                   / (1.0 + (sinv - 1.0 / (CAST(n AS DOUBLE) - k))
+                      / (3.0 * (CAST(k AS DOUBLE) - 1)))
+                   * 1e6 + 0.5) / 1e6 END AS chi2
+    FROM agg
+    """,
+)
+def q319_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's variance-homogeneity chi-square of revenue cents
+    across return-flag cohorts — the likelihood-ratio sibling of
+    q306's Levene; one hash-checked (k, n, chi2) row."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull())
+    return bartlett_test(
+        li, F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+        "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Friedman test (Friedman 1937): the nonparametric repeated-measures
+# ANOVA — b blocks each score the same k treatments; rank WITHIN each
+# block and ask whether some treatment consistently ranks high.  The
+# blocked sibling of q276's Kruskal-Wallis (which pools all rows into
+# one ranking and so confounds block effects with treatment effects).
+#
+# Exactness: the per-cell score is floor(mean * 1e4) — an exact
+# integer in both engines; average ranks are carried DOUBLED
+# (2*rank + ties - 1, an exact integer), so every rank sum, squared
+# rank sum, and the tie-correction SUM(t^3 - t) is exact BIGINT
+# arithmetic; chi2 = 3*SUM(R2_j^2)/(b*k*(k+1)) - 3*b*(k+1) (the /4
+# from the doubling cancels into 12/4) pins once.  Only COMPLETE
+# blocks (all k treatments present) enter — the textbook contract.
+# Scale shape: cell group-by, then every frame is (blocks x k) rows;
+# the treatment-count frame is a 1-row broadcast.
+def friedman_test(df: DataFrame, value: Column, block_col: str,
+                  treatment_col: str) -> DataFrame:
+    """(k, b, chi2, chi2_adj): Friedman's statistic over complete
+    blocks with average-rank ties and the tie-corrected variant
+    (chi2_adj = chi2 / (1 - SUM(t^3-t)/(b*k*(k^2-1)))).  b < 2,
+    k < 2, or an all-tied layout (correction <= 0) reports
+    NULL-by-contract (one row either way)."""
+    src = df.select(F.col(block_col).alias("__b"),
+                    F.col(treatment_col).alias("__t"),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__b").isNotNull() & F.col("__t").isNotNull()
+        & F.col("__v").isNotNull())
+    cells = src.groupBy("__b", "__t").agg(
+        F.floor(F.sum("__v").cast("double") / F.count(F.lit(1))
+                * F.lit(1e4)).cast("long").alias("__score"))
+    kfr = cells.agg(F.count_distinct("__t").cast("long").alias("__k"))
+    sized = cells.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("long").alias("__nb"))
+    complete = (sized.join(F.broadcast(kfr))
+                .filter(F.col("__nb") == F.col("__k"))
+                .select("__b"))
+    kept = cells.join(complete, "__b")
+    wr = Window.partitionBy("__b").orderBy("__score")
+    wt = Window.partitionBy("__b", "__score")
+    ranked = kept.select(
+        "__b", "__t",
+        (F.lit(2) * F.rank().over(wr)
+         + F.count(F.lit(1)).over(wt) - 1).alias("__r2"))
+    pert = ranked.groupBy("__t").agg(
+        F.sum("__r2").cast("long").alias("__r2j"))
+    ties = (kept.groupBy("__b", "__score")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+            .agg(F.sum(F.col("__c") * F.col("__c") * F.col("__c")
+                       - F.col("__c")).cast("long").alias("__tcorr")))
+    nblocks = complete.agg(F.count(F.lit(1)).cast("long").alias("b"))
+    agg = (pert.agg(F.sum(F.col("__r2j") * F.col("__r2j"))
+                    .cast("decimal(38,0)").alias("__sr2"))
+           .join(F.broadcast(kfr))
+           .join(F.broadcast(nblocks))
+           .join(F.broadcast(ties)))
+    kd = F.col("__k").cast("double")
+    bd = F.col("b").cast("double")
+    chi2 = (F.lit(3.0) * F.col("__sr2").cast("double")
+            / (bd * kd * (kd + 1)) - F.lit(3.0) * bd * (kd + 1))
+    corr = (F.lit(1.0) - F.col("__tcorr").cast("double")
+            / (bd * kd * (kd * kd - 1)))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("b") >= 2) & (F.col("__k") >= 2)
+    return agg.select(
+        F.col("__k").alias("k"), "b",
+        F.when(ok, pin(chi2)).alias("chi2"),
+        F.when(ok & (corr > 0), pin(chi2 / corr)).alias("chi2_adj"))
+
+
+@query(
+    "q320_friedman",
+    oracle="""
+    WITH src AS (
+      SELECT user_id AS b, event_type AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    cells AS (
+      SELECT b, t,
+             CAST(floor(CAST(sum(v) AS DOUBLE) / count(*) * 1e4)
+                  AS BIGINT) AS score
+      FROM src GROUP BY b, t
+    ),
+    kfr AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells
+    ),
+    complete AS (
+      SELECT b FROM cells, kfr GROUP BY b, k
+      HAVING CAST(count(*) AS BIGINT) = k
+    ),
+    kept AS (
+      SELECT cells.* FROM cells JOIN complete USING (b)
+    ),
+    ranked AS (
+      SELECT b, t,
+             2 * rank() OVER (PARTITION BY b ORDER BY score)
+               + count(*) OVER (PARTITION BY b, score) - 1 AS r2
+      FROM kept
+    ),
+    pert AS (
+      SELECT t, CAST(sum(r2) AS BIGINT) AS r2j
+      FROM ranked GROUP BY t
+    ),
+    ties AS (
+      SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tcorr
+      FROM (SELECT b, score, CAST(count(*) AS BIGINT) AS c
+            FROM kept GROUP BY b, score)
+    ),
+    nblocks AS (
+      SELECT CAST(count(*) AS BIGINT) AS nb FROM complete
+    ),
+    agg AS (
+      SELECT sum(CAST(r2j AS HUGEINT) * r2j) AS sr2, k, nb, tcorr
+      FROM pert, kfr, nblocks, ties GROUP BY k, nb, tcorr
+    )
+    SELECT k, nb AS b,
+           CASE WHEN nb >= 2 AND k >= 2 THEN
+             floor((3.0 * CAST(sr2 AS DOUBLE)
+                    / (CAST(nb AS DOUBLE) * k * (k + 1))
+                    - 3.0 * CAST(nb AS DOUBLE) * (k + 1))
+                   * 1e6 + 0.5) / 1e6 END AS chi2,
+           CASE WHEN nb >= 2 AND k >= 2
+                AND 1.0 - CAST(tcorr AS DOUBLE)
+                    / (CAST(nb AS DOUBLE) * k
+                       * (CAST(k AS DOUBLE) * k - 1)) > 0 THEN
+             floor((3.0 * CAST(sr2 AS DOUBLE)
+                    / (CAST(nb AS DOUBLE) * k * (k + 1))
+                    - 3.0 * CAST(nb AS DOUBLE) * (k + 1))
+                   / (1.0 - CAST(tcorr AS DOUBLE)
+                      / (CAST(nb AS DOUBLE) * k
+                         * (CAST(k AS DOUBLE) * k - 1)))
+                   * 1e6 + 0.5) / 1e6 END AS chi2_adj
+    FROM agg
+    """,
+)
+def q320_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman's blocked rank test: does some event type consistently
+    carry higher mean value WITHIN users?  Blocks = users (complete
+    blocks only), treatments = event types; one hash-checked
+    (k, b, chi2, chi2_adj) row."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull())
+    return friedman_test(
+        ev, F.floor(F.col("value") * 100 + F.lit(0.5)),
+        "user_id", "event_type")

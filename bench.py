@@ -191,6 +191,17 @@ HEADLINE = [
     "q308_cox_stuart",
     "q309_ses_forecast",
     "q310_holt_forecast",
+    # round-12 additions
+    "q311_ar2_forecast",
+    "q312_mase_backtest",
+    "q313_dickey_fuller",
+    "q314_hurst_exponent",
+    "q315_ccf",
+    "q316_seasonal_mann_kendall",
+    "q317_page_hinkley",
+    "q318_welch_anova",
+    "q319_bartlett",
+    "q320_friedman",
     "automl_e2e",
 ]
 

@@ -1534,6 +1534,92 @@ def main() -> int:
 
     run("holt_forecast", lambda: holtf(False), lambda: holtf(True))
 
+    # round-12 wave: forecast/TS-inference tier (all one-window-pass /
+    # constant-fan-out designs except seasonal MK, whose pair join is
+    # confined per (series, season) — the q227/q228 contract cut by
+    # the season count) plus the global validation trio
+    def ar2p(p):
+        return fc_ops.ar2_forecast(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("ar2_forecast", lambda: ar2p(False), lambda: ar2p(True))
+
+    def masep(p):
+        return fc_ops.mase_backtest(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("mase_backtest", lambda: masep(False), lambda: masep(True))
+
+    def dfp(p):
+        return tsf.dickey_fuller(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("dickey_fuller", lambda: dfp(False), lambda: dfp(True))
+
+    def hurstp(p):
+        return tsf.hurst_aggvar(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("hurst_exponent", lambda: hurstp(False), lambda: hurstp(True))
+
+    def ccfp(p):
+        return tsf.ccf_lags(
+            evt(p).filter(
+                F.get_json_object("props", "$.k").isNotNull()),
+            "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            F.get_json_object("props", "$.k").cast("long"),
+            tie_break="event_id").count()
+
+    run("ccf", lambda: ccfp(False), lambda: ccfp(True))
+
+    def smkp(p):
+        return tsf.seasonal_mann_kendall(evt(p), "user_id").count()
+
+    run("seasonal_mann_kendall", lambda: smkp(False),
+        lambda: smkp(True))
+
+    def phkp(p):
+        return tsf.page_hinkley(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("page_hinkley", lambda: phkp(False), lambda: phkp(True))
+
+    def welchp(p):
+        return val_ops.welch_anova(
+            li(p).filter(F.col("l_returnflag").isNotNull()
+                         & F.col("l_extendedprice").isNotNull()),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+            "l_returnflag").count()
+
+    run("welch_anova", lambda: welchp(False), lambda: welchp(True))
+
+    def bartp(p):
+        return val_ops.bartlett_test(
+            li(p).filter(F.col("l_returnflag").isNotNull()
+                         & F.col("l_extendedprice").isNotNull()),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)),
+            "l_returnflag").count()
+
+    run("bartlett", lambda: bartp(False), lambda: bartp(True))
+
+    def friedp(p):
+        return val_ops.friedman_test(
+            evt(p), F.floor(F.col("value") * 100 + F.lit(0.5)),
+            "user_id", "event_type").count()
+
+    run("friedman", lambda: friedp(False), lambda: friedp(True))
+
     # ------------------------------------------------------------------
     # Delta-vs-corpus perceptual screens (q230/q237/q238 shape): the
     # id-modulus delta selector matches ids < 40 in EVERY copy, so

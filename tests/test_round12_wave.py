@@ -176,3 +176,128 @@ def test_page_hinkley_fires_on_level_jump_only(spark):
     assert r2["n_alarms"] > 0
     assert r2["first_alarm"] > 30  # fires AFTER the break, never before
     assert r2["ph_stat"] > 10.0
+
+
+# ---------------------------------------------------------------------------
+# Validation trio: Welch / Bartlett / Friedman
+# ---------------------------------------------------------------------------
+
+
+def _gframe(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_welch_anova_separates_means_despite_unequal_spread(spark):
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    rng = np.random.RandomState(3)
+    a = [("a", int(100 + e)) for e in rng.normal(0, 3, 50)]
+    b = [("b", int(100 + e)) for e in rng.normal(0, 30, 50)]
+    null = _gframe(spark, a + b)
+    same = validation.welch_anova(null, F.col("v"), "g").collect()[0]
+    shifted = _gframe(
+        spark, a + [("b", v + 40) for _, v in b])
+    diff = validation.welch_anova(
+        shifted, F.col("v"), "g").collect()[0]
+    assert same["k"] == 2 and diff["f_star"] > 10 * max(
+        same["f_star"], 0.1)
+
+
+def test_welch_matches_hand_formula(spark):
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    rng = np.random.RandomState(11)
+    groups = {"a": rng.normal(50, 5, 30), "b": rng.normal(60, 15, 40),
+              "c": rng.normal(55, 2, 25)}
+    rows = [(g, int(round(v))) for g, vs in groups.items() for v in vs]
+    r = validation.welch_anova(
+        _gframe(spark, rows), F.col("v"), "g").collect()[0]
+    ints = {g: np.array([v for gg, v in rows if gg == g], dtype=float)
+            for g in groups}
+    w = {g: len(v) / v.var(ddof=1) for g, v in ints.items()}
+    sw = sum(w.values())
+    mw = sum(w[g] * ints[g].mean() for g in ints) / sw
+    k = len(ints)
+    a = sum(w[g] * (ints[g].mean() - mw) ** 2 for g in ints) / (k - 1)
+    lam = sum((1 - w[g] / sw) ** 2 / (len(ints[g]) - 1) for g in ints)
+    f_star = a / (1 + 2 * (k - 2) / (k * k - 1) * lam)
+    assert r["f_star"] == pytest.approx(f_star, rel=1e-5)
+    assert r["df2"] == pytest.approx((k * k - 1) / (3 * lam), rel=1e-5)
+
+
+def test_bartlett_flags_spread_difference(spark):
+    import numpy as np
+
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    rng = np.random.RandomState(5)
+    tight = [("a", int(1000 + e)) for e in rng.normal(0, 5, 60)]
+    same = [("b", int(1000 + e)) for e in rng.normal(0, 5, 60)]
+    wide = [("b", int(1000 + e)) for e in rng.normal(0, 50, 60)]
+    chi_same = validation.bartlett_test(
+        _gframe(spark, tight + same), F.col("v"), "g").collect()[0]
+    chi_diff = validation.bartlett_test(
+        _gframe(spark, tight + wide), F.col("v"), "g").collect()[0]
+    assert chi_same["chi2"] < 5        # ~chi2(1) under the null
+    assert chi_diff["chi2"] > 50       # 10x sigma is unmissable
+
+
+def test_friedman_detects_consistent_ranking(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    # 10 blocks, 4 treatments, identical ranking everywhere ->
+    # maximal chi2 = b*(k-1)*3 = 90 for doubled-rank form check via
+    # the textbook closed form 12/(bk(k+1)) SUM Rj^2 - 3b(k+1)
+    rows = [(f"b{i}", t, 10 * (j + 1) + i)
+            for i in range(10) for j, t in enumerate("wxyz")]
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    r = validation.friedman_test(
+        df, F.col("v"), "b", "t").collect()[0]
+    assert r["k"] == 4 and r["b"] == 10
+    b, k = 10, 4
+    rj = [b * (j + 1) for j in range(k)]
+    chi2 = 12.0 / (b * k * (k + 1)) * sum(x * x for x in rj) \
+        - 3.0 * b * (k + 1)
+    assert r["chi2"] == pytest.approx(chi2, abs=1e-6)
+    assert r["chi2_adj"] == pytest.approx(chi2, abs=1e-6)  # no ties
+
+
+def test_friedman_all_tied_blocks_null_correction(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    # every block scores every treatment identically: chi2 = 0 and
+    # the tie correction hits exactly 0 -> chi2_adj NULL-by-contract
+    rows = [(f"b{i}", t, 7) for i in range(5) for t in "wxyz"]
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    r = validation.friedman_test(
+        df, F.col("v"), "b", "t").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-6)
+    assert r["chi2_adj"] is None
+
+
+def test_friedman_incomplete_blocks_are_dropped(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    rows = [(f"b{i}", t, 10 * (j + 1) + i)
+            for i in range(6) for j, t in enumerate("wxyz")]
+    rows += [("partial", "w", 5), ("partial", "x", 6)]  # missing y, z
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    r = validation.friedman_test(
+        df, F.col("v"), "b", "t").collect()[0]
+    assert r["b"] == 6  # the partial block never enters
