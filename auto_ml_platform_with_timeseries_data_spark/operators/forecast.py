@@ -637,3 +637,303 @@ def q312_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Theta-style forecast: SES plus HALF the drift.  Assimakopoulos &
+# Nikolopoulos's theta method (the M3 competition winner) decomposes
+# the series into theta-lines; Hyndman & Billah 2003 proved the
+# classic Theta(0,2) variant equals SES WITH DRIFT ADDED AT HALF
+# WEIGHT.  This operator implements that equivalence with the
+# truncated SES(0.5) filter (the q309 kernel) and the endpoint drift
+# estimator (v_t - v_1)/(t-1) — each choice documented, both engines
+# token-identical.
+#
+# Same one-window-pass shape as linear_filter_forecast; the drift
+# increment quantizes per row (floor(x*1e2) for the backtest,
+# floor(x*1e6) for the final forecast) so every error stays an exact
+# integer.
+def theta_forecast(df: DataFrame, group_col: str, order: str,
+                   value: Column, alpha: float = 0.5,
+                   window: int = _FC_W,
+                   tie_break: str | None = None) -> DataFrame:
+    """(group, n_scored, sse, forecast_next): walk-forward one-step
+    backtest of SES(alpha) + drift/2, where the drift at row t uses
+    only data through t-1 ((v_{t-1} - v_1)/(t-2) — honest
+    walk-forward).  Scored rows need a full W-lag history AND t >= 3
+    (two points to draw a drift); series with no scored row emit
+    nothing; a series shorter than W reports forecast_next NULL (the
+    q309 contract)."""
+    cs = ses_weights(alpha, window)
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    lagged = src.select(
+        "__g", F.col("__v").alias("__l0"),
+        F.row_number().over(w).alias("__i"),
+        F.first("__v").over(w.rowsBetween(
+            Window.unboundedPreceding, 0)).alias("__v1"),
+        *[F.lag("__v", j).over(w).alias(f"__l{j}")
+          for j in range(1, window + 1)])
+    last = Window.partitionBy("__g")
+    lagged = lagged.withColumn(
+        "__last", F.col("__i") == F.max("__i").over(last))
+    lagged = lagged.withColumn(
+        "__n", F.max("__i").over(last))
+
+    def filt_q(off: int, quantum: float):
+        expr = None
+        for j, c in enumerate(cs):
+            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
+                           * F.lit(quantum)).cast("long")
+            expr = term if expr is None else expr + term
+        return expr
+
+    drift_bt = F.floor((F.col("__l1") - F.col("__v1"))
+                       / (F.col("__i") - 2) / F.lit(2.0)
+                       * F.lit(1e2)).cast("long")
+    fq = filt_q(1, 1e2) + drift_bt
+    eq = F.col("__l0") * F.lit(100) - fq
+    dec = eq.cast("decimal(38,0)")
+    e2 = F.when((F.col("__i") > window) & (F.col("__i") >= 3),
+                dec * dec)
+    drift_next = F.floor((F.col("__l0") - F.col("__v1"))
+                         / (F.col("__n") - 1) / F.lit(2.0)
+                         * F.lit(1e6)).cast("long")
+    fn = F.when(F.col("__last") & (F.col("__n") >= 2),
+                filt_q(0, 1e6) + drift_next)
+    per = lagged.groupBy("__g").agg(
+        F.count(e2).cast("long").alias("n_scored"),
+        F.sum(e2).alias("__sse"),
+        F.max(fn).alias("__next"))
+    return (per.filter(F.col("n_scored") > 0)
+            .select(F.col("__g").alias(group_col), "n_scored",
+                    (F.col("__sse").cast("double") / F.lit(1e4))
+                    .alias("sse"),
+                    (F.col("__next").cast("double") / F.lit(1e6))
+                    .alias("forecast_next")))
+
+
+def _theta_oracle(alpha: float = 0.5, window: int = _FC_W) -> str:
+    cs = ses_weights(alpha, window)
+    fb, fn = _filt_sql(cs, 1, "1e2"), _filt_sql(cs, 0, "1e6")
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER w AS i,
+             first_value(v) OVER (PARTITION BY g ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS v1,
+             count(*) OVER (PARTITION BY g) AS nn,
+             row_number() OVER w = count(*) OVER (PARTITION BY g)
+               AS is_last,
+             {_lag_sql(window)}
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    scored AS (
+      SELECT g,
+             CASE WHEN i > {window} AND i >= 3 THEN
+               CAST(l0 * 100 - (({fb})
+                 + CAST(floor((l1 - v1) / (i - 2.0) / 2.0 * 1e2)
+                        AS BIGINT)) AS HUGEINT)
+               * (l0 * 100 - (({fb})
+                 + CAST(floor((l1 - v1) / (i - 2.0) / 2.0 * 1e2)
+                        AS BIGINT)))
+             END AS e2,
+             CASE WHEN is_last AND nn >= 2 THEN
+               ({fn}) + CAST(floor((l0 - v1) / (nn - 1.0) / 2.0 * 1e6)
+                             AS BIGINT)
+             END AS fnext
+      FROM lagged
+    ),
+    per AS (
+      SELECT g, CAST(count(e2) AS BIGINT) AS n_scored,
+             sum(e2) AS sse_q, max(fnext) AS fnext
+      FROM scored GROUP BY g
+    )
+    SELECT g AS user_id, n_scored,
+           CAST(sse_q AS DOUBLE) / 1e4 AS sse,
+           CAST(fnext AS DOUBLE) / 1e6 AS forecast_next
+    FROM per WHERE n_scored > 0
+    """
+
+
+@query("q323_theta_forecast", oracle=_theta_oracle())
+def q323_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user theta-style (SES + half-drift) one-step forecast with
+    its walk-forward SSE — read beside q309/q310: where theta's sse
+    beats both, the series carries drift the level filter misses;
+    every row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return theta_forecast(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Croston's method (Croston 1972): the standard forecaster for
+# INTERMITTENT series — demand that is often zero (spare parts,
+# rare-event costs, sparse telemetry).  SES applied naively to such a
+# series chases zeros; Croston smooths the NONZERO demand sizes and
+# the INTER-DEMAND intervals separately and forecasts the per-period
+# rate z_hat / q_hat.
+#
+# Same truncated-filter discipline as q309 (W = 8 here — intermittent
+# series have few nonzero points, and (1-0.3)^8 < 6% tail): both
+# filters evaluate ONCE at the last demand row over exact integer
+# lags; sizes are cents, intervals are exact row-index gaps.  Two
+# window passes (the all-rows index, then the compacted nonzero
+# series) — no UDF, no iteration.
+_CR_ALPHA = 0.3
+_CR_W = 8
+
+
+def croston_forecast(df: DataFrame, group_col: str, order: str,
+                     demand: Column, alpha: float = _CR_ALPHA,
+                     window: int = _CR_W,
+                     tie_break: str | None = None) -> DataFrame:
+    """(group, n, m_demands, z_hat, q_hat, rate): Croston per series.
+    `demand` must be a non-negative integer expression; zeros are the
+    intermittency.  Needs window demand lags AND window interval lags
+    (m_demands >= window + 1) — shorter series report
+    z_hat/q_hat/rate NULL-by-contract (one row per series with any
+    demand)."""
+    cs = ses_weights(alpha, window)
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    demand.cast("long").alias("__d")).filter(
+        F.col("__d").isNotNull())
+    idx = src.select("__g", "__d", F.row_number().over(w).alias("__i"))
+    w2 = Window.partitionBy("__g").orderBy("__i")
+    nz = (idx.filter(F.col("__d") > 0)
+          .select("__g", "__d", "__i",
+                  F.row_number().over(w2).alias("__j"),
+                  (F.col("__i") - F.lag("__i", 1).over(w2))
+                  .alias("__q")))
+    lags = nz.select(
+        "__g", "__j",
+        *[F.lag("__d", j).over(w2).alias(f"__dz{j}")
+          for j in range(0, window)],
+        *[F.lag("__q", j).over(w2).alias(f"__qz{j}")
+          for j in range(0, window)])
+    last = Window.partitionBy("__g")
+    lags = lags.withColumn("__m", F.max("__j").over(last)).filter(
+        F.col("__j") == F.col("__m"))
+
+    def filt(prefix: str) -> Column:
+        expr = None
+        for j, c in enumerate(cs):
+            term = F.floor(F.lit(c) * F.col(f"{prefix}{j}")
+                           * F.lit(1e6)).cast("long")
+            expr = term if expr is None else expr + term
+        return expr
+
+    counts = idx.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    per = lags.join(counts, "__g")
+    zq, qq = filt("__dz"), filt("__qz")
+    ok = F.col("__m") >= window + 1
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    z_hat = F.when(ok, zq.cast("double") / F.lit(1e6) / F.lit(100.0))
+    q_hat = F.when(ok, qq.cast("double") / F.lit(1e6))
+    return per.select(
+        F.col("__g").alias(group_col), "n",
+        F.col("__m").alias("m_demands"),
+        pin(z_hat).alias("z_hat"),
+        pin(q_hat).alias("q_hat"),
+        F.when(ok & (qq > 0),
+               pin(z_hat / q_hat)).alias("rate"))
+
+
+def _croston_oracle(alpha: float = _CR_ALPHA,
+                    window: int = _CR_W) -> str:
+    cs = ses_weights(alpha, window)
+
+    def filt(prefix: str) -> str:
+        return " + ".join(
+            f"CAST(floor({c!r} * {prefix}{j} * 1e6) AS BIGINT)"
+            for j, c in enumerate(cs))
+
+    dlags = ",\n             ".join(
+        f"lag(d, {j}) OVER w2 AS dz{j}" for j in range(0, window))
+    qlags = ",\n             ".join(
+        f"lag(q, {j}) OVER w2 AS qz{j}" for j in range(0, window))
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) >= 800
+               THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+               ELSE 0 END AS d
+      FROM events WHERE value IS NOT NULL
+    ),
+    idx AS (
+      SELECT g, d,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i
+      FROM src
+    ),
+    nz AS (
+      SELECT g, d, i,
+             row_number() OVER w2 AS j,
+             i - lag(i, 1) OVER w2 AS q
+      FROM idx WHERE d > 0
+      WINDOW w2 AS (PARTITION BY g ORDER BY i)
+    ),
+    lagged AS (
+      SELECT g, j,
+             max(j) OVER (PARTITION BY g) AS m,
+             {dlags},
+             {qlags}
+      FROM nz
+      WINDOW w2 AS (PARTITION BY g ORDER BY i)
+    ),
+    lastrow AS (
+      SELECT * FROM lagged WHERE j = m
+    ),
+    counts AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n FROM idx GROUP BY g
+    )
+    SELECT l.g AS user_id, n, CAST(m AS BIGINT) AS m_demands,
+           CASE WHEN m >= {window + 1} THEN
+             floor(CAST({filt("dz")} AS DOUBLE) / 1e6 / 100.0
+                   * 1e6 + 0.5) / 1e6 END AS z_hat,
+           CASE WHEN m >= {window + 1} THEN
+             floor(CAST({filt("qz")} AS DOUBLE) / 1e6
+                   * 1e6 + 0.5) / 1e6 END AS q_hat,
+           CASE WHEN m >= {window + 1} AND ({filt("qz")}) > 0 THEN
+             floor((CAST({filt("dz")} AS DOUBLE) / 1e6 / 100.0)
+                   / (CAST({filt("qz")} AS DOUBLE) / 1e6)
+                   * 1e6 + 0.5) / 1e6 END AS rate
+    FROM lastrow l JOIN counts USING (g)
+    """
+
+
+@query("q326_croston", oracle=_croston_oracle())
+def q326_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Croston intermittent-demand forecast over the events
+    value series thresholded at 8.0 (demand = the value when >= 8,
+    else zero — the sparse-burst shape Croston was built for); every
+    (user, n, m_demands, z_hat, q_hat, rate) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return croston_forecast(
+        ev, "user_id", "ts",
+        F.when(cents >= 800, cents).otherwise(F.lit(0)),
+        tie_break="event_id")

@@ -3097,3 +3097,440 @@ def q317_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Ljung–Box portmanteau test (Ljung & Box 1978): is the series white
+# noise ACROSS the first L autocorrelations jointly?  q293's von
+# Neumann reads lag 1 alone; a forecasting residual check needs the
+# joint statistic — this is the standard post-fit diagnostic for
+# q309-q311's residuals (and the whiteness gate in every Box-Jenkins
+# text):
+#
+#     Q = n(n+2) SUM_{l=1..L} r_l^2 / (n-l)   ~  chi2(L) under H0
+#
+# Same ONE-pass shape as q294's HAC: means join, L lead columns, each
+# centered product quantized to floor(x*1e6) BIGINT before one
+# map-side-combined aggregate; each r_l pins at 1e-6 (exact integer
+# ratio read once) and Q evaluates from the PINNED r_l — the emitted
+# acf columns reproduce the statistic, the documented contract.
+_LB_L = 10
+
+
+def ljung_box(df: DataFrame, group_col: str, order: str,
+              value: Column, max_lag: int = _LB_L,
+              tie_break: str | None = None) -> DataFrame:
+    """(group, n, q_stat): Ljung–Box over lags 1..max_lag per series.
+    n <= max_lag + 1 or zero variance reports q_stat NULL-by-contract
+    (one row per series either way)."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    means = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("__v").cast("double")
+         / F.count(F.lit(1))).alias("__m"))
+    led = src.select(
+        "__g", "__v",
+        *[F.lead("__v", l).over(w).alias(f"__v{l}")
+          for l in range(1, max_lag + 1)])
+    j = led.join(means, "__g")
+    cent = F.col("__v") - F.col("__m")
+    qt = lambda c: F.floor(c * F.lit(1e6)).cast("long")  # noqa: E731
+    aggs = [F.max("n").alias("n"),
+            F.sum(qt(cent * cent)).alias("__c0")]
+    for l in range(1, max_lag + 1):
+        vl = F.col(f"__v{l}")
+        aggs.append(F.sum(F.when(
+            vl.isNotNull(), qt(cent * (vl - F.col("__m")))))
+            .alias(f"__c{l}"))
+    per = j.groupBy("__g").agg(*aggs)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    nd = F.col("n").cast("double")
+    q = None
+    for l in range(1, max_lag + 1):
+        rl = pin(F.col(f"__c{l}").cast("double") / F.col("__c0"))
+        term = rl * rl / (nd - l)
+        q = term if q is None else q + term
+    q_stat = nd * (nd + 2) * q
+    ok = (F.col("n") > max_lag + 1) & (F.col("__c0") > 0)
+    return per.select(
+        F.col("__g").alias(group_col), "n",
+        F.when(ok, pin(q_stat)).alias("q_stat"))
+
+
+def _lb_oracle(max_lag: int = _LB_L) -> str:
+    leads = ",\n             ".join(
+        f"lead(v, {l}) OVER w AS v{l}" for l in range(1, max_lag + 1))
+    csums = ",\n             ".join(
+        f"sum(CASE WHEN v{l} IS NOT NULL THEN CAST(floor("
+        f"(v - m) * (v{l} - m) * 1e6) AS BIGINT) END) AS c{l}"
+        for l in range(1, max_lag + 1))
+    terms = " + ".join(
+        f"(floor(CAST(c{l} AS DOUBLE) / c0 * 1e6 + 0.5) / 1e6)"
+        f" * (floor(CAST(c{l} AS DOUBLE) / c0 * 1e6 + 0.5) / 1e6)"
+        f" / (CAST(n AS DOUBLE) - {l})" for l in range(1, max_lag + 1))
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    means AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) / count(*) AS m
+      FROM src GROUP BY g
+    ),
+    led AS (
+      SELECT g, v,
+             {leads}
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    per AS (
+      SELECT l.g, max(n) AS n,
+             sum(CAST(floor((v - m) * (v - m) * 1e6) AS BIGINT))
+               AS c0,
+             {csums}
+      FROM led l JOIN means USING (g) GROUP BY l.g
+    )
+    SELECT g AS user_id, n,
+           CASE WHEN n > {max_lag + 1} AND c0 > 0 THEN
+             floor(CAST(n AS DOUBLE) * (n + 2) * ({terms})
+                   * 1e6 + 0.5) / 1e6
+           END AS q_stat
+    FROM per
+    """
+
+
+@query("q321_ljung_box", oracle=_lb_oracle())
+def q321_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Ljung–Box whiteness statistic over lags 1..10 of the
+    events value series — the joint residual diagnostic behind the
+    q309-q311 forecast tier; every (user, n, q_stat) row
+    hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return ljung_box(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# KPSS level-stationarity test (Kwiatkowski/Phillips/Schmidt/Shin
+# 1992): the MIRROR of q313's Dickey–Fuller — DF's null is a unit
+# root, KPSS's null is stationarity, and the textbook protocol runs
+# BOTH (DF rejects + KPSS accepts = confidently stationary; the
+# reverse = confidently integrated; both reject = misspecified).
+#
+#     eta = SUM_t S_t^2 / (n^2 * lrv),  S_t = partial sums of (v - vbar)
+#
+# with lrv the Bartlett/Newey-West long-run variance (q294's kernel,
+# L = 5).  Exactness: S_t = cumsum(v) - t*mean is one double over
+# exact integers, its square quantizes to floor(x*1e2) DECIMAL(38,0)
+# before the sum; the lrv reuses the q294 quantized-product recipe in
+# the SAME aggregate.  One window pass (cumsum + L leads share the
+# partition), one group-by.  5% critical value 0.463 — the caller's
+# lookup, documented.
+def kpss_level(df: DataFrame, group_col: str, order: str,
+               value: Column, max_lag: int = _HAC_L,
+               tie_break: str | None = None) -> DataFrame:
+    """(group, n, eta): KPSS level-stationarity statistic per series.
+    n <= max_lag + 1 or zero long-run variance reports eta
+    NULL-by-contract (one row per series either way)."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    means = src.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("__v").cast("double")
+         / F.count(F.lit(1))).alias("__m"))
+    led = src.select(
+        "__g", "__v",
+        F.row_number().over(w).alias("__i"),
+        F.sum("__v").over(wcum).alias("__cs"),
+        *[F.lead("__v", l).over(w).alias(f"__v{l}")
+          for l in range(1, max_lag + 1)])
+    j = led.join(means, "__g")
+    st = F.col("__cs") - F.col("__i") * F.col("__m")
+    cent = F.col("__v") - F.col("__m")
+    qt = lambda c: F.floor(c * F.lit(1e6)).cast("long")  # noqa: E731
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.max("n").alias("n"),
+            F.sum(dec(F.floor(st * st * F.lit(1e2)))).alias("__ss2"),
+            F.sum(qt(cent * cent)).alias("__c0")]
+    for l in range(1, max_lag + 1):
+        vl = F.col(f"__v{l}")
+        aggs.append(F.sum(F.when(
+            vl.isNotNull(), qt(cent * (vl - F.col("__m")))))
+            .alias(f"__c{l}"))
+    per = j.groupBy("__g").agg(*aggs)
+    nd = F.col("n").cast("double")
+    lrv = F.col("__c0").cast("double") / F.lit(1e6) / nd
+    for l in range(1, max_lag + 1):
+        wgt = 2.0 * (1.0 - l / (max_lag + 1.0))
+        lrv = lrv + F.lit(wgt) * (F.col(f"__c{l}").cast("double")
+                                  / F.lit(1e6) / nd)
+    eta = (F.col("__ss2").cast("double") / F.lit(1e2)
+           / (nd * nd) / lrv)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("n") > max_lag + 1) & (lrv > 0)
+    return per.select(
+        F.col("__g").alias(group_col), "n",
+        F.when(ok, pin(eta)).alias("eta"))
+
+
+def _kpss_oracle(max_lag: int = _HAC_L) -> str:
+    leads = ",\n             ".join(
+        f"lead(v, {l}) OVER w AS v{l}" for l in range(1, max_lag + 1))
+    csums = ",\n             ".join(
+        f"sum(CASE WHEN v{l} IS NOT NULL THEN CAST(floor("
+        f"(v - m) * (v{l} - m) * 1e6) AS BIGINT) END) AS c{l}"
+        for l in range(1, max_lag + 1))
+    lrv = "CAST(c0 AS DOUBLE) / 1e6 / n"
+    for l in range(1, max_lag + 1):
+        wgt = repr(2.0 * (1.0 - l / (max_lag + 1.0)))
+        lrv += f" + {wgt} * (CAST(c{l} AS DOUBLE) / 1e6 / n)"
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    means AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) / count(*) AS m
+      FROM src GROUP BY g
+    ),
+    led AS (
+      SELECT g, v,
+             row_number() OVER w AS i,
+             sum(v) OVER (PARTITION BY g ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cs,
+             {leads}
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    per AS (
+      SELECT l.g, max(n) AS n,
+             sum(CAST(floor((cs - i * m) * (cs - i * m) * 1e2)
+                      AS HUGEINT)) AS ss2,
+             sum(CAST(floor((v - m) * (v - m) * 1e6) AS BIGINT))
+               AS c0,
+             {csums}
+      FROM led l JOIN means USING (g) GROUP BY l.g
+    )
+    SELECT g AS user_id, n,
+           CASE WHEN n > {max_lag + 1} AND ({lrv}) > 0 THEN
+             floor(CAST(ss2 AS DOUBLE) / 1e2
+                   / (CAST(n AS DOUBLE) * n) / ({lrv})
+                   * 1e6 + 0.5) / 1e6
+           END AS eta
+    FROM per
+    """
+
+
+@query("q322_kpss", oracle=_kpss_oracle())
+def q322_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user KPSS level-stationarity statistic over the events
+    value series — the stationary-null mirror of q313's Dickey-Fuller
+    (run both: the textbook confirmatory protocol); every
+    (user, n, eta) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return kpss_level(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# Granger causality, lag 1 (Granger 1969): does knowing x_{t-1}
+# improve the forecast of y_t beyond y's own history?  The DIRECTED
+# sibling of q315's CCF (which is symmetric evidence); the standard
+# screen before promoting an exogenous signal into a forecasting
+# model (here: does props.k lead value?).
+#
+#     restricted:    y_t ~ 1 + y_{t-1}           -> SSR_r
+#     unrestricted:  y_t ~ 1 + y_{t-1} + x_{t-1} -> SSR_u
+#     F = (SSR_r - SSR_u) / (SSR_u / (m - 3))    ~ F(1, m-3) under H0
+#
+# Exactness (the q311 AR(2) recipe with z = x_{t-1}): demean over the
+# REGRESSION rows, quantize every centered product to floor(x*1e4)
+# BIGINT, solve the 2x2 system by Cramer's rule over exact
+# DECIMAL(38,0)/HUGEINT integers, pin b1/bx at 1e-6, and read both
+# SSRs back from the PINNED coefficients — reproducible from the
+# emitted columns.  One window pass + two aggregates.
+def granger_lag1(df: DataFrame, group_col: str, order: str,
+                 y_value: Column, x_value: Column,
+                 tie_break: str | None = None) -> DataFrame:
+    """(group, m, bx, f_stat): lag-1 Granger test of x -> y per
+    series.  m < 5, a singular system, or a non-positive SSR_u
+    reports bx/f_stat NULL-by-contract (one row per series when any
+    regression row exists)."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    y_value.cast("long").alias("__y"),
+                    x_value.cast("long").alias("__x")).filter(
+        F.col("__y").isNotNull() & F.col("__x").isNotNull())
+    lagged = src.select(
+        "__g", F.col("__y").alias("__y0"),
+        F.lag("__y", 1).over(w).alias("__yl"),
+        F.lag("__x", 1).over(w).alias("__xl")).filter(
+        F.col("__yl").isNotNull() & F.col("__xl").isNotNull())
+    means = lagged.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        (F.sum("__y0").cast("double") / F.count(F.lit(1)))
+        .alias("__my"),
+        (F.sum("__yl").cast("double") / F.count(F.lit(1)))
+        .alias("__myl"),
+        (F.sum("__xl").cast("double") / F.count(F.lit(1)))
+        .alias("__mxl"))
+    j = lagged.join(means, "__g")
+    cy = F.col("__y0") - F.col("__my")
+    ca = F.col("__yl") - F.col("__myl")
+    cb = F.col("__xl") - F.col("__mxl")
+    q = lambda c: F.floor(c * F.lit(1e4)).cast("long")  # noqa: E731
+    per = j.groupBy("__g").agg(
+        F.max("m").alias("m"),
+        F.sum(q(ca * ca)).cast("decimal(38,0)").alias("__saa"),
+        F.sum(q(cb * cb)).cast("decimal(38,0)").alias("__sbb"),
+        F.sum(q(ca * cb)).cast("decimal(38,0)").alias("__sab"),
+        F.sum(q(ca * cy)).cast("decimal(38,0)").alias("__say"),
+        F.sum(q(cb * cy)).cast("decimal(38,0)").alias("__sby"),
+        F.sum(q(cy * cy)).cast("decimal(38,0)").alias("__syy"))
+    det = (F.col("__saa") * F.col("__sbb")
+           - F.col("__sab") * F.col("__sab"))
+    num1 = (F.col("__sbb") * F.col("__say")
+            - F.col("__sab") * F.col("__sby"))
+    num2 = (F.col("__saa") * F.col("__sby")
+            - F.col("__sab") * F.col("__say"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    det_d = F.when(det.cast("double") > 0, det.cast("double"))
+    b1 = pin(num1.cast("double") / det_d)
+    bx = pin(num2.cast("double") / det_d)
+    saa_d = F.when(F.col("__saa").cast("double") > 0,
+                   F.col("__saa").cast("double"))
+    br = pin(F.col("__say").cast("double") / saa_d)
+    ssr_u = (F.col("__syy").cast("double")
+             - b1 * F.col("__say").cast("double")
+             - bx * F.col("__sby").cast("double"))
+    ssr_r = (F.col("__syy").cast("double")
+             - br * F.col("__say").cast("double"))
+    md = F.col("m").cast("double")
+    f_stat = (ssr_r - ssr_u) / (ssr_u / (md - 3))
+    ok = (F.col("m") >= 5) & (det.cast("double") > 0) \
+        & (F.col("__saa").cast("double") > 0) & (ssr_u > 0)
+    return per.select(
+        F.col("__g").alias(group_col), "m",
+        F.when(ok, bx).alias("bx"),
+        F.when(ok, pin(f_stat)).alias("f_stat"))
+
+
+_GRANGER_ORACLE = """
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS x
+      FROM events
+      WHERE value IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, y AS y0,
+             lag(y, 1) OVER w AS yl,
+             lag(x, 1) OVER w AS xl
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    kept AS (
+      SELECT * FROM lagged WHERE yl IS NOT NULL AND xl IS NOT NULL
+    ),
+    means AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(y0) AS DOUBLE) / count(*) AS my,
+             CAST(sum(yl) AS DOUBLE) / count(*) AS myl,
+             CAST(sum(xl) AS DOUBLE) / count(*) AS mxl
+      FROM kept GROUP BY g
+    ),
+    per AS (
+      SELECT k.g, max(m) AS m,
+             sum(CAST(floor((yl - myl) * (yl - myl) * 1e4)
+                      AS HUGEINT)) AS saa,
+             sum(CAST(floor((xl - mxl) * (xl - mxl) * 1e4)
+                      AS HUGEINT)) AS sbb,
+             sum(CAST(floor((yl - myl) * (xl - mxl) * 1e4)
+                      AS HUGEINT)) AS sab,
+             sum(CAST(floor((yl - myl) * (y0 - my) * 1e4)
+                      AS HUGEINT)) AS say,
+             sum(CAST(floor((xl - mxl) * (y0 - my) * 1e4)
+                      AS HUGEINT)) AS sby,
+             sum(CAST(floor((y0 - my) * (y0 - my) * 1e4)
+                      AS HUGEINT)) AS syy
+      FROM kept k JOIN means USING (g) GROUP BY k.g
+    ),
+    pinned AS (
+      SELECT g, m, saa, say, sby, syy,
+             saa * sbb - sab * sab AS det,
+             CASE WHEN CAST(saa * sbb - sab * sab AS DOUBLE) > 0 THEN
+               floor((sbb * say - sab * sby)
+                     / CAST(saa * sbb - sab * sab AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 END AS b1,
+             CASE WHEN CAST(saa * sbb - sab * sab AS DOUBLE) > 0 THEN
+               floor((saa * sby - sab * say)
+                     / CAST(saa * sbb - sab * sab AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 END AS bx,
+             CASE WHEN CAST(saa AS DOUBLE) > 0 THEN
+               floor(CAST(say AS DOUBLE) / CAST(saa AS DOUBLE)
+                     * 1e6 + 0.5) / 1e6 END AS br
+      FROM per
+    ),
+    ssr AS (
+      SELECT g, m, det, saa, bx,
+             CAST(syy AS DOUBLE) - b1 * CAST(say AS DOUBLE)
+               - bx * CAST(sby AS DOUBLE) AS ssr_u,
+             CAST(syy AS DOUBLE) - br * CAST(say AS DOUBLE) AS ssr_r
+      FROM pinned
+    )
+    SELECT g AS user_id, m,
+           CASE WHEN m >= 5 AND CAST(det AS DOUBLE) > 0
+                AND CAST(saa AS DOUBLE) > 0 AND ssr_u > 0
+             THEN bx END AS bx,
+           CASE WHEN m >= 5 AND CAST(det AS DOUBLE) > 0
+                AND CAST(saa AS DOUBLE) > 0 AND ssr_u > 0 THEN
+             floor((ssr_r - ssr_u) / (ssr_u / (CAST(m AS DOUBLE) - 3))
+                   * 1e6 + 0.5) / 1e6 END AS f_stat
+    FROM ssr
+    """
+
+
+@query("q324_granger_lag1", oracle=_GRANGER_ORACLE)
+def q324_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 Granger test of props.k -> value — the directed
+    lead/lag screen beside q315's symmetric CCF; every
+    (user, m, bx, f_stat) row hash-checked with both regressions
+    solved in exact integer arithmetic."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.get_json_object("props", "$.k").isNotNull())
+    return granger_lag1(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.get_json_object("props", "$.k").cast("long"),
+        tie_break="event_id")

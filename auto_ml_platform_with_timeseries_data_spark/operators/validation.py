@@ -3041,3 +3041,140 @@ def q320_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return friedman_test(
         ev, F.floor(F.col("value") * 100 + F.lit(0.5)),
         "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Cochran's Q test (Cochran 1950): the BINARY Friedman — b blocks
+# give a 0/1 verdict on each of k treatments; Q asks whether success
+# rates differ across treatments net of block effects.  Here the
+# verdict is "does this event type run HOT for this user" (cell mean
+# above the user's own overall mean) — a question q320's rank test
+# blurs and a pooled 2-proportion test (q262) confounds with user
+# effects.
+#
+#     Q = (k-1) * (k*SUM C_j^2 - N^2) / (k*N - SUM R_i^2)
+#
+# Exactness: the hot/cold verdict is an INTEGER CROSS-MULTIPLICATION
+# (sum_cell * n_user > sum_user * n_cell — no division, no pinning,
+# no float anywhere); C_j, R_i, N and therefore Q's numerator and
+# denominator are exact integers; ONE double division at the end.
+# Complete blocks only (the q320 contract).  Scale shape: two cell
+# group-bys, then (blocks x k) rows.
+def cochran_q(df: DataFrame, value: Column, block_col: str,
+              treatment_col: str) -> DataFrame:
+    """(k, b, n_success, q_stat): Cochran's Q over complete blocks.
+    b < 2, k < 2, or a degenerate layout (every block all-hot or
+    all-cold: denominator 0) reports q_stat NULL-by-contract."""
+    src = df.select(F.col(block_col).alias("__b"),
+                    F.col(treatment_col).alias("__t"),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__b").isNotNull() & F.col("__t").isNotNull()
+        & F.col("__v").isNotNull())
+    cells = src.groupBy("__b", "__t").agg(
+        F.sum("__v").cast("decimal(38,0)").alias("__cs"),
+        F.count(F.lit(1)).cast("long").alias("__cn"))
+    blocks = src.groupBy("__b").agg(
+        F.sum("__v").cast("decimal(38,0)").alias("__bs"),
+        F.count(F.lit(1)).cast("long").alias("__bn"))
+    kfr = cells.agg(F.count_distinct("__t").cast("long").alias("__k"))
+    complete = (cells.groupBy("__b")
+                .agg(F.count(F.lit(1)).cast("long").alias("__nb"))
+                .join(F.broadcast(kfr))
+                .filter(F.col("__nb") == F.col("__k"))
+                .select("__b"))
+    marked = (cells.join(complete, "__b").join(blocks, "__b")
+              .select("__b", "__t",
+                      # hot <=> mean_cell > mean_block, decided by
+                      # exact integer cross-multiplication
+                      (F.col("__cs") * F.col("__bn")
+                       > F.col("__bs") * F.col("__cn"))
+                      .cast("long").alias("__x")))
+    pert = marked.groupBy("__t").agg(
+        F.sum("__x").cast("long").alias("__cj"))
+    perb = marked.groupBy("__b").agg(
+        F.sum("__x").cast("long").alias("__ri"))
+    tot_t = pert.agg(
+        F.sum("__cj").cast("long").alias("n_success"),
+        F.sum(F.col("__cj") * F.col("__cj")).cast("long")
+        .alias("__sc2"))
+    tot_b = perb.agg(
+        F.count(F.lit(1)).cast("long").alias("b"),
+        F.sum(F.col("__ri") * F.col("__ri")).cast("long")
+        .alias("__sr2"))
+    agg = tot_t.join(F.broadcast(tot_b)).join(F.broadcast(kfr))
+    k, n = F.col("__k"), F.col("n_success")
+    den = k * n - F.col("__sr2")
+    num = (k - 1) * (k * F.col("__sc2") - n * n)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("b") >= 2) & (k >= 2) & (den > 0)
+    return agg.select(
+        k.alias("k"), "b", "n_success",
+        F.when(ok, pin(num.cast("double") / den)).alias("q_stat"))
+
+
+@query(
+    "q325_cochran_q",
+    oracle="""
+    WITH src AS (
+      SELECT user_id AS b, event_type AS t,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        AND value IS NOT NULL
+    ),
+    cells AS (
+      SELECT b, t, sum(CAST(v AS HUGEINT)) AS cs,
+             CAST(count(*) AS BIGINT) AS cn
+      FROM src GROUP BY b, t
+    ),
+    blocks AS (
+      SELECT b, sum(CAST(v AS HUGEINT)) AS bs,
+             CAST(count(*) AS BIGINT) AS bn
+      FROM src GROUP BY b
+    ),
+    kfr AS (
+      SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells
+    ),
+    complete AS (
+      SELECT b FROM cells, kfr GROUP BY b, k
+      HAVING CAST(count(*) AS BIGINT) = k
+    ),
+    marked AS (
+      SELECT cells.b, cells.t,
+             CAST(cells.cs * blocks.bn > blocks.bs * cells.cn
+                  AS BIGINT) AS x
+      FROM cells JOIN complete USING (b) JOIN blocks USING (b)
+    ),
+    pert AS (
+      SELECT t, CAST(sum(x) AS BIGINT) AS cj FROM marked GROUP BY t
+    ),
+    perb AS (
+      SELECT b, CAST(sum(x) AS BIGINT) AS ri FROM marked GROUP BY b
+    ),
+    agg AS (
+      SELECT (SELECT CAST(sum(cj) AS BIGINT) FROM pert) AS n_success,
+             (SELECT CAST(sum(cj * cj) AS BIGINT) FROM pert) AS sc2,
+             (SELECT CAST(count(*) AS BIGINT) FROM perb) AS b,
+             (SELECT CAST(sum(ri * ri) AS BIGINT) FROM perb) AS sr2,
+             (SELECT k FROM kfr) AS k
+    )
+    SELECT k, b, n_success,
+           CASE WHEN b >= 2 AND k >= 2
+                AND k * n_success - sr2 > 0 THEN
+             floor(CAST((k - 1) * (k * sc2 - n_success * n_success)
+                        AS DOUBLE) / (k * n_success - sr2)
+                   * 1e6 + 0.5) / 1e6 END AS q_stat
+    FROM agg
+    """,
+)
+def q325_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: do event types differ in how often they run hot
+    (above the user's own mean) across users?  Complete blocks only,
+    verdicts by exact integer cross-multiplication; one hash-checked
+    (k, b, n_success, q_stat) row."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull())
+    return cochran_q(
+        ev, F.floor(F.col("value") * 100 + F.lit(0.5)),
+        "user_id", "event_type")

@@ -202,6 +202,12 @@ HEADLINE = [
     "q318_welch_anova",
     "q319_bartlett",
     "q320_friedman",
+    "q321_ljung_box",
+    "q322_kpss",
+    "q323_theta_forecast",
+    "q324_granger_lag1",
+    "q325_cochran_q",
+    "q326_croston",
     "automl_e2e",
 ]
 

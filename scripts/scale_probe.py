@@ -1620,6 +1620,59 @@ def main() -> int:
 
     run("friedman", lambda: friedp(False), lambda: friedp(True))
 
+    def lbp(p):
+        return tsf.ljung_box(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("ljung_box", lambda: lbp(False), lambda: lbp(True))
+
+    def kpssp(p):
+        return tsf.kpss_level(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("kpss", lambda: kpssp(False), lambda: kpssp(True))
+
+    def thetap(p):
+        return fc_ops.theta_forecast(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("theta_forecast", lambda: thetap(False), lambda: thetap(True))
+
+    def grangerp(p):
+        return tsf.granger_lag1(
+            evt(p).filter(
+                F.get_json_object("props", "$.k").isNotNull()),
+            "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            F.get_json_object("props", "$.k").cast("long"),
+            tie_break="event_id").count()
+
+    run("granger_lag1", lambda: grangerp(False),
+        lambda: grangerp(True))
+
+    def cochranp(p):
+        return val_ops.cochran_q(
+            evt(p), F.floor(F.col("value") * 100 + F.lit(0.5)),
+            "user_id", "event_type").count()
+
+    run("cochran_q", lambda: cochranp(False), lambda: cochranp(True))
+
+    def crostonp(p):
+        cents = F.floor(F.col("value") * 100 + F.lit(0.5)) \
+            .cast("long")
+        return fc_ops.croston_forecast(
+            evt(p), "user_id", "ts",
+            F.when(cents >= 800, cents).otherwise(F.lit(0)),
+            tie_break="event_id").count()
+
+    run("croston", lambda: crostonp(False), lambda: crostonp(True))
+
     # ------------------------------------------------------------------
     # Delta-vs-corpus perceptual screens (q230/q237/q238 shape): the
     # id-modulus delta selector matches ids < 40 in EVERY copy, so

@@ -301,3 +301,116 @@ def test_friedman_incomplete_blocks_are_dropped(spark):
     r = validation.friedman_test(
         df, F.col("v"), "b", "t").collect()[0]
     assert r["b"] == 6  # the partial block never enters
+
+
+# ---------------------------------------------------------------------------
+# Second half of the wave: Ljung-Box / KPSS / theta / Granger /
+# Cochran Q / Croston
+# ---------------------------------------------------------------------------
+
+
+def test_ljung_box_separates_white_from_autocorrelated(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    white = [int(1000 + e) for e in rng.normal(0, 50, 200)]
+    ar = [1000.0]
+    for e in rng.normal(0, 10, 200):
+        ar.append(1000.0 + 0.8 * (ar[-1] - 1000.0) + e)
+    q_white = ts_features.ljung_box(
+        _frame(spark, white), "g", "t",
+        F.col("v")).collect()[0]["q_stat"]
+    q_ar = ts_features.ljung_box(
+        _frame(spark, [round(v) for v in ar]), "g", "t",
+        F.col("v")).collect()[0]["q_stat"]
+    assert q_white < 25      # ~chi2(10), 95% crit 18.3, some slack
+    assert q_ar > 100        # rho=0.8 is unmissable
+
+
+def test_kpss_mirrors_dickey_fuller(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(17)
+    stat = [int(1000 + e) for e in rng.normal(0, 50, 150)]
+    walk = list(1000 + np.cumsum(
+        rng.normal(0, 20, 150)).round().astype(int))
+    eta_stat = ts_features.kpss_level(
+        _frame(spark, stat), "g", "t", F.col("v")).collect()[0]["eta"]
+    eta_walk = ts_features.kpss_level(
+        _frame(spark, walk), "g", "t", F.col("v")).collect()[0]["eta"]
+    assert eta_stat < 0.463  # 5% critical value: stationarity holds
+    assert eta_walk > 0.463  # the random walk rejects
+
+
+def test_theta_beats_ses_on_a_drifting_series(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    ramp = [int(1000 + 20 * i + e)
+            for i, e in enumerate(rng.normal(0, 5, 80))]
+    df = _frame(spark, ramp)
+    sse_theta = forecast.theta_forecast(
+        df, "g", "t", F.col("v")).collect()[0]["sse"]
+    ses = {r["alpha"]: r["sse"]
+           for r in forecast.linear_filter_forecast(
+               df, "g", "t", F.col("v"),
+               [(0.5, forecast.ses_weights(0.5))]).collect()}
+    assert sse_theta < ses[0.5]  # half-drift pays for itself
+
+
+def test_granger_detects_planted_lead(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(29)
+    x = [int(round(v)) for v in rng.normal(0, 30, 150)]
+    # y is driven by x's PREVIOUS value plus fresh noise
+    y = [0] + [int(x[i - 1] + round(e))
+               for i, e in enumerate(rng.normal(0, 3, 149), start=1)]
+    indep = [int(round(v)) for v in rng.normal(0, 30, 150)]
+    rows = [("s", i, y[i], x[i], indep[i]) for i in range(150)]
+    df = spark.createDataFrame(
+        rows, "g string, t long, y long, x long, z long")
+    caused = ts_features.granger_lag1(
+        df, "g", "t", F.col("y"), F.col("x")).collect()[0]
+    not_caused = ts_features.granger_lag1(
+        df, "g", "t", F.col("y"), F.col("z")).collect()[0]
+    assert caused["f_stat"] > 100 and caused["bx"] > 0.8
+    assert not_caused["f_stat"] < 10
+
+
+def test_cochran_q_hand_computed(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    # 6 users, 3 types; type "w" always runs hot (value 10 vs 1).
+    # Per block: mean = (10+1+1)/3 = 4 -> x(w)=1, x(x)=x(y)=0.
+    rows = [(f"u{i}", t, 1000 if t == "w" else 100)
+            for i in range(6) for t in "wxy"]
+    df = spark.createDataFrame(rows, "b string, t string, v long")
+    r = validation.cochran_q(
+        df, F.col("v"), "b", "t").collect()[0]
+    # C = (6,0,0), R_i = 1 each: Q = (k-1)(k*SUM C^2 - N^2)/(kN - SUM R^2)
+    #   = 2*(3*36 - 36)/(18 - 6) = 144/12 = 12
+    assert r["k"] == 3 and r["b"] == 6 and r["n_success"] == 6
+    assert r["q_stat"] == pytest.approx(12.0, abs=1e-6)
+
+
+def test_croston_exact_on_regular_intermittent(spark):
+    # demand of constant size 900 every 3rd period: the unit-DC
+    # truncated SES of a constant IS the constant, so z_hat = 9.0,
+    # q_hat = 3.0, rate = 3.0 exactly
+    vals = [900 if i % 3 == 2 else 0 for i in range(60)]
+    df = _frame(spark, vals)
+    r = forecast.croston_forecast(
+        df, "g", "t", F.col("v")).collect()[0]
+    assert r["m_demands"] == 20
+    assert r["z_hat"] == pytest.approx(9.0, abs=1e-5)
+    assert r["q_hat"] == pytest.approx(3.0, abs=1e-5)
+    assert r["rate"] == pytest.approx(3.0, abs=1e-5)
+    # too few demands -> NULL by contract
+    short = _frame(spark, [900 if i % 3 == 2 else 0
+                           for i in range(24)])
+    r2 = forecast.croston_forecast(
+        short, "g", "t", F.col("v")).collect()[0]
+    assert r2["m_demands"] == 8 and r2["rate"] is None

@@ -80,6 +80,20 @@ _ROSTER = {
         lambda df: ts_features.seasonal_mann_kendall(
             df, "g", ts_col="t", value=F.col("v"), id_col="t",
             season=(F.col("t") % 4).cast("int")), 1),
+    "ljung_box": (
+        lambda df: ts_features.ljung_box(df, "g", "t", F.col("v")), 1),
+    "kpss_level": (
+        lambda df: ts_features.kpss_level(df, "g", "t", F.col("v")),
+        1),
+    "theta_forecast": (
+        lambda df: forecast.theta_forecast(df, "g", "t", F.col("v")),
+        1),
+    "granger_lag1": (
+        lambda df: ts_features.granger_lag1(df, "g", "t", F.col("v"),
+                                            F.col("v") * 2 + 1), 1),
+    "croston_forecast": (
+        lambda df: forecast.croston_forecast(df, "g", "t", F.col("v")),
+        1),
 }
 
 
