@@ -1827,7 +1827,9 @@ def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame,
                              centroids: DataFrame, id_col: str,
                              vec_col: str, k: int = _MARGIN_K,
                              margin: float = _MARGIN_T,
-                             nprobe: int = _MARGIN_IVF_PROBE) -> DataFrame:
+                             nprobe: int = _MARGIN_IVF_PROBE,
+                             coarse_stride: int | None = None,
+                             nprobe_super: int = 2) -> DataFrame:
     """The production scale path for margin mining (VERDICT r8 #2):
     candidate pairs come from IVF CELLS instead of an all-pairs cross
     join — every tgt is assigned to its nearest centroid, every src
@@ -1848,13 +1850,30 @@ def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame,
     graphs are approximate too); the margin math is the shared
     ``_margin_from_pairs``, so the paths can only differ in candidate
     coverage, which q250 certifies per pair against the exact
-    kernel."""
+    kernel.
+
+    ``coarse_stride`` switches BOTH assignments to the two-level
+    coarse route (ivf_coarse_assign's machinery) — the fix for the
+    assignment quadratic the round-12 100x ladder measured (flat N*C
+    dots went 296.9x at 100x copies when the codebook grows with the
+    corpus; coarse is N*(C/stride + nprobe_super*E[group])).  The
+    coarse route can miss cells flat assignment finds — recall is
+    measured by tests and the agreement probe, the same stance the
+    banded path itself takes vs the exact kernel."""
     a = _margin_quant(src, id_col, vec_col, "src_id", "__qa", "__da")
     b = _margin_quant(tgt, id_col, vec_col, "tgt_id", "__qb", "__db")
     c = _margin_quant(centroids, id_col, vec_col, "__cid", "__qb", "__db")
     c = c.withColumn(
         "__cid", F.row_number().over(
             Window.orderBy("__cid")) - 1)  # dense 0-based cell ids
+    if coarse_stride is not None:
+        probes = _coarse_route(a, c, "src_id", "__qa", "__da",
+                               coarse_stride, nprobe_super, nprobe)
+        cells = _coarse_route(b, c, "tgt_id", "__qb", "__db",
+                              coarse_stride, nprobe_super, 1)
+        pairs = (probes.join(cells, "__cid")
+                 .select("src_id", "tgt_id", _margin_ci().alias("ci")))
+        return _margin_from_pairs(pairs, k, margin)
     asg = (a.crossJoin(F.broadcast(c))
            .select("src_id", "__qa", "__da", "__cid",
                    _margin_ci().alias("__cci")))
@@ -3282,3 +3301,210 @@ def q234_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cert = ivfpq_append(base, delta, "vec_id", "embedding",
                            cents, books)
     return cert
+
+
+# ---------------------------------------------------------------------------
+# Two-level (coarse-quantized) IVF assignment — the fix for the ONE
+# quadratic the round-12 100x probe ladder actually caught: flat
+# assignment scores every vector against every centroid (N*C dots),
+# and when the codebook grows with the corpus (C ~ N/cell_size, the
+# honest staging), that is N^2 — measured 296x wall at 100x copies
+# for the banded margin miner, entirely in its assignment stage.
+# The standard remedy (FAISS's coarse quantizer / IMI): pick C/stride
+# SUPER-centroids, map each centroid to its nearest super (C*C/stride
+# dots, centroid-side, tiny), route each vector through its top
+# nprobe_super supers and score only the centroids in those groups:
+#
+#     flat:   N * C
+#     coarse: N * (C/stride + nprobe_super * E[group])   ~ N * 2*sqrt(pC)
+#
+# Exactness: the SAME floor(dot/sqrt(d*d')*1e6) integer cosine as the
+# margin family at every level, deterministic tiebreaks (cid, sid) —
+# the whole routing is value-hash-checkable SQL (q327).
+def _ci_expr(q1: str, d1: str, q2: str, d2: str) -> Column:
+    dot = F.aggregate(
+        F.zip_with(q1, q2, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.floor(
+        dot / F.sqrt((F.col(d1) * F.col(d2)).cast("double"))
+        * F.lit(1e6)).cast("long")
+
+
+def ivf_coarse_assign(vectors: DataFrame, centroids: DataFrame,
+                      id_col: str, vec_col: str, stride: int = 8,
+                      nprobe_super: int = 2,
+                      nprobe: int = _MARGIN_IVF_PROBE) -> DataFrame:
+    """(vec id, cid, ci, rank): each vector's top-`nprobe` cells among
+    the centroids reachable through its `nprobe_super` nearest
+    super-centroids (every stride-th centroid by dense cid).  The
+    routing can miss a true nearest cell when quantization disagrees
+    across levels — the documented recall trade every coarse
+    quantizer makes; tests/probes measure the agreement.  Zero-norm
+    vectors and centroids are dropped (the _margin_quant contract)."""
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    a = _margin_quant(vectors, id_col, vec_col, "__vid", "__qa", "__da")
+    c = _margin_quant(centroids, id_col, vec_col, "__cid",
+                      "__qb", "__db")
+    c = c.withColumn(
+        "__cid", F.row_number().over(Window.orderBy("__cid")) - 1)
+    supers = (c.filter(F.col("__cid") % stride == 0)
+              .select(F.col("__cid").alias("__sid"),
+                      F.col("__qb").alias("__qs"),
+                      F.col("__db").alias("__ds")))
+    # centroid -> its one super (C x C/stride, both broadcast-small)
+    ws = Window.partitionBy("__cid").orderBy(
+        F.desc("__sci"), F.asc("__sid"))
+    cmap = (c.crossJoin(F.broadcast(supers))
+            .withColumn("__sci", _ci_expr("__qb", "__db",
+                                          "__qs", "__ds"))
+            .withColumn("__rk", F.row_number().over(ws))
+            .filter(F.col("__rk") == 1)
+            .select("__cid", "__qb", "__db", "__sid"))
+    # vector -> top nprobe_super supers (N x C/stride)
+    wv = Window.partitionBy("__vid").orderBy(
+        F.desc("__vci"), F.asc("__sid"))
+    vsup = (a.crossJoin(F.broadcast(supers))
+            .withColumn("__vci", _ci_expr("__qa", "__da",
+                                          "__qs", "__ds"))
+            .withColumn("__rk", F.row_number().over(wv))
+            .filter(F.col("__rk") <= nprobe_super)
+            .select("__vid", "__qa", "__da", "__sid"))
+    # vector -> cells within its routed groups -> top nprobe
+    wc = Window.partitionBy("__vid").orderBy(
+        F.desc("__ci"), F.asc("__cid"))
+    return (vsup.join(F.broadcast(cmap), "__sid")
+            .withColumn("__ci", _ci_expr("__qa", "__da",
+                                         "__qb", "__db"))
+            .withColumn("rank", F.row_number().over(wc))
+            .filter(F.col("rank") <= nprobe)
+            .select(F.col("__vid").alias(id_col),
+                    F.col("__cid").alias("cid"),
+                    F.col("__ci").alias("ci"),
+                    F.col("rank").cast("long").alias("rank")))
+
+
+_COARSE_LO = 100          # q327's injected codebook: embeddings [100, 164)
+_COARSE_CELLS = 64
+_COARSE_STRIDE = 8
+_COARSE_PSUPER = 2
+_COARSE_PROBE = 2
+
+
+def _coarse_oracle() -> str:
+    lo, hi = _COARSE_LO, _COARSE_LO + _COARSE_CELLS
+    ci = """CAST(floor(
+               CAST(list_sum(list_transform(range(1, len({a}.{qa}) + 1),
+                    i -> {a}.{qa}[i] * {b}.{qb}[i])) AS BIGINT)
+               / sqrt(CAST({a}.{da} * {b}.{db} AS DOUBLE)) * 1e6)
+             AS BIGINT)"""
+    vc = ci.format(a="v", qa="qv", da="d", b="s", qb="sqv", db="sd")
+    cc = ci.format(a="c", qa="cqv", da="cd", b="s", qb="sqv", db="sd")
+    xc = ci.format(a="v", qa="qv", da="d", b="m", qb="cqv", db="cd")
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 1024.0) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT)
+               AS d
+      FROM q
+    ),
+    v AS (SELECT vec_id, qv, d FROM n WHERE d > 0),
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+             qv AS cqv, d AS cd
+      FROM n WHERE vec_id >= {lo} AND vec_id < {hi} AND d > 0
+    ),
+    sup AS (
+      SELECT cid AS sid, cqv AS sqv, cd AS sd FROM cent
+      WHERE cid % {_COARSE_STRIDE} = 0
+    ),
+    cmap AS (
+      SELECT cid, cqv, cd, sid FROM (
+        SELECT c.cid, c.cqv, c.cd, s.sid,
+               row_number() OVER (PARTITION BY c.cid
+                    ORDER BY {cc} DESC, s.sid) AS rk
+        FROM cent c, sup s
+      ) WHERE rk = 1
+    ),
+    vsup AS (
+      SELECT vec_id, qv, d, sid FROM (
+        SELECT v.vec_id, v.qv, v.d, s.sid,
+               row_number() OVER (PARTITION BY v.vec_id
+                    ORDER BY {vc} DESC, s.sid) AS rk
+        FROM v, sup s
+      ) WHERE rk <= {_COARSE_PSUPER}
+    ),
+    cand AS (
+      SELECT v.vec_id, m.cid, {xc} AS ci
+      FROM vsup v JOIN cmap m USING (sid)
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid, ci,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT vec_id, cid, ci,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY ci DESC, cid) AS rank
+      FROM cand
+    ) WHERE rank <= {_COARSE_PROBE}
+    """
+
+
+@query("q327_ivf_coarse_assign", oracle=_coarse_oracle())
+def q327_ivf_coarse_assign(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Two-level IVF routing over a 64-cell injected codebook
+    (embeddings [100,164), stride 8 -> 8 supers, 2 probed supers, 2
+    cells kept) — the N*C -> N*2*sqrt(pC) assignment fix the 100x
+    probe ladder demanded; every (vec_id, cid, ci, rank) routing row
+    value-hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    hi = _COARSE_LO + _COARSE_CELLS
+    cents = emb.filter((F.col("vec_id") >= _COARSE_LO)
+                       & (F.col("vec_id") < hi))
+    out = ivf_coarse_assign(
+        emb, cents, "vec_id", "embedding", stride=_COARSE_STRIDE,
+        nprobe_super=_COARSE_PSUPER, nprobe=_COARSE_PROBE)
+    return out.select("vec_id", F.col("cid").cast("long").alias("cid"),
+                      "ci", "rank")
+
+
+def _coarse_route(v: DataFrame, c: DataFrame, out_id: str, qname: str,
+                  dname: str, stride: int, nprobe_super: int,
+                  nprobe: int) -> DataFrame:
+    """Internal: two-level routing of a quantized frame `v`
+    (out_id, qname, dname) through dense-cid centroid frame `c`
+    (__cid, __qb, __db); returns (out_id, qname, dname, __cid) rows,
+    the shape margin_mine_pairs_banded's pair join expects."""
+    supers = (c.filter(F.col("__cid") % stride == 0)
+              .select(F.col("__cid").alias("__sid"),
+                      F.col("__qb").alias("__qs"),
+                      F.col("__db").alias("__ds")))
+    ws = Window.partitionBy("__cid").orderBy(
+        F.desc("__sci"), F.asc("__sid"))
+    cmap = (c.crossJoin(F.broadcast(supers))
+            .withColumn("__sci", _ci_expr("__qb", "__db",
+                                          "__qs", "__ds"))
+            .withColumn("__rk", F.row_number().over(ws))
+            .filter(F.col("__rk") == 1)
+            .select("__cid", F.col("__qb").alias("__qc"),
+                    F.col("__db").alias("__dc"), "__sid"))
+    wv = Window.partitionBy(out_id).orderBy(
+        F.desc("__vci"), F.asc("__sid"))
+    vsup = (v.crossJoin(F.broadcast(supers))
+            .withColumn("__vci", _ci_expr(qname, dname, "__qs", "__ds"))
+            .withColumn("__rk", F.row_number().over(wv))
+            .filter(F.col("__rk") <= nprobe_super)
+            .select(out_id, qname, dname, "__sid"))
+    wc = Window.partitionBy(out_id).orderBy(
+        F.desc("__ci"), F.asc("__cid"))
+    return (vsup.join(F.broadcast(cmap), "__sid")
+            .withColumn("__ci", _ci_expr(qname, dname, "__qc", "__dc"))
+            .withColumn("__rk", F.row_number().over(wc))
+            .filter(F.col("__rk") <= nprobe)
+            .select(out_id, qname, dname, "__cid"))

@@ -983,6 +983,24 @@ def main() -> int:
             d.filter(F.col("vec_id") % 2 == 1),
             cents, "vec_id", "embedding").count()
 
+    def margin_coarse(path_based):
+        # same fixture as margin_mining_banded, routed through the
+        # two-level coarse quantizer (stride sqrt-ish of the grown
+        # codebook) — the row that prices the N*C assignment fix
+        d = embN() if path_based else emb1()
+        cents = d.filter((F.col("vec_id") % 10_000_000 >= 10) &
+                         (F.col("vec_id") % 10_000_000 < 18))
+        return similarity.margin_mine_pairs_banded(
+            d.filter(F.col("vec_id") % 2 == 0),
+            d.filter(F.col("vec_id") % 2 == 1),
+            cents, "vec_id", "embedding",
+            coarse_stride=max(2, int(round(
+                (cents.count() / 2) ** 0.5))),
+            nprobe_super=2).count()
+
+    run("margin_mining_coarse", lambda: margin_coarse(False),
+        lambda: margin_coarse(True))
+
     run("margin_mining_banded", lambda: margin_banded(False),
         lambda: margin_banded(True))
 
