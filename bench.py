@@ -208,6 +208,7 @@ HEADLINE = [
     "q324_granger_lag1",
     "q325_cochran_q",
     "q326_croston",
+    "q327_ivf_coarse_assign",
     "automl_e2e",
 ]
 
