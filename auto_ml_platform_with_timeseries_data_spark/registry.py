@@ -72,11 +72,12 @@ _loaded = False
 #   14-25 the round-12 registrations q299-q310 (ten pre-built ops
 #         gate-compared in tests/test_round12_prebuilt.py plus the
 #         forecast pair q309/q310)
-#   26-41 the round-12 new wave q311-q326 (forecast/TS-inference tier
+#   26-42 the round-12 new wave q311-q327 (forecast/TS-inference tier
 #         — AR(2)/MASE/DF/KPSS/Ljung-Box/theta/Granger/Croston/
 #         Hurst/CCF/seasonal-MK/Page-Hinkley — plus the Welch/
-#         Bartlett/Friedman/Cochran-Q validation quartet)
-#   42-50 the stalest driver evidence: the round-5/6 block from
+#         Bartlett/Friedman/Cochran-Q validation quartet and the
+#         q327 coarse-IVF routing fix)
+#   43-50 the stalest driver evidence: the round-5/6 block from
 #         q179_canonical_selection onward (last green r5-r6)
 # Slots past 50 are the ranked overflow the driver reaches only if its
 # budget stretches: stalest-evidence-first (rest of round-5/6, then
@@ -107,6 +108,7 @@ _PRIORITY: tuple[str, ...] = (
     "q321_ljung_box", "q322_kpss",
     "q323_theta_forecast", "q324_granger_lag1",
     "q325_cochran_q", "q326_croston",
+    "q327_ivf_coarse_assign",
     "q179_canonical_selection", "q180_leakfree_split",
     "q181_ts_lookback_planted", "q182_stream_index_maintenance",
     "q45_rolling_stats", "q53_stateful_user_stats",
