@@ -1201,7 +1201,25 @@ def incremental_neardup_pairs(delta: DataFrame, corpus: DataFrame,
     catches J≥0.7 pairs w.p. ~0.94 and J≥0.9 w.p. ~0.999; candidates
     below that are bonus, and the emitted set is deterministic either
     way (candidates ∩ exact-verified), which is what the oracle
-    re-derives."""
+    re-derives.
+
+    The exact verify joins DISTINCT POLY-HASH INT ARRAYS, not the gram
+    strings: each word bigram is folded to the portable base-31 hash
+    mod 1e9+7 (4 bytes as INT) before the candidate join, so the ~|A|
+    +|B| payload every candidate-pair row carries is ~4 bytes/gram
+    instead of the ~20-30-byte gram text.  Measured at copies=30
+    (BASELINE.md round-13 ladder): verify wall 73.4 s vs 145.6 s for
+    the string-array variant (2.0×; int equality beats string equality
+    inside array_intersect), with shuffle bytes UNCHANGED there
+    because the candidate set still broadcasts — the byte cut lands at
+    copies=100, where candidates outgrow broadcast, the pair rows
+    shuffle for a sort-merge join, and the string payload overflowed
+    local disk twice in round 12 (42 GB spill).  Jaccard over the
+    hashed sets equals string-gram Jaccard unless two distinct grams
+    in a pair's union collide mod 1e9+7 (~|A∪B|²/2p ≈ 8e-5 for
+    400-gram unions) — and is deterministic and IDENTICAL cross-engine
+    either way, since the oracle folds the same family over the same
+    grams."""
     sd = minhash_signatures_portable(delta, id_col, text_col)
     sc = minhash_signatures_portable(corpus, id_col, text_col)
     keys = ["band"] + [f"k{r}" for r in range(band_rows)]
@@ -1210,10 +1228,14 @@ def incremental_neardup_pairs(delta: DataFrame, corpus: DataFrame,
         .join(_portable_bands(sc, id_col, "corpus_id", band_rows), keys)
         .select("delta_id", "corpus_id").distinct()
     )
+    hashed = lambda d: F.array_distinct(  # noqa: E731
+        F.transform(d, lambda g: _polyhash(g).cast("int")))
     gd = _grams_df(delta, id_col, text_col, 2).select(
-        F.col("__id").alias("delta_id"), F.col("__grams").alias("__ga"))
+        F.col("__id").alias("delta_id"),
+        hashed(F.col("__grams")).alias("__ga"))
     gc = _grams_df(corpus, id_col, text_col, 2).select(
-        F.col("__id").alias("corpus_id"), F.col("__grams").alias("__gb"))
+        F.col("__id").alias("corpus_id"),
+        hashed(F.col("__grams")).alias("__gb"))
     return (
         cand.join(gd, "delta_id").join(gc, "corpus_id")
         .select(
@@ -1263,16 +1285,23 @@ def _inc_neardup_oracle() -> str:
       FROM bands d JOIN bands c
         ON d.band = c.band AND d.k1 = c.k1 AND d.k2 = c.k2
       WHERE d.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+    ),
+    hd AS (
+      -- the engine's exact verify runs over DISTINCT poly-hash sets
+      -- (bytes-lean shuffle), not the gram strings; fold the same
+      -- family here so the emitted jaccard is identical even on a
+      -- mod-p collision
+      SELECT doc_id, list_distinct(hs) AS hg FROM h
     )
     SELECT delta_id, corpus_id,
-           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-                 (len(a.grams) + len(b.grams)
-                  - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
-    FROM cand JOIN g a ON a.doc_id = cand.delta_id
-              JOIN g b ON b.doc_id = cand.corpus_id
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
-          (len(a.grams) + len(b.grams)
-           - len(list_intersect(a.grams, b.grams))) >= {_INC_THRESHOLD}
+           ROUND(CAST(len(list_intersect(a.hg, b.hg)) AS DOUBLE) /
+                 (len(a.hg) + len(b.hg)
+                  - len(list_intersect(a.hg, b.hg))), 6) AS jaccard
+    FROM cand JOIN hd a ON a.doc_id = cand.delta_id
+              JOIN hd b ON b.doc_id = cand.corpus_id
+    WHERE CAST(len(list_intersect(a.hg, b.hg)) AS DOUBLE) /
+          (len(a.hg) + len(b.hg)
+           - len(list_intersect(a.hg, b.hg))) >= {_INC_THRESHOLD}
     """
 
 

@@ -338,6 +338,137 @@ def q310_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt–Winters additive (level + season, no trend) — the SEASONAL
+# member of the q309/q310 filter family.  The reference's domain is
+# CYCLIC sensor data (/root/reference/README.md:40-47), and the tier
+# had trend (q310) and seasonality DETECTION (q316) but nothing that
+# forecasts WITH the season; this closes that hole.
+#
+# Same LTI-unroll trick as holt_weights, one dimension up: the state
+# x_t = (l_t, s_t, s_{t-1}, ..., s_{t-m+1}) is a level plus an m-slot
+# seasonal SHIFT REGISTER, and the HW updates
+#
+#     l_t = (1-a) l_{t-1} + a y_t - a s_{t-m}
+#     s_t = g(1-a) y_t - g(1-a) l_{t-1} + (ga + 1 - g) s_{t-m}
+#
+# are one CONSTANT companion matrix A (the registers shift down), so
+# yhat_{t+1|t} = l_t + s_{t+1-m} = (e_0+e_m)' x_t unrolls to a FIXED
+# finite filter c_j = (e_0+e_m)' A^{j-1} u, truncated at W and
+# renormalized to unit sum (level-unbiased).  W = 5 seasons puts the
+# truncated seasonal tail at (1-g)^5 ≈ 3% before renormalization; the
+# truncated filter itself is the documented contract (q309 stance).
+# Scale shape identical to q310: ONE window pass, W lags, exact
+# per-product quantization, no UDF, no recurrence.
+# ---------------------------------------------------------------------------
+
+_HW_ALPHA, _HW_GAMMA = 0.3, 0.5
+_HW_PERIOD = 8
+_HW_W = 5 * _HW_PERIOD
+
+
+def holt_winters_weights(alpha: float = _HW_ALPHA,
+                         gamma: float = _HW_GAMMA,
+                         period: int = _HW_PERIOD,
+                         window: int = _HW_W) -> list[float]:
+    """Additive Holt–Winters one-step forecast as a finite filter:
+    iterate v <- A v from v = u, reading c_j = v[0] + v[m] each step
+    (level + the season slot that predicts t+1), then renormalize to
+    unit sum.  Plain Python doubles — deterministic and
+    literal-embeddable in both engines."""
+    m = period
+    dim = m + 1
+    a = [[0.0] * dim for _ in range(dim)]
+    a[0][0] = 1.0 - alpha
+    a[0][m] = -alpha
+    a[1][0] = -gamma * (1.0 - alpha)
+    a[1][m] = gamma * alpha + 1.0 - gamma
+    for k in range(2, dim):
+        a[k][k - 1] = 1.0
+    v = [0.0] * dim
+    v[0] = alpha
+    v[1] = gamma * (1.0 - alpha)
+    cs = []
+    for _ in range(window):
+        cs.append(v[0] + v[m])
+        v = [sum(a[r][c] * v[c] for c in range(dim)) for r in range(dim)]
+    s = sum(cs)
+    return [c / s for c in cs]
+
+
+def holt_winters_forecast(df: DataFrame, group_col: str, order: str,
+                          value: Column, alpha: float = _HW_ALPHA,
+                          gamma: float = _HW_GAMMA,
+                          period: int = _HW_PERIOD,
+                          window: int = _HW_W,
+                          tie_break: str | None = None) -> DataFrame:
+    """(group, n_scored, sse, forecast_next): additive Holt–Winters
+    one-step forecast at fixed (alpha, gamma, period) with the same
+    walk-forward SSE contract as q309/q310 — read the three together:
+    the smallest sse among {SES, Holt, HW} says whether the series is
+    flat, trended, or seasonal."""
+    per = linear_filter_forecast(
+        df, group_col, order, value,
+        [(alpha, holt_winters_weights(alpha, gamma, period, window))],
+        tie_break=tie_break)
+    return per.select(group_col, "n_scored", "sse", "forecast_next")
+
+
+def _hw_oracle(alpha: float = _HW_ALPHA, gamma: float = _HW_GAMMA,
+               period: int = _HW_PERIOD, window: int = _HW_W) -> str:
+    cs = holt_winters_weights(alpha, gamma, period, window)
+    fb, fn = _filt_sql(cs, 1, "1e2"), _filt_sql(cs, 0, "1e6")
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               = count(*) OVER (PARTITION BY g) AS is_last,
+             {_lag_sql(window)}
+      FROM src
+    ),
+    scored AS (
+      SELECT g,
+             CASE WHEN i > {window} THEN
+               CAST(l0 * 100 - ({fb}) AS HUGEINT)
+               * (l0 * 100 - ({fb}))
+             END AS e2,
+             CASE WHEN is_last THEN {fn} END AS fnext
+      FROM lagged
+    ),
+    per AS (
+      SELECT g, CAST(count(e2) AS BIGINT) AS n_scored,
+             sum(e2) AS sse_q, max(fnext) AS fnext
+      FROM scored GROUP BY g
+    )
+    SELECT g AS user_id, n_scored,
+           CAST(sse_q AS DOUBLE) / 1e4 AS sse,
+           CAST(fnext AS DOUBLE) / 1e6 AS forecast_next
+    FROM per WHERE n_scored > 0
+    """
+
+
+@query("q328_holt_winters", oracle=_hw_oracle())
+def q328_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user additive Holt–Winters one-step forecast at
+    (alpha=0.3, gamma=0.5, period=8) with its walk-forward SSE — the
+    seasonal completion of the q309/q310 family; every (user,
+    n_scored, sse, forecast_next) row hash-checked against the same
+    python-generated companion-matrix filter weights."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return holt_winters_forecast(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
 # AR(2) one-step forecast — conditional least squares on the CENTERED
 # series.  The reference's RUL story is "predict the next value from
 # recent history" (/root/reference/README.md:40-47); q309/q310 answer
@@ -393,7 +524,13 @@ def ar2_forecast(df: DataFrame, group_col: str, order: str,
     cy = F.col("__v") - F.col("__m")
     cx = F.col("__x") - F.col("__m")
     cz = F.col("__z") - F.col("__m")
-    q = lambda c: F.floor(c * F.lit(_AR2_Q)).cast("long")  # noqa: E731
+    # Each quantized term is cast to decimal(38,0) BEFORE the sum so
+    # accumulation matches the oracle's per-row HUGEINT headroom: a
+    # long accumulator overflows at ~9.2e18 (≈1e14-magnitude terms ×
+    # ~1e5 rows/series), which larger SFs can reach; decimal(38,0)
+    # cannot.
+    q = lambda c: (F.floor(c * F.lit(_AR2_Q))  # noqa: E731
+                   .cast("decimal(38,0)"))
     reg = F.col("__z").isNotNull()
     s = lambda c: F.sum(F.when(reg, c))  # noqa: E731
     per = j.groupBy("__g").agg(

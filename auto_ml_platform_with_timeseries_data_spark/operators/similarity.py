@@ -2193,9 +2193,11 @@ def q267_margin_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor_agreement double, floor_ok boolean")
 
 
-def _margin_banded_oracle() -> str:
+def _margin_banded_oracle(base: str = "embeddings") -> str:
     """The banded branch of ``_margin_scaled_oracle`` alone — the
-    production plan, without the certificate's exact side."""
+    production plan, without the certificate's exact side.  ``base``
+    lets the fused dedup-first pipeline (q329) point the same oracle
+    at a deduplicated CTE."""
     k, t = _MARGIN_K, _MARGIN_T
     lo, hi = _MARGIN_IVF_LO, _MARGIN_IVF_LO + _MARGIN_IVF_CELLS
     nprobe = _MARGIN_IVF_PROBE
@@ -2208,7 +2210,7 @@ def _margin_banded_oracle() -> str:
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(floor(x * 1024.0) AS BIGINT)) AS qv
-      FROM embeddings
+      FROM {base}
     ),
     n AS (
       SELECT vec_id, qv,
@@ -2282,6 +2284,61 @@ def q268_margin_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter((F.col("vec_id") >= _MARGIN_IVF_LO) &
                        (F.col("vec_id") < _MARGIN_IVF_LO
                         + _MARGIN_IVF_CELLS))
+    return margin_mine_pairs_banded(src, tgt, cents, "vec_id",
+                                    "embedding")
+
+
+# ---------------------------------------------------------------------------
+# q329 — the dedup-BEFORE-ANN fused pipeline, the round-12 100x
+# post-mortem's production rule made EXECUTABLE (BASELINE.md round-12
+# ladder): wide exact-clone families devolve IVF cell structure (every
+# clone lands in one cell; the hot-cell join goes quadratic), so the
+# engine's own pipeline ordering is exact dedup FIRST, then banded
+# mining.  This query is that ordering as ONE plan with a hash-checked
+# oracle, so the contract is itself driver-verified rather than prose.
+# ---------------------------------------------------------------------------
+
+
+def exact_vector_dedup(emb: DataFrame, id_col: str,
+                       vec_col: str) -> DataFrame:
+    """One canonical row per DISTINCT embedding vector (min id wins) —
+    the q16 hash-groupBy contract applied to vectors.  Scale shape:
+    ONE shuffle keyed on the vector value (each vector's bytes cross
+    the wire once — the same bytes a scan already reads); at 100 TB
+    the group key would be xxhash64(vec) with an equality recheck, but
+    the value key keeps this exactly re-derivable in ANSI SQL, and the
+    shuffle volume is identical either way."""
+    return (emb.groupBy(vec_col)
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col, vec_col))
+
+
+def _margin_dedup_oracle() -> str:
+    inner = _margin_banded_oracle(base="dd")
+    return inner.replace(
+        "WITH q AS (",
+        "WITH dd AS (\n"
+        "      SELECT min(vec_id) AS vec_id, embedding\n"
+        "      FROM embeddings GROUP BY embedding\n"
+        "    ),\n    q AS (", 1)
+
+
+@query("q329_dedup_then_margin", oracle=_margin_dedup_oracle())
+def q329_dedup_then_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vector dedup fused in front of the banded margin miner —
+    q268 with the clone-collapse stage the 100x ladder proved
+    necessary (a clone-degenerate corpus must never reach IVF
+    assignment).  Src/tgt/centroids all draw from the DEDUPED set, so
+    the codebook is distinct-by-construction; every mined (pair,
+    margin) row value-hash-checked against the same oracle over a
+    GROUP BY embedding CTE."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dd = exact_vector_dedup(emb, "vec_id", "embedding")
+    src = dd.filter(F.col("vec_id") % 2 == 0)
+    tgt = dd.filter(F.col("vec_id") % 2 == 1)
+    cents = dd.filter((F.col("vec_id") >= _MARGIN_IVF_LO) &
+                      (F.col("vec_id") < _MARGIN_IVF_LO
+                       + _MARGIN_IVF_CELLS))
     return margin_mine_pairs_banded(src, tgt, cents, "vec_id",
                                     "embedding")
 

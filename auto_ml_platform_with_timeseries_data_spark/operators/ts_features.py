@@ -2718,7 +2718,12 @@ def ccf_lags(df: DataFrame, group_col: str, order: str,
           for lag in range(1, max_lag + 1)])
     j = led.join(means, "__g")
     cx = F.col("__x") - F.col("__mx")
-    qt = lambda c: F.floor(c * F.lit(1e6)).cast("long")  # noqa: E731
+    # decimal(38,0) per quantized term: DuckDB's sum(BIGINT) returns
+    # HUGEINT, so the oracle never overflows; a long accumulator here
+    # would cap at ~9.2e18 (≈1e14 terms × ~1e5 rows/series).  Match
+    # the oracle's headroom instead of documenting a row ceiling.
+    qt = lambda c: (F.floor(c * F.lit(1e6))  # noqa: E731
+                    .cast("decimal(38,0)"))
     aggs = [F.max("n").alias("n"),
             F.sum(qt(cx * cx)).alias("__sxx"),
             F.sum(qt((F.col("__y") - F.col("__my"))
@@ -3141,7 +3146,10 @@ def ljung_box(df: DataFrame, group_col: str, order: str,
           for l in range(1, max_lag + 1)])
     j = led.join(means, "__g")
     cent = F.col("__v") - F.col("__m")
-    qt = lambda c: F.floor(c * F.lit(1e6)).cast("long")  # noqa: E731
+    # decimal(38,0) per term (oracle sums BIGINT into HUGEINT) — see
+    # the ccf_lags note on the long-accumulator ceiling.
+    qt = lambda c: (F.floor(c * F.lit(1e6))  # noqa: E731
+                    .cast("decimal(38,0)"))
     aggs = [F.max("n").alias("n"),
             F.sum(qt(cent * cent)).alias("__c0")]
     for l in range(1, max_lag + 1):
@@ -3266,7 +3274,10 @@ def kpss_level(df: DataFrame, group_col: str, order: str,
     j = led.join(means, "__g")
     st = F.col("__cs") - F.col("__i") * F.col("__m")
     cent = F.col("__v") - F.col("__m")
-    qt = lambda c: F.floor(c * F.lit(1e6)).cast("long")  # noqa: E731
+    # decimal(38,0) per term (oracle sums BIGINT into HUGEINT) — see
+    # the ccf_lags note on the long-accumulator ceiling.
+    qt = lambda c: (F.floor(c * F.lit(1e6))  # noqa: E731
+                    .cast("decimal(38,0)"))
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     aggs = [F.max("n").alias("n"),
             F.sum(dec(F.floor(st * st * F.lit(1e2)))).alias("__ss2"),
@@ -3406,7 +3417,12 @@ def granger_lag1(df: DataFrame, group_col: str, order: str,
     cy = F.col("__y0") - F.col("__my")
     ca = F.col("__yl") - F.col("__myl")
     cb = F.col("__xl") - F.col("__mxl")
-    q = lambda c: F.floor(c * F.lit(1e4)).cast("long")  # noqa: E731
+    # decimal(38,0) per TERM (not just the finished sum) so the
+    # accumulator matches the oracle's HUGEINT headroom — a long
+    # accumulator caps at ~9.2e18, reachable by ~1e14 terms × ~1e5
+    # rows/series at larger SFs.
+    q = lambda c: (F.floor(c * F.lit(1e4))  # noqa: E731
+                   .cast("decimal(38,0)"))
     per = j.groupBy("__g").agg(
         F.max("m").alias("m"),
         F.sum(q(ca * ca)).cast("decimal(38,0)").alias("__saa"),

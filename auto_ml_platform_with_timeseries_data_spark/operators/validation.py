@@ -3007,8 +3007,14 @@ def friedman_test(df: DataFrame, value: Column, block_col: str,
       SELECT CAST(count(*) AS BIGINT) AS nb FROM complete
     ),
     agg AS (
-      SELECT sum(CAST(r2j AS HUGEINT) * r2j) AS sr2, k, nb, tcorr
-      FROM pert, kfr, nblocks, ties GROUP BY k, nb, tcorr
+      -- scalar subquery (not a cross join over pert): pert is EMPTY
+      -- when no complete blocks exist, and the engine's global agg
+      -- still emits its one-row-of-NULLs contract there; kfr /
+      -- nblocks / ties are global aggs (always exactly one row), so
+      -- this CTE is one row unconditionally, matching the engine.
+      SELECT (SELECT sum(CAST(r2j AS HUGEINT) * r2j) FROM pert) AS sr2,
+             k, nb, tcorr
+      FROM kfr, nblocks, ties
     )
     SELECT k, nb AS b,
            CASE WHEN nb >= 2 AND k >= 2 THEN

@@ -1,0 +1,166 @@
+"""Planted-property tests for the round-13 additions: the seasonal
+Holt–Winters forecast (q328) and the dedup-before-ANN fused pipeline.
+Cross-engine value checks live in scripts/check_oracle.py; these pin
+SEMANTICS — the companion-matrix unroll against the textbook HW
+recursion, and a planted seasonal optimum the SES/Holt members must
+lose to.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from auto_ml_platform_with_timeseries_data_spark.operators import forecast
+
+# deterministic pseudo-noise (reviewable fixture, no RNG)
+_NOISE = [3, -5, 2, 7, -4, -1, 6, -8, 5, 0, -3, 4, -6, 8, 1, -2]
+
+
+def _seasonal_series(n: int, period: int = 8, amp: int = 50,
+                     base: int = 1000) -> list[int]:
+    return [base + amp * ((i % period) - period // 2)
+            + _NOISE[i % len(_NOISE)] for i in range(n)]
+
+
+def _frame(spark, vals):
+    return spark.createDataFrame(
+        [("s", i, int(v)) for i, v in enumerate(vals)],
+        "g string, t long, v long")
+
+
+def test_hw_unroll_matches_textbook_recursion():
+    """The companion-matrix filter IS additive Holt–Winters: running
+    the textbook (l, seasonal-ring) recursion from a zero state over
+    300 observations agrees with the UNTRUNCATED unrolled filter to
+    float round-off."""
+    a, g, m = forecast._HW_ALPHA, forecast._HW_GAMMA, forecast._HW_PERIOD
+    y = _seasonal_series(300)
+    lvl = 0.0
+    ring = [0.0] * m
+    for t, yt in enumerate(y):
+        sm = ring[t % m]
+        lvl = (1 - a) * lvl + a * yt - a * sm
+        ring[t % m] = g * (yt - lvl) + (1 - g) * sm
+    fc_rec = lvl + ring[len(y) % m]
+    # untruncated, unnormalized coefficients from the same machinery
+    cs = holt_winters_raw = forecast.holt_winters_weights(
+        a, g, m, window=len(y))
+    # holt_winters_weights renormalizes; undo it for the comparison
+    dim = m + 1
+    mat = [[0.0] * dim for _ in range(dim)]
+    mat[0][0] = 1 - a
+    mat[0][m] = -a
+    mat[1][0] = -g * (1 - a)
+    mat[1][m] = g * a + 1 - g
+    for k in range(2, dim):
+        mat[k][k - 1] = 1.0
+    v = [0.0] * dim
+    v[0] = a
+    v[1] = g * (1 - a)
+    raw = []
+    for _ in range(len(y)):
+        raw.append(v[0] + v[m])
+        v = [sum(mat[r][c] * v[c] for c in range(dim))
+             for r in range(dim)]
+    fc_unr = sum(c * yy for c, yy in zip(raw, reversed(y)))
+    assert abs(fc_rec - fc_unr) < 1e-9 * max(1.0, abs(fc_rec))
+    assert abs(sum(holt_winters_raw) - 1.0) < 1e-12  # unit-sum contract
+    del cs
+
+
+def test_hw_weights_unit_sum_and_seasonal_structure():
+    w = forecast.holt_winters_weights()
+    assert len(w) == forecast._HW_W
+    assert abs(sum(w) - 1.0) < 1e-12
+    # seasonal spikes: the lag-8 family (j = 8, 16, ...) must carry
+    # more weight than its non-seasonal neighbors at j >= period
+    m = forecast._HW_PERIOD
+    for j in (m, 2 * m, 3 * m):
+        assert w[j - 1] > w[j], (j, w[j - 1], w[j])
+
+
+def test_hw_beats_ses_and_holt_on_planted_seasonal(spark):
+    """A strongly period-8 series: the seasonal member's walk-forward
+    SSE must beat every SES alpha AND Holt — the planted optimum that
+    certifies q328 actually uses the season."""
+    y = _seasonal_series(160)
+    df = _frame(spark, y)
+    hw = forecast.holt_winters_forecast(
+        df, "g", "t", F.col("v")).collect()[0]
+    ses = forecast.ses_best_forecast(
+        df, "g", "t", F.col("v")).collect()[0]
+    holt = forecast.holt_forecast(
+        df, "g", "t", F.col("v")).collect()[0]
+    assert hw["sse"] < ses["sse"] * 0.5
+    assert hw["sse"] < holt["sse"] * 0.5
+    # and the forecast lands near the true next value
+    truth = _seasonal_series(161)[-1]
+    assert abs(hw["forecast_next"] - truth) < 30
+
+
+def test_hw_short_series_contract(spark):
+    # series shorter than W+1 has no scored row -> no output row
+    df = _frame(spark, _seasonal_series(forecast._HW_W))
+    assert forecast.holt_winters_forecast(
+        df, "g", "t", F.col("v")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# q329 — dedup-before-ANN fused pipeline
+
+
+def _clone_embeddings(spark, n_distinct: int = 40, copies: int = 5,
+                      dim: int = 8):
+    """n_distinct base vectors, each cloned `copies` times with clone
+    ids offset by 1000*c — the clone-degenerate staging shape the
+    round-12 100x ladder used."""
+    rows = []
+    for i in range(n_distinct):
+        # (31i + 7d) mod 97: the d=0 component alone is injective for
+        # i < 97, so the 40 base vectors are pairwise distinct
+        vec = [(float((i * 31 + d * 7) % 97) - 48.0) / 48.0
+               for d in range(dim)]
+        for c in range(copies):
+            rows.append((i + 1000 * c, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_exact_vector_dedup_collapses_clone_families(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        similarity,
+    )
+
+    emb = _clone_embeddings(spark)
+    dd = similarity.exact_vector_dedup(emb, "vec_id", "embedding")
+    got = dd.collect()
+    assert len(got) == 40
+    # min-id canonical: every survivor is from copy 0 (ids < 1000)
+    assert all(r["vec_id"] < 1000 for r in got)
+
+
+def test_dedup_then_margin_equals_mining_the_distinct_set(spark):
+    """The fused pipeline on a clone-degenerate corpus must mine
+    exactly what the banded miner mines on the distinct set — the
+    executable form of 'exact dedup before ANN'."""
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        similarity,
+    )
+
+    emb = _clone_embeddings(spark)
+    dd = similarity.exact_vector_dedup(emb, "vec_id", "embedding")
+    distinct = emb.filter(F.col("vec_id") < 1000)
+
+    def mine(base):
+        src = base.filter(F.col("vec_id") % 2 == 0)
+        tgt = base.filter(F.col("vec_id") % 2 == 1)
+        cents = base.filter((F.col("vec_id") >= similarity._MARGIN_IVF_LO)
+                            & (F.col("vec_id") < similarity._MARGIN_IVF_LO
+                               + similarity._MARGIN_IVF_CELLS))
+        return similarity.margin_mine_pairs_banded(
+            src, tgt, cents, "vec_id", "embedding")
+
+    fused = {(r["src_id"], r["tgt_id"], r["margin"])
+             for r in mine(dd).collect()}
+    direct = {(r["src_id"], r["tgt_id"], r["margin"])
+              for r in mine(distinct).collect()}
+    assert fused == direct
