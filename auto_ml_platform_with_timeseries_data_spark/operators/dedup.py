@@ -1186,7 +1186,8 @@ def _portable_bands(sig: DataFrame, id_col: str, out_id: str,
 def incremental_neardup_pairs(delta: DataFrame, corpus: DataFrame,
                               id_col: str, text_col: str,
                               threshold: float = _INC_THRESHOLD,
-                              band_rows: int = _INC_BAND_ROWS) -> DataFrame:
+                              band_rows: int = _INC_BAND_ROWS,
+                              broadcast_delta: bool = True) -> DataFrame:
     """Near-duplicate pairs between a new delta batch and the existing
     corpus, via the corpus's STORED MinHash band index: (delta_id,
     corpus_id, jaccard) for exact word-bigram Jaccard ≥ threshold among
@@ -1203,23 +1204,31 @@ def incremental_neardup_pairs(delta: DataFrame, corpus: DataFrame,
     way (candidates ∩ exact-verified), which is what the oracle
     re-derives.
 
-    The exact verify joins DISTINCT POLY-HASH INT ARRAYS, not the gram
-    strings: each word bigram is folded to the portable base-31 hash
-    mod 1e9+7 (4 bytes as INT) before the candidate join, so the ~|A|
-    +|B| payload every candidate-pair row carries is ~4 bytes/gram
-    instead of the ~20-30-byte gram text.  Measured at copies=30
-    (BASELINE.md round-13 ladder): verify wall 73.4 s vs 145.6 s for
-    the string-array variant (2.0×; int equality beats string equality
-    inside array_intersect), with shuffle bytes UNCHANGED there
-    because the candidate set still broadcasts — the byte cut lands at
-    copies=100, where candidates outgrow broadcast, the pair rows
-    shuffle for a sort-merge join, and the string payload overflowed
-    local disk twice in round 12 (42 GB spill).  Jaccard over the
-    hashed sets equals string-gram Jaccard unless two distinct grams
-    in a pair's union collide mod 1e9+7 (~|A∪B|²/2p ≈ 8e-5 for
-    400-gram unions) — and is deterministic and IDENTICAL cross-engine
-    either way, since the oracle folds the same family over the same
-    grams."""
+    The exact verify is SORT-FREE and never shuffles a pair-wide row:
+
+    - gram sets travel as DISTINCT POLY-HASH INT ARRAYS (portable
+      base-31 hash mod 1e9+7, 4 bytes as INT), ~4 bytes/gram instead
+      of the ~20-30-byte gram text.  Jaccard over the hashed sets
+      equals string-gram Jaccard unless two distinct grams in a pair's
+      union collide mod 1e9+7 (~|A∪B|²/2p ≈ 8e-5 for 400-gram unions)
+      — and is deterministic and IDENTICAL cross-engine either way,
+      since the oracle folds the same family over the same grams.
+      Measured alone: 2.0× verify wall at copies=30 (73.4 s vs 145.6
+      s; int equality beats string equality inside array_intersect).
+    - candidate pairs are grouped per corpus doc (slim collect_list of
+      delta ids — fan-in bounded by |delta|), the corpus arrays join
+      that ONCE (each corpus doc's grams cross the wire once, not once
+      per pair), pairs re-explode MAP-SIDE, and the delta arrays
+      arrive by BROADCAST — legitimate by the operator's own contract
+      (the delta is the small incremental batch; ~4B × grams × |delta|
+      ≈ 160 MB even at the 100x ladder's 100k-doc delta).  No
+      sort-merge join ever sees a row carrying a gram array, so the
+      clone-degenerate copies² staging streams instead of spilling:
+      round 12's string-payload verify overflowed local disk TWICE at
+      copies=100 (42 GB spill); this plan completes the 100x point
+      (BASELINE.md round-13 ladder).  Set ``broadcast_delta=False``
+      for a non-incremental call whose "delta" is itself corpus-sized
+      — the verify then falls back to the shuffle join."""
     sd = minhash_signatures_portable(delta, id_col, text_col)
     sc = minhash_signatures_portable(corpus, id_col, text_col)
     keys = ["band"] + [f"k{r}" for r in range(band_rows)]
@@ -1236,9 +1245,19 @@ def incremental_neardup_pairs(delta: DataFrame, corpus: DataFrame,
     gc = _grams_df(corpus, id_col, text_col, 2).select(
         F.col("__id").alias("corpus_id"),
         hashed(F.col("__grams")).alias("__gb"))
+    if not broadcast_delta:
+        paired = cand.join(gd, "delta_id").join(gc, "corpus_id")
+    else:
+        cgrp = cand.groupBy("corpus_id").agg(
+            F.collect_list("delta_id").alias("__dids"))
+        paired = (
+            cgrp.join(gc, "corpus_id")
+            .select("corpus_id", "__gb",
+                    F.explode("__dids").alias("delta_id"))
+            .join(F.broadcast(gd), "delta_id")
+        )
     return (
-        cand.join(gd, "delta_id").join(gc, "corpus_id")
-        .select(
+        paired.select(
             "delta_id", "corpus_id",
             F.round(jaccard(F.col("__ga"), F.col("__gb")), 6)
             .alias("jaccard"),
@@ -1495,7 +1514,8 @@ def q183_neardup_leakfree_split(spark: SparkSession,
 def hamming_band_pairs_delta(delta_sigs: DataFrame, corpus_sigs: DataFrame,
                              id_col: str,
                              sig_cols: Sequence[tuple[str, int]],
-                             max_hamming: int = 3) -> DataFrame:
+                             max_hamming: int = 3,
+                             top_m: int | None = None) -> DataFrame:
     """Delta-vs-corpus variant of ``hamming_band_pairs``: the new
     batch's 16-bit bands join the corpus's STORED band index (persisted
     state in production — nbands small ints per item — recomputed here
@@ -1503,7 +1523,21 @@ def hamming_band_pairs_delta(delta_sigs: DataFrame, corpus_sigs: DataFrame,
     pigeonhole recall bound (d ≤ B−1 ⇒ at least one shared band); work
     is the delta's band rows plus true candidates — the corpus is
     never self-paired and never rescanned. Returns (delta_id,
-    corpus_id, hamming)."""
+    corpus_id, hamming).
+
+    ``top_m`` caps the OUTPUT at the m closest corpus matches per
+    delta row (rank on hamming asc, ties to the smallest corpus id —
+    deterministic), the same defense the LSH bucket caps give the text
+    path: on a clone-heavy corpus the uncapped screen materializes
+    O(family²) pair rows (the round-12 100x ladder measured 468M/831M
+    pair rows on the audio/video screens), while a dedup decision
+    needs only "is there a near-match and which" — m of them bounds
+    output at m·|delta| BY CONSTRUCTION.  Recall statement under the
+    cap: every delta row that HAS a ≤ max_hamming match still reports
+    one (the pigeonhole bound finds candidates; ranking drops only
+    EXTRA matches beyond m), so set-level screening decisions are
+    unaffected; only the full match LIST is truncated.  Default None
+    keeps the exact uncapped contract unchanged."""
     names = [c for c, _ in sig_cols]
 
     def bands(df: DataFrame, out_id: str) -> DataFrame:
@@ -1533,7 +1567,14 @@ def hamming_band_pairs_delta(delta_sigs: DataFrame, corpus_sigs: DataFrame,
         names[1:],
         F.bit_count(F.col(f"__d_{names[0]}")
                     .bitwiseXOR(F.col(f"__c_{names[0]}"))))
-    return (cand.join(d, "delta_id").join(c, "corpus_id")
-            .select("delta_id", "corpus_id",
-                    ham.cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    out = (cand.join(d, "delta_id").join(c, "corpus_id")
+           .select("delta_id", "corpus_id",
+                   ham.cast("int").alias("hamming"))
+           .filter(F.col("hamming") <= max_hamming))
+    if top_m is None:
+        return out
+    wr = Window.partitionBy("delta_id").orderBy(
+        F.asc("hamming"), F.asc("corpus_id"))
+    return (out.withColumn("__rk", F.row_number().over(wr))
+            .filter(F.col("__rk") <= top_m)
+            .drop("__rk"))

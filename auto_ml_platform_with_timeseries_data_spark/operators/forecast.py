@@ -65,23 +65,26 @@ def ses_weights(alpha: float, window: int = _FC_W) -> list[float]:
 
 
 def holt_weights(alpha: float = _HOLT_ALPHA, beta: float = _HOLT_BETA,
-                 window: int = _FC_W) -> list[float]:
-    """Holt's linear method as a finite filter.  State (l_t, b_t)
+                 window: int = _FC_W, phi: float = 1.0) -> list[float]:
+    """Holt's linear method as a finite filter, with optional trend
+    DAMPING (Gardner–McKenzie phi; phi = 1 is classic Holt and
+    reproduces the original weights bit-for-bit).  State (l_t, b_t)
     evolves as s_t = M s_{t-1} + y_t u with
 
-        M = [[1-a, 1-a], [-ab, 1-ab]],   u = (a, ab)
+        M = [[1-a, (1-a)φ], [-ab, φ(1-ab)]],   u = (a, ab)
 
-    (substitute the level update into the trend update to see the
-    second row), and the one-step forecast l_t + b_t = sum_j c_j
-    y_{t-j} with c_j = (1,1) . M^j u.  Truncated at W and renormalized
+    (substitute the level update l_t = a y_t + (1-a)(l+φb) into the
+    trend update b_t = b(l_t-l_{t-1}) + (1-b)φ b_{t-1} to see the
+    second row), and the one-step forecast l_t + φ b_t = sum_j c_j
+    y_{t-j} with c_j = (1,φ) . M^j u.  Truncated at W and renormalized
     to unit sum (level-unbiased); the negative tail weights are what
     carry the trend response.  Plain Python doubles."""
-    m11 = m12 = 1.0 - alpha
-    m21, m22 = -alpha * beta, 1.0 - alpha * beta
+    m11, m12 = 1.0 - alpha, (1.0 - alpha) * phi
+    m21, m22 = -alpha * beta, phi * (1.0 - alpha * beta)
     vx, vy = alpha, alpha * beta
     cs = []
     for _ in range(window):
-        cs.append(vx + vy)
+        cs.append(vx + phi * vy)
         vx, vy = m11 * vx + m12 * vy, m21 * vx + m22 * vy
     s = sum(cs)
     return [c / s for c in cs]
@@ -469,6 +472,94 @@ def q328_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q332 — DAMPED-trend Holt (Gardner–McKenzie 1985): the robustness
+# member of the family.  Classic Holt extrapolates the local trend
+# forever — the documented failure mode on mean-reverting sensor
+# series — while phi < 1 geometrically flattens it (h-step forecast
+# l + (φ+..+φ^h) b), which M3/M4-competition evidence made the
+# production default for automatic trend forecasting.  Same finite-
+# filter unroll as q310 (holt_weights with phi), same walk-forward
+# SSE contract, so q310 vs q332 sse per series answers "is this trend
+# persistent or transient" the way q309 vs q310 answers "is there a
+# trend at all".
+# ---------------------------------------------------------------------------
+
+_DHOLT_PHI = 0.85
+
+
+def damped_holt_forecast(df: DataFrame, group_col: str, order: str,
+                         value: Column, alpha: float = _HOLT_ALPHA,
+                         beta: float = _HOLT_BETA,
+                         phi: float = _DHOLT_PHI,
+                         tie_break: str | None = None) -> DataFrame:
+    """(group, n_scored, sse, forecast_next): phi-damped Holt one-step
+    forecast at fixed (alpha, beta, phi) — q310's contract with the
+    trend response geometrically damped."""
+    per = linear_filter_forecast(
+        df, group_col, order, value,
+        [(alpha, holt_weights(alpha, beta, phi=phi))],
+        tie_break=tie_break)
+    return per.select(group_col, "n_scored", "sse", "forecast_next")
+
+
+def _damped_holt_oracle(alpha: float = _HOLT_ALPHA,
+                        beta: float = _HOLT_BETA,
+                        phi: float = _DHOLT_PHI,
+                        window: int = _FC_W) -> str:
+    cs = holt_weights(alpha, beta, window, phi=phi)
+    fb, fn = _filt_sql(cs, 1, "1e2"), _filt_sql(cs, 0, "1e6")
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               = count(*) OVER (PARTITION BY g) AS is_last,
+             {_lag_sql(window)}
+      FROM src
+    ),
+    scored AS (
+      SELECT g,
+             CASE WHEN i > {window} THEN
+               CAST(l0 * 100 - ({fb}) AS HUGEINT)
+               * (l0 * 100 - ({fb}))
+             END AS e2,
+             CASE WHEN is_last THEN {fn} END AS fnext
+      FROM lagged
+    ),
+    per AS (
+      SELECT g, CAST(count(e2) AS BIGINT) AS n_scored,
+             sum(e2) AS sse_q, max(fnext) AS fnext
+      FROM scored GROUP BY g
+    )
+    SELECT g AS user_id, n_scored,
+           CAST(sse_q AS DOUBLE) / 1e4 AS sse,
+           CAST(fnext AS DOUBLE) / 1e6 AS forecast_next
+    FROM per WHERE n_scored > 0
+    """
+
+
+@query("q332_damped_holt", oracle=_damped_holt_oracle())
+def q332_damped_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user phi-damped Holt one-step forecast at (0.5, 0.3,
+    phi=0.85) with its walk-forward SSE — read against q310: a series
+    where damping LOWERS the sse carries a transient trend the
+    undamped filter over-extrapolates.  Every (user, n_scored, sse,
+    forecast_next) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return damped_holt_forecast(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
 # AR(2) one-step forecast — conditional least squares on the CENTERED
 # series.  The reference's RUL story is "predict the next value from
 # recent history" (/root/reference/README.md:40-47); q309/q310 answer
@@ -666,16 +757,27 @@ _MASE_ALPHA = 0.5
 def mase_backtest(df: DataFrame, group_col: str, order: str,
                   value: Column, alpha: float = _MASE_ALPHA,
                   window: int = _FC_W,
-                  tie_break: str | None = None) -> DataFrame:
+                  tie_break: str | None = None,
+                  coeffs: list[float] | None = None,
+                  naive_lag: int = 1) -> DataFrame:
     """(group, n_model, n_naive, mae_model, mae_naive, mase): walk-
-    forward one-step MAE of the truncated-SES(alpha) filter (rows with
-    a full W-lag history) over the MAE of the naive lag-1 forecast
-    (rows t >= 2), per series.  The two counts differ by contract (the
-    filter needs W rows of history, naive needs one) — MASE uses each
-    mean over its own support, the standard out-of-sample form.
-    Series with no scored model row or zero naive MAE report
-    mase NULL-by-contract; series with no naive row emit nothing."""
-    cs = ses_weights(alpha, window)
+    forward one-step MAE of a fixed linear filter (rows with a full
+    W-lag history) over the MAE of the naive lag-``naive_lag``
+    forecast, per series.  Defaults reproduce q312 exactly: the
+    truncated-SES(alpha) filter against the lag-1 naive.  ``coeffs``
+    substitutes any filter from this module (window = len(coeffs));
+    ``naive_lag`` = the season length gives the SEASONAL-naive
+    denominator — the Hyndman (2006) form a seasonal series must be
+    scored against, since lag-1 naive is artificially terrible on a
+    strong cycle and flatters any model.  The two counts differ by
+    contract (the filter needs W rows of history, naive needs
+    naive_lag) — MASE uses each mean over its own support, the
+    standard out-of-sample form.  Series with no scored model row or
+    zero naive MAE report mase NULL-by-contract; series with no naive
+    row emit nothing."""
+    cs = coeffs if coeffs is not None else ses_weights(alpha, window)
+    window = len(cs)
+    nlags = max(window, naive_lag)
     ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
     w = Window.partitionBy("__g").orderBy(*ob)
     src = df.select(F.col(group_col).alias("__g"),
@@ -688,7 +790,7 @@ def mase_backtest(df: DataFrame, group_col: str, order: str,
         "__g", F.col("__v").alias("__l0"),
         F.row_number().over(w).alias("__i"),
         *[F.lag("__v", j).over(w).alias(f"__l{j}")
-          for j in range(1, window + 1)])
+          for j in range(1, nlags + 1)])
     filt = None
     for j, c in enumerate(cs):
         term = F.floor(F.lit(c) * F.col(f"__l{j + 1}")
@@ -696,8 +798,8 @@ def mase_backtest(df: DataFrame, group_col: str, order: str,
         filt = term if filt is None else filt + term
     e_model = F.when(F.col("__i") > window,
                      F.abs(F.col("__l0") * F.lit(100) - filt))
-    e_naive = F.when(F.col("__i") > 1,
-                     F.abs(F.col("__l0") - F.col("__l1")))
+    e_naive = F.when(F.col("__i") > naive_lag,
+                     F.abs(F.col("__l0") - F.col(f"__l{naive_lag}")))
     per = lagged.groupBy("__g").agg(
         F.count(e_model).cast("long").alias("n_model"),
         F.count(e_naive).cast("long").alias("n_naive"),
@@ -774,6 +876,69 @@ def q312_mase_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")
+
+
+def _seasonal_mase_oracle() -> str:
+    cs = holt_winters_weights()
+    window, m = len(cs), _HW_PERIOD
+    fb = _filt_sql(cs, 1, "1e2")
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             {_lag_sql(window)}
+      FROM src
+    ),
+    scored AS (
+      SELECT g,
+             CASE WHEN i > {window} THEN
+               CAST(abs(l0 * 100 - ({fb})) AS HUGEINT) END AS em,
+             CASE WHEN i > {m} THEN
+               CAST(abs(l0 - l{m}) AS HUGEINT) END AS en
+      FROM lagged
+    ),
+    per AS (
+      SELECT g, CAST(count(em) AS BIGINT) AS n_model,
+             CAST(count(en) AS BIGINT) AS n_naive,
+             sum(em) AS sm, sum(en) AS sn
+      FROM scored GROUP BY g
+    )
+    SELECT g AS user_id, n_model, n_naive,
+           CASE WHEN n_model > 0 THEN
+             floor(CAST(sm AS DOUBLE) / 1e2 / n_model / 100.0
+                   * 1e6 + 0.5) / 1e6 END AS mae_model,
+           floor(CAST(sn AS DOUBLE) / n_naive / 100.0
+                 * 1e6 + 0.5) / 1e6 AS mae_naive,
+           CASE WHEN n_model > 0 AND CAST(sn AS DOUBLE) > 0 THEN
+             floor((CAST(sm AS DOUBLE) / 1e2 / n_model / 100.0)
+                   / (CAST(sn AS DOUBLE) / n_naive / 100.0)
+                   * 1e6 + 0.5) / 1e6 END AS mase
+    FROM per WHERE n_naive > 0
+    """
+
+
+@query("q333_seasonal_mase", oracle=_seasonal_mase_oracle())
+def q333_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user SEASONAL MASE: the q328 Holt–Winters filter's
+    walk-forward MAE over the SEASONAL-naive (lag-8) MAE — the Hyndman
+    (2006) denominator a cyclic series must be scored against, since
+    lag-1 naive is artificially terrible on a strong cycle and
+    flatters any model.  mase < 1 here means the HW filter genuinely
+    beats repeating last season; every row hash-checked over
+    exact-integer absolute-error sums."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return mase_backtest(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id",
+        coeffs=holt_winters_weights(), naive_lag=_HW_PERIOD)
 
 
 # ---------------------------------------------------------------------------

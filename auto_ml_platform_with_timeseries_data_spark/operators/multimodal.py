@@ -2044,6 +2044,47 @@ def q237_audio_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta, corpus, "media_id", [("fingerprint", 64)], _AN_MAXH)
 
 
+_SCREEN_TOP_M = 3
+
+
+def _audio_screen_capped_oracle() -> str:
+    return f"""
+    SELECT delta_id, corpus_id, hamming FROM (
+      SELECT delta_id, corpus_id, hamming,
+             row_number() OVER (PARTITION BY delta_id
+                                ORDER BY hamming, corpus_id) AS rk
+      FROM ({_audio_near_index_oracle()})
+    ) WHERE rk <= {_SCREEN_TOP_M}
+    """
+
+
+@query("q330_audio_screen_capped", oracle=_audio_screen_capped_oracle())
+def q330_audio_screen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q237's audio near screen with the top-m OUTPUT CAP (m = 3
+    closest corpus matches per delta clip, ties to the smallest id) —
+    the executable answer to the round-12 100x ladder's output-bound
+    rows: on a clone-heavy corpus the uncapped screen materializes
+    O(family²) pairs (468M/831M rows at 100x), while the capped screen
+    is ≤ m·|delta| rows BY CONSTRUCTION with set-level screening
+    decisions unchanged (any delta clip with a ≤ max_hamming match
+    still reports one).  Every kept (delta, corpus, hamming) row
+    value-hash-checked against the rank-windowed oracle."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _AN_DOCS).select("doc_id")
+    media = synth_wav_media_perturbed(docs)
+    fp = audio_fingerprint(media, frame_samples=_AN_FRAME) \
+        .localCheckpoint(eager=True)
+    delta = fp.filter(F.col("media_id") >= _ANI_DELTA_LO)
+    corpus = fp.filter(F.col("media_id") < _ANI_DELTA_LO)
+    return hamming_band_pairs_delta(
+        delta, corpus, "media_id", [("fingerprint", 64)], _AN_MAXH,
+        top_m=_SCREEN_TOP_M)
+
+
 def _video_near_index_oracle() -> str:
     def px(f: int, jexpr: str) -> str:
         return (

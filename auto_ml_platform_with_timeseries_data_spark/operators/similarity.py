@@ -1859,7 +1859,20 @@ def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame,
     corpus; coarse is N*(C/stride + nprobe_super*E[group])).  The
     coarse route can miss cells flat assignment finds — recall is
     measured by tests and the agreement probe, the same stance the
-    banded path itself takes vs the exact kernel."""
+    banded path itself takes vs the exact kernel.
+
+    FLAT STAYS THE DEFAULT, by measurement and by contract: flat
+    assignment is exact (zero cell-recall risk) and its N*C cost is
+    negligible at the fixed small codebooks the registered queries
+    use (C = 8); coarse's win only materializes when C grows with the
+    corpus (the r12 ladder's distinct-100-cell staging: 6.60 s coarse
+    vs 11.35 s flat at 1x) — and on a CLONE-DEGENERATE codebook coarse
+    devolves below flat (6899 s at 100x; the super map collapses).
+    Since codebook distinctness is a property of the caller's k-means
+    output, not something this operator can verify cheaply, the caller
+    opts into coarse (set ``coarse_stride ~ sqrt(C)``) exactly when it
+    knows C is large AND distinct; q329's dedup-first pipeline is how
+    a clone-suspect corpus earns that knowledge."""
     a = _margin_quant(src, id_col, vec_col, "src_id", "__qa", "__da")
     b = _margin_quant(tgt, id_col, vec_col, "tgt_id", "__qb", "__db")
     c = _margin_quant(centroids, id_col, vec_col, "__cid", "__qb", "__db")

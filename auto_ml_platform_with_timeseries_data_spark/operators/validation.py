@@ -3184,3 +3184,118 @@ def q325_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cochran_q(
         ev, F.floor(F.col("value") * 100 + F.lit(0.5)),
         "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank test (Wilcoxon 1945): the PAIRED complement of
+# q275's Mann–Whitney — two measurements on the SAME unit (here the
+# sensor value and its props.k channel per event row), ranks of |d|
+# with signs.  Mann–Whitney compares two independent samples; using it
+# on paired data throws away the pairing and most of the power.
+#
+#     W+ = sum of avg-ranks of |d_i| where d_i > 0   (zeros dropped)
+#     z  = (W+ - n(n+1)/4) / sqrt(n(n+1)(2n+1)/24 - SUM(t^3-t)/48)
+#
+# Exactness (the q320 doubled-rank discipline): avg ranks are
+# half-integers, so everything is carried DOUBLED — r2 = 2*rank(|d|)
+# + tiecount - 1 is an exact integer, W2+ = SUM r2 over positive d,
+# mu2 = n(n+1)/2, and the doubled variance numerator
+# 2n(n+1)(2n+1) - SUM(t^3-t) is an exact integer (the tie sum folds
+# into the SAME window pass via SUM(t^3-t) = SUM_rows(c^2-1)); one
+# double sqrt/division at the end, pinned 1e-6.  ONE window pass +
+# one aggregate; no UDF, no driver math.  Tie terms accumulate in
+# decimal(38,0) (the round-13 headroom rule — c^2-1 reaches ~1e12 per
+# row on degenerate all-tied series).
+# ---------------------------------------------------------------------------
+
+
+def wilcoxon_signed_rank(df: DataFrame, group_col: str, x_value: Column,
+                         y_value: Column) -> DataFrame:
+    """(group, n, w_plus, z): Wilcoxon signed-rank over the pairwise
+    differences x - y per group.  Zero differences drop (the standard
+    reduced-sample convention); n < 10 (normal-approx floor) or zero
+    variance (all |d| tied AND the correction cancels) reports z
+    NULL-by-contract; groups with no nonzero pair emit no row."""
+    src = df.select(
+        F.col(group_col).alias("__g"),
+        (x_value.cast("long") - y_value.cast("long")).alias("__d")
+    ).filter(F.col("__d").isNotNull() & (F.col("__d") != 0))
+    wr = Window.partitionBy("__g").orderBy(F.abs(F.col("__d")))
+    wt = Window.partitionBy("__g", F.abs(F.col("__d")))
+    ranked = src.select(
+        "__g", "__d",
+        (F.lit(2) * F.rank().over(wr)
+         + F.count(F.lit(1)).over(wt) - 1).alias("__r2"),
+        F.count(F.lit(1)).over(wt).alias("__c"))
+    per = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__d") > 0, F.col("__r2"))),
+            F.lit(0)).cast("long").alias("__w2p"),
+        F.sum((F.col("__c") * F.col("__c") - F.lit(1))
+              .cast("decimal(38,0)")).alias("__tcorr"))
+    nd = F.col("n").cast("double")
+    mu2 = nd * (nd + 1) / 2.0
+    var2 = (F.lit(2.0) * nd * (nd + 1) * (2 * nd + 1)
+            - F.col("__tcorr").cast("double")) / F.lit(12.0)
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    ok = (F.col("n") >= 10) & (var2 > 0)
+    return per.select(
+        F.col("__g").alias(group_col), "n",
+        (F.col("__w2p").cast("double") / 2.0).alias("w_plus"),
+        F.when(ok, pin((F.col("__w2p").cast("double") - mu2)
+                       / F.sqrt(var2))).alias("z"))
+
+
+_WILCOXON_ORACLE = """
+    WITH src AS (
+      SELECT user_id AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT)
+               - CAST(json_extract_string(props, '$.k') AS BIGINT) AS d
+      FROM events
+      WHERE value IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    nz AS (SELECT g, d FROM src WHERE d != 0),
+    ranked AS (
+      SELECT g, d,
+             2 * rank() OVER (PARTITION BY g ORDER BY abs(d))
+               + count(*) OVER (PARTITION BY g, abs(d)) - 1 AS r2,
+             count(*) OVER (PARTITION BY g, abs(d)) AS c
+      FROM nz
+    ),
+    per AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN d > 0 THEN r2 END), 0)
+                  AS BIGINT) AS w2p,
+             sum(CAST(c * c - 1 AS HUGEINT)) AS tcorr
+      FROM ranked GROUP BY g
+    )
+    SELECT g AS user_id, n,
+           CAST(w2p AS DOUBLE) / 2.0 AS w_plus,
+           CASE WHEN n >= 10
+                AND (2.0 * n * (n + 1) * (2 * n + 1)
+                     - CAST(tcorr AS DOUBLE)) / 12.0 > 0 THEN
+             floor((CAST(w2p AS DOUBLE) - n * (n + 1.0) / 2.0)
+                   / sqrt((2.0 * n * (n + 1) * (2 * n + 1)
+                           - CAST(tcorr AS DOUBLE)) / 12.0)
+                   * 1e6 + 0.5) / 1e6 END AS z
+    FROM per
+    """
+
+
+@query("q331_wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE)
+def q331_wilcoxon_signed_rank(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-user Wilcoxon signed-rank of value (cents) against the
+    paired props.k channel — the PAIRED location test q275's
+    Mann–Whitney cannot be (it would discard the per-event pairing);
+    every (user, n, w_plus, z) row hash-checked over exact
+    doubled-rank integers."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.get_json_object("props", "$.k").isNotNull())
+    return wilcoxon_signed_rank(
+        ev, "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        F.get_json_object("props", "$.k").cast("long"))

@@ -209,6 +209,12 @@ HEADLINE = [
     "q325_cochran_q",
     "q326_croston",
     "q327_ivf_coarse_assign",
+    "q328_holt_winters",
+    "q329_dedup_then_margin",
+    "q330_audio_screen_capped",
+    "q331_wilcoxon_signed_rank",
+    "q332_damped_holt",
+    "q333_seasonal_mase",
     "automl_e2e",
 ]
 

@@ -164,6 +164,14 @@ def test_incremental_neardup_finds_cross_batch_pair(spark):
     pairs = {(r["delta_id"], r["corpus_id"]) for r in got}
     assert (10, 1) in pairs
     assert all(d != 11 for d, _ in pairs)
+    # the shuffle-join fallback (broadcast_delta=False) is the same
+    # verify over the same candidates — identical output to the
+    # broadcast plan, jaccard values included
+    fb = dedup.incremental_neardup_pairs(
+        delta, corpus, "doc_id", "text", threshold=0.3,
+        broadcast_delta=False).collect()
+    assert {(r["delta_id"], r["corpus_id"], r["jaccard"]) for r in fb} \
+        == {(r["delta_id"], r["corpus_id"], r["jaccard"]) for r in got}
 
 
 def test_index_update_two_batch_sequence(spark):

@@ -29,14 +29,14 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round12_rotation_keep_their_slots():
+def test_canaries_and_round13_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-12
-    rotation puts the never-driver-witnessed queries (q292-q298, then
-    the fresh registrations q299-q310) right after the canaries, then
-    spends the remaining budget on the stalest driver evidence — the
-    round-5/6 block from q179 onward. The freshly r11-witnessed blocks
-    (q268-q281, q282-q291, q157-q178) sit at the very END of the
+    shared-infrastructure regression is still witnessed; the round-13
+    rotation puts the never-driver-witnessed registrations (q328-q330)
+    right after the canaries, then spends the remaining budget on the
+    stalest driver evidence — q92 (last green r5) and the round-6
+    block (q26-q96 relational/TPC-H region plus q183-q214). The
+    freshly r12-witnessed waves (q292-q327) sit at the very END of the
     overflow."""
     head = registry._PRIORITY[:50]
     head_set = set(head)
@@ -44,28 +44,28 @@ def test_canaries_and_round12_rotation_keep_their_slots():
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    unwitnessed = {f"q{n}" for n in range(292, 299)}
-    fresh = {f"q{n}" for n in range(299, 311)}
-    prefixes = {name.split("_")[0] for name in head_set}
+    fresh = {"q328_holt_winters", "q329_dedup_then_margin",
+             "q330_audio_screen_capped", "q331_wilcoxon_signed_rank",
+             "q332_damped_holt", "q333_seasonal_mase"}
     assert canaries <= head_set
-    assert unwitnessed <= prefixes
-    assert fresh <= prefixes
-    # everything else in the head is a stale-evidence rotation slot
-    # drawn from the round-5/6 block; with the 19 never-witnessed
-    # slots the rotation comfortably clears the 30-slot VERDICT floor
-    rotation = {n for n in head_set
-                if n.split("_")[0] not in canaries
-                and n.split("_")[0] not in unwitnessed | fresh
-                and n not in canaries}
-    assert len(rotation | unwitnessed | fresh) >= 30
-    # the r11-witnessed blocks really are at the end of the overflow
-    tail = registry._PRIORITY[-44:]
+    assert fresh <= head_set
+    # the stalest rows lead the rotation slots
+    assert "q92_stream_stream_join" in head_set  # last green r5
+    r6_block = {"q26_pricing_summary", "q28_top_customers",
+                "q30_asof_join", "q42_semi_anti_join",
+                "q183_neardup_leakfree_split",
+                "q200_doremi_reweight", "q207_corr_matrix"}
+    assert r6_block <= head_set
+    # every head slot is a canary, a fresh registration, or stale
+    # rotation — the budget is fully spent
+    assert len(head) == 50 and len(head_set) == 50
+    # the freshly r12-witnessed waves really are at the end of the
+    # overflow, never in a budget slot
+    tail = registry._PRIORITY[-40:]
     tail_prefixes = {name.split("_")[0] for name in tail}
-    assert {f"q{n}" for n in range(268, 292)} <= tail_prefixes
-    assert {f"q{n}" for n in range(157, 179) if n not in (159, 171)} \
-        <= tail_prefixes
-    # and none of the r11-witnessed names occupy a budget slot
-    assert rotation & set(tail) == set()
+    assert {f"q{n}" for n in range(292, 328)} <= tail_prefixes
+    assert not {n for n in head_set
+                if n.split("_")[0] in {f"q{k}" for k in range(292, 328)}}
 
 
 def test_oracles_follow_query_order():

@@ -164,3 +164,169 @@ def test_dedup_then_margin_equals_mining_the_distinct_set(spark):
     direct = {(r["src_id"], r["tgt_id"], r["margin"])
               for r in mine(distinct).collect()}
     assert fused == direct
+
+
+# ---------------------------------------------------------------------------
+# top-m cap on the perceptual delta screens
+
+
+def test_hamming_delta_top_m_bounds_output_and_keeps_recall(spark):
+    """Clone-heavy staging: 4 delta items, each with 20 identical
+    corpus matches.  Uncapped emits the full 80-pair blowup (the 100x
+    ladder's output-bound shape); top_m=3 emits exactly 3 per delta
+    row, closest-first with deterministic min-id ties, and every delta
+    row that HAS a match still reports one."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs_delta,
+    )
+
+    sig = 0x0123456789ABCDEF
+    corpus = spark.createDataFrame(
+        [(i, sig) for i in range(20)]
+        + [(1000, sig ^ 0b11)],       # one 2-bit near-match
+        "id long, fp long")
+    delta = spark.createDataFrame(
+        [(2000 + j, sig if j < 3 else sig ^ 0b1) for j in range(4)],
+        "id long, fp long")
+    uncapped = hamming_band_pairs_delta(
+        delta, corpus, "id", [("fp", 64)], max_hamming=3)
+    assert uncapped.count() == 4 * 21
+    capped = hamming_band_pairs_delta(
+        delta, corpus, "id", [("fp", 64)], max_hamming=3, top_m=3)
+    rows = capped.collect()
+    by_delta = {}
+    for r in rows:
+        by_delta.setdefault(r["delta_id"], []).append(r)
+    assert set(by_delta) == {2000, 2001, 2002, 2003}  # recall kept
+    for did, rs in by_delta.items():
+        assert len(rs) == 3
+        # closest-first, min-id tiebreak: exact matches (hamming 0 for
+        # j<3) come from corpus ids 0,1,2
+        got = sorted((r["hamming"], r["corpus_id"]) for r in rs)
+        if did < 2003:
+            assert got == [(0, 0), (0, 1), (0, 2)]
+        else:
+            assert got == [(1, 0), (1, 1), (1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# q331 — Wilcoxon signed rank
+
+
+def test_wilcoxon_matches_exact_replication(spark):
+    """Tied, signed fixture replicated with exact doubled-rank
+    integers in Python — engine w_plus and z must match exactly."""
+    import math
+
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    d = [5, -3, 3, 8, -5, 2, 11, -2, 2, 7, -7, 4, 9, -1, 6, 1]
+    # replication: drop zeros (none), avg ranks on |d| (doubled)
+    n = len(d)
+    by_abs = sorted(range(n), key=lambda i: abs(d[i]))
+    r2 = [0] * n
+    i = 0
+    rank = 1
+    while i < n:
+        j = i
+        while j < n and abs(d[by_abs[j]]) == abs(d[by_abs[i]]):
+            j += 1
+        c = j - i
+        for k in range(i, j):
+            r2[by_abs[k]] = 2 * rank + c - 1
+        rank += c
+        i = j
+    w2p = sum(r2[i] for i in range(n) if d[i] > 0)
+    tcorr = 0
+    vals = {}
+    for x in d:
+        vals[abs(x)] = vals.get(abs(x), 0) + 1
+    tcorr = sum(c ** 3 - c for c in vals.values())
+    var2 = (2 * n * (n + 1) * (2 * n + 1) - tcorr) / 12.0
+    z = math.floor((w2p - n * (n + 1) / 2.0) / math.sqrt(var2)
+                   * 1e6 + 0.5) / 1e6
+    df = spark.createDataFrame(
+        [("u", 100 + x, 100) for x in d], "g string, x long, y long")
+    r = validation.wilcoxon_signed_rank(
+        df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert r["n"] == n
+    assert r["w_plus"] == w2p / 2.0
+    assert r["z"] == z
+
+
+def test_wilcoxon_drops_zero_differences_and_detects_shift(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        validation,
+    )
+
+    # 12 positive shifts + 3 exact ties (dropped) -> n = 12, strong
+    # positive z; a symmetric fixture must land near zero
+    rows = [("s", 10 + i, 10) for i in range(1, 13)]
+    rows += [("s", 10, 10)] * 3
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = validation.wilcoxon_signed_rank(
+        df, "g", F.col("x"), F.col("y")).collect()[0]
+    assert r["n"] == 12
+    assert r["z"] is not None and r["z"] > 3.0
+    sym = spark.createDataFrame(
+        [("s", 10 + v, 10) for v in
+         (1, -1, 2, -2, 3, -3, 4, -4, 5, -5, 6, -6)],
+        "g string, x long, y long")
+    r2 = validation.wilcoxon_signed_rank(
+        sym, "g", F.col("x"), F.col("y")).collect()[0]
+    assert abs(r2["z"]) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# q332 — damped Holt
+
+
+def test_damped_holt_phi1_is_classic_holt():
+    w_plain = forecast.holt_weights(0.5, 0.3)
+    w_phi1 = forecast.holt_weights(0.5, 0.3, phi=1.0)
+    assert w_plain == w_phi1  # bit-identical, not approximately
+
+
+def test_damping_wins_on_transient_trends(spark):
+    """A series of short up-then-flat ramps (trend keeps dying):
+    damped Holt's walk-forward SSE must beat classic Holt, which
+    over-extrapolates every ramp."""
+    vals = []
+    lvl = 1000
+    for block in range(20):
+        for i in range(8):
+            vals.append(lvl + i * 40)   # ramp
+        lvl += 40                        # then the level sticks
+        for _ in range(8):
+            vals.append(lvl + 280)
+    df = _frame(spark, vals)
+    damped = forecast.damped_holt_forecast(
+        df, "g", "t", F.col("v")).collect()[0]
+    classic = forecast.holt_forecast(
+        df, "g", "t", F.col("v")).collect()[0]
+    assert damped["sse"] < classic["sse"]
+
+
+# ---------------------------------------------------------------------------
+# q333 — seasonal MASE
+
+
+def test_seasonal_mase_uses_seasonal_naive_denominator(spark):
+    """On a pure period-8 cycle the seasonal-naive denominator is the
+    noise floor: mae_naive under the lag-8 convention must be far
+    below the lag-1 convention's, and the reported mase must equal
+    mae_model / mae_naive recomputed from the emitted columns."""
+    y = _seasonal_series(160)
+    df = _frame(spark, y)
+    r8 = forecast.mase_backtest(
+        df, "g", "t", F.col("v"),
+        coeffs=forecast.holt_winters_weights(), naive_lag=8).collect()[0]
+    r1 = forecast.mase_backtest(df, "g", "t", F.col("v")).collect()[0]
+    assert r8["mae_naive"] < r1["mae_naive"] / 5
+    # mase is pinned from the EXACT error sums, not from the pinned
+    # mae columns, so recomputing from the emitted maes can differ by
+    # a few 1e-6 pin units — the same contract as q312
+    want = r8["mae_model"] / r8["mae_naive"]
+    assert abs(r8["mase"] - want) < 2e-5

@@ -94,6 +94,16 @@ _ROSTER = {
     "croston_forecast": (
         lambda df: forecast.croston_forecast(df, "g", "t", F.col("v")),
         1),
+    "holt_winters_forecast": (
+        lambda df: forecast.holt_winters_forecast(
+            df, "g", "t", F.col("v")), 1),
+    "damped_holt_forecast": (
+        lambda df: forecast.damped_holt_forecast(
+            df, "g", "t", F.col("v")), 1),
+    "seasonal_mase": (
+        lambda df: forecast.mase_backtest(
+            df, "g", "t", F.col("v"),
+            coeffs=forecast.holt_winters_weights(), naive_lag=8), 1),
 }
 
 
