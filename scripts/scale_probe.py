@@ -1738,6 +1738,74 @@ def main() -> int:
     run("video_near_index_scaled", lambda: video_near_idx(docs1()),
         lambda: video_near_idx(docsN()))
 
+    # ------------------------------------------------------------------
+    # Round-13 wave: the seasonal/damped forecast members, the paired
+    # rank test (all the one-window-pass q309 shape), the dedup-first
+    # margin pipeline, and the capped perceptual screen (output bounded
+    # at m per delta row BY CONSTRUCTION — the row that prices the cap)
+    def hwp(p):
+        return fc_ops.holt_winters_forecast(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("holt_winters", lambda: hwp(False), lambda: hwp(True))
+
+    def dholtp(p):
+        return fc_ops.damped_holt_forecast(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("damped_holt", lambda: dholtp(False), lambda: dholtp(True))
+
+    def smasep(p):
+        return fc_ops.mase_backtest(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id",
+            coeffs=fc_ops.holt_winters_weights(), naive_lag=8).count()
+
+    run("seasonal_mase", lambda: smasep(False), lambda: smasep(True))
+
+    def wilcp(p):
+        return val_ops.wilcoxon_signed_rank(
+            evt(p).filter(
+                F.get_json_object("props", "$.k").isNotNull()),
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            F.get_json_object("props", "$.k").cast("long")).count()
+
+    run("wilcoxon_signed_rank", lambda: wilcp(False),
+        lambda: wilcp(True))
+
+    def dedup_margin(path_based):
+        d = embN() if path_based else emb1()
+        dd = similarity.exact_vector_dedup(d, "vec_id", "embedding")
+        cents = dd.filter((F.col("vec_id") % 10_000_000 >= 10) &
+                          (F.col("vec_id") % 10_000_000 < 18))
+        return similarity.margin_mine_pairs_banded(
+            dd.filter(F.col("vec_id") % 2 == 0),
+            dd.filter(F.col("vec_id") % 2 == 1),
+            cents, "vec_id", "embedding").count()
+
+    run("dedup_then_margin", lambda: dedup_margin(False),
+        lambda: dedup_margin(True))
+
+    def audio_near_capped(d):
+        fams = max(25, d.count() // 8)
+        media = multimodal.synth_wav_media(d.select("doc_id"), fams)
+        fp = multimodal.audio_fingerprint(media).localCheckpoint(
+            eager=True)
+        delta = fp.filter(F.col("media_id") % 10_000_000 < 40)
+        corpus = fp.filter(F.col("media_id") % 10_000_000 >= 40)
+        return dedup.hamming_band_pairs_delta(
+            delta, corpus, "media_id", [("fingerprint", 64)], 2,
+            top_m=3).count()
+
+    run("audio_near_capped", lambda: audio_near_capped(docs1()),
+        lambda: audio_near_capped(docsN()))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0
