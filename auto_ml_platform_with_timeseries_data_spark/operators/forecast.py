@@ -1239,3 +1239,303 @@ def q326_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts",
         F.when(cents >= 800, cents).otherwise(F.lit(0)),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# q334 — conformal one-step PREDICTION INTERVAL: the forecast tier's
+# missing uncertainty readout.  Split-conformal logic on the walk-
+# forward residuals the q309 backtest already produces: the 90th
+# percentile (exact order statistic, percentile_disc convention) of
+# |one-step error| over the scored rows is, by exchangeability, a
+# finite-sample-valid half-width for the NEXT step's error — the same
+# guarantee q245's conformal quantile gives regression residuals,
+# specialized to the SES filter's own backtest.
+#
+# Exactness: residuals are the q309 exact integers; the order
+# statistic picks rank ceil(0.9 n) by row_number over (|e| asc) —
+# ties in |e| share a value, so which tied ROW wins cannot change the
+# emitted number; floor((9n+9)/10) is exact in doubles to n ~ 2^49.
+# ONE window pass for the filter + one slim rank window over scored
+# rows.
+# ---------------------------------------------------------------------------
+
+_PI_ALPHA = 0.5       # the SES filter whose residuals calibrate the PI
+_PI_RANK_NUM = 9      # q90: rank ceil(0.9 n) = floor((9n+9)/10)
+
+
+def conformal_forecast_interval(df: DataFrame, group_col: str,
+                                order: str, value: Column,
+                                alpha: float = _PI_ALPHA,
+                                window: int = _FC_W,
+                                tie_break: str | None = None
+                                ) -> DataFrame:
+    """(group, n_scored, forecast_next, q90_abs_err, pi_lo, pi_hi):
+    truncated-SES one-step forecast with a split-conformal 90%
+    interval calibrated on the series' own walk-forward residuals.
+    Series with no scored row emit nothing (q309 contract); the
+    forecast is NULL when the tail is shorter than W (the filter
+    contract) while the interval columns follow it."""
+    cs = ses_weights(alpha, window)
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    lagged = src.select(
+        "__g", F.col("__v").alias("__l0"),
+        F.row_number().over(w).alias("__i"),
+        *[F.lag("__v", j).over(w).alias(f"__l{j}")
+          for j in range(1, window + 1)])
+    last = Window.partitionBy("__g")
+    lagged = lagged.withColumn(
+        "__last", F.col("__i") == F.max("__i").over(last))
+
+    def filt(off: int, quantum: float) -> Column:
+        expr = None
+        for j, c in enumerate(cs):
+            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
+                           * F.lit(quantum)).cast("long")
+            expr = term if expr is None else expr + term
+        return expr
+
+    scored = lagged.select(
+        "__g",
+        F.when(F.col("__i") > window,
+               F.abs(F.col("__l0") * F.lit(100) - filt(1, 1e2)))
+        .alias("__ae"),
+        F.when(F.col("__last"), filt(0, 1e6)).alias("__fn"))
+    per = scored.groupBy("__g").agg(
+        F.count("__ae").cast("long").alias("n_scored"),
+        F.max("__fn").alias("__fnext"))
+    ranked = (scored.filter(F.col("__ae").isNotNull())
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("__g").orderBy(F.asc("__ae"))))
+              .withColumn("__cnt", F.count(F.lit(1)).over(
+                  Window.partitionBy("__g"))))
+    pick = ranked.filter(
+        F.col("__rn") == F.floor((F.lit(float(_PI_RANK_NUM))
+                                  * F.col("__cnt") + 9) / F.lit(10.0))
+    ).select("__g", F.col("__ae").alias("__q90"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    fc = F.col("__fnext").cast("double") / F.lit(1e6)
+    hw = F.col("__q90").cast("double") / F.lit(1e4)
+    return (per.join(pick, "__g")
+            .filter(F.col("n_scored") > 0)
+            .select(F.col("__g").alias(group_col), "n_scored",
+                    pin(fc).alias("forecast_next"),
+                    pin(hw).alias("q90_abs_err"),
+                    pin(fc - hw).alias("pi_lo"),
+                    pin(fc + hw).alias("pi_hi")))
+
+
+def _conformal_pi_oracle(alpha: float = _PI_ALPHA,
+                         window: int = _FC_W) -> str:
+    cs = ses_weights(alpha, window)
+    fb, fn = _filt_sql(cs, 1, "1e2"), _filt_sql(cs, 0, "1e6")
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               = count(*) OVER (PARTITION BY g) AS is_last,
+             {_lag_sql(window)}
+      FROM src
+    ),
+    scored AS (
+      SELECT g,
+             CASE WHEN i > {window} THEN
+               CAST(abs(l0 * 100 - ({fb})) AS BIGINT) END AS ae,
+             CASE WHEN is_last THEN {fn} END AS fnext
+      FROM lagged
+    ),
+    per AS (
+      SELECT g, CAST(count(ae) AS BIGINT) AS n_scored,
+             max(fnext) AS fnext
+      FROM scored GROUP BY g
+    ),
+    ranked AS (
+      SELECT g, ae,
+             row_number() OVER (PARTITION BY g ORDER BY ae) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+      FROM scored WHERE ae IS NOT NULL
+    ),
+    pick AS (
+      SELECT g, ae AS q90 FROM ranked
+      WHERE rn = floor((9.0 * cnt + 9) / 10.0)
+    )
+    SELECT p.g AS user_id, p.n_scored,
+           floor(CAST(p.fnext AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
+             AS forecast_next,
+           floor(CAST(k.q90 AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6
+             AS q90_abs_err,
+           floor((CAST(p.fnext AS DOUBLE) / 1e6
+                  - CAST(k.q90 AS DOUBLE) / 1e4) * 1e6 + 0.5) / 1e6
+             AS pi_lo,
+           floor((CAST(p.fnext AS DOUBLE) / 1e6
+                  + CAST(k.q90 AS DOUBLE) / 1e4) * 1e6 + 0.5) / 1e6
+             AS pi_hi
+    FROM per p JOIN pick k ON p.g = k.g
+    WHERE p.n_scored > 0
+    """
+
+
+@query("q334_conformal_forecast_pi", oracle=_conformal_pi_oracle())
+def q334_conformal_forecast_pi(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Per-user SES(0.5) one-step forecast with a split-conformal 90%
+    prediction interval calibrated on each series' own walk-forward
+    residuals — the uncertainty readout the q309-q333 point forecasts
+    were missing; every (user, n_scored, forecast_next, q90_abs_err,
+    pi_lo, pi_hi) row hash-checked over exact order statistics."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return conformal_forecast_interval(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# q335 — DETECTED-period seasonal-naive forecast: q266's dominant-ACF
+# period detection FUSED into a forecast (the q329 detect-then-act
+# pipeline pattern, applied to the forecast tier).  q328 forecasts
+# with a FIXED declared period; this one lets each series pick its
+# own m = argmax ACF(1..10), then forecasts v_{n+1-m} and backtests
+# the same rule walk-forward — the standard "seasonal naive with
+# estimated period" baseline every seasonal model must beat.
+#
+# The dynamic per-series lag cannot be a window lag (no variable
+# offsets in SQL windows): the backtest joins the row-number frame to
+# itself on (g, i = i + m) — an equi-join on (g, i-m)/(g, i), ONE
+# shuffle each side, no window at all.  Errors and the forecast pick
+# are exact integers; mae is one pinned division.
+# ---------------------------------------------------------------------------
+
+
+def seasonal_naive_detected(df: DataFrame, group_col: str, order: str,
+                            detect_col: str, value: Column,
+                            max_lag: int = 10,
+                            tie_break: str | None = None) -> DataFrame:
+    """(group, n, period, n_scored, mae_snaive, forecast_next):
+    per-series seasonal-naive forecast at the detected dominant-ACF
+    period.  ``detect_col`` feeds the ACF detection (q266's operator,
+    raw column by name); ``value`` is the already-quantized integer
+    series the naive errors and the forecast read.  Series whose ACF
+    is all-NULL (constant) detect no period and emit no row
+    (documented); n_scored = n - period."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.timeseries import (  # noqa: E501
+        dominant_acf_lag,
+    )
+
+    per = dominant_acf_lag(df, group_col, order, detect_col, max_lag,
+                           tie_break=tie_break).filter(
+        F.col("best_lag").isNotNull()).select(
+        F.col(group_col).alias("__g"),
+        F.col("best_lag").cast("long").alias("__m"))
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    idx = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull()).select(
+        "__g", "__v", F.row_number().over(w).alias("__i"),
+        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"))
+    cur = (idx.join(per, "__g")
+           .select("__g", "__m", "__n",
+                   F.col("__i").alias("__ci"),
+                   F.col("__v").alias("__cv")))
+    base = idx.select(F.col("__g").alias("__g2"),
+                      F.col("__i").alias("__bi"),
+                      F.col("__v").alias("__bv"))
+    # equi-join on (g, i - m) = (g, i): the "variable window lag" as a
+    # join — cur's key (__ci - __m) is a plain column expression, so
+    # this is ONE shuffle per side, no window
+    j = cur.join(
+        base,
+        (F.col("__g") == F.col("__g2")) &
+        (F.col("__ci") - F.col("__m") == F.col("__bi")))
+    err = j.groupBy("__g").agg(
+        F.max("__m").alias("period"),
+        F.max("__n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("__cv") - F.col("__bv"))
+              .cast("decimal(38,0)")).alias("__sae"))
+    fc = (cur.filter(F.col("__ci") == F.col("__n") + 1 - F.col("__m"))
+          .select("__g", F.col("__cv").alias("__fc")))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (err.join(fc, "__g")
+            .filter(F.col("n_scored") > 0)
+            .select(F.col("__g").alias(group_col), "n", "period",
+                    "n_scored",
+                    pin(F.col("__sae").cast("double")
+                        / F.col("n_scored") / F.lit(100.0))
+                    .alias("mae_snaive"),
+                    (F.col("__fc").cast("double") / F.lit(100.0))
+                    .alias("forecast_next")))
+
+
+def _snaive_detected_oracle(max_lag: int = 10) -> str:
+    from auto_ml_platform_with_timeseries_data_spark.operators.timeseries import (  # noqa: E501
+        _dominant_lag_oracle,
+    )
+
+    return f"""
+    WITH dom AS ({_dominant_lag_oracle()}),
+    per AS (
+      SELECT user_id AS g, CAST(best_lag AS BIGINT) AS m
+      FROM dom WHERE best_lag IS NOT NULL
+    ),
+    idx AS (
+      SELECT user_id AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    err AS (
+      SELECT c.g, max(c.m) AS period, CAST(max(c.n) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_scored,
+             sum(CAST(abs(c.v - b.v) AS HUGEINT)) AS sae
+      FROM (SELECT idx.*, per.m FROM idx JOIN per USING (g)) c
+      JOIN idx b ON c.g = b.g AND c.i - c.m = b.i
+      GROUP BY c.g
+    ),
+    fc AS (
+      SELECT idx.g, idx.v AS fcv
+      FROM idx JOIN per USING (g)
+      WHERE idx.i = idx.n + 1 - per.m
+    )
+    SELECT e.g AS user_id, e.n, e.period, e.n_scored,
+           floor(CAST(e.sae AS DOUBLE) / e.n_scored / 100.0
+                 * 1e6 + 0.5) / 1e6 AS mae_snaive,
+           CAST(f.fcv AS DOUBLE) / 100.0 AS forecast_next
+    FROM err e JOIN fc f ON e.g = f.g
+    WHERE e.n_scored > 0
+    """
+
+
+@query("q335_snaive_detected", oracle=_snaive_detected_oracle())
+def q335_snaive_detected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user seasonal-naive forecast at each series' own
+    dominant-ACF period (q266's detection fused into a forecast) with
+    its walk-forward MAE — the estimated-period baseline any seasonal
+    model must beat; every (user, n, period, n_scored, mae_snaive,
+    forecast_next) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return seasonal_naive_detected(
+        ev, "user_id", "ts", "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

@@ -215,6 +215,8 @@ HEADLINE = [
     "q331_wilcoxon_signed_rank",
     "q332_damped_holt",
     "q333_seasonal_mase",
+    "q334_conformal_forecast_pi",
+    "q335_snaive_detected",
     "automl_e2e",
 ]
 

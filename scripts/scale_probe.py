@@ -1806,6 +1806,23 @@ def main() -> int:
     run("audio_near_capped", lambda: audio_near_capped(docs1()),
         lambda: audio_near_capped(docsN()))
 
+    def confp(p):
+        return fc_ops.conformal_forecast_interval(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("conformal_forecast_pi", lambda: confp(False),
+        lambda: confp(True))
+
+    def snvp(p):
+        return fc_ops.seasonal_naive_detected(
+            evt(p), "user_id", "ts", "value",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("snaive_detected", lambda: snvp(False), lambda: snvp(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

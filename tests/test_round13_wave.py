@@ -330,3 +330,75 @@ def test_seasonal_mase_uses_seasonal_naive_denominator(spark):
     # a few 1e-6 pin units — the same contract as q312
     want = r8["mae_model"] / r8["mae_naive"]
     assert abs(r8["mase"] - want) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# q334 — conformal forecast interval
+
+
+def test_conformal_pi_matches_exact_order_statistic(spark):
+    """The interval half-width must be EXACTLY the ceil(0.9 n)-th
+    smallest |walk-forward error| — replicated from the engine's own
+    scored errors (pull them via the mase machinery's identical lag
+    frame is overkill; recompute in Python with the same quantized
+    filter)."""
+    import math
+
+    vals = _seasonal_series(120)
+    w = forecast._FC_W
+    cs = forecast.ses_weights(forecast._PI_ALPHA, w)
+    errs = []
+    for t in range(w, len(vals)):
+        filt = sum(math.floor(c * vals[t - 1 - j] * 1e2)
+                   for j, c in enumerate(cs))
+        errs.append(abs(vals[t] * 100 - filt))
+    errs.sort()
+    n = len(errs)
+    q90 = errs[math.floor((9.0 * n + 9) / 10.0) - 1]
+    fc = sum(math.floor(c * vals[len(vals) - 1 - j] * 1e6)
+             for j, c in enumerate(cs))
+    pin = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    df = _frame(spark, vals)
+    r = forecast.conformal_forecast_interval(
+        df, "g", "t", F.col("v")).collect()[0]
+    assert r["n_scored"] == n
+    assert r["q90_abs_err"] == pin(q90 / 1e4)
+    assert r["forecast_next"] == pin(fc / 1e6)
+    assert r["pi_lo"] == pin(fc / 1e6 - q90 / 1e4)
+    assert r["pi_hi"] == pin(fc / 1e6 + q90 / 1e4)
+    # the interval actually brackets ~90% of one-step outcomes on the
+    # calibration window itself (sanity, not the conformal guarantee)
+    inside = sum(1 for e in errs if e <= q90)
+    assert inside >= 0.9 * n
+
+
+# ---------------------------------------------------------------------------
+# q335 — detected-period seasonal naive
+
+
+def test_snaive_detects_planted_period_and_forecasts_with_it(spark):
+    """Strong period-4 cycle: detection must pick m=4 (or 8, its
+    harmonic — the ACF argmax convention picks the HIGHEST acf, which
+    for a pure cycle is the fundamental at lag 4), the backtest MAE
+    must be near the noise floor, and the forecast must equal the
+    value one detected-period back."""
+    y = [1000 + 80 * ((i % 4) - 2) + _NOISE[i % len(_NOISE)]
+         for i in range(120)]
+    df = _frame(spark, y)
+    r = forecast.seasonal_naive_detected(
+        df, "g", "t", "v", F.col("v")).collect()[0]
+    assert r["period"] in (4, 8)
+    assert r["n"] == 120
+    assert r["n_scored"] == 120 - r["period"]
+    # forecast = v_{n+1-m} in value/100 units (the cents convention is
+    # the caller's; here value IS the integer series)
+    assert r["forecast_next"] == y[120 - r["period"]] / 100.0
+    # seasonal-naive errors on a period-m cycle cancel the seasonal
+    # term entirely: MAE is pure noise-difference scale
+    assert r["mae_snaive"] < 0.2
+
+
+def test_snaive_constant_series_emits_no_row(spark):
+    df = _frame(spark, [7] * 60)
+    assert forecast.seasonal_naive_detected(
+        df, "g", "t", "v", F.col("v")).count() == 0

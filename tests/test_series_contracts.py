@@ -104,6 +104,12 @@ _ROSTER = {
         lambda df: forecast.mase_backtest(
             df, "g", "t", F.col("v"),
             coeffs=forecast.holt_winters_weights(), naive_lag=8), 1),
+    "conformal_forecast_interval": (
+        lambda df: forecast.conformal_forecast_interval(
+            df, "g", "t", F.col("v")), 1),
+    "snaive_detected": (
+        lambda df: forecast.seasonal_naive_detected(
+            df, "g", "t", "v", F.col("v")), 1),
 }
 
 
