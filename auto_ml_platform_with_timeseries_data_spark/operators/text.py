@@ -1864,3 +1864,195 @@ def q273_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     next to entropy (q112) and repetition (q111)."""
     docs = load_table(spark, sf_dir, "documents")
     return zipf_slope(docs, "source", "text")
+
+
+# ---------------------------------------------------------------------------
+# q336 — RAG/context-window CHUNKING with overlap: the prep step every
+# retrieval or long-context training pipeline runs between cleaning
+# and embedding — documents cut into fixed-token windows with a fixed
+# overlap so no boundary loses context.  Distinct from q76's
+# pack_sequences (which CONCATENATES short docs into training rows)
+# and q190's span grid (stride = span, no overlap, dedup-oriented):
+# chunking strides by chunk - overlap and KEEPS everything.
+#
+# Contract: stride = chunk_tokens - overlap; chunk i covers tokens
+# [i*stride, i*stride + chunk_tokens); the last chunk starts at the
+# largest i*stride < n_tokens and may be short; every token is in at
+# least one chunk and consecutive chunks share exactly `overlap`
+# tokens (except a short last).  Pure integer/token arithmetic — no
+# floats anywhere, so the oracle is token-identical by construction.
+#
+# Scale: tokenize is narrow; the explode fans out n/stride rows per
+# doc with ONE slice each (no shuffle until the caller aggregates);
+# chunk ids are (doc_id, chunk_idx) — embarrassingly parallel, the
+# shape a 100 TB embed-everything job needs.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16
+
+
+def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+                    chunk_tokens: int = _CHUNK_TOKENS,
+                    overlap: int = _CHUNK_OVERLAP) -> DataFrame:
+    """(id, chunk_idx, start_tok, n_tok, chunk_text): overlapping
+    fixed-token chunks per document.  Docs with zero tokens emit
+    nothing; 0 <= overlap < chunk_tokens enforced."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        tokens(normalize_text(text_col)).alias("__toks"),
+    ).filter(F.size("__toks") >= 1)
+    n = F.size("__toks")
+    # number of chunks: 1 + floor((n - 1) / stride) would overshoot
+    # when the last full chunk already covers the tail; the standard
+    # rule is chunks at starts 0, stride, ... while start < n AND
+    # (start == 0 OR start + overlap < n) — equivalently
+    # k = 1 + ceil(max(0, n - chunk) / stride)
+    extra = F.greatest(F.lit(0), n - F.lit(chunk_tokens))
+    k = (F.lit(1)
+         + F.floor((extra + F.lit(stride - 1)) / F.lit(stride))
+         .cast("int"))
+    out = tok.select(
+        "__id", "__toks",
+        F.explode(F.sequence(F.lit(0), k - 1)).alias("chunk_idx"))
+    start = F.col("chunk_idx") * F.lit(stride)
+    piece = F.slice(F.col("__toks"), start + 1, F.lit(chunk_tokens))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_tok"),
+        F.size(piece).cast("int").alias("n_tok"),
+        F.array_join(piece, " ").alias("chunk_text"))
+
+
+def _chunk_oracle(chunk_tokens: int = _CHUNK_TOKENS,
+                  overlap: int = _CHUNK_OVERLAP) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t
+      FROM documents
+      WHERE len(string_split({_NORM}, ' ')) >= 1
+    ),
+    k AS (
+      SELECT doc_id, t,
+             1 + CAST(floor((greatest(0, len(t) - {chunk_tokens})
+                             + {stride - 1}) / {stride}) AS INT) AS nk
+      FROM toks
+    ),
+    fanned AS (
+      SELECT doc_id, t, CAST(u.i AS INT) AS chunk_idx
+      FROM k, LATERAL (SELECT unnest(range(0, nk)) AS i) u
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(chunk_idx * {stride} AS INT) AS start_tok,
+           CAST(len(list_slice(t, chunk_idx * {stride} + 1,
+                               chunk_idx * {stride} + {chunk_tokens}))
+                AS INT) AS n_tok,
+           array_to_string(
+             list_slice(t, chunk_idx * {stride} + 1,
+                        chunk_idx * {stride} + {chunk_tokens}), ' ')
+             AS chunk_text
+    FROM fanned
+    """
+
+
+@query("q336_chunk_documents", oracle=_chunk_oracle())
+def q336_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk every document into 64-token windows with 16-token
+    overlap — the RAG/embedding prep step; every (doc, chunk) row's
+    FULL TEXT is value-hash-checked against the oracle's list-slice
+    reimplementation (pure integer arithmetic, no float anywhere)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# q337 — TF-IDF top-k keywords per document: the classic IR keyword
+# extractor (and the cheapest embedding-free doc descriptor), sitting
+# beside BM25 (q121 — query-scored retrieval) as the corpus-statistics
+# summarizer.  tf = in-doc term count (exact integer), df = documents
+# containing the term (exact integer), score = tf * ln((N+1)/(df+1))
+# (the smoothed idf), pinned at 1e-6 BEFORE ranking so the per-doc
+# top-k is deterministic cross-engine (ties break to the
+# lexicographically smaller token — the q266 argmax discipline).
+#
+# Scale: one explode + two hash aggregates (doc-term counts, term df)
+# + one broadcast-ineligible join on term (term dictionary is
+# corpus-sized; it shuffles once) + a per-doc rank window.  No floats
+# until the single pinned ln.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 5
+
+
+def tfidf_keywords(df: DataFrame, id_col: str, text_col: str,
+                   k: int = _TFIDF_K) -> DataFrame:
+    """(id, rank, token, tf, df, tfidf): the k highest-tf-idf tokens
+    per document.  Empty-token docs emit nothing."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(normalize_text(text_col))).alias("token"))
+    # corpus size as a LAZY one-row broadcast (not an eager .count())
+    # so the operator composes into a single plan
+    nd = tok.agg(F.count_distinct("__id").cast("long").alias("__nd"))
+    tf = tok.groupBy("__id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    score = pin(F.col("tf")
+                * F.log((F.col("__nd") + F.lit(1)).cast("double")
+                        / (F.col("df") + F.lit(1)).cast("double")))
+    w = Window.partitionBy("__id").orderBy(
+        F.desc("tfidf"), F.asc("token"))
+    return (tf.join(dfreq, "token")
+            .join(F.broadcast(nd))
+            .withColumn("tfidf", score)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(F.col("__id").alias(id_col), "rank", "token",
+                    "tf", "df", "tfidf"))
+
+
+def _tfidf_oracle(k: int = _TFIDF_K) -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
+      GROUP BY token
+    ),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tok),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             floor(tf.tf * ln((nd + 1.0) / (dfreq.df + 1))
+                   * 1e6 + 0.5) / 1e6 AS tfidf
+      FROM tf JOIN dfreq USING (token), n
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, token ASC)
+                   AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("q337_tfidf_keywords", oracle=_tfidf_oracle())
+def q337_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf keywords per document with their exact tf/df
+    integers and the pinned score — the embedding-free document
+    descriptor beside q121's BM25; every (doc, rank, token, tf, df,
+    tfidf) row hash-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, "doc_id", "text")

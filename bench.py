@@ -217,6 +217,8 @@ HEADLINE = [
     "q333_seasonal_mase",
     "q334_conformal_forecast_pi",
     "q335_snaive_detected",
+    "q336_chunk_documents",
+    "q337_tfidf_keywords",
     "automl_e2e",
 ]
 

@@ -1823,6 +1823,18 @@ def main() -> int:
 
     run("snaive_detected", lambda: snvp(False), lambda: snvp(True))
 
+    def chunkp(d):
+        return text.chunk_documents(d, "doc_id", "text").count()
+
+    run("chunk_documents", lambda: chunkp(docs1()),
+        lambda: chunkp(docsN()))
+
+    def tfidfp(d):
+        return text.tfidf_keywords(d, "doc_id", "text").count()
+
+    run("tfidf_keywords", lambda: tfidfp(docs1()),
+        lambda: tfidfp(docsN()))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

@@ -47,13 +47,13 @@ def test_canaries_and_round13_rotation_keep_their_slots():
     fresh = {"q328_holt_winters", "q329_dedup_then_margin",
              "q330_audio_screen_capped", "q331_wilcoxon_signed_rank",
              "q332_damped_holt", "q333_seasonal_mase",
-             "q334_conformal_forecast_pi", "q335_snaive_detected"}
+             "q334_conformal_forecast_pi", "q335_snaive_detected",
+             "q336_chunk_documents", "q337_tfidf_keywords"}
     assert canaries <= head_set
     assert fresh <= head_set
     # the stalest rows lead the rotation slots
     assert "q92_stream_stream_join" in head_set  # last green r5
-    r6_block = {"q26_pricing_summary", "q28_top_customers",
-                "q183_neardup_leakfree_split",
+    r6_block = {"q183_neardup_leakfree_split",
                 "q200_doremi_reweight", "q207_corr_matrix"}
     assert r6_block <= head_set
     # every head slot is a canary, a fresh registration, or stale
