@@ -248,3 +248,54 @@ def test_phrase_search_adjacency_is_map_side(spark, sf_dir):
     ex, smj = _exchanges(spark, sf_dir, "q232_phrase_search")
     assert smj == 0, "postings self-join regression"
     assert ex <= 3, ex
+
+
+def test_chunking_is_map_only_zero_shuffle(spark, sf_dir):
+    """q336: tokenize → sequence → explode → slice is scan-project-
+    generate all the way down — ZERO exchanges, the embarrassingly
+    parallel shape an embed-everything job needs."""
+    from auto_ml_platform_with_timeseries_data_spark.plans import explain
+    from auto_ml_platform_with_timeseries_data_spark.registry import (
+        queries,
+    )
+
+    df = queries()["q336_chunk_documents"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "Exchange" not in plan
+
+
+def test_tfidf_broadcasts_corpus_size_and_combines_partially(spark,
+                                                             sf_dir):
+    """q337: the one-row corpus-size aggregate arrives by broadcast
+    (never a shuffled cross join) and the doc-term counts are map-side
+    partial before their exchange."""
+    from auto_ml_platform_with_timeseries_data_spark.plans import explain
+    from auto_ml_platform_with_timeseries_data_spark.registry import (
+        queries,
+    )
+
+    df = queries()["q337_tfidf_keywords"](spark, sf_dir)
+    plan = explain.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial" in plan.lower()
+
+
+def test_hw_and_conformal_share_one_series_exchange(spark, sf_dir):
+    """q328/q334: the lag frame and every window on top of it hash on
+    the SAME series key — exactly one Exchange hashpartitioning in
+    each plan (AQE may add reads, not new shuffles)."""
+    from auto_ml_platform_with_timeseries_data_spark.plans import explain
+    from auto_ml_platform_with_timeseries_data_spark.registry import (
+        queries,
+    )
+
+    for name in ("q328_holt_winters", "q334_conformal_forecast_pi"):
+        df = queries()[name](spark, sf_dir)
+        plan = explain.formatted_plan(df)
+        # formatted plans name each node once in the tree as
+        # "Exchange (k)" — count those
+        n = plan.count("Exchange (")
+        # the conformal plan re-exchanges for the residual rank
+        # window's re-aggregation join; the HW plan is one exchange
+        limit = 2 if name == "q328_holt_winters" else 4
+        assert 1 <= n <= limit, (name, n, plan[:2000])
