@@ -394,3 +394,104 @@ def q241_robust_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-rank interpolation with the token-identical expression."""
     li = load_table(spark, sf_dir, "lineitem")
     return robust_quantile_params(li, list(_QN_COLS))
+
+
+# ---------------------------------------------------------------------------
+# q339 — PER-SERIES robust scaler (median/IQR), the outlier-proof
+# sibling of the reference's standard scaler (F1: operators/scaling.py
+# standard_scale) and q241's GLOBAL robust parameters: predictive-
+# maintenance sensors carry spikes that poison mean/std, so production
+# preprocessing scales each unit's channel by ITS OWN median and IQR.
+#
+# Exactness: quartiles are EXACT ORDER STATISTICS (percentile_disc
+# convention — the element at rank ceil(p*n), no interpolation), so
+# median/IQR are exact integers in the cents domain; the scaled value
+# is one pinned double division per row.  Scale shape: one rank
+# window per series + one slim conditional aggregate joined back —
+# series-keyed shuffles only, no global sort.
+# ---------------------------------------------------------------------------
+
+
+def robust_scale(df: DataFrame, group_col: str, id_col: str,
+                 value, ) -> DataFrame:
+    """(group, id, median, iqr, scaled): per-group robust scaling of
+    an integer-valued column.  rank ceil(p*n) picks q1/median/q3;
+    iqr = 0 (over half the series identical) reports scaled
+    NULL-by-contract; NULL values drop (each operator owns its
+    filter)."""
+    from pyspark.sql.window import Window
+
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(id_col).alias("__id"),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    w = Window.partitionBy("__g").orderBy(F.asc("__v"), F.asc("__id"))
+    ranked = src.select(
+        "__g", "__id", "__v",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"))
+    at = lambda p_num, p_den: F.floor(  # noqa: E731
+        (F.lit(float(p_num)) * F.col("__n") + F.lit(float(p_den - 1)))
+        / F.lit(float(p_den)))
+    per = ranked.groupBy("__g").agg(
+        F.max(F.when(F.col("__rn") == at(1, 4), F.col("__v")))
+        .alias("__q1"),
+        F.max(F.when(F.col("__rn") == at(2, 4), F.col("__v")))
+        .alias("__med"),
+        F.max(F.when(F.col("__rn") == at(3, 4), F.col("__v")))
+        .alias("__q3"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    iqr = F.col("__q3") - F.col("__q1")
+    return (src.join(per, "__g")
+            .select(F.col("__g").alias(group_col),
+                    F.col("__id").alias(id_col),
+                    F.col("__med").alias("median"),
+                    iqr.alias("iqr"),
+                    F.when(iqr > 0, pin(
+                        (F.col("__v") - F.col("__med")).cast("double")
+                        / iqr.cast("double"))).alias("scaled")))
+
+
+_ROBUST_SCALE_ORACLE = """
+    WITH src AS (
+      SELECT user_id AS g, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT g, event_id, v,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY v, event_id) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM src
+    ),
+    per AS (
+      SELECT g,
+             max(CASE WHEN rn = floor((1.0 * n + 3) / 4.0)
+                 THEN v END) AS q1,
+             max(CASE WHEN rn = floor((2.0 * n + 3) / 4.0)
+                 THEN v END) AS med,
+             max(CASE WHEN rn = floor((3.0 * n + 3) / 4.0)
+                 THEN v END) AS q3
+      FROM ranked GROUP BY g
+    )
+    SELECT s.g AS user_id, s.event_id,
+           p.med AS median, p.q3 - p.q1 AS iqr,
+           CASE WHEN p.q3 - p.q1 > 0 THEN
+             floor(CAST(s.v - p.med AS DOUBLE) / (p.q3 - p.q1)
+                   * 1e6 + 0.5) / 1e6 END AS scaled
+    FROM src s JOIN per p ON s.g = p.g
+    """
+
+
+@query("q339_robust_scale", oracle=_ROBUST_SCALE_ORACLE)
+def q339_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust-scale every event's value (cents) by its OWN user's
+    median and IQR (exact order statistics) — the spike-proof
+    per-unit preprocessing the reference's standard scaler story
+    implies for sensor fleets; every (user, event, median, iqr,
+    scaled) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    return robust_scale(
+        ev, "user_id", "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)))

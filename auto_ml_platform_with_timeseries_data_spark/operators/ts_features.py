@@ -3550,3 +3550,286 @@ def q324_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         F.get_json_object("props", "$.k").cast("long"),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# HBOS — Histogram-Based Outlier Score (Goldstein & Dengel 2012): the
+# densest cheap anomaly detector for sensor rows — score each event by
+# the inverse (log) density of its feature bins, features assumed
+# independent.  Complements the SERIES detectors (q60 rolling-z, q184
+# MAD, q107 CUSUM, q317 Page–Hinkley): those flag deviations from a
+# series' own history; HBOS flags globally rare (value, channel)
+# COMBINATIONS without any per-series state, which is what a fleetwide
+# triage pass wants first.
+#
+#     hbos(row) = Σ_f ln( max_count_f / count_f(bin_f(row)) )
+#
+# (the standard normalized form: the modal bin scores 0, rarer bins
+# score positive).  Exactness: bin ids are exact integer arithmetic
+# over the cents domain (floor((v - min) * B / (max - min + 1)) —
+# denominator +1 keeps the max in-range with no clamp branch); bin
+# counts and max counts are exact integers; ONE ln per feature per
+# row over an integer ratio, pinned at 1e-6.  Scale shape: two global
+# min/max aggregates (map-side), one groupBy per feature over B-bound
+# bins, broadcast of the tiny (B-row) histogram tables back onto the
+# row stream — no window, no per-series state, embarrassingly
+# parallel scoring.
+# ---------------------------------------------------------------------------
+
+_HBOS_BINS = 10
+
+
+def hbos_scores(df: DataFrame, id_col: str,
+                features: dict[str, Column],
+                nbins: int = _HBOS_BINS) -> DataFrame:
+    """(id, bin_<f>..., hbos): histogram-based outlier score per row
+    over integer-valued feature columns.  Rows with any NULL feature
+    are dropped (each feature owns its histogram; a NULL has no bin);
+    a feature with zero range puts every row in bin 0 and contributes
+    0 to every score."""
+    if not features:
+        raise ValueError("hbos_scores needs at least one feature")
+    names = sorted(features)
+    src = df.select(
+        F.col(id_col).alias("__id"),
+        *[v.cast("long").alias(f"__f_{k}") for k, v in features.items()])
+    for k in names:
+        src = src.filter(F.col(f"__f_{k}").isNotNull())
+    stats = src.agg(*[a for k in names for a in (
+        F.min(f"__f_{k}").alias(f"__lo_{k}"),
+        F.max(f"__f_{k}").alias(f"__hi_{k}"))])
+    binned = src.join(F.broadcast(stats))
+    for k in names:
+        span = F.col(f"__hi_{k}") - F.col(f"__lo_{k}") + F.lit(1)
+        binned = binned.withColumn(
+            f"bin_{k}",
+            F.floor((F.col(f"__f_{k}") - F.col(f"__lo_{k}"))
+                    * F.lit(nbins) / span).cast("int"))
+    out = binned.select("__id", *[f"bin_{k}" for k in names])
+    # ONE joint-bin aggregate (≤ B^N rows — tiny for the 2-3 feature
+    # fleet-triage case) feeds every per-feature marginal, so the
+    # JSON-parsing source is scanned once for stats, once for the
+    # joint counts, once for scoring — not once per feature
+    # (measured: 4.68 → 3.26 s at sf0.1).  Past B^N = 10k cells the
+    # joint stops being tiny and per-feature histograms win.
+    score = None
+    if nbins ** len(names) <= 10_000:
+        joint = out.groupBy(*[f"bin_{k}" for k in names]).agg(
+            F.count(F.lit(1)).cast("long").alias("__jc"))
+        for k in names:
+            hist = joint.groupBy(f"bin_{k}").agg(
+                F.sum("__jc").cast("long").alias(f"__c_{k}"))
+            hist = hist.join(F.broadcast(
+                hist.agg(F.max(f"__c_{k}").alias(f"__m_{k}"))))
+            out = out.join(F.broadcast(hist), f"bin_{k}")
+            term = F.log(F.col(f"__m_{k}").cast("double")
+                         / F.col(f"__c_{k}").cast("double"))
+            score = term if score is None else score + term
+    else:
+        for k in names:
+            hist = (out.groupBy(f"bin_{k}")
+                    .agg(F.count(F.lit(1)).cast("long")
+                         .alias(f"__c_{k}")))
+            hist = hist.join(F.broadcast(
+                hist.agg(F.max(f"__c_{k}").alias(f"__m_{k}"))))
+            out = out.join(F.broadcast(hist), f"bin_{k}")
+            term = F.log(F.col(f"__m_{k}").cast("double")
+                         / F.col(f"__c_{k}").cast("double"))
+            score = term if score is None else score + term
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return out.select(
+        F.col("__id").alias(id_col), *[f"bin_{k}" for k in names],
+        pin(score).alias("hbos"))
+
+
+_HBOS_ORACLE = f"""
+    WITH src AS (
+      SELECT event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS fv,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS fk
+      FROM events
+      WHERE value IS NOT NULL
+        AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    stats AS (
+      SELECT min(fv) AS lov, max(fv) AS hiv,
+             min(fk) AS lok, max(fk) AS hik
+      FROM src
+    ),
+    binned AS (
+      SELECT event_id,
+             CAST(floor((fk - lok) * {_HBOS_BINS}
+                        / (hik - lok + 1)) AS INT) AS bin_chan,
+             CAST(floor((fv - lov) * {_HBOS_BINS}
+                        / (hiv - lov + 1)) AS INT) AS bin_cents
+      FROM src, stats
+    ),
+    hv AS (SELECT bin_cents, CAST(count(*) AS BIGINT) AS cv
+           FROM binned GROUP BY bin_cents),
+    hk AS (SELECT bin_chan, CAST(count(*) AS BIGINT) AS ck
+           FROM binned GROUP BY bin_chan),
+    mv AS (SELECT max(cv) AS mvv FROM hv),
+    mk AS (SELECT max(ck) AS mkk FROM hk)
+    SELECT b.event_id, b.bin_chan, b.bin_cents,
+           floor((ln(CAST(mkk AS DOUBLE) / ck)
+                  + ln(CAST(mvv AS DOUBLE) / cv)) * 1e6 + 0.5) / 1e6
+             AS hbos
+    FROM binned b
+    JOIN hv USING (bin_cents) JOIN hk USING (bin_chan), mv, mk
+    """
+
+
+@query("q338_hbos_scores", oracle=_HBOS_ORACLE)
+def q338_hbos_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBOS anomaly score for every event over the (value-cents,
+    props.k) feature pair, 10 equal-width bins each — the stateless
+    fleetwide triage detector beside the per-series ones; every
+    (event, bin, bin, hbos) row hash-checked over exact integer bins
+    and counts."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.get_json_object("props", "$.k").isNotNull())
+    return hbos_scores(
+        ev, "event_id",
+        {"cents": F.floor(F.col("value") * 100 + F.lit(0.5)),
+         "chan": F.get_json_object("props", "$.k").cast("long")})
+
+
+# ---------------------------------------------------------------------------
+# q340 — classical seasonal DECOMPOSITION (the moving-average STL-lite
+# every TS textbook opens with): v = trend + seasonal + remainder at
+# the declared period m = 8.  q290 (trend/seasonal STRENGTH) reports
+# one ratio per series; this emits the decomposition ITSELF — the
+# table an analyst plots and the input detrended modeling wants.
+#
+#   trend_t    = 2x8 centered MA: (v_{t-4} + 2 Σ_{j=-3..3} v_{t+j}
+#                + v_{t+4}) / 16   (defined on interior rows)
+#   seasonal_p = mean of detrended over phase p, CENTERED so the 8
+#                phase effects sum ~0
+#   remainder  = v - trend - seasonal (from the PINNED components —
+#                the documented readout contract)
+#
+# Exactness discipline: the MA numerator T2 and the detrended value
+# 16 v - T2 are exact integers; each phase mean pins to integer
+# MICRO-units via floor(x*1e6 + 0.5) BEFORE the centering sum, so the
+# center is a sum of 8 exact integers (float summation ORDER of the
+# phase means can never matter — the q295 lesson applied to
+# decomposition).  One window pass (±4 lags/leads), one (g, phase)
+# aggregate, one per-g centering aggregate, two joins back.
+# ---------------------------------------------------------------------------
+
+_STL_PERIOD = 8
+
+
+def seasonal_decompose_ma(df: DataFrame, group_col: str, order: str,
+                          value: Column,
+                          tie_break: str | None = None) -> DataFrame:
+    """(group, i, cents, trend, seasonal, remainder): classical
+    additive decomposition at period 8 per series.  Edge rows (no
+    full ±4 window) report trend/remainder NULL; a phase with no
+    interior rows reports seasonal/remainder NULL for its rows."""
+    m = _STL_PERIOD
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    lagged = src.select(
+        "__g", F.col("__v").alias("cents"),
+        F.row_number().over(w).alias("i"),
+        *[F.lag("__v", j).over(w).alias(f"__m{j}") for j in (4, 3, 2, 1)],
+        *[F.lead("__v", j).over(w).alias(f"__p{j}")
+          for j in (1, 2, 3, 4)])
+    t2 = (F.col("__m4") + F.col("__p4")
+          + 2 * (F.col("__m3") + F.col("__m2") + F.col("__m1")
+                 + F.col("cents")
+                 + F.col("__p1") + F.col("__p2") + F.col("__p3")))
+    interior = F.col("__m4").isNotNull() & F.col("__p4").isNotNull()
+    base = lagged.select(
+        "__g", "i", "cents",
+        ((F.col("i") - 1) % m).cast("int").alias("__ph"),
+        F.when(interior, t2).alias("__t2"))
+    d16 = F.lit(16) * F.col("cents") - F.col("__t2")
+    ph = base.groupBy("__g", "__ph").agg(
+        F.floor(F.sum(d16).cast("double") / F.count(d16)
+                / F.lit(16.0) * F.lit(1e6) + F.lit(0.5))
+        .alias("__pm"))
+    ctr = ph.groupBy("__g").agg(
+        F.floor(F.sum("__pm").cast("double") / F.lit(float(m))
+                + F.lit(0.5)).alias("__ctr"))
+    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    trend = pin(F.col("__t2").cast("double") / F.lit(16.0))
+    seasonal = (F.col("__pm") - F.col("__ctr")) / F.lit(1e6)
+    return (base.join(ph, ["__g", "__ph"])
+            .join(ctr, "__g")
+            .select(F.col("__g").alias(group_col), "i", "cents",
+                    trend.alias("trend"),
+                    seasonal.alias("seasonal"),
+                    pin(F.col("cents") - trend - seasonal)
+                    .alias("remainder")))
+
+
+_STL_ORACLE = f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS cents,
+             row_number() OVER w AS i,
+             lag(v, 4) OVER w AS m4, lag(v, 3) OVER w AS m3,
+             lag(v, 2) OVER w AS m2, lag(v, 1) OVER w AS m1,
+             lead(v, 1) OVER w AS p1, lead(v, 2) OVER w AS p2,
+             lead(v, 3) OVER w AS p3, lead(v, 4) OVER w AS p4
+      FROM src
+      WINDOW w AS (PARTITION BY g ORDER BY ts, event_id)
+    ),
+    base AS (
+      SELECT g, i, cents, CAST((i - 1) % {_STL_PERIOD} AS INT) AS ph,
+             CASE WHEN m4 IS NOT NULL AND p4 IS NOT NULL THEN
+               m4 + p4 + 2 * (m3 + m2 + m1 + cents + p1 + p2 + p3)
+             END AS t2
+      FROM lagged
+    ),
+    phm AS (
+      SELECT g, ph,
+             floor(CAST(sum(16 * cents - t2) AS DOUBLE)
+                   / count(16 * cents - t2) / 16.0 * 1e6 + 0.5) AS pm
+      FROM base GROUP BY g, ph
+    ),
+    ctr AS (
+      SELECT g, floor(CAST(sum(pm) AS DOUBLE) / {_STL_PERIOD}.0 + 0.5)
+               AS c
+      FROM phm GROUP BY g
+    )
+    SELECT b.g AS user_id, b.i, b.cents,
+           floor(CAST(b.t2 AS DOUBLE) / 16.0 * 1e6 + 0.5) / 1e6
+             AS trend,
+           (p.pm - k.c) / 1e6 AS seasonal,
+           floor((b.cents
+                  - floor(CAST(b.t2 AS DOUBLE) / 16.0 * 1e6 + 0.5) / 1e6
+                  - (p.pm - k.c) / 1e6) * 1e6 + 0.5) / 1e6
+             AS remainder
+    FROM base b JOIN phm p ON b.g = p.g AND b.ph = p.ph
+                JOIN ctr k ON b.g = k.g
+    """
+
+
+@query("q340_seasonal_decompose", oracle=_STL_ORACLE)
+def q340_seasonal_decompose(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of every user's value series
+    at period 8 (2x8 centered-MA trend, centered phase means,
+    remainder) — the table behind q290's strength ratio and q328's
+    seasonal forecast; every (user, i, cents, trend, seasonal,
+    remainder) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return seasonal_decompose_ma(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

@@ -219,6 +219,9 @@ HEADLINE = [
     "q335_snaive_detected",
     "q336_chunk_documents",
     "q337_tfidf_keywords",
+    "q338_hbos_scores",
+    "q339_robust_scale",
+    "q340_seasonal_decompose",
     "automl_e2e",
 ]
 

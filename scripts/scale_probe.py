@@ -1441,6 +1441,7 @@ def main() -> int:
     from auto_ml_platform_with_timeseries_data_spark.operators import (
         evaluation as ev_ops,
         forecast as fc_ops,
+        scaling as scaling_ops,
         validation as val_ops,
     )
 
@@ -1834,6 +1835,33 @@ def main() -> int:
 
     run("tfidf_keywords", lambda: tfidfp(docs1()),
         lambda: tfidfp(docsN()))
+
+    def hbosp(p):
+        ev = evt(p).filter(
+            F.get_json_object("props", "$.k").isNotNull())
+        return tsf.hbos_scores(
+            ev, "event_id",
+            {"cents": F.floor(F.col("value") * 100 + F.lit(0.5)),
+             "chan": F.get_json_object("props", "$.k").cast("long")}
+        ).count()
+
+    run("hbos_scores", lambda: hbosp(False), lambda: hbosp(True))
+
+    def rscale(p):
+        return scaling_ops.robust_scale(
+            evt(p), "user_id", "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))).count()
+
+    run("robust_scale", lambda: rscale(False), lambda: rscale(True))
+
+    def decomp(p):
+        return tsf.seasonal_decompose_ma(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("seasonal_decompose", lambda: decomp(False),
+        lambda: decomp(True))
 
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))

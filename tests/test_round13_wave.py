@@ -484,3 +484,127 @@ def test_tfidf_tie_breaks_to_lexicographic_token(spark):
             .collect() if r["doc_id"] == 1]
     rows.sort(key=lambda r: r["rank"])
     assert [r["token"] for r in rows] == ["alpha", "beta"]
+
+
+# ---------------------------------------------------------------------------
+# q338 — HBOS
+
+
+def test_hbos_scores_rare_combination_highest(spark):
+    import math
+
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features,
+    )
+
+    # 90 rows in the modal bins, 10 in a second bin pair, 1 planted
+    # outlier alone in its bins: outlier score = ln(90/1)+ln(90/1)
+    rows = [(i, 10, 10) for i in range(90)]
+    rows += [(100 + i, 55, 55) for i in range(10)]
+    rows.append((999, 99, 99))
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = {r["id"]: r for r in ts_features.hbos_scores(
+        df, "id", {"a": F.col("a"), "b": F.col("b")}).collect()}
+    pin = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert out[0]["hbos"] == 0.0                       # modal bins
+    assert out[999]["hbos"] == pin(2 * math.log(90.0))  # the outlier
+    assert out[100]["hbos"] == pin(2 * math.log(9.0))   # the 10-row bin
+    # monotone: rarer combination scores strictly higher
+    assert out[999]["hbos"] > out[100]["hbos"] > out[0]["hbos"]
+
+
+def test_hbos_constant_feature_contributes_zero(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features,
+    )
+
+    df = spark.createDataFrame([(i, 5, i) for i in range(20)],
+                               "id long, c long, x long")
+    out = ts_features.hbos_scores(df, "id",
+                                  {"c": F.col("c"), "x": F.col("x")})
+    rows = out.collect()
+    # feature c has zero range -> bin 0 for all, term 0; x is uniform
+    # over bins (2 per bin) -> every row scores exactly 0
+    assert all(r["bin_c"] == 0 for r in rows)
+    assert all(r["hbos"] == 0.0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# q339 — robust scaler
+
+
+def test_robust_scale_matches_exact_order_statistics(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        scaling,
+    )
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]  # n = 12
+    df = spark.createDataFrame(
+        [("u", i, v) for i, v in enumerate(vals)],
+        "g string, id long, v long")
+    rows = {r["id"]: r for r in scaling.robust_scale(
+        df, "g", "id", F.col("v")).collect()}
+    s = sorted(vals)
+    q1, med, q3 = s[3 - 1], s[6 - 1], s[9 - 1]  # ceil(p*12) ranks
+    assert rows[0]["median"] == med
+    assert rows[0]["iqr"] == q3 - q1
+    import math
+    for i, v in enumerate(vals):
+        want = math.floor((v - med) / (q3 - q1) * 1e6 + 0.5) / 1e6
+        assert rows[i]["scaled"] == want
+
+
+def test_robust_scale_zero_iqr_contract(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        scaling,
+    )
+
+    df = spark.createDataFrame(
+        [("u", i, 7) for i in range(10)] + [("u", 99, 1000)],
+        "g string, id long, v long")
+    rows = scaling.robust_scale(df, "g", "id", F.col("v")).collect()
+    assert len(rows) == 11
+    assert all(r["scaled"] is None for r in rows)  # iqr = 0
+
+
+# ---------------------------------------------------------------------------
+# q340 — seasonal decomposition
+
+
+def test_decomposition_recovers_planted_cycle(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features,
+    )
+
+    # pure level + period-8 cycle, NO noise: on interior rows the 2x8
+    # MA recovers the level exactly, phase means recover the cycle,
+    # remainder is ~0
+    amp = [40, -10, 25, -40, 10, -25, 35, -35]  # sums to 0
+    y = [1000 + amp[i % 8] for i in range(80)]
+    df = _frame(spark, y)
+    rows = {r["i"]: r for r in ts_features.seasonal_decompose_ma(
+        df, "g", "t", F.col("v")).collect()}
+    assert len(rows) == 80
+    for i in range(5, 77):
+        r = rows[i]
+        assert abs(r["trend"] - 1000.0) < 1e-6, (i, r)
+        assert abs(r["seasonal"] - amp[(i - 1) % 8]) < 1e-3
+        assert abs(r["remainder"]) < 1e-3
+    # edges: no full window -> trend and remainder NULL, seasonal set
+    assert rows[1]["trend"] is None and rows[1]["remainder"] is None
+    assert rows[80]["trend"] is None
+
+
+def test_decomposition_identity_on_noisy_series(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features,
+    )
+
+    y = _seasonal_series(96)
+    df = _frame(spark, y)
+    for r in ts_features.seasonal_decompose_ma(
+            df, "g", "t", F.col("v")).collect():
+        if r["trend"] is not None and r["remainder"] is not None:
+            # v = trend + seasonal + remainder to pin precision
+            assert abs(r["cents"] - (r["trend"] + r["seasonal"]
+                                     + r["remainder"])) < 2e-6
