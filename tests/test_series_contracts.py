@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from auto_ml_platform_with_timeseries_data_spark.operators import (
     forecast,
+    scaling,
     timeseries,
     ts_features,
 )
@@ -110,6 +111,13 @@ _ROSTER = {
     "snaive_detected": (
         lambda df: forecast.seasonal_naive_detected(
             df, "g", "t", "v", F.col("v")), 1),
+    # per-ROW outputs: the degenerate contract is "never more than one
+    # row per input row" (the largest degenerate fixture has 5)
+    "robust_scale": (
+        lambda df: scaling.robust_scale(df, "g", "t", F.col("v")), 5),
+    "seasonal_decompose": (
+        lambda df: ts_features.seasonal_decompose_ma(
+            df, "g", "t", F.col("v")), 5),
 }
 
 
