@@ -1867,13 +1867,15 @@ def q273_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q336 — RAG/context-window CHUNKING with overlap: the prep step every
-# retrieval or long-context training pipeline runs between cleaning
-# and embedding — documents cut into fixed-token windows with a fixed
-# overlap so no boundary loses context.  Distinct from q76's
-# pack_sequences (which CONCATENATES short docs into training rows)
-# and q190's span grid (stride = span, no overlap, dedup-oriented):
-# chunking strides by chunk - overlap and KEEPS everything.
+# q336 — RAG/context-window CHUNKING with the FULL TEXT PAYLOAD:
+# q93's chunker AUDITS spans (first/last token + length per chunk,
+# 32/24 geometry); this emits the reassembled chunk_text itself — the
+# column an embed-everything job actually feeds the encoder — at the
+# retrieval-typical 64/16 geometry, value-hash-checking the entire
+# reconstructed text of every chunk rather than its endpoints.
+# Distinct from q76's pack_sequences (which CONCATENATES short docs
+# into training rows) and q190's span grid (stride = span, no
+# overlap, dedup-oriented).
 #
 # Contract: stride = chunk_tokens - overlap; chunk i covers tokens
 # [i*stride, i*stride + chunk_tokens); the last chunk starts at the
@@ -1892,7 +1894,7 @@ _CHUNK_TOKENS = 64
 _CHUNK_OVERLAP = 16
 
 
-def chunk_documents(df: DataFrame, id_col: str, text_col: str,
+def chunk_documents_text(df: DataFrame, id_col: str, text_col: str,
                     chunk_tokens: int = _CHUNK_TOKENS,
                     overlap: int = _CHUNK_OVERLAP) -> DataFrame:
     """(id, chunk_idx, start_tok, n_tok, chunk_text): overlapping
@@ -1967,92 +1969,4 @@ def q336_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL TEXT is value-hash-checked against the oracle's list-slice
     reimplementation (pure integer arithmetic, no float anywhere)."""
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(docs, "doc_id", "text")
-
-
-# ---------------------------------------------------------------------------
-# q337 — TF-IDF top-k keywords per document: the classic IR keyword
-# extractor (and the cheapest embedding-free doc descriptor), sitting
-# beside BM25 (q121 — query-scored retrieval) as the corpus-statistics
-# summarizer.  tf = in-doc term count (exact integer), df = documents
-# containing the term (exact integer), score = tf * ln((N+1)/(df+1))
-# (the smoothed idf), pinned at 1e-6 BEFORE ranking so the per-doc
-# top-k is deterministic cross-engine (ties break to the
-# lexicographically smaller token — the q266 argmax discipline).
-#
-# Scale: one explode + two hash aggregates (doc-term counts, term df)
-# + one broadcast-ineligible join on term (term dictionary is
-# corpus-sized; it shuffles once) + a per-doc rank window.  No floats
-# until the single pinned ln.
-# ---------------------------------------------------------------------------
-
-_TFIDF_K = 5
-
-
-def tfidf_keywords(df: DataFrame, id_col: str, text_col: str,
-                   k: int = _TFIDF_K) -> DataFrame:
-    """(id, rank, token, tf, df, tfidf): the k highest-tf-idf tokens
-    per document.  Empty-token docs emit nothing."""
-    tok = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(tokens(normalize_text(text_col))).alias("token"))
-    # corpus size as a LAZY one-row broadcast (not an eager .count())
-    # so the operator composes into a single plan
-    nd = tok.agg(F.count_distinct("__id").cast("long").alias("__nd"))
-    tf = tok.groupBy("__id", "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"))
-    dfreq = tf.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("df"))
-    pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
-    score = pin(F.col("tf")
-                * F.log((F.col("__nd") + F.lit(1)).cast("double")
-                        / (F.col("df") + F.lit(1)).cast("double")))
-    w = Window.partitionBy("__id").orderBy(
-        F.desc("tfidf"), F.asc("token"))
-    return (tf.join(dfreq, "token")
-            .join(F.broadcast(nd))
-            .withColumn("tfidf", score)
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= k)
-            .select(F.col("__id").alias(id_col), "rank", "token",
-                    "tf", "df", "tfidf"))
-
-
-def _tfidf_oracle(k: int = _TFIDF_K) -> str:
-    return f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
-      FROM documents
-    ),
-    tf AS (
-      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-      FROM tok GROUP BY doc_id, token
-    ),
-    dfreq AS (
-      SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf
-      GROUP BY token
-    ),
-    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS nd FROM tok),
-    scored AS (
-      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
-             floor(tf.tf * ln((nd + 1.0) / (dfreq.df + 1))
-                   * 1e6 + 0.5) / 1e6 AS tfidf
-      FROM tf JOIN dfreq USING (token), n
-    )
-    SELECT doc_id, CAST(rank AS INT) AS rank, token, tf, df, tfidf
-    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
-                                       ORDER BY tfidf DESC, token ASC)
-                   AS rank
-          FROM scored)
-    WHERE rank <= {k}
-    """
-
-
-@query("q337_tfidf_keywords", oracle=_tfidf_oracle())
-def q337_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 tf-idf keywords per document with their exact tf/df
-    integers and the pinned score — the embedding-free document
-    descriptor beside q121's BM25; every (doc, rank, token, tf, df,
-    tfidf) row hash-checked."""
-    docs = load_table(spark, sf_dir, "documents")
-    return tfidf_keywords(docs, "doc_id", "text")
+    return chunk_documents_text(docs, "doc_id", "text")

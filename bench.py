@@ -218,7 +218,6 @@ HEADLINE = [
     "q334_conformal_forecast_pi",
     "q335_snaive_detected",
     "q336_chunk_documents",
-    "q337_tfidf_keywords",
     "q338_hbos_scores",
     "q339_robust_scale",
     "q340_seasonal_decompose",

@@ -1825,16 +1825,11 @@ def main() -> int:
     run("snaive_detected", lambda: snvp(False), lambda: snvp(True))
 
     def chunkp(d):
-        return text.chunk_documents(d, "doc_id", "text").count()
+        return text.chunk_documents_text(d, "doc_id", "text").count()
 
     run("chunk_documents", lambda: chunkp(docs1()),
         lambda: chunkp(docsN()))
 
-    def tfidfp(d):
-        return text.tfidf_keywords(d, "doc_id", "text").count()
-
-    run("tfidf_keywords", lambda: tfidfp(docs1()),
-        lambda: tfidfp(docsN()))
 
     def hbosp(p):
         ev = evt(p).filter(

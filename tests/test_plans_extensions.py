@@ -264,22 +264,6 @@ def test_chunking_is_map_only_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
 
 
-def test_tfidf_broadcasts_corpus_size_and_combines_partially(spark,
-                                                             sf_dir):
-    """q337: the one-row corpus-size aggregate arrives by broadcast
-    (never a shuffled cross join) and the doc-term counts are map-side
-    partial before their exchange."""
-    from auto_ml_platform_with_timeseries_data_spark.plans import explain
-    from auto_ml_platform_with_timeseries_data_spark.registry import (
-        queries,
-    )
-
-    df = queries()["q337_tfidf_keywords"](spark, sf_dir)
-    plan = explain.formatted_plan(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "partial" in plan.lower()
-
-
 def test_hw_and_conformal_share_one_series_exchange(spark, sf_dir):
     """q328/q334: the lag frame and every window on top of it hash on
     the SAME series key — exactly one Exchange hashpartitioning in

@@ -48,7 +48,7 @@ def test_canaries_and_round13_rotation_keep_their_slots():
              "q330_audio_screen_capped", "q331_wilcoxon_signed_rank",
              "q332_damped_holt", "q333_seasonal_mase",
              "q334_conformal_forecast_pi", "q335_snaive_detected",
-             "q336_chunk_documents", "q337_tfidf_keywords",
+             "q336_chunk_documents",
              "q338_hbos_scores", "q339_robust_scale",
              "q340_seasonal_decompose"}
     assert canaries <= head_set

@@ -414,7 +414,7 @@ def test_chunking_covers_every_token_with_exact_overlap(spark):
     words = [f"w{i}" for i in range(150)]
     df = spark.createDataFrame([(1, " ".join(words))],
                                "doc_id long, text string")
-    rows = sorted(text.chunk_documents(df, "doc_id", "text").collect(),
+    rows = sorted(text.chunk_documents_text(df, "doc_id", "text").collect(),
                   key=lambda r: r["chunk_idx"])
     # stride 48, chunk 64 over 150 tokens -> starts 0, 48, 96 and the
     # final short chunk at 144
@@ -433,7 +433,7 @@ def test_chunking_covers_every_token_with_exact_overlap(spark):
     # a short doc yields exactly one chunk, itself
     short = spark.createDataFrame([(2, "a b c")],
                                   "doc_id long, text string")
-    r = text.chunk_documents(short, "doc_id", "text").collect()
+    r = text.chunk_documents_text(short, "doc_id", "text").collect()
     assert len(r) == 1 and r[0]["chunk_text"] == "a b c"
 
 
@@ -444,46 +444,8 @@ def test_chunking_rejects_bad_overlap(spark):
 
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
-        text.chunk_documents(df, "doc_id", "text",
-                             chunk_tokens=8, overlap=8)
-
-
-# ---------------------------------------------------------------------------
-# q337 — tf-idf keywords
-
-
-def test_tfidf_ranks_planted_rare_heavy_token_first(spark):
-    from auto_ml_platform_with_timeseries_data_spark.operators import text
-
-    common = "the quick brown fox"
-    docs = [(i, common) for i in range(9)]
-    # doc 9 repeats a corpus-unique token: max tf x max idf -> rank 1
-    docs.append((9, common + " zzyzx zzyzx zzyzx"))
-    df = spark.createDataFrame(docs, "doc_id long, text string")
-    out = text.tfidf_keywords(df, "doc_id", "text")
-    top9 = [r for r in out.collect() if r["doc_id"] == 9]
-    best = min(top9, key=lambda r: r["rank"])
-    assert best["token"] == "zzyzx"
-    assert best["tf"] == 3 and best["df"] == 1
-    # ubiquitous tokens score 0 under the smoothed idf (df = N)
-    import math
-    for r in top9:
-        if r["token"] in common.split():
-            assert r["tfidf"] <= math.log((10 + 1) / (10 + 1)) + 1e-9
-
-
-def test_tfidf_tie_breaks_to_lexicographic_token(spark):
-    from auto_ml_platform_with_timeseries_data_spark.operators import text
-
-    # two tokens with identical tf and df in the same doc: the rank
-    # order between them must be alphabetical
-    df = spark.createDataFrame(
-        [(1, "beta alpha"), (2, "gamma delta")],
-        "doc_id long, text string")
-    rows = [r for r in text.tfidf_keywords(df, "doc_id", "text")
-            .collect() if r["doc_id"] == 1]
-    rows.sort(key=lambda r: r["rank"])
-    assert [r["token"] for r in rows] == ["alpha", "beta"]
+        text.chunk_documents_text(df, "doc_id", "text",
+                                  chunk_tokens=8, overlap=8)
 
 
 # ---------------------------------------------------------------------------
