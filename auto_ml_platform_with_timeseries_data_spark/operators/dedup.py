@@ -1187,11 +1187,12 @@ def incremental_neardup_pairs(delta: DataFrame, corpus: DataFrame,
                               id_col: str, text_col: str,
                               threshold: float = _INC_THRESHOLD,
                               band_rows: int = _INC_BAND_ROWS,
-                              broadcast_delta: bool = True) -> DataFrame:
+                              broadcast_delta: bool = False) -> DataFrame:
     """Near-duplicate pairs between a new delta batch and the existing
     corpus, via the corpus's STORED MinHash band index: (delta_id,
-    corpus_id, jaccard) for exact word-bigram Jaccard ≥ threshold among
-    LSH candidates.
+    corpus_id, jaccard) for word-bigram Jaccard ≥ threshold among LSH
+    candidates — exact up to a ~1e-4 poly-hash collision (grams travel
+    as base-31 hashes mod 1e9+7; the bound is derived below).
 
     Scale shape: the corpus contributes its band index (nbands small
     ints per doc — persisted state in production, recomputed here);
@@ -1226,9 +1227,14 @@ def incremental_neardup_pairs(delta: DataFrame, corpus: DataFrame,
       clone-degenerate copies² staging streams instead of spilling:
       round 12's string-payload verify overflowed local disk TWICE at
       copies=100 (42 GB spill); this plan completes the 100x point
-      (BASELINE.md round-13 ladder).  Set ``broadcast_delta=False``
-      for a non-incremental call whose "delta" is itself corpus-sized
-      — the verify then falls back to the shuffle join."""
+      (BASELINE.md round-13 ladder).  ``broadcast_delta`` defaults to
+      FALSE (the shuffle join): nothing in the signature enforces the
+      "delta is small" contract, and a corpus-sized "delta" under an
+      unconditional ``F.broadcast`` would blow Spark's broadcast /
+      driver-memory limits.  Callers that KNOW their delta is an
+      incremental batch (q162, the rolling-crawl loop) opt in to the
+      broadcast plan explicitly; both plans emit identical rows
+      (unit-tested) and both are pair-bounded and sort-free."""
     sd = minhash_signatures_portable(delta, id_col, text_col)
     sc = minhash_signatures_portable(corpus, id_col, text_col)
     keys = ["band"] + [f"k{r}" for r in range(band_rows)]
@@ -1333,7 +1339,8 @@ def q162_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     delta = docs.filter(F.col("doc_id") % 5 == 0)
-    return incremental_neardup_pairs(delta, corpus, "doc_id", "text")
+    return incremental_neardup_pairs(delta, corpus, "doc_id", "text",
+                                     broadcast_delta=True)
 
 
 # ---------------------------------------------------------------------------

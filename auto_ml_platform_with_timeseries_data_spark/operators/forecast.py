@@ -1260,7 +1260,12 @@ def q326_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PI_ALPHA = 0.5       # the SES filter whose residuals calibrate the PI
-_PI_RANK_NUM = 9      # q90: rank ceil(0.9 n) = floor((9n+9)/10)
+# q90: rank ceil(num/den * n) = floor((num*n + den-1)/den).  Both the
+# engine expression and the oracle derive the additive term from
+# _PI_RANK_DEN so retargeting the quantile (e.g. 19/20 for q95) stays
+# a one-line change that cannot silently desynchronize the rank.
+_PI_RANK_NUM = 9
+_PI_RANK_DEN = 10
 
 
 def conformal_forecast_interval(df: DataFrame, group_col: str,
@@ -1316,8 +1321,9 @@ def conformal_forecast_interval(df: DataFrame, group_col: str,
               .withColumn("__cnt", F.count(F.lit(1)).over(
                   Window.partitionBy("__g"))))
     pick = ranked.filter(
-        F.col("__rn") == F.floor((F.lit(float(_PI_RANK_NUM))
-                                  * F.col("__cnt") + 9) / F.lit(10.0))
+        F.col("__rn") == F.floor(
+            (F.lit(float(_PI_RANK_NUM)) * F.col("__cnt")
+             + F.lit(_PI_RANK_DEN - 1)) / F.lit(float(_PI_RANK_DEN)))
     ).select("__g", F.col("__ae").alias("__q90"))
     pin = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
     fc = F.col("__fnext").cast("double") / F.lit(1e6)
@@ -1370,7 +1376,8 @@ def _conformal_pi_oracle(alpha: float = _PI_ALPHA,
     ),
     pick AS (
       SELECT g, ae AS q90 FROM ranked
-      WHERE rn = floor((9.0 * cnt + 9) / 10.0)
+      WHERE rn = floor(({_PI_RANK_NUM}.0 * cnt
+                         + {_PI_RANK_DEN - 1}) / {_PI_RANK_DEN}.0)
     )
     SELECT p.g AS user_id, p.n_scored,
            floor(CAST(p.fnext AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6
@@ -1537,5 +1544,133 @@ def q335_snaive_detected(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull())
     return seasonal_naive_detected(
         ev, "user_id", "ts", "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# q343 — BEST-FAMILY model selection over {SES grid, Holt, HW}: the
+# argmax the q328 docstring told the reader to do by hand ("the
+# smallest sse among {SES, Holt, HW} says whether the series is flat,
+# trended, or seasonal") made a registered query — the reference's M1
+# "pick the best model by CV score" semantics
+# (/root/reference/auto_machine_learning.py:35) applied to the TS
+# forecast tier, the same planted-optimum discipline as A12/q166.
+#
+# FAIRNESS CONTRACT: every candidate is scored at the SAME window
+# W = _HW_W (ses_weights/holt_weights/holt_winters_weights all take a
+# window arg), so every family backtests over the IDENTICAL scored
+# rows — comparing SSEs over different row sets would bias toward the
+# shorter filter.  Model codes order the tie-break simplest-first:
+# SES alphas (0.1..0.9) < Holt (2.0) < HW (3.0), so a draw goes to
+# the smoother/simpler model.  Scale shape: ONE window pass, W lags,
+# an 11-struct constant fan-out, one (g, code) aggregate, one slim
+# rank window — q309's plan with two more branches.
+# ---------------------------------------------------------------------------
+
+_BF_WINDOW = _HW_W
+_BF_HOLT_CODE, _BF_HW_CODE = 2.0, 3.0
+
+
+def _best_family_models() -> list[tuple[float, list[float]]]:
+    """(code, weights) per candidate, all at window _BF_WINDOW."""
+    models = [(a, ses_weights(a, _BF_WINDOW)) for a in _FC_ALPHAS]
+    models.append((_BF_HOLT_CODE,
+                   holt_weights(_HOLT_ALPHA, _HOLT_BETA, _BF_WINDOW)))
+    models.append((_BF_HW_CODE,
+                   holt_winters_weights(window=_BF_WINDOW)))
+    return models
+
+
+def _family_of(code: Column) -> Column:
+    return (F.when(code < 1.0, F.lit("ses"))
+            .when(code == _BF_HOLT_CODE, F.lit("holt"))
+            .otherwise(F.lit("hw")))
+
+
+def best_family_forecast(df: DataFrame, group_col: str, order: str,
+                         value: Column,
+                         tie_break: str | None = None) -> DataFrame:
+    """(group, family, model_code, n_scored, sse, forecast_next):
+    walk-forward-score every family member at one shared window and
+    keep the per-series argmin (ties to the smallest code — the
+    simpler model wins a draw).  sse is exact-integer cross-engine,
+    so the pick is deterministic."""
+    per = linear_filter_forecast(df, group_col, order, value,
+                                 _best_family_models(),
+                                 tie_break=tie_break)
+    wr = Window.partitionBy(group_col).orderBy(F.asc("sse"),
+                                               F.asc("alpha"))
+    return (per.withColumn("__r", F.row_number().over(wr))
+            .filter(F.col("__r") == 1)
+            .select(group_col, _family_of(F.col("alpha")).alias("family"),
+                    F.col("alpha").alias("model_code"),
+                    "n_scored", "sse", "forecast_next"))
+
+
+def _best_family_oracle(window: int = _BF_WINDOW) -> str:
+    branches = []
+    for code, cs in _best_family_models():
+        fb, fn = _filt_sql(cs, 1, "1e2"), _filt_sql(cs, 0, "1e6")
+        branches.append(f"""
+      SELECT g, CAST({code!r} AS DOUBLE) AS code,
+             CASE WHEN i > {window} THEN
+               CAST(l0 * 100 - ({fb}) AS HUGEINT)
+               * (l0 * 100 - ({fb}))
+             END AS e2,
+             CASE WHEN is_last THEN {fn} END AS fn
+      FROM lagged""")
+    union = "\n      UNION ALL".join(branches)
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               = count(*) OVER (PARTITION BY g) AS is_last,
+             {_lag_sql(window)}
+      FROM src
+    ),
+    fanned AS ({union}
+    ),
+    per AS (
+      SELECT g, code, CAST(count(e2) AS BIGINT) AS n_scored,
+             sum(e2) AS sse_q, max(fn) AS fnext
+      FROM fanned GROUP BY g, code
+    ),
+    pinned AS (
+      SELECT g, code, n_scored,
+             CAST(sse_q AS DOUBLE) / 1e4 AS sse,
+             CAST(fnext AS DOUBLE) / 1e6 AS forecast_next
+      FROM per WHERE n_scored > 0
+    )
+    SELECT g AS user_id,
+           CASE WHEN code < 1.0 THEN 'ses'
+                WHEN code = {_BF_HOLT_CODE!r} THEN 'holt'
+                ELSE 'hw' END AS family,
+           code AS model_code, n_scored, sse, forecast_next
+    FROM (SELECT *, row_number() OVER (PARTITION BY g
+            ORDER BY sse ASC, code ASC) AS r FROM pinned)
+    WHERE r = 1
+    """
+
+
+@query("q343_best_forecast_family", oracle=_best_family_oracle())
+def q343_best_forecast_family(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-user best forecast FAMILY by walk-forward SSE over the SES
+    alpha grid, Holt, and additive Holt–Winters, all at one shared
+    window — the flat/trended/seasonal verdict per series as a table;
+    every (user, family, model_code, n_scored, sse, forecast_next)
+    row hash-checked against the same python-generated weights."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return best_family_forecast(
+        ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")

@@ -2170,3 +2170,84 @@ def q238_video_near_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(f"f{f}_{p}", 32)
          for f in range(_Q152_FRAMES) for p in ("lo", "hi")],
         _VN_MAXH)
+
+
+# ---------------------------------------------------------------------------
+# q341/q342 — the top-m OUTPUT CAP over the image and video near
+# screens: q330 priced the cap for audio; these register the same
+# contract for the two modalities whose uncapped screens the round-12
+# 100x ladder measured materializing 468M (image) / 831M (video) pair
+# rows on clone-heavy corpora.  The cap is generic in
+# hamming_band_pairs_delta (rank on hamming asc, ties to the smallest
+# corpus id); output is ≤ m·|delta| BY CONSTRUCTION while set-level
+# screening decisions are unchanged (any delta item with a
+# ≤ max_hamming match still reports one).
+# ---------------------------------------------------------------------------
+
+
+def _image_screen_capped_oracle() -> str:
+    return f"""
+    SELECT delta_id, corpus_id, hamming FROM (
+      SELECT delta_id, corpus_id, hamming,
+             row_number() OVER (PARTITION BY delta_id
+                                ORDER BY hamming, corpus_id) AS rk
+      FROM ({_image_near_index_oracle()})
+    ) WHERE rk <= {_SCREEN_TOP_M}
+    """
+
+
+@query("q341_image_screen_capped", oracle=_image_screen_capped_oracle())
+def q341_image_screen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q230's image near screen with the top-m output cap (m = 3
+    closest corpus matches per delta image, ties to the smallest id):
+    delta bands join the stored dHash index, survivors popcount-verify,
+    a rank window keeps m per delta row — every kept (delta, corpus,
+    hamming) row value-hash-checked against the rank-windowed oracle
+    over the arithmetic fingerprints."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _NP_DOCS).select("doc_id")
+    media = synth_bmp_media_mixed(docs)
+    fp = image_dhash(media).localCheckpoint(eager=True)
+    delta = fp.filter(F.col("media_id") >= _NI_DELTA_LO)
+    corpus = fp.filter(F.col("media_id") < _NI_DELTA_LO)
+    return hamming_band_pairs_delta(
+        delta, corpus, "media_id",
+        [("dhash_lo", 32), ("dhash_hi", 32)], _NP_MAXH,
+        top_m=_SCREEN_TOP_M)
+
+
+def _video_screen_capped_oracle() -> str:
+    return f"""
+    SELECT delta_id, corpus_id, hamming FROM (
+      SELECT delta_id, corpus_id, hamming,
+             row_number() OVER (PARTITION BY delta_id
+                                ORDER BY hamming, corpus_id) AS rk
+      FROM ({_video_near_index_oracle()})
+    ) WHERE rk <= {_SCREEN_TOP_M}
+    """
+
+
+@query("q342_video_screen_capped", oracle=_video_screen_capped_oracle())
+def q342_video_screen_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q238's video near screen with the top-m output cap (m = 3
+    closest corpus matches per delta clip, ties to the smallest id):
+    the q194 ten-column 320-bit signatures, delta bands joining the
+    stored 40-band index, survivors popcount-verified, a rank window
+    keeping m per delta row — every kept (delta, corpus, hamming) row
+    value-hash-checked against the rank-windowed arithmetic oracle."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.dedup import (
+        hamming_band_pairs_delta,
+    )
+
+    wide = _video_wide_dhash(spark, sf_dir).localCheckpoint(eager=True)
+    delta = wide.filter(F.col("doc_id") >= _VNI_DELTA_LO)
+    corpus = wide.filter(F.col("doc_id") < _VNI_DELTA_LO)
+    return hamming_band_pairs_delta(
+        delta, corpus, "doc_id",
+        [(f"f{f}_{p}", 32)
+         for f in range(_Q152_FRAMES) for p in ("lo", "hi")],
+        _VN_MAXH, top_m=_SCREEN_TOP_M)

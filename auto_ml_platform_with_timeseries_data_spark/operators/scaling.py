@@ -17,7 +17,7 @@ driver-side literal, so the same plan works when "train" is 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from auto_ml_platform_with_timeseries_data_spark.registry import query
@@ -413,7 +413,7 @@ def q241_robust_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def robust_scale(df: DataFrame, group_col: str, id_col: str,
-                 value, ) -> DataFrame:
+                 value: Column) -> DataFrame:
     """(group, id, median, iqr, scaled): per-group robust scaling of
     an integer-valued column.  rank ceil(p*n) picks q1/median/q3;
     iqr = 0 (over half the series identical) reports scaled

@@ -1895,8 +1895,8 @@ _CHUNK_OVERLAP = 16
 
 
 def chunk_documents_text(df: DataFrame, id_col: str, text_col: str,
-                    chunk_tokens: int = _CHUNK_TOKENS,
-                    overlap: int = _CHUNK_OVERLAP) -> DataFrame:
+                         chunk_tokens: int = _CHUNK_TOKENS,
+                         overlap: int = _CHUNK_OVERLAP) -> DataFrame:
     """(id, chunk_idx, start_tok, n_tok, chunk_text): overlapping
     fixed-token chunks per document.  Docs with zero tokens emit
     nothing; 0 <= overlap < chunk_tokens enforced."""

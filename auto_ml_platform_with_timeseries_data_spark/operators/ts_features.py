@@ -3581,12 +3581,18 @@ _HBOS_BINS = 10
 
 def hbos_scores(df: DataFrame, id_col: str,
                 features: dict[str, Column],
-                nbins: int = _HBOS_BINS) -> DataFrame:
+                nbins: int = _HBOS_BINS,
+                joint_cells: int = 10_000) -> DataFrame:
     """(id, bin_<f>..., hbos): histogram-based outlier score per row
     over integer-valued feature columns.  Rows with any NULL feature
     are dropped (each feature owns its histogram; a NULL has no bin);
     a feature with zero range puts every row in bin 0 and contributes
-    0 to every score."""
+    0 to every score.  ``joint_cells`` is the B^N ceiling below which
+    the joint-bin aggregate feeds the marginals (one source scan for
+    all features); past it, per-feature histograms aggregate the rows
+    directly.  The two routes compute the SAME marginal counts — the
+    knob prices the plan, never the scores (asserted by
+    tests/test_round14_wave.py's branch-equality fixture)."""
     if not features:
         raise ValueError("hbos_scores needs at least one feature")
     names = sorted(features)
@@ -3610,10 +3616,10 @@ def hbos_scores(df: DataFrame, id_col: str,
     # fleet-triage case) feeds every per-feature marginal, so the
     # JSON-parsing source is scanned once for stats, once for the
     # joint counts, once for scoring — not once per feature
-    # (measured: 4.68 → 3.26 s at sf0.1).  Past B^N = 10k cells the
+    # (measured: 4.68 → 3.26 s at sf0.1).  Past B^N = joint_cells the
     # joint stops being tiny and per-feature histograms win.
     score = None
-    if nbins ** len(names) <= 10_000:
+    if nbins ** len(names) <= joint_cells:
         joint = out.groupBy(*[f"bin_{k}" for k in names]).agg(
             F.count(F.lit(1)).cast("long").alias("__jc"))
         for k in names:

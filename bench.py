@@ -221,6 +221,8 @@ HEADLINE = [
     "q338_hbos_scores",
     "q339_robust_scale",
     "q340_seasonal_decompose",
+    "q341_image_screen_capped",
+    "q342_video_screen_capped",
     "automl_e2e",
 ]
 

@@ -308,14 +308,23 @@ def main() -> int:
     # still near-dup (J≈1 on long docs), so candidate pairs grow
     # ~copies^2 per doc family — the wall reflects real pair growth,
     # same contract as the minhash_lsh probe above
-    def inc_nd(d):
+    def inc_nd(d, broadcast=True):
         corpus = d.filter(F.col("doc_id") % 5 != 0)
         delta = d.filter(F.col("doc_id") % 5 == 0)
         return dedup.incremental_neardup_pairs(
-            delta, corpus, "doc_id", "text").count()
+            delta, corpus, "doc_id", "text",
+            broadcast_delta=broadcast).count()
 
     run("incremental_neardup", lambda: inc_nd(docs1()),
         lambda: inc_nd(docsN()))
+
+    # the DEFAULT shuffle-join verify (broadcast_delta=False) — the
+    # plan a >80 MB delta takes in production; same pair-bounded,
+    # sort-free shape, more shuffle bytes (the delta gram arrays ride
+    # the join instead of a broadcast)
+    run("incremental_neardup_shuffle",
+        lambda: inc_nd(docs1(), broadcast=False),
+        lambda: inc_nd(docsN(), broadcast=False))
 
     # round-5 additions: quality gate, stratified budget head, SemDeDup
     def gate(d):
@@ -1806,6 +1815,36 @@ def main() -> int:
 
     run("audio_near_capped", lambda: audio_near_capped(docs1()),
         lambda: audio_near_capped(docsN()))
+
+    # round-14: the cap priced for the remaining two modalities — the
+    # uncapped image/video screens are the 100x ladder's 468M/831M
+    # pair-row rows; capped output is ≤ m·|delta| by construction
+    def image_near_capped(d):
+        fams = max(50, d.count() // 4)
+        media = multimodal.synth_bmp_media_mixed(d.select("doc_id"), fams)
+        fp = multimodal.image_dhash(media).localCheckpoint(eager=True)
+        delta = fp.filter(F.col("media_id") % 10_000_000 < 40)
+        corpus = fp.filter(F.col("media_id") % 10_000_000 >= 40)
+        return dedup.hamming_band_pairs_delta(
+            delta, corpus, "media_id",
+            [("dhash_lo", 32), ("dhash_hi", 32)], 2, top_m=3).count()
+
+    run("image_near_capped", lambda: image_near_capped(docs1()),
+        lambda: image_near_capped(docsN()))
+
+    def video_near_capped(d):
+        fams = max(20, d.count() // 5)
+        media = multimodal.synth_avi_media(d.select("doc_id"), fams)
+        fp = multimodal.video_fingerprint(media).localCheckpoint(
+            eager=True)
+        delta = fp.filter(F.col("media_id") % 10_000_000 < 40)
+        corpus = fp.filter(F.col("media_id") % 10_000_000 >= 40)
+        return dedup.hamming_band_pairs_delta(
+            delta, corpus, "media_id", [("fingerprint", 64)], 2,
+            top_m=3).count()
+
+    run("video_near_capped", lambda: video_near_capped(docs1()),
+        lambda: video_near_capped(docsN()))
 
     def confp(p):
         return fc_ops.conformal_forecast_interval(

@@ -160,16 +160,16 @@ def test_incremental_neardup_finds_cross_batch_pair(spark):
                           "with its own vocabulary entirely")],
         "doc_id long, text string")
     got = dedup.incremental_neardup_pairs(delta, corpus, "doc_id", "text",
-                                          threshold=0.3).collect()
+                                          threshold=0.3,
+                                          broadcast_delta=True).collect()
     pairs = {(r["delta_id"], r["corpus_id"]) for r in got}
     assert (10, 1) in pairs
     assert all(d != 11 for d, _ in pairs)
-    # the shuffle-join fallback (broadcast_delta=False) is the same
-    # verify over the same candidates — identical output to the
-    # broadcast plan, jaccard values included
+    # the default shuffle-join plan (broadcast_delta=False) is the
+    # same verify over the same candidates — identical output to the
+    # opt-in broadcast plan, jaccard values included
     fb = dedup.incremental_neardup_pairs(
-        delta, corpus, "doc_id", "text", threshold=0.3,
-        broadcast_delta=False).collect()
+        delta, corpus, "doc_id", "text", threshold=0.3).collect()
     assert {(r["delta_id"], r["corpus_id"], r["jaccard"]) for r in fb} \
         == {(r["delta_id"], r["corpus_id"], r["jaccard"]) for r in got}
 

@@ -1,0 +1,129 @@
+"""Planted-property tests for the round-14 additions: the HBOS
+joint-vs-fallback branch equality (the VERDICT r13 watch item), the
+capped image/video near screens (q341/q342), the SES/Holt/HW
+best-family argmax (q343, the A12/q166 planted-optimum pattern), and
+the residual collective-anomaly detector (q344).  Cross-engine value
+checks live in scripts/check_oracle.py; these pin SEMANTICS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# deterministic pseudo-noise (reviewable fixture, no RNG)
+_NOISE = [3, -5, 2, 7, -4, -1, 6, -8, 5, 0, -3, 4, -6, 8, 1, -2]
+
+
+# ---------------------------------------------------------------------------
+# HBOS — the per-feature fallback branch must equal the joint branch
+
+
+def test_hbos_joint_and_fallback_branches_agree(spark):
+    """hbos_scores routes through ONE joint-bin aggregate when
+    nbins^N <= joint_cells and through per-feature histograms past it.
+    The two plans must emit IDENTICAL rows — same marginal counts,
+    same scores — on the same (data, nbins, features).  Five features
+    at nbins=10 put the DEFAULT past 10^5 > 10^4 cells (the previously
+    unexercised route); joint_cells=10**9 forces the joint plan on the
+    same input."""
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features,
+    )
+
+    rows = [(i, i % 7, (i * 3) % 11, i % 2, (i * 5) % 13, i % 23)
+            for i in range(200)]
+    rows.append((999, 99, 99, 99, 99, 99))  # planted rare combination
+    df = spark.createDataFrame(rows,
+                               "id long, a long, b long, c long,"
+                               " d long, e long")
+    feats = {k: F.col(k) for k in ("a", "b", "c", "d", "e")}
+
+    def key(r):
+        return tuple(r[c] for c in sorted(r.asDict()))
+
+    fallback = sorted(map(key, ts_features.hbos_scores(
+        df, "id", feats).collect()))          # default: 10^5 > 10^4
+    joint = sorted(map(key, ts_features.hbos_scores(
+        df, "id", feats, joint_cells=10**9).collect()))
+    assert fallback == joint
+    assert len(fallback) == 201
+    # and the planted rare row is strictly the highest scorer on both
+    top = max(ts_features.hbos_scores(df, "id", feats).collect(),
+              key=lambda r: r["hbos"])
+    assert top["id"] == 999
+
+
+# ---------------------------------------------------------------------------
+# q341/q342 — capped image/video near screens
+
+
+def _cap_invariants(uncapped, capped, m):
+    """Per-delta output ≤ m, capped ⊆ uncapped, and the set of delta
+    ids with ≥1 match is unchanged (set-level screening decisions
+    survive the cap)."""
+    unc = {(r["delta_id"], r["corpus_id"], r["hamming"])
+           for r in uncapped.collect()}
+    cap = [(r["delta_id"], r["corpus_id"], r["hamming"])
+           for r in capped.collect()]
+    assert set(cap) <= unc
+    per = {}
+    for d, _, _ in cap:
+        per[d] = per.get(d, 0) + 1
+    assert all(n <= m for n in per.values())
+    assert set(per) == {d for d, _, _ in unc}
+
+
+def test_image_screen_cap_invariants(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        multimodal,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _cap_invariants(
+        multimodal.q230_image_near_index(spark, sf),
+        multimodal.q341_image_screen_capped(spark, sf),
+        multimodal._SCREEN_TOP_M)
+
+
+def test_video_screen_cap_invariants(spark):
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        multimodal,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    _cap_invariants(
+        multimodal.q238_video_near_index(spark, sf),
+        multimodal.q342_video_screen_capped(spark, sf),
+        multimodal._SCREEN_TOP_M)
+
+
+# ---------------------------------------------------------------------------
+# q343 — best forecast family (planted optimum, the A12/q166 pattern)
+
+
+def test_best_family_planted_flat_trend_seasonal(spark):
+    """Three planted series — flat+noise, linear ramp, strong period-8
+    season — must pick ses/holt/hw respectively.  Noise cycles with
+    period 7 (coprime to the HW period 8) so seasonal phase means
+    cannot fit it."""
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        forecast,
+    )
+
+    noise7 = [2, -3, 1, 3, -2, -1, 0]
+    n = 160
+    rows = []
+    for i in range(n):
+        rows.append(("flat", i, 1000 + noise7[i % 7]))
+        rows.append(("trend", i, 1000 + 9 * i + noise7[i % 7]))
+        rows.append(("season", i,
+                     1000 + 60 * ((i % 8) - 4) + noise7[i % 7]))
+    df = spark.createDataFrame(rows, "g string, t long, v long")
+    got = {r["g"]: r for r in forecast.best_family_forecast(
+        df, "g", "t", F.col("v")).collect()}
+    assert got["flat"]["family"] == "ses"
+    assert got["trend"]["family"] == "holt"
+    assert got["season"]["family"] == "hw"
+    # every series backtests over the same scored-row count (the
+    # shared-window fairness contract)
+    assert len({r["n_scored"] for r in got.values()}) == 1
