@@ -3839,3 +3839,119 @@ def q340_seasonal_decompose(spark: SparkSession,
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# q344 — COLLECTIVE anomaly windows over the q340 residuals: the
+# "detect the failing engine" read the reference demos
+# (/root/reference/README.md:40-47) that the point-outlier tier (HBOS
+# q338, MAD q184, Grubbs q304) cannot express — a degrading sensor
+# shows a RUN of moderately-large residuals, not one extreme value.
+#
+# Definition: decompose each series at period 8 (q340's pinned
+# trend/seasonal/remainder), take the interior rows' remainders in
+# exact micro-units, and flag every width-W window whose |remainder|
+# sum exceeds k× the series' own mean — the strict integer
+# cross-multiply  S_w * n  >  k * W * T  (S_w = window abs-sum,
+# n/T = series row count / abs-sum), so the decision needs no
+# division and no epsilon.  Exactness: remainder is q340's pinned
+# 1e-6 readout, so floor(remainder*1e6 + 0.5) recovers the exact
+# micro-unit integer both engines agree on; sums/products run in
+# decimal(38,0) (Spark) / HUGEINT (DuckDB).  Scale shape: the q340
+# passes + ONE more ordered window per series (rowsBetween W-1
+# preceding) + one slim per-series total joined back — series-keyed
+# shuffles only, no global sort, no UDF.
+# ---------------------------------------------------------------------------
+
+_RAW_WIDTH = 8        # window width = one season: a full period of
+#                       elevated residuals is the collective shape
+_RAW_K = 2            # flag when window mean |r| > 2x series mean |r|
+#                       (k=3 flags nothing on the fixture — the
+#                       noise-window ratio tops out at ~2.6 — while
+#                       k=2 keeps the flag rate at 36/15k windows at
+#                       sf0.01: selective but witnessable)
+
+
+def residual_anomaly_windows(df: DataFrame, group_col: str, order: str,
+                             value: Column, width: int = _RAW_WIDTH,
+                             k: int = _RAW_K,
+                             tie_break: str | None = None) -> DataFrame:
+    """(group, i_end, win_abs_micro, series_abs_micro, n_interior):
+    every width-row residual window (full windows over the interior
+    rows, ordered by the q340 index i) whose |remainder| sum S
+    satisfies S * n > k * width * T.  A series whose remainder is
+    identically zero flags nothing; series with fewer than `width`
+    interior rows emit nothing."""
+    dec = seasonal_decompose_ma(df, group_col, order, value,
+                                tie_break=tie_break)
+    rem = (dec.filter(F.col("remainder").isNotNull())
+           .select(F.col(group_col).alias("__g"), "i",
+                   F.abs(F.floor(F.col("remainder") * 1e6 + F.lit(0.5))
+                         .cast("long")).alias("__ra")))
+    w = Window.partitionBy("__g").orderBy(F.asc("i"))
+    ws = w.rowsBetween(-(width - 1), 0)
+    ord_ = rem.select(
+        "__g", "i", "__ra",
+        F.row_number().over(w).alias("__j"),
+        F.sum("__ra").over(ws).alias("__s"))
+    tot = rem.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_interior"),
+        F.sum("__ra").alias("__t"))
+    dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return (ord_.join(tot, "__g")
+            .filter((F.col("__j") >= width)
+                    & (dec38(F.col("__s")) * F.col("n_interior")
+                       > F.lit(k * width) * dec38(F.col("__t"))))
+            .select(F.col("__g").alias(group_col),
+                    F.col("i").alias("i_end"),
+                    F.col("__s").alias("win_abs_micro"),
+                    F.col("__t").alias("series_abs_micro"),
+                    "n_interior"))
+
+
+def _residual_anomaly_oracle(width: int = _RAW_WIDTH,
+                             k: int = _RAW_K) -> str:
+    return f"""
+    WITH rem AS (
+      SELECT user_id AS g, i,
+             CAST(abs(CAST(floor(remainder * 1e6 + 0.5) AS BIGINT))
+               AS BIGINT) AS ra
+      FROM ({_STL_ORACLE})
+      WHERE remainder IS NOT NULL
+    ),
+    ord_ AS (
+      SELECT g, i, ra,
+             row_number() OVER (PARTITION BY g ORDER BY i) AS j,
+             sum(ra) OVER (PARTITION BY g ORDER BY i
+                           ROWS BETWEEN {width - 1} PRECEDING
+                           AND CURRENT ROW) AS s
+      FROM rem
+    ),
+    tot AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_interior,
+             sum(ra) AS t
+      FROM rem GROUP BY g
+    )
+    SELECT o.g AS user_id, o.i AS i_end,
+           CAST(o.s AS BIGINT) AS win_abs_micro,
+           CAST(t.t AS BIGINT) AS series_abs_micro,
+           t.n_interior
+    FROM ord_ o JOIN tot t ON o.g = t.g
+    WHERE o.j >= {width} AND o.s * t.n_interior > {k * width} * t.t
+    """
+
+
+@query("q344_residual_anomaly_windows", oracle=_residual_anomaly_oracle())
+def q344_residual_anomaly_windows(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Collective-anomaly windows per user: q340's seasonal
+    decomposition feeding the width-8 residual-run detector — the
+    fleet-triage read that flags a DEGRADING series (a sustained
+    residual run) rather than a point outlier; every (user, i_end,
+    win_abs_micro, series_abs_micro, n_interior) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return residual_anomaly_windows(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

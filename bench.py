@@ -223,6 +223,8 @@ HEADLINE = [
     "q340_seasonal_decompose",
     "q341_image_screen_capped",
     "q342_video_screen_capped",
+    "q343_best_forecast_family",
+    "q344_residual_anomaly_windows",
     "automl_e2e",
 ]
 

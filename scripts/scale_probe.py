@@ -1897,6 +1897,26 @@ def main() -> int:
     run("seasonal_decompose", lambda: decomp(False),
         lambda: decomp(True))
 
+    # round-14 wave: the family argmax (q309's plan + 2 branches) and
+    # the residual-run detector (q340's passes + one ordered window)
+    def bestfam(p):
+        return fc_ops.best_family_forecast(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("best_forecast_family", lambda: bestfam(False),
+        lambda: bestfam(True))
+
+    def resanom(p):
+        return tsf.residual_anomaly_windows(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("residual_anomaly", lambda: resanom(False),
+        lambda: resanom(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

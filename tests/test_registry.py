@@ -29,14 +29,14 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round13_rotation_keep_their_slots():
+def test_canaries_and_round14_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-13
-    rotation puts the never-driver-witnessed registrations (q328-q330)
-    right after the canaries, then spends the remaining budget on the
-    stalest driver evidence — q92 (last green r5) and the round-6
-    block (q26-q96 relational/TPC-H region plus q183-q214). The
-    freshly r12-witnessed waves (q292-q327) sit at the very END of the
+    shared-infrastructure regression is still witnessed; the round-14
+    rotation puts the never-driver-witnessed registrations
+    (q341-q344) right after the canaries, then spends the remaining
+    budget on the stalest driver evidence — ALL 13 queries whose
+    newest rows date to r6, then the oldest r7 rows. The freshly
+    r13-witnessed wave (q328-q340) sits at the very END of the
     overflow."""
     head = registry._PRIORITY[:50]
     head_set = set(head)
@@ -44,30 +44,32 @@ def test_canaries_and_round13_rotation_keep_their_slots():
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    fresh = {"q328_holt_winters", "q329_dedup_then_margin",
-             "q330_audio_screen_capped", "q331_wilcoxon_signed_rank",
-             "q332_damped_holt", "q333_seasonal_mase",
-             "q334_conformal_forecast_pi", "q335_snaive_detected",
-             "q336_chunk_documents",
-             "q338_hbos_scores", "q339_robust_scale",
-             "q340_seasonal_decompose"}
+    fresh = {"q341_image_screen_capped", "q342_video_screen_capped",
+             "q343_best_forecast_family",
+             "q344_residual_anomaly_windows"}
     assert canaries <= head_set
     assert fresh <= head_set
-    # the stalest rows lead the rotation slots
-    assert "q92_stream_stream_join" in head_set  # last green r5
-    r6_block = {"q183_neardup_leakfree_split",
-                "q200_doremi_reweight", "q207_corr_matrix"}
+    # the complete r6-stale block leads the rotation slots
+    r6_block = {"q26_pricing_summary", "q28_top_customers",
+                "q30_asof_join", "q42_semi_anti_join",
+                "q44_profit_by_nation_brand", "q49_range_join",
+                "q50_shipping_priority", "q68_grouping_sets",
+                "q82_pivot_unpivot", "q95_late_order_priority",
+                "q96_top_supplier", "q213_moment_features",
+                "q214_frequent_triples"}
     assert r6_block <= head_set
     # every head slot is a canary, a fresh registration, or stale
     # rotation — the budget is fully spent
     assert len(head) == 50 and len(head_set) == 50
-    # the freshly r12-witnessed waves really are at the end of the
+    # the freshly r13-witnessed wave really is at the end of the
     # overflow, never in a budget slot
-    tail = registry._PRIORITY[-40:]
-    tail_prefixes = {name.split("_")[0] for name in tail}
-    assert {f"q{n}" for n in range(292, 328)} <= tail_prefixes
-    assert not {n for n in head_set
-                if n.split("_")[0] in {f"q{k}" for k in range(292, 328)}}
+    tail = set(registry._PRIORITY[-30:])
+    r13_wave = {"q328_holt_winters", "q329_dedup_then_margin",
+                "q330_audio_screen_capped", "q336_chunk_documents",
+                "q338_hbos_scores", "q340_seasonal_decompose",
+                "q92_stream_stream_join"}
+    assert r13_wave <= tail
+    assert not (r13_wave & head_set)
 
 
 def test_oracles_follow_query_order():

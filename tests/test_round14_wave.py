@@ -127,3 +127,43 @@ def test_best_family_planted_flat_trend_seasonal(spark):
     # every series backtests over the same scored-row count (the
     # shared-window fairness contract)
     assert len({r["n_scored"] for r in got.values()}) == 1
+
+
+# ---------------------------------------------------------------------------
+# q344 — residual collective-anomaly windows (planted burst)
+
+
+def test_residual_anomaly_flags_planted_burst_only(spark):
+    """A strong period-8 seasonal series with a +400 burst on
+    i ∈ [80, 88) must flag windows ending in/near the burst and
+    nothing elsewhere; the identical series WITHOUT the burst flags
+    nothing.  (The decomposition's MA trend absorbs slow level
+    changes, so only the sustained residual run trips the
+    S*n > k*W*T cross-multiply.)"""
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features,
+    )
+
+    noise7 = [2, -3, 1, 3, -2, -1, 0]
+    n = 160
+
+    def series(burst):
+        rows = []
+        for i in range(n):
+            v = 1000 + 50 * ((i % 8) - 4) + noise7[i % 7]
+            if burst and 80 <= i < 88:
+                v += 400
+            rows.append(("s", i, v))
+        return spark.createDataFrame(rows, "g string, t long, v long")
+
+    flagged = ts_features.residual_anomaly_windows(
+        series(True), "g", "t", F.col("v")).collect()
+    assert flagged, "the planted burst must be flagged"
+    # q340's i is 1-based over the full series; the burst occupies
+    # i ∈ [81, 88].  The MA trend bleeds ±4 rows and the window looks
+    # back 7, so flagged ends live in a bounded halo of the burst —
+    # never far from it.
+    assert all(75 <= r["i_end"] <= 100 for r in flagged)
+    clean = ts_features.residual_anomaly_windows(
+        series(False), "g", "t", F.col("v")).collect()
+    assert clean == []
