@@ -216,8 +216,24 @@ def _lag_sql(window: int) -> str:
 
 
 def _filt_sql(cs: list[float], off: int, quantum: str) -> str:
+    # CAST('<repr>' AS DOUBLE) — the STRING cast — is LOAD-BEARING,
+    # and a bare numeric cast is NOT enough.  DuckDB parses a 17-digit
+    # float repr as DECIMAL; both the exact-decimal product path AND
+    # the CAST(decimal AS DOUBLE) path DOUBLE-ROUND (the decimal's
+    # 17-digit integer mantissa exceeds 2^53, so int->double then
+    # *10^-scale rounds twice), landing 1 ulp off Spark's
+    # correctly-rounded double literal.  With renormalization-free
+    # weights (window-40 SES: s = 1 - 4e-16 rounds c back to its
+    # "nice" 2-digit value) that ulp sits ON a floor boundary —
+    # measured: 14 diverging users at sf0.1 on q343 as decimal
+    # (0.24*4414*1e2 -> 105935.99999999999 vs Spark 105936.00000000001)
+    # and still 1 user under the numeric cast (0.21000000000000002
+    # -> 0.21...0001 after the double-rounding).  strtod on the quoted
+    # repr is correctly rounded, so the oracle computes the engine's
+    # exact doubles by construction.
     return " + ".join(
-        f"CAST(floor({c!r} * l{j + off} * {quantum}) AS BIGINT)"
+        f"CAST(floor(CAST('{c!r}' AS DOUBLE) * l{j + off} * {quantum})"
+        f" AS BIGINT)"
         for j, c in enumerate(cs))
 
 
@@ -1168,8 +1184,12 @@ def _croston_oracle(alpha: float = _CR_ALPHA,
     cs = ses_weights(alpha, window)
 
     def filt(prefix: str) -> str:
+        # string-cast the coefficient for the same reason as
+        # _filt_sql: DuckDB's decimal literal (and even its
+        # decimal->double cast) double-rounds a 17-digit repr.
         return " + ".join(
-            f"CAST(floor({c!r} * {prefix}{j} * 1e6) AS BIGINT)"
+            f"CAST(floor(CAST('{c!r}' AS DOUBLE) * {prefix}{j} * 1e6)"
+            f" AS BIGINT)"
             for j, c in enumerate(cs))
 
     dlags = ",\n             ".join(
@@ -1595,17 +1615,73 @@ def best_family_forecast(df: DataFrame, group_col: str, order: str,
     walk-forward-score every family member at one shared window and
     keep the per-series argmin (ties to the smallest code — the
     simpler model wins a draw).  sse is exact-integer cross-engine,
-    so the pick is deterministic."""
-    per = linear_filter_forecast(df, group_col, order, value,
-                                 _best_family_models(),
-                                 tie_break=tie_break)
-    wr = Window.partitionBy(group_col).orderBy(F.asc("sse"),
-                                               F.asc("alpha"))
-    return (per.withColumn("__r", F.row_number().over(wr))
-            .filter(F.col("__r") == 1)
-            .select(group_col, _family_of(F.col("alpha")).alias("family"),
-                    F.col("alpha").alias("model_code"),
-                    "n_scored", "sse", "forecast_next"))
+    so the pick is deterministic.
+
+    Plan note: unlike the q309 kernel (explode the model grid into
+    rows, aggregate per (g, model), rank-window the argmin), every
+    candidate here scores in its OWN aggregate columns over ONE
+    grouped pass, and the argmin is array_sort([struct(sse, code,
+    fn)...])[0] — no 11x row fan-out, no second shuffle for the rank
+    window.  This also keeps each generated method near 1-model
+    expression size: the exploded variant's 11-model struct array
+    blew past the JVM method limit and dropped the whole stage to
+    interpreted evaluation (measured steady-state at sf0.1: 16.5 s
+    exploded vs 7.9 s for this plan, 2.1x)."""
+    models = _best_family_models()
+    window = _BF_WINDOW
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    lagged = src.select(
+        "__g", F.col("__v").alias("__l0"),
+        F.row_number().over(w).alias("__i"),
+        *[F.lag("__v", j).over(w).alias(f"__l{j}")
+          for j in range(1, window + 1)])
+    lagged = lagged.withColumn(
+        "__last",
+        F.col("__i") == F.max("__i").over(Window.partitionBy("__g")))
+
+    def filt_q(cs: list[float], off: int, quantum: float) -> Column:
+        expr = None
+        for j, c in enumerate(cs):
+            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
+                           * F.lit(quantum)).cast("long")
+            expr = term if expr is None else expr + term
+        return expr
+
+    cols = []
+    for m, (_, cs) in enumerate(models):
+        eq = F.col("__l0") * F.lit(100) - filt_q(cs, 1, 1e2)
+        dec = eq.cast("decimal(38,0)")
+        cols.append(F.when(F.col("__i") > window, dec * dec)
+                    .alias(f"__e2_{m}"))
+        cols.append(F.when(F.col("__last"), filt_q(cs, 0, 1e6))
+                    .alias(f"__fn_{m}"))
+    scored = lagged.select("__g", *cols)
+    per = scored.groupBy("__g").agg(
+        F.count("__e2_0").cast("long").alias("n_scored"),
+        *[a for m in range(len(models)) for a in (
+            F.sum(f"__e2_{m}").alias(f"__s_{m}"),
+            F.max(f"__fn_{m}").alias(f"__f_{m}"))])
+    best = F.array_sort(F.array(*[
+        F.struct(
+            (F.col(f"__s_{m}").cast("double") / F.lit(1e4)).alias("sse"),
+            F.lit(code).alias("code"),
+            (F.col(f"__f_{m}").cast("double") / F.lit(1e6)).alias("fn"))
+        for m, (code, _) in enumerate(models)]))[0]
+    return (per.filter(F.col("n_scored") > 0)
+            .withColumn("__b", best)
+            .select(F.col("__g").alias(group_col),
+                    _family_of(F.col("__b.code")).alias("family"),
+                    F.col("__b.code").alias("model_code"),
+                    "n_scored",
+                    F.col("__b.sse").alias("sse"),
+                    F.col("__b.fn").alias("forecast_next")))
 
 
 def _best_family_oracle(window: int = _BF_WINDOW) -> str:

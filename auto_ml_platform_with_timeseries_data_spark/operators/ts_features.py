@@ -2090,8 +2090,13 @@ def spectral_peak(df: DataFrame, group_col: str, order: str,
 
 
 def _spec_oracle() -> str:
+    # string-cast the trig literals: DuckDB parses a bare 17-digit
+    # repr as DECIMAL and its decimal->double conversion double-rounds
+    # (the q343 lesson, forecast._filt_sql); strtod on the quoted repr
+    # reproduces Spark's double bit pattern exactly.
     vals = ",\n      ".join(
-        f"({p}, {k}, {c!r}, {s!r})" for p, k, c, s in _spec_rows())
+        f"({p}, {k}, CAST('{c!r}' AS DOUBLE), CAST('{s!r}' AS DOUBLE))"
+        for p, k, c, s in _spec_rows())
     return f"""
     WITH grid(period, phase, c, s) AS (VALUES
       {vals}
@@ -3952,6 +3957,140 @@ def q344_residual_anomaly_windows(spark: SparkSession,
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull())
     return residual_anomaly_windows(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# q345 — matrix-profile-lite DISCORD per series: the other half of the
+# collective-anomaly story (q344 flags residual RUNS against the
+# series' own mean; the matrix profile flags the window UNLIKE EVERY
+# OTHER window — the classic discord definition, Yeh et al. 2016,
+# computed exactly here on raw integer windows rather than z-normed
+# floats so both engines agree bit-for-bit).
+#
+#   mp(j)   = min over |i-j| >= W of  dist²(w_j, w_i)
+#   discord = argmax_j mp(j)          (ties to the smallest j)
+#
+# where w_j is the W-row window ENDING at j and the |i-j| >= W
+# exclusion zone removes trivial self-matches.  Exactness: windows
+# are W lagged cents values; dist² is a sum of W squared integer
+# diffs (≤ 8·(2e6)² ≈ 3e13 « 2^63) — min and argmax over exact
+# integers.  Scale shape: ONE window pass builds the lag vectors,
+# then a per-series self-join (g-keyed shuffle).  The pair work is
+# quadratic IN THE SERIES LENGTH and linear in #series — the 100 TB
+# axis is series count (fleet size), not series length (bounded by
+# the sensor's retention window), which is what a triage pass wants.
+# A longer-retention deployment would band the join by value-range
+# the way the near-dup tier bands Hamming space.
+# ---------------------------------------------------------------------------
+
+_MP_W = 8
+
+
+def matrix_profile_discord(df: DataFrame, group_col: str, order: str,
+                           value: Column, width: int = _MP_W,
+                           tie_break: str | None = None) -> DataFrame:
+    """(group, discord_i, mp_dist2, n_windows): per series, the window
+    (ending at row index discord_i, 1-based over non-null rows) whose
+    nearest non-overlapping neighbor is FARTHEST — the exact
+    non-normalized matrix-profile discord.  Series too short for any
+    admissible pair (fewer than 2*width windows apart, i.e. n <
+    3*width - 1 rows) emit nothing."""
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    win = (src.select(
+        "__g", F.row_number().over(w).alias("__i"),
+        F.col("__v").alias("__l0"),
+        *[F.lag("__v", j).over(w).alias(f"__l{j}")
+          for j in range(1, width)])
+        .filter(F.col(f"__l{width - 1}").isNotNull()))
+    a = win.select(F.col("__g"),
+                   F.col("__i").alias("__ia"),
+                   *[F.col(f"__l{j}").alias(f"__a{j}")
+                     for j in range(width)])
+    b = win.select(F.col("__g"),
+                   F.col("__i").alias("__ib"),
+                   *[F.col(f"__l{j}").alias(f"__b{j}")
+                     for j in range(width)])
+    dist2 = None
+    for j in range(width):
+        d = F.col(f"__a{j}") - F.col(f"__b{j}")
+        dist2 = d * d if dist2 is None else dist2 + d * d
+    mp = (a.join(b, "__g")
+          .filter(F.abs(F.col("__ia") - F.col("__ib")) >= width)
+          .groupBy("__g", "__ia")
+          .agg(F.min(dist2).alias("mp_dist2"),
+               F.count(F.lit(1)).cast("long").alias("__npairs")))
+    nw = mp.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_windows"))
+    rk = Window.partitionBy("__g").orderBy(F.desc("mp_dist2"),
+                                           F.asc("__ia"))
+    return (mp.join(nw, "__g")
+            .withColumn("__r", F.row_number().over(rk))
+            .filter(F.col("__r") == 1)
+            .select(F.col("__g").alias(group_col),
+                    F.col("__ia").alias("discord_i"),
+                    "mp_dist2", "n_windows"))
+
+
+def _matrix_profile_oracle(width: int = _MP_W) -> str:
+    lags = ", ".join(
+        f"lag(v, {j}) OVER (PARTITION BY g ORDER BY ts, event_id)"
+        f" AS l{j}" for j in range(1, width))
+    dist2 = " + ".join(
+        f"(a.l{j} - b.l{j}) * (a.l{j} - b.l{j})" for j in range(width))
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    win AS (
+      SELECT * FROM (
+        SELECT g,
+               row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+                 AS i,
+               v AS l0, {lags}
+        FROM src
+      ) WHERE l{width - 1} IS NOT NULL
+    ),
+    mp AS (
+      SELECT a.g, a.i AS ia, min({dist2}) AS mp_dist2
+      FROM win a JOIN win b
+        ON a.g = b.g AND abs(a.i - b.i) >= {width}
+      GROUP BY a.g, a.i
+    ),
+    nw AS (SELECT g, CAST(count(*) AS BIGINT) AS n_windows
+           FROM mp GROUP BY g)
+    SELECT m.g AS user_id, m.ia AS discord_i,
+           CAST(m.mp_dist2 AS BIGINT) AS mp_dist2, n.n_windows
+    FROM (SELECT *, row_number() OVER (PARTITION BY g
+            ORDER BY mp_dist2 DESC, ia ASC) AS r FROM mp) m
+    JOIN nw n ON m.g = n.g
+    WHERE m.r = 1
+    """
+
+
+@query("q345_matrix_profile_discord", oracle=_matrix_profile_oracle())
+def q345_matrix_profile_discord(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Exact matrix-profile discord per user series at width 8: the
+    window farthest from its nearest non-overlapping neighbor — the
+    subsequence-anomaly read q344's residual-run detector cannot
+    express (a discord can be REGULAR in level but unlike every other
+    window in shape); every (user, discord_i, mp_dist2, n_windows)
+    row hash-checked against the brute-force SQL."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return matrix_profile_discord(
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")

@@ -225,6 +225,7 @@ HEADLINE = [
     "q342_video_screen_capped",
     "q343_best_forecast_family",
     "q344_residual_anomaly_windows",
+    "q345_matrix_profile_discord",
     "automl_e2e",
 ]
 

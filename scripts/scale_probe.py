@@ -1917,6 +1917,18 @@ def main() -> int:
     run("residual_anomaly", lambda: resanom(False),
         lambda: resanom(True))
 
+    # quadratic in SERIES LENGTH (bounded by sensor retention), linear
+    # in #series — the staged 10x grows series count only, so the
+    # claim under test is a ~linear wall
+    def mpdiscord(p):
+        return tsf.matrix_profile_discord(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("matrix_profile_discord", lambda: mpdiscord(False),
+        lambda: mpdiscord(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0
