@@ -441,9 +441,8 @@ def mad_outliers(df: DataFrame, group_col: str, id_col: str,
     )
 
 
-@query(
-    "q184_mad_outliers",
-    oracle="""
+# shared with q346's fleet-triage composition (ts_features.py)
+_MAD_ORACLE = """
     WITH m AS (
       SELECT user_id, median(value) AS med FROM events GROUP BY user_id
     ),
@@ -462,8 +461,10 @@ def mad_outliers(df: DataFrame, group_col: str, id_col: str,
     WHERE md.mad > 0
       AND abs(floor(0.6745 * (d.value - d.med) / md.mad * 1e6 + 0.5)
               / 1e6) > 3.5
-    """,
-)
+    """
+
+
+@query("q184_mad_outliers", oracle=_MAD_ORACLE)
 def q184_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-user outliers over event values at modified-z 3.5 —
     every flagged row's pinned z value-hash-checked."""

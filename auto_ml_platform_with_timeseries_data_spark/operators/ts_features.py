@@ -4094,3 +4094,112 @@ def q345_matrix_profile_discord(spark: SparkSession,
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# q346 — FLEET TRIAGE: the three anomaly reads joined into the one
+# table the reference's monitoring story actually needs
+# (/root/reference/README.md:40-47 — "which engine is failing?"):
+# per series, the POINT evidence (q184 MAD outlier count), the
+# COLLECTIVE evidence (q344 flagged residual windows), and the SHAPE
+# evidence (q345 discord distance), ranked lexicographically
+# (collective first — a sustained run beats isolated spikes — then
+# point count, then discord, id ascending for determinism).
+#
+# Scale shape: three series-keyed aggregates (each operator's own
+# documented plan) LEFT-joined onto the distinct-series frame — one
+# row per series, so the joins and the final rank operate on fleet
+# cardinality, not event cardinality.  The rank is a single ordered
+# window over that per-series frame; a fleet too large for one
+# partition would swap it for the q128 two-pass range-partitioned
+# prefix rank — the evidence columns are unchanged.
+# ---------------------------------------------------------------------------
+
+
+def fleet_triage(df: DataFrame, group_col: str, order: str,
+                 id_col: str, value_col: str,
+                 value: Column,
+                 tie_break: str | None = None) -> DataFrame:
+    """(triage_rank, group, n_collective, n_point, discord_dist2):
+    one row per series carrying all three anomaly reads; series
+    lacking an evidence row report 0 (counts) / NULL (discord)."""
+    from auto_ml_platform_with_timeseries_data_spark.operators.sessionize \
+        import mad_outliers
+
+    base = df.select(F.col(group_col).alias("__g")).distinct()
+    coll = (residual_anomaly_windows(df, group_col, order, value,
+                                     tie_break=tie_break)
+            .groupBy(F.col(group_col).alias("__g"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_collective")))
+    pt = (mad_outliers(df, group_col, id_col, value_col)
+          .groupBy(F.col(group_col).alias("__g"))
+          .agg(F.count(F.lit(1)).cast("long").alias("n_point")))
+    disc = (matrix_profile_discord(df, group_col, order, value,
+                                   tie_break=tie_break)
+            .select(F.col(group_col).alias("__g"),
+                    F.col("mp_dist2").alias("discord_dist2")))
+    out = (base.join(coll, "__g", "left")
+           .join(pt, "__g", "left")
+           .join(disc, "__g", "left")
+           .select("__g",
+                   F.coalesce("n_collective", F.lit(0)).cast("long")
+                   .alias("n_collective"),
+                   F.coalesce("n_point", F.lit(0)).cast("long")
+                   .alias("n_point"),
+                   "discord_dist2"))
+    rk = Window.orderBy(F.desc("n_collective"), F.desc("n_point"),
+                        F.desc(F.coalesce("discord_dist2", F.lit(-1))),
+                        F.asc("__g"))
+    return out.select(
+        F.row_number().over(rk).cast("long").alias("triage_rank"),
+        F.col("__g").alias(group_col),
+        "n_collective", "n_point", "discord_dist2")
+
+
+def _fleet_triage_oracle() -> str:
+    from auto_ml_platform_with_timeseries_data_spark.operators.sessionize \
+        import _MAD_ORACLE
+
+    return f"""
+    WITH coll AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_collective
+      FROM ({_residual_anomaly_oracle()}) GROUP BY user_id
+    ),
+    pt AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_point
+      FROM ({_MAD_ORACLE}) GROUP BY user_id
+    ),
+    disc AS (
+      SELECT user_id, mp_dist2 AS discord_dist2
+      FROM ({_matrix_profile_oracle()})
+    ),
+    base AS (SELECT DISTINCT user_id FROM events)
+    SELECT CAST(row_number() OVER (
+             ORDER BY coalesce(c.n_collective, 0) DESC,
+                      coalesce(p.n_point, 0) DESC,
+                      coalesce(d.discord_dist2, -1) DESC,
+                      b.user_id ASC) AS BIGINT) AS triage_rank,
+           b.user_id,
+           CAST(coalesce(c.n_collective, 0) AS BIGINT) AS n_collective,
+           CAST(coalesce(p.n_point, 0) AS BIGINT) AS n_point,
+           d.discord_dist2
+    FROM base b
+    LEFT JOIN coll c ON b.user_id = c.user_id
+    LEFT JOIN pt p ON b.user_id = p.user_id
+    LEFT JOIN disc d ON b.user_id = d.user_id
+    """
+
+
+@query("q346_fleet_triage", oracle=_fleet_triage_oracle())
+def q346_fleet_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet-triage table: every user series ranked by (collective
+    residual windows, MAD point outliers, matrix-profile discord) —
+    the composed 'which engine is failing' read over q344/q184/q345;
+    every (triage_rank, user, n_collective, n_point, discord_dist2)
+    row hash-checked against the composed oracle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return fleet_triage(
+        ev, "user_id", "ts", "event_id", "value",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

@@ -226,6 +226,7 @@ HEADLINE = [
     "q343_best_forecast_family",
     "q344_residual_anomaly_windows",
     "q345_matrix_profile_discord",
+    "q346_fleet_triage",
     "automl_e2e",
 ]
 

@@ -1929,6 +1929,16 @@ def main() -> int:
     run("matrix_profile_discord", lambda: mpdiscord(False),
         lambda: mpdiscord(True))
 
+    # three series-keyed aggregates + fleet-cardinality joins/rank
+    def triage(p):
+        return tsf.fleet_triage(
+            evt(p).filter(F.col("value").isNotNull()),
+            "user_id", "ts", "event_id", "value",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("fleet_triage", lambda: triage(False), lambda: triage(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

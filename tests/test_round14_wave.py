@@ -167,3 +167,42 @@ def test_residual_anomaly_flags_planted_burst_only(spark):
     clean = ts_features.residual_anomaly_windows(
         series(False), "g", "t", F.col("v")).collect()
     assert clean == []
+
+
+# ---------------------------------------------------------------------------
+# q346 — fleet triage (planted ranking)
+
+
+def test_fleet_triage_ranks_planted_failures(spark):
+    """Three planted series: 'burst' carries a sustained +400 run,
+    'spike' one extreme point, 'clean' nothing.  The triage rank must
+    order them burst < spike < clean with the evidence columns
+    explaining why.  (A sufficiently extreme single point also trips
+    some residual windows — the detectors overlap by design; the rank
+    still separates the sustained run from the spike because the run
+    flags more windows.)"""
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        ts_features,
+    )
+
+    noise7 = [2, -3, 1, 3, -2, -1, 0]
+    n = 160
+    rows = []
+    for i in range(n):
+        base = 1000 + 50 * ((i % 8) - 4) + noise7[i % 7]
+        rows.append(("burst", i, i,
+                     float(base + (400 if 80 <= i < 88 else 0)) / 100.0))
+        rows.append(("spike", i, 1000 + i,
+                     float(base + (5000 if i == 40 else 0)) / 100.0))
+        rows.append(("clean", i, 2000 + i, float(base) / 100.0))
+    df = spark.createDataFrame(rows,
+                               "g string, t long, eid long, val double")
+    got = {r["g"]: r for r in ts_features.fleet_triage(
+        df, "g", "t", "eid", "val",
+        F.floor(F.col("val") * 100 + F.lit(0.5))).collect()}
+    assert got["burst"]["triage_rank"] == 1
+    assert got["burst"]["n_collective"] > got["spike"]["n_collective"]
+    assert got["spike"]["triage_rank"] == 2
+    assert got["spike"]["n_point"] > 0
+    assert got["clean"]["triage_rank"] == 3
+    assert got["clean"]["n_collective"] == 0 and got["clean"]["n_point"] == 0
