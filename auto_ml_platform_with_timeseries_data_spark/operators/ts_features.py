@@ -3893,17 +3893,24 @@ def residual_anomaly_windows(df: DataFrame, group_col: str, order: str,
            .select(F.col(group_col).alias("__g"), "i",
                    F.abs(F.floor(F.col("remainder") * 1e6 + F.lit(0.5))
                          .cast("long")).alias("__ra")))
+    # series totals as UNBOUNDED-window aggregates over the SAME
+    # g-partitioning the rolling sum needs — one scan, one shuffle.
+    # The first cut used groupBy(g)+join for (n, T) and Spark
+    # recomputed the whole decomposition lineage THREE times (window
+    # side, totals side, join probe), each with its own g-shuffle;
+    # the fused plan's audit shows ONE Exchange feeding all three
+    # window specs.
     w = Window.partitionBy("__g").orderBy(F.asc("i"))
     ws = w.rowsBetween(-(width - 1), 0)
+    wall = Window.partitionBy("__g")
     ord_ = rem.select(
         "__g", "i", "__ra",
         F.row_number().over(w).alias("__j"),
-        F.sum("__ra").over(ws).alias("__s"))
-    tot = rem.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("long").alias("n_interior"),
-        F.sum("__ra").alias("__t"))
+        F.sum("__ra").over(ws).alias("__s"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_interior"),
+        F.sum("__ra").over(wall).alias("__t"))
     dec38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    return (ord_.join(tot, "__g")
+    return (ord_
             .filter((F.col("__j") >= width)
                     & (dec38(F.col("__s")) * F.col("n_interior")
                        > F.lit(k * width) * dec38(F.col("__t"))))
@@ -4027,14 +4034,17 @@ def matrix_profile_discord(df: DataFrame, group_col: str, order: str,
     mp = (a.join(b, "__g")
           .filter(F.abs(F.col("__ia") - F.col("__ib")) >= width)
           .groupBy("__g", "__ia")
-          .agg(F.min(dist2).alias("mp_dist2"),
-               F.count(F.lit(1)).cast("long").alias("__npairs")))
-    nw = mp.groupBy("__g").agg(
-        F.count(F.lit(1)).cast("long").alias("n_windows"))
+          .agg(F.min(dist2).alias("mp_dist2")))
+    # n_windows as an unbounded window count over the SAME g-keyed mp
+    # frame the rank needs — a groupBy(g)+join here made Spark
+    # recompute the whole pair join a second time for the count side
     rk = Window.partitionBy("__g").orderBy(F.desc("mp_dist2"),
                                            F.asc("__ia"))
-    return (mp.join(nw, "__g")
-            .withColumn("__r", F.row_number().over(rk))
+    return (mp.select(
+                "__g", "__ia", "mp_dist2",
+                F.count(F.lit(1)).over(Window.partitionBy("__g"))
+                .cast("long").alias("n_windows"),
+                F.row_number().over(rk).alias("__r"))
             .filter(F.col("__r") == 1)
             .select(F.col("__g").alias(group_col),
                     F.col("__ia").alias("discord_i"),
