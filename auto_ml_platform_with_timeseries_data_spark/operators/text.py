@@ -1970,119 +1970,3 @@ def q336_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     reimplementation (pure integer arithmetic, no float anywhere)."""
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents_text(docs, "doc_id", "text")
-
-
-# ---------------------------------------------------------------------------
-# q347 — repeated-CHUNK removal with document REWRITE (the CCNet /
-# RefinedWeb "paragraph dedup" pass): crawl corpora carry boilerplate
-# — navigation, license blocks, templated headers — repeated VERBATIM
-# across documents, and dropping the whole document (q16) throws away
-# its novel text.  This operator dedups at sub-document granularity:
-# split every document into non-overlapping fixed-token chunks (the
-# paragraph stand-in for the fixture's single-line texts), keep each
-# distinct chunk's FIRST occurrence corpus-wide (smallest (doc, idx) —
-# deterministic), and REBUILD every document from its surviving
-# chunks in order.
-#
-# Scale shape: one chunk-keyed shuffle (THE dedup shuffle — a rank
-# window over tiny per-chunk groups, same class as q16's hash
-# groupBy) plus one doc-keyed aggregate to rebuild; both linear in
-# corpus tokens, no pair joins anywhere.  Exactness: chunks are
-# exact strings; keep flags and counts are integers; the rebuilt text
-# is a deterministic ordered join — every column hash-checkable.
-# ---------------------------------------------------------------------------
-
-_PD_CHUNK = 16
-
-
-def paragraph_dedup_rewrite(df: DataFrame, id_col: str, text_col: str,
-                            chunk_tokens: int = _PD_CHUNK) -> DataFrame:
-    """(id, n_chunks, n_kept, text_rewritten): corpus-wide first-
-    occurrence dedup of non-overlapping chunk_tokens-token chunks,
-    with each document rebuilt from its surviving chunks.  A repeat
-    WITHIN one document drops too (the first instance survives);
-    documents reduced to nothing emit n_kept = 0 with empty text."""
-    tok = df.select(
-        F.col(id_col).alias("__id"),
-        tokens(normalize_text(text_col)).alias("__toks"),
-    ).filter(F.size("__toks") >= 1)
-    n = F.size("__toks")
-    k = F.ceil(n / F.lit(float(chunk_tokens))).cast("int")
-    ch = tok.select(
-        "__id", "__toks",
-        F.explode(F.sequence(F.lit(0), k - 1)).alias("__ci"))
-    piece = F.slice(F.col("__toks"),
-                    F.col("__ci") * F.lit(chunk_tokens) + 1,
-                    F.lit(chunk_tokens))
-    ch = ch.select("__id", "__ci",
-                   F.array_join(piece, " ").alias("__chunk"))
-    w = Window.partitionBy("__chunk").orderBy(F.asc("__id"),
-                                              F.asc("__ci"))
-    flagged = ch.select(
-        "__id", "__ci", "__chunk",
-        (F.row_number().over(w) == 1).alias("__keep"))
-    return (flagged.groupBy("__id").agg(
-                F.count(F.lit(1)).cast("long").alias("n_chunks"),
-                F.sum(F.col("__keep").cast("long")).cast("long")
-                .alias("n_kept"),
-                F.array_join(
-                    F.transform(
-                        F.filter(
-                            F.sort_array(F.collect_list(F.struct(
-                                F.col("__ci").alias("i"),
-                                F.when(F.col("__keep"), F.col("__chunk"))
-                                .alias("c")))),
-                            lambda x: x["c"].isNotNull()),
-                        lambda x: x["c"]),
-                    " ").alias("text_rewritten"))
-            .select(F.col("__id").alias(id_col),
-                    "n_chunks", "n_kept", "text_rewritten"))
-
-
-def _paragraph_dedup_oracle(chunk_tokens: int = _PD_CHUNK) -> str:
-    ct = chunk_tokens
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, string_split({_NORM}, ' ') AS t
-      FROM documents
-      WHERE len(string_split({_NORM}, ' ')) >= 1
-    ),
-    idx AS (
-      SELECT doc_id, t,
-             unnest(range(0, CAST(ceil(len(t) / {ct}.0) AS BIGINT)))
-               AS ci
-      FROM toks
-    ),
-    ch AS (
-      SELECT doc_id, ci,
-             array_to_string(t[ci * {ct} + 1 : ci * {ct} + {ct}], ' ')
-               AS chunk
-      FROM idx
-    ),
-    flagged AS (
-      SELECT doc_id, ci, chunk,
-             row_number() OVER (PARTITION BY chunk
-                                ORDER BY doc_id, ci) = 1 AS keep
-      FROM ch
-    )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           coalesce(array_to_string(
-             list(chunk ORDER BY ci) FILTER (WHERE keep), ' '), '')
-             AS text_rewritten
-    FROM flagged GROUP BY doc_id
-    """
-
-
-@query("q347_paragraph_dedup_rewrite", oracle=_paragraph_dedup_oracle())
-def q347_paragraph_dedup_rewrite(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
-    """Corpus-wide repeated-chunk removal with document rewrite: every
-    16-token chunk keeps only its first occurrence (smallest (doc,
-    idx)) and documents rebuild from their survivors — the
-    boilerplate-removal pass between exact doc dedup (q16) and
-    near-dup screening (q17/q162); every (doc, n_chunks, n_kept,
-    text_rewritten) row — rebuilt text included — hash-checked."""
-    docs = load_table(spark, sf_dir, "documents")
-    return paragraph_dedup_rewrite(docs, "doc_id", "text")

@@ -227,7 +227,6 @@ HEADLINE = [
     "q344_residual_anomaly_windows",
     "q345_matrix_profile_discord",
     "q346_fleet_triage",
-    "q347_paragraph_dedup_rewrite",
     "automl_e2e",
 ]
 

@@ -1939,13 +1939,6 @@ def main() -> int:
 
     run("fleet_triage", lambda: triage(False), lambda: triage(True))
 
-    # one chunk-keyed dedup shuffle + one doc-keyed rebuild aggregate
-    def pdedup(d):
-        return text.paragraph_dedup_rewrite(d, "doc_id", "text").count()
-
-    run("paragraph_dedup_rewrite", lambda: pdedup(docs1()),
-        lambda: pdedup(docsN()))
-
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

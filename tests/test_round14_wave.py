@@ -206,35 +206,3 @@ def test_fleet_triage_ranks_planted_failures(spark):
     assert got["spike"]["n_point"] > 0
     assert got["clean"]["triage_rank"] == 3
     assert got["clean"]["n_collective"] == 0 and got["clean"]["n_point"] == 0
-
-
-# ---------------------------------------------------------------------------
-# q347 — paragraph (chunk) dedup with rewrite
-
-
-def test_paragraph_dedup_drops_repeats_keeps_first(spark):
-    """Doc 1 owns the boilerplate chunk; doc 2 repeats it around novel
-    text (cross-doc drop); doc 3 repeats a chunk internally
-    (within-doc drop, first instance survives); doc 4 is all-unique
-    (identity rewrite)."""
-    from auto_ml_platform_with_timeseries_data_spark.operators import text
-
-    boiler = " ".join(f"b{i}" for i in range(4))
-    nov2 = " ".join(f"x{i}" for i in range(4))
-    rep3 = " ".join(f"r{i}" for i in range(4))
-    uniq4 = " ".join(f"u{i}" for i in range(8))
-    df = spark.createDataFrame(
-        [(1, boiler),
-         (2, boiler + " " + nov2),
-         (3, rep3 + " " + rep3),
-         (4, uniq4)],
-        "doc_id long, text string")
-    got = {r["doc_id"]: r for r in text.paragraph_dedup_rewrite(
-        df, "doc_id", "text", chunk_tokens=4).collect()}
-    assert got[1]["text_rewritten"] == boiler          # first owner keeps
-    assert got[2]["text_rewritten"] == nov2            # boilerplate dropped
-    assert got[2]["n_chunks"] == 2 and got[2]["n_kept"] == 1
-    assert got[3]["text_rewritten"] == rep3            # internal repeat drops
-    assert got[3]["n_kept"] == 1
-    assert got[4]["text_rewritten"] == uniq4           # identity
-    assert got[4]["n_kept"] == got[4]["n_chunks"] == 2
