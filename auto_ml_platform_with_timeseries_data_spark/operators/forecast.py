@@ -1750,3 +1750,185 @@ def q343_best_forecast_family(spark: SparkSession,
         ev, "user_id", "ts",
         F.floor(F.col("value") * 100 + F.lit(0.5)),
         tie_break="event_id")
+
+
+# ---------------------------------------------------------------------------
+# q348 — forecast COMBINATION vs selection (Bates & Granger 1969; the
+# M-competition result that an equal-weight pool of simple models
+# beats picking one): q343 SELECTS the per-series best family; this
+# emits, per series, the walk-forward SSE of the equal-weight
+# combination of {SES(0.5), Holt, HW} NEXT TO the best single
+# member's — the "does combining beat selecting?" verdict as a table.
+#
+# The combination is EXACT and free here: the members are linear
+# filters over the same W lags, so the equal-weight combination of
+# their forecasts IS the single filter whose weights are the
+# elementwise mean of the member weight vectors — one more model in
+# the same one-window-pass fan-out, not a second pipeline.  Same
+# quantization contract as q309/q343, so every SSE is exact-integer
+# cross-engine and the win flag is deterministic.
+# ---------------------------------------------------------------------------
+
+_FCMB_SES_ALPHA = 0.5
+
+
+def _combination_models() -> list[tuple[float, list[float]]]:
+    """(code, weights): members 1.0 SES / 2.0 Holt / 3.0 HW at the
+    shared window, plus 4.0 = their equal-weight combination."""
+    members = [
+        (1.0, ses_weights(_FCMB_SES_ALPHA, _BF_WINDOW)),
+        (2.0, holt_weights(_HOLT_ALPHA, _HOLT_BETA, _BF_WINDOW)),
+        (3.0, holt_winters_weights(window=_BF_WINDOW)),
+    ]
+    combo = [sum(cs[j] for _, cs in members) / len(members)
+             for j in range(_BF_WINDOW)]
+    return members + [(4.0, combo)]
+
+
+def forecast_combination(df: DataFrame, group_col: str, order: str,
+                         value: Column,
+                         tie_break: str | None = None) -> DataFrame:
+    """(group, n_scored, family_best, sse_best, sse_combo, combo_wins,
+    forecast_next_combo): the best single member vs the equal-weight
+    pool, scored over the identical walk-forward rows.
+
+    Plan: the q343 no-explode shape — per-model aggregate columns
+    over one grouped pass, argmin via a struct min.  At 4 models the
+    wall is UNCHANGED vs the exploded kernel (measured 8.4 vs 8.7 s
+    bench minima at sf0.1 — the 41-lag window pass dominates, not the
+    fan-out); the shape is kept for the codegen headroom it proved on
+    q343's 11 models, where the exploded plan fell off the JVM method
+    limit."""
+    models = _combination_models()
+    window = _BF_WINDOW
+    ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
+    w = Window.partitionBy("__g").orderBy(*ob)
+    src = df.select(F.col(group_col).alias("__g"),
+                    F.col(order).alias(order),
+                    *([F.col(tie_break).alias(tie_break)]
+                      if tie_break else []),
+                    value.cast("long").alias("__v")).filter(
+        F.col("__v").isNotNull())
+    lagged = src.select(
+        "__g", F.col("__v").alias("__l0"),
+        F.row_number().over(w).alias("__i"),
+        *[F.lag("__v", j).over(w).alias(f"__l{j}")
+          for j in range(1, window + 1)])
+    lagged = lagged.withColumn(
+        "__last",
+        F.col("__i") == F.max("__i").over(Window.partitionBy("__g")))
+
+    def filt_q(cs: list[float], off: int, quantum: float) -> Column:
+        expr = None
+        for j, c in enumerate(cs):
+            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
+                           * F.lit(quantum)).cast("long")
+            expr = term if expr is None else expr + term
+        return expr
+
+    cols = []
+    for m, (_, cs) in enumerate(models):
+        eq = F.col("__l0") * F.lit(100) - filt_q(cs, 1, 1e2)
+        dec = eq.cast("decimal(38,0)")
+        cols.append(F.when(F.col("__i") > window, dec * dec)
+                    .alias(f"__e2_{m}"))
+        cols.append(F.when(F.col("__last"), filt_q(cs, 0, 1e6))
+                    .alias(f"__fn_{m}"))
+    per = lagged.select("__g", *cols).groupBy("__g").agg(
+        F.count("__e2_0").cast("long").alias("n_scored"),
+        *[a for m in range(len(models)) for a in (
+            F.sum(f"__e2_{m}").alias(f"__s_{m}"),
+            F.max(f"__fn_{m}").alias(f"__f_{m}"))])
+    sse = lambda m: (F.col(f"__s_{m}").cast("double")  # noqa: E731
+                     / F.lit(1e4))
+    best = F.array_sort(F.array(*[
+        F.struct(sse(m).alias("s"), F.lit(code).alias("c"))
+        for m, (code, _) in enumerate(models) if code < 4.0]))[0]
+    combo_m = len(models) - 1
+    fam = (F.when(F.col("__b.c") == 1.0, F.lit("ses"))
+           .when(F.col("__b.c") == 2.0, F.lit("holt"))
+           .otherwise(F.lit("hw")))
+    return (per.filter(F.col("n_scored") > 0)
+            .withColumn("__b", best)
+            .select(F.col("__g").alias(group_col), "n_scored",
+                    fam.alias("family_best"),
+                    F.col("__b.s").alias("sse_best"),
+                    sse(combo_m).alias("sse_combo"),
+                    (sse(combo_m) < F.col("__b.s")).alias("combo_wins"),
+                    (F.col(f"__f_{combo_m}").cast("double") / F.lit(1e6))
+                    .alias("forecast_next_combo")))
+
+
+def _combination_oracle(window: int = _BF_WINDOW) -> str:
+    branches = []
+    for code, cs in _combination_models():
+        fb, fn = _filt_sql(cs, 1, "1e2"), _filt_sql(cs, 0, "1e6")
+        branches.append(f"""
+      SELECT g, CAST({code!r} AS DOUBLE) AS code,
+             CASE WHEN i > {window} THEN
+               CAST(l0 * 100 - ({fb}) AS HUGEINT)
+               * (l0 * 100 - ({fb}))
+             END AS e2,
+             CASE WHEN is_last THEN {fn} END AS fn
+      FROM lagged""")
+    union = "\n      UNION ALL".join(branches)
+    return f"""
+    WITH src AS (
+      SELECT user_id AS g, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    lagged AS (
+      SELECT g, v AS l0,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               AS i,
+             row_number() OVER (PARTITION BY g ORDER BY ts, event_id)
+               = count(*) OVER (PARTITION BY g) AS is_last,
+             {_lag_sql(window)}
+      FROM src
+    ),
+    fanned AS ({union}
+    ),
+    per AS (
+      SELECT g, code, CAST(count(e2) AS BIGINT) AS n_scored,
+             CAST(sum(e2) AS DOUBLE) / 1e4 AS sse,
+             CAST(max(fn) AS DOUBLE) / 1e6 AS forecast_next
+      FROM fanned GROUP BY g, code
+      HAVING count(e2) > 0
+    ),
+    best AS (
+      SELECT g, code AS bc, sse AS sse_best FROM (
+        SELECT *, row_number() OVER (PARTITION BY g
+          ORDER BY sse ASC, code ASC) AS r FROM per WHERE code < 4.0
+      ) WHERE r = 1
+    ),
+    combo AS (
+      SELECT g, n_scored, sse AS sse_combo,
+             forecast_next AS forecast_next_combo
+      FROM per WHERE code = 4.0
+    )
+    SELECT c.g AS user_id, c.n_scored,
+           CASE WHEN b.bc = 1.0 THEN 'ses'
+                WHEN b.bc = 2.0 THEN 'holt'
+                ELSE 'hw' END AS family_best,
+           b.sse_best, c.sse_combo,
+           c.sse_combo < b.sse_best AS combo_wins,
+           c.forecast_next_combo
+    FROM combo c JOIN best b ON c.g = b.g
+    """
+
+
+@query("q348_forecast_combination", oracle=_combination_oracle())
+def q348_forecast_combination(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-user equal-weight forecast combination of {SES, Holt, HW}
+    scored against the best single member over identical walk-forward
+    rows — the Bates–Granger combination-vs-selection verdict as a
+    table; every (user, n_scored, family_best, sse_best, sse_combo,
+    combo_wins, forecast_next_combo) row hash-checked."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull())
+    return forecast_combination(
+        ev, "user_id", "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)),
+        tie_break="event_id")

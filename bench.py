@@ -227,6 +227,7 @@ HEADLINE = [
     "q344_residual_anomaly_windows",
     "q345_matrix_profile_discord",
     "q346_fleet_triage",
+    "q348_forecast_combination",
     "automl_e2e",
 ]
 

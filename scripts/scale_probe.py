@@ -1939,6 +1939,16 @@ def main() -> int:
 
     run("fleet_triage", lambda: triage(False), lambda: triage(True))
 
+    # 4-model fan-out over the shared window pass (q309's shape)
+    def fcombo(p):
+        return fc_ops.forecast_combination(
+            evt(p), "user_id", "ts",
+            F.floor(F.col("value") * 100 + F.lit(0.5)),
+            tie_break="event_id").count()
+
+    run("forecast_combination", lambda: fcombo(False),
+        lambda: fcombo(True))
+
     print(json.dumps({"copies": copies, "sf_dir": sf_dir,
                       "results": results}))
     return 0

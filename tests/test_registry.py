@@ -33,7 +33,7 @@ def test_canaries_and_round14_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
     shared-infrastructure regression is still witnessed; the round-14
     rotation puts the never-driver-witnessed registrations
-    (q341-q346) right after the canaries, then spends the remaining
+    (q341-q346 plus q348) right after the canaries, then spends the remaining
     budget on the stalest driver evidence — ALL 13 queries whose
     newest rows date to r6, then the oldest r7 rows. The freshly
     r13-witnessed wave (q328-q340) sits at the very END of the
@@ -47,7 +47,8 @@ def test_canaries_and_round14_rotation_keep_their_slots():
     fresh = {"q341_image_screen_capped", "q342_video_screen_capped",
              "q343_best_forecast_family",
              "q344_residual_anomaly_windows",
-             "q345_matrix_profile_discord", "q346_fleet_triage"}
+             "q345_matrix_profile_discord", "q346_fleet_triage",
+             "q348_forecast_combination"}
     assert canaries <= head_set
     assert fresh <= head_set
     # the complete r6-stale block leads the rotation slots

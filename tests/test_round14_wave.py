@@ -206,3 +206,58 @@ def test_fleet_triage_ranks_planted_failures(spark):
     assert got["spike"]["n_point"] > 0
     assert got["clean"]["triage_rank"] == 3
     assert got["clean"]["n_collective"] == 0 and got["clean"]["n_point"] == 0
+
+
+# ---------------------------------------------------------------------------
+# q348 — forecast combination vs selection
+
+
+def test_combination_weights_are_member_mean():
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        forecast,
+    )
+
+    models = dict(forecast._combination_models())
+    members = [models[1.0], models[2.0], models[3.0]]
+    combo = models[4.0]
+    for j, c in enumerate(combo):
+        assert c == sum(m[j] for m in members) / 3.0
+
+
+def test_combination_matches_python_reference(spark):
+    """The engine's (sse_best, sse_combo, combo_wins) row equals a
+    pure-Python walk-forward over the same quantized arithmetic on a
+    planted mixed trend+season series."""
+    import math
+
+    from auto_ml_platform_with_timeseries_data_spark.operators import (
+        forecast,
+    )
+
+    noise7 = [2, -3, 1, 3, -2, -1, 0]
+    vals = [1000 + 3 * i + 40 * ((i % 8) - 4) + noise7[i % 7]
+            for i in range(90)]
+    W = forecast._BF_WINDOW
+
+    def sse_fn(cs):
+        tot = 0
+        for t in range(W, len(vals)):
+            f = sum(int(math.floor((c * vals[t - 1 - j]) * 1e2))
+                    for j, c in enumerate(cs))
+            e = vals[t] * 100 - f
+            tot += e * e
+        return tot / 1e4
+
+    models = forecast._combination_models()
+    sses = {code: sse_fn(cs) for code, cs in models}
+    best_code = min((c for c in sses if c < 4.0), key=lambda c: sses[c])
+    df = spark.createDataFrame(
+        [("s", i, v) for i, v in enumerate(vals)],
+        "g string, t long, v long")
+    row = forecast.forecast_combination(
+        df, "g", "t", F.col("v")).collect()[0]
+    assert row["sse_best"] == sses[best_code]
+    assert row["sse_combo"] == sses[4.0]
+    assert row["combo_wins"] == (sses[4.0] < sses[best_code])
+    assert row["family_best"] == {1.0: "ses", 2.0: "holt",
+                                  3.0: "hw"}[best_code]
