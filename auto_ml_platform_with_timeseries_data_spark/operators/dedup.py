@@ -1522,62 +1522,119 @@ def hamming_band_pairs_delta(delta_sigs: DataFrame, corpus_sigs: DataFrame,
                              id_col: str,
                              sig_cols: Sequence[tuple[str, int]],
                              max_hamming: int = 3,
-                             top_m: int | None = None) -> DataFrame:
+                             top_m: int | None = None,
+                             max_bucket_size: int | None = None) -> DataFrame:
     """Delta-vs-corpus variant of ``hamming_band_pairs``: the new
     batch's 16-bit bands join the corpus's STORED band index (persisted
-    state in production — nbands small ints per item — recomputed here
-    from the signatures), survivors verify the exact popcount. Same
-    pigeonhole recall bound (d ≤ B−1 ⇒ at least one shared band); work
-    is the delta's band rows plus true candidates — the corpus is
-    never self-paired and never rescanned. Returns (delta_id,
-    corpus_id, hamming).
+    state in production — nbands small ints per DISTINCT signature —
+    recomputed here from the signatures), survivors verify the exact
+    popcount. Same pigeonhole recall bound (d ≤ B−1 ⇒ at least one
+    shared band); work is the delta's band rows plus true candidates —
+    the corpus is never self-paired and never rescanned. Returns
+    (delta_id, corpus_id, hamming).
+
+    CLONE COLLAPSE (always on, exactness-preserving): both sides are
+    first reduced to one canonical representative per DISTINCT
+    signature (min id over a signature-partitioned window — rows, not
+    collect_list arrays, so a mega-clone family can't blow a single
+    aggregation buffer). The band join, candidate dedup, and popcount
+    verify all run on representatives only, then survivors expand back
+    through per-row membership maps. Exactness is free: members of a
+    signature group have BY DEFINITION the same hamming distance to
+    every counterpart, so group-level verification loses nothing. On
+    clone-heavy corpora — where the round-14 wave probes measured the
+    image/video screens growing 2.8x/9.4x wall for 10x data,
+    candidate-popcount-bound — candidate work becomes proportional to
+    DISTINCT signatures, not corpus rows.
 
     ``top_m`` caps the OUTPUT at the m closest corpus matches per
     delta row (rank on hamming asc, ties to the smallest corpus id —
     deterministic), the same defense the LSH bucket caps give the text
-    path: on a clone-heavy corpus the uncapped screen materializes
-    O(family²) pair rows (the round-12 100x ladder measured 468M/831M
-    pair rows on the audio/video screens), while a dedup decision
-    needs only "is there a near-match and which" — m of them bounds
-    output at m·|delta| BY CONSTRUCTION.  Recall statement under the
-    cap: every delta row that HAS a ≤ max_hamming match still reports
-    one (the pigeonhole bound finds candidates; ranking drops only
-    EXTRA matches beyond m), so set-level screening decisions are
-    unaffected; only the full match LIST is truncated.  Default None
-    keeps the exact uncapped contract unchanged."""
+    path: a dedup decision needs only "is there a near-match and
+    which" — m of them bounds output at m·|delta| BY CONSTRUCTION.
+    Recall statement under the cap: every delta row that HAS a
+    ≤ max_hamming match still reports one; only the full match LIST is
+    truncated. Exactness of the rank: the global top-m per delta row
+    takes at most m members from any one signature group, and within a
+    group the preferred members are the m smallest ids — so expanding
+    min(m, |group|) smallest members per surviving group before the
+    final rank is lossless. Default None keeps the exact full-list
+    contract unchanged.
+
+    ``max_bucket_size`` additionally caps corpus-side membership per
+    (band_id, band) bucket — the ``minhash_lsh_candidates`` skew fence
+    (dedup.py:216), applied AFTER clone collapse so the cap counts
+    distinct signatures, never clones. AMENDED RECALL under the cap: a
+    ≤ max_hamming match whose every shared-band bucket is over-full
+    may be dropped if its canonical id sorts beyond the first
+    max_bucket_size distinct signatures in each such bucket. Because
+    clones are collapsed first, the cap binds only on genuine
+    band-value concentration (low-entropy fingerprint regions), not on
+    duplication. Default None keeps pigeonhole-exact recall."""
     names = [c for c, _ in sig_cols]
 
-    def bands(df: DataFrame, out_id: str) -> DataFrame:
+    # --- canonical representative per DISTINCT signature, per side ---
+    # One signature-partitioned window per side: every row learns its
+    # group's canonical (min) id; representatives are the rows that ARE
+    # the canonical id and carry the signature columns for the verify.
+    dall = delta_sigs.select(
+        F.col(id_col).alias("delta_id"),
+        *[F.col(c).alias(f"__d_{c}") for c in names]).withColumn(
+        "__dg", F.min("delta_id").over(
+            Window.partitionBy(*[f"__d_{c}" for c in names])))
+    call = corpus_sigs.select(
+        F.col(id_col).alias("corpus_id"),
+        *[F.col(c).alias(f"__c_{c}") for c in names]).withColumn(
+        "__cg", F.min("corpus_id").over(
+            Window.partitionBy(*[f"__c_{c}" for c in names])))
+    dreps = dall.filter(F.col("delta_id") == F.col("__dg")) \
+        .drop("delta_id")
+    creps = call.filter(F.col("corpus_id") == F.col("__cg")) \
+        .drop("corpus_id")
+
+    def bands(df: DataFrame, key: str, prefix: str) -> DataFrame:
         cols = []
         for col, nbits in sig_cols:
             for off in range(0, nbits, 16):
                 cols.append(F.struct(
                     F.lit(len(cols)).alias("band_id"),
-                    F.shiftright(F.col(col), off)
+                    F.shiftright(F.col(f"{prefix}{col}"), off)
                     .bitwiseAND(F.lit(0xFFFF)).alias("band")))
-        return (df.select(F.col(id_col).alias(out_id),
+        return (df.select(F.col(key),
                           F.explode(F.array(*cols)).alias("bb"))
-                .select(out_id, "bb.band_id", "bb.band"))
+                .select(key, "bb.band_id", "bb.band"))
 
-    cand = (bands(delta_sigs, "delta_id")
-            .join(bands(corpus_sigs, "corpus_id"), ["band_id", "band"])
-            .select("delta_id", "corpus_id").distinct())
-    d = delta_sigs.select(
-        F.col(id_col).alias("delta_id"),
-        *[F.col(c).alias(f"__d_{c}") for c in names])
-    c = corpus_sigs.select(
-        F.col(id_col).alias("corpus_id"),
-        *[F.col(c).alias(f"__c_{c}") for c in names])
+    cband = bands(creps, "__cg", "__c_")
+    if max_bucket_size is not None:
+        wb = Window.partitionBy("band_id", "band").orderBy(F.asc("__cg"))
+        cband = (cband.withColumn("__bk", F.row_number().over(wb))
+                 .filter(F.col("__bk") <= max_bucket_size).drop("__bk"))
+    cand = (bands(dreps, "__dg", "__d_")
+            .join(cband, ["band_id", "band"])
+            .select("__dg", "__cg").distinct())
+
     ham = reduce(
         lambda acc, n: acc + F.bit_count(
             F.col(f"__d_{n}").bitwiseXOR(F.col(f"__c_{n}"))),
         names[1:],
         F.bit_count(F.col(f"__d_{names[0]}")
                     .bitwiseXOR(F.col(f"__c_{names[0]}"))))
-    out = (cand.join(d, "delta_id").join(c, "corpus_id")
-           .select("delta_id", "corpus_id",
-                   ham.cast("int").alias("hamming"))
-           .filter(F.col("hamming") <= max_hamming))
+    gp = (cand.join(dreps, "__dg").join(creps, "__cg")
+          .select("__dg", "__cg", ham.cast("int").alias("hamming"))
+          .filter(F.col("hamming") <= max_hamming))
+
+    # --- expand survivors back to member rows ---
+    dmem = dall.select("delta_id", "__dg")
+    cmem = call.select("corpus_id", "__cg")
+    if top_m is not None:
+        # m smallest member ids per corpus group suffice for an exact
+        # global top-m (see docstring); bounds the pre-rank fan-out at
+        # m · |surviving groups| per delta row.
+        wg = Window.partitionBy("__cg").orderBy(F.asc("corpus_id"))
+        cmem = (cmem.withColumn("__gk", F.row_number().over(wg))
+                .filter(F.col("__gk") <= top_m).drop("__gk"))
+    out = (gp.join(dmem, "__dg").join(cmem, "__cg")
+           .select("delta_id", "corpus_id", "hamming"))
     if top_m is None:
         return out
     wr = Window.partitionBy("delta_id").orderBy(

@@ -622,6 +622,97 @@ def q132_exact_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+_SKETCH_GATES = {          # measured max across sf0.01/sf0.1 → floor
+    "hll_groupby": 0.06,   # rel err ≤ 0.0085 measured; 3σ of rsd=0.02
+    "hll_merge_weekly": 0.05,  # ≤ 0.008 measured; q131's lgK=12 3σ bound
+    "kll_median_rank": 0.00025,  # rank bracket within 2.5×(1/accuracy)
+}
+
+
+@query(
+    "q349_sketch_error_gate",
+    oracle="""
+    SELECT 'hll_groupby' AS sketch, CAST('0.06' AS DOUBLE) AS bound,
+           TRUE AS within_bound
+    UNION ALL
+    SELECT 'hll_merge_weekly', CAST('0.05' AS DOUBLE), TRUE
+    UNION ALL
+    SELECT 'kll_median_rank', CAST('0.00025' AS DOUBLE), TRUE
+    ORDER BY sketch
+    """,
+)
+def q349_sketch_error_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked ERROR-BOUND certificates for the sketch family —
+    the q175/q201 gate pattern applied to q81/q131's rows-only
+    approximations (VERDICT r14 #4: the exact twins q132/q178 pin the
+    exact halves, but nothing driver-checked bounded the approximation
+    itself until now). Three gates, each a boolean against a constant
+    all-TRUE oracle (sketch register values are engine-specific by
+    design; whether the estimate honors its published bound is not):
+
+    - hll_groupby: q81's HLL++ approx_count_distinct(rsd=0.02) per
+      order priority vs exact — max relative error ≤ 0.06 (3σ;
+      measured ≤ 0.0085 across sf0.01/sf0.1, so only a broken hash
+      family or register merge crosses it).
+    - hll_merge_weekly: q131's mergeability dataflow — per-day
+      hll_sketch_agg unioned to weekly estimates vs exact weekly
+      distincts, every week within 5% (lgK=12 → σ≈1.6%; measured
+      ≤ 0.008).
+    - kll_median_rank: q81's percentile_approx(0.5, accuracy=10000)
+      certified in RANK space, the space its guarantee lives in (the
+      value-space error is unbounded for skewed data): per priority,
+      the returned value's closed rank bracket [rank_lt, rank_le] must
+      reach within eps of 0.5, eps = 2.5e-4 = 2.5×(1/accuracy)
+      headroom for the discrete bracket at finite n (measured bracket
+      edge 1.7e-5 from nominal at sf0.1).
+
+    Only booleans and constants reach the output — the measured
+    estimates stay engine-side, so the oracle is portable. All three
+    measurements are distributed aggregates; the driver sees three
+    scalars (the q175 bounded-collect contract)."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"),
+        F.countDistinct("o_custkey").alias("e"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("am"),
+    )
+    hll_ok = (g.select((F.max(F.abs(F.col("a") - F.col("e")) / F.col("e"))
+                        <= _SKETCH_GATES["hll_groupby"]).alias("ok"))
+              .collect()[0]["ok"])
+    eps = _SKETCH_GATES["kll_median_rank"]
+    ranks = (o.join(F.broadcast(g.select("o_orderpriority", "am")),
+                    "o_orderpriority")
+             .groupBy("o_orderpriority").agg(
+                 (F.sum(F.when(F.col("o_totalprice") < F.col("am"), 1)
+                        .otherwise(0)) / F.count(F.lit(1))).alias("lt"),
+                 (F.sum(F.when(F.col("o_totalprice") <= F.col("am"), 1)
+                        .otherwise(0)) / F.count(F.lit(1))).alias("le")))
+    kll_ok = (ranks.select(
+        (F.min(F.when((F.col("lt") <= 0.5 + eps)
+                      & (F.col("le") >= 0.5 - eps), 1).otherwise(0)) == 1)
+        .alias("ok")).collect()[0]["ok"])
+    ev = load_table(spark, sf_dir, "events")
+    day = ev.select(F.date_trunc("week", "ts").alias("week"),
+                    F.date_trunc("day", "ts").alias("day"), "user_id")
+    weekly = (day.groupBy("week", "day")
+              .agg(F.hll_sketch_agg("user_id").alias("sk"))
+              .groupBy("week")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                   .alias("approx")))
+    exact = day.groupBy("week").agg(F.countDistinct("user_id").alias("e"))
+    merge_ok = (weekly.join(exact, "week").select(
+        (F.max(F.abs(F.col("approx") - F.col("e")) / F.col("e"))
+         <= _SKETCH_GATES["hll_merge_weekly"]).alias("ok"))
+        .collect()[0]["ok"])
+    rows = [("hll_groupby", _SKETCH_GATES["hll_groupby"], bool(hll_ok)),
+            ("hll_merge_weekly", _SKETCH_GATES["hll_merge_weekly"],
+             bool(merge_ok)),
+            ("kll_median_rank", eps, bool(kll_ok))]
+    return spark.createDataFrame(
+        rows, "sketch string, bound double, within_bound boolean") \
+        .orderBy("sketch")
+
+
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
 
 

@@ -4003,8 +4003,9 @@ def matrix_profile_discord(df: DataFrame, group_col: str, order: str,
     (ending at row index discord_i, 1-based over non-null rows) whose
     nearest non-overlapping neighbor is FARTHEST — the exact
     non-normalized matrix-profile discord.  Series too short for any
-    admissible pair (fewer than 2*width windows apart, i.e. n <
-    3*width - 1 rows) emit nothing."""
+    admissible pair emit nothing: the first admissible pair is the
+    windows ending at rows width and 2*width (exactly width apart), so
+    that means n < 2*width rows."""
     ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
     w = Window.partitionBy("__g").orderBy(*ob)
     src = df.select(F.col(group_col).alias("__g"),
@@ -4126,12 +4127,14 @@ def q345_matrix_profile_discord(spark: SparkSession,
 # ---------------------------------------------------------------------------
 
 
-def fleet_triage(df: DataFrame, group_col: str, order: str,
-                 id_col: str, value_col: str,
-                 value: Column,
-                 tie_break: str | None = None) -> DataFrame:
-    """(triage_rank, group, n_collective, n_point, discord_dist2):
-    one row per series carrying all three anomaly reads; series
+def fleet_evidence(df: DataFrame, group_col: str, order: str,
+                   id_col: str, value_col: str,
+                   value: Column,
+                   tie_break: str | None = None) -> DataFrame:
+    """(group, n_collective, n_point, discord_dist2): one row per
+    series carrying all three anomaly reads, UNRANKED — the per-series
+    state the streaming triage loop (q350) maintains incrementally;
+    ``fleet_triage`` applies the rank for the batch read. Series
     lacking an evidence row report 0 (counts) / NULL (discord)."""
     from auto_ml_platform_with_timeseries_data_spark.operators.sessionize \
         import mad_outliers
@@ -4148,22 +4151,39 @@ def fleet_triage(df: DataFrame, group_col: str, order: str,
                                    tie_break=tie_break)
             .select(F.col(group_col).alias("__g"),
                     F.col("mp_dist2").alias("discord_dist2")))
-    out = (base.join(coll, "__g", "left")
-           .join(pt, "__g", "left")
-           .join(disc, "__g", "left")
-           .select("__g",
-                   F.coalesce("n_collective", F.lit(0)).cast("long")
-                   .alias("n_collective"),
-                   F.coalesce("n_point", F.lit(0)).cast("long")
-                   .alias("n_point"),
-                   "discord_dist2"))
+    return (base.join(coll, "__g", "left")
+            .join(pt, "__g", "left")
+            .join(disc, "__g", "left")
+            .select(F.col("__g").alias(group_col),
+                    F.coalesce("n_collective", F.lit(0)).cast("long")
+                    .alias("n_collective"),
+                    F.coalesce("n_point", F.lit(0)).cast("long")
+                    .alias("n_point"),
+                    "discord_dist2"))
+
+
+def triage_rank(evidence: DataFrame, group_col: str) -> DataFrame:
+    """Rank a fleet-evidence frame lexicographically (collective runs
+    first, then point count, then discord distance, id ascending for
+    determinism) — one ordered window over fleet cardinality."""
     rk = Window.orderBy(F.desc("n_collective"), F.desc("n_point"),
                         F.desc(F.coalesce("discord_dist2", F.lit(-1))),
-                        F.asc("__g"))
-    return out.select(
+                        F.asc(group_col))
+    return evidence.select(
         F.row_number().over(rk).cast("long").alias("triage_rank"),
-        F.col("__g").alias(group_col),
-        "n_collective", "n_point", "discord_dist2")
+        group_col, "n_collective", "n_point", "discord_dist2")
+
+
+def fleet_triage(df: DataFrame, group_col: str, order: str,
+                 id_col: str, value_col: str,
+                 value: Column,
+                 tie_break: str | None = None) -> DataFrame:
+    """(triage_rank, group, n_collective, n_point, discord_dist2):
+    one row per series carrying all three anomaly reads; series
+    lacking an evidence row report 0 (counts) / NULL (discord)."""
+    return triage_rank(
+        fleet_evidence(df, group_col, order, id_col, value_col, value,
+                       tie_break=tie_break), group_col)
 
 
 def _fleet_triage_oracle() -> str:
@@ -4183,7 +4203,8 @@ def _fleet_triage_oracle() -> str:
       SELECT user_id, mp_dist2 AS discord_dist2
       FROM ({_matrix_profile_oracle()})
     ),
-    base AS (SELECT DISTINCT user_id FROM events)
+    base AS (SELECT DISTINCT user_id FROM events
+             WHERE value IS NOT NULL)
     SELECT CAST(row_number() OVER (
              ORDER BY coalesce(c.n_collective, 0) DESC,
                       coalesce(p.n_point, 0) DESC,

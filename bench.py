@@ -228,7 +228,34 @@ HEADLINE = [
     "q345_matrix_profile_discord",
     "q346_fleet_triage",
     "q348_forecast_combination",
-    "automl_e2e",
+]
+# automl_e2e runs FIRST (right after warmup) rather than last: as the
+# suite's biggest row (~47 s recorded minimum) it was also its noisiest
+# (46.7 recorded vs 60.9 driver in r14) — measured at position 195 it
+# inherits 10 minutes of accumulated JVM heap/broadcast state, while at
+# position 1 it measures a clean-session CV every round. It also gets
+# an unconditional third pass (min-of-3): one extra ~50 s pass buys the
+# suite's widest-variance row the same min-of-idle-runs treatment the
+# adaptive pass gives load-hit rows.
+HEADLINE.insert(0, "automl_e2e")
+_MIN_OF_3 = {"automl_e2e"}
+
+# Trivial tier (VERDICT r14 #6): the sub-300 ms map-only rows, fused
+# into ONE timed block reported as the single "trivial_tier" row. Their
+# individual regressions are invisible under host noise (the r14 round
+# moved 87 minima purely from host state), while 23 queries × 2 passes
+# × per-query gc tax real driver wall; a catastrophic regression in any
+# of them still shows as a multiple on the fused wall. A targeted run
+# (`bench.py q57_bpe_tokens`) still times any of them individually.
+TRIVIAL_TIER = [
+    "q16_dedup_exact", "q20_token_stats", "q49_range_join",
+    "q54_json_props", "q57_bpe_tokens", "q59_resample_ffill",
+    "q74_hash_split", "q82_pivot_unpivot", "q108_embedding_dim_stats",
+    "q118_embedding_quantize", "q123_rolling_median",
+    "q154_incremental_dedup", "q219_l_diversity", "q255_average_precision",
+    "q259_t_closeness", "q264_cramers_v", "q269_hhi_concentration",
+    "q282_cochran_armitage", "q289_turning_points", "q298_dp_noisy_counts",
+    "q301_mcnemar", "q336_chunk_documents", "q339_robust_scale",
 ]
 
 
@@ -256,6 +283,9 @@ def main() -> int:
     qs["automl_e2e"] = automl_e2e
 
     names = only or (sorted(qs) if run_all else [n for n in HEADLINE if n in qs])
+    fuse_trivial = not only and not run_all
+    if fuse_trivial:
+        names = [n for n in names if n not in set(TRIVIAL_TIER)]
 
     # Warm the JVM + parquet footer cache once so per-query numbers measure
     # the plan, not session startup.
@@ -275,7 +305,7 @@ def main() -> int:
     t_suite = time.time()
     for name in names:
         passes = []
-        for _ in range(2):
+        for _ in range(3 if name in _MIN_OF_3 else 2):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.count()
@@ -297,6 +327,19 @@ def main() -> int:
         # late queries the same way leaked caches did.
         import gc
         gc.collect()
+    if fuse_trivial:
+        import gc
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            for name in TRIVIAL_TIER:
+                if name in qs:
+                    qs[name](spark, sf_dir).count()
+                    spark.catalog.clearCache()
+            walls.append(time.time() - t0)
+            gc.collect()
+        timings["trivial_tier"] = round(min(walls), 3)
+        pass_counts["trivial_tier"] = 2
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_suite, 3)
 
@@ -313,6 +356,9 @@ def main() -> int:
         "extra_pass_queries": sorted(
             n for n, c in pass_counts.items() if c > 2),
         "wall_incl_warmup": wall,
+        # the "trivial_tier" row is ONE fused pass over these sub-300ms
+        # map-only queries (min of 2 block walls) — see TRIVIAL_TIER
+        "trivial_tier_queries": TRIVIAL_TIER if fuse_trivial else [],
     }
     # The driver artifact preserves only a 2000-char tail of stdout,
     # which truncates the per-query dict mid-object once the suite grows
