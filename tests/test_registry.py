@@ -29,14 +29,14 @@ def test_every_priority_name_is_registered():
     assert set(registry._PRIORITY) <= set(registry.queries())
 
 
-def test_canaries_and_round14_rotation_keep_their_slots():
+def test_canaries_and_round15_rotation_keep_their_slots():
     """One long-green canary per module family stays in-budget so a
-    shared-infrastructure regression is still witnessed; the round-14
-    rotation puts the never-driver-witnessed registrations
-    (q341-q346 plus q348) right after the canaries, then spends the remaining
-    budget on the stalest driver evidence — ALL 13 queries whose
-    newest rows date to r6, then the oldest r7 rows. The freshly
-    r13-witnessed wave (q328-q340) sits at the very END of the
+    shared-infrastructure regression is still witnessed; the round-15
+    rotation puts the never-driver-witnessed registrations (q349/q350)
+    right after the canaries, then spends the remaining budget on the
+    stalest driver evidence — ALL 18 queries whose newest rows date to
+    r7, then the 24 alphabetically-first r8-stale rows. The freshly
+    r14-witnessed wave (q341-q346, q348) sits at the very END of the
     overflow."""
     head = registry._PRIORITY[:50]
     head_set = set(head)
@@ -44,34 +44,33 @@ def test_canaries_and_round14_rotation_keep_their_slots():
         "q01_head", "q06_acf", "q12_f1_confusion",
         "q18_jaccard_pairs", "q35_embedding_neardup", "q125_key_skew",
     }
-    fresh = {"q341_image_screen_capped", "q342_video_screen_capped",
-             "q343_best_forecast_family",
-             "q344_residual_anomaly_windows",
-             "q345_matrix_profile_discord", "q346_fleet_triage",
-             "q348_forecast_combination"}
+    fresh = {"q349_sketch_error_gate", "q350_stream_fleet_triage"}
     assert canaries <= head_set
     assert fresh <= head_set
-    # the complete r6-stale block leads the rotation slots
-    r6_block = {"q26_pricing_summary", "q28_top_customers",
-                "q30_asof_join", "q42_semi_anti_join",
-                "q44_profit_by_nation_brand", "q49_range_join",
-                "q50_shipping_priority", "q68_grouping_sets",
-                "q82_pivot_unpivot", "q95_late_order_priority",
-                "q96_top_supplier", "q213_moment_features",
-                "q214_frequent_triples"}
-    assert r6_block <= head_set
+    # the complete r7-stale block leads the rotation slots
+    r7_block = {"q31_set_ops", "q32_rollup", "q40_cube",
+                "q41_topk_per_group", "q43_percentiles",
+                "q46_distinct_counts", "q54_json_props",
+                "q61_forecast_revenue", "q62_returned_items",
+                "q63_promo_revenue", "q64_large_orders",
+                "q65_brand_revenue_bands", "q66_supplier_breadth",
+                "q67_dormant_customers", "q91_equidepth_hist",
+                "q97_sole_late_supplier", "q98_min_cost_supplier",
+                "q99_local_supplier_volume"}
+    assert r7_block <= head_set
     # every head slot is a canary, a fresh registration, or stale
     # rotation — the budget is fully spent
     assert len(head) == 50 and len(head_set) == 50
-    # the freshly r13-witnessed wave really is at the end of the
+    # the freshly r14-witnessed wave really is at the end of the
     # overflow, never in a budget slot
     tail = set(registry._PRIORITY[-30:])
-    r13_wave = {"q328_holt_winters", "q329_dedup_then_margin",
-                "q330_audio_screen_capped", "q336_chunk_documents",
-                "q338_hbos_scores", "q340_seasonal_decompose",
-                "q92_stream_stream_join"}
-    assert r13_wave <= tail
-    assert not (r13_wave & head_set)
+    r14_wave = {"q341_image_screen_capped", "q342_video_screen_capped",
+                "q343_best_forecast_family",
+                "q344_residual_anomaly_windows",
+                "q345_matrix_profile_discord", "q346_fleet_triage",
+                "q348_forecast_combination"}
+    assert r14_wave <= tail
+    assert not (r14_wave & head_set)
 
 
 def test_oracles_follow_query_order():
