@@ -283,3 +283,27 @@ def test_hw_and_conformal_share_one_series_exchange(spark, sf_dir):
         # window's re-aggregation join; the HW plan is one exchange
         limit = 2 if name == "q328_holt_winters" else 4
         assert 1 <= n <= limit, (name, n, plan[:2000])
+
+
+def test_capped_screens_are_hash_joined_never_nested_loop(spark, sf_dir):
+    """q341/q342 (clone-collapsed delta Hamming screens): the candidate
+    stage must be an equi hash-family join on (band_id, band) — a
+    CartesianProduct or BroadcastNestedLoopJoin here is the 100 TB
+    scale-killer the r14 VERDICT flagged. The collapse itself shows as
+    Window nodes (min-id per distinct signature) feeding the join, and
+    the top_m output cap as the final rank Window."""
+    from auto_ml_platform_with_timeseries_data_spark.plans import explain
+    from auto_ml_platform_with_timeseries_data_spark.registry import (
+        queries,
+    )
+
+    for name in ("q341_image_screen_capped", "q342_video_screen_capped"):
+        df = queries()[name](spark, sf_dir)
+        plan = explain.formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        joins = sum(plan.count(j) for j in
+                    ("SortMergeJoin", "ShuffledHashJoin",
+                     "BroadcastHashJoin"))
+        assert joins >= 3, (name, joins)   # band join + 2 expansions
+        assert plan.count("Window") >= 3, name  # 2 collapses + rank
