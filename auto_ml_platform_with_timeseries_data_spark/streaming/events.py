@@ -1317,7 +1317,8 @@ def q251_stream_near_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fleet_triage_epoch(sp: SparkSession, bdf: DataFrame, epoch_id: int,
-                       events_root: str, evid_root: str) -> None:
+                       events_root: str, evid_root: str,
+                       n_buckets: int = 64) -> None:
     """One micro-batch of incrementally-maintained fleet triage: store
     the batch's non-null-valued events under ``events/epoch={id}``,
     then recompute the UNRANKED per-series evidence
@@ -1326,15 +1327,34 @@ def fleet_triage_epoch(sp: SparkSession, bdf: DataFrame, epoch_id: int,
     epochs STRICTLY BELOW this one ∪ this batch, and overwrite
     ``evid/epoch={id}``.
 
+    SCAN PRUNING (the 100 TB contract): the event store is
+    hash-bucket-partitioned by series (``__bkt = pmod(xxhash64(
+    user_id), n_buckets)``, a parquet partition directory per epoch),
+    and the history read filters to the BATCH'S buckets before the
+    exact left-semi on touched series — so an epoch's read cost is the
+    touched buckets' files, not the fleet's. Without this the
+    touched-series recompute was sliver-bound in COMPUTE but
+    full-corpus-bound in SCAN (``read.parquet(*prev)`` walked every
+    epoch's every file per micro-batch — at fleet scale the scan IS
+    the cost). The bucket list is a bounded driver collect (at most
+    ``n_buckets`` ints). Size ``n_buckets`` well above the series a
+    typical batch touches and at least the cluster's parallelism —
+    for a million-series fleet where a batch touches 0.1%, 1024
+    buckets turns the per-epoch scan into ~read-what-arrived.
+
     Restart discipline (q204/q236/q251): both inputs come from the
     ``_SUCCESS``-gated on-disk epoch listing plus the replayed batch
     itself — never driver memory and never the epoch's own torn
     directories — so an at-least-once replay regenerates byte-identical
     outputs and overwrites its own two directories, idempotent
-    regardless of which write a crash tore. The final triage read takes
-    each series' evidence from its LATEST epoch (that epoch saw the
-    series' full prefix) and ranks — so after the stream drains the
-    table equals the one-shot q346 batch answer."""
+    regardless of which write a crash tore (bucketing is a pure
+    function of the replayed rows, so the partition layout replays
+    identically too; an EMPTY batch writes nothing and returns — a
+    partitioned write of zero rows would leave a schemaless marker
+    directory). The final triage read takes each series' evidence from
+    its LATEST epoch (that epoch saw the series' full prefix) and
+    ranks — so after the stream drains the table equals the one-shot
+    q346 batch answer."""
     import os
 
     from auto_ml_platform_with_timeseries_data_spark.operators.ts_features import (
@@ -1343,18 +1363,30 @@ def fleet_triage_epoch(sp: SparkSession, bdf: DataFrame, epoch_id: int,
 
     batch = (bdf.filter(F.col("value").isNotNull())
              .select("user_id", "ts", "event_id", "value")
+             .withColumn("__bkt", F.pmod(F.xxhash64("user_id"),
+                                         F.lit(n_buckets)).cast("int"))
              .localCheckpoint(eager=True))   # read 3× below; micro-batch-sized
+    bkts = [r["__bkt"] for r in batch.select("__bkt").distinct().collect()]
+    if not bkts:
+        return
     versions = rollup_versions(events_root)
     prev = [p for e, p in versions.items() if e < epoch_id]
     hist = batch
-    if prev:
-        hist = sp.read.parquet(*prev).unionByName(batch)
+    for p in prev:
+        # one read per epoch dir, each with its own basePath: the
+        # epoch=N dirs are themselves hive-style names, so a multi-path
+        # read would refuse the "conflicting" layouts; per-path reads
+        # also keep the _SUCCESS-gated listing as the only discovery.
+        # #prev is bounded by epoch retention, not data size.
+        stored = (sp.read.option("basePath", p).parquet(p)
+                  .filter(F.col("__bkt").isin(bkts)))
+        hist = hist.unionByName(stored)
     touched = batch.select("user_id").distinct()
     hist = hist.join(touched, "user_id", "left_semi")
     evid = fleet_evidence(
-        hist, "user_id", "ts", "event_id", "value",
+        hist.drop("__bkt"), "user_id", "ts", "event_id", "value",
         F.floor(F.col("value") * 100 + F.lit(0.5)), tie_break="event_id")
-    batch.write.mode("overwrite").parquet(
+    batch.write.mode("overwrite").partitionBy("__bkt").parquet(
         os.path.join(events_root, f"epoch={epoch_id}"))
     evid.write.mode("overwrite").parquet(
         os.path.join(evid_root, f"epoch={epoch_id}"))
