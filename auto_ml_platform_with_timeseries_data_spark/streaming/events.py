@@ -1341,6 +1341,11 @@ def fleet_triage_epoch(sp: SparkSession, bdf: DataFrame, epoch_id: int,
     typical batch touches and at least the cluster's parallelism —
     for a million-series fleet where a batch touches 0.1%, 1024
     buckets turns the per-epoch scan into ~read-what-arrived.
+    INVARIANT: ``n_buckets`` is part of the store's on-disk contract
+    and must stay constant for the store's lifetime — an epoch written
+    under a different modulus would carry ``__bkt`` values the current
+    batch's bucket filter silently drops (missing history, wrong
+    evidence). Re-bucketing requires rewriting the store.
 
     Restart discipline (q204/q236/q251): both inputs come from the
     ``_SUCCESS``-gated on-disk epoch listing plus the replayed batch
