@@ -187,3 +187,33 @@ def test_fleet_event_store_is_bucket_partitioned_and_prunes(spark, tmp_path):
     plan = explain.formatted_plan(rd)
     assert "PartitionFilters" in plan and "__bkt" in plan.split(
         "PartitionFilters", 1)[1][:200]
+
+
+def test_fleet_triage_epoch_empty_batch_writes_nothing(spark, tmp_path):
+    """An all-NULL-valued (hence empty after the filter) micro-batch
+    returns without writing either epoch directory — a partitioned
+    zero-row write would leave a schemaless marker dir that later
+    epochs' reads trip over — and a subsequent real epoch proceeds
+    normally against the unchanged store."""
+    import os
+
+    from auto_ml_platform_with_timeseries_data_spark.streaming.events import (
+        fleet_triage_epoch,
+        rollup_versions,
+    )
+
+    ev_root = str(tmp_path / "ev")
+    evid_root = str(tmp_path / "evid")
+    os.makedirs(ev_root)
+    os.makedirs(evid_root)
+    schema = "event_id long, user_id long, ts long, value double"
+    real = spark.createDataFrame(
+        [(i, 7, i, float(i)) for i in range(6)], schema)
+    empty = spark.createDataFrame([(99, 8, 0, None)], schema)
+
+    fleet_triage_epoch(spark, real, 0, ev_root, evid_root)
+    fleet_triage_epoch(spark, empty, 1, ev_root, evid_root)
+    assert set(rollup_versions(ev_root)) == {0}
+    assert set(rollup_versions(evid_root)) == {0}
+    fleet_triage_epoch(spark, real, 2, ev_root, evid_root)
+    assert set(rollup_versions(evid_root)) == {0, 2}
