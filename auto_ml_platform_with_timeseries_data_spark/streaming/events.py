@@ -1391,8 +1391,14 @@ def fleet_triage_epoch(sp: SparkSession, bdf: DataFrame, epoch_id: int,
     evid = fleet_evidence(
         hist.drop("__bkt"), "user_id", "ts", "event_id", "value",
         F.floor(F.col("value") * 100 + F.lit(0.5)), tie_break="event_id")
-    batch.write.mode("overwrite").partitionBy("__bkt").parquet(
-        os.path.join(events_root, f"epoch={epoch_id}"))
+    # Cluster by bucket before the partitioned write: without this,
+    # every write task emits a file into every bucket it saw (tasks x
+    # buckets small files — measured 3.3x slower sliver epochs at 100x
+    # from listing alone); clustered, an epoch carries ~one file per
+    # bucket and the per-epoch listing stays O(touched buckets).
+    (batch.repartition(n_buckets, F.col("__bkt"))
+     .write.mode("overwrite").partitionBy("__bkt").parquet(
+        os.path.join(events_root, f"epoch={epoch_id}")))
     evid.write.mode("overwrite").parquet(
         os.path.join(evid_root, f"epoch={epoch_id}"))
 
