@@ -147,29 +147,49 @@ def linear_filter_forecast(df: DataFrame, group_col: str, order: str,
     # DECIMAL(38,0)->double (Spark) vs HUGEINT->double (DuckDB) cast
     # of the SAME >2^53 integer can land one ulp apart (observed at
     # sf0.1 with quantum 1e6).  Contract: sum of (e*1e2)^2 per series
-    # under 2^53, i.e. walk-forward SSE under 9.0e11 value^2 units.
-    structs = []
-    for alpha, cs in models:
+    # under 9.0e11 value^2 units, i.e. under 2^53.  r15: the squares
+    # accumulate as BIGINT, not DECIMAL(38,0) — the per-row BigDecimal
+    # multiply was the kernel's measured allocation wall, and under the
+    # SAME 2^53 contract the double readout already needs, the long
+    # arithmetic is value-identical (sums below 2^53 are exact in
+    # either type).
+    #
+    # r15 plan shape (the q343 no-explode lesson applied back to this
+    # kernel): every model scores in its OWN aggregate column pair over
+    # ONE grouped pass, and the (group, alpha) row fan-out happens
+    # AFTER aggregation — |models| struct rows per GROUP, not per
+    # source row.  The old per-row explode pushed |models|·N rows
+    # through the hash aggregate and its 9-model struct array was one
+    # CreateArray expression (the shape that measurably falls off
+    # whole-stage codegen at q343's width).  Per-(g, alpha) aggregates
+    # are unchanged: same e2/fn expressions, same sums over the same
+    # rows, regrouped by construction.
+    cols = []
+    for m, (_, cs) in enumerate(models):
         eq = F.col("__l0") * F.lit(100) - filt_q(cs, 1, 1e2)
-        dec = eq.cast("decimal(38,0)")
-        e2 = F.when(F.col("__i") > window, dec * dec)
-        fn = F.when(F.col("__last"), filt_q(cs, 0, 1e6))
-        structs.append(F.struct(F.lit(alpha).alias("alpha"),
-                                e2.alias("__e2"), fn.alias("__fn")))
-    fanned = lagged.select(
-        "__g", F.explode(F.array(*structs)).alias("__m")).select(
-        "__g", F.col("__m.alpha").alias("alpha"),
-        F.col("__m.__e2").alias("__e2"), F.col("__m.__fn").alias("__fn"))
-    per = fanned.groupBy("__g", "alpha").agg(
-        F.count("__e2").cast("long").alias("n_scored"),
-        F.sum("__e2").alias("__sse"),
-        F.max("__fn").alias("__next"))
-    return (per.filter(F.col("n_scored") > 0)
+        cols.append(F.when(F.col("__i") > window, eq * eq)
+                    .alias(f"__e2_{m}"))
+        cols.append(F.when(F.col("__last"), filt_q(cs, 0, 1e6))
+                    .alias(f"__fn_{m}"))
+    scored = lagged.select("__g", *cols)
+    per = scored.groupBy("__g").agg(
+        *[a for m in range(len(models)) for a in (
+            F.count(f"__e2_{m}").cast("long").alias(f"__n_{m}"),
+            F.sum(f"__e2_{m}").alias(f"__s_{m}"),
+            F.max(f"__fn_{m}").alias(f"__f_{m}"))])
+    rows = per.select("__g", F.explode(F.array(*[
+        F.struct(
+            F.lit(alpha).alias("alpha"),
+            F.col(f"__n_{m}").alias("n_scored"),
+            (F.col(f"__s_{m}").cast("double") / F.lit(1e4))
+            .alias("sse"),
+            (F.col(f"__f_{m}").cast("double") / F.lit(1e6))
+            .alias("forecast_next"))
+        for m, (alpha, _) in enumerate(models)])).alias("__m"))
+    return (rows.select("__g", "__m.*")
+            .filter(F.col("n_scored") > 0)
             .select(F.col("__g").alias(group_col), "alpha", "n_scored",
-                    (F.col("__sse").cast("double") / F.lit(1e4))
-                    .alias("sse"),
-                    (F.col("__next").cast("double") / F.lit(1e6))
-                    .alias("forecast_next")))
+                    "sse", "forecast_next"))
 
 
 def ses_best_forecast(df: DataFrame, group_col: str, order: str,
@@ -1017,9 +1037,10 @@ def theta_forecast(df: DataFrame, group_col: str, order: str,
                        * F.lit(1e2)).cast("long")
     fq = filt_q(1, 1e2) + drift_bt
     eq = F.col("__l0") * F.lit(100) - fq
-    dec = eq.cast("decimal(38,0)")
+    # BIGINT squares (r15): exact under the same 2^53 SSE contract the
+    # double readout already requires — see linear_filter_forecast.
     e2 = F.when((F.col("__i") > window) & (F.col("__i") >= 3),
-                dec * dec)
+                eq * eq)
     drift_next = F.floor((F.col("__l0") - F.col("__v1"))
                          / (F.col("__n") - 1) / F.lit(2.0)
                          * F.lit(1e6)).cast("long")
@@ -1657,8 +1678,10 @@ def best_family_forecast(df: DataFrame, group_col: str, order: str,
     cols = []
     for m, (_, cs) in enumerate(models):
         eq = F.col("__l0") * F.lit(100) - filt_q(cs, 1, 1e2)
-        dec = eq.cast("decimal(38,0)")
-        cols.append(F.when(F.col("__i") > window, dec * dec)
+        # BIGINT squares (r15): exact under the same 2^53 SSE contract
+        # the double readout already requires — see
+        # linear_filter_forecast; drops the per-row BigDecimal multiply.
+        cols.append(F.when(F.col("__i") > window, eq * eq)
                     .alias(f"__e2_{m}"))
         cols.append(F.when(F.col("__last"), filt_q(cs, 0, 1e6))
                     .alias(f"__fn_{m}"))
@@ -1829,8 +1852,10 @@ def forecast_combination(df: DataFrame, group_col: str, order: str,
     cols = []
     for m, (_, cs) in enumerate(models):
         eq = F.col("__l0") * F.lit(100) - filt_q(cs, 1, 1e2)
-        dec = eq.cast("decimal(38,0)")
-        cols.append(F.when(F.col("__i") > window, dec * dec)
+        # BIGINT squares (r15): exact under the same 2^53 SSE contract
+        # the double readout already requires — see
+        # linear_filter_forecast; drops the per-row BigDecimal multiply.
+        cols.append(F.when(F.col("__i") > window, eq * eq)
                     .alias(f"__e2_{m}"))
         cols.append(F.when(F.col("__last"), filt_q(cs, 0, 1e6))
                     .alias(f"__fn_{m}"))

@@ -548,28 +548,50 @@ def k_core_peel(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     fixed-iteration contract; production loops the same per-round plan
     until the survivor count stabilizes, which is the true k-core).
 
-    Scale shape: one symmetrized edge frame scanned per round, joined
-    against the vertex-sized survivor set on each endpoint, then a
-    map-side-combined degree count — the Pregel superstep cost, linear
-    in edges per round with rounds a fixed schedule. Survivor sets are
-    eagerly checkpointed so the plan stays bounded across rounds
-    instead of nesting `rounds` joins into one tree."""
+    Scale shape (r15 restructure, guide §2.4/§3.1): the symmetrized
+    edge frame is hash-partitioned by `v` ONCE and persisted (persist,
+    not localCheckpoint — a PySpark-4 LogicalRDD reports
+    UnknownPartitioning, while InMemoryRelation keeps the layout, so
+    every per-round join reuses it exchange-free). Each round then
+    joins the vertex-sized survivor set on `v` as a SHUFFLED-HASH
+    build side (no per-round sort of the edges), counts degree with
+    map-side partial aggregation (only vertex-sized partials cross the
+    network), and re-checks `u` survivorship on the VERTEX-sized
+    degree table instead of pre-joining the edge frame on `u`. Edge
+    bytes shuffled per round: 2·E in the old shape → 0 (partials
+    only). Survivor values are identical: deg restricted to v-alive
+    edges, inner-joined to the previous survivor set on u, equals the
+    old both-endpoints-alive count for every surviving u. Survivor
+    sets stay eagerly checkpointed so the plan is one round deep."""
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     sym = (edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
            .unionAll(edges.select(F.col(b_col).alias("u"),
                                   F.col(a_col).alias("v")))
-           .localCheckpoint(eager=True))
+           .repartition(npart, "v")
+           .persist())
+    sym.count()
     alive = sym.select("u").distinct()
-    for _ in range(rounds):
-        alive = (sym.join(alive, "u")
-                 .join(alive.withColumnRenamed("u", "v"), "v")
-                 .groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
-                 .filter(F.col("__d") >= k).select("u")
-                 .localCheckpoint(eager=True))
-    return (sym.join(alive, "u")
-            .join(alive.withColumnRenamed("u", "v"), "v")
-            .groupBy("u")
-            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-            .select(F.col("u").alias("vertex"), "degree"))
+
+    def _deg(surv: DataFrame) -> DataFrame:
+        """deg(u) over v-alive edges, inner-joined to the survivor set
+        on u — the both-endpoints-alive degree for surviving u."""
+        av = sym.join(surv.withColumnRenamed("u", "v")
+                      .hint("shuffle_hash"), "v")
+        deg = av.groupBy("u").agg(F.count(F.lit(1)).alias("__d"))
+        return deg.join(surv.hint("shuffle_hash"), "u")
+
+    try:
+        for _ in range(rounds):
+            alive = (_deg(alive)
+                     .filter(F.col("__d") >= k).select("u")
+                     .localCheckpoint(eager=True))
+        return (_deg(alive)
+                .select(F.col("u").alias("vertex"),
+                        F.col("__d").cast("long").alias("degree"))
+                .localCheckpoint(eager=True))
+    finally:
+        sym.unpersist()
 
 
 def _kcore_oracle() -> str:
@@ -639,34 +661,49 @@ def coreness(edges: DataFrame, a_col: str = "a", b_col: str = "b",
     oracle-draft gate — the oracle is the same unrolled-stage shape as
     q240's (each stage one window-rank pass).
 
-    Scale shape per round: one neighbor-value join (edge-linear) and
-    one per-vertex H-index — a rank window partitioned by vertex, the
-    numerous-small-groups shape. Values are eagerly checkpointed per
-    round so the plan stays one round deep (the q130/q240 discipline).
-    Fixed `rounds` keeps the output well-defined at any data size;
-    production iterates the same per-round plan until no value
-    changes, which is the exact core decomposition."""
+    Scale shape per round (r15 restructure, guide §2.4/§3.1): the
+    symmetrized edge frame is hash-partitioned by `v` ONCE and
+    persisted (persist, not localCheckpoint — a PySpark-4 LogicalRDD
+    reports UnknownPartitioning, InMemoryRelation keeps the layout);
+    each round's neighbor-value join then streams the edges
+    exchange-AND-sort-free against the vertex-sized value frame as a
+    shuffled-hash build side, so the only edge-sized exchange per
+    round is the one the H-index rank window fundamentally needs
+    (regroup neighbor values by u). Old shape: 2 edge-sized exchanges
+    + an edge sort per round; new: 1. Values are eagerly checkpointed
+    per round so the plan stays one round deep (the q130/q240
+    discipline). Fixed `rounds` keeps the output well-defined at any
+    data size; production iterates the same per-round plan until no
+    value changes, which is the exact core decomposition."""
+    spark = edges.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     sym = (edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
            .unionAll(edges.select(F.col(b_col).alias("u"),
                                   F.col(a_col).alias("v")))
-           .localCheckpoint(eager=True))
+           .repartition(npart, "v")
+           .persist())
+    sym.count()
     c = (sym.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("c"))
          .localCheckpoint(eager=True))
     w = Window.partitionBy("u").orderBy(F.desc("__cv"), F.asc("v"))
-    for _ in range(rounds):
-        nb = (sym.join(c.select(F.col("u").alias("v"),
-                                F.col("c").alias("__cv")), "v"))
-        # H-index of the neighbor multiset: max over the value-sorted
-        # prefix of min(position, value)
-        h = (nb.withColumn("__rk", F.row_number().over(w))
-             .groupBy("u")
-             .agg(F.max(F.least(F.col("__rk"), F.col("__cv")))
-                  .cast("long").alias("__h")))
-        c = (c.join(h, "u", "left")
-             .select("u", F.least(F.col("c"),
-                                  F.coalesce("__h", F.lit(0)))
-                     .cast("long").alias("c"))
-             .localCheckpoint(eager=True))
+    try:
+        for _ in range(rounds):
+            nb = (sym.join(c.select(F.col("u").alias("v"),
+                                    F.col("c").alias("__cv"))
+                           .hint("shuffle_hash"), "v"))
+            # H-index of the neighbor multiset: max over the
+            # value-sorted prefix of min(position, value)
+            h = (nb.withColumn("__rk", F.row_number().over(w))
+                 .groupBy("u")
+                 .agg(F.max(F.least(F.col("__rk"), F.col("__cv")))
+                      .cast("long").alias("__h")))
+            c = (c.join(h, "u", "left")
+                 .select("u", F.least(F.col("c"),
+                                      F.coalesce("__h", F.lit(0)))
+                         .cast("long").alias("c"))
+                 .localCheckpoint(eager=True))
+    finally:
+        sym.unpersist()
     return c.select(F.col("u").alias("vertex"),
                     F.col("c").alias("coreness"))
 

@@ -632,7 +632,17 @@ def _ordinal_spans(lv: DataFrame) -> DataFrame:
     spans = (ranged.join(F.broadcast(off), ["__ci", "__pid"])
              .select("__ci", "__v", F.col("__c").cast("long").alias("__c"),
                      smaller.cast("long").alias("__s"))
-             .localCheckpoint(eager=True))
+             .persist())
+    # Eagerly materialize, THEN drop the upstream cache (r15, guide
+    # §3.2/§5.4): persist-and-count instead of localCheckpoint — a
+    # LogicalRDD reports no statistics, so every downstream join of the
+    # distinct-value-sized span/rank maps fell back to sort-merge with
+    # a full corpus exchange PER JOIN (q217 re-shuffled lineitem once
+    # per column). InMemoryRelation carries exact in-memory sizes, so
+    # the small maps auto-broadcast again. The cache is an intra-query
+    # intermediate (distinct-value-sized); callers run under sessions
+    # that clear caches between queries.
+    spans.count()
     ranged.unpersist()
     return spans
 

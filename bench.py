@@ -240,23 +240,13 @@ HEADLINE = [
 HEADLINE.insert(0, "automl_e2e")
 _MIN_OF_3 = {"automl_e2e"}
 
-# Trivial tier (VERDICT r14 #6): the sub-300 ms map-only rows, fused
-# into ONE timed block reported as the single "trivial_tier" row. Their
-# individual regressions are invisible under host noise (the r14 round
-# moved 87 minima purely from host state), while 23 queries × 2 passes
-# × per-query gc tax real driver wall; a catastrophic regression in any
-# of them still shows as a multiple on the fused wall. A targeted run
-# (`bench.py q57_bpe_tokens`) still times any of them individually.
-TRIVIAL_TIER = [
-    "q16_dedup_exact", "q20_token_stats", "q49_range_join",
-    "q54_json_props", "q57_bpe_tokens", "q59_resample_ffill",
-    "q74_hash_split", "q82_pivot_unpivot", "q108_embedding_dim_stats",
-    "q118_embedding_quantize", "q123_rolling_median",
-    "q154_incremental_dedup", "q219_l_diversity", "q255_average_precision",
-    "q259_t_closeness", "q264_cramers_v", "q269_hhi_concentration",
-    "q282_cochran_armitage", "q289_turning_points", "q298_dp_noisy_counts",
-    "q301_mcnemar", "q336_chunk_documents", "q339_robust_scale",
-]
+# NOTE (r15 optimization round): a mid-build change fused 23 sub-300 ms
+# queries into one "trivial_tier" row, REMOVING their individual entries
+# from the reported queries dict. The driver contract forbids removing
+# or renaming existing entries, so the fusing is reverted: every query
+# is timed and reported individually again (methodology unchanged from
+# BENCH_r14). The automl_e2e fixes (run first, min-of-3) are kept — see
+# OPTIMIZATION_r15.md.
 
 
 def main() -> int:
@@ -283,9 +273,6 @@ def main() -> int:
     qs["automl_e2e"] = automl_e2e
 
     names = only or (sorted(qs) if run_all else [n for n in HEADLINE if n in qs])
-    fuse_trivial = not only and not run_all
-    if fuse_trivial:
-        names = [n for n in names if n not in set(TRIVIAL_TIER)]
 
     # Warm the JVM + parquet footer cache once so per-query numbers measure
     # the plan, not session startup.
@@ -327,19 +314,6 @@ def main() -> int:
         # late queries the same way leaked caches did.
         import gc
         gc.collect()
-    if fuse_trivial:
-        import gc
-        walls = []
-        for _ in range(2):
-            t0 = time.time()
-            for name in TRIVIAL_TIER:
-                if name in qs:
-                    qs[name](spark, sf_dir).count()
-                    spark.catalog.clearCache()
-            walls.append(time.time() - t0)
-            gc.collect()
-        timings["trivial_tier"] = round(min(walls), 3)
-        pass_counts["trivial_tier"] = 2
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_suite, 3)
 
@@ -356,9 +330,6 @@ def main() -> int:
         "extra_pass_queries": sorted(
             n for n, c in pass_counts.items() if c > 2),
         "wall_incl_warmup": wall,
-        # the "trivial_tier" row is ONE fused pass over these sub-300ms
-        # map-only queries (min of 2 block walls) — see TRIVIAL_TIER
-        "trivial_tier_queries": TRIVIAL_TIER if fuse_trivial else [],
     }
     # The driver artifact preserves only a 2000-char tail of stdout,
     # which truncates the per-query dict mid-object once the suite grows
