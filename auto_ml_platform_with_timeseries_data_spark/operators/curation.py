@@ -934,6 +934,20 @@ def temperature_mix_sample(df: DataFrame, id_col: str, source_col: str,
     The rate is then ONE fixed left-associated double expression over
     exact integers, written identically on both engines."""
     assert alpha == 0.5, "portable contract pins alpha=0.5 (see docstring)"
+    rates = _mix_rates(df, source_col, budget_frac)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_u32(id_col) < F.col("__th"))
+        .select(id_col, source_col)
+    )
+
+
+def _mix_rates(df: DataFrame, source_col: str,
+               budget_frac: float) -> DataFrame:
+    """(source, __th): the integer mix thresholds of
+    ``temperature_mix_sample`` — factored out so pipeline callers
+    (q169) can apply the membership filter to an already-slim frame
+    without re-joining on the id."""
     counts = (df.groupBy(source_col)
               .agg(F.count(F.lit(1)).alias("__n"))
               .withColumn("__sq", F.floor(F.sqrt("__n") * F.lit(1048576.0))
@@ -942,18 +956,13 @@ def temperature_mix_sample(df: DataFrame, id_col: str, source_col: str,
     # already aggregated, so the single-task window is free; both sums
     # are over BIGINTs, hence exact regardless of evaluation order
     wall = Window.partitionBy()
-    rates = counts.select(
+    return counts.select(
         source_col,
         F.floor(F.least(
             F.lit(1.0),
             F.lit(budget_frac) * F.sum("__n").over(wall) * F.col("__sq")
             / F.sum("__sq").over(wall) / F.col("__n"),
         ) * F.lit(_M32)).cast("long").alias("__th"),
-    )
-    return (
-        df.join(F.broadcast(rates), source_col)
-        .filter(hash_u32(id_col) < F.col("__th"))
-        .select(id_col, source_col)
     )
 
 
@@ -1128,6 +1137,26 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str,
     during the scan; at 100 TB this runs at parquet read bandwidth
     with zero shuffles (whatever aggregation the caller adds on top is
     the only exchange)."""
+    rules = _gopher_rules(text_col)
+    return df.select(
+        F.col(id_col), F.col(lang_col),
+        rules["r_words"].alias("r_words"),
+        rules["r_wordlen"].alias("r_wordlen"),
+        rules["r_symbol"].alias("r_symbol"),
+        rules["r_alpha"].alias("r_alpha"),
+        rules["r_stop"].alias("r_stop"),
+    ).withColumn(
+        "passes",
+        F.col("r_words") & F.col("r_wordlen") & F.col("r_symbol")
+        & F.col("r_alpha") & F.col("r_stop"),
+    )
+
+
+def _gopher_rules(text_col: str) -> dict:
+    """The five Gopher rule expressions as a name→Column dict — ONE
+    definition feeding both the audit table (`gopher_quality_flags`)
+    and the pipeline's inline gate filter (`gopher_passes`), so the
+    two can never drift."""
     c = F.col(text_col)
     norm = normalize_text(text_col)
     toks = tokens(norm)
@@ -1142,18 +1171,24 @@ def gopher_quality_flags(df: DataFrame, id_col: str, text_col: str,
     stops = F.size(F.array_intersect(
         toks, F.array(*[F.lit(s) for s in _STOPWORDS])))
     mean_wl = (F.length(norm) - (nw - F.lit(1))) / nw
-    return df.select(
-        F.col(id_col), F.col(lang_col),
-        ((nw >= 5) & (nw <= 2000)).alias("r_words"),
-        ((mean_wl >= 2.0) & (mean_wl <= 12.0)).alias("r_wordlen"),
-        (sym_cnt * 10 < nw).alias("r_symbol"),
-        (alpha * 5 >= nw * 4).alias("r_alpha"),
-        (stops >= 2).alias("r_stop"),
-    ).withColumn(
-        "passes",
-        F.col("r_words") & F.col("r_wordlen") & F.col("r_symbol")
-        & F.col("r_alpha") & F.col("r_stop"),
-    )
+    return {
+        "r_words": (nw >= 5) & (nw <= 2000),
+        "r_wordlen": (mean_wl >= 2.0) & (mean_wl <= 12.0),
+        "r_symbol": sym_cnt * 10 < nw,
+        "r_alpha": alpha * 5 >= nw * 4,
+        "r_stop": stops >= 2,
+    }
+
+
+def gopher_passes(text_col: str) -> Column:
+    """The composite Gopher gate as ONE map-only boolean expression —
+    a row-level filter with no flags frame and no join, for pipelines
+    that only need the survivors."""
+    rules = _gopher_rules(text_col)
+    out = None
+    for name in ("r_words", "r_wordlen", "r_symbol", "r_alpha", "r_stop"):
+        out = rules[name] if out is None else out & rules[name]
+    return out
 
 
 _GQ_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -1230,7 +1265,8 @@ def q167_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stratified_token_budget_head(df: DataFrame, id_col: str, text_col: str,
                                  stratum_col: str,
-                                 budget_tokens: int) -> DataFrame:
+                                 budget_tokens: int,
+                                 n_tokens_col: str | None = None) -> DataFrame:
     """Per-stratum version of `token_budget_head`: cut EACH stratum
     (language, source, ...) at its own exact token budget, in the
     deterministic hash-shuffled order. This is how a multilingual
@@ -1252,11 +1288,18 @@ def stratified_token_budget_head(df: DataFrame, id_col: str, text_col: str,
     previous spark_partition_id formulation cached the ranged frame
     for the process lifetime). (Bucket, stratum) pairs whose stratum
     offset already exceeds the stratum's budget drop BEFORE the window
-    runs, so per-stratum work tracks the budget, not the stratum."""
+    runs, so per-stratum work tracks the budget, not the stratum.
+
+    ``n_tokens_col`` names an already-computed token count (the SAME
+    ``size(tokens(normalize_text(text)))`` arithmetic) so slim pipeline
+    callers (q169) can feed a text-free frame — both passes then never
+    touch the document bodies."""
     nparts = df.sparkSession.sparkContext.defaultParallelism
+    n_tokens = (F.col(n_tokens_col) if n_tokens_col is not None
+                else F.size(tokens(normalize_text(text_col))))
     base = df.select(
         F.col(stratum_col).alias("__s"), F.col(id_col),
-        F.size(tokens(normalize_text(text_col))).alias("n_tokens"),
+        n_tokens.alias("n_tokens"),
         hash_u32(id_col).alias("__pri"),
     )
     ranged = base.withColumn(
@@ -1386,32 +1429,43 @@ _PIPE_BUDGET = 3000
     """,
 )
 def q169_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full crawl-to-training-set pipeline as ONE composed lazy
-    plan — the point of a declarative engine is that the curation
-    stages FUSE: quality gate (q167 rules, map-only, evaluated inside
-    the scan) → exact dedup keeping the canonical copy (one shuffle on
-    the md5 fingerprint) → temperature-flattened source mixing (q161
-    arithmetic on the survivors' counts, broadcast thresholds,
-    map-only filter) → per-language token-budget cut (q168's
-    stratified two-pass prefix sum). Catalyst pipelines the gate +
-    mix filters into the scans on either side of the dedup exchange;
-    nothing materializes between stages except the two shuffles the
-    semantics require. Every stage is the SAME arithmetic its
-    standalone query proves, so the composed result is oracle-checked
-    end to end — per-doc rows of the final training set."""
+    """The full crawl-to-training-set pipeline: quality gate (q167
+    rules) → exact dedup keeping the canonical copy → temperature-
+    flattened source mixing (q161 arithmetic) → per-language
+    token-budget cut (q168's stratified two-pass prefix sum). Every
+    stage is the SAME arithmetic its standalone query proves, so the
+    composed result is oracle-checked end to end — per-doc rows of
+    the final training set.
+
+    Scale shape (r15 restructure, guide §8: decide with small rows,
+    move heavy rows never): the output needs the document BODY only
+    for its token count, so ONE scan evaluates the gate inline
+    (`gopher_passes`, a map-only filter — the old flags frame was a
+    doc_id self-join) and projects the slim decision row (id, lang,
+    source, md5 fingerprint, n_tokens). Text never enters any
+    exchange. The post-dedup survivor frame is persisted (slim,
+    id+3 scalars), because three downstream passes read it (mix-rate
+    aggregate, budget-offset aggregate, final cut); the old plan
+    re-evaluated the whole gate+dedup subtree per pass — 8 scans of
+    `documents` measured as 1, plan diff in plans/r15."""
     docs = load_table(spark, sf_dir, "documents")
-    flags = gopher_quality_flags(docs, "doc_id", "text")
-    gated = (docs.join(flags.filter("passes").select("doc_id"), "doc_id")
-             .select("doc_id", "lang", "source", "text"))
-    w = Window.partitionBy(F.md5(normalize_text("text")))
-    deduped = (gated
+    norm = normalize_text("text")
+    slim = (docs.filter(gopher_passes("text"))
+            .select("doc_id", "lang", "source",
+                    F.md5(norm).alias("__fp"),
+                    F.size(tokens(norm)).alias("__nw")))
+    w = Window.partitionBy("__fp")
+    deduped = (slim
                .withColumn("__canon", F.min("doc_id").over(w))
                .filter(F.col("doc_id") == F.col("__canon"))
-               .drop("__canon"))
-    mixed_ids = temperature_mix_sample(deduped, "doc_id", "source")
-    mixed = deduped.join(mixed_ids.select("doc_id"), "doc_id")
-    return stratified_token_budget_head(mixed, "doc_id", "text", "lang",
-                                        _PIPE_BUDGET).select(
+               .drop("__canon", "__fp")
+               .persist())
+    rates = _mix_rates(deduped, "source", budget_frac=0.5)
+    mixed = (deduped.join(F.broadcast(rates), "source")
+             .filter(hash_u32("doc_id") < F.col("__th")))
+    return stratified_token_budget_head(
+        mixed, "doc_id", "text", "lang", _PIPE_BUDGET,
+        n_tokens_col="__nw").select(
         "lang", "doc_id", "n_tokens", "cum_tokens")
 
 

@@ -439,41 +439,54 @@ def triangle_counts(edges: DataFrame, a_col: str = "a",
     from higher-degree hubs... toward them, giving the hub in-edges
     only). Per-vertex counts are orientation-independent, so the
     oracle can verify with the naive a<b<c three-way join — same
-    multiset of triangles, exact integer counts."""
-    deg = (edges.select(F.col(a_col).alias("v"))
-           .unionAll(edges.select(F.col(b_col).alias("v")))
-           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
-    e = (edges
-         .join(deg.withColumnRenamed("v", a_col)
-               .withColumnRenamed("d", "__da"), a_col)
-         .join(deg.withColumnRenamed("v", b_col)
-               .withColumnRenamed("d", "__db"), b_col)
-         .select(
-             F.when((F.col("__da") < F.col("__db")) |
-                    ((F.col("__da") == F.col("__db")) &
-                     (F.col(a_col) < F.col(b_col))),
-                    F.col(a_col)).otherwise(F.col(b_col)).alias("u"),
-             F.when((F.col("__da") < F.col("__db")) |
-                    ((F.col("__da") == F.col("__db")) &
-                     (F.col(a_col) < F.col(b_col))),
-                    F.col(b_col)).otherwise(F.col(a_col)).alias("w"),
-         ))
-    e.persist()
-    wedges = (e.alias("e1").join(e.alias("e2"),
+    multiset of triangles, exact integer counts.
+
+    Scale shape (r15 restructure, guide §2.4/§3.1): degrees attach
+    via two window counts over the exploded directed frame instead of
+    a degree groupBy joined back per endpoint — one map-side ×2
+    fan-out (no double scan of the edge builder), two edge-sized
+    exchanges, zero joins before the wedge step. The second window
+    partitions by `u`, so the persisted oriented frame KEEPS
+    HashPartitioning(u) (InMemoryRelation preserves layout — the
+    k_core lesson) and the wedge self-join runs exchange-free. The
+    undirected pair set needed by the closing join is just
+    (least, greatest) of the persisted oriented rows — the old
+    union+distinct re-shuffle computed the identical set (one row per
+    edge in, one out). The closing wedge⋈edge join hash-builds the
+    edge side (no sort of the wedge frame, the quadratic-risk side)."""
+    sym = (edges.select(F.explode(F.array(
+        F.struct(F.col(a_col).alias("u"), F.col(b_col).alias("w")),
+        F.struct(F.col(b_col).alias("u"), F.col(a_col).alias("w")),
+    )).alias("p")).select("p.u", "p.w"))
+    # deg(x) = |rows with w = x| = |rows with u = x| in the symmetric
+    # frame; two window counts attach both endpoint degrees with no
+    # join. w-window first, u-window second: the LAST exchange keys
+    # the cached layout by u for the self-join below.
+    dw = sym.select(
+        "u", "w", F.count(F.lit(1)).over(Window.partitionBy("w"))
+        .alias("__dw"))
+    duw = dw.select(
+        "u", "w", "__dw",
+        F.count(F.lit(1)).over(Window.partitionBy("u")).alias("__du"))
+    e = (duw.filter((F.col("__du") < F.col("__dw")) |
+                    ((F.col("__du") == F.col("__dw")) &
+                     (F.col("u") < F.col("w"))))
+         .select("u", "w").persist())
+    e.count()
+    wedges = (e.alias("e1").join(e.alias("e2").hint("shuffle_hash"),
                                  F.col("e1.u") == F.col("e2.u"))
               .filter(F.col("e1.w") < F.col("e2.w"))
               .select(F.col("e1.u").alias("u"),
                       F.col("e1.w").alias("v1"),
                       F.col("e2.w").alias("v2")))
-    tris = wedges.join(
-        e.select(F.col("u").alias("v1"), F.col("w").alias("v2"))
-        .unionAll(e.select(F.col("w").alias("v1"), F.col("u").alias("v2")))
-        .filter(F.col("v1") < F.col("v2")).distinct(),
-        ["v1", "v2"])
+    und = e.select(F.least("u", "w").alias("v1"),
+                   F.greatest("u", "w").alias("v2"))
+    tris = wedges.join(und.hint("shuffle_hash"), ["v1", "v2"])
     out = (tris.select(F.explode(F.array("u", "v1", "v2")).alias("vertex"))
            .groupBy("vertex")
            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
-    out = out.localCheckpoint(eager=True)
+    out = out.persist()
+    out.count()
     e.unpersist()
     return out
 

@@ -931,7 +931,15 @@ def frequent_triples(baskets: DataFrame, basket_col: str, item_col: str,
     counts baskets, not row combinations.
     At 100 TB the prune is what keeps the join tractable: the long
     tail of once-seen items (most of a real catalog) never enters;
-    what remains shuffles on the basket key it is already grouped by."""
+    what remains shuffles on the basket key it is already grouped by.
+
+    The pruned+deduped (basket, item) frame is PERSISTED before the
+    self-joins (r15, guide §2.4/§5): all three join branches read it,
+    and without the cache each branch re-ran the scan → semi-join →
+    distinct subtree from the source (measured: 6 source scans and
+    three freq-item aggregations for one query; now one of each). The
+    cache is slim — two key columns, post-prune — and intra-query;
+    callers run under sessions that clear caches between queries."""
     freq_items = (baskets.groupBy(item_col)
                   .agg(F.count_distinct(basket_col).alias("__bn"))
                   .filter(F.col("__bn") >= min_support)
@@ -939,7 +947,8 @@ def frequent_triples(baskets: DataFrame, basket_col: str, item_col: str,
     li = (baskets.join(F.broadcast(freq_items), item_col, "leftsemi")
           .select(F.col(basket_col).alias("__bk"),
                   F.col(item_col).alias("__it"))
-          .distinct())
+          .distinct().persist())
+    li.count()
     a, b, c = li.alias("a"), li.alias("b"), li.alias("c")
     return (
         a.join(b, (F.col("a.__bk") == F.col("b.__bk")) &

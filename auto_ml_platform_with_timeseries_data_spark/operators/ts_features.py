@@ -3606,6 +3606,14 @@ def hbos_scores(df: DataFrame, id_col: str,
         *[v.cast("long").alias(f"__f_{k}") for k, v in features.items()])
     for k in names:
         src = src.filter(F.col(f"__f_{k}").isNotNull())
+    # The (id, feature...) projection feeds three passes (range stats,
+    # bin counts, per-row scoring). Persist the NARROW frame so the
+    # source — typically a JSON-parsing scan, the expensive part — is
+    # decoded once, not once per pass (guide §1.2/§5: cache only what
+    # is reused and slim). Intra-query intermediate; callers run under
+    # sessions that clear caches between queries (_ordinal_spans'
+    # documented contract).
+    src = src.persist()
     stats = src.agg(*[a for k in names for a in (
         F.min(f"__f_{k}").alias(f"__lo_{k}"),
         F.max(f"__f_{k}").alias(f"__hi_{k}"))])
@@ -3625,8 +3633,10 @@ def hbos_scores(df: DataFrame, id_col: str,
     # joint stops being tiny and per-feature histograms win.
     score = None
     if nbins ** len(names) <= joint_cells:
+        # ≤ joint_cells rows, read twice per feature (marginal sum +
+        # its max) — persist so the joint aggregate runs once
         joint = out.groupBy(*[f"bin_{k}" for k in names]).agg(
-            F.count(F.lit(1)).cast("long").alias("__jc"))
+            F.count(F.lit(1)).cast("long").alias("__jc")).persist()
         for k in names:
             hist = joint.groupBy(f"bin_{k}").agg(
                 F.sum("__jc").cast("long").alias(f"__c_{k}"))

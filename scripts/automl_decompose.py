@@ -25,12 +25,14 @@ def main() -> int:
 
     spark = get_spark(app_name="automl_decompose")
 
-    def run_once(tag: str) -> None:
+    def run_once(tag: str, npart: int = 0) -> None:
         t_all = time.time()
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_quantity", "l_discount", "l_tax", "l_extendedprice",
             (F.crc32(F.concat_ws("|", "l_orderkey", "l_linenumber")) % 5)
             .alias("__fold"))
+        if npart:
+            li = li.repartition(npart)
         train = li.filter(F.col("__fold") != 0).drop("__fold")
         test = li.filter(F.col("__fold") == 0).drop("__fold")
         print(f"[{tag}] train input partitions:",
@@ -50,8 +52,9 @@ def main() -> int:
 
     # warm
     load_table(spark, sf_dir, "lineitem").count()
-    for i in range(3):
-        run_once(f"run{i}")
+    nparts = [int(a) for a in sys.argv[1:]] or [0, 0, 0]
+    for i, npart in enumerate(nparts):
+        run_once(f"run{i}_npart{npart or 'asis'}", npart)
     return 0
 
 
