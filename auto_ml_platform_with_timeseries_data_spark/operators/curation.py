@@ -1804,6 +1804,13 @@ def domain_reweight(df: DataFrame, id_col: str, text_col: str,
             "domain", "__ntok",
             F.floor(-F.col("avg_logprob") * 1e6 + F.lit(0.5)).cast("long")
             .alias("__neg_micro"))
+        # r15 optimization: per_doc feeds both the per-domain rollup
+        # and the corpus mean, and the |domains|-row frame below feeds
+        # both the normalizer and the final projection — unpersisted,
+        # every branch re-ran the whole LM scoring pipeline (24 source
+        # scans in the plan). Persist the narrow (domain, ntok,
+        # neg_micro) decision rows once.
+        .persist()
     )
     dom = per_doc.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1833,6 +1840,7 @@ def domain_reweight(df: DataFrame, id_col: str, text_col: str,
                 F.lit(1_000_000) +
                 F.floor(F.col("excess_ppm") / 4).cast("long"))
             .cast("long"))
+        .persist()
     )
     total = out.agg(F.sum(F.col("tokens") * F.col("factor_ppm"))
                     .alias("__tot"))

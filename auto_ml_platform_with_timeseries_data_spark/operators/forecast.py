@@ -1484,11 +1484,18 @@ def seasonal_naive_detected(df: DataFrame, group_col: str, order: str,
         dominant_acf_lag,
     )
 
+    # r15 optimization: per (one row per series) and idx (narrow
+    # (g, v, i, n) over the source) each feed multiple downstream
+    # subtrees (cur → the lag join AND the forecast filter; base) —
+    # unpersisted, the plan re-ran the ACF detection twice and the
+    # source scan + index window four times (7 source scans). Persist
+    # both; callers run under sessions that clear caches between
+    # queries.
     per = dominant_acf_lag(df, group_col, order, detect_col, max_lag,
                            tie_break=tie_break).filter(
         F.col("best_lag").isNotNull()).select(
         F.col(group_col).alias("__g"),
-        F.col("best_lag").cast("long").alias("__m"))
+        F.col("best_lag").cast("long").alias("__m")).persist()
     ob = [F.asc(order)] + ([F.asc(tie_break)] if tie_break else [])
     w = Window.partitionBy("__g").orderBy(*ob)
     idx = df.select(F.col(group_col).alias("__g"),
@@ -1498,7 +1505,8 @@ def seasonal_naive_detected(df: DataFrame, group_col: str, order: str,
                     value.cast("long").alias("__v")).filter(
         F.col("__v").isNotNull()).select(
         "__g", "__v", F.row_number().over(w).alias("__i"),
-        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"))
+        F.count(F.lit(1)).over(Window.partitionBy("__g")).alias("__n"))\
+        .persist()
     cur = (idx.join(per, "__g")
            .select("__g", "__m", "__n",
                    F.col("__i").alias("__ci"),

@@ -1307,9 +1307,17 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     rollup. Counts are exact BIGINTs; only the final ln ratios are
     floating, pinned at 1e-6 (the q139 convention)."""
     n1 = F.greatest(F.size("__toks") - 1, F.lit(0))
+    # r15 optimization: the tokenized corpus feeds FIVE subtrees (the
+    # bigram table build, the scoring probe, the unigram table, the
+    # vocab count, the per-doc left-join base) — unpersisted, each
+    # re-scanned the source and re-ran the normalize+tokenize regexes
+    # (5 source scans in the plan, the tokenizer being the expensive
+    # part). Persist the (id, tokens) frame once — the same pattern
+    # the minhash pipeline pins with its single-scan plan test;
+    # callers run under sessions that clear caches between queries.
     base = df.select(
         F.col(id_col).alias("__id"),
-        tokens(normalize_text(text_col)).alias("__toks"))
+        tokens(normalize_text(text_col)).alias("__toks")).persist()
     bg = base.select(
         "__id",
         F.explode(F.zip_with(

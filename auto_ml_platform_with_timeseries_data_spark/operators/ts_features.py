@@ -4238,8 +4238,18 @@ def q346_fleet_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the composed 'which engine is failing' read over q344/q184/q345;
     every (triage_rank, user, n_collective, n_point, discord_dist2)
     row hash-checked against the composed oracle."""
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull())
+    # The four evidence subtrees (distinct-series base, residual
+    # windows, MAD, matrix profile) each re-scan events; all of them
+    # consume only these four columns, so persist the narrow filtered
+    # projection and scan the source once (guide §5: cache only what
+    # is reused, slim). Intra-query intermediate — callers run under
+    # sessions that clear caches between queries. The streaming epoch
+    # loop (q350) passes its own per-epoch delta frames to
+    # fleet_evidence directly and manages their lifecycle itself.
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .select("user_id", "ts", "event_id", "value")
+          .persist())
     return fleet_triage(
         ev, "user_id", "ts", "event_id", "value",
         F.floor(F.col("value") * 100 + F.lit(0.5)),

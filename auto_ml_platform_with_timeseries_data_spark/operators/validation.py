@@ -183,17 +183,24 @@ def gdpr_erase(customer: DataFrame, orders: DataFrame,
     The transitive lineitem step joins on the cascaded ORDER keys
     (an anti-join against erased orders), never re-deriving subject
     ids from lineitem."""
-    ek = F.broadcast(erase_keys.select(F.col(
-        erase_keys.columns[0]).alias("__k")).distinct())
+    # r15 optimization: the erase list feeds 8 joins and the cascaded
+    # dead-order-key set feeds 2 — unpersisted, every reference re-ran
+    # the source scan + distinct (21 source scans in the plan). Both
+    # frames are tiny by the erasure contract (subjects are a small
+    # fraction); persist once, broadcast everywhere.
+    ekeys = (erase_keys.select(F.col(
+        erase_keys.columns[0]).alias("__k")).distinct().persist())
+    ek = F.broadcast(ekeys)
     dead_orders = orders.join(
         ek, orders["o_custkey"] == F.col("__k"), "leftsemi")
+    dead_okeys = dead_orders.select("o_orderkey").distinct().persist()
     live_cust = customer.join(
         ek, customer["c_custkey"] == F.col("__k"), "leftanti")
     live_orders = orders.join(
         ek, orders["o_custkey"] == F.col("__k"), "leftanti")
     live_li = lineitem.join(
-        F.broadcast(dead_orders.select("o_orderkey").distinct()),
-        lineitem["l_orderkey"] == dead_orders["o_orderkey"], "leftanti")
+        F.broadcast(dead_okeys),
+        lineitem["l_orderkey"] == dead_okeys["o_orderkey"], "leftanti")
 
     def row(name, before_df, after_df, residual_df):
         before = before_df.agg(F.count(F.lit(1)).alias("__b"))
@@ -214,8 +221,8 @@ def gdpr_erase(customer: DataFrame, orders: DataFrame,
     resid_orders = live_orders.join(
         ek, live_orders["o_custkey"] == F.col("__k"), "leftsemi")
     resid_li = live_li.join(
-        F.broadcast(dead_orders.select("o_orderkey").distinct()),
-        live_li["l_orderkey"] == dead_orders["o_orderkey"], "leftsemi")
+        F.broadcast(dead_okeys),
+        live_li["l_orderkey"] == dead_okeys["o_orderkey"], "leftsemi")
     return (row("customer", customer, live_cust, resid_cust)
             .unionByName(row("orders", orders, live_orders, resid_orders))
             .unionByName(row("lineitem", lineitem, live_li, resid_li)))
@@ -2920,9 +2927,15 @@ def friedman_test(df: DataFrame, value: Column, block_col: str,
                     value.cast("long").alias("__v")).filter(
         F.col("__b").isNotNull() & F.col("__t").isNotNull()
         & F.col("__v").isNotNull())
+    # r15 optimization: cells (blocks × treatments rows — small by
+    # construction) feeds FIVE downstream subtrees (k, block sizes,
+    # kept→ranked→rank sums, kept→ties, complete→nblocks); unpersisted,
+    # each re-ran the source scan + cell groupBy — 9 source scans in
+    # the plan. Persist once; callers run under sessions that clear
+    # caches between queries (the _ordinal_spans contract).
     cells = src.groupBy("__b", "__t").agg(
         F.floor(F.sum("__v").cast("double") / F.count(F.lit(1))
-                * F.lit(1e4)).cast("long").alias("__score"))
+                * F.lit(1e4)).cast("long").alias("__score")).persist()
     kfr = cells.agg(F.count_distinct("__t").cast("long").alias("__k"))
     sized = cells.groupBy("__b").agg(
         F.count(F.lit(1)).cast("long").alias("__nb"))
@@ -3076,12 +3089,18 @@ def cochran_q(df: DataFrame, value: Column, block_col: str,
                     value.cast("long").alias("__v")).filter(
         F.col("__b").isNotNull() & F.col("__t").isNotNull()
         & F.col("__v").isNotNull())
+    # r15 optimization: persist cells (blocks × treatments rows) — it
+    # feeds kfr, complete and marked, and unpersisted each re-ran the
+    # source scan + groupBy (9 source scans in the plan). The block
+    # totals then come FROM the persisted cells (sum of per-cell exact
+    # sums/counts — identical decimal/long values), not a second pass
+    # over the source: ONE scan total.
     cells = src.groupBy("__b", "__t").agg(
         F.sum("__v").cast("decimal(38,0)").alias("__cs"),
-        F.count(F.lit(1)).cast("long").alias("__cn"))
-    blocks = src.groupBy("__b").agg(
-        F.sum("__v").cast("decimal(38,0)").alias("__bs"),
-        F.count(F.lit(1)).cast("long").alias("__bn"))
+        F.count(F.lit(1)).cast("long").alias("__cn")).persist()
+    blocks = cells.groupBy("__b").agg(
+        F.sum("__cs").cast("decimal(38,0)").alias("__bs"),
+        F.sum("__cn").cast("long").alias("__bn"))
     kfr = cells.agg(F.count_distinct("__t").cast("long").alias("__k"))
     complete = (cells.groupBy("__b")
                 .agg(F.count(F.lit(1)).cast("long").alias("__nb"))

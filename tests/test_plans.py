@@ -352,3 +352,45 @@ def test_global_sorted_export_via_range_partitioning(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2                        # disjoint ordered ranges
+
+
+def test_fleet_triage_single_source_scan(spark, sf_dir):
+    """q346 (r15 optimization): the four evidence subtrees — distinct
+    series, residual windows, MAD, matrix profile — must share ONE
+    scan of events via the persisted narrow projection; the unshared
+    shape re-read the source 10 times (plans/r15/q346_*_before.txt)."""
+    df = queries()["q346_fleet_triage"](spark, sf_dir)
+    try:
+        plan = explain.formatted_plan(df)
+        assert plan.count("Location: InMemoryFileIndex") == 1
+        assert "InMemoryRelation" in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_zorder_certificate_two_scans(spark, sf_dir):
+    """q221 (r15 optimization): the pruning certificate must read the
+    source exactly twice — the bounds aggregate and the data pass (the
+    per-layout groupBys and per-probe outputs are explode/inline over
+    ONE subtree, not plan-duplicating unions; the union shape scanned
+    it 14 times, plans/r15/q221_*_before.txt)."""
+    df = queries()["q221_zorder_pruning"](spark, sf_dir)
+    try:
+        plan = explain.formatted_plan(df)
+        assert plan.count("Location: InMemoryFileIndex") <= 2
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_bigram_lm_single_tokenize_pass(spark, sf_dir):
+    """q192 (r15 optimization): the bigram LM tokenizes the corpus
+    once — the bigram/unigram/vocab/probe/base subtrees share the
+    persisted (id, tokens) frame instead of re-running the tokenizer
+    per branch (5 scans, plans/r15/q192_*_before.txt)."""
+    df = queries()["q192_bigram_lm_logprob"](spark, sf_dir)
+    try:
+        plan = explain.formatted_plan(df)
+        assert plan.count("Location: InMemoryFileIndex") == 1
+        assert "InMemoryRelation" in plan
+    finally:
+        spark.catalog.clearCache()
