@@ -41,42 +41,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def _probe_dim(df: DataFrame, vec_col) -> int | None:
-    """Vector dimensionality from ONE row (bounded executeTake(1) —
-    the same bounded-scalar-collect contract as the codebook limits).
-    None on an empty frame; callers then keep the dim-generic
-    zip_with/aggregate kernel, which is correct at any length."""
-    row = df.select(F.size(
-        vec_col if isinstance(vec_col, Column) else F.col(vec_col)
-    ).alias("__d")).first()
-    d = None if row is None else row["__d"]
-    return int(d) if d is not None and d > 0 else None
-
-
-def _unrolled_dot(a, b, dim: int, init: Column) -> Column:
-    """Σ aᵢ·bᵢ UNROLLED to a fixed `dim` — whole-stage-codegen'd,
-    unlike the zip_with/aggregate higher-order fold, whose lambda is
-    CodegenFallback and therefore INTERPRETED per evaluation. On the
-    N·nprobe-candidate margin/ANN paths that fold was the measured
-    wall (see OPTIMIZATION_r15.md); the unrolled sum is the same
-    left-to-right addition order as the sequential fold (init + t₀ +
-    t₁ + …), so doubles are bit-identical and integers trivially so.
-
-    FIXED-DIM CONTRACT: `dim` must be every row's array length (the
-    embedding-table schema contract all callers state). F.get is
-    NULL-safe, so a shorter row yields a NULL product and the sum goes
-    NULL — the same NULL the zip_with kernel produces for a
-    length-mismatched PAIR — but a pair of equal-length arrays ≠ dim
-    would diverge; callers probe dim from the frame itself
-    (`_probe_dim`) so that cannot happen on a fixed-dim table."""
-    ca = a if isinstance(a, Column) else F.col(a)
-    cb = b if isinstance(b, Column) else F.col(b)
-    out = init
-    for i in range(dim):
-        out = out + F.get(ca, i) * F.get(cb, i)
-    return out
-
-
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(
         F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -1776,11 +1740,10 @@ def margin_mine_pairs(src: DataFrame, tgt: DataFrame, id_col: str,
     generates candidates from IVF cells over an injected codebook and
     applies the SAME margin math via the shared
     ``_margin_from_pairs``."""
-    dim = _probe_dim(src, vec_col)
     a = _margin_quant(src, id_col, vec_col, "src_id", "__qa", "__da")
     b = _margin_quant(tgt, id_col, vec_col, "tgt_id", "__qb", "__db")
     pairs = (a.crossJoin(F.broadcast(b))
-             .select("src_id", "tgt_id", _margin_ci(dim).alias("ci")))
+             .select("src_id", "tgt_id", _margin_ci().alias("ci")))
     return _margin_from_pairs(pairs, k, margin)
 
 
@@ -1799,13 +1762,15 @@ def _margin_quant(df: DataFrame, id_col: str, vec_col: str, out_id: str,
             .filter(F.col(dc) > 0))
 
 
-def _margin_ci(dim: int | None = None) -> Column:
+def _margin_ci() -> Column:
     """floor(1e6 · quantized-cosine) as one fixed double expression
-    over the exact integer dot and norms. With `dim` the dot is the
-    unrolled codegen sum (r15: the zip_with/aggregate fold is
-    interpreted per PAIR — the measured wall of the whole margin
-    family); without it, the dim-generic fold."""
-    return _ci_expr("__qa", "__da", "__qb", "__db", dim=dim)
+    over the exact integer dot and norms."""
+    dot = F.aggregate(
+        F.zip_with("__qa", "__qb", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return F.floor(
+        dot / F.sqrt((F.col("__da") * F.col("__db")).cast("double"))
+        * F.lit(1e6)).cast("long")
 
 
 def _margin_from_pairs(pairs: DataFrame, k: int,
@@ -1816,31 +1781,41 @@ def _margin_from_pairs(pairs: DataFrame, k: int,
     shared verbatim by the exact kernel (q177) and the banded scale
     path (q250), so the two can only differ in candidate coverage.
 
-    r15 RESTRUCTURE (one pass, two exchanges): the top-k sums are
-    CONDITIONAL WINDOW SUMS over the same partitions the rank windows
-    already established — sum(ci where rank<=k) over the unordered
-    src/tgt partition — instead of two groupBys joined back to a third
-    consumer of the ranked frame. The old shape recomputed the whole
-    candidate generation 3x (ranked fed cand/sa/sb; persisting it was
-    measured SLOWER in round 9 — cache write/read beat by recompute)
-    and paid two extra exchanges plus two sort-merge joins; the window
-    form computes each pair's ci ONCE and touches each side's
-    partitioning once (plan: q268 195 -> ~60 operators, 6 -> 2
-    Exchanges on the pair frame). Values identical: the inner joins
-    never dropped rows (every src/tgt with >=1 pair has a top-k sum),
-    and the window sums are the same BIGINT sums over the same rows."""
+    The ranked frame feeds three consumers (cand/sa/sb), so the pair
+    generation recomputes 3x. Persisting it was MEASURED and rejected
+    (round 9, sf0.1 full+banded: warm 14.8 s unpersisted vs 16.7-17.4 s
+    persisted — cache write/read costs more than the recompute, and
+    Spark 4's WindowGroupLimit already prunes each recompute to top-k
+    per group before the final window). At corpus scale the candidate
+    frame is band-bounded, so the same tradeoff holds per cell.
+
+    r15 NOTE — two rewrites of this kernel were tried mid-round and
+    REVERTED after a clean-box re-measure (same subset protocol, idle
+    box, q250/q268/q267/q329):
+    - conditional window sums over unordered partitions instead of the
+      two groupBys+joins ("fewer Exchanges"): 25.8/13.8/12.4/13.2 s vs
+      11.7/7.1/4.8/8.0 s here. The rank filter above each recompute
+      lets WindowGroupLimit prune every partition to its top-k rows
+      BEFORE the window sort; the conditional-sum form has no rank
+      filter directly above the window, so every candidate row flows
+      through four full WindowExec sorts.
+    - unrolling the zip_with/aggregate integer dot to a fixed-dim
+      F.get chain ("codegen vs interpreted fold"): at dim=64 the
+      ~190-node expression made things WORSE still (28.4/27.0/14.5/
+      29.4 s combined with this groupBy shape) — the huge expression
+      falls out of whole-stage codegen, and unlike the fold it is
+      re-evaluated per consumer. The dim-generic fold stays."""
     wa = Window.partitionBy("src_id").orderBy(F.desc("ci"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
-    pa = Window.partitionBy("src_id")
-    pb = Window.partitionBy("tgt_id")
     ranked = (pairs
               .withColumn("__ra", F.row_number().over(wa))
-              .withColumn("__sa", F.sum(F.when(F.col("__ra") <= k,
-                                               F.col("ci"))).over(pa))
-              .withColumn("__rb", F.row_number().over(wb))
-              .withColumn("__sb", F.sum(F.when(F.col("__rb") <= k,
-                                               F.col("ci"))).over(pb)))
+              .withColumn("__rb", F.row_number().over(wb)))
+    sa = (ranked.filter(F.col("__ra") <= k).groupBy("src_id")
+          .agg(F.sum("ci").alias("__sa")))
+    sb = (ranked.filter(F.col("__rb") <= k).groupBy("tgt_id")
+          .agg(F.sum("ci").alias("__sb")))
     cand = (ranked.filter(F.col("__ra") <= k)
+            .join(sa, "src_id").join(sb, "tgt_id")
             .filter(F.col("__sa") + F.col("__sb") > 0))
     mg = (F.col("ci") * F.lit(float(2 * k))) \
         / (F.col("__sa") + F.col("__sb"))
@@ -1915,7 +1890,6 @@ def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame,
     opts into coarse (set ``coarse_stride ~ sqrt(C)``) exactly when it
     knows C is large AND distinct; q329's dedup-first pipeline is how
     a clone-suspect corpus earns that knowledge."""
-    dim = _probe_dim(centroids, vec_col)
     a = _margin_quant(src, id_col, vec_col, "src_id", "__qa", "__da")
     b = _margin_quant(tgt, id_col, vec_col, "tgt_id", "__qb", "__db")
     c = _margin_quant(centroids, id_col, vec_col, "__cid", "__qb", "__db")
@@ -1924,16 +1898,15 @@ def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame,
             Window.orderBy("__cid")) - 1)  # dense 0-based cell ids
     if coarse_stride is not None:
         probes = _coarse_route(a, c, "src_id", "__qa", "__da",
-                               coarse_stride, nprobe_super, nprobe,
-                               dim=dim)
+                               coarse_stride, nprobe_super, nprobe)
         cells = _coarse_route(b, c, "tgt_id", "__qb", "__db",
-                              coarse_stride, nprobe_super, 1, dim=dim)
+                              coarse_stride, nprobe_super, 1)
         pairs = (probes.join(cells, "__cid")
-                 .select("src_id", "tgt_id", _margin_ci(dim).alias("ci")))
+                 .select("src_id", "tgt_id", _margin_ci().alias("ci")))
         return _margin_from_pairs(pairs, k, margin)
     asg = (a.crossJoin(F.broadcast(c))
            .select("src_id", "__qa", "__da", "__cid",
-                   _margin_ci(dim).alias("__cci")))
+                   _margin_ci().alias("__cci")))
     wc = Window.partitionBy("src_id").orderBy(F.desc("__cci"),
                                               F.asc("__cid"))
     probes = (asg.withColumn("__rk", F.row_number().over(wc))
@@ -1945,7 +1918,12 @@ def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame,
                 c.select(F.col("__cid"),
                          F.col("__qb").alias("__qc"),
                          F.col("__db").alias("__dc")))))
-    tci = _ci_expr("__qt", "__dt", "__qc", "__dc", dim=dim)
+    tdot = F.aggregate(
+        F.zip_with("__qt", "__qc", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    tci = F.floor(
+        tdot / F.sqrt((F.col("__dt") * F.col("__dc")).cast("double"))
+        * F.lit(1e6)).cast("long")
     wt = Window.partitionBy("tgt_id").orderBy(F.desc(tci), F.asc("__cid"))
     cells = (tasg.withColumn("__rk", F.row_number().over(wt))
              .filter(F.col("__rk") == 1)
@@ -1954,7 +1932,7 @@ def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame,
     # each tgt lives in exactly one cell and probe cells are distinct
     # → every candidate pair appears at most once
     pairs = (probes.join(cells, "__cid")
-             .select("src_id", "tgt_id", _margin_ci(dim).alias("ci")))
+             .select("src_id", "tgt_id", _margin_ci().alias("ci")))
     return _margin_from_pairs(pairs, k, margin)
 
 
@@ -3430,16 +3408,10 @@ def q234_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exactness: the SAME floor(dot/sqrt(d*d')*1e6) integer cosine as the
 # margin family at every level, deterministic tiebreaks (cid, sid) —
 # the whole routing is value-hash-checkable SQL (q327).
-def _ci_expr(q1: str, d1: str, q2: str, d2: str,
-             dim: int | None = None) -> Column:
-    if dim is None:
-        dot = F.aggregate(
-            F.zip_with(q1, q2, lambda x, y: x * y),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-    else:
-        # codegen'd unrolled sum — bit-identical (integer adds), see
-        # _unrolled_dot for the fixed-dim contract
-        dot = _unrolled_dot(q1, q2, dim, F.lit(0).cast("long"))
+def _ci_expr(q1: str, d1: str, q2: str, d2: str) -> Column:
+    dot = F.aggregate(
+        F.zip_with(q1, q2, lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
     return F.floor(
         dot / F.sqrt((F.col(d1) * F.col(d2)).cast("double"))
         * F.lit(1e6)).cast("long")
@@ -3458,7 +3430,6 @@ def ivf_coarse_assign(vectors: DataFrame, centroids: DataFrame,
     vectors and centroids are dropped (the _margin_quant contract)."""
     if stride < 1:
         raise ValueError("stride must be >= 1")
-    dim = _probe_dim(centroids, vec_col)
     a = _margin_quant(vectors, id_col, vec_col, "__vid", "__qa", "__da")
     c = _margin_quant(centroids, id_col, vec_col, "__cid",
                       "__qb", "__db")
@@ -3473,7 +3444,7 @@ def ivf_coarse_assign(vectors: DataFrame, centroids: DataFrame,
         F.desc("__sci"), F.asc("__sid"))
     cmap = (c.crossJoin(F.broadcast(supers))
             .withColumn("__sci", _ci_expr("__qb", "__db",
-                                          "__qs", "__ds", dim=dim))
+                                          "__qs", "__ds"))
             .withColumn("__rk", F.row_number().over(ws))
             .filter(F.col("__rk") == 1)
             .select("__cid", "__qb", "__db", "__sid"))
@@ -3482,7 +3453,7 @@ def ivf_coarse_assign(vectors: DataFrame, centroids: DataFrame,
         F.desc("__vci"), F.asc("__sid"))
     vsup = (a.crossJoin(F.broadcast(supers))
             .withColumn("__vci", _ci_expr("__qa", "__da",
-                                          "__qs", "__ds", dim=dim))
+                                          "__qs", "__ds"))
             .withColumn("__rk", F.row_number().over(wv))
             .filter(F.col("__rk") <= nprobe_super)
             .select("__vid", "__qa", "__da", "__sid"))
@@ -3491,7 +3462,7 @@ def ivf_coarse_assign(vectors: DataFrame, centroids: DataFrame,
         F.desc("__ci"), F.asc("__cid"))
     return (vsup.join(F.broadcast(cmap), "__sid")
             .withColumn("__ci", _ci_expr("__qa", "__da",
-                                         "__qb", "__db", dim=dim))
+                                         "__qb", "__db"))
             .withColumn("rank", F.row_number().over(wc))
             .filter(F.col("rank") <= nprobe)
             .select(F.col("__vid").alias(id_col),
@@ -3592,7 +3563,7 @@ def q327_ivf_coarse_assign(spark: SparkSession,
 
 def _coarse_route(v: DataFrame, c: DataFrame, out_id: str, qname: str,
                   dname: str, stride: int, nprobe_super: int,
-                  nprobe: int, dim: int | None = None) -> DataFrame:
+                  nprobe: int) -> DataFrame:
     """Internal: two-level routing of a quantized frame `v`
     (out_id, qname, dname) through dense-cid centroid frame `c`
     (__cid, __qb, __db); returns (out_id, qname, dname, __cid) rows,
@@ -3605,7 +3576,7 @@ def _coarse_route(v: DataFrame, c: DataFrame, out_id: str, qname: str,
         F.desc("__sci"), F.asc("__sid"))
     cmap = (c.crossJoin(F.broadcast(supers))
             .withColumn("__sci", _ci_expr("__qb", "__db",
-                                          "__qs", "__ds", dim=dim))
+                                          "__qs", "__ds"))
             .withColumn("__rk", F.row_number().over(ws))
             .filter(F.col("__rk") == 1)
             .select("__cid", F.col("__qb").alias("__qc"),
@@ -3613,16 +3584,14 @@ def _coarse_route(v: DataFrame, c: DataFrame, out_id: str, qname: str,
     wv = Window.partitionBy(out_id).orderBy(
         F.desc("__vci"), F.asc("__sid"))
     vsup = (v.crossJoin(F.broadcast(supers))
-            .withColumn("__vci", _ci_expr(qname, dname, "__qs", "__ds",
-                                          dim=dim))
+            .withColumn("__vci", _ci_expr(qname, dname, "__qs", "__ds"))
             .withColumn("__rk", F.row_number().over(wv))
             .filter(F.col("__rk") <= nprobe_super)
             .select(out_id, qname, dname, "__sid"))
     wc = Window.partitionBy(out_id).orderBy(
         F.desc("__ci"), F.asc("__cid"))
     return (vsup.join(F.broadcast(cmap), "__sid")
-            .withColumn("__ci", _ci_expr(qname, dname, "__qc", "__dc",
-                                         dim=dim))
+            .withColumn("__ci", _ci_expr(qname, dname, "__qc", "__dc"))
             .withColumn("__rk", F.row_number().over(wc))
             .filter(F.col("__rk") <= nprobe)
             .select(out_id, qname, dname, "__cid"))
