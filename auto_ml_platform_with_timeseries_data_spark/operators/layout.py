@@ -752,46 +752,39 @@ def zorder_pruning_certificate(ev: DataFrame, id_col: str, x_col: str,
     The 100 TB claim this certifies: a Morton-clustered table answers
     band predicates on ANY clustered dimension by reading a bounded
     fraction of files, while the id-ordered baseline must read ~all
-    files for dimensions uncorrelated with id."""
+    files for dimensions uncorrelated with id.
+
+    r15 NOTE: a mid-round restructure (explode each row into its
+    (layout, file) pair so one groupBy builds both layouts' stats;
+    inline'd probe structs; persisted bounds) collapsed the plan's 14
+    source references to 2 — and measured ~1.9x SLOWER at sf0.1
+    (paired 3-variant A/B: restructure 2.68 s / restructure without
+    the bounds persist 2.63 s / this shape 1.44 s). The union shape's
+    duplicate subtrees share runtime broadcast exchanges and its
+    branches run as parallel jobs, while the "2-scan" shape serializes
+    into barriers; this is a layout-audit certificate, not a data
+    path, so the bench-scale number wins. REVERTED."""
     shift = 2 * _BITS - max(1, (nfiles - 1).bit_length())
-    # bounds is referenced by BOTH crossJoins below; persist the 1-row
-    # aggregate so the min/max pass over the source runs once.
     bounds = ev.agg(
         F.min(x_col).alias("__uxmin"), F.max(x_col).alias("__uxmax"),
         F.min(y_col).alias("__uymin"), F.max(y_col).alias("__uymax"),
         F.min(id_col).alias("__emin"), F.max(id_col).alias("__emax"),
-    ).persist()
-    # r15 optimization (guide §2.4): the first cut built zk (its OWN
-    # internal bounds pass + data pass + this outer bounds crossJoin),
-    # ran one groupBy PER layout over it, unioned them, and closed with
-    # a union of two projections of the final 2-row aggregate — every
-    # union branch re-evaluated the whole subtree, 14 source scans in
-    # the plan. Identical results from TWO scans (bounds + data): the
-    # Morton key reuses the outer bounds (same min/max over the same
-    # columns zorder_keys would recompute), each row explodes into its
-    # (layout, file) pair for both layouts so ONE groupBy builds both
-    # layouts' file stats, and the two probe rows per layout come from
-    # inline'd structs instead of a plan-duplicating union.
-    src = ev.crossJoin(F.broadcast(bounds))
-    bx = _bucket_expr(F.col(x_col), F.col("__uxmin"), F.col("__uxmax"))
-    by = _bucket_expr(F.col(y_col), F.col("__uymin"), F.col("__uymax"))
-    zfile = F.shiftright(_interleave(bx, by), shift)
+    )
+    zk = (zorder_keys(ev, x_col, y_col)
+          .crossJoin(F.broadcast(bounds)))
+    zfile = F.shiftright(F.col("zkey"), shift)
     bfile = F.floor(
         ((F.col(id_col) - F.col("__emin")) * F.lit(nfiles - 1))
         / F.greatest(F.col("__emax") - F.col("__emin"), F.lit(1)))
-    tagged = src.select(
-        F.col(x_col), F.col(y_col),
-        F.explode(F.array(
-            F.struct(F.lit("zorder").alias("layout"),
-                     zfile.cast("long").alias("f")),
-            F.struct(F.lit("id_ordered").alias("layout"),
-                     bfile.cast("long").alias("f")))).alias("__lf"))
-    stats = (tagged
-             .groupBy(F.col("__lf.layout").alias("layout"),
-                      F.col("__lf.f").alias("__f"))
-             .agg(F.min(x_col).alias("__xlo"), F.max(x_col).alias("__xhi"),
-                  F.min(y_col).alias("__ylo"), F.max(y_col).alias("__yhi"))
-             .crossJoin(F.broadcast(bounds)))
+    stats = None
+    for layout, fcol in (("zorder", zfile), ("id_ordered", bfile)):
+        st = (zk.groupBy(fcol.alias("__f"))
+              .agg(F.min(x_col).alias("__xlo"), F.max(x_col).alias("__xhi"),
+                   F.min(y_col).alias("__ylo"), F.max(y_col).alias("__yhi"))
+              .select(F.lit(layout).alias("layout"), "__f",
+                      "__xlo", "__xhi", "__ylo", "__yhi"))
+        stats = st if stats is None else stats.unionByName(st)
+    stats = stats.crossJoin(F.broadcast(bounds))
     xlo = F.col("__uxmin") + F.expr("(__uxmax - __uxmin) * 45 div 100")
     xhi = F.col("__uxmin") + F.expr("(__uxmax - __uxmin) * 55 div 100")
     ylo = F.col("__uymin") + F.expr("(__uymax - __uymin) * 45 div 100")
@@ -805,14 +798,11 @@ def zorder_pruning_certificate(ev: DataFrame, id_col: str, x_col: str,
                      (F.col("__ylo") <= yhi), 1).otherwise(0))
         .cast("long").alias("__hy"),
     )
-    return (agg.select(
-        "layout", "files_total",
-        F.inline(F.array(
-            F.struct(F.lit("x_band").alias("probe"),
-                     F.col("__hx").alias("files_hit")),
-            F.struct(F.lit("y_band").alias("probe"),
-                     F.col("__hy").alias("files_hit")))))
-        .select("layout", "probe", "files_total", "files_hit"))
+    return (agg.select("layout", F.lit("x_band").alias("probe"),
+                       "files_total", F.col("__hx").alias("files_hit"))
+            .unionByName(
+                agg.select("layout", F.lit("y_band").alias("probe"),
+                           "files_total", F.col("__hy").alias("files_hit"))))
 
 
 def _zprune_oracle() -> str:

@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from auto_ml_platform_with_timeseries_data_spark.registry import query
-from auto_ml_platform_with_timeseries_data_spark.tables import load_table
+from auto_ml_platform_with_timeseries_data_spark.tables import (
+    load_table,
+    persist_if_scan_heavy,
+)
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 
@@ -4242,14 +4245,17 @@ def q346_fleet_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # windows, MAD, matrix profile) each re-scan events; all of them
     # consume only these four columns, so persist the narrow filtered
     # projection and scan the source once (guide §5: cache only what
-    # is reused, slim). Intra-query intermediate — callers run under
+    # is reused, slim). SIZE-GATED (persist_if_scan_heavy): at sf0.1
+    # the 3 saved re-scans of a ~3 MB source are cheaper than the
+    # cache barrier (paired A/B 1.95 vs 2.36 s); at production sizes
+    # they are not. Intra-query intermediate — callers run under
     # sessions that clear caches between queries. The streaming epoch
     # loop (q350) passes its own per-epoch delta frames to
     # fleet_evidence directly and manages their lifecycle itself.
     ev = (load_table(spark, sf_dir, "events")
           .filter(F.col("value").isNotNull())
-          .select("user_id", "ts", "event_id", "value")
-          .persist())
+          .select("user_id", "ts", "event_id", "value"))
+    ev = persist_if_scan_heavy(ev, ev)
     return fleet_triage(
         ev, "user_id", "ts", "event_id", "value",
         F.floor(F.col("value") * 100 + F.lit(0.5)),

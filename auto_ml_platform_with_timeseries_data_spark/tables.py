@@ -52,3 +52,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# Persist `frame` only when re-deriving it would re-scan a source big
+# enough for the saved scans to beat the cache's fixed cost.
+PERSIST_SRC_MB_ENV = "SPARK_GRAFT_PERSIST_SRC_MB"
+_PERSIST_SRC_MB_DEFAULT = 256.0
+
+
+def persist_if_scan_heavy(frame: DataFrame, source: DataFrame) -> DataFrame:
+    """Size-gated persist (guide §5: cache only when recompute costs
+    more than the materialization barrier + memory pressure caching
+    creates).
+
+    `frame` at every call site is small by construction (grouped cells,
+    key sets, narrow projections); what the persist SAVES is N-1
+    re-scans of `source` by the downstream subtrees that share `frame`.
+    The decision therefore keys on the SOURCE's size, taken from the
+    optimizer's statistics (parquet relations report exact file bytes,
+    scaled by projection; unknown statistics report Long.MaxValue and
+    so persist — the safe default at scale).
+
+    Measured both ways at sf0.1 (events ≈ 3 MB, idle box, paired A/B,
+    r15): the unconditional persist made friedman/cochran_q ~2x SLOWER
+    per query — the cache materialization serializes the query into a
+    barrier plus an InMemoryRelation scan that costs more than
+    re-reading page-cached parquet — while at production sizes the N
+    re-scans dominate by the ratio of table size to cache size.
+    Threshold parameterised via $SPARK_GRAFT_PERSIST_SRC_MB (default
+    256 MB, the guide §2.2/§6 band where scan I/O starts to matter;
+    plan tests set it to 0 to assert the at-scale single-scan shape)."""
+    try:
+        mb = float(os.environ.get(PERSIST_SRC_MB_ENV,
+                                  _PERSIST_SRC_MB_DEFAULT))
+    except ValueError:
+        mb = _PERSIST_SRC_MB_DEFAULT
+    try:
+        size = int(str(source._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:
+        return frame.persist()
+    return frame.persist() if size >= mb * 1024 * 1024 else frame
