@@ -135,12 +135,9 @@ def linear_filter_forecast(df: DataFrame, group_col: str, order: str,
         # both engines — a 16-term double dot-product would be one
         # FMA-contraction away from a cross-engine ulp (the q295
         # per-product discipline, learned here the hard way).
-        expr = None
-        for j, c in enumerate(cs):
-            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
-                           * F.lit(quantum)).cast("long")
-            expr = term if expr is None else expr + term
-        return expr
+        # r16: one parsed expression per model, not |window| Column
+        # calls — node-identical tree, see _filt_q_col.
+        return _filt_q_col(cs, quantum, lambda j: f"__l{j + off}")
 
     # Backtest quantum 1e2 (not 1e6): the exact-integer SSE must stay
     # under 2^53 so its double readout is EXACT in both engines — a
@@ -226,6 +223,26 @@ def holt_forecast(df: DataFrame, group_col: str, order: str,
         df, group_col, order, value,
         [(alpha, holt_weights(alpha, beta))], tie_break=tie_break)
     return per.select(group_col, "n_scored", "sse", "forecast_next")
+
+
+def _filt_q_col(cs: list[float], quantum: float, name) -> Column:
+    """The exact-integer linear filter Σⱼ floor(cⱼ·colⱼ·Q) as ONE
+    parsed SQL expression (guide §1.2 "per-task work" applied to the
+    DRIVER: building this sum term-by-term through the Column API cost
+    q343 ~12 s of py4j round trips per build — 62k socket messages +
+    PySpark's per-call call-site capture — while one F.expr per model
+    is a single round trip and a sub-ms JVM parse).
+
+    The parsed tree is node-identical to the Column build it replaces:
+    `{c!r}D` lexes through Double.parseDouble (correctly-rounded
+    strtod, same bits as F.lit(c)), products stay left-associated,
+    each term keeps its CAST(FLOOR(..) AS BIGINT), and `+` parses
+    left-assoc exactly like the incremental `expr + term` loop. Same
+    analyzed plan ⇒ bit-identical results."""
+    return F.expr(" + ".join(
+        f"CAST(FLOOR({float(c)!r}D * {name(j)} * {float(quantum)!r}D)"
+        f" AS BIGINT)"
+        for j, c in enumerate(cs)))
 
 
 def _lag_sql(window: int) -> str:
@@ -827,11 +844,8 @@ def mase_backtest(df: DataFrame, group_col: str, order: str,
         F.row_number().over(w).alias("__i"),
         *[F.lag("__v", j).over(w).alias(f"__l{j}")
           for j in range(1, nlags + 1)])
-    filt = None
-    for j, c in enumerate(cs):
-        term = F.floor(F.lit(c) * F.col(f"__l{j + 1}")
-                       * F.lit(1e2)).cast("long")
-        filt = term if filt is None else filt + term
+    # one parsed expression — node-identical tree, see _filt_q_col
+    filt = _filt_q_col(cs, 1e2, lambda j: f"__l{j + 1}")
     e_model = F.when(F.col("__i") > window,
                      F.abs(F.col("__l0") * F.lit(100) - filt))
     e_naive = F.when(F.col("__i") > naive_lag,
@@ -1025,12 +1039,8 @@ def theta_forecast(df: DataFrame, group_col: str, order: str,
         "__n", F.max("__i").over(last))
 
     def filt_q(off: int, quantum: float):
-        expr = None
-        for j, c in enumerate(cs):
-            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
-                           * F.lit(quantum)).cast("long")
-            expr = term if expr is None else expr + term
-        return expr
+        # one parsed expression — node-identical tree, see _filt_q_col
+        return _filt_q_col(cs, quantum, lambda j: f"__l{j + off}")
 
     drift_bt = F.floor((F.col("__l1") - F.col("__v1"))
                        / (F.col("__i") - 2) / F.lit(2.0)
@@ -1176,12 +1186,8 @@ def croston_forecast(df: DataFrame, group_col: str, order: str,
         F.col("__j") == F.col("__m"))
 
     def filt(prefix: str) -> Column:
-        expr = None
-        for j, c in enumerate(cs):
-            term = F.floor(F.lit(c) * F.col(f"{prefix}{j}")
-                           * F.lit(1e6)).cast("long")
-            expr = term if expr is None else expr + term
-        return expr
+        # one parsed expression — node-identical tree, see _filt_q_col
+        return _filt_q_col(cs, 1e6, lambda j: f"{prefix}{j}")
 
     counts = idx.groupBy("__g").agg(
         F.count(F.lit(1)).cast("long").alias("n"))
@@ -1340,12 +1346,8 @@ def conformal_forecast_interval(df: DataFrame, group_col: str,
         "__last", F.col("__i") == F.max("__i").over(last))
 
     def filt(off: int, quantum: float) -> Column:
-        expr = None
-        for j, c in enumerate(cs):
-            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
-                           * F.lit(quantum)).cast("long")
-            expr = term if expr is None else expr + term
-        return expr
+        # one parsed expression — node-identical tree, see _filt_q_col
+        return _filt_q_col(cs, quantum, lambda j: f"__l{j + off}")
 
     scored = lagged.select(
         "__g",
@@ -1676,12 +1678,9 @@ def best_family_forecast(df: DataFrame, group_col: str, order: str,
         F.col("__i") == F.max("__i").over(Window.partitionBy("__g")))
 
     def filt_q(cs: list[float], off: int, quantum: float) -> Column:
-        expr = None
-        for j, c in enumerate(cs):
-            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
-                           * F.lit(quantum)).cast("long")
-            expr = term if expr is None else expr + term
-        return expr
+        # one parsed expression per model — node-identical tree, see
+        # _filt_q_col (r16 driver-side build-cost fix)
+        return _filt_q_col(cs, quantum, lambda j: f"__l{j + off}")
 
     cols = []
     for m, (_, cs) in enumerate(models):
@@ -1850,12 +1849,9 @@ def forecast_combination(df: DataFrame, group_col: str, order: str,
         F.col("__i") == F.max("__i").over(Window.partitionBy("__g")))
 
     def filt_q(cs: list[float], off: int, quantum: float) -> Column:
-        expr = None
-        for j, c in enumerate(cs):
-            term = F.floor(F.lit(c) * F.col(f"__l{j + off}")
-                           * F.lit(quantum)).cast("long")
-            expr = term if expr is None else expr + term
-        return expr
+        # one parsed expression per model — node-identical tree, see
+        # _filt_q_col (r16 driver-side build-cost fix)
+        return _filt_q_col(cs, quantum, lambda j: f"__l{j + off}")
 
     cols = []
     for m, (_, cs) in enumerate(models):

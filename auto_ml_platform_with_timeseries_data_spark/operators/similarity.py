@@ -1742,6 +1742,14 @@ def margin_mine_pairs(src: DataFrame, tgt: DataFrame, id_col: str,
     ``_margin_from_pairs``."""
     a = _margin_quant(src, id_col, vec_col, "src_id", "__qa", "__da")
     b = _margin_quant(tgt, id_col, vec_col, "tgt_id", "__qb", "__db")
+    # Width for the dot-product pass (r16): the probe side inherits the
+    # scan's split count — a query-scale src (one parquet split) would
+    # evaluate |src|·|tgt| integer dots in ONE task while the rest of
+    # the box idles. Scale UP only (at corpus scale the scan is already
+    # wide; never coalesce), same rule as ml.automl's CV cache.
+    npart = src.sparkSession.sparkContext.defaultParallelism
+    if a.rdd.getNumPartitions() < npart:
+        a = a.repartition(npart)
     pairs = (a.crossJoin(F.broadcast(b))
              .select("src_id", "tgt_id", _margin_ci().alias("ci")))
     return _margin_from_pairs(pairs, k, margin)
@@ -1763,14 +1771,11 @@ def _margin_quant(df: DataFrame, id_col: str, vec_col: str, out_id: str,
 
 
 def _margin_ci() -> Column:
-    """floor(1e6 · quantized-cosine) as one fixed double expression
-    over the exact integer dot and norms."""
-    dot = F.aggregate(
-        F.zip_with("__qa", "__qb", lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return F.floor(
-        dot / F.sqrt((F.col("__da") * F.col("__db")).cast("double"))
-        * F.lit(1e6)).cast("long")
+    """floor(1e6 · quantized-cosine) over the (__qa,__da)×(__qb,__db)
+    pair columns — one name-bound instance of the shared integer-cosine
+    kernel `_ci_expr` (single definition keeps the margin family and
+    the IVF routing bit-identical by construction)."""
+    return _ci_expr("__qa", "__da", "__qb", "__db")
 
 
 def _margin_from_pairs(pairs: DataFrame, k: int,
@@ -1781,13 +1786,22 @@ def _margin_from_pairs(pairs: DataFrame, k: int,
     shared verbatim by the exact kernel (q177) and the banded scale
     path (q250), so the two can only differ in candidate coverage.
 
-    The ranked frame feeds three consumers (cand/sa/sb), so the pair
-    generation recomputes 3x. Persisting it was MEASURED and rejected
-    (round 9, sf0.1 full+banded: warm 14.8 s unpersisted vs 16.7-17.4 s
-    persisted — cache write/read costs more than the recompute, and
-    Spark 4's WindowGroupLimit already prunes each recompute to top-k
-    per group before the final window). At corpus scale the candidate
-    frame is band-bounded, so the same tradeoff holds per cell.
+    The ranked frame feeds three consumers (cand/sa/sb). r16: the PAIR
+    frame — (src_id, tgt_id, ci), ~20 bytes/row — is persisted +
+    eagerly counted, so the expensive candidate generation (the
+    banded paths' dim-wide integer dots over every cell-colliding
+    pair, ~4 s of q268's 7-8 s alone at sf0.1) evaluates ONCE instead
+    of once per consumer. This is NOT the r9-rejected persist: that
+    experiment cached RANKED (pairs + both row_numbers), which forces
+    both window sorts to materialize over ALL rows — forfeiting the
+    WindowGroupLimit top-k pruning each consumer otherwise gets — and
+    measured 14.8 s → 16.7-17.4 s. Caching BELOW the windows keeps
+    every consumer's WindowGroupLimit intact while deduplicating the
+    dot work: measured 6.8 s → 1.7-2.6 s on q268's kernel (paired
+    same-protocol A/B, 6 rounds each, idle box, r16). At corpus scale
+    the cached frame is the candidate set itself (band-bounded,
+    id+id+long — orders of magnitude narrower than the vectors it
+    replaces recomputing); MEMORY_AND_DISK spills gracefully.
 
     r15 NOTE — two rewrites of this kernel were tried mid-round and
     REVERTED after a clean-box re-measure (same subset protocol, idle
@@ -1805,6 +1819,8 @@ def _margin_from_pairs(pairs: DataFrame, k: int,
       29.4 s combined with this groupBy shape) — the huge expression
       falls out of whole-stage codegen, and unlike the fold it is
       re-evaluated per consumer. The dim-generic fold stays."""
+    pairs = pairs.persist()
+    pairs.count()  # materialize once; stats keep the sa/sb joins sane
     wa = Window.partitionBy("src_id").orderBy(F.desc("ci"), F.asc("tgt_id"))
     wb = Window.partitionBy("tgt_id").orderBy(F.desc("ci"), F.asc("src_id"))
     ranked = (pairs
@@ -1918,12 +1934,7 @@ def margin_mine_pairs_banded(src: DataFrame, tgt: DataFrame,
                 c.select(F.col("__cid"),
                          F.col("__qb").alias("__qc"),
                          F.col("__db").alias("__dc")))))
-    tdot = F.aggregate(
-        F.zip_with("__qt", "__qc", lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    tci = F.floor(
-        tdot / F.sqrt((F.col("__dt") * F.col("__dc")).cast("double"))
-        * F.lit(1e6)).cast("long")
+    tci = _ci_expr("__qt", "__dt", "__qc", "__dc")
     wt = Window.partitionBy("tgt_id").orderBy(F.desc(tci), F.asc("__cid"))
     cells = (tasg.withColumn("__rk", F.row_number().over(wt))
              .filter(F.col("__rk") == 1)

@@ -185,7 +185,16 @@ def gdpr_erase(customer: DataFrame, orders: DataFrame,
     join, so the whole erasure is map-side — no fact-table shuffle.
     The transitive lineitem step joins on the cascaded ORDER keys
     (an anti-join against erased orders), never re-deriving subject
-    ids from lineitem."""
+    ids from lineitem.
+
+    Determinism contract: `erase_keys` MUST be a deterministic frame
+    (a stored table or a deterministic derivation). Below the persist
+    size-gate the distinct key set is re-evaluated independently by
+    each cascade consumer, and even WITH the persist Spark may
+    recompute evicted cache partitions — so a nondeterministic input
+    (e.g. a sample) could yield mutually inconsistent erasure sets
+    across the returned counts. Persist never guaranteed consistency
+    here; the contract lives on the input."""
     # r15 optimization: the erase list feeds 8 joins and the cascaded
     # dead-order-key set feeds 2 — unpersisted, every reference re-ran
     # the source scan + distinct (21 source scans in the plan). Both

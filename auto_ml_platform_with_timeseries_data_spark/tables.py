@@ -8,6 +8,13 @@ oracle comparisons are deterministic regardless of who built the session.
 from __future__ import annotations
 
 import os
+import warnings
+
+try:  # the stats probe goes through py4j; absent under Spark Connect
+    from py4j.protocol import Py4JError as _Py4JError
+except ImportError:  # pragma: no cover
+    class _Py4JError(Exception):
+        pass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,6 +65,7 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # enough for the saved scans to beat the cache's fixed cost.
 PERSIST_SRC_MB_ENV = "SPARK_GRAFT_PERSIST_SRC_MB"
 _PERSIST_SRC_MB_DEFAULT = 256.0
+_PROBE_WARNED = False
 
 
 def persist_if_scan_heavy(frame: DataFrame, source: DataFrame) -> DataFrame:
@@ -90,6 +98,17 @@ def persist_if_scan_heavy(frame: DataFrame, source: DataFrame) -> DataFrame:
     try:
         size = int(str(source._jdf.queryExecution().optimizedPlan()
                        .stats().sizeInBytes()))
-    except Exception:
+    except (AttributeError, TypeError, ValueError, _Py4JError) as exc:
+        # No _jdf (Spark Connect) or a probe-shape change: fall back to
+        # the at-scale-safe unconditional persist, but say so ONCE — a
+        # silently disabled gate reverts every call site to the
+        # measured ~2x-slower small-scale persist with no signal.
+        global _PROBE_WARNED
+        if not _PROBE_WARNED:
+            _PROBE_WARNED = True
+            warnings.warn(
+                "persist_if_scan_heavy: source-size probe unavailable "
+                f"({type(exc).__name__}: {exc}); persisting "
+                "unconditionally from now on", RuntimeWarning)
         return frame.persist()
     return frame.persist() if size >= mb * 1024 * 1024 else frame

@@ -386,8 +386,13 @@ def test_fleet_triage_size_gate_defaults_off_at_bench_scale(
     )
     monkeypatch.delenv(PERSIST_SRC_MB_ENV, raising=False)
     df = queries()["q346_fleet_triage"](spark, sf_dir)
-    plan = explain.formatted_plan(df)
-    assert "InMemoryRelation" not in plan
+    try:
+        plan = explain.formatted_plan(df)
+        assert "InMemoryRelation" not in plan
+    finally:
+        # if the gate ever misfires and persists, don't leak the cached
+        # frame into the session-scoped SparkSession for later tests
+        spark.catalog.clearCache()
 
 
 def test_bigram_lm_single_tokenize_pass(spark, sf_dir):
