@@ -30,6 +30,16 @@ _RUNTIME_CONFS = {
     # 200-task micro-batches over fixture-sized state. Runtime-settable,
     # perf-only — results are identical either way.
     "spark.sql.shuffle.partitions": str(os.environ.get("SPARK_GRAFT_CPUS", 32)),
+    # Align whole-stage-codegen fallback with what HotSpot will actually
+    # JIT: methods over 8000 bytecode are never compiled
+    # (-XX:DontCompileHugeMethods), so a fused stage between 8 KB and
+    # Spark's 64 KB default runs INTERPRETED bytecode — slower than the
+    # non-fused path it replaced. Measured r16 (sf0.1, warm, min-of-2):
+    # q309 3.92→1.76 s, q343 2.45→1.94, q217 4.28→3.41, q268 2.42→2.05,
+    # everything else neutral. Scale-independent (a property of the
+    # generated code size, not the data); the wide-aggregate forecast
+    # kernels are exactly the shape that trips it.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 
@@ -102,6 +112,14 @@ def get_spark(app_name: str = "auto_ml_platform_with_timeseries_data_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
+        # Static conf (builder-only; tune() cannot retrofit it onto a
+        # foreign session): skip PySpark's per-API-call call-site
+        # capture — it stack-walks + py4j-ships an error-origin string
+        # on EVERY functions/DataFrame call, costing 0.3-1.4 s of pure
+        # driver time per query BUILD at this plan width (measured r16:
+        # q17 build 1.84→0.46 s, q309 0.83→0.50 s). Only error-message
+        # origin decoration is lost; results and plans are unchanged.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)
