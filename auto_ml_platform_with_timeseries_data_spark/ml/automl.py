@@ -189,13 +189,15 @@ def automl(train: DataFrame, features: list[str], label: str,
     # scan split (sf0.1 lineitem = 3 parquet splits) runs hundreds of
     # per-fit jobs at 3-task width on a 32-core box. Scale UP only —
     # never coalesce a wide input (at cluster scale the scan's own
-    # partitioning is already right) — to half the default parallelism:
-    # family threads × CV parallelism already keep ~8 fits in flight,
-    # so half-width jobs saturate the cores without flooding the
-    # scheduler (measured on automl_e2e warm: 3→70.1 s, 4→47.6 s,
-    # 8→41.1 s, 16→38.2 s; 16 = cores//2 here). CV selection is
+    # partitioning is already right). Width rule: family threads × CV
+    # parallelism keep ~8 fits in flight, so npart = cores//4 puts
+    # ~2·cores tasks in flight — saturated but not flooded. r15's
+    # sweep picked cores//2 (3→70.1 s, 8→41.1, 16→38.2 on that box);
+    # re-swept r16 under the session-conf changes with paired
+    # alternating rounds: npart8 29.8/34.2 s vs npart16 34.4/38.4 vs
+    # npart4 32.0/38.5 — cores//4 won both rounds. CV selection is
     # partition-robust by q166's planted-optimum contract.
-    npart = max(1, train.sparkSession.sparkContext.defaultParallelism // 2)
+    npart = max(1, train.sparkSession.sparkContext.defaultParallelism // 4)
     if train.rdd.getNumPartitions() < npart:
         train = train.repartition(npart)
     train = train.cache()

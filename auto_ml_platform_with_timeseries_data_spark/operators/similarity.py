@@ -2134,11 +2134,18 @@ def q250_margin_mining_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter((F.col("vec_id") >= _MARGIN_IVF_LO) &
                        (F.col("vec_id") < _MARGIN_IVF_LO
                         + _MARGIN_IVF_CELLS))
-    full = margin_mine_pairs(src, tgt, "vec_id", "embedding") \
-        .withColumnRenamed("margin", "margin_full")
-    ann = margin_mine_pairs_banded(src, tgt, cents, "vec_id",
-                                   "embedding") \
-        .withColumnRenamed("margin", "margin_ann")
+    # The two sides are independent and each eagerly materializes its
+    # candidate-pair cache (_margin_from_pairs); build them from two
+    # driver threads so the pair jobs overlap (guide §2.6) instead of
+    # serializing — the certificate's wall is max(sides), not the sum.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_full = pool.submit(margin_mine_pairs, src, tgt,
+                             "vec_id", "embedding")
+        f_ann = pool.submit(margin_mine_pairs_banded, src, tgt, cents,
+                            "vec_id", "embedding")
+        full = f_full.result().withColumnRenamed("margin", "margin_full")
+        ann = f_ann.result().withColumnRenamed("margin", "margin_ann")
     out = full.join(ann, ["src_id", "tgt_id"], "full_outer")
     err = F.when(
         F.col("margin_full").isNotNull() & F.col("margin_ann").isNotNull(),
@@ -2214,10 +2221,15 @@ def q267_margin_agreement_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = emb.filter((F.col("vec_id") >= _MARGIN_IVF_LO)
                        & (F.col("vec_id") < _MARGIN_IVF_LO
                           + _MARGIN_IVF_CELLS))
-    full = margin_mine_pairs(src, tgt, "vec_id", "embedding",
-                             margin=0.0)
-    ann = margin_mine_pairs_banded(src, tgt, cents, "vec_id",
-                                   "embedding", margin=0.0)
+    # independent sides built from two driver threads so their eager
+    # pair materializations overlap (same rationale as q250)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_full = pool.submit(margin_mine_pairs, src, tgt,
+                             "vec_id", "embedding", margin=0.0)
+        f_ann = pool.submit(margin_mine_pairs_banded, src, tgt, cents,
+                            "vec_id", "embedding", margin=0.0)
+        full, ann = f_full.result(), f_ann.result()
     # one pass over each mining run: left-join marks coverage, a single
     # aggregate reads |full| and |full ∩ banded| together (a separate
     # full.count() would re-run the exact kernel a second time)
